@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Shared helpers used by every query in the registry.
+  *
+  * Oracle-determinism conventions (the driver hash-compares our parquet
+  * output against DuckDB running [[SparkEntry.oracleSql]] on the same
+  * tables):
+  *
+  *   - Money/measure columns in the synthetic tables are 2-decimal
+  *     doubles. Accumulating doubles is order-dependent, so sums would
+  *     not be bit-identical across engines. We convert to exact integer
+  *     "cents" (`CAST(ROUND(x*100) AS BIGINT)`), do all arithmetic in
+  *     integers, and convert to DOUBLE with a single final division —
+  *     one IEEE op with identical operands is deterministic everywhere.
+  *     (x*100 can never land exactly on .5 for a binary float, since
+  *     (2k+1)/200 has a factor 5^2 in the denominator, so ROUND
+  *     half-up vs half-away never diverges.)
+  *   - Every query ends in an explicit orderBy mirrored by an ORDER BY
+  *     in the oracle SQL, with a unique tiebreak column, so the emitted
+  *     row order is deterministic on both sides.
+  *   - Aggregate/computed columns are aliased identically on both sides
+  *     (the driver sorts columns by name before hashing).
+  */
+object core {
+  /** Read one synthetic table from the scale-factor directory.
+    *
+    * `events.ts` is written as parquet TIMESTAMP(NANOS), which Spark's
+    * vectorized reader rejects; we read nanos as long
+    * (spark.sql.legacy.parquet.nanosAsLong) and rebuild a proper
+    * TimestampType column — the data is µs-precision, so the ns→µs
+    * conversion is lossless and matches DuckDB's view of the column.
+    */
+  def t(s: SparkSession, dir: String, name: String): DataFrame = {
+    if (name == "events") {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      s.read.parquet(s"$dir/$name.parquet")
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    } else {
+      s.read.parquet(s"$dir/$name.parquet")
+    }
+  }
+
+  /** Exact integer cents: CAST(FLOOR(x*100 + 0.5) AS BIGINT).
+    * floor(+0.5) rather than round(): the double product can land
+    * exactly on .5, where Spark rounds HALF_UP but DuckDB ties-to-even;
+    * floor(+0.5) is the identical IEEE op sequence in both engines. */
+  def cents(c: Column): Column = floor(c * 100 + 0.5).cast("long")
+
+  def asDouble(c: Column): Column = c.cast("double")
+}

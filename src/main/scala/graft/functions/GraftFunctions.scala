@@ -1,0 +1,62 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, GraftBridge, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.functions._
+
+/** Column-API surface for the custom Catalyst expressions, plus SQL
+  * registration so `spark.sql("SELECT purl_parse(...)")` works too.
+  */
+object GraftFunctions {
+  private def col(e: Expression): Column = GraftBridge.column(e)
+  private def ex(c: Column): Expression = GraftBridge.expression(c)
+
+  /** PURL string -> struct<ptype,namespace,name,version,qualifiers,subpath>. */
+  def purl_parse(c: Column): Column = col(PurlParse(ex(c)))
+
+  /** Compose a canonical PURL string from component columns (nulls
+    * collapse their segment). Pure built-in ops — codegen-friendly. */
+  def purl_build(ptype: Column, namespace: Column, name: Column,
+      version: Column): Column =
+    concat(
+      lit("pkg:"), lower(ptype), lit("/"),
+      when(namespace.isNull or namespace === "", lit(""))
+        .otherwise(concat(namespace, lit("/"))),
+      name,
+      when(version.isNull or version === "", lit(""))
+        .otherwise(concat(lit("@"), version)))
+
+  /** Natural-version sort key (binary-comparable string). */
+  def natver_key(c: Column): Column = col(NatVersionKey(ex(c)))
+
+  /** Popcount of XOR over two equal-length binary columns. */
+  def hamming_bin(a: Column, b: Column): Column = col(HammingBin(ex(a), ex(b)))
+
+  /** 64-bit SimHash over an array<string> of tokens. */
+  def simhash64(c: Column): Column = col(SimHash64(ex(c)))
+
+  /** k-value MinHash signature over an array<string> of tokens. */
+  def minhash_sig(c: Column, k: Int): Column =
+    col(MinHashSig(ex(c), ex(lit(k))))
+
+  /** Winnowed rolling-hash fingerprints over token windows. */
+  def rollhash_fps(c: Column, window: Int, keep: Int): Column =
+    col(RollingFingerprints(ex(c), ex(lit(window)), ex(lit(keep))))
+
+  /** Register all custom functions in the session's FunctionRegistry. */
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("purl_parse",
+      es => PurlParse(es.head), "built-in")
+    reg.createOrReplaceTempFunction("natver_key",
+      es => NatVersionKey(es.head), "built-in")
+    reg.createOrReplaceTempFunction("hamming_bin",
+      es => HammingBin(es.head, es(1)), "built-in")
+    reg.createOrReplaceTempFunction("simhash64",
+      es => SimHash64(es.head), "built-in")
+    reg.createOrReplaceTempFunction("minhash_sig",
+      es => MinHashSig(es.head, es(1)), "built-in")
+    reg.createOrReplaceTempFunction("rollhash_fps",
+      es => RollingFingerprints(es.head, es(1), es(2)), "built-in")
+  }
+}

@@ -1,0 +1,320 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Custom Catalyst expressions for the purldb-semantic operators that
+  * Spark's built-in function library cannot express (SURVEY.md §2.8).
+  *
+  * All are interpreted (`CodegenFallback`) in round 1; `doGenCode` is a
+  * planned optimization once the semantics are locked by tests. None of
+  * the logic is ported code — each implements a published format
+  * (Package-URL spec, FNV-1a, SimHash) from its public definition.
+  */
+object Fnv {
+  /** FNV-1a 64-bit over UTF-8 bytes (public-domain hash; used as the
+    * token hash for SimHash/MinHash so results are self-contained and
+    * deterministic with zero dependencies). */
+  final val Offset = 0xcbf29ce484222325L
+  final val Prime = 0x100000001b3L
+
+  /** Murmur3-style 64-bit avalanche finalizer: raw FNV on short keys
+    * has weak low-byte diffusion, which breaks MinHash's min-wise
+    * independence; the finalizer restores it. */
+  private def fmix(v: Long): Long = {
+    var h = v
+    h ^= h >>> 33; h *= 0xff51afd7ed558ccdL
+    h ^= h >>> 33; h *= 0xc4ceb9fe1a85ec53L
+    h ^= h >>> 33
+    h
+  }
+
+  def hash64(bytes: Array[Byte]): Long = {
+    var h = Offset
+    var i = 0
+    while (i < bytes.length) { h ^= (bytes(i) & 0xffL); h *= Prime; i += 1 }
+    fmix(h)
+  }
+  /** Seeded variant for MinHash "permutations". */
+  def hash64(bytes: Array[Byte], seed: Int): Long = {
+    var h = Offset ^ fmix(seed * 0x9e3779b97f4a7c15L + 0x2545f4914f6cdd1dL)
+    var i = 0
+    while (i < bytes.length) { h ^= (bytes(i) & 0xffL); h *= Prime; i += 1 }
+    fmix(h)
+  }
+}
+
+/** purl_parse(purlString) -> struct<ptype,namespace,name,version,
+  * qualifiers,subpath> per the Package-URL spec
+  * (github.com/package-url/purl-spec). Mirrors the lookup-tuple
+  * semantics of reference `packagedb/api.py:832-834` (purl_to_lookups).
+  * Malformed input (no "pkg:" scheme or empty name) yields NULL.
+  */
+case class PurlParse(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = PurlParse.schema
+  override def nullable: Boolean = true
+  override def prettyName: String = "purl_parse"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    PurlParse.parse(s) match {
+      case null => null
+      case arr  => InternalRow.fromSeq(arr.map {
+        case null => null
+        case v    => UTF8String.fromString(v)
+      })
+    }
+  }
+  override protected def withNewChildInternal(c: Expression): PurlParse = copy(c)
+}
+
+object PurlParse {
+  val schema: StructType = StructType(Seq(
+    StructField("ptype", StringType),
+    StructField("namespace", StringType),
+    StructField("name", StringType),
+    StructField("version", StringType),
+    StructField("qualifiers", StringType),
+    StructField("subpath", StringType)))
+
+  private def dec(s: String): String =
+    try java.net.URLDecoder.decode(s, "UTF-8") catch { case _: Exception => s }
+
+  /** Returns Array(ptype, namespace, name, version, qualifiers, subpath)
+    * (nullable elements) or null when unparseable. Qualifiers are
+    * normalized: keys lowercased, sorted, re-encoded `k=v&k2=v2`
+    * (reference `minecode/model_utils.py:92-96`). */
+  def parse(purl: String): Array[String] = {
+    var s = purl.trim
+    if (!s.toLowerCase.startsWith("pkg:")) return null
+    s = s.substring(4).dropWhile(_ == '/')
+    var subpath: String = null
+    val hashIdx = s.indexOf('#')
+    if (hashIdx >= 0) {
+      subpath = s.substring(hashIdx + 1).split("/").filter(p =>
+        p.nonEmpty && p != "." && p != "..").map(dec).mkString("/")
+      if (subpath.isEmpty) subpath = null
+      s = s.substring(0, hashIdx)
+    }
+    var qualifiers: String = null
+    val qIdx = s.indexOf('?')
+    if (qIdx >= 0) {
+      val pairs = s.substring(qIdx + 1).split("&").toSeq
+        .map { kv =>
+          val eq = kv.indexOf('=')
+          if (eq < 0) (kv.toLowerCase, "")
+          else (kv.substring(0, eq).toLowerCase, dec(kv.substring(eq + 1)))
+        }
+        .filter { case (k, v) => k.nonEmpty && v.nonEmpty }
+        .sortBy(_._1)
+      if (pairs.nonEmpty)
+        qualifiers = pairs.map { case (k, v) => s"$k=$v" }.mkString("&")
+      s = s.substring(0, qIdx)
+    }
+    var version: String = null
+    val atIdx = s.lastIndexOf('@')
+    if (atIdx >= 0) {
+      version = dec(s.substring(atIdx + 1))
+      if (version.isEmpty) version = null
+      s = s.substring(0, atIdx)
+    }
+    val segs = s.split("/").filter(_.nonEmpty)
+    if (segs.length < 2) return null
+    val ptype = segs.head.toLowerCase
+    val name = dec(segs.last)
+    if (name.isEmpty) return null
+    val namespace =
+      if (segs.length > 2) segs.slice(1, segs.length - 1).map(dec).mkString("/")
+      else null
+    Array(ptype, namespace, name, version, qualifiers, subpath)
+  }
+}
+
+/** natver_key(version) -> string key whose binary ordering equals the
+  * reference's natural-version ordering (reference
+  * `packagedb/models.py:51-53`: natsort of `version.replace('.','~')+'z'`).
+  * The `~`/`z` trick yields "1.2rc1" < "1.2" < "1.2.1" < "1.10" —
+  * pre-releases sort before their base version, like semver. We apply
+  * the same rewrite, then zero-pad digit runs to 12 so plain string
+  * comparison of keys reproduces natsort's (int,str) tuple ordering.
+  */
+case class NatVersionKey(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "natver_key"
+  override protected def nullSafeEval(input: Any): Any =
+    UTF8String.fromString(
+      NatVersionKey.key(input.asInstanceOf[UTF8String].toString))
+  override protected def withNewChildInternal(c: Expression): NatVersionKey =
+    copy(c)
+}
+
+object NatVersionKey {
+  def key(version: String): String = {
+    val v = version.replace(".", "~") + "z"
+    val sb = new StringBuilder(v.length + 16)
+    var i = 0
+    while (i < v.length) {
+      if (v.charAt(i).isDigit) {
+        var j = i
+        while (j < v.length && v.charAt(j).isDigit) j += 1
+        val run = v.substring(i, j).dropWhile(_ == '0')
+        val digits = if (run.isEmpty) "0" else run
+        val pad = 12 - digits.length
+        if (pad > 0) sb.append("0" * pad)
+        sb.append(digits)
+        i = j
+      } else {
+        sb.append(v.charAt(i))
+        i += 1
+      }
+    }
+    sb.toString
+  }
+}
+
+/** hamming_bin(a, b) -> int popcount(a XOR b) over equal-length binary
+  * values; NULL on length mismatch. Reproduces the reference's
+  * byte_hamming_distance over 16-byte bah128 fingerprints
+  * (`matchcode/models.py:272-291`), generalized to any width.
+  */
+case class HammingBin(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean = true
+  override def prettyName: String = "hamming_bin"
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[Array[Byte]]
+    val y = b.asInstanceOf[Array[Byte]]
+    if (x.length != y.length) null
+    else {
+      var d = 0; var i = 0
+      while (i < x.length) {
+        d += java.lang.Integer.bitCount((x(i) ^ y(i)) & 0xff); i += 1
+      }
+      d
+    }
+  }
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): HammingBin = copy(l, r)
+}
+
+/** simhash64(array<string>) -> long: Charikar SimHash over token
+  * FNV-1a-64 hashes — bit i of the result is 1 iff the count of tokens
+  * with bit i set exceeds half the token count. Used for near-duplicate
+  * detection with banded LSH + Hamming verify (the same
+  * band-then-verify plan as the reference's bah128 directory matching,
+  * `matchcode/models.py:228-373`).
+  */
+case class SimHash64(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash64"
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val counts = new Array[Int](64)
+    val n = arr.numElements()
+    var nTok = 0
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val h = Fnv.hash64(arr.getUTF8String(i).getBytes)
+        var b = 0
+        while (b < 64) { if (((h >>> b) & 1L) == 1L) counts(b) += 1; b += 1 }
+        nTok += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) { if (counts(b) * 2 > nTok) out |= (1L << b); b += 1 }
+    java.lang.Long.valueOf(out)
+  }
+  override protected def withNewChildInternal(c: Expression): SimHash64 = copy(c)
+}
+
+/** minhash_sig(array<string>, k) -> array<long>: k min-hash values
+  * (seeded FNV-1a) over the token set — the signature used by the
+  * banded-LSH near-dup join. k must be a foldable int literal.
+  */
+case class MinHashSig(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_sig"
+  override protected def nullSafeEval(tokens: Any, kAny: Any): Any = {
+    val arr = tokens.asInstanceOf[ArrayData]
+    val k = kAny.asInstanceOf[Int]
+    val sig = Array.fill(k)(Long.MaxValue)
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val bytes = arr.getUTF8String(i).getBytes
+        var j = 0
+        while (j < k) {
+          val h = Fnv.hash64(bytes, j)
+          if (h < sig(j)) sig(j) = h
+          j += 1
+        }
+      }
+      i += 1
+    }
+    new GenericArrayData(sig)
+  }
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): MinHashSig = copy(l, r)
+}
+
+/** rollhash_fps(array<string>, window, keep) -> array<long>: rolling
+  * (Rabin-Karp style) fingerprints over token windows, keeping the
+  * `keep` smallest distinct values — a winnowed document fingerprint
+  * like the reference's 16-token snippet fingerprints
+  * (`matchcode/models.py:546-549`).
+  */
+case class RollingFingerprints(
+    first: Expression, second: Expression, third: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression
+    with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "rollhash_fps"
+  override protected def nullSafeEval(tok: Any, wAny: Any, kAny: Any): Any = {
+    val arr = tok.asInstanceOf[ArrayData]
+    val w = wAny.asInstanceOf[Int]
+    val keep = kAny.asInstanceOf[Int]
+    val n = arr.numElements()
+    val hashes = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      hashes(i) = if (arr.isNullAt(i)) 0L else Fnv.hash64(arr.getUTF8String(i).getBytes)
+      i += 1
+    }
+    if (n == 0) return new GenericArrayData(Array.emptyLongArray)
+    val nWin = math.max(1, n - w + 1)
+    val fps = new Array[Long](nWin)
+    val B = 0x100000001b3L
+    // highest power of B in the window, for O(1) slide
+    var bw = 1L
+    var p = 0
+    while (p < math.min(w, n) - 1) { bw *= B; p += 1 }
+    var h = 0L
+    i = 0
+    while (i < math.min(w, n)) { h = h * B + hashes(i); i += 1 }
+    fps(0) = h
+    i = 1
+    while (i < nWin) {
+      h = (h - hashes(i - 1) * bw) * B + hashes(i + w - 1)
+      fps(i) = h
+      i += 1
+    }
+    val kept = fps.distinct.sorted.take(keep)
+    new GenericArrayData(kept)
+  }
+  override protected def withNewChildrenInternal(
+      a: Expression, b: Expression, c: Expression): RollingFingerprints =
+    copy(a, b, c)
+}

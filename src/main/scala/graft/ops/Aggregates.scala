@@ -1,0 +1,182 @@
+package graft.ops
+
+import graft._
+import graft.core._
+import org.apache.spark.sql.functions._
+
+/** SURVEY.md §2.4 — aggregations, including the inverted-index join
+  * (J6) and Jaccard coefficient (A4) that feed the snippet-matching
+  * semantics. All double outputs are produced by a single final IEEE
+  * op over exact integers (see core.scala).
+  */
+object Aggregates {
+
+  val a1 = QueryDef(
+    "a1_status_counts", "A1",
+    "group-by status counts + exact value sums (queue stats shape)",
+    (s, dir) =>
+      t(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(
+          count(lit(1)).as("n"),
+          countDistinct(col("user_id")).as("n_users"),
+          (asDouble(sum(cents(col("value")))) / 100.0).as("sum_value"))
+        .orderBy("event_type"),
+    Some("""SELECT event_type, COUNT(*) AS n,
+        COUNT(DISTINCT user_id) AS n_users,
+        CAST(SUM(CAST(FLOOR(value*100 + 0.5) AS BIGINT)) AS DOUBLE)/100.0 AS sum_value
+      FROM events GROUP BY event_type ORDER BY event_type"""))
+
+  val a2 = QueryDef(
+    "a2_conditional_agg", "A2",
+    "conditional sum(when(...)) flag counts per group",
+    (s, dir) =>
+      t(s, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(when(col("o_orderstatus") === "F", 1L).otherwise(0L)).as("n_final"),
+          sum(when(col("o_totalprice") > 200000.0, 1L).otherwise(0L)).as("n_big"))
+        .orderBy("o_orderpriority"),
+    Some("""SELECT o_orderpriority, COUNT(*) AS n,
+        CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_final,
+        CAST(SUM(CASE WHEN o_totalprice > 200000.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_big
+      FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
+
+  val a3 = QueryDef(
+    "a3_distinct_count", "A3",
+    "per-key distinct counting (distinct fingerprints per package shape)",
+    (s, dir) =>
+      t(s, dir, "events")
+        .groupBy(col("user_id"))
+        .agg(
+          countDistinct(col("event_type")).as("n_types"),
+          count(lit(1)).as("n_events"))
+        .orderBy("user_id"),
+    Some("""SELECT user_id, COUNT(DISTINCT event_type) AS n_types,
+        COUNT(*) AS n_events
+      FROM events GROUP BY user_id ORDER BY user_id"""))
+
+  val j6a4 = QueryDef(
+    "j6_a4_token_jaccard", "J6/A4",
+    "inverted-index join of exploded tokens + Jaccard vs next doc",
+    (s, dir) => {
+      val words = t(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(array_distinct(split(col("text"), " "))).as("word"))
+        .filter(col("word") =!= "")
+      val sizes = words.groupBy("doc_id")
+        .agg(count(lit(1)).as("n_words"))
+      val a = words.alias("a")
+      val b = words.alias("b")
+      val inter = a.join(b,
+          col("a.word") === col("b.word") &&
+            col("b.doc_id") === col("a.doc_id") + 1)
+        .groupBy(col("a.doc_id").as("doc_id"))
+        .agg(count(lit(1)).as("n_common"))
+      val sa = sizes.alias("sa")
+      val sb = sizes.alias("sb")
+      sa.join(sb, col("sb.doc_id") === col("sa.doc_id") + 1)
+        .join(inter, col("sa.doc_id") === inter("doc_id"), "left")
+        .select(
+          col("sa.doc_id").as("d1"),
+          col("sb.doc_id").as("d2"),
+          coalesce(col("n_common"), lit(0L)).as("n_common"),
+          (asDouble(coalesce(col("n_common"), lit(0L))) /
+            asDouble(col("sa.n_words") + col("sb.n_words") -
+              coalesce(col("n_common"), lit(0L)))).as("jaccard"))
+        .orderBy("d1")
+    },
+    Some("""WITH words AS (
+        SELECT doc_id, unnest(list_distinct(list_filter(
+          string_split(text, ' '), w -> w <> ''))) AS word
+        FROM documents),
+      sizes AS (SELECT doc_id, COUNT(*) AS n_words FROM words GROUP BY doc_id),
+      inter AS (
+        SELECT a.doc_id AS doc_id, COUNT(*) AS n_common
+        FROM words a JOIN words b
+          ON a.word = b.word AND b.doc_id = a.doc_id + 1
+        GROUP BY a.doc_id)
+      SELECT sa.doc_id AS d1, sb.doc_id AS d2,
+        COALESCE(inter.n_common, 0) AS n_common,
+        CAST(COALESCE(inter.n_common, 0) AS DOUBLE) /
+          CAST(sa.n_words + sb.n_words - COALESCE(inter.n_common, 0) AS DOUBLE)
+          AS jaccard
+      FROM sizes sa
+      JOIN sizes sb ON sb.doc_id = sa.doc_id + 1
+      LEFT JOIN inter ON sa.doc_id = inter.doc_id
+      ORDER BY d1"""))
+
+  val a6 = QueryDef(
+    "a6_merge_latest_wins", "A6/X9",
+    "field-level merge fold: per key, value from highest-precedence row",
+    (s, dir) => {
+      val rank = unix_timestamp(col("o_orderdate")) * 1000000 + col("o_orderkey")
+      t(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(
+          max_by(col("o_totalprice"), rank).as("latest_price"),
+          max_by(col("o_orderstatus"), rank).as("latest_status"),
+          max(col("o_orderdate")).as("latest_date"),
+          count(lit(1)).as("n_orders"))
+        .orderBy("o_custkey")
+    },
+    Some("""SELECT o_custkey,
+        arg_max(o_totalprice, CAST(floor(epoch(o_orderdate)) AS BIGINT)*1000000 + o_orderkey) AS latest_price,
+        arg_max(o_orderstatus, CAST(floor(epoch(o_orderdate)) AS BIGINT)*1000000 + o_orderkey) AS latest_status,
+        MAX(o_orderdate) AS latest_date,
+        COUNT(*) AS n_orders
+      FROM orders GROUP BY o_custkey ORDER BY o_custkey"""))
+
+  val a7 = QueryDef(
+    "a7_latest_version", "A7/F6/O3",
+    "latest version per name by natural-version order (natver_key)",
+    (s, dir) => {
+      val versioned = t(s, dir, "part")
+        .withColumn("version",
+          concat(pmod(col("p_partkey"), lit(3)).cast("string"), lit("."),
+            pmod(col("p_partkey"), lit(12)).cast("string")))
+      versioned
+        .groupBy(col("p_name"))
+        .agg(
+          max_by(col("version"),
+            // natural-version ordering via the custom sort-key
+            // expression; unique tiebreak on p_partkey
+            concat(graft.functions.GraftFunctions.natver_key(col("version")),
+              lpad(col("p_partkey").cast("string"), 10, "0"))).as("latest_version"),
+          count(lit(1)).as("n_versions"))
+        .orderBy("p_name")
+    },
+    Some("""SELECT p_name,
+        arg_max(CAST(p_partkey % 3 AS VARCHAR) || '.' || CAST(p_partkey % 12 AS VARCHAR),
+          (p_partkey % 3) * 1000000000000 + (p_partkey % 12) * 1000000 + p_partkey)
+          AS latest_version,
+        COUNT(*) AS n_versions
+      FROM part GROUP BY p_name ORDER BY p_name"""))
+
+  val a8 = QueryDef(
+    "a8_distinct", "A8",
+    "projection distinct",
+    (s, dir) =>
+      t(s, dir, "documents").select("lang", "source").distinct()
+        .orderBy("lang", "source"),
+    Some("""SELECT DISTINCT lang, source FROM documents
+      ORDER BY lang, source"""))
+
+  val a9 = QueryDef(
+    "a9_scalar_counters", "A9",
+    "single-row response counters over branch predicates",
+    (s, dir) =>
+      t(s, dir, "events").agg(
+        count(lit(1)).as("n_total"),
+        sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("n_error"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("n_purchase"),
+        countDistinct(col("user_id")).as("n_users")),
+    Some("""SELECT COUNT(*) AS n_total,
+        CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
+        CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+        COUNT(DISTINCT user_id) AS n_users
+      FROM events"""))
+
+  val defs: Seq[QueryDef] = Seq(a1, a2, a3, j6a4, a6, a7, a8, a9)
+}

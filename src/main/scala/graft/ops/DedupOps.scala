@@ -1,0 +1,193 @@
+package graft.ops
+
+import graft._
+import graft.core._
+import graft.functions.GraftFunctions._
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Deduplication operators for the training-data pipeline, mirroring
+  * the reference's match-index semantics at scale:
+  *
+  *  - exact dedup: hash-groupBy (reference J8/W5 duplicate flagging)
+  *  - MinHash+LSH: signature → bands → bucket join → Jaccard verify
+  *  - SimHash: 64-bit fingerprint → 4×16-bit band join → Hamming
+  *    verify → rank (the same band-then-verify plan as the reference's
+  *    bah128 directory matching, `matchcode/models.py:228-373`)
+  *  - n-gram Jaccard: character shingles, exact set overlap
+  *
+  * The band joins are equi-joins on (band_idx, band_value) so they hash
+  * -partition cleanly at 100 TB: candidate generation never compares
+  * all pairs, only bucket collisions.
+  */
+object DedupOps {
+
+  private def words = filter(split(col("text"), " "), w => w =!= "")
+
+  val exact = QueryDef(
+    "d_exact_dedup", "LLM-pipeline dedup: exact (hash groupBy)",
+    "content-hash groups with per-group keeper + duplicate rank",
+    (s, dir) => {
+      val w = Window.partitionBy(col("fp")).orderBy(col("doc_id"))
+      t(s, dir, "documents")
+        .withColumn("fp", md5(col("text")))
+        .withColumn("dup_rank", row_number().over(w))
+        .withColumn("n_copies", count(lit(1)).over(Window.partitionBy(col("fp"))))
+        .select("doc_id", "fp", "dup_rank", "n_copies")
+        .orderBy("doc_id")
+    },
+    Some("""SELECT doc_id, md5(text) AS fp,
+        ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS dup_rank,
+        COUNT(*) OVER (PARTITION BY md5(text)) AS n_copies
+      FROM documents ORDER BY doc_id"""))
+
+  /** MinHash signature k=32, bands of r=4 rows → 8 bands. Pairs whose
+    * token-set Jaccard ≥ ~0.47 collide in ≥1 band with high
+    * probability; verification computes exact Jaccard on the signature
+    * (unbiased estimate) and keeps pairs ≥ 0.5.
+    */
+  val minhash = QueryDef(
+    "d_minhash_lsh", "LLM-pipeline dedup: MinHash+LSH",
+    "shingle→minhash(32)→band(8×4)→bucket-join→verify Jaccard≥0.5",
+    (s, dir) => {
+      // 3-token shingles: single tokens are too coarse on small
+      // vocabularies (every doc resembles every other); shingling
+      // restores discrimination, as in standard MinHash practice.
+      val sigs = t(s, dir, "documents")
+        .withColumn("w", words)
+        .withColumn("sh", expr(
+          """transform(sequence(1, greatest(size(w) - 2, 1)),
+               i -> array_join(slice(w, i, 3), ' '))"""))
+        .select(col("doc_id"), minhash_sig(col("sh"), 32).as("sig"))
+      val bands = sigs.select(col("doc_id"), col("sig"),
+          explode(expr(
+            """transform(sequence(0, 7),
+                 b -> struct(b AS band_idx,
+                             hash(slice(sig, b*4 + 1, 4)) AS band_hash))"""))
+            .as("band"))
+        .select(col("doc_id"), col("sig"),
+          col("band.band_idx").as("band_idx"),
+          col("band.band_hash").as("band_hash"))
+      val a = bands.alias("a")
+      val b = bands.alias("b")
+      val cand = a.join(b,
+          col("a.band_idx") === col("b.band_idx") &&
+            col("a.band_hash") === col("b.band_hash") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+          col("a.sig").as("sig1"), col("b.sig").as("sig2"))
+        .dropDuplicates("d1", "d2")
+      cand
+        .withColumn("est_jaccard",
+          asDouble(size(filter(zip_with(col("sig1"), col("sig2"),
+            (x, y) => (x === y).cast("int")), v => v === 1))) / 32.0)
+        .filter(col("est_jaccard") >= 0.5)
+        .select("d1", "d2", "est_jaccard")
+        .orderBy("d1", "d2")
+    },
+    None)
+
+  /** SimHash near-dup with the reference's banded approximate-match
+    * plan (J5): 4 equi-join band probes unioned (here: exploded into
+    * one equi-join on (band_idx, band_value) — same plan, fewer ops),
+    * ±5% length band, Hamming < 8 verify, then rank best match per
+    * left doc by (hamming, length diff) keeping ties (W3 semantics).
+    */
+  val simhash = QueryDef(
+    "j5_simhash_banded_match", "J5/W3/F4 + LLM-pipeline dedup: SimHash",
+    "simhash64 → 4×16-bit bands → candidate join → hamming<8 → rank",
+    (s, dir) => {
+      val fps = t(s, dir, "documents")
+        .select(col("doc_id"), col("n_chars"), simhash64(words).as("fp"))
+      val banded = fps.select(col("doc_id"), col("n_chars"), col("fp"),
+          explode(expr(
+            """transform(sequence(0, 3),
+                 b -> struct(b AS band_idx,
+                             CAST(shiftright(fp, b*16) & 65535 AS INT)
+                               AS band_val))""")).as("band"))
+        .select(col("doc_id"), col("n_chars"), col("fp"),
+          col("band.band_idx").as("band_idx"),
+          col("band.band_val").as("band_val"))
+      val a = banded.alias("a")
+      val b = banded.alias("b")
+      val cand = a.join(b,
+          col("a.band_idx") === col("b.band_idx") &&
+            col("a.band_val") === col("b.band_val") &&
+            col("a.doc_id") < col("b.doc_id") &&
+            // ±5% element-count band (matchcode/models.py:129-141)
+            abs(col("a.n_chars") - col("b.n_chars")) <=
+              col("a.n_chars") * 0.05)
+        .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+          col("a.fp").as("fp1"), col("b.fp").as("fp2"),
+          col("a.n_chars").as("nc1"), col("b.n_chars").as("nc2"))
+        .dropDuplicates("d1", "d2")
+      val verified = cand
+        .withColumn("hamming", expr("bit_count(fp1 ^ fp2)"))
+        .filter(col("hamming") < 8)
+        .withColumn("size_diff", abs(col("nc1") - col("nc2")))
+      val w = Window.partitionBy(col("d1"))
+        .orderBy(col("hamming"), col("size_diff"))
+      verified
+        .withColumn("rk", rank().over(w))
+        .filter(col("rk") === 1)
+        .select("d1", "d2", "hamming", "size_diff")
+        .orderBy("d1", "d2")
+    },
+    None)
+
+  /** Character 3-gram Jaccard between consecutive doc pairs — the
+    * oracle-checkable exact-set variant of near-dup scoring. */
+  val ngram = QueryDef(
+    "d_ngram_jaccard", "LLM-pipeline dedup: n-gram Jaccard",
+    "char-3-gram shingle sets, exact Jaccard vs next doc",
+    (s, dir) => {
+      val grams = t(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(array_distinct(expr(
+            "transform(sequence(1, greatest(length(text)-2, 1)), i -> substring(text, i, 3))")))
+            .as("g"))
+        .filter(length(col("g")) === 3)
+      val sizes = grams.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+      val ga = grams.alias("ga")
+      val gb = grams.alias("gb")
+      val inter = ga.join(gb,
+          col("ga.g") === col("gb.g") &&
+            col("gb.doc_id") === col("ga.doc_id") + 1)
+        .groupBy(col("ga.doc_id").as("doc_id"))
+        .agg(count(lit(1)).as("n_common"))
+      val sa = sizes.alias("sa")
+      val sb = sizes.alias("sb")
+      sa.join(sb, col("sb.doc_id") === col("sa.doc_id") + 1)
+        .join(inter, col("sa.doc_id") === inter("doc_id"), "left")
+        .select(col("sa.doc_id").as("d1"), col("sb.doc_id").as("d2"),
+          coalesce(col("n_common"), lit(0L)).as("n_common"),
+          (asDouble(coalesce(col("n_common"), lit(0L))) /
+            asDouble(col("sa.n_grams") + col("sb.n_grams") -
+              coalesce(col("n_common"), lit(0L)))).as("jaccard3"))
+        .orderBy("d1")
+    },
+    Some("""WITH expanded AS (
+        SELECT doc_id, text,
+          unnest(range(1, greatest(length(text)-2, 1) + 1)) AS i
+        FROM documents),
+      grams AS (
+        SELECT DISTINCT doc_id, substring(text, CAST(i AS INTEGER), 3) AS g
+        FROM expanded),
+      g3 AS (SELECT doc_id, g FROM grams WHERE length(g) = 3),
+      sizes AS (SELECT doc_id, COUNT(*) AS n_grams FROM g3 GROUP BY doc_id),
+      inter AS (
+        SELECT a.doc_id AS doc_id, COUNT(*) AS n_common
+        FROM g3 a JOIN g3 b ON a.g = b.g AND b.doc_id = a.doc_id + 1
+        GROUP BY a.doc_id)
+      SELECT sa.doc_id AS d1, sb.doc_id AS d2,
+        COALESCE(inter.n_common, 0) AS n_common,
+        CAST(COALESCE(inter.n_common, 0) AS DOUBLE) /
+          CAST(sa.n_grams + sb.n_grams - COALESCE(inter.n_common, 0) AS DOUBLE)
+          AS jaccard3
+      FROM sizes sa
+      JOIN sizes sb ON sb.doc_id = sa.doc_id + 1
+      LEFT JOIN inter ON sa.doc_id = inter.doc_id
+      ORDER BY d1"""))
+
+  val defs: Seq[QueryDef] = Seq(exact, minhash, simhash, ngram)
+}

@@ -1,0 +1,245 @@
+package graft.ops
+
+import graft._
+import graft.core._
+import graft.functions.GraftFunctions._
+import org.apache.spark.sql.functions._
+
+/** SURVEY.md §2.8 — scalar function surface: PURL codec, hex/binary,
+  * hamming, version-hint regexes, date/path/array/map ops. Each query
+  * projects the function over a table so the oracle can check value
+  * semantics row by row.
+  */
+object Functions {
+
+  val f1 = QueryDef(
+    "f1_purl_roundtrip", "F1",
+    "purl_build → purl_parse roundtrip via the custom Catalyst expression",
+    (s, dir) => {
+      val withPurl = t(s, dir, "part")
+        .withColumn("version",
+          concat(pmod(col("p_partkey"), lit(3)).cast("string"), lit("."),
+            pmod(col("p_partkey"), lit(12)).cast("string")))
+        .withColumn("purl", purl_build(
+          lit("generic"),
+          lower(regexp_replace(col("p_brand"), "#", "")),
+          regexp_replace(col("p_name"), " ", "-"),
+          col("version")))
+      withPurl
+        .withColumn("parsed", purl_parse(col("purl")))
+        .select(
+          col("p_partkey"), col("purl"),
+          col("parsed.ptype").as("ptype"),
+          col("parsed.namespace").as("namespace"),
+          col("parsed.name").as("name"),
+          col("parsed.version").as("version"))
+        .orderBy("p_partkey")
+    },
+    Some("""WITH built AS (
+        SELECT p_partkey,
+          'pkg:generic/' || lower(replace(p_brand, '#', '')) || '/' ||
+            replace(p_name, ' ', '-') || '@' ||
+            CAST(p_partkey % 3 AS VARCHAR) || '.' || CAST(p_partkey % 12 AS VARCHAR)
+            AS purl,
+          lower(replace(p_brand, '#', '')) AS ns,
+          replace(p_name, ' ', '-') AS nm,
+          CAST(p_partkey % 3 AS VARCHAR) || '.' || CAST(p_partkey % 12 AS VARCHAR) AS ver
+        FROM part)
+      SELECT p_partkey, purl, 'generic' AS ptype, ns AS namespace,
+        nm AS name, ver AS version
+      FROM built ORDER BY p_partkey"""))
+
+  val f3 = QueryDef(
+    "f3_hex_binary", "F3",
+    "hex ↔ binary roundtrip on digest strings",
+    (s, dir) =>
+      t(s, dir, "documents")
+        .withColumn("fp", md5(col("text")))
+        .select(col("doc_id"), col("fp"),
+          hex(unhex(col("fp"))).as("fp_upper"),
+          length(unhex(col("fp"))).as("n_bytes"))
+        .orderBy("doc_id"),
+    Some("""SELECT doc_id, md5(text) AS fp,
+        hex(unhex(md5(text))) AS fp_upper,
+        CAST(octet_length(unhex(md5(text))) AS INTEGER) AS n_bytes
+      FROM documents ORDER BY doc_id"""))
+
+  val f4 = QueryDef(
+    "f4_hamming", "F4",
+    "popcount-of-XOR hamming distance + similarity ratio",
+    (s, dir) =>
+      t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          expr("bit_count(l_partkey ^ l_suppkey)").as("hd"),
+          (asDouble(lit(64) - expr("bit_count(l_partkey ^ l_suppkey)")) / 64.0)
+            .as("similarity"))
+        .orderBy("l_orderkey", "l_linenumber"),
+    Some("""SELECT l_orderkey, l_linenumber,
+        bit_count(xor(l_partkey, l_suppkey)) AS hd,
+        CAST(64 - bit_count(xor(l_partkey, l_suppkey)) AS DOUBLE)/64.0
+          AS similarity
+      FROM lineitem ORDER BY l_orderkey, l_linenumber"""))
+
+  val f5 = QueryDef(
+    "f5_version_hint", "F5",
+    "extract version from an artifact path via regex battery",
+    (s, dir) =>
+      t(s, dir, "part")
+        .withColumn("path",
+          concat(lit("repo/"), regexp_replace(col("p_name"), " ", "-"),
+            lit("-"), pmod(col("p_partkey"), lit(9)).cast("string"),
+            lit("."), pmod(col("p_partkey"), lit(7)).cast("string"),
+            lit(".tar.gz")))
+        .select(col("p_partkey"), col("path"),
+          regexp_extract(col("path"), "-([0-9]+\\.[0-9]+)\\.tar\\.gz$", 1)
+            .as("version_hint"))
+        .orderBy("p_partkey"),
+    Some("""WITH p AS (
+        SELECT p_partkey,
+          'repo/' || replace(p_name, ' ', '-') || '-' ||
+          CAST(p_partkey % 9 AS VARCHAR) || '.' || CAST(p_partkey % 7 AS VARCHAR)
+          || '.tar.gz' AS path
+        FROM part)
+      SELECT p_partkey, path,
+        COALESCE(regexp_extract(path, '-([0-9]+\.[0-9]+)\.tar\.gz$', 1), '')
+          AS version_hint
+      FROM p ORDER BY p_partkey"""))
+
+  val f8 = QueryDef(
+    "f8_date_ops", "F8",
+    "date parsing/truncation/extraction/arithmetic",
+    (s, dir) =>
+      t(s, dir, "orders")
+        .select(col("o_orderkey"),
+          year(col("o_orderdate")).as("yr"),
+          quarter(col("o_orderdate")).as("qtr"),
+          date_trunc("month", col("o_orderdate")).as("month_start"),
+          datediff(col("o_orderdate"),
+            lit("1995-01-01").cast("timestamp")).as("days_since"))
+        .orderBy("o_orderkey"),
+    Some("""SELECT o_orderkey,
+        CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS yr,
+        CAST(EXTRACT(quarter FROM o_orderdate) AS INTEGER) AS qtr,
+        date_trunc('month', o_orderdate) AS month_start,
+        CAST(date_diff('day', TIMESTAMP '1995-01-01', o_orderdate) AS INTEGER)
+          AS days_since
+      FROM orders ORDER BY o_orderkey"""))
+
+  val f9 = QueryDef(
+    "f9_path_ops", "F9",
+    "file_name / extension / parent extraction from paths",
+    (s, dir) =>
+      t(s, dir, "documents")
+        .withColumn("path",
+          concat(col("source"), lit("/doc_"), col("doc_id").cast("string"),
+            lit(".txt")))
+        .select(col("doc_id"), col("path"),
+          substring_index(col("path"), "/", -1).as("file_name"),
+          substring_index(substring_index(col("path"), "/", -1), ".", -1)
+            .as("extension"),
+          substring_index(col("path"), "/", 1).as("parent"))
+        .orderBy("doc_id"),
+    Some("""WITH p AS (
+        SELECT doc_id,
+          source || '/doc_' || CAST(doc_id AS VARCHAR) || '.txt' AS path
+        FROM documents)
+      SELECT doc_id, path,
+        string_split(path, '/')[-1] AS file_name,
+        string_split(string_split(path, '/')[-1], '.')[-1] AS extension,
+        string_split(path, '/')[1] AS parent
+      FROM p ORDER BY doc_id"""))
+
+  val f11 = QueryDef(
+    "f11_normalize_qualifiers", "F11",
+    "canonical qualifier encoding: split, sort pairs, re-join",
+    (s, dir) =>
+      t(s, dir, "part")
+        .withColumn("quals",
+          concat(lit("size="), col("p_size").cast("string"),
+            lit("&type="), lower(col("p_type")),
+            lit("&brand="), lower(regexp_replace(col("p_brand"), "#", "")))
+        )
+        .select(col("p_partkey"), col("quals"),
+          array_join(array_sort(split(col("quals"), "&")), "&")
+            .as("quals_norm"))
+        .orderBy("p_partkey"),
+    Some("""WITH q AS (
+        SELECT p_partkey,
+          'size=' || CAST(p_size AS VARCHAR) || '&type=' || lower(p_type) ||
+          '&brand=' || lower(replace(p_brand, '#', '')) AS quals
+        FROM part)
+      SELECT p_partkey, quals,
+        array_to_string(list_sort(string_split(quals, '&')), '&') AS quals_norm
+      FROM q ORDER BY p_partkey"""))
+
+  val f13 = QueryDef(
+    "f13_go_purl", "F13",
+    "golang import line → purl components (string-split expression)",
+    (s, dir) =>
+      t(s, dir, "supplier")
+        .withColumn("goline",
+          concat(lit("github.com/org"),
+            pmod(col("s_suppkey"), lit(5)).cast("string"),
+            lit("/repo"), col("s_suppkey").cast("string"),
+            lit(" v1."), pmod(col("s_suppkey"), lit(4)).cast("string"),
+            lit(".0")))
+        .select(col("s_suppkey"), col("goline"),
+          concat(lit("pkg:golang/"),
+            substring_index(col("goline"), " ", 1), lit("@"),
+            substring_index(col("goline"), " ", -1)).as("purl"))
+        .orderBy("s_suppkey"),
+    Some("""WITH g AS (
+        SELECT s_suppkey,
+          'github.com/org' || CAST(s_suppkey % 5 AS VARCHAR) ||
+          '/repo' || CAST(s_suppkey AS VARCHAR) ||
+          ' v1.' || CAST(s_suppkey % 4 AS VARCHAR) || '.0' AS goline
+        FROM supplier)
+      SELECT s_suppkey, goline,
+        'pkg:golang/' || string_split(goline, ' ')[1] || '@' ||
+          string_split(goline, ' ')[2] AS purl
+      FROM g ORDER BY s_suppkey"""))
+
+  val f16 = QueryDef(
+    "f16_array_ops", "F16",
+    "array ops over token lists: distinct size, contains, slice",
+    (s, dir) =>
+      t(s, dir, "documents")
+        .withColumn("words",
+          filter(split(col("text"), " "), w => w =!= ""))
+        .select(col("doc_id"),
+          size(col("words")).as("n_words"),
+          size(array_distinct(col("words"))).as("n_unique"),
+          array_contains(col("words"), "spark").as("has_spark"),
+          array_join(slice(array_sort(array_distinct(col("words"))), 1, 3), ",")
+            .as("first3"))
+        .orderBy("doc_id"),
+    Some("""WITH w AS (
+        SELECT doc_id,
+          list_filter(string_split(text, ' '), x -> x <> '') AS words
+        FROM documents)
+      SELECT doc_id,
+        CAST(len(words) AS INTEGER) AS n_words,
+        CAST(len(list_distinct(words)) AS INTEGER) AS n_unique,
+        list_contains(words, 'spark') AS has_spark,
+        array_to_string(list_sort(list_distinct(words))[1:3], ',') AS first3
+      FROM w ORDER BY doc_id"""))
+
+  val st1 = QueryDef(
+    "st_tumbling_window", "ST1-ST3 (batch view)",
+    "tumbling 1h event-time window aggregation (streaming-compatible)",
+    (s, dir) =>
+      t(s, dir, "events")
+        .groupBy(window(col("ts"), "1 hour").as("win"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          (asDouble(sum(cents(col("value")))) / 100.0).as("sum_value"))
+        .select(col("win.start").as("ws"), col("event_type"), col("n"),
+          col("sum_value"))
+        .orderBy("ws", "event_type"),
+    Some("""SELECT date_trunc('hour', ts) AS ws, event_type, COUNT(*) AS n,
+        CAST(SUM(CAST(FLOOR(value*100 + 0.5) AS BIGINT)) AS DOUBLE)/100.0 AS sum_value
+      FROM events GROUP BY date_trunc('hour', ts), event_type
+      ORDER BY ws, event_type"""))
+
+  val defs: Seq[QueryDef] =
+    Seq(f1, f3, f4, f5, f8, f9, f11, f13, f16, st1)
+}

@@ -1,0 +1,204 @@
+package graft.ops
+
+import graft._
+import graft.core._
+import graft.functions.GraftFunctions._
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** SURVEY.md §2.3 — joins. Dimension sides are broadcast explicitly;
+  * fact-fact joins shuffle on their keys and rely on AQE for skew.
+  */
+object Joins {
+
+  val j1 = QueryDef(
+    "j1_fk_join", "J1",
+    "FK equi-join fact→dim (Resource→Package shape), dim broadcast",
+    (s, dir) => {
+      val li = t(s, dir, "lineitem").filter(col("l_quantity") >= 45)
+      val ord = t(s, dir, "orders")
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .select("l_orderkey", "l_linenumber", "l_quantity",
+          "o_orderstatus", "o_orderpriority")
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+    Some("""SELECT l_orderkey, l_linenumber, l_quantity,
+        o_orderstatus, o_orderpriority
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE l_quantity >= 45
+      ORDER BY l_orderkey, l_linenumber"""))
+
+  val j2 = QueryDef(
+    "j2_prefetch_agg", "J2",
+    "eager 1-N join + per-parent aggregation (prefetch_related shape)",
+    (s, dir) => {
+      val ord = t(s, dir, "orders")
+      val li = t(s, dir, "lineitem")
+      ord.join(li, col("o_orderkey") === col("l_orderkey"), "left")
+        .groupBy(col("o_orderkey"), col("o_orderstatus"))
+        .agg(
+          count(col("l_linenumber")).as("n_lines"),
+          coalesce(sum(col("l_quantity").cast("long")), lit(0L)).as("sum_qty"))
+        .filter(col("n_lines") >= 6)
+        .orderBy("o_orderkey")
+    },
+    Some("""SELECT o_orderkey, o_orderstatus,
+        COUNT(l_linenumber) AS n_lines,
+        CAST(COALESCE(SUM(CAST(l_quantity AS BIGINT)), 0) AS BIGINT) AS sum_qty
+      FROM orders LEFT JOIN lineitem ON o_orderkey = l_orderkey
+      GROUP BY o_orderkey, o_orderstatus
+      HAVING COUNT(l_linenumber) >= 6
+      ORDER BY o_orderkey"""))
+
+  val j3 = QueryDef(
+    "j3_bridge_join", "J3",
+    "two equi-joins through a bridge (M2M package↔set shape)",
+    (s, dir) => {
+      val cust = t(s, dir, "customer")
+      val nat = broadcast(t(s, dir, "nation"))
+      val reg = broadcast(t(s, dir, "region"))
+      cust.join(nat, col("c_nationkey") === col("n_nationkey"))
+        .join(reg, col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"))
+        .agg(count(lit(1)).as("n_customers"),
+          countDistinct(col("n_name")).as("n_nations"))
+        .orderBy("r_name")
+    },
+    Some("""SELECT r_name, COUNT(*) AS n_customers,
+        COUNT(DISTINCT n_name) AS n_nations
+      FROM customer
+      JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      GROUP BY r_name ORDER BY r_name"""))
+
+  val j4 = QueryDef(
+    "j4_exact_hash_semijoin", "J4",
+    "exact checksum batch lookup: broadcast query-side semi-join on md5",
+    (s, dir) => {
+      val keys = Seq(
+        "6a61f20d762017bbefbe4a16efa3a85b", // md5('cold widget')
+        "dc272844a672b08bd588bc8950a448cb", // md5('blue rod')
+        "073b9aa31eeaba8602492c5f1f296932") // md5('large bolt')
+      val keyDf = s.createDataFrame(
+        s.sparkContext.parallelize(keys.map(org.apache.spark.sql.Row(_)), 1),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("k",
+            org.apache.spark.sql.types.StringType))))
+      t(s, dir, "part")
+        .withColumn("fp", md5(col("p_name")))
+        .join(broadcast(keyDf), col("fp") === col("k"), "left_semi")
+        .select("p_partkey", "p_name", "fp")
+        .orderBy("p_partkey")
+    },
+    Some("""SELECT p_partkey, p_name, md5(p_name) AS fp FROM part
+      WHERE md5(p_name) IN ('6a61f20d762017bbefbe4a16efa3a85b',
+        'dc272844a672b08bd588bc8950a448cb',
+        '073b9aa31eeaba8602492c5f1f296932')
+      ORDER BY p_partkey"""))
+
+  val j7 = QueryDef(
+    "j7_path_suffix_join", "J7/F9",
+    "path-suffix generator (explode) + equi-join on suffix",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+        .withColumn("path",
+          concat(col("source"), lit("/doc"), col("doc_id").cast("string")))
+      docs
+        .withColumn("suffix", explode(expr(
+          """transform(sequence(1, size(split(path, '/'))),
+               i -> array_join(slice(split(path, '/'), i,
+                                     size(split(path, '/')) - i + 1), '/'))""")))
+        .filter(col("suffix").isin("doc7", "src3/doc3"))
+        .select("doc_id", "path", "suffix")
+        .orderBy("doc_id", "suffix")
+    },
+    Some("""WITH p AS (
+        SELECT doc_id, source || '/doc' || CAST(doc_id AS VARCHAR) AS path,
+               string_split(source || '/doc' || CAST(doc_id AS VARCHAR), '/') AS parts
+        FROM documents),
+      sfx AS (
+        SELECT doc_id, path,
+          unnest(list_transform(range(1, len(parts) + 1),
+            i -> array_to_string(parts[i:], '/'))) AS suffix
+        FROM p)
+      SELECT doc_id, path, suffix FROM sfx
+      WHERE suffix IN ('doc7', 'src3/doc3')
+      ORDER BY doc_id, suffix"""))
+
+  val j8 = QueryDef(
+    "j8_duplicate_selfjoin", "J8",
+    "duplicate-candidate self-join on shared signature, smaller id wins",
+    (s, dir) => {
+      val d = t(s, dir, "documents").select("doc_id", "lang", "n_chars")
+      val a = d.alias("a")
+      val b = d.alias("b")
+      a.join(b,
+          col("a.lang") === col("b.lang") &&
+            col("a.n_chars") === col("b.n_chars") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("keep_id"), col("b.doc_id").as("dup_id"),
+          col("a.lang").as("lang"), col("a.n_chars").as("n_chars"))
+        .orderBy("keep_id", "dup_id")
+    },
+    Some("""SELECT a.doc_id AS keep_id, b.doc_id AS dup_id,
+        a.lang AS lang, a.n_chars AS n_chars
+      FROM documents a JOIN documents b
+        ON a.lang = b.lang AND a.n_chars = b.n_chars AND a.doc_id < b.doc_id
+      ORDER BY keep_id, dup_id"""))
+
+  val j9 = QueryDef(
+    "j9_earliest_per_key", "J9/W1",
+    "earliest-row-per-group via window rank (correlated-subquery shape)",
+    (s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      t(s, dir, "orders")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select("o_custkey", "o_orderkey", "o_orderdate")
+        .orderBy("o_custkey")
+    },
+    Some("""SELECT o_custkey, o_orderkey, o_orderdate FROM (
+        SELECT o_custkey, o_orderkey, o_orderdate,
+          ROW_NUMBER() OVER (PARTITION BY o_custkey
+            ORDER BY o_orderdate, o_orderkey) AS rn
+        FROM orders) WHERE rn = 1
+      ORDER BY o_custkey"""))
+
+  val j12 = QueryDef(
+    "j12_anti_join", "J12/U3",
+    "insert-if-absent anti-join (frontier dedup shape)",
+    (s, dir) => {
+      val cust = t(s, dir, "customer")
+      val ord = t(s, dir, "orders")
+      cust.join(ord, col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name", "c_mktsegment")
+        .orderBy("c_custkey")
+    },
+    Some("""SELECT c_custkey, c_name, c_mktsegment FROM customer
+      WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      ORDER BY c_custkey"""))
+
+  val j13 = QueryDef(
+    "j13_range_join", "J13",
+    "equi-join with conjunctive range predicate (stays a hash join)",
+    (s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val part = broadcast(t(s, dir, "part"))
+      li.join(part,
+          col("l_partkey") === col("p_partkey") &&
+            col("l_quantity") >= col("p_size") - 5 &&
+            col("l_quantity") <= col("p_size") + 5)
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n_in_band"),
+          sum(col("l_quantity").cast("long")).as("sum_qty"))
+        .orderBy("p_brand")
+    },
+    Some("""SELECT p_brand, COUNT(*) AS n_in_band,
+        CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+        AND l_quantity >= p_size - 5 AND l_quantity <= p_size + 5
+      GROUP BY p_brand ORDER BY p_brand"""))
+
+  val defs: Seq[QueryDef] = Seq(j1, j2, j3, j4, j7, j8, j9, j12, j13)
+}

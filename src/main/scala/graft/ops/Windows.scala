@@ -1,0 +1,109 @@
+package graft.ops
+
+import graft._
+import graft.core._
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** SURVEY.md §2.5 — window functions: ranking (row_number / rank with
+  * ties), top-N per group, duplicate preference, and the span-merge
+  * (gaps-and-islands) grouping behind snippet-match span merging.
+  */
+object Windows {
+
+  val w2 = QueryDef(
+    "w2_topn_per_group", "W2",
+    "top-3 rows per status by ordered rank",
+    (s, dir) => {
+      val w = Window.partitionBy(col("o_orderstatus"))
+        .orderBy(desc("o_totalprice"), col("o_orderkey"))
+      t(s, dir, "orders")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select("o_orderstatus", "rn", "o_orderkey", "o_totalprice")
+        .orderBy("o_orderstatus", "rn")
+    },
+    Some("""SELECT o_orderstatus, rn, o_orderkey, o_totalprice FROM (
+        SELECT o_orderstatus, o_orderkey, o_totalprice,
+          ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        FROM orders) WHERE rn <= 3
+      ORDER BY o_orderstatus, rn"""))
+
+  val w3 = QueryDef(
+    "w3_rank_keep_ties", "W3",
+    "rank()=1 keeps all rows tied on the best key (match ranking shape)",
+    (s, dir) => {
+      val w = Window.partitionBy(col("p_type")).orderBy(desc("p_size"))
+      t(s, dir, "part")
+        .withColumn("rk", rank().over(w))
+        .filter(col("rk") === 1)
+        .select("p_type", "p_partkey", "p_name", "p_size")
+        .orderBy("p_type", "p_partkey")
+    },
+    Some("""SELECT p_type, p_partkey, p_name, p_size FROM (
+        SELECT p_type, p_partkey, p_name, p_size,
+          RANK() OVER (PARTITION BY p_type ORDER BY p_size DESC) AS rk
+        FROM part) WHERE rk = 1
+      ORDER BY p_type, p_partkey"""))
+
+  val w4 = QueryDef(
+    "w4_span_merge", "W4/X4",
+    "gaps-and-islands session merge per user (span-merge semantics)",
+    (s, dir) => {
+      val gapMs = 1800L * 1000 // merge events within 30 min
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ms"), col("event_id"))
+      val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "events")
+        .select(col("user_id"), col("event_id"), unix_millis(col("ts")).as("ms"))
+        .withColumn("prev_ms", lag(col("ms"), 1).over(w))
+        .withColumn("new_island",
+          when(col("prev_ms").isNull || col("ms") - col("prev_ms") > gapMs, 1L)
+            .otherwise(0L))
+        .withColumn("island", sum(col("new_island")).over(wRun))
+        .groupBy(col("user_id"), col("island"))
+        .agg(min(col("ms")).as("start_ms"), max(col("ms")).as("end_ms"),
+          count(lit(1)).as("n_events"))
+        .orderBy("user_id", "island")
+    },
+    Some("""WITH e AS (
+        SELECT user_id, event_id, epoch_ms(ts) AS ms FROM events),
+      flagged AS (
+        SELECT user_id, event_id, ms,
+          CASE WHEN lag(ms) OVER w IS NULL
+                 OR ms - lag(ms) OVER w > 1800000 THEN 1 ELSE 0 END AS new_island
+        FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ms, event_id)),
+      islands AS (
+        SELECT user_id, ms,
+          CAST(SUM(new_island) OVER (PARTITION BY user_id ORDER BY ms, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS island
+        FROM flagged)
+      SELECT user_id, island, MIN(ms) AS start_ms, MAX(ms) AS end_ms,
+        COUNT(*) AS n_events
+      FROM islands GROUP BY user_id, island
+      ORDER BY user_id, island"""))
+
+  val w5 = QueryDef(
+    "w5_duplicate_preference", "W5/J8",
+    "duplicate flagging: preferred row per signature group wins",
+    (s, dir) => {
+      val w = Window.partitionBy(col("lang"), col("n_chars"))
+        .orderBy(col("doc_id"))
+      t(s, dir, "documents")
+        .withColumn("keeper_id", first(col("doc_id")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("rn", row_number().over(w))
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          col("keeper_id"), (col("rn") > 1).as("is_duplicate"))
+        .orderBy("doc_id")
+    },
+    Some("""SELECT doc_id, lang, n_chars,
+        FIRST_VALUE(doc_id) OVER w AS keeper_id,
+        (ROW_NUMBER() OVER w > 1) AS is_duplicate
+      FROM documents
+      WINDOW w AS (PARTITION BY lang, n_chars ORDER BY doc_id)
+      ORDER BY doc_id"""))
+
+  val defs: Seq[QueryDef] = Seq(w2, w3, w4, w5)
+}

@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Runs every registered query end-to-end on sf0.001 and spot-checks
+  * known-good values. (Value-level parity with DuckDB is covered by the
+  * driver's oracle gate and tools/check_oracle.py.)
+  */
+class QueriesSpec extends SparkTestBase {
+
+  test("registry names are unique and survey-tagged") {
+    val names = Registry.all.map(_.name)
+    assert(names.distinct.size == names.size)
+    assert(Registry.all.forall(_.survey.nonEmpty))
+  }
+
+  for (q <- Registry.all) {
+    test(s"${q.name} runs on sf0.001 with stable schema") {
+      val df = q.run(spark, sf001)
+      val n = df.count()
+      assert(df.columns.nonEmpty)
+      // deterministic under re-execution
+      assert(q.run(spark, sf001).count() == n)
+    }
+  }
+
+  test("entry() returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every oracle query's SQL mentions only known tables") {
+    val tables = Set("region", "nation", "customer", "supplier", "part",
+      "orders", "lineitem", "events", "documents", "embeddings")
+    for (q <- Registry.all; sql <- q.oracle) {
+      val lower = sql.toLowerCase
+      assert(tables.exists(lower.contains), s"${q.name} oracle references no table")
+    }
+  }
+
+  test("q1 aggregates match independently computed values") {
+    val row = CoreQueriesCheck.q1Row(spark, sf001)
+    val got = Registry.byName("q1_pricing_summary").run(spark, sf001)
+      .filter(col("l_returnflag") === row._1 && col("l_linestatus") === row._2)
+      .collect().head
+    assert(got.getAs[Long]("sum_qty") == row._3)
+    assert(got.getAs[Long]("count_order") == row._4)
+  }
+
+  test("w5 keeper is the minimum doc_id of each duplicate group") {
+    val df = Registry.byName("w5_duplicate_preference").run(spark, sf001)
+    val bad = df.filter(col("keeper_id") > col("doc_id")).count()
+    assert(bad == 0)
+  }
+
+  test("s_cosine_topk returns exactly 5 ranked neighbors per query") {
+    val df = Registry.byName("s_cosine_topk").run(spark, sf001)
+    val counts = df.groupBy("qid").count().collect()
+    assert(counts.length == 10 && counts.forall(_.getLong(1) == 5))
+    // cosine within [-1, 1]
+    assert(df.filter(abs(col("cosine")) > 1.0).count() == 0)
+  }
+
+  test("j5 banded match: all surviving pairs respect the hamming gate") {
+    val df = Registry.byName("j5_simhash_banded_match").run(spark, sf001)
+    assert(df.filter(col("hamming") >= 8).count() == 0)
+  }
+}
+
+object CoreQueriesCheck {
+  /** Independent (RDD-side) recomputation of one q1 group. */
+  def q1Row(spark: org.apache.spark.sql.SparkSession, dir: String)
+      : (String, String, Long, Long) = {
+    val rows = spark.read.parquet(s"$dir/lineitem.parquet")
+      .selectExpr("l_returnflag", "l_linestatus", "l_quantity",
+        // l_shipdate arrives as TIMESTAMP_NTZ; session tz is UTC so the
+        // NTZ→LTZ cast is identity, then seconds since epoch
+        "CAST(CAST(l_shipdate AS TIMESTAMP) AS BIGINT) AS ship_s")
+      .collect()
+    val cut = java.time.Instant.parse("1998-09-02T00:00:00Z").getEpochSecond
+    val grp = rows.filter { r =>
+      r.getLong(3) <= cut && r.getString(0) == "R" && r.getString(1) == "F"
+    }
+    ("R", "F", grp.map(_.getDouble(2).toLong).sum, grp.length.toLong)
+  }
+}
