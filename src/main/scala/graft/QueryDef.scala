@@ -32,7 +32,8 @@ object Registry {
       ops.Functions.defs ++
       ops.TextOps.defs ++
       ops.DedupOps.defs ++
-      ops.SimilarityOps.defs
+      ops.SimilarityOps.defs ++
+      ops.CatalogOps.defs
 
   lazy val byName: Map[String, QueryDef] = all.map(q => q.name -> q).toMap
 }

@@ -1,0 +1,240 @@
+package graft.ops
+
+import graft._
+import graft.core._
+import graft.catalog.MergeEngine
+import graft.matching.Matching
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Driver-surface queries exercising the catalog merge engine (A6/S13)
+  * and the matching engine (J4/J5/J6/A4/A5/X4) on frames derived from
+  * the synthetic tables, with DuckDB oracles where the semantics are
+  * SQL-expressible.
+  */
+object CatalogOps {
+
+  /** Synthetic catalog "existing" side: even part keys. */
+  private def existingPkgs(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "part").filter(col("p_partkey") % 2 === 0).select(
+      concat(lit("http://repo/p"), col("p_partkey").cast("string"))
+        .as("download_url"),
+      lit("maven").as("ptype"),
+      lit(null).cast("string").as("namespace"),
+      col("p_name").as("name"),
+      lit("1.0").as("version"),
+      lit(null).cast("string").as("qualifiers"),
+      lit(null).cast("string").as("subpath"),
+      lit(null).cast("string").as("primary_language"),
+      lit("old desc").as("description"),
+      lit(null).cast("string").as("homepage_url"),
+      lit(null).cast("string").as("declared_license_expression"),
+      lit(null).cast("string").as("copyright"),
+      lit(null).cast("string").as("md5"),
+      lit(null).cast("string").as("sha1"),
+      lit(null).cast("string").as("sha256"),
+      lit(null).cast("string").as("sha512"),
+      lit(null).cast("long").as("size"),
+      lit(null).cast("timestamp").as("release_date"),
+      lit(50).as("mining_level"),
+      lit(null).cast("int").as("package_content"),
+      array().cast("array<string>").as("keywords"),
+      array().cast("array<struct<timestamp:string,message:string>>")
+        .as("history"))
+
+  val a6merge = QueryDef(
+    "a6_merge_engine", "A6/S13/F17",
+    "field-level level-based merge upsert via MergeEngine (model_utils semantics)",
+    (s, dir) => {
+      val existing = existingPkgs(s, dir)
+      val incoming = t(s, dir, "part").select(
+        concat(lit("http://repo/p"), col("p_partkey").cast("string"))
+          .as("download_url"),
+        lit("maven").as("ptype"),
+        lit(null).cast("string").as("namespace"),
+        col("p_name").as("name"),
+        lit("2.0").as("version"),
+        lit(null).cast("string").as("qualifiers"),
+        lit(null).cast("string").as("subpath"),
+        lit(null).cast("string").as("primary_language"),
+        when(col("p_partkey") % 3 === 0, lit(null).cast("string"))
+          .otherwise(lit("new desc")).as("description"),
+        when(col("p_partkey") % 5 === 0, lit(null).cast("string"))
+          .otherwise(concat(lit("http://h/"), col("p_partkey").cast("string")))
+          .as("homepage_url"),
+        lit(null).cast("string").as("declared_license_expression"),
+        lit(null).cast("string").as("copyright"),
+        lit(null).cast("string").as("md5"),
+        lit(null).cast("string").as("sha1"),
+        lit(null).cast("string").as("sha256"),
+        lit(null).cast("string").as("sha512"),
+        lit(null).cast("long").as("size"),
+        lit(null).cast("timestamp").as("release_date"),
+        lit(0).as("mining_level"),
+        lit(null).cast("int").as("package_content"),
+        array().cast("array<string>").as("keywords"),
+        array().cast("array<struct<timestamp:string,message:string>>")
+          .as("history"),
+        (col("p_partkey") % 100).cast("int").as("visit_level"))
+      MergeEngine.mergePackages(existing, incoming, "2026-01-01T00:00:00Z")
+        .packages
+        .select(col("download_url"), col("version"), col("description"),
+          col("homepage_url"), col("mining_level"),
+          size(col("history")).as("n_history"))
+        .orderBy("download_url")
+    },
+    Some("""WITH e AS (
+        SELECT 'http://repo/p' || CAST(p_partkey AS VARCHAR) AS download_url,
+          '1.0' AS version, 'old desc' AS description,
+          CAST(NULL AS VARCHAR) AS homepage_url, 50 AS mining_level
+        FROM part WHERE p_partkey % 2 = 0),
+      n AS (
+        SELECT 'http://repo/p' || CAST(p_partkey AS VARCHAR) AS download_url,
+          '2.0' AS version,
+          CASE WHEN p_partkey % 3 = 0 THEN NULL ELSE 'new desc' END AS description,
+          CASE WHEN p_partkey % 5 = 0 THEN NULL
+               ELSE 'http://h/' || CAST(p_partkey AS VARCHAR) END AS homepage_url,
+          CAST(p_partkey % 100 AS INTEGER) AS visit_level
+        FROM part),
+      j AS (SELECT e.download_url AS e_url, n.download_url AS n_url,
+          e.version AS e_version, n.version AS n_version,
+          e.description AS e_desc, n.description AS n_desc,
+          e.homepage_url AS e_home, n.homepage_url AS n_home,
+          e.mining_level, n.visit_level,
+          (n.download_url IS NOT NULL AND e.download_url IS NOT NULL
+            AND n.visit_level >= e.mining_level) AS repl
+        FROM e FULL OUTER JOIN n ON e.download_url = n.download_url)
+      SELECT COALESCE(e_url, n_url) AS download_url,
+        CASE WHEN e_url IS NULL THEN n_version
+             WHEN n_url IS NULL OR n_version IS NULL OR n_version = ''
+               THEN e_version
+             WHEN e_version IS NULL OR e_version = '' THEN n_version
+             WHEN repl THEN n_version ELSE e_version END AS version,
+        CASE WHEN e_url IS NULL THEN n_desc
+             WHEN n_url IS NULL OR n_desc IS NULL OR n_desc = '' THEN e_desc
+             WHEN e_desc IS NULL OR e_desc = '' THEN n_desc
+             WHEN repl THEN n_desc ELSE e_desc END AS description,
+        CASE WHEN e_url IS NULL THEN n_home
+             WHEN n_url IS NULL OR n_home IS NULL OR n_home = '' THEN e_home
+             WHEN e_home IS NULL OR e_home = '' THEN n_home
+             WHEN repl THEN n_home ELSE e_home END AS homepage_url,
+        CASE WHEN e_url IS NULL THEN visit_level
+             WHEN n_url IS NOT NULL AND repl THEN visit_level
+             ELSE mining_level END AS mining_level,
+        CASE WHEN e_url IS NOT NULL AND n_url IS NOT NULL AND (
+               (n_version IS NOT NULL AND n_version <> ''
+                 AND (e_version IS NULL OR e_version = '' OR repl)
+                 AND (e_version IS NULL OR e_version <> n_version))
+            OR (n_desc IS NOT NULL AND n_desc <> ''
+                 AND (e_desc IS NULL OR e_desc = '' OR repl)
+                 AND (e_desc IS NULL OR e_desc <> n_desc))
+            OR (n_home IS NOT NULL AND n_home <> ''
+                 AND (e_home IS NULL OR e_home = '' OR repl)
+                 AND (e_home IS NULL OR e_home <> n_home)))
+          THEN 1 ELSE 0 END AS n_history
+      FROM j ORDER BY download_url"""))
+
+  val exact = QueryDef(
+    "m_exact_match", "J4/S1",
+    "matching stage 1: exact checksum lookup against the index",
+    (s, dir) => {
+      val queries = t(s, dir, "documents").filter(col("doc_id") < 50)
+        .select(concat(lit("doc/"), col("doc_id").cast("string")).as("path"),
+          md5(col("text")).as("sha1"))
+      val index = t(s, dir, "documents").select(
+        md5(col("text")).as("sha1"),
+        concat(lit("pkg://"), col("source"), lit("/"),
+          col("doc_id").cast("string")).as("download_url"),
+        concat(lit("files/doc_"), col("doc_id").cast("string")).as("path"))
+      Matching.exactMatch(queries, index)
+        .orderBy("q_path", "download_url")
+    },
+    Some("""SELECT 'doc/' || CAST(q.doc_id AS VARCHAR) AS q_path,
+        md5(q.text) AS sha1,
+        'pkg://' || i.source || '/' || CAST(i.doc_id AS VARCHAR)
+          AS download_url,
+        'files/doc_' || CAST(i.doc_id AS VARCHAR) AS matched_path
+      FROM documents q JOIN documents i ON md5(q.text) = md5(i.text)
+      WHERE q.doc_id < 50
+      ORDER BY q_path, download_url"""))
+
+  val snippet = QueryDef(
+    "m_snippet_match", "J6/A3/A4",
+    "snippet inverted-index match: distinct-fp Jaccard per (query, resource)",
+    (s, dir) => {
+      val words = t(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          posexplode(array_distinct(filter(split(col("text"), " "),
+            w => w =!= ""))))
+        .withColumnRenamed("pos", "position")
+        .withColumnRenamed("col", "fingerprint")
+      val queries = words.filter(col("doc_id") < 5)
+        .select(concat(lit("doc/"), col("doc_id").cast("string")).as("q_path"),
+          col("fingerprint"), col("position"))
+      val index = words.filter(col("doc_id") >= 450)
+        .select(col("fingerprint"),
+          concat(lit("pkg://"), col("doc_id").cast("string"))
+            .as("download_url"),
+          lit("src").as("path"), col("position"))
+      Matching.snippetMatch(queries, index)
+        .filter(col("jaccard") >= 0.2)
+        .select("q_path", "download_url", "matched_fps", "jaccard")
+        .orderBy("q_path", "download_url")
+    },
+    Some("""WITH words AS (
+        SELECT doc_id, unnest(list_distinct(list_filter(
+          string_split(text, ' '), w -> w <> ''))) AS w
+        FROM documents),
+      q AS (SELECT doc_id, w FROM words WHERE doc_id < 5),
+      i AS (SELECT doc_id, w FROM words WHERE doc_id >= 450),
+      qn AS (SELECT doc_id, COUNT(*) AS q_fps FROM q GROUP BY doc_id),
+      inn AS (SELECT doc_id, COUNT(*) AS i_fps FROM i GROUP BY doc_id),
+      m AS (SELECT q.doc_id AS qd, i.doc_id AS id, COUNT(*) AS matched_fps
+        FROM q JOIN i ON q.w = i.w GROUP BY q.doc_id, i.doc_id)
+      SELECT 'doc/' || CAST(qd AS VARCHAR) AS q_path,
+        'pkg://' || CAST(id AS VARCHAR) AS download_url,
+        matched_fps,
+        CAST(matched_fps AS DOUBLE) /
+          CAST(qn.q_fps + inn.i_fps - matched_fps AS DOUBLE) AS jaccard
+      FROM m JOIN qn ON qn.doc_id = qd JOIN inn ON inn.doc_id = id
+      WHERE CAST(matched_fps AS DOUBLE) /
+          CAST(qn.q_fps + inn.i_fps - matched_fps AS DOUBLE) >= 0.2
+      ORDER BY q_path, download_url"""))
+
+  val rank = QueryDef(
+    "a5_rank_packages", "A5",
+    "rank candidate packages by matched-resource count, greedy reassign",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val matches = docs.select(
+          concat(lit("doc/"), col("doc_id").cast("string")).as("path"),
+          concat(lit("pkg://src-"), col("source")).as("download_url"),
+          lit("exact_file").as("match_type"))
+        .unionByName(docs.select(
+          concat(lit("doc/"), col("doc_id").cast("string")).as("path"),
+          concat(lit("pkg://lang-"), col("lang")).as("download_url"),
+          lit("approx_file").as("match_type")))
+      Matching.rankPackages(matches)
+        .orderBy("path")
+    },
+    Some("""WITH m AS (
+        SELECT 'doc/' || CAST(doc_id AS VARCHAR) AS path,
+          'pkg://src-' || source AS download_url,
+          'exact_file' AS match_type
+        FROM documents
+        UNION ALL
+        SELECT 'doc/' || CAST(doc_id AS VARCHAR) AS path,
+          'pkg://lang-' || lang AS download_url,
+          'approx_file' AS match_type
+        FROM documents),
+      c AS (SELECT download_url, COUNT(DISTINCT path) AS n_matched
+        FROM m GROUP BY download_url)
+      SELECT path, download_url, match_type, n_matched FROM (
+        SELECT m.path, m.download_url, m.match_type, c.n_matched,
+          ROW_NUMBER() OVER (PARTITION BY m.path
+            ORDER BY c.n_matched DESC, m.download_url) AS rn
+        FROM m JOIN c ON m.download_url = c.download_url)
+      WHERE rn = 1 ORDER BY path"""))
+
+  val defs: Seq[QueryDef] = Seq(a6merge, exact, snippet, rank)
+}
