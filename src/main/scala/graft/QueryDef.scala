@@ -33,7 +33,8 @@ object Registry {
       ops.TextOps.defs ++
       ops.DedupOps.defs ++
       ops.SimilarityOps.defs ++
-      ops.CatalogOps.defs
+      ops.CatalogOps.defs ++
+      ops.StreamOps.defs
 
   lazy val byName: Map[String, QueryDef] = all.map(q => q.name -> q).toMap
 }

@@ -1,0 +1,53 @@
+package graft.ops
+
+import java.sql.Timestamp
+
+import graft._
+import graft.core._
+import graft.streaming.Frontier
+import org.apache.spark.sql.functions._
+
+/** Driver-surface simulation of the mining frontier loops (ST1-ST3):
+  * seeds a frontier from the documents table, runs two visit
+  * micro-cycles with a deterministic visitor and one map cycle, and
+  * emits the final queue state. Rows-only check (the loop semantics
+  * are covered value-level by StreamingSpec); registered so the queue
+  * machinery runs through the same entry point as every other
+  * operator.
+  */
+object StreamOps {
+
+  val frontierSim = QueryDef(
+    "st_frontier_sim", "ST1-ST3/J12/O2",
+    "two visit micro-cycles + map cycle over a document-seeded frontier",
+    (s, dir) => {
+      import s.implicits._
+      val now = Timestamp.valueOf("2026-08-12 00:00:00")
+      val seed = t(s, dir, "documents").filter(col("doc_id") < 20)
+        .select(
+          concat(lit("http://"), col("source"), lit(".example/doc/"),
+            col("doc_id").cast("string")).as("uri"),
+          concat(lit("http://"), col("source"), lit(".example/doc/"),
+            col("doc_id").cast("string")).as("canonical"),
+          concat(col("source"), lit(".example")).as("host"),
+          (col("doc_id") % 7).cast("int").as("priority"),
+          lit(null).cast("timestamp").as("last_visit_date"),
+          lit(null).cast("timestamp").as("last_map_date"),
+          lit(null).cast("timestamp").as("wip_date"),
+          lit(null).cast("string").as("visit_error"))
+      val visitor: Frontier.Visitor = u =>
+        if (u.count(_ == '/') <= 3) Seq(s"$u/meta.json") else Seq.empty
+      val f1 = Frontier.visitCycle(s, seed, visitor, now, batchSize = 8)
+      val f2 = Frontier.visitCycle(s, f1, visitor, now, batchSize = 8)
+      val (f3, _) = Frontier.mapCycle(s, f2,
+        u => Seq(s"pkg:generic/$u"), now, batchSize = 10)
+      f3.select(col("uri"),
+          col("last_visit_date").isNotNull.as("visited"),
+          col("last_map_date").isNotNull.as("mapped"),
+          col("priority"))
+        .orderBy("uri")
+    },
+    None)
+
+  val defs: Seq[QueryDef] = Seq(frontierSim)
+}

@@ -1,0 +1,54 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.types._
+
+/** Structured Streaming ingestion over the events table: watermarked
+  * tumbling-window aggregation (the streaming twin of the batch
+  * `st_tumbling_window` query, so batch and stream results can be
+  * cross-checked). The reference has no event-time streaming — its
+  * queues are wall-clock polled (SURVEY §2.9) — so this is the
+  * engine's forward-looking stream surface for the 100 TB pipeline.
+  */
+object EventStream {
+
+  /** events.parquet schema as read by the streaming file source
+    * (ns timestamps arrive as long via nanosAsLong, converted here). */
+  val rawSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType), // nanos
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** Start a streaming hourly-count query into an in-memory sink named
+    * `sinkName`; caller drives it with processAllAvailable(). */
+  def hourlyCounts(spark: SparkSession, dir: String,
+      sinkName: String): StreamingQuery = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val stream = spark.readStream
+      .schema(rawSchema)
+      .parquet(s"$dir")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("ws"), col("event_type"), col("n"))
+    stream.writeStream
+      .format("memory")
+      .queryName(sinkName)
+      .outputMode("complete")
+      .start()
+  }
+
+  /** Batch equivalent for cross-checking the stream results. */
+  def hourlyCountsBatch(spark: SparkSession, file: String): DataFrame = {
+    graft.core.t(spark, file.stripSuffix("/events.parquet"), "events")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("ws"), col("event_type"), col("n"))
+  }
+}

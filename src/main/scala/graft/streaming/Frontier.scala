@@ -1,0 +1,136 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The mining frontier — Spark re-expression of the reference's
+  * DB-backed URI queue and visit/map worker loops
+  * (`minecode/models.py:347-491`, `run_visit.py:143-382`,
+  * `run_map.py:79-182`; SURVEY §2.9 ST1-ST3).
+  *
+  * The queue table becomes a state DataFrame (parquet/Delta in
+  * production); each worker loop becomes a deterministic micro-batch
+  * cycle — exactly what a Structured Streaming `foreachBatch` driver
+  * would execute. `SELECT ... FOR UPDATE SKIP LOCKED` claiming is
+  * replaced by single-writer micro-batch claims (SURVEY §7.4-5); the
+  * revisit-dedup identity (canonical, last_visit_date) is preserved.
+  *
+  * Visitors/mappers run in `mapPartitions` on the executors with a
+  * per-host politeness delay (reference ≥1 s/host,
+  * `run_visit.py:385-405`) enforced executor-locally.
+  */
+object Frontier {
+
+  val RevisitHours = 240 // minecode/models.py:261
+
+  final case class UriRow(
+      uri: String,
+      canonical: String,
+      host: String,
+      priority: Int,
+      last_visit_date: Option[Timestamp],
+      last_map_date: Option[Timestamp],
+      wip_date: Option[Timestamp],
+      visit_error: Option[String])
+
+  /** A visitor yields child URIs from a visited URI (X1). Runs on
+    * executors; must be Serializable. */
+  type Visitor = String => Seq[String]
+
+  /** Visitable rows (ST2): never visited, or visited more than
+    * `revisitHours` ago; not in-flight (`minecode/models.py:241-273`). */
+  def visitables(frontier: DataFrame, now: Timestamp,
+      revisitHours: Int = RevisitHours): DataFrame = {
+    val cutoff = new Timestamp(now.getTime - revisitHours * 3600L * 1000L)
+    frontier.filter(col("wip_date").isNull &&
+      (col("last_visit_date").isNull ||
+        col("last_visit_date") < lit(cutoff)))
+  }
+
+  /** Claim the top-N visitables by (-priority, -uri) — the reference's
+    * queue ordering (`minecode/models.py:272`, O2). */
+  def claim(frontier: DataFrame, now: Timestamp, batchSize: Int): DataFrame =
+    visitables(frontier, now)
+      .orderBy(desc("priority"), desc("uri"))
+      .limit(batchSize)
+
+  /** One visit micro-cycle: claim → visit (executor-side, politeness
+    * per host) → insert yielded URIs absent from the frontier (J12
+    * anti-join on canonical among never-visited rows) → mark visited.
+    * Returns the next frontier state.
+    */
+  def visitCycle(spark: SparkSession, frontier: DataFrame, visitor: Visitor,
+      now: Timestamp, batchSize: Int = 10,
+      hostDelayMs: Long = 0L): DataFrame = {
+    import spark.implicits._
+
+    val claimed = claim(frontier, now, batchSize).cache()
+    val claimedUris = claimed.select("uri").as[String].collect().toSet
+
+    // fetch/expand on executors; per-host politeness inside the partition
+    val yielded: Dataset[(String, String)] = claimed
+      .select("uri", "host").as[(String, String)]
+      .repartition(col("host")) // one host never spans partitions → delay holds
+      .mapPartitions { it =>
+        val lastHit = scala.collection.mutable.Map.empty[String, Long]
+        it.flatMap { case (uri, host) =>
+          if (hostDelayMs > 0) {
+            val since = System.currentTimeMillis() - lastHit.getOrElse(host, 0L)
+            if (since < hostDelayMs) Thread.sleep(hostDelayMs - since)
+            lastHit(host) = System.currentTimeMillis()
+          }
+          visitor(uri).map(child => (uri, child))
+        }
+      }
+
+    val newUris = yielded.toDF("parent", "uri")
+      .select(col("uri"))
+      .distinct()
+      .withColumn("canonical", lower(col("uri")))
+      .withColumn("host", regexp_extract(col("uri"), "//([^/]+)/", 1))
+      .withColumn("priority", lit(0))
+      .withColumn("last_visit_date", lit(null).cast("timestamp"))
+      .withColumn("last_map_date", lit(null).cast("timestamp"))
+      .withColumn("wip_date", lit(null).cast("timestamp"))
+      .withColumn("visit_error", lit(null).cast("string"))
+      // insert-if-absent among pending rows: unique (canonical,
+      // last_visit_date=NULL) — minecode/models.py:182-191,450
+      .join(frontier.filter(col("last_visit_date").isNull)
+          .select(col("canonical").as("existing_canonical")),
+        col("canonical") === col("existing_canonical"), "left_anti")
+
+    val visitedMark = when(col("uri").isin(claimedUris.toSeq: _*),
+      lit(now)).otherwise(col("last_visit_date"))
+    frontier
+      .withColumn("last_visit_date", visitedMark)
+      .unionByName(newUris)
+  }
+
+  /** Mappables (ST3): visited but never mapped
+    * (`minecode/models.py:246-252` exclusion semantics, U3). */
+  def mappables(frontier: DataFrame): DataFrame =
+    frontier.filter(col("last_visit_date").isNotNull &&
+      col("last_map_date").isNull && col("visit_error").isNull)
+
+  /** Map micro-cycle: top-N mappables by -priority → mapper flatMap
+    * (X2) → mark mapped. Returns (next frontier, mapped package rows).
+    */
+  def mapCycle(spark: SparkSession, frontier: DataFrame,
+      mapper: String => Seq[String], now: Timestamp,
+      batchSize: Int = 10): (DataFrame, DataFrame) = {
+    import spark.implicits._
+    val batch = mappables(frontier)
+      .orderBy(desc("priority"), desc("uri"))
+      .limit(batchSize).cache()
+    val batchUris = batch.select("uri").as[String].collect().toSet
+    val packages = batch.select("uri").as[String]
+      .flatMap(u => mapper(u).map(p => (u, p)))
+      .toDF("uri", "package_data")
+    val next = frontier.withColumn("last_map_date",
+      when(col("uri").isin(batchUris.toSeq: _*), lit(now))
+        .otherwise(col("last_map_date")))
+    (next, packages)
+  }
+}

@@ -1,0 +1,116 @@
+package graft
+
+import java.sql.Timestamp
+
+import graft.streaming._
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+class StreamingSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private def frontier0 = Seq(
+    Frontier.UriRow("http://a.io/root", "http://a.io/root", "a.io", 10,
+      None, None, None, None),
+    Frontier.UriRow("http://b.io/root", "http://b.io/root", "b.io", 5,
+      None, None, None, None),
+    Frontier.UriRow("http://a.io/old", "http://a.io/old", "a.io", 1,
+      Some(ts("2020-01-01 00:00:00")), None, None, None)).toDF()
+
+  test("frontier: claim order, child insertion, revisit-dedup") {
+    val now = ts("2026-08-12 00:00:00")
+    val visitor: Frontier.Visitor = {
+      case u if u.endsWith("/root") => Seq(s"$u/child1", s"$u/child2")
+      case _                        => Seq.empty
+    }
+    val f1 = Frontier.visitCycle(spark, frontier0, visitor, now,
+      batchSize = 2)
+    // highest priorities (a.io/root=10, b.io/root=5) visited; old one too
+    // old because 2020 visit is past the 240h revisit horizon... claim
+    // takes top-2 by priority so 'old' (priority 1) is NOT claimed
+    val visited = f1.filter(col("last_visit_date") === lit(now))
+      .select("uri").as[String].collect().toSet
+    assert(visited == Set("http://a.io/root", "http://b.io/root"))
+    // four children inserted as pending
+    val pending = f1.filter(col("last_visit_date").isNull)
+      .select("uri").as[String].collect().toSet
+    assert(pending == Set("http://a.io/root/child1", "http://a.io/root/child2",
+      "http://b.io/root/child1", "http://b.io/root/child2"))
+
+    // cycle 2: claiming again must not re-insert existing pending children
+    val f2 = Frontier.visitCycle(spark, f1, visitor, now, batchSize = 1)
+    assert(f2.count() == f1.count()) // 'old' claimed (visited), children dedup'd
+    assert(f2.filter(col("uri") === "http://a.io/old" &&
+      col("last_visit_date") === lit(now)).count() == 1)
+  }
+
+  test("frontier: revisit horizon gates visitables") {
+    val now = ts("2026-08-12 00:00:00")
+    val recent = Seq(Frontier.UriRow("http://a.io/r", "http://a.io/r", "a.io",
+      1, Some(ts("2026-08-11 23:00:00")), None, None, None)).toDF()
+    assert(Frontier.visitables(recent, now).count() == 0)
+    val stale = Seq(Frontier.UriRow("http://a.io/r", "http://a.io/r", "a.io",
+      1, Some(ts("2026-07-01 00:00:00")), None, None, None)).toDF()
+    assert(Frontier.visitables(stale, now).count() == 1)
+  }
+
+  test("frontier: map cycle marks mapped and yields package data") {
+    val now = ts("2026-08-12 00:00:00")
+    val visited = Seq(Frontier.UriRow("http://a.io/pkg", "http://a.io/pkg",
+      "a.io", 1, Some(now), None, None, None)).toDF()
+    val (next, pkgs) = Frontier.mapCycle(spark, visited,
+      u => Seq(s"pkg-from:$u"), now)
+    assert(pkgs.select("package_data").as[String].collect().toSeq ==
+      Seq("pkg-from:http://a.io/pkg"))
+    assert(next.filter(col("last_map_date").isNotNull).count() == 1)
+    assert(Frontier.mappables(next).count() == 0)
+  }
+
+  test("scan queue: full happy path and guarded transitions") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[ScanQueue.ScanEvent]
+    val states = ScanQueue.run(spark, input.toDS(), withTimeouts = false)
+    val q = states.writeStream.format("memory").queryName("scan_states")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        ScanQueue.ScanEvent("u1", "submit", ""),
+        ScanQueue.ScanEvent("u1", "start", ""),
+        ScanQueue.ScanEvent("u1", "scan_done", "ok"),
+        ScanQueue.ScanEvent("u1", "index_done", "indexed"),
+        ScanQueue.ScanEvent("u2", "submit", ""),
+        ScanQueue.ScanEvent("u2", "index_done", "ILLEGAL"), // not legal from submitted
+        ScanQueue.ScanEvent("u3", "submit", ""),
+        ScanQueue.ScanEvent("u3", "start", ""),
+        ScanQueue.ScanEvent("u3", "fail", "boom"))
+      q.processAllAvailable()
+      val rows = spark.table("scan_states")
+        .select("uuid", "status").as[(String, Int)].collect().toSet
+      // u1 walks all four states; u2 only reaches submitted; u3 fails
+      assert(rows == Set(("u1", 1), ("u1", 2), ("u1", 3), ("u1", 4),
+        ("u2", 1), ("u3", 1), ("u3", 2), ("u3", 5)))
+    } finally q.stop()
+  }
+
+  test("event stream: windowed counts equal the batch plan") {
+    // the streaming file source wants a directory of parquet files
+    val dir = java.nio.file.Files.createTempDirectory("events-stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf001/events.parquet"),
+      dir.resolve("events.parquet"))
+    val q = EventStream.hourlyCounts(spark, dir.toString, "stream_hourly")
+    try {
+      q.processAllAvailable()
+      val streamRows = spark.table("stream_hourly")
+        .select("ws", "event_type", "n")
+        .as[(Timestamp, String, Long)].collect().toSet
+      val batchRows = EventStream.hourlyCountsBatch(spark,
+        s"$sf001/events.parquet")
+        .as[(Timestamp, String, Long)].collect().toSet
+      assert(streamRows == batchRows)
+      assert(streamRows.nonEmpty)
+    } finally q.stop()
+  }
+}
