@@ -1,0 +1,113 @@
+package graft.miners
+
+import scala.util.matching.Regex
+
+/** Mining periphery — X3 router, S9 ls-listing parser, J10/F14
+  * source-repo inference. Pure Scala, executed inside flatMap/
+  * mapPartitions closures on executors.
+  */
+
+/** X3 — regex router (`minecode/route.py:38-200`): dispatch a URI to
+  * the unique matching handler; error if zero or more than one
+  * pattern matches; `is_routable` via the compiled alternation fast
+  * path (`minecode/route.py:187-200`).
+  */
+final class Router[H](routes: Vector[(Regex, H)]) extends Serializable {
+
+  private val alternation: Regex =
+    routes.map { case (r, _) => s"(?:${r.pattern.pattern})" }
+      .mkString("|").r
+
+  def isRoutable(uri: String): Boolean =
+    routes.nonEmpty && alternation.findFirstIn(uri).exists(_ == uri) ||
+      routes.exists { case (r, _) => r.pattern.matcher(uri).matches() }
+
+  /** Resolve to the single matching handler.
+    * @throws IllegalStateException on zero or multiple matches */
+  def resolve(uri: String): H = {
+    val hits = routes.filter { case (r, _) => r.pattern.matcher(uri).matches() }
+    hits match {
+      case Vector((_, h)) => h
+      case Vector()       => throw new IllegalStateException(s"no route: $uri")
+      case several => throw new IllegalStateException(
+        s"ambiguous route ($uri): ${several.size} matches")
+    }
+  }
+}
+
+/** S9 — parser for `ls -alR` / find-style directory listings
+  * (`minecode/ls.py:1-194`): directory-header blocks
+  * ("some/dir:") followed by long-format entries; emits
+  * (path, is_file, size, date) rows. Months/dates follow the unix ls
+  * convention: `Mon DD YYYY` for old entries, `Mon DD HH:MM` for
+  * recent ones (year-less dates get no date rather than a guessed
+  * year — the reference uses ftputil's parser which does the same
+  * tolerant parse).
+  */
+object LsParser {
+
+  final case class Entry(path: String, isFile: Boolean, size: Option[Long],
+      date: Option[String])
+
+  private val months = Map("jan" -> 1, "feb" -> 2, "mar" -> 3, "apr" -> 4,
+    "may" -> 5, "jun" -> 6, "jul" -> 7, "aug" -> 8, "sep" -> 9, "oct" -> 10,
+    "nov" -> 11, "dec" -> 12)
+
+  // -rw-r--r--  1 user group  1234 Jan  5  2020 name possibly spaced
+  private val entryRe =
+    """^([-dlbcps])[rwxsStT-]{9}\+?\s+\d+\s+\S+\s+\S+\s+(\d+)\s+([A-Za-z]{3})\s+(\d{1,2})\s+(\d{4}|\d{1,2}:\d{2})\s+(.+)$""".r
+
+  def parse(listing: String): Seq[Entry] = {
+    var currentDir = ""
+    val out = scala.collection.mutable.ArrayBuffer.empty[Entry]
+    listing.linesIterator.foreach { raw =>
+      val line = raw.stripLineEnd
+      if (line.endsWith(":") && !line.contains(" ")) {
+        currentDir = line.dropRight(1).stripPrefix("./").stripPrefix("/")
+      } else entryRe.findFirstMatchIn(line).foreach { m =>
+        val kind = m.group(1)
+        val size = m.group(2).toLong
+        val name = m.group(6).split(" -> ").head // symlink target
+        if (name != "." && name != "..") {
+          val date = (months.get(m.group(3).toLowerCase), m.group(5)) match {
+            case (Some(mo), y) if y.length == 4 =>
+              Some(f"$y-$mo%02d-${m.group(4).toInt}%02d")
+            case _ => None
+          }
+          val path =
+            if (currentDir.isEmpty) name else s"$currentDir/$name"
+          out += Entry(path, kind == "-", if (kind == "-") Some(size) else None,
+            date)
+        }
+      }
+    }
+    out.toSeq
+  }
+}
+
+/** J10/F14 — source-repo candidate URL inference
+  * (`purl2vcs/src/purl2vcs/find_source_repo.py:190-313`): generate
+  * plausible VCS URLs for a package from its purl and metadata URLs,
+  * to be joined against the catalog (the join is the Spark side; this
+  * is the per-row candidate generator, a flatMap closure).
+  */
+object SourceRepo {
+  def candidateUrls(ptype: String, namespace: Option[String], name: String,
+      homepage: Option[String]): Seq[String] = {
+    val fromHomepage = homepage.toSeq
+      .filter(h => h.contains("github.com") || h.contains("gitlab.com") ||
+        h.contains("bitbucket.org"))
+      .map(_.stripSuffix("/").stripSuffix(".git"))
+    val guesses = (ptype.toLowerCase, namespace) match {
+      case ("github", Some(ns))  => Seq(s"https://github.com/$ns/$name")
+      case ("golang", Some(ns)) if ns.startsWith("github.com/") =>
+        Seq(s"https://${ns.stripPrefix("https://")}/$name",
+          s"https://$ns/$name".replace("https://https://", "https://"))
+      case ("maven", Some(ns)) =>
+        Seq(s"https://github.com/${ns.split('.').last}/$name")
+      case (_, Some(ns)) => Seq(s"https://github.com/$ns/$name")
+      case (_, None)     => Seq(s"https://github.com/$name/$name")
+    }
+    (fromHomepage ++ guesses).distinct
+  }
+}

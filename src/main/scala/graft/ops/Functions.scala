@@ -240,6 +240,49 @@ object Functions {
       FROM events GROUP BY date_trunc('hour', ts), event_type
       ORDER BY ws, event_type"""))
 
+  val f2 = QueryDef(
+    "f2_canonical_url", "F2",
+    "URL canonicalization: case, default port, dot segments, fragment",
+    (s, dir) => {
+      val canonical = udf((u: String) =>
+        graft.functions.CanonicalUrl(u).orNull)
+      t(s, dir, "documents")
+        .withColumn("raw",
+          concat(lit("HTTP://Example.COM:80/"), col("source"), lit("/x/../doc/"),
+            col("doc_id").cast("string"), lit("#frag")))
+        .select(col("doc_id"), col("raw"), canonical(col("raw")).as("canon"))
+        .orderBy("doc_id")
+    },
+    Some("""SELECT doc_id,
+        'HTTP://Example.COM:80/' || source || '/x/../doc/' ||
+          CAST(doc_id AS VARCHAR) || '#frag' AS raw,
+        'http://example.com/' || source || '/doc/' ||
+          CAST(doc_id AS VARCHAR) AS canon
+      FROM documents ORDER BY doc_id"""))
+
+  val f15 = QueryDef(
+    "f15_vers_range", "F15",
+    "vers-range membership over synthesized versions (union-of-intervals)",
+    (s, dir) => {
+      val inRange = udf((v: String) =>
+        graft.functions.VersRange.contains("vers:generic/>=0.4|<2.2", v)
+          .getOrElse(false))
+      t(s, dir, "part")
+        .withColumn("version",
+          concat(pmod(col("p_partkey"), lit(3)).cast("string"), lit("."),
+            pmod(col("p_partkey"), lit(12)).cast("string")))
+        .select(col("p_partkey"), col("version"),
+          inRange(col("version")).as("in_range"))
+        .orderBy("p_partkey")
+    },
+    Some("""SELECT p_partkey,
+        CAST(p_partkey % 3 AS VARCHAR) || '.' || CAST(p_partkey % 12 AS VARCHAR)
+          AS version,
+        ((p_partkey % 3 > 0) OR (p_partkey % 3 = 0 AND p_partkey % 12 >= 4))
+          AND ((p_partkey % 3 < 2) OR (p_partkey % 3 = 2 AND p_partkey % 12 < 2))
+          AS in_range
+      FROM part ORDER BY p_partkey"""))
+
   val defs: Seq[QueryDef] =
-    Seq(f1, f3, f4, f5, f8, f9, f11, f13, f16, st1)
+    Seq(f1, f2, f3, f4, f5, f8, f9, f11, f13, f15, f16, st1)
 }

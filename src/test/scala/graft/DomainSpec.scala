@@ -1,0 +1,149 @@
+package graft
+
+import graft.catalog.{Enhance, PackageRow, Sbom}
+import graft.functions.{CanonicalUrl, LicenseExpressions, VersRange, VersionHint}
+import graft.miners.{LsParser, Router, SourceRepo}
+import org.apache.spark.sql.functions._
+
+class DomainSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("version_hint extracts versions from artifact paths") {
+    assert(VersionHint("repo/foo-1.2.3.tar.gz").contains("1.2.3"))
+    assert(VersionHint("x/blueproximity-1.2.4-1.fc8.noarch.rpm")
+      .contains("1.2.4"))
+    assert(VersionHint("a/b/pkg-2.0.0rc1.zip", ignorePreReleases = true)
+      .contains("2.0.0"))
+    assert(VersionHint("a/v1.5.0/file.jar", removeVPrefix = true)
+      .exists(_.startsWith("1.5")))
+    assert(VersionHint("dist/2024-01-15/thing.zip").contains("2024-01-15"))
+    assert(VersionHint("no/version/here").isEmpty ||
+      VersionHint("no/version/here").isDefined) // total function, no throw
+  }
+
+  test("canonical_url normalizes scheme/host/port/fragment") {
+    assert(CanonicalUrl("HTTP://Example.COM:80/a/../b#frag")
+      .contains("http://example.com/b"))
+    assert(CanonicalUrl("https://example.com:443/x?q=1")
+      .contains("https://example.com/x?q=1"))
+    assert(CanonicalUrl("https://example.com:8443/x")
+      .contains("https://example.com:8443/x"))
+    assert(CanonicalUrl("http://example.com").contains("http://example.com/"))
+    assert(CanonicalUrl("not a url").isEmpty)
+  }
+
+  test("combine_expressions AND-joins with dedup and parens") {
+    assert(LicenseExpressions.combine(Seq("mit", "mit")) == Some("mit"))
+    assert(LicenseExpressions.combine(Seq("mit", "apache-2.0")) ==
+      Some("mit AND apache-2.0"))
+    assert(LicenseExpressions.combine(Seq("mit OR gpl-2.0", "apache-2.0")) ==
+      Some("(mit OR gpl-2.0) AND apache-2.0"))
+    assert(LicenseExpressions.combine(Seq("", "  ")) == None)
+  }
+
+  test("vers range: comparators, unions, exclusions, wildcards") {
+    def in(vers: String, v: String) = VersRange.contains(vers, v).get
+    assert(in("vers:npm/>=1.2.3|<2.0.0", "1.5.0"))
+    assert(!in("vers:npm/>=1.2.3|<2.0.0", "2.1.0"))
+    assert(in("vers:pypi/*", "anything"))
+    assert(!in("vers:pypi/*|!=1.0", "1.0"))
+    assert(in("vers:gem/=2.3.4", "2.3.4"))
+    assert(!in("vers:gem/=2.3.4", "2.3.5"))
+    // two intervals: [1.0,2.0] and [3.0,∞)
+    val multi = "vers:maven/>=1.0|<=2.0|>=3.0"
+    assert(in(multi, "1.5") && in(multi, "3.1") && !in(multi, "2.5"))
+    // pre-release ordering
+    assert(VersRange.compareVersions("1.0.0-alpha", "1.0.0") < 0)
+    assert(VersRange.compareVersions("1.2", "1.10") < 0)
+    assert(VersRange.compareVersions("1.2.1", "1.2") > 0)
+    assert(!in("vers:npm/>=1.0.0", "1.0.0-rc1"))
+  }
+
+  test("router dispatches to the unique matching handler") {
+    val r = new Router[String](Vector(
+      """https?://repo1\.maven\.org/.*""".r -> "maven",
+      """https?://pypi\.org/.*""".r -> "pypi"))
+    assert(r.resolve("https://repo1.maven.org/maven2/x.pom") == "maven")
+    assert(r.isRoutable("https://pypi.org/simple/requests/"))
+    assert(!r.isRoutable("https://example.com/x"))
+    intercept[IllegalStateException](r.resolve("https://example.com/x"))
+    val dup = new Router[String](Vector(
+      """.*maven.*""".r -> "a", """.*maven\.org.*""".r -> "b"))
+    intercept[IllegalStateException](
+      dup.resolve("https://repo1.maven.org/f"))
+  }
+
+  test("ls -alR listing parser emits (path, type, size, date) entries") {
+    val listing =
+      """pub/software:
+        |total 24
+        |drwxr-xr-x  2 root root  4096 Jan  5  2020 .
+        |drwxr-xr-x 10 root root  4096 Jan  1  2020 ..
+        |-rw-r--r--  1 root root 12345 Mar 15  2021 release-1.0.tar.gz
+        |drwxr-xr-x  3 root root  4096 Feb  2  2021 subdir
+        |lrwxrwxrwx  1 root root    11 Apr  1 10:30 latest -> release-1.0
+        |
+        |pub/software/subdir:
+        |-rw-r--r--  1 root root   99 Dec 31  2019 notes.txt
+        |""".stripMargin
+    val entries = LsParser.parse(listing)
+    val byPath = entries.map(e => e.path -> e).toMap
+    assert(byPath("pub/software/release-1.0.tar.gz").size.contains(12345L))
+    assert(byPath("pub/software/release-1.0.tar.gz").date
+      .contains("2021-03-15"))
+    assert(!byPath("pub/software/subdir").isFile)
+    assert(byPath("pub/software/latest").date.isEmpty) // HH:MM → no year
+    assert(byPath("pub/software/subdir/notes.txt").size.contains(99L))
+    assert(!entries.exists(e => e.path.endsWith("/.") || e.path.endsWith("/..")))
+  }
+
+  test("source repo candidate generation") {
+    val c = SourceRepo.candidateUrls("maven", Some("org.apache.pulsar"),
+      "pulsar", Some("https://github.com/apache/pulsar"))
+    assert(c.head == "https://github.com/apache/pulsar")
+    assert(c.contains("https://github.com/pulsar/pulsar"))
+    val g = SourceRepo.candidateUrls("github", Some("gorilla"), "mux", None)
+    assert(g == Seq("https://github.com/gorilla/mux"))
+  }
+
+  test("enhanced assembly fills empty fields from lower-rank peers") {
+    val members = Seq(
+      Enhance.Member("set1", "http://p/bin.jar", Some(Enhance.Binary),
+        None, None, Some("mit"), None),
+      Enhance.Member("set1", "http://p/src.tar.gz", Some(Enhance.SourceArchive),
+        None, Some("http://arch-home"), None, None),
+      Enhance.Member("set1", "http://p/repo", Some(Enhance.SourceRepo),
+        Some("repo desc"), Some("http://home"), Some("apache-2.0"),
+        Some("(c) acme"))).toDF()
+    val out = Enhance.enhance(spark, members)
+    val bin = out.filter($"download_url" === "http://p/bin.jar")
+      .as[Enhance.Enhanced].collect().head
+    // binary takes from source-archive (rank 4) AND source-repo (rank 3)
+    assert(bin.description.contains("repo desc"))
+    assert(bin.homepage_url.contains("http://home") ||
+      bin.homepage_url.contains("http://arch-home"))
+    assert(bin.declared_license_expression.contains("mit")) // own value kept
+    assert(bin.enhanced_by.nonEmpty)
+    val arch = out.filter($"download_url" === "http://p/src.tar.gz")
+      .as[Enhance.Enhanced].collect().head
+    // source-archive may only take from SOURCE_REPO peers
+    assert(arch.description.contains("repo desc"))
+    assert(arch.enhanced_by == Seq("http://p/repo"))
+    val repo = out.filter($"download_url" === "http://p/repo")
+      .as[Enhance.Enhanced].collect().head
+    assert(repo.enhanced_by.isEmpty) // source-repo passes through
+  }
+
+  test("cyclonedx export emits valid component json") {
+    val pkgs = Seq(PackageRow.minimal("http://x/a.jar", "maven", "a",
+      Some("1.0")).copy(sha1 = Some("ab" * 20),
+      declared_license_expression = Some("mit"),
+      homepage_url = Some("http://home"))).toDF()
+    val json = Sbom.toCycloneDx(pkgs).select("component").as[String]
+      .collect().head
+    assert(json.contains(""""bom-ref":"pkg:maven/a@1.0""""))
+    assert(json.contains(""""alg":"SHA-1""""))
+    assert(json.contains(""""expression":"mit""""))
+    assert(json.contains(""""type":"library""""))
+  }
+}
