@@ -34,7 +34,8 @@ object Registry {
       ops.DedupOps.defs ++
       ops.SimilarityOps.defs ++
       ops.CatalogOps.defs ++
-      ops.StreamOps.defs
+      ops.StreamOps.defs ++
+      ops.SourceOps.defs
 
   lazy val byName: Map[String, QueryDef] = all.map(q => q.name -> q).toMap
 }

@@ -1,0 +1,207 @@
+package graft.sources
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream,
+  DataOutputStream, EOFException, InputStream}
+import java.util.zip.{GZIPInputStream, GZIPOutputStream}
+
+/** Source-side readers and parsers (SURVEY §2.1) — executor-safe pure
+  * Scala used inside `mapPartitions`/`flatMap`. Network transports are
+  * injected (zero-egress environment); the parsing/dedup/batching
+  * logic is the real engine surface.
+  */
+
+/** S6 — gzip reader tolerant of trailing garbage / truncated streams
+  * (`minecode/miners/maven.py:65-89`): reads what can be read and
+  * stops at the first decoding error instead of throwing.
+  */
+object GzipTolerant {
+  def readAll(bytes: Array[Byte]): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    try {
+      val in = new GZIPInputStream(new ByteArrayInputStream(bytes))
+      val buf = new Array[Byte](8192)
+      var n = in.read(buf)
+      while (n >= 0) {
+        out.write(buf, 0, n)
+        n = try in.read(buf) catch { case _: java.io.IOException => -1 }
+      }
+    } catch { case _: java.io.IOException => () }
+    out.toByteArray
+  }
+
+  def gzip(bytes: Array[Byte]): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val gz = new GZIPOutputStream(bos)
+    gz.write(bytes); gz.close()
+    bos.toByteArray
+  }
+}
+
+/** S5 — binary artifact-index record reader, the shape of the nexus
+  * full-index stream parser (`minecode/miners/maven.py:708-845`):
+  * a header followed by length-delimited field records, consumed as a
+  * lazy iterator inside `mapPartitions` so a multi-GB index never
+  * materializes. Format here: int32 magic, int32 version, then per
+  * record int16 fieldCount and fieldCount × (UTF key, UTF value);
+  * clean EOF ends the stream, torn trailing records are dropped
+  * (matching the tolerant reference reader).
+  */
+object BinaryIndexReader {
+  val Magic = 0x47524654 // "GRFT"
+
+  def readRecords(in: InputStream): Iterator[Map[String, String]] = {
+    val d = new DataInputStream(in)
+    val magic = d.readInt()
+    require(magic == Magic, f"bad index magic: 0x$magic%08x")
+    d.readInt() // version
+    new Iterator[Map[String, String]] {
+      private var nextRec: Map[String, String] = _
+      private var done = false
+      private def advance(): Unit =
+        try {
+          val n = d.readShort().toInt
+          nextRec = (0 until n).map(_ => d.readUTF() -> d.readUTF()).toMap
+        } catch { case _: EOFException => done = true; nextRec = null }
+      advance()
+      def hasNext: Boolean = !done
+      def next(): Map[String, String] = {
+        val r = nextRec; advance(); r
+      }
+    }
+  }
+
+  /** Writer for tests / index construction. */
+  def writeRecords(records: Seq[Map[String, String]]): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val d = new DataOutputStream(bos)
+    d.writeInt(Magic); d.writeInt(1)
+    records.foreach { r =>
+      d.writeShort(r.size)
+      r.foreach { case (k, v) => d.writeUTF(k); d.writeUTF(v) }
+    }
+    d.flush()
+    bos.toByteArray
+  }
+}
+
+/** S11 — registry version-list parsers for the priority/watch paths
+  * (`packagedb/package_managers.py:100-530`): response payloads in,
+  * (version, releaseDate) rows out. Transport is injected; JSON via
+  * json4s (ships with Spark), XML via JDK StAX.
+  */
+object RegistryParsers {
+  import org.json4s._
+  import org.json4s.jackson.JsonMethods
+
+  final case class PackageVersion(value: String, releaseDate: Option[String])
+
+  /** PyPI JSON API: releases{version: [files{upload_time}]}. */
+  def pypiVersions(json: String): Seq[PackageVersion] = {
+    val root = JsonMethods.parse(json)
+    (root \ "releases") match {
+      case JObject(fields) => fields.map { case (version, files) =>
+        val date = files match {
+          case JArray(fs) => fs.headOption.flatMap(f =>
+            (f \ "upload_time") match {
+              case JString(s) => Some(s); case _ => None
+            })
+          case _ => None
+        }
+        PackageVersion(version, date)
+      }
+      case _ => Seq.empty
+    }
+  }
+
+  /** npm registry JSON: versions{} keys + time{} dates. */
+  def npmVersions(json: String): Seq[PackageVersion] = {
+    val root = JsonMethods.parse(json)
+    val times = (root \ "time") match {
+      case JObject(fs) => fs.collect { case (k, JString(v)) => k -> v }.toMap
+      case _           => Map.empty[String, String]
+    }
+    (root \ "versions") match {
+      case JObject(fields) =>
+        fields.map { case (v, _) => PackageVersion(v, times.get(v)) }
+      case _ => Seq.empty
+    }
+  }
+
+  /** maven-metadata.xml: <versioning><versions><version> texts
+    * (`minecode/miners/maven.py:287-349`), StAX streaming parse. */
+  def mavenMetadataVersions(xml: String): Seq[PackageVersion] = {
+    val factory = javax.xml.stream.XMLInputFactory.newInstance()
+    factory.setProperty(javax.xml.stream.XMLInputFactory.SUPPORT_DTD, false)
+    val reader = factory.createXMLStreamReader(
+      new java.io.StringReader(xml))
+    val out = scala.collection.mutable.ArrayBuffer.empty[PackageVersion]
+    var inVersion = false
+    val sb = new StringBuilder
+    while (reader.hasNext) {
+      reader.next() match {
+        case javax.xml.stream.XMLStreamConstants.START_ELEMENT
+            if reader.getLocalName == "version" =>
+          inVersion = true; sb.clear()
+        case javax.xml.stream.XMLStreamConstants.CHARACTERS if inVersion =>
+          sb.append(reader.getText)
+        case javax.xml.stream.XMLStreamConstants.END_ELEMENT
+            if reader.getLocalName == "version" =>
+          inVersion = false
+          if (sb.nonEmpty) out += PackageVersion(sb.toString.trim, None)
+        case _ => ()
+      }
+    }
+    reader.close()
+    out.toSeq
+  }
+}
+
+/** ST1 politeness — robots.txt rules + per-host crawl delay
+  * (`run_visit.py:192-211,385-405`): minimal parser for
+  * User-agent/Disallow/Crawl-delay groups.
+  */
+object Robots {
+  final case class Rules(disallow: Seq[String], crawlDelaySec: Option[Double])
+
+  def parse(robotsTxt: String, userAgent: String = "*"): Rules = {
+    var currentAgents = Set.empty[String]
+    var matched = false
+    val disallow = scala.collection.mutable.ArrayBuffer.empty[String]
+    var delay: Option[Double] = None
+    robotsTxt.linesIterator.map(_.trim).filter(_.nonEmpty)
+      .filterNot(_.startsWith("#")).foreach { line =>
+        val (key, value) = line.split(":", 2) match {
+          case Array(k, v) => (k.trim.toLowerCase, v.trim)
+          case _           => ("", "")
+        }
+        key match {
+          case "user-agent" =>
+            if (disallow.nonEmpty || delay.isDefined) {
+              // new group begins after rules: reset if we already matched
+              if (matched) return Rules(disallow.toSeq, delay)
+              currentAgents = Set.empty
+              disallow.clear(); delay = None
+            }
+            currentAgents += value.toLowerCase
+            matched = currentAgents.contains("*") ||
+              currentAgents.contains(userAgent.toLowerCase)
+          case "disallow" if matched && value.nonEmpty => disallow += value
+          case "crawl-delay" if matched =>
+            delay = value.toDoubleOption
+          case _ => ()
+        }
+      }
+    Rules(disallow.toSeq, delay)
+  }
+
+  def allowed(path: String, rules: Rules): Boolean =
+    !rules.disallow.exists(path.startsWith)
+}
+
+/** S15 — publish batching (`minecode/pipelines/__init__.py:150-348`,
+  * batch_size=100): deterministic batch splitter used by the
+  * foreachBatch publisher. */
+object Publisher {
+  def batches[T](items: Seq[T], size: Int = 100): Seq[Seq[T]] =
+    items.grouped(size).toSeq
+}
