@@ -67,7 +67,6 @@ object Frontier {
     import spark.implicits._
 
     val claimed = claim(frontier, now, batchSize).cache()
-    val claimedUris = claimed.select("uri").as[String].collect().toSet
 
     // fetch/expand on executors; per-host politeness inside the partition
     val yielded: Dataset[(String, String)] = claimed
@@ -101,10 +100,16 @@ object Frontier {
           .select(col("canonical").as("existing_canonical")),
         col("canonical") === col("existing_canonical"), "left_anti")
 
-    val visitedMark = when(col("uri").isin(claimedUris.toSeq: _*),
-      lit(now)).otherwise(col("last_visit_date"))
+    // mark claimed rows visited via a broadcast join, not a collected
+    // IN-list — batch sizes are small but the plan must stay fully
+    // distributed regardless
     frontier
-      .withColumn("last_visit_date", visitedMark)
+      .join(broadcast(claimed.select(col("uri").as("claimed_uri"))),
+        col("uri") === col("claimed_uri"), "left")
+      .withColumn("last_visit_date",
+        when(col("claimed_uri").isNotNull, lit(now))
+          .otherwise(col("last_visit_date")))
+      .drop("claimed_uri")
       .unionByName(newUris)
   }
 
@@ -124,13 +129,16 @@ object Frontier {
     val batch = mappables(frontier)
       .orderBy(desc("priority"), desc("uri"))
       .limit(batchSize).cache()
-    val batchUris = batch.select("uri").as[String].collect().toSet
     val packages = batch.select("uri").as[String]
       .flatMap(u => mapper(u).map(p => (u, p)))
       .toDF("uri", "package_data")
-    val next = frontier.withColumn("last_map_date",
-      when(col("uri").isin(batchUris.toSeq: _*), lit(now))
-        .otherwise(col("last_map_date")))
+    val next = frontier
+      .join(broadcast(batch.select(col("uri").as("mapped_uri"))),
+        col("uri") === col("mapped_uri"), "left")
+      .withColumn("last_map_date",
+        when(col("mapped_uri").isNotNull, lit(now))
+          .otherwise(col("last_map_date")))
+      .drop("mapped_uri")
     (next, packages)
   }
 }
