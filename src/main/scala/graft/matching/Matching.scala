@@ -90,6 +90,22 @@ object Matching {
         "name_diff")
   }
 
+  /** J11 — JS source-map key widening
+    * (`matchcode/pipes/matching.py:306-308`): `.map` resources carry
+    * the sha1s of their referenced sources in `source_map_sha1s`;
+    * those explode into additional exact-match join keys attributed
+    * back to the carrying resource. */
+  def exactMatchWithSourceMaps(queries: DataFrame,
+      index: DataFrame): DataFrame = {
+    val direct = queries.select(col("path"), col("sha1"))
+    val fromMaps = queries
+      .filter(col("source_map_sha1s").isNotNull)
+      .select(col("path"), explode(col("source_map_sha1s")).as("sha1"))
+    val widened = direct.unionByName(fromMaps)
+      .filter(col("sha1").isNotNull).dropDuplicates("path", "sha1")
+    exactMatch(widened.select(col("path"), col("sha1")), index)
+  }
+
   /** J6 + A3/A4 + W4/X4 — snippet inverted-index match: join query
     * 16-byte snippet fingerprints against the index, score each
     * (q_path, package resource) by Jaccard over distinct fingerprints

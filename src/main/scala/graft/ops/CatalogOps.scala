@@ -236,5 +236,48 @@ object CatalogOps {
         FROM m JOIN c ON m.download_url = c.download_url)
       WHERE rn = 1 ORDER BY path"""))
 
-  val defs: Seq[QueryDef] = Seq(a6merge, exact, snippet, rank)
+  /** X5+J5 end-to-end: halohash fingerprints built with the typed
+    * aggregator (map-side partial merge), then banded approximate
+    * matching of a slightly-perturbed query side against them. */
+  val halohash = QueryDef(
+    "x5_halohash_match", "X5/J5/F4",
+    "bah128 aggregator builds dir fingerprints; banded match finds them",
+    (s, dir) => {
+      val shingles = t(s, dir, "documents")
+        .withColumn("w", filter(split(col("text"), " "), w => w =!= ""))
+        .select(col("doc_id"), col("source"),
+          explode(expr(
+            """transform(sequence(1, greatest(size(w) - 2, 1)),
+                 i -> array_join(slice(w, i, 3), ' '))""")).as("shingle"))
+        .dropDuplicates("source", "shingle")
+      val index = shingles
+        .groupBy(col("source"))
+        .agg(graft.matching.HaloHash.halohash(col("shingle"))
+          .as("fingerprint"))
+        .select(concat(lit("pkg://"), col("source")).as("download_url"),
+          col("source").as("path"), col("source").as("name"),
+          lit(0L).as("size"), lit(false).as("is_file"), col("fingerprint"))
+      // query side: same element sets minus the shingles contributed
+      // only by every 25th doc (~4% perturbation, inside the ±5% band)
+      val qShingles = t(s, dir, "documents")
+        .filter(col("doc_id") % 25 =!= 0)
+        .withColumn("w", filter(split(col("text"), " "), w => w =!= ""))
+        .select(col("source"),
+          explode(expr(
+            """transform(sequence(1, greatest(size(w) - 2, 1)),
+                 i -> array_join(slice(w, i, 3), ' '))""")).as("shingle"))
+        .dropDuplicates("source", "shingle")
+      val queries = qShingles
+        .groupBy(col("source"))
+        .agg(graft.matching.HaloHash.halohash(col("shingle"))
+          .as("fingerprint"))
+        .select(col("source").as("q_path"), col("source").as("q_name"),
+          lit(0L).as("q_size"), lit(false).as("q_is_file"),
+          col("fingerprint"))
+      graft.matching.Matching.approximateMatch(queries, index)
+        .orderBy("q_path", "download_url")
+    },
+    None)
+
+  val defs: Seq[QueryDef] = Seq(a6merge, exact, snippet, rank, halohash)
 }

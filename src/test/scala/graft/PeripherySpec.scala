@@ -1,0 +1,136 @@
+package graft
+
+import java.sql.Timestamp
+
+import graft.matching.{Fingerprints, HaloHash, Matching}
+import graft.miners.{ArtifactBuilder, HttpVisitor, Seeds, Transport}
+import graft.sources.Robots
+import graft.streaming.Queues
+import org.apache.spark.sql.functions._
+
+class PeripherySpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("halohash: majority-bit semantics, merge associativity, format") {
+    // identical sets → identical fingerprints
+    val a = (1 to 100).map(i => s"el$i")
+    assert(HaloHash.of(a) == HaloHash.of(a.reverse))
+    // count prefix is the %08x element count
+    val fp = HaloHash.of(a)
+    assert(fp.length == 40)
+    assert(Integer.parseInt(fp.take(8), 16) == 100)
+    // small perturbation → small hamming; disjoint set → large hamming
+    def hd(x: String, y: String) = {
+      val bx = x.drop(8).grouped(2).map(Integer.parseInt(_, 16)).toArray
+      val by = y.drop(8).grouped(2).map(Integer.parseInt(_, 16)).toArray
+      bx.zip(by).map { case (p, q) => Integer.bitCount(p ^ q) }.sum
+    }
+    val near = HaloHash.of(a.drop(3))
+    val far = HaloHash.of((1 to 100).map(i => s"other$i"))
+    assert(hd(fp, near) < hd(fp, far))
+    // distributed aggregation equals the sequential computation
+    val viaSpark = a.toDF("el").repartition(7)
+      .agg(HaloHash.halohash(col("el"))).collect().head.getString(0)
+    assert(viaSpark == fp)
+    // parses with the Fingerprints codec
+    val parsed = Seq(fp).toDF("fingerprint")
+      .select(Fingerprints.elementsCount(col("fingerprint")).as("cnt"))
+      .collect().head.getInt(0)
+    assert(parsed == 100)
+  }
+
+  test("j11: source-map sha1s widen the exact-match key set") {
+    val queries = Seq(
+      ("app/bundle.js.map", null, Seq("sha_src1", "sha_src2")),
+      ("app/plain.js", "sha_plain", null))
+      .toDF("path", "sha1", "source_map_sha1s")
+    val index = Seq(
+      ("sha_src2", "http://p/lib.jar", "src/b.js"),
+      ("sha_plain", "http://p/app.jar", "src/plain.js"))
+      .toDF("sha1", "download_url", "path")
+    val out = Matching.exactMatchWithSourceMaps(queries, index)
+      .select("q_path", "download_url").as[(String, String)].collect().toSet
+    assert(out == Set(
+      ("app/bundle.js.map", "http://p/lib.jar"),
+      ("app/plain.js", "http://p/app.jar")))
+  }
+
+  test("st5: priority requests insert-if-absent and FIFO claim") {
+    val pending = Seq(
+      ("u1", Timestamp.valueOf("2026-01-01 00:00:00"), null, null))
+      .toDF("uri", "request_date", "wip_date", "processed_date")
+      .select(col("uri"), col("request_date"),
+        col("wip_date").cast("timestamp"),
+        col("processed_date").cast("timestamp"))
+    val requests = Seq(
+      ("u1", Timestamp.valueOf("2026-01-02 00:00:00"), null, null),
+      ("u2", Timestamp.valueOf("2026-01-03 00:00:00"), null, null))
+      .toDF("uri", "request_date", "wip_date", "processed_date")
+      .select(col("uri"), col("request_date"),
+        col("wip_date").cast("timestamp"),
+        col("processed_date").cast("timestamp"))
+    val merged = Queues.insertPriorityRequests(pending, requests)
+    assert(merged.count() == 2) // duplicate pending u1 not re-inserted
+    val claimed = Queues.claimPriorityRequests(merged, 1)
+      .select("uri").as[String].collect()
+    assert(claimed.toSeq == Seq("u1")) // oldest first
+  }
+
+  test("st6: watch due-filter honors interval clamp") {
+    val now = Timestamp.valueOf("2026-08-12 00:00:00")
+    val watches = Seq(
+      ("pkg:npm/a", true, 7, Timestamp.valueOf("2026-08-01 00:00:00")),
+      ("pkg:npm/b", true, 7, Timestamp.valueOf("2026-08-10 00:00:00")),
+      ("pkg:npm/c", false, 7, Timestamp.valueOf("2026-01-01 00:00:00")),
+      ("pkg:npm/d", true, 9999, Timestamp.valueOf("2020-01-01 00:00:00")))
+      .toDF("package_url", "is_active", "watch_interval", "last_watch_date")
+    val due = Queues.dueWatches(watches, now)
+      .select("package_url").as[String].collect().toSet
+    // a: 11 days > 7 → due; b: 2 days → not; c inactive; d: interval
+    // clamped to 365, last watch 2020 → due
+    assert(due == Set("pkg:npm/a", "pkg:npm/d"))
+  }
+
+  test("st8: inbox appends only create activities") {
+    val inbox = Seq.empty[(String, String, Timestamp)]
+      .toDF("actor", "payload", "received_date")
+    val events = Seq(
+      ("alice", "{}", Timestamp.valueOf("2026-01-01 00:00:00"), "Create"),
+      ("bob", "{}", Timestamp.valueOf("2026-01-01 00:00:00"), "delete"))
+      .toDF("actor", "payload", "received_date", "activity_type")
+    val out = Queues.appendActivities(inbox, events)
+    assert(out.select("actor").as[String].collect().toSeq == Seq("alice"))
+  }
+
+  test("s2: http visitor honors robots and reports errors in-band") {
+    val transport = new Transport {
+      def fetch(uri: String): Either[String, Array[Byte]] =
+        if (uri.contains("boom")) Left("connection refused")
+        else Right(s"""<a href="$uri/child">x</a>""".getBytes("UTF-8"))
+    }
+    val rules = Map("site.io" -> Robots.parse(
+      "User-agent: *\nDisallow: /private/"))
+    val visitor = new HttpVisitor(transport,
+      bytes => "href=\"([^\"]+)\"".r
+        .findAllMatchIn(new String(bytes, "UTF-8")).map(_.group(1)).toSeq,
+      rules)
+    val ok = visitor.visit("http://site.io/pub/x")
+    assert(ok.uris == Seq("http://site.io/pub/x/child") && ok.error.isEmpty)
+    val blocked = visitor.visit("http://site.io/private/y")
+    assert(blocked.error.exists(_.contains("robots")))
+    val err = visitor.visit("http://site.io/boom")
+    assert(err.error.contains("connection refused"))
+  }
+
+  test("s12/x7: seeds and maven artifact builder") {
+    assert(Seeds.all.nonEmpty)
+    val pkg = ArtifactBuilder.mavenPackage(Map(
+      "groupId" -> "org.apache.spark", "artifactId" -> "spark-core",
+      "version" -> "3.5.0", "classifier" -> "tests")).get
+    assert(pkg.download_url ==
+      "https://repo1.maven.org/maven2/org/apache/spark/spark-core/3.5.0/spark-core-3.5.0-tests.jar")
+    assert(pkg.namespace.contains("org.apache.spark"))
+    assert(pkg.qualifiers.contains("classifier=tests"))
+    assert(ArtifactBuilder.mavenPackage(Map("groupId" -> "g")).isEmpty)
+  }
+}
