@@ -1,0 +1,118 @@
+package graft.api
+
+import graft.functions.GraftFunctions.{natver_key, purl_parse}
+import graft.ops.SearchDsl
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The catalog query surface — §3.1's request lifecycle compiled to a
+  * single DataFrame plan: filter binding (PackageFilterSet,
+  * `packagedb/api.py:318-370`), search DSL (P5), multi-PURL
+  * disjunctions (P4), validated multi-field sort (O1,
+  * `packagedb/api.py:303-315`), stable pagination (O4), the
+  * checksum batch lookup with earliest-release preference (J9/W1,
+  * `packagedb/api.py:474-492`), and latest-version resolution (A7).
+  *
+  * The REST layer itself is out of Spark scope (SURVEY §2.1 S16); this
+  * is the part that must scale — every request compiles to one lazy
+  * plan with filters pushed to the scan.
+  */
+object CatalogApi {
+
+  /** Whitelisted sort fields (reference allows 11; `-` prefix = desc). */
+  val sortableFields: Set[String] = Set("ptype", "namespace", "name",
+    "version", "download_url", "release_date", "mining_level", "size",
+    "sha1", "md5", "package_content")
+
+  final case class Query(
+      purls: Seq[String] = Seq.empty,          // P1/P4 OR-of-lookups
+      search: Option[String] = None,           // P5 mini-DSL
+      filters: Map[String, Seq[String]] = Map.empty, // P2/P3 iexact/IN
+      sort: Seq[String] = Seq.empty,           // O1, "-field" for desc
+      page: Int = 1,
+      pageSize: Int = 20)
+
+  /** P1 — one PURL string → conjunctive equality predicate over the
+    * parsed components (null components are omitted, reference
+    * purl_to_lookups). */
+  def purlPredicate(packages: DataFrame, purl: String): Column = {
+    val parsed = graft.functions.PurlParse.parse(purl)
+    if (parsed == null) lit(false)
+    else {
+      val fields = Seq("ptype", "namespace", "name", "version",
+        "qualifiers", "subpath")
+      fields.zip(parsed).collect {
+        case (f, v) if v != null => col(f) === v
+      }.reduceOption(_ && _).getOrElse(lit(false))
+    }
+  }
+
+  /** Compile a [[Query]] into a DataFrame plan over the packages
+    * table. */
+  def compile(packages: DataFrame, q: Query): DataFrame = {
+    var df = packages
+
+    if (q.purls.nonEmpty)
+      df = df.filter(q.purls.map(purlPredicate(packages, _))
+        .reduce(_ || _)).dropDuplicates("download_url")
+
+    q.search.foreach { dsl =>
+      val searchable = Map(
+        "type" -> col("ptype"), "namespace" -> col("namespace"),
+        "name" -> col("name"), "version" -> col("version"),
+        "download_url" -> col("download_url"))
+      df = df.filter(SearchDsl.compile(dsl, searchable,
+        bareFields = Seq(col("ptype"), col("namespace"), col("name"),
+          col("version"), col("download_url"))))
+    }
+
+    q.filters.foreach { case (field, values) =>
+      require(df.columns.contains(field), s"unknown filter field: $field")
+      df = values match {
+        case Seq(one) => df.filter(lower(col(field)) === one.toLowerCase)
+        case many     => df.filter(col(field).isin(many: _*))
+      }
+    }
+
+    val sortCols = q.sort.map { s =>
+      val (desc0, f) =
+        if (s.startsWith("-")) (true, s.drop(1)) else (false, s)
+      require(sortableFields.contains(f), s"unsortable field: $f")
+      val c = if (f == "version") natver_key(col("version")) else col(f)
+      if (desc0) c.desc_nulls_last else c.asc_nulls_last
+    } :+ col("download_url").asc // unique tiebreak → stable pages
+    val sorted = df.orderBy(sortCols: _*)
+
+    // stable offset pagination (O4)
+    val w = Window.orderBy(sortCols: _*)
+    sorted.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") > (q.page - 1) * q.pageSize &&
+        col("__rn") <= q.page * q.pageSize)
+      .drop("__rn")
+  }
+
+  /** J9/W1 — checksum batch lookup: for each requested sha1 keep only
+    * the earliest-released package (`packagedb/api.py:474-492`). */
+  def filterByChecksums(packages: DataFrame, sha1s: Seq[String],
+      enhanceOnly: Boolean = false): DataFrame = {
+    val hits = packages.filter(col("sha1").isin(sha1s: _*))
+    val w = Window.partitionBy(col("sha1"))
+      .orderBy(col("release_date").asc_nulls_last, col("download_url"))
+    hits.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** A7 — latest version of a (type, namespace, name) group by
+    * natural-version order. */
+  def latestVersion(packages: DataFrame, ptype: String,
+      namespace: Option[String], name: String): DataFrame = {
+    val nsPred = namespace
+      .map(ns => col("namespace") === ns)
+      .getOrElse(col("namespace").isNull)
+    packages
+      .filter(col("ptype") === ptype && nsPred && col("name") === name)
+      .orderBy(natver_key(col("version")).desc, col("download_url"))
+      .limit(1)
+  }
+}

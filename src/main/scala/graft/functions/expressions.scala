@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -144,17 +144,24 @@ object PurlParse {
   * comparison of keys reproduces natsort's (int,str) tuple ordering.
   */
 case class NatVersionKey(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   override def dataType: DataType = StringType
   override def prettyName: String = "natver_key"
   override protected def nullSafeEval(input: Any): Any =
-    UTF8String.fromString(
-      NatVersionKey.key(input.asInstanceOf[UTF8String].toString))
+    NatVersionKey.compute(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      v => s"graft.functions.NatVersionKey.compute($v)")
   override protected def withNewChildInternal(c: Expression): NatVersionKey =
     copy(c)
 }
 
 object NatVersionKey {
+  /** Catalyst-typed entry used by both interpreted eval and generated
+    * code (static forwarder). */
+  def compute(v: UTF8String): UTF8String = UTF8String.fromString(key(v.toString))
+
   def key(version: String): String = {
     val v = version.replace(".", "~") + "z"
     val sb = new StringBuilder(v.length + 16)
@@ -184,24 +191,37 @@ object NatVersionKey {
   * (`matchcode/models.py:272-291`), generalized to any width.
   */
 case class HammingBin(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
   override def dataType: DataType = IntegerType
   override def nullable: Boolean = true
   override def prettyName: String = "hamming_bin"
   override protected def nullSafeEval(a: Any, b: Any): Any = {
-    val x = a.asInstanceOf[Array[Byte]]
-    val y = b.asInstanceOf[Array[Byte]]
-    if (x.length != y.length) null
-    else {
-      var d = 0; var i = 0
-      while (i < x.length) {
-        d += java.lang.Integer.bitCount((x(i) ^ y(i)) & 0xff); i += 1
-      }
-      d
-    }
+    val d = HammingBin.compute(a.asInstanceOf[Array[Byte]],
+      b.asInstanceOf[Array[Byte]])
+    if (d < 0) null else d
   }
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => s"""
+      int ${ev.value}_d = graft.functions.HammingBin.compute($a, $b);
+      if (${ev.value}_d < 0) { ${ev.isNull} = true; }
+      else { ${ev.value} = ${ev.value}_d; }
+    """)
   override protected def withNewChildrenInternal(
       l: Expression, r: Expression): HammingBin = copy(l, r)
+}
+
+object HammingBin {
+  /** Popcount of XOR; -1 on length mismatch (null at the SQL layer).
+    * Static forwarder shared by interpreted eval and codegen. */
+  def compute(x: Array[Byte], y: Array[Byte]): Int = {
+    if (x.length != y.length) return -1
+    var d = 0; var i = 0
+    while (i < x.length) {
+      d += java.lang.Integer.bitCount((x(i) ^ y(i)) & 0xff); i += 1
+    }
+    d
+  }
 }
 
 /** simhash64(array<string>) -> long: Charikar SimHash over token
@@ -212,11 +232,21 @@ case class HammingBin(left: Expression, right: Expression)
   * `matchcode/models.py:228-373`).
   */
 case class SimHash64(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   override def dataType: DataType = LongType
   override def prettyName: String = "simhash64"
-  override protected def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
+  override protected def nullSafeEval(input: Any): Any =
+    java.lang.Long.valueOf(SimHash64.compute(input.asInstanceOf[ArrayData]))
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      v => s"graft.functions.SimHash64.compute($v)")
+  override protected def withNewChildInternal(c: Expression): SimHash64 = copy(c)
+}
+
+object SimHash64 {
+  /** Static forwarder shared by interpreted eval and generated code. */
+  def compute(arr: ArrayData): Long = {
     val counts = new Array[Int](64)
     val n = arr.numElements()
     var nTok = 0
@@ -233,9 +263,8 @@ case class SimHash64(child: Expression)
     var out = 0L
     var b = 0
     while (b < 64) { if (counts(b) * 2 > nTok) out |= (1L << b); b += 1 }
-    java.lang.Long.valueOf(out)
+    out
   }
-  override protected def withNewChildInternal(c: Expression): SimHash64 = copy(c)
 }
 
 /** minhash_sig(array<string>, k) -> array<long>: k min-hash values
@@ -243,12 +272,23 @@ case class SimHash64(child: Expression)
   * banded-LSH near-dup join. k must be a foldable int literal.
   */
 case class MinHashSig(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "minhash_sig"
-  override protected def nullSafeEval(tokens: Any, kAny: Any): Any = {
-    val arr = tokens.asInstanceOf[ArrayData]
-    val k = kAny.asInstanceOf[Int]
+  override protected def nullSafeEval(tokens: Any, kAny: Any): Any =
+    MinHashSig.compute(tokens.asInstanceOf[ArrayData],
+      kAny.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (t, k) => s"graft.functions.MinHashSig.compute($t, $k)")
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): MinHashSig = copy(l, r)
+}
+
+object MinHashSig {
+  /** Static forwarder shared by interpreted eval and generated code. */
+  def compute(arr: ArrayData, k: Int): ArrayData = {
     val sig = Array.fill(k)(Long.MaxValue)
     val n = arr.numElements()
     var i = 0
@@ -266,8 +306,6 @@ case class MinHashSig(left: Expression, right: Expression)
     }
     new GenericArrayData(sig)
   }
-  override protected def withNewChildrenInternal(
-      l: Expression, r: Expression): MinHashSig = copy(l, r)
 }
 
 /** rollhash_fps(array<string>, window, keep) -> array<long>: rolling

@@ -18,6 +18,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * algorithm description, not ported code.
   */
 object RatcliffObershelp {
+  /** Catalyst-typed entry shared by interpreted eval and codegen. */
+  def compute(a: UTF8String, b: UTF8String): Double =
+    ratio(a.toString, b.toString)
+
   def ratio(a: String, b: String): Double = {
     if (a.isEmpty && b.isEmpty) return 1.0
     2.0 * matchedChars(a, 0, a.length, b, 0, b.length) / (a.length + b.length)
@@ -61,12 +65,18 @@ object RatcliffObershelp {
 
 /** name_similarity(a, b) -> double in [0,1] (Ratcliff-Obershelp). */
 case class NameSimilarity(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
   override def dataType: DataType = DoubleType
   override def prettyName: String = "name_similarity"
   override protected def nullSafeEval(a: Any, b: Any): Any =
-    RatcliffObershelp.ratio(a.asInstanceOf[UTF8String].toString,
-      b.asInstanceOf[UTF8String].toString)
+    RatcliffObershelp.compute(a.asInstanceOf[UTF8String],
+      b.asInstanceOf[UTF8String])
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.matching.RatcliffObershelp.compute($a, $b)")
   override protected def withNewChildrenInternal(
       l: Expression, r: Expression): NameSimilarity = copy(l, r)
 }

@@ -1,0 +1,69 @@
+package graft
+
+import java.sql.Timestamp
+
+import graft.api.CatalogApi
+import graft.catalog.PackageRow
+import org.apache.spark.sql.DataFrame
+
+class CatalogApiSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private lazy val catalog: DataFrame = Seq(
+    PackageRow.minimal("http://r/a-1.2.jar", "maven", "alib", Some("1.2"))
+      .copy(namespace = Some("org.acme"), sha1 = Some("s1"),
+        release_date = Some(Timestamp.valueOf("2021-01-01 00:00:00"))),
+    PackageRow.minimal("http://r/a-1.10.jar", "maven", "alib", Some("1.10"))
+      .copy(namespace = Some("org.acme"), sha1 = Some("s1"),
+        release_date = Some(Timestamp.valueOf("2020-01-01 00:00:00"))),
+    PackageRow.minimal("http://r/b-2.0.tgz", "npm", "blib", Some("2.0"))
+      .copy(sha1 = Some("s2")),
+    PackageRow.minimal("http://r/c-0.1.whl", "pypi", "clib", Some("0.1")))
+    .toDF()
+
+  test("purl filter: conjunctive lookup, OR across purls, distinct") {
+    val out = CatalogApi.compile(catalog, CatalogApi.Query(
+      purls = Seq("pkg:maven/org.acme/alib@1.2", "pkg:npm/blib")))
+    val names = out.select("download_url").as[String].collect().toSet
+    assert(names == Set("http://r/a-1.2.jar", "http://r/b-2.0.tgz"))
+  }
+
+  test("search DSL + filters compose") {
+    val out = CatalogApi.compile(catalog, CatalogApi.Query(
+      search = Some("lib name:a^"),
+      filters = Map("ptype" -> Seq("maven"))))
+    assert(out.select("name").as[String].collect().toSet == Set("alib"))
+  }
+
+  test("natural-version sort and stable pagination") {
+    val page1 = CatalogApi.compile(catalog, CatalogApi.Query(
+      sort = Seq("-version"), pageSize = 2))
+      .select("version").as[String].collect().toSeq
+    assert(page1 == Seq("2.0", "1.10")) // 1.10 > 1.2 naturally
+    val page2 = CatalogApi.compile(catalog, CatalogApi.Query(
+      sort = Seq("-version"), page = 2, pageSize = 2))
+      .select("version").as[String].collect().toSeq
+    assert(page2 == Seq("1.2", "0.1"))
+  }
+
+  test("unknown sort or filter fields are rejected") {
+    intercept[IllegalArgumentException](CatalogApi.compile(catalog,
+      CatalogApi.Query(sort = Seq("bogus"))).collect())
+    intercept[IllegalArgumentException](CatalogApi.compile(catalog,
+      CatalogApi.Query(filters = Map("nope" -> Seq("x")))).collect())
+  }
+
+  test("checksum lookup keeps the earliest release per sha1") {
+    val out = CatalogApi.filterByChecksums(catalog, Seq("s1", "s2"))
+    val rows = out.select("sha1", "download_url").as[(String, String)]
+      .collect().toMap
+    assert(rows("s1") == "http://r/a-1.10.jar") // 2020 before 2021
+    assert(rows("s2") == "http://r/b-2.0.tgz")
+  }
+
+  test("latest version resolves by natural order") {
+    val out = CatalogApi.latestVersion(catalog, "maven", Some("org.acme"),
+      "alib").select("version").as[String].collect()
+    assert(out.toSeq == Seq("1.10"))
+  }
+}
