@@ -35,7 +35,8 @@ object Registry {
       ops.SimilarityOps.defs ++
       ops.CatalogOps.defs ++
       ops.StreamOps.defs ++
-      ops.SourceOps.defs
+      ops.SourceOps.defs ++
+      ops.ScaleOps.defs
 
   lazy val byName: Map[String, QueryDef] = all.map(q => q.name -> q).toMap
 }
