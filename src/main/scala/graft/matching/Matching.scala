@@ -191,6 +191,29 @@ object Matching {
     exact.unionByName(dirMatches).unionByName(fileMatches)
   }
 
+  /** §3.3 complete flow: gated stages (exact → dir approx → file
+    * approx) then the snippet stage over still-unmatched files with a
+    * Jaccard floor (`matchcode/pipes/matching.py:370-429`), finished
+    * by the greedy per-resource package reassignment (A5,
+    * `:469-529`). `querySnippets` carries
+    * (q_path, fingerprint, position) for codebase files.
+    */
+  def matchCodebase(resources: DataFrame, exactIndex: DataFrame,
+      dirIndex: DataFrame, fileIndex: DataFrame,
+      querySnippets: DataFrame, snippetIndex: DataFrame,
+      minJaccard: Double = 0.5): DataFrame = {
+    val staged = pipeline(resources, exactIndex, dirIndex, fileIndex)
+    val matchedPaths = staged.select(col("path")).distinct()
+    val unmatchedSnippets = querySnippets
+      .join(matchedPaths, querySnippets("q_path") === matchedPaths("path"),
+        "left_anti")
+    val snippetMatches = snippetMatch(unmatchedSnippets, snippetIndex)
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("q_path").as("path"), col("download_url"),
+        lit("snippet").as("match_type"))
+    rankPackages(staged.unionByName(snippetMatches))
+  }
+
   /** A5 — rank candidate packages by matched-resource count and
     * greedily keep, per resource, only its top package
     * (`matchcode/pipes/matching.py:494-529`). */

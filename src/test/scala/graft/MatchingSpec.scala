@@ -138,6 +138,34 @@ class MatchingSpec extends SparkTestBase {
       ("other/c.c", "approx_file")))
   }
 
+  test("matchCodebase adds a snippet stage for the still-unmatched tail") {
+    val resources = Seq(
+      ("src/a.c", "a.c", true, 10L, "sha_exact", null, null),
+      ("src/b.c", "b.c", true, 20L, null, null, null)) // only snippets match b
+      .toDF("path", "name", "is_file", "size", "sha1", "dir_fingerprint",
+        "file_fingerprint")
+    val exactIdx = Seq(("sha_exact", "http://p/e.jar", "x/a.c"))
+      .toDF("sha1", "download_url", "path")
+    val emptyDir = Seq.empty[(String, String, String, Long, Boolean, String)]
+      .toDF("download_url", "path", "name", "size", "is_file", "fingerprint")
+    val qsnip = Seq(
+      ("src/a.c", "f1", 0L), // a.c already matched → must be gated out
+      ("src/b.c", "f2", 0L), ("src/b.c", "f3", 16L))
+      .toDF("q_path", "fingerprint", "position")
+    val snipIdx = Seq(
+      ("http://p/s.jar", "y/b.c", "f2", 0L),
+      ("http://p/s.jar", "y/b.c", "f3", 16L),
+      ("http://p/other.jar", "z/a.c", "f1", 0L))
+      .toDF("download_url", "path", "fingerprint", "position")
+    val out = Matching.matchCodebase(resources, exactIdx, emptyDir, emptyDir,
+      qsnip, snipIdx)
+      .select("path", "download_url", "match_type")
+      .as[(String, String, String)].collect().toSet
+    assert(out == Set(
+      ("src/a.c", "http://p/e.jar", "exact_file"),
+      ("src/b.c", "http://p/s.jar", "snippet")))
+  }
+
   test("rankPackages keeps the dominant package per resource") {
     val matches = Seq(
       ("r1", "http://p/big.jar", "exact_file"),
