@@ -243,13 +243,16 @@ object CatalogOps {
     "x5_halohash_match", "X5/J5/F4",
     "bah128 aggregator builds dir fingerprints; banded match finds them",
     (s, dir) => {
-      val shingles = t(s, dir, "documents")
+      // one shingle explode feeds both sides (cached): the aggregation
+      // itself dominates, the explode shouldn't run twice
+      val shingleBase = t(s, dir, "documents")
         .withColumn("w", filter(split(col("text"), " "), w => w =!= ""))
         .select(col("doc_id"), col("source"),
           explode(expr(
             """transform(sequence(1, greatest(size(w) - 2, 1)),
                  i -> array_join(slice(w, i, 3), ' '))""")).as("shingle"))
-        .dropDuplicates("source", "shingle")
+        .cache()
+      val shingles = shingleBase.dropDuplicates("source", "shingle")
       val index = shingles
         .groupBy(col("source"))
         .agg(graft.matching.HaloHash.halohash(col("shingle"))
@@ -259,13 +262,8 @@ object CatalogOps {
           lit(0L).as("size"), lit(false).as("is_file"), col("fingerprint"))
       // query side: same element sets minus the shingles contributed
       // only by every 25th doc (~4% perturbation, inside the ±5% band)
-      val qShingles = t(s, dir, "documents")
+      val qShingles = shingleBase
         .filter(col("doc_id") % 25 =!= 0)
-        .withColumn("w", filter(split(col("text"), " "), w => w =!= ""))
-        .select(col("source"),
-          explode(expr(
-            """transform(sequence(1, greatest(size(w) - 2, 1)),
-                 i -> array_join(slice(w, i, 3), ' '))""")).as("shingle"))
         .dropDuplicates("source", "shingle")
       val queries = qShingles
         .groupBy(col("source"))

@@ -37,8 +37,14 @@ object StreamOps {
           lit(null).cast("string").as("visit_error"))
       val visitor: Frontier.Visitor = u =>
         if (u.count(_ == '/') <= 3) Seq(s"$u/meta.json") else Seq.empty
+      // a production frontier persists queue state between micro-batches
+      // (Delta/parquet write per trigger); localCheckpoint is the
+      // in-process equivalent — without it, iterated cycles compound
+      // lineage and every action replays all previous cycles
       val f1 = Frontier.visitCycle(s, seed, visitor, now, batchSize = 8)
+        .localCheckpoint(true)
       val f2 = Frontier.visitCycle(s, f1, visitor, now, batchSize = 8)
+        .localCheckpoint(true)
       val (f3, _) = Frontier.mapCycle(s, f2,
         u => Seq(s"pkg:generic/$u"), now, batchSize = 10)
       f3.select(col("uri"),
