@@ -118,5 +118,20 @@ object TextOps {
         .orderBy("doc_id"),
     None)
 
-  val defs: Seq[QueryDef] = Seq(tok, quality, langid, fingerprint)
+  /** Real char-trigram language ID (Cavnar-Trenkle rank-order over
+    * built-in profiles) — the production classifier next to the
+    * SQL-mirrorable marker heuristic above. Rows-only check; value
+    * behavior covered in DomainSpec. */
+  val langidNgram = QueryDef(
+    "t_langid_ngram", "LLM-pipeline: language ID (char n-gram)",
+    "trigram rank-profile classification per document",
+    (s, dir) => {
+      val predict = udf((t: String) => graft.functions.LangId.predict(t))
+      t(s, dir, "documents")
+        .select(col("doc_id"), predict(col("text")).as("predicted"))
+        .orderBy("doc_id")
+    },
+    None)
+
+  val defs: Seq[QueryDef] = Seq(tok, quality, langid, langidNgram, fingerprint)
 }

@@ -97,6 +97,26 @@ class DomainSpec extends SparkTestBase {
     assert(!entries.exists(e => e.path.endsWith("/.") || e.path.endsWith("/..")))
   }
 
+  test("char-trigram language id classifies held-out sentences") {
+    import graft.functions.LangId
+    assert(LangId.predict(
+      "this is a simple sentence written in plain everyday language " +
+        "about nothing in particular") == "en")
+    assert(LangId.predict(
+      "esta es una frase sencilla escrita en un idioma cotidiano sobre " +
+        "nada en particular para la prueba") == "es")
+    assert(LangId.predict(
+      "dies ist ein einfacher satz der in ganz alltäglicher sprache " +
+        "über nichts besonderes geschrieben wurde") == "de")
+    assert(LangId.predict(
+      "ceci est une phrase simple écrite dans une langue de tous les " +
+        "jours à propos de rien de particulier") == "fr")
+    assert(LangId.predict("xq") == "und")
+    // deterministic
+    val t = "the cat sat on the mat and looked at the dog"
+    assert(LangId.predict(t) == LangId.predict(t))
+  }
+
   test("source repo candidate generation") {
     val c = SourceRepo.candidateUrls("maven", Some("org.apache.pulsar"),
       "pulsar", Some("https://github.com/apache/pulsar"))
