@@ -66,6 +66,15 @@ class PlanSpec extends SparkTestBase {
       s"expected broadcast left-semi:\n${p.take(1500)}")
   }
 
+  test("near-dup band joins are equi-joins, never cartesian products") {
+    for (q <- Seq("j5_simhash_banded_match", "d_minhash_lsh",
+        "d_embed_neardup", "s_cosine_ann_lsh")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"),
+        s"$q degenerated to a cartesian product:\n${p.take(1500)}")
+    }
+  }
+
   test("s_cosine_topk broadcasts the query vectors") {
     val p = plan("s_cosine_topk")
     assert(p.contains("BroadcastExchange") || p.contains("BroadcastHashJoin") ||
