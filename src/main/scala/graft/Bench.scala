@@ -20,18 +20,30 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // Queries may cache()/localCheckpoint() intermediates; released
+    // after every run so block-manager state never accumulates across
+    // the 150+ query executions (leftover blocks degrade the tail of
+    // the run under memory pressure).
+    def release(): Unit = {
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+    }
+
     // JVM/codegen warmup on the smallest SF so per-query timings below
     // measure the plan, not first-use compilation.
     Registry.all.foreach { q =>
       try q.run(spark, "/root/testdata/sf0.001").count()
       catch { case _: Throwable => () }
+      release()
     }
 
     val results = Registry.all.map { q =>
       val t0 = System.nanoTime()
       try q.run(spark, sfDir).count()
       catch { case _: Throwable => () }
-      q.name -> (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      release()
+      q.name -> dt
     }
     val qs = results
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }

@@ -84,23 +84,66 @@ object CatalogApi {
     } :+ col("download_url").asc // unique tiebreak → stable pages
     val sorted = df.orderBy(sortCols: _*)
 
-    // stable offset pagination (O4)
+    // stable offset pagination (O4): orderBy + limit plans as a
+    // distributed top-k (TakeOrderedAndProject) — never a global
+    // single-partition window over the full filtered table. The
+    // row_number tail-filter below runs over at most page*pageSize
+    // rows, a driver-bounded set.
+    val topK = sorted.limit(q.page * q.pageSize)
     val w = Window.orderBy(sortCols: _*)
-    sorted.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") > (q.page - 1) * q.pageSize &&
-        col("__rn") <= q.page * q.pageSize)
+    topK.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") > (q.page - 1) * q.pageSize)
       .drop("__rn")
   }
 
   /** J9/W1 — checksum batch lookup: for each requested sha1 keep only
-    * the earliest-released package (`packagedb/api.py:474-492`). */
+    * the earliest-released package (`packagedb/api.py:474-492`). With
+    * `setMembers` (set_id, download_url) supplied, each hit is
+    * additionally enhanced from its package-set peers before being
+    * returned — the reference's `enhance_package_data=true` path
+    * (`packagedb/api.py:493-499` → `get_enhanced_package`). */
   def filterByChecksums(packages: DataFrame, sha1s: Seq[String],
-      enhanceOnly: Boolean = false): DataFrame = {
+      setMembers: Option[DataFrame] = None): DataFrame = {
     val hits = packages.filter(col("sha1").isin(sha1s: _*))
     val w = Window.partitionBy(col("sha1"))
       .orderBy(col("release_date").asc_nulls_last, col("download_url"))
-    hits.withColumn("__rn", row_number().over(w))
+    val base = hits.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1).drop("__rn")
+    setMembers match {
+      case None => base
+      case Some(sets) =>
+        // only sets containing a hit matter; the hit list is a small
+        // request batch, so the set restriction broadcasts
+        val hitSets = sets
+          .join(broadcast(base.select(col("download_url"))), "download_url")
+          .select("set_id").distinct()
+        val members = sets.join(broadcast(hitSets), "set_id")
+          .join(packages.select(col("download_url"),
+            col("package_content"), col("description"),
+            col("homepage_url"), col("declared_license_expression"),
+            col("copyright")), "download_url")
+          .select("set_id", "download_url", "package_content",
+            "description", "homepage_url",
+            "declared_license_expression", "copyright")
+        val enhanced = graft.catalog.Enhance
+          .enhance(packages.sparkSession, members)
+          .select(col("download_url"),
+            col("description").as("__e_desc"),
+            col("homepage_url").as("__e_home"),
+            col("declared_license_expression").as("__e_lic"),
+            col("copyright").as("__e_cop"),
+            col("enhanced_by"))
+        base.join(enhanced, Seq("download_url"), "left")
+          .withColumn("description",
+            coalesce(col("__e_desc"), col("description")))
+          .withColumn("homepage_url",
+            coalesce(col("__e_home"), col("homepage_url")))
+          .withColumn("declared_license_expression",
+            coalesce(col("__e_lic"), col("declared_license_expression")))
+          .withColumn("copyright",
+            coalesce(col("__e_cop"), col("copyright")))
+          .drop("__e_desc", "__e_home", "__e_lic", "__e_cop")
+    }
   }
 
   /** A7 — latest version of a (type, namespace, name) group by

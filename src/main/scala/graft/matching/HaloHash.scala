@@ -1,8 +1,15 @@
 package graft.matching
 
+import java.nio.ByteBuffer
+
 import graft.functions.Fnv
-import org.apache.spark.sql.{Encoder, Encoders}
-import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.{Column, GraftBridge}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.trees.UnaryLike
+import org.apache.spark.sql.types.{DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
 
 /** X5 — halohash (bah128) index-side fingerprint computation: the
   * bit-average hash consumed by the approximate matcher
@@ -16,62 +23,120 @@ import org.apache.spark.sql.expressions.Aggregator
   * element count + 32-hex bah128 (`matchcode/models.py:382-386`) —
   * directly consumable by [[Fingerprints]] and [[Matching]].
   *
-  * Implemented as a typed [[Aggregator]] so directory fingerprints
-  * build with map-side partial aggregation: the 132-byte buffer
-  * merges associatively, so a 100 TB resource table reduces to one
-  * row per directory with one shuffle.
+  * Implemented as a [[TypedImperativeAggregate]] over a primitive
+  * `Array[Int]` buffer (128 bit-counters + element count): updates and
+  * merges are allocation-free, partial aggregation happens map-side,
+  * and the shuffled partial state is a flat 516-byte blob — so a
+  * 100 TB resource table reduces to one row per directory with one
+  * shuffle and no per-row encoder round-trips (the round-1
+  * `Aggregator[String, Buf, String]` serialized a 128-int case class
+  * through `Encoders.product` on every partial merge, which dominated
+  * the x5 bench).
   */
-object HaloHash {
+case class HaloHashAgg(
+    child: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Int]] with UnaryLike[Expression] {
 
-  final case class Buf(count: Long, sums: Array[Int])
+  override def prettyName: String = "halohash"
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = false
 
-  private def emptyBuf = Buf(0L, new Array[Int](128))
+  /** 129 ints: [0,128) per-bit set counts, [128] element count. */
+  override def createAggregationBuffer(): Array[Int] = new Array[Int](129)
 
-  private def hash128(element: String): (Long, Long) = {
-    val bytes = element.getBytes("UTF-8")
-    (Fnv.hash64(bytes, 1), Fnv.hash64(bytes, 2))
+  override def update(buf: Array[Int], input: InternalRow): Array[Int] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val bytes = v.asInstanceOf[UTF8String].getBytes
+      val h1 = Fnv.hash64(bytes, 1)
+      val h2 = Fnv.hash64(bytes, 2)
+      var i = 0
+      while (i < 64) {
+        buf(i) += ((h1 >>> i) & 1L).toInt
+        buf(64 + i) += ((h2 >>> i) & 1L).toInt
+        i += 1
+      }
+      buf(128) += 1
+    }
+    buf
   }
 
-  val aggregator: Aggregator[String, Buf, String] =
-    new Aggregator[String, Buf, String] {
-      def zero: Buf = emptyBuf
-      def reduce(b: Buf, element: String): Buf = {
-        val (h1, h2) = hash128(element)
-        var i = 0
-        while (i < 64) {
-          if (((h1 >>> i) & 1L) == 1L) b.sums(i) += 1
-          if (((h2 >>> i) & 1L) == 1L) b.sums(64 + i) += 1
-          i += 1
-        }
-        Buf(b.count + 1, b.sums)
-      }
-      def merge(a: Buf, b: Buf): Buf = {
-        var i = 0
-        while (i < 128) { a.sums(i) += b.sums(i); i += 1 }
-        Buf(a.count + b.count, a.sums)
-      }
-      def finish(b: Buf): String = {
-        val bits = new Array[Byte](16)
-        var i = 0
-        while (i < 128) {
-          if (b.sums(i) * 2L > b.count)
-            bits(i / 8) = (bits(i / 8) | (1 << (i % 8))).toByte
-          i += 1
-        }
-        f"${b.count}%08x" + bits.map(x => f"${x & 0xff}%02x").mkString
-      }
-      def bufferEncoder: Encoder[Buf] = Encoders.product[Buf]
-      def outputEncoder: Encoder[String] = Encoders.STRING
-    }
+  override def merge(a: Array[Int], b: Array[Int]): Array[Int] = {
+    var i = 0
+    while (i < 129) { a(i) += b(i); i += 1 }
+    a
+  }
 
-  /** Column form for groupBy().agg(...). */
-  def halohash(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    org.apache.spark.sql.functions.udaf(aggregator).apply(c)
+  override def eval(buf: Array[Int]): Any =
+    UTF8String.fromString(HaloHash.format(buf))
+
+  override def serialize(buf: Array[Int]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(129 * 4)
+    var i = 0
+    while (i < 129) { bb.putInt(buf(i)); i += 1 }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Int] = {
+    val bb = ByteBuffer.wrap(bytes)
+    val buf = new Array[Int](129)
+    var i = 0
+    while (i < 129) { buf(i) = bb.getInt(); i += 1 }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): HaloHashAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): HaloHashAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildInternal(c: Expression): HaloHashAgg =
+    copy(child = c)
+}
+
+object HaloHash {
+
+  /** Render a 129-int buffer as the reference fingerprint string:
+    * %08x count + 32-hex bah128 (bit i set iff count_i*2 > n). */
+  private[matching] def format(buf: Array[Int]): String = {
+    val n = buf(128)
+    val bits = new Array[Byte](16)
+    var i = 0
+    while (i < 128) {
+      if (buf(i) * 2L > n)
+        bits(i / 8) = (bits(i / 8) | (1 << (i % 8))).toByte
+      i += 1
+    }
+    val sb = new StringBuilder(40)
+    sb.append(f"$n%08x")
+    i = 0
+    while (i < 16) { sb.append(f"${bits(i) & 0xff}%02x"); i += 1 }
+    sb.toString
+  }
+
+  /** Column form for groupBy().agg(...). Null elements are skipped, so
+    * `halohash(when(cond, col))` aggregates the conditional subset in
+    * the same pass as the unconditional aggregate. */
+  def halohash(c: Column): Column =
+    GraftBridge.column(
+      HaloHashAgg(GraftBridge.expression(c)).toAggregateExpression())
 
   /** Direct computation for tests / small inputs. */
   def of(elements: Seq[String]): String = {
-    var b = emptyBuf
-    elements.foreach(e => b = aggregator.reduce(b, e))
-    aggregator.finish(b)
+    val buf = new Array[Int](129)
+    elements.foreach { e =>
+      val bytes = e.getBytes("UTF-8")
+      val h1 = Fnv.hash64(bytes, 1)
+      val h2 = Fnv.hash64(bytes, 2)
+      var i = 0
+      while (i < 64) {
+        buf(i) += ((h1 >>> i) & 1L).toInt
+        buf(64 + i) += ((h2 >>> i) & 1L).toInt
+        i += 1
+      }
+      buf(128) += 1
+    }
+    format(buf)
   }
 }

@@ -12,9 +12,10 @@ import org.apache.spark.sql.functions._
   * results merge-upserted into the catalog at the collector's mining
   * level.
   *
-  * The fetch+parse runs per-request on executors inside mapPartitions
-  * (requests are small batches); the merge is the fully distributed
-  * MergeEngine plan.
+  * The fetch+parse runs on executors: requests are distributed as a
+  * Dataset and resolved inside mapPartitions, then eagerly
+  * checkpointed so each external fetch happens exactly once; the
+  * merge is the fully distributed MergeEngine plan.
   */
 object CollectFlow {
 
@@ -39,11 +40,20 @@ object CollectFlow {
           }
         }
       case "npm" =>
-        transport.fetch(s"https://registry.npmjs.org/$name").map { bytes =>
+        // scoped packages (pkg:npm/@scope/name): metadata URL encodes
+        // the scope separator (@scope%2Fname), tarball lives under
+        // @scope/name/-/name-<v>.tgz with the UNSCOPED name in the file
+        val metaId = namespace match {
+          case Some(ns) => s"$ns%2F$name"
+          case None     => name
+        }
+        val tarDir = namespace.map(ns => s"$ns/$name").getOrElse(name)
+        transport.fetch(s"https://registry.npmjs.org/$metaId").map { bytes =>
           RegistryParsers.npmVersions(new String(bytes, "UTF-8")).map { v =>
             PackageRow.minimal(
-              s"https://registry.npmjs.org/$name/-/$name-${v.value}.tgz",
+              s"https://registry.npmjs.org/$tarDir/-/$name-${v.value}.tgz",
               "npm", name, Some(v.value), CollectMiningLevel)
+              .copy(namespace = namespace)
           }
         }
       case "maven" =>
@@ -65,17 +75,37 @@ object CollectFlow {
   }
 
   /** Batch collect: purl requests → (collected package rows, errors),
-    * merged into the existing catalog. */
+    * merged into the existing catalog. The registry fetches run on
+    * EXECUTORS — requests are distributed as a Dataset and resolved
+    * inside mapPartitions (Transport is Serializable), so a
+    * watch-driven batch of millions of purls never serializes through
+    * the driver; only the (small) error list is collected. */
   def collect(spark: SparkSession, catalog: DataFrame, purls: Seq[String],
       transport: Transport, now: String): (DataFrame, Seq[String]) = {
     import spark.implicits._
-    val results = purls.map(p => p -> collectPurl(p, transport))
-    val errors = results.collect { case (p, Left(e)) => s"$p: $e" }
-    val rows = results.flatMap { case (_, r) => r.getOrElse(Seq.empty) }
-    if (rows.isEmpty) (catalog, errors)
+    val resolved = spark.createDataset(purls)
+      .mapPartitions { it =>
+        it.map { p =>
+          collectPurl(p, transport) match {
+            case Left(e)     => (p, e, Seq.empty[PackageRow])
+            case Right(rows) => (p, null: String, rows)
+          }
+        }
+      }
+      .toDF("purl", "error", "rows")
+      // eager materialization: the error frame, the row frame, and the
+      // caller's eventual action all derive from this — an external
+      // fetch must run exactly once per purl, never on lineage replay
+      .localCheckpoint(true)
+    val errors = resolved.filter(col("error").isNotNull)
+      .select(concat(col("purl"), lit(": "), col("error")))
+      .as[String].collect().toSeq
+    val incoming = resolved.filter(col("error").isNull)
+      .select(explode(col("rows")).as("r"))
+      .select(col("r.*"))
+      .withColumn("visit_level", lit(CollectMiningLevel))
+    if (incoming.isEmpty) (catalog, errors)
     else {
-      val incoming = rows.toDF()
-        .withColumn("visit_level", lit(CollectMiningLevel))
       val merged = MergeEngine.mergePackages(catalog, incoming, now)
       (merged.packages, errors ++ merged.errors
         .select("download_url", "error").as[(String, String)].collect()

@@ -168,9 +168,13 @@ object CatalogOps {
             w => w =!= ""))))
         .withColumnRenamed("pos", "position")
         .withColumnRenamed("col", "fingerprint")
+      // the query side is scanned twice inside snippetMatch (count agg
+      // + match join) — tiny (5 docs), so cache it; the index side is
+      // large and cheaper to recompute than to materialize
       val queries = words.filter(col("doc_id") < 5)
         .select(concat(lit("doc/"), col("doc_id").cast("string")).as("q_path"),
           col("fingerprint"), col("position"))
+        .cache()
       val index = words.filter(col("doc_id") >= 450)
         .select(col("fingerprint"),
           concat(lit("pkg://"), col("doc_id").cast("string"))
@@ -236,42 +240,48 @@ object CatalogOps {
         FROM m JOIN c ON m.download_url = c.download_url)
       WHERE rn = 1 ORDER BY path"""))
 
-  /** X5+J5 end-to-end: halohash fingerprints built with the typed
-    * aggregator (map-side partial merge), then banded approximate
-    * matching of a slightly-perturbed query side against them. */
+  /** X5+J5 end-to-end: halohash fingerprints built with the
+    * TypedImperativeAggregate (map-side partial merge), then banded
+    * approximate matching of a slightly-perturbed query side against
+    * them. Index and query fingerprints come out of ONE aggregation
+    * pass: the shingle explode is deduped per (source, shingle) with an
+    * in-query flag, then a single groupBy(source) computes both the
+    * full halohash and the conditional (query-side) halohash — the
+    * aggregate skips nulls, so `halohash(when(in_q, shingle))`
+    * aggregates the subset for free. One explode, two shuffles, no
+    * cache. */
   val halohash = QueryDef(
     "x5_halohash_match", "X5/J5/F4",
     "bah128 aggregator builds dir fingerprints; banded match finds them",
     (s, dir) => {
-      // one shingle explode feeds both sides (cached): the aggregation
-      // itself dominates, the explode shouldn't run twice
-      val shingleBase = t(s, dir, "documents")
+      // query side excludes shingles contributed ONLY by every 25th doc
+      // (~4% perturbation, inside the ±5% candidate band)
+      val perShingle = t(s, dir, "documents")
         .withColumn("w", filter(split(col("text"), " "), w => w =!= ""))
         .select(col("doc_id"), col("source"),
           explode(expr(
             """transform(sequence(1, greatest(size(w) - 2, 1)),
                  i -> array_join(slice(w, i, 3), ' '))""")).as("shingle"))
-        .cache()
-      val shingles = shingleBase.dropDuplicates("source", "shingle")
-      val index = shingles
+        .groupBy(col("source"), col("shingle"))
+        .agg(max(when(col("doc_id") % 25 =!= 0, 1).otherwise(0)).as("in_q"))
+      val fps = perShingle
         .groupBy(col("source"))
-        .agg(graft.matching.HaloHash.halohash(col("shingle"))
-          .as("fingerprint"))
+        .agg(
+          graft.matching.HaloHash.halohash(col("shingle"))
+            .as("fingerprint"),
+          graft.matching.HaloHash.halohash(
+            when(col("in_q") === 1, col("shingle"))).as("q_fingerprint"))
+        // feeds both sides of the match join; one row per source, so
+        // caching costs nothing and halves the aggregation work
+        .cache()
+      val index = fps
         .select(concat(lit("pkg://"), col("source")).as("download_url"),
           col("source").as("path"), col("source").as("name"),
           lit(0L).as("size"), lit(false).as("is_file"), col("fingerprint"))
-      // query side: same element sets minus the shingles contributed
-      // only by every 25th doc (~4% perturbation, inside the ±5% band)
-      val qShingles = shingleBase
-        .filter(col("doc_id") % 25 =!= 0)
-        .dropDuplicates("source", "shingle")
-      val queries = qShingles
-        .groupBy(col("source"))
-        .agg(graft.matching.HaloHash.halohash(col("shingle"))
-          .as("fingerprint"))
+      val queries = fps
         .select(col("source").as("q_path"), col("source").as("q_name"),
           lit(0L).as("q_size"), lit(false).as("q_is_file"),
-          col("fingerprint"))
+          col("q_fingerprint").as("fingerprint"))
       graft.matching.Matching.approximateMatch(queries, index)
         .orderBy("q_path", "download_url")
     },

@@ -38,13 +38,18 @@ object SortsSets {
 
   val o4 = QueryDef(
     "o4_pagination", "O4",
-    "stable offset pagination via row_number (page 6, size 20)",
+    "stable offset pagination via top-k + bounded row_number (page 6, size 20)",
     (s, dir) => {
-      val w = Window.orderBy(col("o_orderkey"))
-      t(s, dir, "orders")
+      // orderBy + limit plans as distributed TakeOrderedAndProject;
+      // the global row_number window then runs over at most
+      // page*pageSize rows instead of the whole table
+      val topK = t(s, dir, "orders")
         .select(col("o_orderkey"), col("o_totalprice"))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") > 100 && col("rn") <= 120)
+        .orderBy("o_orderkey")
+        .limit(120)
+      val w = Window.orderBy(col("o_orderkey"))
+      topK.withColumn("rn", row_number().over(w))
+        .filter(col("rn") > 100)
         .orderBy("rn")
     },
     Some("""SELECT o_orderkey, o_totalprice, rn FROM (

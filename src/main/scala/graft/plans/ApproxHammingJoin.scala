@@ -18,10 +18,14 @@ import org.apache.spark.sql.types.{BinaryType, IntegerType, LongType}
   * i (so the union is exactly duplicate-free), then verifies the full
   * Hamming predicate.
   *
-  * With `bands >= k`, pigeonhole guarantees a pair under the threshold
-  * has at least one equal chunk, so the rewrite is EXACT — same rows
-  * as the cross join, but every probe is hash-partitionable. With
-  * `bands < k` (e.g. the reference's 4 chunks for threshold 10,
+  * Chunks are balanced-width (floor boundaries), so a bands count that
+  * does not divide the fingerprint length still partitions it with no
+  * empty chunks; probes whose chunk would be empty (bands > byte
+  * length) are statically guarded out. With `min(bands, byteLen) >= k`,
+  * pigeonhole guarantees a pair under the threshold has at least one
+  * equal chunk, so the rewrite is EXACT — same rows as the cross join,
+  * but every probe is hash-partitionable. With `bands < k` (e.g. the
+  * reference's 4 chunks for threshold 10,
   * `matchcode/models.py:149-188`) it is the reference's banded
   * approximation. This is the SURVEY §4 "optional rule fusing the
   * band probes" made real.
@@ -38,13 +42,25 @@ case class ApproxHammingJoin(
 
 object ExpandApproxHammingJoin extends Rule[LogicalPlan] {
 
-  /** chunk i of a binary fingerprint, width ceil(len/bands). */
-  private def chunk(fp: Expression, i: Int, bands: Int): Expression = {
+  /** 1-based boundary of chunk i under balanced chunking:
+    * floor(i * len / bands). Balanced widths (floor((i+1)·len/b) −
+    * floor(i·len/b)) partition the fingerprint with no empty trailing
+    * chunks whenever bands <= len — unlike fixed ceil(len/bands)
+    * widths, where a non-dividing bands count (e.g. 10 bands over 16
+    * bytes) leaves trailing chunks as empty substrings that equi-join
+    * on a constant empty key (an effectively-cartesian probe). */
+  private def boundary(len: Expression, i: Int, bands: Int): Expression =
+    Cast(IntegralDivide(
+      Multiply(Cast(len, LongType), Literal(i.toLong)),
+      Literal(bands.toLong)), IntegerType)
+
+  /** chunk i of a binary fingerprint plus its width expression. */
+  private def chunk(fp: Expression, i: Int, bands: Int)
+      : (Expression, Expression) = {
     val len = Length(fp)
-    val w = Cast(IntegralDivide(
-      Cast(Add(len, Literal(bands - 1)), LongType),
-      Cast(Literal(bands), LongType)), IntegerType)
-    Substring(fp, Add(Multiply(Literal(i), w), Literal(1)), w)
+    val lo = boundary(len, i, bands)
+    val w = Subtract(boundary(len, i + 1, bands), lo)
+    (Substring(fp, Add(lo, Literal(1)), w), w)
   }
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
@@ -68,11 +84,26 @@ object ExpandApproxHammingJoin extends Rule[LogicalPlan] {
         }
         val lFp = rm(lfp)
         val rFp = rm(rfp)
-        val bandEq = EqualTo(chunk(lFp, i, bands), chunk(rFp, i, bands))
+        val (lChunk, lW) = chunk(lFp, i, bands)
+        val (rChunk, _) = chunk(rFp, i, bands)
+        val bandEq = EqualTo(lChunk, rChunk)
+        // Degeneracy guard for bands > len: a zero-width chunk would
+        // equi-join on the constant empty key (single-partition,
+        // effectively cartesian). `width > 0` is a left-only predicate
+        // so it pushes below the join; degenerate probes emit nothing.
+        // Widths are judged on the left fingerprint only — pairs with
+        // differing lengths never pass the Hamming verify (NULL < k).
+        val nonDegenerate = GreaterThan(lW, Literal(0))
         // first-matching-chunk disjointness: earlier chunks must differ
+        // (degenerate earlier chunks are always "equal" — skip them, or
+        // every pair would be dropped from all later probes)
         val firstMatch = (0 until i)
-          .map(j => Not(EqualTo(chunk(lFp, j, bands), chunk(rFp, j, bands))))
-          .foldLeft(bandEq: Expression)(And)
+          .map { j =>
+            val (lj, ljW) = chunk(lFp, j, bands)
+            val (rj, _) = chunk(rFp, j, bands)
+            Or(Not(EqualTo(lj, rj)), LessThanOrEqual(ljW, Literal(0)))
+          }
+          .foldLeft(And(bandEq, nonDegenerate): Expression)(And)
         val verify = LessThan(HammingBin(lFp, rFp), Literal(k))
         Join(lc, rc, Inner, Some(And(firstMatch, verify)), JoinHint.NONE)
       }

@@ -40,6 +40,50 @@ class ApproxHammingJoinSpec extends SparkTestBase {
     assert(bandedList.length == bandedList.toSet.size)
   }
 
+  test("non-dividing bands (10 over 16 bytes) stay exact with no " +
+      "constant-key probe") {
+    val rnd = new scala.util.Random(13)
+    def randHex() = Array.fill(16)(f"${rnd.nextInt(256)}%02x").mkString
+    def flipBits(hex: String, n: Int): String = {
+      val bytes = hex.grouped(2).map(Integer.parseInt(_, 16)).toArray
+      (0 until n).foreach { i => bytes(i % 16) ^= (1 << (i % 8)) }
+      bytes.map(b => f"$b%02x").mkString
+    }
+    val base = (0 until 30).map(i => s"L$i" -> randHex())
+    val rights = base.take(8).map { case (id, h) =>
+      s"R$id" -> flipBits(h, 1 + rnd.nextInt(8)) // hamming 1-8 → under 10
+    } ++ (0 until 20).map(i => s"RX$i" -> randHex())
+    val l = mkDf(base, "lid", "lfp")
+    val r = mkDf(rights, "rid", "rfp")
+
+    // threshold 10 → default bands 10, which does NOT divide 16: the
+    // old ceil-width chunking made trailing chunks empty substrings
+    // that equi-joined on a constant empty key
+    val df = GraftExtensions.approxHammingJoin(l, r, "lfp", "rfp", 10)
+    val banded = df.select("lid", "rid").as[(String, String)].collect()
+    val naive = l.crossJoin(r)
+      .filter(hamming_bin(col("lfp"), col("rfp")) < 10)
+      .select("lid", "rid").as[(String, String)].collect().toSet
+    assert(banded.toSet == naive)       // still exact (pigeonhole)
+    assert(banded.length == banded.toSet.size) // probes disjoint
+    assert(banded.toSet.size >= 8)      // planted pairs found
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan.take(1500))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(1500))
+  }
+
+  test("bands above the byte length degrade to byte-count bands, " +
+      "still exact for small thresholds") {
+    // 4-byte fingerprints, bands=10 > len=4: probes 4..9 are degenerate
+    // and must emit nothing (guarded), probes 0..3 cover all bytes
+    val l = mkDf(Seq("a" -> "deadbeef", "b" -> "00000000"), "lid", "lfp")
+    val r = mkDf(Seq("x" -> "deadbeee", "y" -> "ffffffff"), "rid", "rfp")
+    val df = GraftExtensions
+      .approxHammingJoin(l, r, "lfp", "rfp", threshold = 3, bands = 10)
+    val got = df.select("lid", "rid").as[(String, String)].collect().toSet
+    assert(got == Set("a" -> "x")) // hamming(deadbeef, deadbeee)=1
+  }
+
   test("expanded plan is equi-join probes, not a nested-loop cross join") {
     val l = mkDf(Seq("a" -> ("ab" * 16)), "lid", "lfp")
     val r = mkDf(Seq("b" -> ("ab" * 16)), "rid", "rfp")

@@ -61,6 +61,26 @@ class CatalogApiSpec extends SparkTestBase {
     assert(rows("s2") == "http://r/b-2.0.tgz")
   }
 
+  test("checksum lookup with setMembers enhances hits from set peers") {
+    // binary hit (content=5) with empty description; source-repo peer
+    // (content=3) in the same set carries the description
+    val withSets = Seq(
+      PackageRow.minimal("http://r/bin.jar", "maven", "xlib", Some("1.0"))
+        .copy(sha1 = Some("sx"), package_content = Some(5)),
+      PackageRow.minimal("http://r/src.tar.gz", "maven", "xlib", Some("1.0"))
+        .copy(package_content = Some(3),
+          description = Some("from source repo")))
+      .toDF()
+    val sets = Seq(
+      ("set1", "http://r/bin.jar"),
+      ("set1", "http://r/src.tar.gz")).toDF("set_id", "download_url")
+    val out = CatalogApi.filterByChecksums(withSets, Seq("sx"), Some(sets))
+    val row = out.select("download_url", "description")
+      .as[(String, Option[String])].collect().toMap
+    assert(row.keySet == Set("http://r/bin.jar"))
+    assert(row("http://r/bin.jar").contains("from source repo"))
+  }
+
   test("latest version resolves by natural order") {
     val out = CatalogApi.latestVersion(catalog, "maven", Some("org.acme"),
       "alib").select("version").as[String].collect()
