@@ -214,19 +214,26 @@ object VersRange {
     Some((scheme, constraints))
   }
 
-  /** True iff `version` is contained in the `vers` range string. */
+  /** True iff `version` is contained in the `vers` range string.
+    * Comparison is scheme-aware: the vers scheme picks the ecosystem
+    * comparator ([[EcosystemVersions]] — pep440 for pypi, dpkg rules
+    * for deb, ComparableVersion for maven, SemVer for npm/cargo/...),
+    * matching the reference's univers delegation
+    * (`packagedb/api.py:1309-1342`). */
   def contains(vers: String, version: String): Option[Boolean] = {
-    parse(vers).map { case (_, constraints) =>
+    parse(vers).map { case (scheme, constraints) =>
+      def cmpV(a: String, b: String): Int =
+        EcosystemVersions.compare(scheme, a, b)
       if (constraints.isEmpty || constraints.exists(_.version == "*"))
         return Some(!constraints.exists(c =>
-          c.op == "!=" && compareVersions(version, c.version) == 0))
-      val cmp = (c: Constraint) => compareVersions(version, c.version)
+          c.op == "!=" && cmpV(version, c.version) == 0))
+      val cmp = (c: Constraint) => cmpV(version, c.version)
       if (constraints.exists(c => c.op == "!=" && cmp(c) == 0)) false
       else if (constraints.exists(c => c.op == "=" && cmp(c) == 0)) true
       else {
         // union of intervals over the ordered comparators
         val ordered = constraints.filter(c => c.op != "=" && c.op != "!=")
-          .sortWith((x, y) => compareVersions(x.version, y.version) < 0)
+          .sortWith((x, y) => cmpV(x.version, y.version) < 0)
         def sat(c: Constraint): Boolean = c.op match {
           case ">"  => cmp(c) > 0
           case ">=" => cmp(c) >= 0

@@ -283,6 +283,153 @@ object Functions {
           AS in_range
       FROM part ORDER BY p_partkey"""))
 
+  /** sign of the scheme-aware version comparison, as a UDF (complex
+    * recursive-descent parsing per ecosystem — not expressible in
+    * built-in column ops; deterministic, so oracle-checkable). */
+  private val vcmp = udf((scheme: String, a: String, b: String) =>
+    Integer.signum(graft.functions.EcosystemVersions.compare(scheme, a, b)))
+
+  /** F15/pep440 — versions synthesized so the expected comparison
+    * against the pivot "1.2" is computable in plain SQL: epoch beats
+    * all; at the pivot release the tag decides
+    * (dev < a < b < rc < final < post). */
+  val f15pep = QueryDef(
+    "f15_vers_pep440", "F15",
+    "pep440 ordering: epoch/dev/pre/post tags vs a pivot release",
+    (s, dir) => {
+      val tag = element_at(
+        array(lit(""), lit(".dev1"), lit("a1"), lit("b1"), lit("rc1"),
+          lit(".post1")),
+        (pmod(col("p_partkey"), lit(6)) + 1).cast("int"))
+      val version = concat(
+        when(pmod(col("p_partkey"), lit(7)) === 0, lit("1!")).otherwise(lit("")),
+        pmod(col("p_partkey"), lit(3)).cast("string"), lit(".2"), tag)
+      t(s, dir, "part")
+        .withColumn("version", version)
+        .select(col("p_partkey"), col("version"),
+          vcmp(lit("pypi"), col("version"), lit("1.2")).as("cmp"))
+        .orderBy("p_partkey")
+    },
+    Some("""WITH v AS (
+        SELECT p_partkey,
+          CASE WHEN p_partkey % 7 = 0 THEN '1!' ELSE '' END ||
+          CAST(p_partkey % 3 AS VARCHAR) || '.2' ||
+          CASE p_partkey % 6 WHEN 0 THEN '' WHEN 1 THEN '.dev1'
+            WHEN 2 THEN 'a1' WHEN 3 THEN 'b1' WHEN 4 THEN 'rc1'
+            ELSE '.post1' END AS version
+        FROM part)
+      SELECT p_partkey, version,
+        CASE WHEN p_partkey % 7 = 0 THEN 1
+             WHEN p_partkey % 3 < 1 THEN -1
+             WHEN p_partkey % 3 > 1 THEN 1
+             ELSE CASE p_partkey % 6 WHEN 0 THEN 0 WHEN 5 THEN 1
+                  ELSE -1 END
+        END AS cmp
+      FROM v ORDER BY p_partkey"""))
+
+  /** F15/debian — dpkg ordering: epoch, `~` pre-markers (sort before
+    * the base), revisions and `+` suffixes (sort after). */
+  val f15deb = QueryDef(
+    "f15_vers_debian", "F15",
+    "debian dpkg ordering: epoch, tilde, revision vs a pivot",
+    (s, dir) => {
+      val tag = element_at(
+        array(lit(""), lit("~~"), lit("~rc1"), lit("-1"), lit("+b2")),
+        (pmod(col("p_partkey"), lit(5)) + 1).cast("int"))
+      val version = concat(
+        when(pmod(col("p_partkey"), lit(11)) === 0, lit("1:"))
+          .otherwise(lit("")),
+        pmod(col("p_partkey"), lit(3)).cast("string"), lit(".2"), tag)
+      t(s, dir, "part")
+        .withColumn("version", version)
+        .select(col("p_partkey"), col("version"),
+          vcmp(lit("deb"), col("version"), lit("1.2")).as("cmp"))
+        .orderBy("p_partkey")
+    },
+    Some("""WITH v AS (
+        SELECT p_partkey,
+          CASE WHEN p_partkey % 11 = 0 THEN '1:' ELSE '' END ||
+          CAST(p_partkey % 3 AS VARCHAR) || '.2' ||
+          CASE p_partkey % 5 WHEN 0 THEN '' WHEN 1 THEN '~~'
+            WHEN 2 THEN '~rc1' WHEN 3 THEN '-1' ELSE '+b2' END AS version
+        FROM part)
+      SELECT p_partkey, version,
+        CASE WHEN p_partkey % 11 = 0 THEN 1
+             WHEN p_partkey % 3 < 1 THEN -1
+             WHEN p_partkey % 3 > 1 THEN 1
+             WHEN p_partkey % 5 IN (1, 2) THEN -1
+             WHEN p_partkey % 5 IN (3, 4) THEN 1
+             ELSE 0
+        END AS cmp
+      FROM v ORDER BY p_partkey"""))
+
+  /** F15/maven — ComparableVersion qualifier table: alpha < beta <
+    * milestone < rc(=cr) < SNAPSHOT < release < sp. */
+  val f15mvn = QueryDef(
+    "f15_vers_maven", "F15",
+    "maven qualifier ordering vs a pivot release",
+    (s, dir) => {
+      val qual = element_at(
+        array(lit("-alpha"), lit("-beta"), lit("-milestone"), lit("-cr"),
+          lit("-SNAPSHOT"), lit(""), lit("-sp")),
+        (pmod(col("p_partkey"), lit(7)) + 1).cast("int"))
+      val version = concat(
+        pmod(col("p_partkey"), lit(3)).cast("string"), lit(".2"), qual)
+      t(s, dir, "part")
+        .withColumn("version", version)
+        .select(col("p_partkey"), col("version"),
+          vcmp(lit("maven"), col("version"), lit("1.2")).as("cmp"))
+        .orderBy("p_partkey")
+    },
+    Some("""WITH v AS (
+        SELECT p_partkey,
+          CAST(p_partkey % 3 AS VARCHAR) || '.2' ||
+          CASE p_partkey % 7 WHEN 0 THEN '-alpha' WHEN 1 THEN '-beta'
+            WHEN 2 THEN '-milestone' WHEN 3 THEN '-cr'
+            WHEN 4 THEN '-SNAPSHOT' WHEN 5 THEN '' ELSE '-sp' END AS version
+        FROM part)
+      SELECT p_partkey, version,
+        CASE WHEN p_partkey % 3 < 1 THEN -1
+             WHEN p_partkey % 3 > 1 THEN 1
+             WHEN p_partkey % 7 < 5 THEN -1
+             WHEN p_partkey % 7 = 5 THEN 0
+             ELSE 1
+        END AS cmp
+      FROM v ORDER BY p_partkey"""))
+
+  /** F15/semver — prerelease identifier ordering, build metadata
+    * ignored for precedence. */
+  val f15sem = QueryDef(
+    "f15_vers_semver", "F15",
+    "semver prerelease ordering and build-metadata equality vs a pivot",
+    (s, dir) => {
+      val pre = element_at(
+        array(lit("-alpha"), lit("-alpha.1"), lit("-beta"), lit(""),
+          lit("+build42")),
+        (pmod(col("p_partkey"), lit(5)) + 1).cast("int"))
+      val version = concat(
+        pmod(col("p_partkey"), lit(3)).cast("string"), lit(".2.0"), pre)
+      t(s, dir, "part")
+        .withColumn("version", version)
+        .select(col("p_partkey"), col("version"),
+          vcmp(lit("npm"), col("version"), lit("1.2.0")).as("cmp"))
+        .orderBy("p_partkey")
+    },
+    Some("""WITH v AS (
+        SELECT p_partkey,
+          CAST(p_partkey % 3 AS VARCHAR) || '.2.0' ||
+          CASE p_partkey % 5 WHEN 0 THEN '-alpha' WHEN 1 THEN '-alpha.1'
+            WHEN 2 THEN '-beta' WHEN 3 THEN '' ELSE '+build42' END AS version
+        FROM part)
+      SELECT p_partkey, version,
+        CASE WHEN p_partkey % 3 < 1 THEN -1
+             WHEN p_partkey % 3 > 1 THEN 1
+             WHEN p_partkey % 5 IN (0, 1, 2) THEN -1
+             ELSE 0
+        END AS cmp
+      FROM v ORDER BY p_partkey"""))
+
   val defs: Seq[QueryDef] =
-    Seq(f1, f2, f3, f4, f5, f8, f9, f11, f13, f15, f16, st1)
+    Seq(f1, f2, f3, f4, f5, f8, f9, f11, f13, f15, f15pep, f15deb, f15mvn,
+      f15sem, f16, st1)
 }

@@ -1,7 +1,7 @@
 package graft
 
 import graft.catalog.{Enhance, PackageRow, Sbom}
-import graft.functions.{CanonicalUrl, LicenseExpressions, VersRange, VersionHint}
+import graft.functions.{CanonicalUrl, EcosystemVersions, LicenseExpressions, VersRange, VersionHint}
 import graft.miners.{LsParser, Router, SourceRepo}
 import org.apache.spark.sql.functions._
 
@@ -57,6 +57,91 @@ class DomainSpec extends SparkTestBase {
     assert(VersRange.compareVersions("1.2", "1.10") < 0)
     assert(VersRange.compareVersions("1.2.1", "1.2") > 0)
     assert(!in("vers:npm/>=1.0.0", "1.0.0-rc1"))
+  }
+
+  test("pep440 ordering: epoch, dev, pre, post, local") {
+    // golden ordering per PEP 440's own examples
+    val ordered = Seq(
+      "1.0.dev1", "1.0a1", "1.0a2.dev1", "1.0a2", "1.0b1", "1.0rc1",
+      "1.0", "1.0.post1", "1.1.dev1", "1.1", "1!0.5")
+    val c = EcosystemVersions.pep440Compare _
+    ordered.sliding(2).foreach { case Seq(lo, hi) =>
+      assert(c(lo, hi) < 0, s"$lo should sort before $hi")
+      assert(c(hi, lo) > 0, s"$hi should sort after $lo")
+    }
+    // normalization aliases: c == rc, alpha == a, -1 == .post1
+    assert(c("1.0c1", "1.0rc1") == 0)
+    assert(c("1.0alpha1", "1.0a1") == 0)
+    assert(c("1.0-1", "1.0.post1") == 0)
+    assert(c("v1.0", "1.0") == 0)
+    // local versions: absence < presence, numeric segments numeric
+    assert(c("1.0", "1.0+abc") < 0)
+    assert(c("1.0+abc.5", "1.0+abc.7") < 0)
+    assert(c("1.0+5", "1.0+abc") > 0) // numeric local > alphanumeric
+  }
+
+  test("debian ordering: epoch, tilde, revisions, digit runs") {
+    val c = EcosystemVersions.debianCompare _
+    val ordered = Seq(
+      "1.0~~", "1.0~~a", "1.0~rc1", "1.0", "1.0-1", "1.0-2",
+      "1.0.1", "1.2", "1.10", "2.0", "1:0.5", "2:0.1")
+    ordered.sliding(2).foreach { case Seq(lo, hi) =>
+      assert(c(lo, hi) < 0, s"$lo should sort before $hi")
+    }
+    // letters sort before non-letters; ~ before everything
+    assert(c("1.0a", "1.0+") < 0)
+    assert(c("1.0~", "1.0") < 0)
+    assert(c("09", "9") == 0) // leading zeros
+  }
+
+  test("maven ordering: qualifier table, null tokens, aliases") {
+    val c = EcosystemVersions.mavenCompare _
+    val ordered = Seq(
+      "1.0-alpha", "1.0-alpha-2", "1.0-beta", "1.0-milestone",
+      "1.0-rc", "1.0-SNAPSHOT", "1.0", "1.0-sp", "1.0-zeta", "1.0.1")
+    ordered.sliding(2).foreach { case Seq(lo, hi) =>
+      assert(c(lo, hi) < 0, s"$lo should sort before $hi")
+    }
+    assert(c("1.0-cr", "1.0-rc") == 0)     // cr alias
+    assert(c("1.0-ga", "1.0") == 0)        // ga/final/release = ''
+    assert(c("1.0-final", "1") == 0)
+    assert(c("1.0.0", "1") == 0)           // trailing zero trim
+    assert(c("1.2", "1.10") < 0)           // numeric tokens
+  }
+
+  test("semver ordering: prerelease identifiers, build metadata") {
+    val c = EcosystemVersions.semverCompare _
+    val ordered = Seq(
+      "1.0.0-alpha", "1.0.0-alpha.1", "1.0.0-alpha.beta", "1.0.0-beta",
+      "1.0.0-beta.2", "1.0.0-beta.11", "1.0.0-rc.1", "1.0.0", "1.0.1")
+    ordered.sliding(2).foreach { case Seq(lo, hi) =>
+      assert(c(lo, hi) < 0, s"$lo should sort before $hi")
+    }
+    assert(c("1.0.0+build.42", "1.0.0") == 0) // build metadata ignored
+    assert(c("v1.2.3", "1.2.3") == 0)         // golang v prefix
+    assert(c("1.0.0-1", "1.0.0-alpha") < 0)   // numeric < alphanumeric
+  }
+
+  test("rubygems ordering: letter segments are pre-releases") {
+    val c = EcosystemVersions.rubygemsCompare _
+    assert(c("1.0.a", "1.0") < 0)
+    assert(c("1.0", "1.0.1") < 0)
+    assert(c("1.0.a", "1.0.b") < 0)
+    assert(c("1.0.0", "1.0") == 0)
+    assert(c("0.9", "1.0.a") < 0)
+  }
+
+  test("vers containment is scheme-aware") {
+    // pep440: 1.0.dev1 < 1.0 → not in >=1.0; generic would say dev1 > 1.0? no —
+    // the point: 2.0.0-rc.1 IS < 2.0.0 under semver
+    assert(VersRange.contains("vers:npm/>=1.0.0|<2.0.0", "2.0.0-rc.1")
+      .contains(true))
+    assert(VersRange.contains("vers:pypi/>=1.0", "1.0.dev1").contains(false))
+    assert(VersRange.contains("vers:pypi/>=1.0", "1.0.post1").contains(true))
+    assert(VersRange.contains("vers:deb/<1.0", "1.0~rc1").contains(true))
+    assert(VersRange.contains("vers:maven/>=1.0", "1.0-SNAPSHOT")
+      .contains(false))
+    assert(VersRange.contains("vers:maven/>=1.0", "1.0-sp").contains(true))
   }
 
   test("router dispatches to the unique matching handler") {
