@@ -35,8 +35,7 @@ object CollectFlow {
             PackageRow.minimal(
               s"https://pypi.org/packages/source/${name.head}/$name/$name-${v.value}.tar.gz",
               "pypi", name, Some(v.value), CollectMiningLevel)
-              .copy(release_date = v.releaseDate.map(d =>
-                java.sql.Timestamp.valueOf(d.replace("T", " ").take(19))))
+              .copy(release_date = v.releaseDate.flatMap(tsOf))
           }
         }
       case "npm" =>
@@ -70,9 +69,101 @@ object CollectFlow {
                   .copy(namespace = Some(ns))
               }
           }
+      case "cargo" =>
+        // crates.io API + the static.crates.io crate file layout
+        transport.fetch(s"https://crates.io/api/v1/crates/$name").map { b =>
+          RegistryParsers.cargoVersions(new String(b, "UTF-8")).map { v =>
+            PackageRow.minimal(
+              s"https://static.crates.io/crates/$name/$name-${v.value}.crate",
+              "cargo", name, Some(v.value), CollectMiningLevel)
+              .copy(release_date = v.releaseDate.flatMap(tsOf))
+          }
+        }
+      case "gem" =>
+        transport.fetch(s"https://rubygems.org/api/v1/versions/$name.json")
+          .map { b =>
+            RegistryParsers.gemVersions(new String(b, "UTF-8")).map { v =>
+              PackageRow.minimal(
+                s"https://rubygems.org/downloads/$name-${v.value}.gem",
+                "gem", name, Some(v.value), CollectMiningLevel)
+                .copy(release_date = v.releaseDate.flatMap(tsOf))
+            }
+          }
+      case "nuget" =>
+        val id = name.toLowerCase
+        transport.fetch(
+          s"https://api.nuget.org/v3/registration5-semver1/$id/index.json")
+          .map { b =>
+            RegistryParsers.nugetVersions(new String(b, "UTF-8")).map { v =>
+              val vl = v.value.toLowerCase
+              PackageRow.minimal(
+                s"https://api.nuget.org/v3-flatcontainer/$id/$vl/$id.$vl.nupkg",
+                "nuget", name, Some(v.value), CollectMiningLevel)
+                .copy(release_date = v.releaseDate.flatMap(tsOf))
+            }
+          }
+      case "composer" =>
+        val ns = namespace.getOrElse(
+          return Left(s"composer purl needs vendor namespace: $purl"))
+        val pkg = s"$ns/$name"
+        transport.fetch(s"https://repo.packagist.org/p/$pkg.json").map { b =>
+          RegistryParsers.composerVersions(new String(b, "UTF-8"), pkg)
+            .map { r =>
+              PackageRow.minimal(
+                r.distUrl.getOrElse(
+                  s"https://repo.packagist.org/p/$pkg.json#${r.version}"),
+                "composer", name, Some(r.version), CollectMiningLevel)
+                .copy(namespace = Some(ns),
+                  release_date = r.releaseDate.flatMap(tsOf))
+            }
+        }
+      case "hex" =>
+        transport.fetch(s"https://hex.pm/api/packages/$name").map { b =>
+          RegistryParsers.hexVersions(new String(b, "UTF-8")).map { v =>
+            PackageRow.minimal(
+              s"https://repo.hex.pm/tarballs/$name-${v.value}.tar",
+              "hex", name, Some(v.value), CollectMiningLevel)
+              .copy(release_date = v.releaseDate.flatMap(tsOf))
+          }
+        }
+      case "golang" =>
+        // module path = namespace/name; goproxy requires the
+        // case-encoded path (golang.org/ref/mod#goproxy-protocol)
+        val module = namespace.map(ns => s"$ns/$name").getOrElse(name)
+        val escaped = RegistryParsers.goEscapePath(module)
+        transport.fetch(s"https://proxy.golang.org/$escaped/@v/list").map { b =>
+          RegistryParsers.goproxyList(new String(b, "UTF-8")).map { v =>
+            val ev = RegistryParsers.goEscapePath(v.value)
+            PackageRow.minimal(
+              s"https://proxy.golang.org/$escaped/@v/$ev.zip",
+              "golang", name, Some(v.value), CollectMiningLevel)
+              .copy(namespace = namespace)
+          }
+        }
+      case "deb" =>
+        // sources.debian.org version list + the standard archive pool
+        // layout for source packages
+        transport.fetch(s"https://sources.debian.org/api/src/$name")
+          .map { b =>
+            RegistryParsers.debianVersions(new String(b, "UTF-8")).map { v =>
+              val initial = name.take(1)
+              PackageRow.minimal(
+                s"https://deb.debian.org/debian/pool/main/$initial/$name/${name}_${v.value}.dsc",
+                "deb", name, Some(v.value), CollectMiningLevel)
+                .copy(namespace = namespace)
+            }
+          }
       case other => Left(s"unsupported ecosystem: $other")
     }
   }
+
+  /** Lenient ISO-ish timestamp parse used for registry release dates
+    * ("2022-03-08T17:50:52.496Z" → timestamp at second precision);
+    * malformed dates become null rather than failing the task. */
+  private def tsOf(d: String): Option[java.sql.Timestamp] =
+    scala.util.Try(
+      java.sql.Timestamp.valueOf(d.replace("T", " ").take(19))
+    ).toOption
 
   /** Batch collect: purl requests → (collected package rows, errors),
     * merged into the existing catalog. The registry fetches run on

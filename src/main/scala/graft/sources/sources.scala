@@ -127,6 +127,181 @@ object RegistryParsers {
     }
   }
 
+  /** crates.io API (`packagedb/package_managers.py:229-242`):
+    * versions[].num + updated_at. */
+  def cargoVersions(json: String): Seq[PackageVersion] = {
+    val root = JsonMethods.parse(json)
+    (root \ "versions") match {
+      case JArray(vs) => vs.flatMap { v =>
+        (v \ "num") match {
+          case JString(num) =>
+            val date = (v \ "updated_at") match {
+              case JString(d) => Some(d); case _ => None
+            }
+            Some(PackageVersion(num, date))
+          case _ => None
+        }
+      }
+      case _ => Seq.empty
+    }
+  }
+
+  /** rubygems api/v1/versions/{name}.json
+    * (`packagedb/package_managers.py:244-264`): [].number with
+    * published_at falling back to created_at; entries without a
+    * number are skipped. */
+  def gemVersions(json: String): Seq[PackageVersion] = {
+    JsonMethods.parse(json) match {
+      case JArray(releases) => releases.flatMap { r =>
+        val date = (r \ "published_at") match {
+          case JString(d) => Some(d)
+          case _ => (r \ "created_at") match {
+            case JString(d) => Some(d); case _ => None
+          }
+        }
+        (r \ "number") match {
+          case JString(n) if n.nonEmpty => Some(PackageVersion(n, date))
+          case _                        => None
+        }
+      }
+      case _ => Seq.empty
+    }
+  }
+
+  /** NuGet registration index
+    * (`packagedb/package_managers.py:346-375`):
+    * items[].items[].catalogEntry.{version, published}; entries
+    * without a version are skipped. */
+  def nugetVersions(json: String): Seq[PackageVersion] = {
+    val root = JsonMethods.parse(json)
+    (root \ "items") match {
+      case JArray(pages) => pages.flatMap { page =>
+        (page \ "items") match {
+          case JArray(entries) => entries.flatMap { e =>
+            val cat = e \ "catalogEntry"
+            (cat \ "version") match {
+              case JString(v) if v.nonEmpty =>
+                val date = (cat \ "published") match {
+                  case JString(d) => Some(d); case _ => None
+                }
+                Some(PackageVersion(v, date))
+              case _ => None
+            }
+          }
+          case _ => Seq.empty
+        }
+      }
+      case _ => Seq.empty
+    }
+  }
+
+  /** packagist p/{vendor/name}.json
+    * (`packagedb/package_managers.py:383-410`): packages.{pkg} map of
+    * version → {time}; versions containing "dev" are skipped and a
+    * leading v/V is stripped. Returns (version, date, distUrl). */
+  final case class ComposerRelease(version: String,
+      releaseDate: Option[String], distUrl: Option[String])
+
+  def composerVersions(json: String, pkg: String): Seq[ComposerRelease] = {
+    val root = JsonMethods.parse(json)
+    (root \ "packages" \ pkg) match {
+      case JObject(fields) => fields.collect {
+        case (version, meta) if !version.contains("dev") =>
+          val time = (meta \ "time") match {
+            case JString(t) => Some(t); case _ => None
+          }
+          val dist = (meta \ "dist" \ "url") match {
+            case JString(u) => Some(u); case _ => None
+          }
+          ComposerRelease(version.dropWhile(c => c == 'v' || c == 'V'),
+            time, dist)
+      }
+      case _ => Seq.empty
+    }
+  }
+
+  /** hex.pm api/packages/{name}
+    * (`packagedb/package_managers.py:413-427`): releases[].version +
+    * inserted_at. */
+  def hexVersions(json: String): Seq[PackageVersion] = {
+    val root = JsonMethods.parse(json)
+    (root \ "releases") match {
+      case JArray(rs) => rs.flatMap { r =>
+        (r \ "version") match {
+          case JString(v) =>
+            val date = (r \ "inserted_at") match {
+              case JString(d) => Some(d); case _ => None
+            }
+            Some(PackageVersion(v, date))
+          case _ => None
+        }
+      }
+      case _ => Seq.empty
+    }
+  }
+
+  /** sources.debian.org api/src/{pkg}
+    * (`packagedb/package_managers.py:286-305`): versions[].version
+    * with the default "0:" epoch removed; error payloads yield
+    * nothing. */
+  def debianVersions(json: String): Seq[PackageVersion] = {
+    val root = JsonMethods.parse(json)
+    (root \ "error") match {
+      case JNothing | JNull =>
+        (root \ "versions") match {
+          case JArray(vs) => vs.flatMap { v =>
+            (v \ "version") match {
+              case JString(s) =>
+                Some(PackageVersion(s.replace("0:", ""), None))
+              case _ => None
+            }
+          }
+          case _ => Seq.empty
+        }
+      case _ => Seq.empty
+    }
+  }
+
+  /** goproxy `@v/list` plain-text response
+    * (`packagedb/package_managers.py:498-530`): one version per line,
+    * optionally followed by a timestamp. */
+  def goproxyList(text: String): Seq[PackageVersion] =
+    text.linesIterator.map(_.trim).filter(_.nonEmpty).map { line =>
+      val parts = line.split("\\s+", 2)
+      PackageVersion(parts(0),
+        if (parts.length > 1) Some(parts(1)) else None)
+    }.toSeq
+
+  /** goproxy case-encoding (golang.org/ref/mod#goproxy-protocol):
+    * uppercase → `!` + lowercase. */
+  def goEscapePath(path: String): String = {
+    val sb = new StringBuilder(path.length + 4)
+    path.foreach { c =>
+      if (c >= 'A' && c <= 'Z') { sb += '!'; sb += (c + 32).toChar }
+      else sb += c
+    }
+    sb.toString
+  }
+
+  /** Trim a Go package path to its module path — host + first two
+    * path segments (`packagedb/package_managers.py:441-463`). */
+  def trimGoUrlPath(urlPath: String): Option[String] = {
+    val noPrefix = urlPath.stripPrefix("https://pkg.go.dev/")
+    val uri = try new java.net.URI(noPrefix) catch {
+      case _: Exception => return None
+    }
+    val (host, path) =
+      if (uri.getHost != null) (uri.getHost, Option(uri.getPath).getOrElse(""))
+      else {
+        // bare "github.com/x/y" — no scheme, host is the first segment
+        val segs = noPrefix.split("/", 2)
+        (segs(0), if (segs.length > 1) "/" + segs(1) else "")
+      }
+    val parts = path.split("/")
+    if (parts.length < 3) None
+    else Some(host + parts.take(3).mkString("/"))
+  }
+
   /** maven-metadata.xml: <versioning><versions><version> texts
     * (`minecode/miners/maven.py:287-349`), StAX streaming parse. */
   def mavenMetadataVersions(xml: String): Seq[PackageVersion] = {

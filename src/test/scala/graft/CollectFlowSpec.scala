@@ -21,6 +21,33 @@ class CollectFlowSpec extends SparkTestBase {
           </versions></versioning></metadata>""".getBytes)
       case u if u.contains("registry.npmjs.org/leftpad") =>
         Left("404 not found")
+      case u if u.contains("registry.npmjs.org/@types%2Fnode") =>
+        Right("""{"versions": {"20.1.0": {}},
+          "time": {"20.1.0": "2023-05-05T00:00:00Z"}}""".getBytes)
+      case u if u.contains("crates.io/api/v1/crates/serde") =>
+        Right("""{"versions": [
+          {"num": "1.0.100", "updated_at": "2019-10-17T00:00:00Z"}]}"""
+          .getBytes)
+      case u if u.contains("rubygems.org/api/v1/versions/rails.json") =>
+        Right("""[{"number": "7.0.2.3",
+          "published_at": "2022-03-08T17:50:52.496Z"}]""".getBytes)
+      case u if u.contains("api.nuget.org/v3/registration5-semver1/razorengine") =>
+        Right("""{"items": [{"items": [{"catalogEntry":
+          {"version": "3.0.0", "published": "2011-11-24T00:26:02Z"}}]}]}"""
+          .getBytes)
+      case u if u.contains("repo.packagist.org/p/typo3/cms-core.json") =>
+        Right("""{"packages": {"typo3/cms-core": {
+          "v9.5.1": {"time": "2018-10-30T10:45:30+00:00",
+            "dist": {"url": "https://api.github.com/repos/TYPO3/zip/abc"}},
+          "10.2.x-dev": {"time": "2020-01-01T00:00:00+00:00"}}}}""".getBytes)
+      case u if u.contains("hex.pm/api/packages/jason") =>
+        Right("""{"releases": [
+          {"version": "1.4.0", "inserted_at": "2022-10-01T00:00:00Z"}]}"""
+          .getBytes)
+      case u if u.contains("proxy.golang.org/github.com/!burnt!sushi/toml/@v/list") =>
+        Right("v0.3.1\nv1.0.0\n".getBytes)
+      case u if u.contains("sources.debian.org/api/src/zlib") =>
+        Right("""{"versions": [{"version": "1:1.2.13.dfsg-1"}]}""".getBytes)
       case u => Left(s"unexpected fetch: $u")
     }
   }
@@ -39,7 +66,7 @@ class CollectFlowSpec extends SparkTestBase {
       Seq("pkg:pypi/requests",
         "pkg:maven/org.apache.pulsar/pulsar",
         "pkg:npm/leftpad",     // transport 404
-        "pkg:cargo/serde",     // unsupported ecosystem
+        "pkg:conda/numpy",     // unsupported ecosystem
         "not-a-purl"),
       transport, "2026-08-12T00:00:00Z")
 
@@ -59,6 +86,52 @@ class CollectFlowSpec extends SparkTestBase {
     assert(errors.exists(_.contains("404")))
     assert(errors.exists(_.contains("unsupported ecosystem")))
     assert(errors.exists(_.contains("invalid purl")))
+  }
+
+  test("collect covers cargo, gem, nuget, composer, hex, golang, deb") {
+    val empty = Seq.empty[PackageRow].toDF()
+    val (merged, errors) = CollectFlow.collect(spark, empty,
+      Seq("pkg:cargo/serde", "pkg:gem/rails", "pkg:nuget/RazorEngine",
+        "pkg:composer/typo3/cms-core", "pkg:hex/jason",
+        "pkg:golang/github.com/BurntSushi/toml",
+        "pkg:deb/debian/zlib"),
+      transport, "2026-08-12T00:00:00Z")
+    assert(errors.isEmpty, errors.mkString("; "))
+    val rows = merged.select("ptype", "name", "version", "download_url")
+      .as[(String, String, String, String)].collect()
+    val byType = rows.groupBy(_._1).view.mapValues(_.toSeq).toMap
+    assert(byType("cargo").head._4 ==
+      "https://static.crates.io/crates/serde/serde-1.0.100.crate")
+    assert(byType("gem").head._3 == "7.0.2.3")
+    // nuget ids and versions lowercase in the flatcontainer URL
+    assert(byType("nuget").head._4 ==
+      "https://api.nuget.org/v3-flatcontainer/razorengine/3.0.0/razorengine.3.0.0.nupkg")
+    assert(byType("nuget").head._2 == "RazorEngine")
+    // composer: dev version skipped, v stripped, dist URL used
+    assert(byType("composer").map(_._3).toSeq == Seq("9.5.1"))
+    assert(byType("composer").head._4.contains("api.github.com"))
+    assert(byType("hex").head._4 ==
+      "https://repo.hex.pm/tarballs/jason-1.4.0.tar")
+    // golang: case-encoded proxy path, both versions
+    assert(byType("golang").map(_._3).toSet == Set("v0.3.1", "v1.0.0"))
+    assert(byType("golang").head._4.startsWith(
+      "https://proxy.golang.org/github.com/!burnt!sushi/toml/@v/"))
+    // deb: epoch kept (not the default 0:), pool layout
+    assert(byType("deb").head._3 == "1:1.2.13.dfsg-1")
+    assert(byType("deb").head._4 ==
+      "https://deb.debian.org/debian/pool/main/z/zlib/zlib_1:1.2.13.dfsg-1.dsc")
+  }
+
+  test("scoped npm purls build scope-aware registry and tarball URLs") {
+    val empty = Seq.empty[PackageRow].toDF()
+    val (merged, errors) = CollectFlow.collect(spark, empty,
+      Seq("pkg:npm/%40types/node"), transport, "2026-08-12T00:00:00Z")
+    assert(errors.isEmpty, errors.mkString("; "))
+    val row = merged.select("namespace", "name", "version", "download_url")
+      .as[(Option[String], String, String, String)].collect().head
+    assert(row._1.contains("@types"))
+    assert(row._4 ==
+      "https://registry.npmjs.org/@types/node/-/node-20.1.0.tgz")
   }
 
   test("collect with no resolvable purls leaves the catalog untouched") {
