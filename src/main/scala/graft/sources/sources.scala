@@ -37,31 +37,93 @@ object GzipTolerant {
   }
 }
 
-/** S5 — binary artifact-index record reader, the shape of the nexus
-  * full-index stream parser (`minecode/miners/maven.py:708-845`):
-  * a header followed by length-delimited field records, consumed as a
-  * lazy iterator inside `mapPartitions` so a multi-GB index never
-  * materializes. Format here: int32 magic, int32 version, then per
-  * record int16 fieldCount and fieldCount × (UTF key, UTF value);
-  * clean EOF ends the stream, torn trailing records are dropped
-  * (matching the tolerant reference reader).
+/** S5 — the REAL Maven nexus full-index stream reader
+  * (`minecode/miners/maven.py:708-845`, header `:749-770`; stream
+  * primitives per `minecode/java_stream.py`): a gzip stream holding a
+  * 1-byte format version (must be 1) and an 8-byte Java epoch-millis
+  * timestamp, followed by entries until EOF. Each entry is an int32
+  * field count, then per field: a 1-byte Lucene indexing flag
+  * (ignored), a Java `readUTF` field name (2-byte length + modified
+  * UTF-8), and a value encoded with the Nexus variant of `readUTF`
+  * that uses a FULL int32 byte length (bypassing the 64 KiB limit),
+  * decoded as Java modified UTF-8 (null = C0 80, supplementary chars
+  * as surrogate triplets).
+  *
+  * Consumed as a lazy iterator inside `mapPartitions`, so the real
+  * ~600 MB central index never materializes; a torn trailing entry
+  * ends the stream cleanly (tolerant reference reader behavior).
   */
-object BinaryIndexReader {
-  val Magic = 0x47524654 // "GRFT"
+object NexusIndexReader {
 
-  def readRecords(in: InputStream): Iterator[Map[String, String]] = {
+  /** Standard entry field names (`minecode/miners/maven.py:471-478`):
+    * u = groupId|artifactId|version|classifier[|extension],
+    * i = packaging|lastModified|size|is_sources|is_javadoc|is_signature|extension,
+    * 1 = sha1, m = record modified millis, n = name, d = description. */
+  val EntryFields: Set[String] = Set("u", "i", "1", "m", "n", "d")
+
+  final case class Header(version: Int, timestampMillis: Long)
+
+  /** Decode Java "modified UTF-8" bytes to a String: 1/2/3-byte
+    * sequences, embedded nulls as C0 80, supplementary characters as
+    * two 3-byte surrogate code units (which Java chars carry as-is). */
+  def decodeModifiedUtf8(bytes: Array[Byte]): String = {
+    val sb = new java.lang.StringBuilder(bytes.length)
+    var i = 0
+    while (i < bytes.length) {
+      val b0 = bytes(i) & 0xff
+      if (b0 < 0x80) { sb.append(b0.toChar); i += 1 }
+      else if ((b0 & 0xe0) == 0xc0 && i + 1 < bytes.length) {
+        val b1 = bytes(i + 1) & 0x3f
+        sb.append((((b0 & 0x1f) << 6) | b1).toChar); i += 2
+      } else if ((b0 & 0xf0) == 0xe0 && i + 2 < bytes.length) {
+        val b1 = bytes(i + 1) & 0x3f
+        val b2 = bytes(i + 2) & 0x3f
+        sb.append((((b0 & 0x0f) << 12) | (b1 << 6) | b2).toChar); i += 3
+      } else { // malformed byte: emit replacement, keep going
+        sb.append('�'); i += 1
+      }
+    }
+    sb.toString
+  }
+
+  /** Read the 9-byte header: version byte (must be 1) + epoch millis
+    * (−1 = absent). */
+  def readHeader(d: DataInputStream): Header = {
+    val version = d.readByte() & 0xff
+    require(version == 1, s"unsupported nexus index format version: $version")
+    Header(version, d.readLong())
+  }
+
+  /** Lazy entries from an ALREADY-DECOMPRESSED stream; `fields`
+    * restricts which names are kept (like the reference's
+    * `get_entries(fields=...)`). */
+  def readEntries(in: InputStream, fields: Set[String] = Set.empty)
+      : Iterator[Map[String, String]] = {
     val d = new DataInputStream(in)
-    val magic = d.readInt()
-    require(magic == Magic, f"bad index magic: 0x$magic%08x")
-    d.readInt() // version
+    readHeader(d)
     new Iterator[Map[String, String]] {
       private var nextRec: Map[String, String] = _
       private var done = false
       private def advance(): Unit =
         try {
-          val n = d.readShort().toInt
-          nextRec = (0 until n).map(_ => d.readUTF() -> d.readUTF()).toMap
-        } catch { case _: EOFException => done = true; nextRec = null }
+          var rec = Map.empty[String, String]
+          val n = d.readInt()
+          var i = 0
+          while (i < n) {
+            d.readByte() // Lucene indexing flags: ignored
+            val name = d.readUTF() // 2-byte len, modified UTF-8
+            val valueLen = d.readInt() // nexus variant: int32 len
+            val valueBytes = new Array[Byte](valueLen)
+            d.readFully(valueBytes)
+            if (fields.isEmpty || fields.contains(name))
+              rec += name -> decodeModifiedUtf8(valueBytes)
+            i += 1
+          }
+          nextRec = rec
+        } catch {
+          // EOF (clean or torn trailing entry) ends the stream
+          case _: EOFException => done = true; nextRec = null
+        }
       advance()
       def hasNext: Boolean = !done
       def next(): Map[String, String] = {
@@ -70,14 +132,69 @@ object BinaryIndexReader {
     }
   }
 
-  /** Writer for tests / index construction. */
-  def writeRecords(records: Seq[Map[String, String]]): Array[Byte] = {
+  /** Entries straight from the gzipped index bytes (tolerant of
+    * trailing garbage, like the reference's GzipFileWithTrailing). */
+  def readGzippedEntries(gzBytes: Array[Byte],
+      fields: Set[String] = Set.empty): Iterator[Map[String, String]] =
+    readEntries(new ByteArrayInputStream(GzipTolerant.readAll(gzBytes)),
+      fields)
+
+  /** Expand an entry's packed `u`/`i` fields into the flat artifact
+    * record consumed by [[graft.miners.ArtifactBuilder]]
+    * (`minecode/miners/maven.py:569-707`): u =
+    * groupId|artifactId|version|classifier[|extension], "NA"
+    * classifier means none; i = packaging|lastModified|size|... with
+    * the extension in the last position. */
+  def toArtifactRecord(entry: Map[String, String])
+      : Option[Map[String, String]] =
+    entry.get("u").flatMap { u =>
+      val parts = u.split("\\|")
+      if (parts.length < 3) None
+      else {
+        val iParts = entry.get("i").map(_.split("\\|")).getOrElse(Array.empty)
+        val classifier =
+          if (parts.length > 3 && parts(3) != "NA") Some(parts(3)) else None
+        val extension =
+          if (parts.length > 4) Some(parts(4))
+          else iParts.lastOption.filter(_.nonEmpty)
+        val base = Map(
+          "groupId" -> parts(0),
+          "artifactId" -> parts(1),
+          "version" -> parts(2))
+        val opt = Seq(
+          classifier.map("classifier" -> _),
+          extension.map("extension" -> _),
+          entry.get("1").map("sha1" -> _),
+          entry.get("n").map("name" -> _),
+          entry.get("d").map("description" -> _),
+          iParts.headOption.filter(_.nonEmpty).map("packaging" -> _),
+          iParts.lift(2).map("size" -> _)).flatten
+        Some(base ++ opt)
+      }
+    }
+
+  /** Writer for tests / synthetic index construction — produces the
+    * exact on-disk format (uncompressed; gzip with
+    * [[GzipTolerant.gzip]]). */
+  def writeEntries(entries: Seq[Map[String, String]],
+      timestampMillis: Long = -1L): Array[Byte] = {
     val bos = new ByteArrayOutputStream()
     val d = new DataOutputStream(bos)
-    d.writeInt(Magic); d.writeInt(1)
-    records.foreach { r =>
-      d.writeShort(r.size)
-      r.foreach { case (k, v) => d.writeUTF(k); d.writeUTF(v) }
+    d.writeByte(1)
+    d.writeLong(timestampMillis)
+    entries.foreach { e =>
+      d.writeInt(e.size)
+      e.foreach { case (k, v) =>
+        d.writeByte(0)
+        d.writeUTF(k)
+        // nexus value encoding: int32 byte length + modified UTF-8
+        val tmp = new ByteArrayOutputStream()
+        val td = new DataOutputStream(tmp)
+        td.writeUTF(v) // 2-byte len + modified UTF-8 bytes
+        val utfBytes = tmp.toByteArray.drop(2)
+        d.writeInt(utfBytes.length)
+        d.write(utfBytes)
+      }
     }
     d.flush()
     bos.toByteArray
