@@ -1,0 +1,102 @@
+package graft
+
+import graft.catalog.PackageRow
+import graft.miners.{MavenPom, Transport}
+
+/** Golden tests for the POM → PackageData + ancestry merge flow,
+  * using the reference's own checked-in POM fixtures and the same
+  * expectations as its collectors/test_maven.py (parse-before,
+  * merge-after, ancestry ordering).
+  */
+class MavenPomSpec extends SparkTestBase {
+
+  private val fixtureDir =
+    "/root/reference/minecode/tests/testfiles/maven/pom"
+
+  private def pom(name: String): String =
+    new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(fixtureDir, name)), "UTF-8")
+
+  test("ant-antlr POM parses to the reference's package_before fields") {
+    val pkg = MavenPom.toPackage(pom("ant-antlr-1.10.1.pom")).get
+    // expectations from ant-antlr-1.10.1-package_before.json
+    assert(pkg.namespace.contains("org.apache.ant"))
+    assert(pkg.name == "ant-antlr")
+    assert(pkg.version.contains("1.10.1"))
+    assert(pkg.primary_language.contains("Java"))
+    assert(pkg.homepage_url.contains("http://ant.apache.org/"))
+    // description = name + "\n" + description
+    assert(pkg.description.exists(_.startsWith("Apache Ant + ANTLR\n")))
+    assert(pkg.description.exists(_.contains("antlr specific task")))
+    assert(pkg.declared_license_expression.isEmpty) // no licenses element
+  }
+
+  test("merge_parent fills license from the parent POM, keeps own fields") {
+    val child = MavenPom.toPackage(pom("ant-antlr-1.10.1.pom")).get
+    val parent = MavenPom.toPackage(pom("ant-parent-1.10.1.pom")).get
+    val merged = MavenPom.mergeParent(child, parent)
+    // package_after.json: declared_license_expression = apache-2.0
+    assert(merged.declared_license_expression.contains("apache-2.0"))
+    // own homepage NOT overwritten
+    assert(merged.homepage_url.contains("http://ant.apache.org/"))
+    // the fill is recorded in history with the parent purl
+    assert(merged.history.exists(h =>
+      h.message.contains("declared_license_expression") &&
+        h.message.contains("pkg:maven/org.apache.ant/ant-parent@1.10.1")))
+  }
+
+  private val pomTransport = new Transport {
+    def fetch(uri: String): Either[String, Array[Byte]] = uri match {
+      case u if u.endsWith("/org/apache/pulsar/pulsar-client-1x-base/2.5.1/pulsar-client-1x-base-2.5.1.pom") =>
+        Right(pom("pulsar-client-1x-base-2.5.1.pom").getBytes("UTF-8"))
+      case u if u.endsWith("/org/apache/pulsar/pulsar/2.5.1/pulsar-2.5.1.pom") =>
+        Right(pom("pulsar-2.5.1.pom").getBytes("UTF-8"))
+      case u if u.endsWith("/org/apache/apache/18/apache-18.pom") =>
+        Right(pom("apache-18.pom").getBytes("UTF-8"))
+      case u if u.endsWith("/org/apache/pulsar/pulsar-client-1x/2.5.1/pulsar-client-1x-2.5.1.pom") =>
+        Right(pom("pulsar-client-1x-2.5.1.pom").getBytes("UTF-8"))
+      case u => Left(s"404: $u")
+    }
+  }
+
+  test("get_ancestry walks the parent chain oldest-first") {
+    // same fixture chain and expected order as the reference's
+    // test_get_ancestry: apache-18, pulsar-2.5.1, pulsar-client-1x-base
+    val ancestry = MavenPom.getAncestry(
+      pom("pulsar-client-1x-2.5.1.pom"), pomTransport)
+    assert(ancestry.size == 3)
+    def artifactOf(text: String) =
+      MavenPom.parse(text).get.artifactId.get
+    assert(ancestry.map(artifactOf) ==
+      Seq("apache", "pulsar", "pulsar-client-1x-base"))
+  }
+
+  test("merged ancestor package fills fields walking the whole chain") {
+    val pkg = PackageRow.minimal(
+      "https://repo1.maven.org/maven2/org/apache/pulsar/pulsar-client-1x/2.5.1/pulsar-client-1x-2.5.1.jar",
+      "maven", "pulsar-client-1x", Some("2.5.1"))
+      .copy(namespace = Some("org.apache.pulsar"))
+    val merged = MavenPom.mergedAncestorPackage(pkg, pomTransport)
+    // pulsar-client-merged-ancestor-package.json: license + homepage
+    // filled from ancestors
+    assert(merged.declared_license_expression.exists(_.nonEmpty))
+    assert(merged.homepage_url.exists(_.nonEmpty))
+    assert(merged.history.nonEmpty)
+  }
+
+  test("property interpolation resolves project built-ins and properties") {
+    val text = """<project xmlns="http://maven.apache.org/POM/4.0.0">
+      <parent><groupId>g.p</groupId><artifactId>par</artifactId>
+        <version>3.1</version></parent>
+      <artifactId>child</artifactId>
+      <properties><my.prop>hello</my.prop></properties>
+      <name>${my.prop} v${project.version}</name>
+      <url>http://example.com/${project.groupId}</url>
+    </project>"""
+    val pom = MavenPom.parse(text).get
+    assert(pom.effectiveGroupId.contains("g.p"))   // inherited
+    assert(pom.effectiveVersion.contains("3.1"))   // inherited
+    assert(pom.name.contains("hello v3.1"))
+    assert(pom.url.contains("http://example.com/g.p"))
+  }
+}
