@@ -2,6 +2,7 @@ package graft.ops
 
 import graft._
 import graft.core._
+import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 /** Driver-surface queries for the source-side operators that are
@@ -80,11 +81,131 @@ object SourceOps {
         WHERE e.path = f.path AND e.etag = f.etag)
       ORDER BY f.path"""))
 
+  /** Build a synthetic ClearlyDefined harvest payload per document
+    * (all fields derived from k = doc_id % 50, so duplicate items are
+    * byte-identical and the output is deterministic), run the real
+    * executor-side harvest mapping, and emit the merged packages. */
+  private def harvestItems(s: SparkSession, dir: String) = {
+    val k = (col("doc_id") % 50).cast("int")
+    t(s, dir, "documents").filter(col("doc_id") < 200)
+      .select(
+        concat(lit("cd/item/"), col("doc_id").cast("string")).as("path"),
+        to_json(struct(
+          struct(
+            struct(array(struct(
+              lit("generic").as("type"),
+              concat(lit("doc"), k.cast("string")).as("name"),
+              concat(lit("http://cd/pkg/"), k.cast("string"))
+                .as("download_url"),
+              concat(lit("1."), (k % 3).cast("string")).as("version"),
+              lit("harvested").as("description")
+            )).as("packages")).as("summary"),
+            array(
+              struct(
+                concat(lit("f/"), k.cast("string"), lit("/a.txt")).as("path"),
+                lit("file").as("type"),
+                array(lit("mit"), lit("apache-2.0"), lit("mit"))
+                  .as("license_expressions"),
+                array().cast("array<struct<value:string>>").as("copyrights")),
+              struct(
+                concat(lit("f/"), k.cast("string")).as("path"),
+                lit("directory").as("type"),
+                array().cast("array<string>").as("license_expressions"),
+                array(struct(lit("(c) Acme").as("value")),
+                  struct(lit("(c) Acme").as("value"))).as("copyrights"))
+            ).as("files")
+          ).as("content"))).as("data"))
+  }
+
+  /** Existing catalog side for the harvest merge: even package keys
+    * already exist at mining level 10 with a description. */
+  private def harvestCatalog(s: SparkSession, dir: String) =
+    t(s, dir, "documents").filter(col("doc_id") < 50 &&
+        col("doc_id") % 2 === 0)
+      .select(
+        concat(lit("http://cd/pkg/"), col("doc_id").cast("string"))
+          .as("download_url"),
+        lit("generic").as("ptype"),
+        lit(null).cast("string").as("namespace"),
+        concat(lit("doc"), col("doc_id").cast("string")).as("name"),
+        concat(lit("1."), (col("doc_id") % 3).cast("string")).as("version"),
+        lit(null).cast("string").as("qualifiers"),
+        lit(null).cast("string").as("subpath"),
+        lit(null).cast("string").as("primary_language"),
+        lit("have desc").as("description"),
+        lit(null).cast("string").as("homepage_url"),
+        lit(null).cast("string").as("declared_license_expression"),
+        lit(null).cast("string").as("copyright"),
+        lit(null).cast("string").as("md5"),
+        lit(null).cast("string").as("sha1"),
+        lit(null).cast("string").as("sha256"),
+        lit(null).cast("string").as("sha512"),
+        lit(null).cast("long").as("size"),
+        lit(null).cast("timestamp").as("release_date"),
+        lit(10).as("mining_level"),
+        lit(null).cast("int").as("package_content"),
+        array().cast("array<string>").as("keywords"),
+        array().cast("array<struct<timestamp:string,message:string>>")
+          .as("history"))
+
+  val cdHarvest = QueryDef(
+    "s_cd_harvest_map", "S10/A6 (clearindex)",
+    "ClearlyDefined harvest payloads → fill-empty package merge",
+    (s, dir) => {
+      val out = graft.clearindex.Harvest.mapHarvests(s,
+        harvestCatalog(s, dir), harvestItems(s, dir),
+        "2026-08-12T00:00:00Z")
+      out.packages
+        .select(col("download_url"), col("name"), col("version"),
+          col("description"), col("mining_level"))
+        .orderBy("download_url")
+    },
+    Some("""WITH ks AS (
+        SELECT DISTINCT CAST(doc_id % 50 AS INTEGER) AS k
+        FROM documents WHERE doc_id < 200)
+      SELECT 'http://cd/pkg/' || CAST(k AS VARCHAR) AS download_url,
+        'doc' || CAST(k AS VARCHAR) AS name,
+        '1.' || CAST(k % 3 AS VARCHAR) AS version,
+        CASE WHEN k % 2 = 0 THEN 'have desc' ELSE 'harvested' END
+          AS description,
+        CASE WHEN k % 2 = 0 THEN 10 ELSE 0 END AS mining_level
+      FROM ks ORDER BY download_url"""))
+
+  val cdResources = QueryDef(
+    "s_cd_harvest_resources", "S10 (clearindex resources)",
+    "harvest file rows: dedup per (package, path), statements joined",
+    (s, dir) => {
+      val out = graft.clearindex.Harvest.mapHarvests(s,
+        harvestCatalog(s, dir), harvestItems(s, dir),
+        "2026-08-12T00:00:00Z")
+      out.resources
+        .select(col("download_url"), col("path"), col("is_file"),
+          col("license_expression"), col("copyright"))
+        .orderBy("download_url", "path")
+    },
+    Some("""WITH ks AS (
+        SELECT DISTINCT CAST(doc_id % 50 AS INTEGER) AS k
+        FROM documents WHERE doc_id < 200),
+      rows_ AS (
+        SELECT 'http://cd/pkg/' || CAST(k AS VARCHAR) AS download_url,
+          'f/' || CAST(k AS VARCHAR) || '/a.txt' AS path,
+          TRUE AS is_file,
+          'apache-2.0' || chr(10) || 'mit' AS license_expression,
+          CAST(NULL AS VARCHAR) AS copyright
+        FROM ks
+        UNION ALL
+        SELECT 'http://cd/pkg/' || CAST(k AS VARCHAR),
+          'f/' || CAST(k AS VARCHAR), FALSE,
+          CAST(NULL AS VARCHAR), '(c) Acme'
+        FROM ks)
+      SELECT * FROM rows_ ORDER BY download_url, path"""))
+
   val mmFeatures = QueryDef(
     "mm_feature_extract", "LLM-pipeline: multimodal columns",
     "binary media payloads → batched feature extraction (stub codec)",
     (s, dir) => graft.multimodal.Multimodal.featureSummary(s, dir),
     None)
 
-  val defs: Seq[QueryDef] = Seq(s4json, s8html, s10sync, mmFeatures)
+  val defs: Seq[QueryDef] =
+    Seq(s4json, s8html, s10sync, cdHarvest, cdResources, mmFeatures)
 }
