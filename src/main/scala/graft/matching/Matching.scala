@@ -193,15 +193,21 @@ object Matching {
 
   /** §3.3 complete flow: gated stages (exact → dir approx → file
     * approx) then the snippet stage over still-unmatched files with a
-    * Jaccard floor (`matchcode/pipes/matching.py:370-429`), finished
-    * by the greedy per-resource package reassignment (A5,
-    * `:469-529`). `querySnippets` carries
-    * (q_path, fingerprint, position) for codebase files.
+    * Jaccard floor, then the STEMMED snippet stage over what the plain
+    * snippet stage still left unmatched
+    * (`matchcode/pipes/matching.py:370-429`: the stemmed pass excludes
+    * every earlier status including snippet-matched), finished by the
+    * greedy per-resource package reassignment (A5, `:469-529`).
+    * `querySnippets`/`stemmedQuerySnippets` carry
+    * (q_path, fingerprint, position) for codebase files; pass
+    * `None` to skip the stemmed stage.
     */
   def matchCodebase(resources: DataFrame, exactIndex: DataFrame,
       dirIndex: DataFrame, fileIndex: DataFrame,
       querySnippets: DataFrame, snippetIndex: DataFrame,
-      minJaccard: Double = 0.5): DataFrame = {
+      minJaccard: Double = 0.5,
+      stemmedQuerySnippets: Option[DataFrame] = None,
+      stemmedIndex: Option[DataFrame] = None): DataFrame = {
     val staged = pipeline(resources, exactIndex, dirIndex, fileIndex)
     val matchedPaths = staged.select(col("path")).distinct()
     val unmatchedSnippets = querySnippets
@@ -211,8 +217,32 @@ object Matching {
       .filter(col("jaccard") >= minJaccard)
       .select(col("q_path").as("path"), col("download_url"),
         lit("snippet").as("match_type"))
-    rankPackages(staged.unionByName(snippetMatches))
+    val withSnippets = staged.unionByName(snippetMatches)
+    val all = (stemmedQuerySnippets, stemmedIndex) match {
+      case (Some(stemmedQ), Some(stemmedIdx)) =>
+        // stemmed stage excludes everything matched so far — the
+        // reference's no_status(...) chain ends with snippet-matched
+        val matchedSoFar = withSnippets.select(col("path")).distinct()
+        val stemmedUnmatched = stemmedQ
+          .join(matchedSoFar, stemmedQ("q_path") === matchedSoFar("path"),
+            "left_anti")
+        val stemmedMatches = snippetMatch(stemmedUnmatched, stemmedIdx)
+          .filter(col("jaccard") >= minJaccard)
+          .select(col("q_path").as("path"), col("download_url"),
+            lit("stemmed_snippet").as("match_type"))
+        withSnippets.unionByName(stemmedMatches)
+      case _ => withSnippets
+    }
+    rankPackages(all)
   }
+
+  /** Stem a token column for the stemmed snippet index: lowercase and
+    * strip trailing digits/underscores — a deterministic
+    * identifier-stemming proxy for the reference's stemmed-snippet
+    * fingerprints (`matchcode/pipes/matching.py:399-429`; the actual
+    * stemmer lives in its out-of-tree toolkit). */
+  def stemToken(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    regexp_replace(lower(c), "[0-9_]+$", "")
 
   /** A5 — rank candidate packages by matched-resource count and
     * greedily keep, per resource, only its top package

@@ -166,6 +166,46 @@ class MatchingSpec extends SparkTestBase {
       ("src/b.c", "http://p/s.jar", "snippet")))
   }
 
+  test("stemmed snippet stage runs last and only on the snippet-unmatched tail") {
+    // c.c matches via plain snippets; d.c only matches once tokens are
+    // stemmed (Foo2 vs foo) — the stemmed stage must claim d.c but NOT
+    // re-claim c.c (reference stage ordering: the stemmed pass excludes
+    // snippet-matched resources, matchcode/pipes/matching.py:399-409)
+    val resources = Seq(
+      ("src/c.c", "c.c", true, 10L, null, null, null),
+      ("src/d.c", "d.c", true, 20L, null, null, null))
+      .toDF("path", "name", "is_file", "size", "sha1", "dir_fingerprint",
+        "file_fingerprint")
+    val emptyExact = Seq.empty[(String, String, String)]
+      .toDF("sha1", "download_url", "path")
+    val emptyDir = Seq.empty[(String, String, String, Long, Boolean, String)]
+      .toDF("download_url", "path", "name", "size", "is_file", "fingerprint")
+    val qsnip = Seq(
+      ("src/c.c", "plain1", 0L), ("src/c.c", "plain2", 16L),
+      ("src/d.c", "Foo2", 0L), ("src/d.c", "Bar9", 16L))
+      .toDF("q_path", "fingerprint", "position")
+    val snipIdx = Seq(
+      ("http://p/s.jar", "y/c.c", "plain1", 0L),
+      ("http://p/s.jar", "y/c.c", "plain2", 16L),
+      // d.c's raw tokens don't hit anything (index has stemmed forms)
+      ("http://p/t.jar", "z/d.c", "foo", 0L),
+      ("http://p/t.jar", "z/d.c", "bar", 16L))
+      .toDF("download_url", "path", "fingerprint", "position")
+    // stemmed query side: stemToken(Foo2) = foo, stemToken(Bar9) = bar
+    val stemmedQ = qsnip
+      .withColumn("fingerprint", Matching.stemToken($"fingerprint"))
+    val stemmedIdx = snipIdx
+      .withColumn("fingerprint", Matching.stemToken($"fingerprint"))
+    val out = Matching.matchCodebase(resources, emptyExact, emptyDir,
+      emptyDir, qsnip, snipIdx, minJaccard = 0.5,
+      stemmedQuerySnippets = Some(stemmedQ), stemmedIndex = Some(stemmedIdx))
+      .select("path", "download_url", "match_type")
+      .as[(String, String, String)].collect().toSet
+    assert(out == Set(
+      ("src/c.c", "http://p/s.jar", "snippet"),        // NOT stemmed
+      ("src/d.c", "http://p/t.jar", "stemmed_snippet")))
+  }
+
   test("rankPackages keeps the dominant package per resource") {
     val matches = Seq(
       ("r1", "http://p/big.jar", "exact_file"),
