@@ -46,12 +46,13 @@ object ScaleOps {
 
   /** Embedding-cosine near-duplicate pairs through the LSH buckets:
     * same sign-bit bucket, exact quantized cosine above threshold.
-    * The synthetic embeddings have no true near-dups (max cosine
-    * ≈ 0.4), so both engines must agree on the — empty or tiny —
-    * survivor set, which exercises the full plan. */
+    * The synthetic embeddings top out near cosine 0.5, so the 0.40
+    * threshold keeps a small non-empty survivor set (3 pairs of ~500
+    * candidates at sf0.01) — the oracle discriminates instead of
+    * agreeing on empty. */
   val embedNearDup = QueryDef(
     "d_embed_neardup", "LLM-pipeline dedup: embedding-cosine",
-    "LSH-bucketed embedding near-dup pairs (cosine ≥ 0.9)",
+    "LSH-bucketed embedding near-dup pairs (cosine ≥ 0.4)",
     (s, dir) => {
       val qv = expr(
         "transform(embedding, x -> CAST(FLOOR(x * 1000000.0 + 0.5) AS BIGINT))")
@@ -73,7 +74,7 @@ object ScaleOps {
         .withColumn("cosine",
           asDouble(dot) / (sqrt(asDouble(col("n2a"))) *
             sqrt(asDouble(col("n2b")))))
-        .filter(col("cosine") >= 0.9)
+        .filter(col("cosine") >= 0.4)
         .select("id_a", "id_b", "cosine")
         .orderBy("id_a", "id_b")
     },
@@ -114,7 +115,7 @@ object ScaleOps {
       JOIN nrm na ON na.vec_id = id_a
       JOIN nrm nb ON nb.vec_id = id_b
       WHERE CAST(dp AS DOUBLE) /
-          (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))) >= 0.9
+          (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))) >= 0.4
       ORDER BY id_a, id_b"""))
 
   val defs: Seq[QueryDef] = Seq(saltedAgg, embedNearDup)
