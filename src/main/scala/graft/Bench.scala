@@ -37,13 +37,28 @@ object Bench {
       release()
     }
 
-    val results = Registry.all.map { q =>
+    // Three full passes over the suite, per-query MEDIAN across
+    // passes. The round-2 driver run regressed byte-identical queries
+    // 10-25x in one positionally-contiguous stretch — transient host
+    // contention. Whole-suite passes put a query's repetitions minutes
+    // apart, so a transient slow window poisons at most one of the
+    // three samples and the median discards it. release() between runs
+    // keeps block-manager state from accumulating; it was exonerated
+    // by an A/B run (35.9s total with it, matching the 37.3s
+    // baseline).
+    val passes = 3
+    def onePass(): Seq[(String, Double)] = Registry.all.map { q =>
       val t0 = System.nanoTime()
       try q.run(spark, sfDir).count()
       catch { case _: Throwable => () }
       val dt = (System.nanoTime() - t0) / 1e9
       release()
       q.name -> dt
+    }
+    val samples = (1 to passes).map(_ => onePass())
+    val results = Registry.all.map(_.name).map { name =>
+      val ts = samples.map(_.find(_._1 == name).map(_._2).getOrElse(0.0)).sorted
+      name -> ts(ts.length / 2)
     }
     val qs = results
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
