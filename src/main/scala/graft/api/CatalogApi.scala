@@ -88,11 +88,19 @@ object CatalogApi {
     // distributed top-k (TakeOrderedAndProject) — never a global
     // single-partition window over the full filtered table. The
     // row_number tail-filter below runs over at most page*pageSize
-    // rows, a driver-bounded set.
-    val topK = sorted.limit(q.page * q.pageSize)
+    // rows, a driver-bounded set. page/pageSize are user-controlled:
+    // clamp in Long math so a huge page can neither overflow Int (a
+    // negative limit throws) nor turn the "driver-bounded" top-k into
+    // an unbounded full-table sort.
+    val MaxResultWindow = 100000L
+    val pageSize = math.max(1, math.min(q.pageSize, 1000))
+    val page = math.max(1L, q.page.toLong)
+    val window = math.min(page * pageSize, MaxResultWindow)
+    val topK = sorted.limit(window.toInt)
     val w = Window.orderBy(sortCols: _*)
     topK.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") > (q.page - 1) * q.pageSize)
+      .filter(col("__rn") > math.min((page - 1L) * pageSize,
+        MaxResultWindow))
       .drop("__rn")
   }
 

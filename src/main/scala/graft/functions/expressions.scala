@@ -117,8 +117,12 @@ object PurlParse {
       s = s.substring(0, qIdx)
     }
     var version: String = null
+    // '@' only separates a version when it follows the last path
+    // segment — a scoped npm purl written with a literal '@' and no
+    // version (pkg:npm/@babel/core) must not parse "babel/core" as a
+    // version (packageurl-python's tolerant scope handling)
     val atIdx = s.lastIndexOf('@')
-    if (atIdx >= 0) {
+    if (atIdx >= 0 && atIdx > s.lastIndexOf('/')) {
       version = dec(s.substring(atIdx + 1))
       if (version.isEmpty) version = null
       s = s.substring(0, atIdx)

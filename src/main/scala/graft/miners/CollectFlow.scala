@@ -52,7 +52,8 @@ object CollectFlow {
             PackageRow.minimal(
               s"https://registry.npmjs.org/$tarDir/-/$name-${v.value}.tgz",
               "npm", name, Some(v.value), CollectMiningLevel)
-              .copy(namespace = namespace)
+              .copy(namespace = namespace,
+                release_date = v.releaseDate.flatMap(tsOf))
           }
         }
       case "maven" =>
@@ -137,7 +138,8 @@ object CollectFlow {
             PackageRow.minimal(
               s"https://proxy.golang.org/$escaped/@v/$ev.zip",
               "golang", name, Some(v.value), CollectMiningLevel)
-              .copy(namespace = namespace)
+              .copy(namespace = namespace,
+                release_date = v.releaseDate.flatMap(tsOf))
           }
         }
       case "deb" =>

@@ -166,17 +166,31 @@ object MavenPom {
     }
 
   /** The ancestor POM texts of `pomText`, oldest first
-    * (`minecode/collectors/maven.py:186-200`). */
+    * (`minecode/collectors/maven.py:186-200`). Cyclic parent refs
+    * (A⇄B or self-parent in malformed POMs) terminate the walk instead
+    * of spinning an executor task forever: already-visited parent
+    * coordinates stop the loop, as does a depth cap. */
   def getAncestry(pomText: String, transport: Transport,
       baseUrl: String = MavenBaseUrl): Seq[String] = {
+    val MaxDepth = 64
     var ancestors = List.empty[String]
     var cur = pomText
     var continue = true
-    while (continue) {
+    val seen = scala.collection.mutable.Set.empty[(String, String, String)]
+    parse(cur).flatMap(_.parent).foreach(p =>
+      seen += ((p.groupId, p.artifactId, p.version)))
+    while (continue && ancestors.length < MaxDepth) {
       fetchParent(cur, transport, baseUrl) match {
         case Some(parentText) =>
           ancestors = parentText :: ancestors // prepend → oldest first
           cur = parentText
+          parse(cur).flatMap(_.parent) match {
+            case Some(p) =>
+              val coords = (p.groupId, p.artifactId, p.version)
+              if (seen.contains(coords)) continue = false
+              else seen += coords
+            case None => continue = false
+          }
         case None => continue = false
       }
     }

@@ -93,7 +93,16 @@ object ExpandApproxHammingJoin extends Rule[LogicalPlan] {
         // so it pushes below the join; degenerate probes emit nothing.
         // Widths are judged on the left fingerprint only — pairs with
         // differing lengths never pass the Hamming verify (NULL < k).
-        val nonDegenerate = GreaterThan(lW, Literal(0))
+        // Exception: an empty left fingerprint (length 0) has NO
+        // non-degenerate chunk, yet empty-vs-empty pairs have Hamming
+        // distance 0 < k under the cross-join semantics — probe 0 lets
+        // them through (band key "" only equals another empty chunk,
+        // so the probe stays selective; later probes still drop them,
+        // keeping the union duplicate-free).
+        val nonDegenerate =
+          if (i == 0) Or(GreaterThan(lW, Literal(0)),
+            EqualTo(Length(lFp), Literal(0)))
+          else GreaterThan(lW, Literal(0))
         // first-matching-chunk disjointness: earlier chunks must differ
         // (degenerate earlier chunks are always "equal" — skip them, or
         // every pair would be dropped from all later probes)

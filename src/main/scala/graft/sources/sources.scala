@@ -106,19 +106,24 @@ object NexusIndexReader {
       private var done = false
       private def advance(): Unit =
         try {
+          // records whose filtered field map is empty are skipped, not
+          // yielded (the reference's get_entries: `if entry: yield`)
           var rec = Map.empty[String, String]
-          val n = d.readInt()
-          var i = 0
-          while (i < n) {
-            d.readByte() // Lucene indexing flags: ignored
-            val name = d.readUTF() // 2-byte len, modified UTF-8
-            val valueLen = d.readInt() // nexus variant: int32 len
-            val valueBytes = new Array[Byte](valueLen)
-            d.readFully(valueBytes)
-            if (fields.isEmpty || fields.contains(name))
-              rec += name -> decodeModifiedUtf8(valueBytes)
-            i += 1
-          }
+          do {
+            rec = Map.empty[String, String]
+            val n = d.readInt()
+            var i = 0
+            while (i < n) {
+              d.readByte() // Lucene indexing flags: ignored
+              val name = d.readUTF() // 2-byte len, modified UTF-8
+              val valueLen = d.readInt() // nexus variant: int32 len
+              val valueBytes = new Array[Byte](valueLen)
+              d.readFully(valueBytes)
+              if (fields.isEmpty || fields.contains(name))
+                rec += name -> decodeModifiedUtf8(valueBytes)
+              i += 1
+            }
+          } while (rec.isEmpty)
           nextRec = rec
         } catch {
           // EOF (clean or torn trailing entry) ends the stream
@@ -458,32 +463,42 @@ object Robots {
   def parse(robotsTxt: String, userAgent: String = "*"): Rules = {
     var currentAgents = Set.empty[String]
     var matched = false
+    // set once the matching group's rules are complete (a new group
+    // begins after a matched group's rules) — no non-local return, so
+    // the parser survives being inlined into a Spark closure
+    var finished: Rules = null
     val disallow = scala.collection.mutable.ArrayBuffer.empty[String]
     var delay: Option[Double] = None
-    robotsTxt.linesIterator.map(_.trim).filter(_.nonEmpty)
-      .filterNot(_.startsWith("#")).foreach { line =>
-        val (key, value) = line.split(":", 2) match {
-          case Array(k, v) => (k.trim.toLowerCase, v.trim)
-          case _           => ("", "")
-        }
-        key match {
-          case "user-agent" =>
-            if (disallow.nonEmpty || delay.isDefined) {
-              // new group begins after rules: reset if we already matched
-              if (matched) return Rules(disallow.toSeq, delay)
+    val lines = robotsTxt.linesIterator.map(_.trim).filter(_.nonEmpty)
+      .filterNot(_.startsWith("#"))
+    while (finished == null && lines.hasNext) {
+      val line = lines.next()
+      val (key, value) = line.split(":", 2) match {
+        case Array(k, v) => (k.trim.toLowerCase, v.trim)
+        case _           => ("", "")
+      }
+      key match {
+        case "user-agent" =>
+          if (disallow.nonEmpty || delay.isDefined) {
+            // new group begins after rules: done if we already matched
+            if (matched) finished = Rules(disallow.toSeq, delay)
+            else {
               currentAgents = Set.empty
               disallow.clear(); delay = None
             }
+          }
+          if (finished == null) {
             currentAgents += value.toLowerCase
             matched = currentAgents.contains("*") ||
               currentAgents.contains(userAgent.toLowerCase)
-          case "disallow" if matched && value.nonEmpty => disallow += value
-          case "crawl-delay" if matched =>
-            delay = value.toDoubleOption
-          case _ => ()
-        }
+          }
+        case "disallow" if matched && value.nonEmpty => disallow += value
+        case "crawl-delay" if matched =>
+          delay = value.toDoubleOption
+        case _ => ()
       }
-    Rules(disallow.toSeq, delay)
+    }
+    if (finished != null) finished else Rules(disallow.toSeq, delay)
   }
 
   def allowed(path: String, rules: Rules): Boolean =

@@ -84,6 +84,23 @@ class ApproxHammingJoinSpec extends SparkTestBase {
     assert(got == Set("a" -> "x")) // hamming(deadbeef, deadbeee)=1
   }
 
+  test("empty fingerprints still match each other (hamming 0), once") {
+    // empty-vs-empty has Hamming 0 < k under cross-join semantics;
+    // probe 0 must emit it exactly once despite every chunk being
+    // degenerate, and empty-vs-nonempty must NOT match
+    val l = mkDf(Seq("e1" -> "", "a" -> "deadbeef"), "lid", "lfp")
+    val r = mkDf(Seq("e2" -> "", "x" -> "deadbeee"), "rid", "rfp")
+    val got = GraftExtensions
+      .approxHammingJoin(l, r, "lfp", "rfp", threshold = 3, bands = 4)
+      .select("lid", "rid").as[(String, String)].collect()
+    val naive = l.crossJoin(r)
+      .filter(hamming_bin(col("lfp"), col("rfp")) < 3)
+      .select("lid", "rid").as[(String, String)].collect().toSet
+    assert(got.toSet == naive)
+    assert(got.toSet == Set("e1" -> "e2", "a" -> "x"))
+    assert(got.length == got.toSet.size) // no duplicates
+  }
+
   test("expanded plan is equi-join probes, not a nested-loop cross join") {
     val l = mkDf(Seq("a" -> ("ab" * 16)), "lid", "lfp")
     val r = mkDf(Seq("b" -> ("ab" * 16)), "rid", "rfp")

@@ -132,6 +132,10 @@ class CollectFlowSpec extends SparkTestBase {
     assert(row._1.contains("@types"))
     assert(row._4 ==
       "https://registry.npmjs.org/@types/node/-/node-20.1.0.tgz")
+    // npm versions carry the registry's time{} release date (A7/J9
+    // latest-version ordering keys off release_date)
+    val rd = merged.select("release_date").collect().head.get(0)
+    assert(rd != null && rd.toString.startsWith("2023-05-05"))
   }
 
   test("collect with no resolvable purls leaves the catalog untouched") {

@@ -37,6 +37,18 @@ class ExpressionSpec extends SparkTestBase {
     assert(PurlParse.parse("pkg:onlytype") == null)
   }
 
+  test("purl_parse scoped npm with literal @ and no version") {
+    // '@' before the last '/' is a scope marker, not a version
+    // separator (packageurl-python tolerant form)
+    val p = PurlParse.parse("pkg:npm/@babel/core")
+    assert(p != null)
+    assert(p(0) == "npm" && p(1) == "@babel" && p(2) == "core" &&
+      p(3) == null)
+    // and the same purl WITH a version still parses the version
+    val q = PurlParse.parse("pkg:npm/@babel/core@7.0.0")
+    assert(q(1) == "@babel" && q(2) == "core" && q(3) == "7.0.0")
+  }
+
   test("purl_parse as a Column expression") {
     val df = Seq("pkg:gem/rails@7.0.0").toDF("purl")
       .select(GraftFunctions.purl_parse(col("purl")).as("p"))

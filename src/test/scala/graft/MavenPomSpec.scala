@@ -71,6 +71,33 @@ class MavenPomSpec extends SparkTestBase {
       Seq("apache", "pulsar", "pulsar-client-1x-base"))
   }
 
+  test("get_ancestry terminates on cyclic parent refs (A⇄B and self-parent)") {
+    def pomWithParent(g: String, a: String, v: String,
+        pg: String, pa: String, pv: String): String =
+      s"""<project xmlns="http://maven.apache.org/POM/4.0.0">
+        <parent><groupId>$pg</groupId><artifactId>$pa</artifactId>
+          <version>$pv</version></parent>
+        <groupId>$g</groupId><artifactId>$a</artifactId><version>$v</version>
+      </project>"""
+    val aPom = pomWithParent("g", "a", "1", "g", "b", "1")
+    val bPom = pomWithParent("g", "b", "1", "g", "a", "1")
+    val selfPom = pomWithParent("g", "s", "1", "g", "s", "1")
+    val t = new Transport {
+      def fetch(uri: String): Either[String, Array[Byte]] = uri match {
+        case u if u.endsWith("/g/a/1/a-1.pom") => Right(aPom.getBytes("UTF-8"))
+        case u if u.endsWith("/g/b/1/b-1.pom") => Right(bPom.getBytes("UTF-8"))
+        case u if u.endsWith("/g/s/1/s-1.pom") => Right(selfPom.getBytes("UTF-8"))
+        case u                                 => Left(s"404: $u")
+      }
+    }
+    // A -> B -> A: walk stops once coords repeat, never spins
+    val cyc = MavenPom.getAncestry(aPom, t)
+    assert(cyc.size == 2)
+    // self-parent: one ancestor, then stop
+    val self = MavenPom.getAncestry(selfPom, t)
+    assert(self.size == 1)
+  }
+
   test("merged ancestor package fills fields walking the whole chain") {
     val pkg = PackageRow.minimal(
       "https://repo1.maven.org/maven2/org/apache/pulsar/pulsar-client-1x/2.5.1/pulsar-client-1x-2.5.1.jar",
