@@ -41,31 +41,38 @@ object DedupOps {
         COUNT(*) OVER (PARTITION BY md5(text)) AS n_copies
       FROM documents ORDER BY doc_id"""))
 
-  /** MinHash signature k=32, bands of r=4 rows → 8 bands. Pairs whose
-    * token-set Jaccard ≥ ~0.47 collide in ≥1 band with high
-    * probability; verification computes exact Jaccard on the signature
-    * (unbiased estimate) and keeps pairs ≥ 0.5.
+  /** MinHash signature k=32, bands of r=4 rows → 8 bands, then an
+    * EXACT token-shingle Jaccard verify on the surviving candidate
+    * pairs — the production LSH shape (candidates from banded
+    * equi-joins, never all-pairs; exact verification only on the
+    * collision set). The final output depends only on the exact
+    * Jaccard, so the DuckDB oracle can mirror it with an all-pairs
+    * exact computation (feasible at oracle scale; the Spark plan never
+    * does all-pairs): the check is discriminating — LSH recall on
+    * every pair above the threshold must be total, and any false
+    * candidate must be filtered by the verify.
     */
   val minhash = QueryDef(
     "d_minhash_lsh", "LLM-pipeline dedup: MinHash+LSH",
-    "shingle→minhash(32)→band(8×4)→bucket-join→verify Jaccard≥0.5",
+    "shingle→minhash(32)→band(8×4)→bucket-join→exact-Jaccard verify≥0.5",
     (s, dir) => {
       // 3-token shingles: single tokens are too coarse on small
       // vocabularies (every doc resembles every other); shingling
       // restores discrimination, as in standard MinHash practice.
-      val sigs = t(s, dir, "documents")
+      val docs = t(s, dir, "documents")
         .withColumn("w", words)
-        .withColumn("sh", expr(
+        .withColumn("sh", array_distinct(expr(
           """transform(sequence(1, greatest(size(w) - 2, 1)),
-               i -> array_join(slice(w, i, 3), ' '))"""))
-        .select(col("doc_id"), minhash_sig(col("sh"), 32).as("sig"))
+               i -> array_join(slice(w, i, 3), ' '))""")))
+      val sigs = docs
+        .select(col("doc_id"), col("sh"), minhash_sig(col("sh"), 32).as("sig"))
       val bands = sigs.select(col("doc_id"), col("sig"),
           explode(expr(
             """transform(sequence(0, 7),
                  b -> struct(b AS band_idx,
                              hash(slice(sig, b*4 + 1, 4)) AS band_hash))"""))
             .as("band"))
-        .select(col("doc_id"), col("sig"),
+        .select(col("doc_id"),
           col("band.band_idx").as("band_idx"),
           col("band.band_hash").as("band_hash"))
       val a = bands.alias("a")
@@ -74,18 +81,51 @@ object DedupOps {
           col("a.band_idx") === col("b.band_idx") &&
             col("a.band_hash") === col("b.band_hash") &&
             col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
-          col("a.sig").as("sig1"), col("b.sig").as("sig2"))
+        .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
         .dropDuplicates("d1", "d2")
+      // exact verify: join candidate pairs back to their distinct
+      // shingle sets; Jaccard = |∩| / (|s1|+|s2|-|∩|)
+      val sets = docs.select(col("doc_id"), col("sh"),
+        size(col("sh")).as("n_sh"))
       cand
-        .withColumn("est_jaccard",
-          asDouble(size(filter(zip_with(col("sig1"), col("sig2"),
-            (x, y) => (x === y).cast("int")), v => v === 1))) / 32.0)
-        .filter(col("est_jaccard") >= 0.5)
-        .select("d1", "d2", "est_jaccard")
+        .join(sets.select(col("doc_id").as("d1"), col("sh").as("sh1"),
+          col("n_sh").as("n1")), "d1")
+        .join(sets.select(col("doc_id").as("d2"), col("sh").as("sh2"),
+          col("n_sh").as("n2")), "d2")
+        .withColumn("n_common",
+          size(array_intersect(col("sh1"), col("sh2"))))
+        .withColumn("jaccard",
+          asDouble(col("n_common")) /
+            asDouble(col("n1") + col("n2") - col("n_common")))
+        .filter(col("jaccard") >= 0.5)
+        .select("d1", "d2", "n_common", "jaccard")
         .orderBy("d1", "d2")
     },
-    None)
+    Some("""WITH w AS (
+        SELECT doc_id,
+          list_filter(string_split(text, ' '), x -> x <> '') AS ws
+        FROM documents),
+      sh AS (
+        SELECT doc_id,
+          list_distinct(list_transform(
+            range(1, greatest(len(ws) - 2, 1) + 1),
+            i -> array_to_string(ws[i:i+2], ' '))) AS shs
+        FROM w),
+      grams AS (SELECT doc_id, unnest(shs) AS g FROM sh),
+      sizes AS (SELECT doc_id, len(shs) AS n_sh FROM sh),
+      inter AS (
+        SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS n_common
+        FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+        GROUP BY 1, 2)
+      SELECT i.d1, i.d2, CAST(i.n_common AS INTEGER) AS n_common,
+        CAST(i.n_common AS DOUBLE) /
+          CAST(s1.n_sh + s2.n_sh - i.n_common AS DOUBLE) AS jaccard
+      FROM inter i
+      JOIN sizes s1 ON i.d1 = s1.doc_id
+      JOIN sizes s2 ON i.d2 = s2.doc_id
+      WHERE CAST(i.n_common AS DOUBLE) /
+          CAST(s1.n_sh + s2.n_sh - i.n_common AS DOUBLE) >= 0.5
+      ORDER BY d1, d2"""))
 
   /** SimHash near-dup with the reference's banded approximate-match
     * plan (J5): 4 equi-join band probes unioned (here: exploded into

@@ -53,7 +53,23 @@ object StreamOps {
           col("priority"))
         .orderBy("uri")
     },
-    None)
+    // The final queue state is deterministic and SQL-expressible:
+    // seed URIs have four '/' so the depth-gated visitor yields no
+    // children; two claim cycles of 8 by (priority DESC, uri DESC)
+    // visit the overall top 16, and the map cycle of 10 maps the
+    // overall top 10 (a subset of the visited 16). The oracle mirrors
+    // the claim-order state machine directly.
+    Some("""WITH seed AS (
+        SELECT 'http://' || source || '.example/doc/' ||
+            CAST(doc_id AS VARCHAR) AS uri,
+          CAST(doc_id % 7 AS INTEGER) AS priority
+        FROM documents WHERE doc_id < 20),
+      ranked AS (
+        SELECT uri, priority,
+          ROW_NUMBER() OVER (ORDER BY priority DESC, uri DESC) AS rn
+        FROM seed)
+      SELECT uri, rn <= 16 AS visited, rn <= 10 AS mapped, priority
+      FROM ranked ORDER BY uri"""))
 
   val defs: Seq[QueryDef] = Seq(frontierSim)
 }

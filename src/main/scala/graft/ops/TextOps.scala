@@ -105,23 +105,62 @@ object TextOps {
              ELSE 'und' END AS predicted
       FROM sc ORDER BY doc_id"""))
 
+  /** Winnowed document fingerprints (X6 family) with a fully
+    * oracle-mirrorable hash: word 4-grams → md5 prefix → window-16
+    * minimum (standard winnowing: every window of 16 consecutive gram
+    * hashes contributes its minimum), distinct + sorted. md5 and
+    * lexicographic-min over fixed-width hex behave identically in
+    * Spark and DuckDB, so the winnowing algebra itself is checked
+    * end-to-end. (The matching pipeline's `rollhash_fps` custom
+    * expression keeps its own Rabin-Karp hash — exercised by
+    * m_snippet_match and its specs.) */
   val fingerprint = QueryDef(
     "t_doc_fingerprint", "LLM-pipeline: doc fingerprinting (X6-like)",
-    "winnowed rolling-hash fingerprints (window 16, keep 8) per doc",
+    "winnowed md5 word-4-gram fingerprints (window 16) per doc",
     (s, dir) =>
       t(s, dir, "documents")
-        .select(col("doc_id"),
-          rollhash_fps(words, 16, 8).as("fps"))
+        .withColumn("w", words)
+        .withColumn("hs", expr(
+          """transform(
+               transform(sequence(1, greatest(size(w) - 3, 1)),
+                 i -> array_join(slice(w, i, 4), ' ')),
+               g -> substring(md5(g), 1, 8))"""))
+        .withColumn("fps", expr(
+          """array_sort(array_distinct(
+               transform(sequence(1, greatest(size(hs) - 15, 1)),
+                 p -> array_min(slice(hs, p, 16)))))"""))
         .select(col("doc_id"), size(col("fps")).as("n_fps"),
-          // surface the min fingerprint as a scalar for the rows check
-          element_at(col("fps"), 1).as("min_fp"))
+          element_at(col("fps"), 1).as("min_fp"),
+          element_at(col("fps"), size(col("fps"))).as("max_fp"))
         .orderBy("doc_id"),
-    None)
+    Some("""WITH w AS (
+        SELECT doc_id,
+          list_filter(string_split(text, ' '), x -> x <> '') AS ws
+        FROM documents),
+      hs AS (
+        SELECT doc_id,
+          list_transform(
+            list_transform(range(1, greatest(len(ws) - 3, 1) + 1),
+              i -> array_to_string(ws[i:i+3], ' ')),
+            g -> substr(md5(g), 1, 8)) AS hl
+        FROM w),
+      fps AS (
+        SELECT doc_id,
+          list_sort(list_distinct(
+            list_transform(range(1, greatest(len(hl) - 15, 1) + 1),
+              p -> list_min(hl[p:p+15])))) AS fl
+        FROM hs)
+      SELECT doc_id, CAST(len(fl) AS INTEGER) AS n_fps,
+        fl[1] AS min_fp, fl[len(fl)] AS max_fp
+      FROM fps ORDER BY doc_id"""))
 
   /** Real char-trigram language ID (Cavnar-Trenkle rank-order over
     * built-in profiles) — the production classifier next to the
-    * SQL-mirrorable marker heuristic above. Rows-only check; value
-    * behavior covered in DomainSpec. */
+    * SQL-mirrorable marker heuristic above. The DuckDB oracle
+    * reimplements the whole classifier in SQL — normalization,
+    * trigram rank profiles (docs AND the built-in seed corpora),
+    * out-of-place distance with the 300 cap, (distance, lang)
+    * tie-break, und-floor — so the UDF is value-checked end-to-end. */
   val langidNgram = QueryDef(
     "t_langid_ngram", "LLM-pipeline: language ID (char n-gram)",
     "trigram rank-profile classification per document",
@@ -131,7 +170,65 @@ object TextOps {
         .select(col("doc_id"), predict(col("text")).as("predicted"))
         .orderBy("doc_id")
     },
-    None)
+    Some("""WITH seeds(lang, stext) AS (VALUES
+        ('en', 'the quick brown fox jumps over the lazy dog and then it was said that all of the people who were there could not have known what would happen next because they had never seen anything like this before in their lives and it is what it is for the most part'),
+        ('es', 'el rápido zorro marrón salta sobre el perro perezoso y entonces se dijo que toda la gente que estaba allí no podía haber sabido lo que pasaría después porque nunca habían visto nada como esto antes en sus vidas y es lo que es en la mayoría de los casos'),
+        ('de', 'der schnelle braune fuchs springt über den faulen hund und dann wurde gesagt dass alle leute die dort waren nicht wissen konnten was als nächstes passieren würde weil sie so etwas noch nie in ihrem leben gesehen hatten und es ist was es ist'),
+        ('fr', 'le rapide renard brun saute par dessus le chien paresseux et puis il a été dit que tous les gens qui étaient là ne pouvaient pas savoir ce qui allait se passer ensuite parce qu''ils n''avaient jamais rien vu de tel auparavant dans leur vie et c''est comme ça')),
+      nd AS (
+        SELECT doc_id,
+          ' ' || trim(regexp_replace(lower(text), '[^\p{L}'']+', ' ', 'g'))
+            || ' ' AS t
+        FROM documents),
+      dg AS (
+        SELECT doc_id, substr(t, CAST(i AS INTEGER), 3) AS g
+        FROM (SELECT doc_id, t,
+            unnest(range(1, greatest(length(t) - 2, 0) + 1)) AS i
+          FROM nd)),
+      dp AS (
+        SELECT doc_id, g, rn - 1 AS rank FROM (
+          SELECT doc_id, g, ROW_NUMBER() OVER (
+              PARTITION BY doc_id ORDER BY cnt DESC, g) AS rn
+          FROM (SELECT doc_id, g, COUNT(*) AS cnt
+            FROM dg GROUP BY doc_id, g))
+        WHERE rn <= 300),
+      ns AS (
+        SELECT lang,
+          ' ' || trim(regexp_replace(lower(stext), '[^\p{L}'']+', ' ', 'g'))
+            || ' ' AS t
+        FROM seeds),
+      sg AS (
+        SELECT lang, substr(t, CAST(i AS INTEGER), 3) AS g
+        FROM (SELECT lang, t,
+            unnest(range(1, greatest(length(t) - 2, 0) + 1)) AS i
+          FROM ns)),
+      lp AS (
+        SELECT lang, g, rn - 1 AS rank FROM (
+          SELECT lang, g, ROW_NUMBER() OVER (
+              PARTITION BY lang ORDER BY cnt DESC, g) AS rn
+          FROM (SELECT lang, g, COUNT(*) AS cnt
+            FROM sg GROUP BY lang, g))
+        WHERE rn <= 300),
+      dsz AS (SELECT doc_id, COUNT(*) AS n FROM dp GROUP BY doc_id),
+      dist AS (
+        SELECT d.doc_id, l.lang,
+          SUM(CASE WHEN lp.rank IS NULL THEN 300
+              ELSE LEAST(300, ABS(lp.rank - d.rank)) END) AS dist
+        FROM dp d
+        CROSS JOIN (SELECT DISTINCT lang FROM lp) l
+        LEFT JOIN lp ON lp.lang = l.lang AND lp.g = d.g
+        GROUP BY d.doc_id, l.lang),
+      best AS (
+        SELECT doc_id, lang, ROW_NUMBER() OVER (
+            PARTITION BY doc_id ORDER BY dist, lang) AS rn
+        FROM dist)
+      SELECT docs.doc_id,
+        CASE WHEN dsz.n IS NULL OR dsz.n < 5 THEN 'und'
+             ELSE b.lang END AS predicted
+      FROM documents docs
+      LEFT JOIN dsz ON docs.doc_id = dsz.doc_id
+      LEFT JOIN best b ON b.doc_id = docs.doc_id AND b.rn = 1
+      ORDER BY docs.doc_id"""))
 
   val defs: Seq[QueryDef] = Seq(tok, quality, langid, langidNgram, fingerprint)
 }
