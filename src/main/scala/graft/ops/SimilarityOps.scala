@@ -82,28 +82,38 @@ object SimilarityOps {
         FROM cos) WHERE rn <= 5
       ORDER BY qid, rn"""))
 
-  /** LSH-bucketed ANN: bucket = sign bits of the first 8 components
-    * (8 fixed axis-aligned hyperplanes). Probing joins only same-bucket
-    * rows — the 100 TB plan — then ranks within bucket. Recall is
-    * traded for the equi-join; the oracle mirrors the same bucketing so
-    * results stay checkable.
+  /** LSH-bucketed ANN, the high-precision scale path: bucket = sign
+    * bits of the first 16 components (16 fixed axis-aligned
+    * hyperplanes → 65 536 buckets, so bucket population scales as
+    * n/2^16 — at 10^9 rows a bucket holds ~15 k vectors, never a
+    * mini cross-join), probed with flip-1 multiprobe (the query's own
+    * bucket plus its 16 single-bit-flip neighbors, the standard
+    * recall recovery for bit-sampling LSH). Probing is an equi-join
+    * of 17 probe rows per query against the bucketed table — hash
+    * -partitions cleanly on a 1000-executor cluster. The oracle
+    * mirrors bucket + probes exactly so results stay checkable.
     */
   val lshAnn = QueryDef(
     "s_cosine_ann_lsh", "LLM-pipeline similarity: LSH-bucketed ANN",
-    "sign-bit bucket equi-join ANN top-3 (scale path for cosine top-k)",
+    "16-bit sign LSH + flip-1 multiprobe ANN top-3 (cosine scale path)",
     (s, dir) => {
       val bucketExpr = expr(
-        """aggregate(sequence(1, 8),
+        """aggregate(sequence(1, 16),
              0, (acc, i) -> acc * 2 +
                CASE WHEN element_at(embedding, i) >= 0.0 THEN 1 ELSE 0 END)""")
       val emb = t(s, dir, "embeddings")
         .select(col("vec_id"), qvec.as("v"), bucketExpr.as("bucket"))
         .withColumn("n2", dot("v", "v"))
-      val queries = emb.filter(col("vec_id") < 10)
+      val probes = emb.filter(col("vec_id") < 10)
         .select(col("vec_id").as("qid"), col("v").as("qv"),
-          col("n2").as("qn2"), col("bucket").as("qbucket"))
-      val pairs = queries.join(emb,
-          col("qbucket") === col("bucket") && col("vec_id") =!= col("qid"))
+          col("n2").as("qn2"),
+          explode(expr(
+            """array_union(array(bucket),
+                 transform(sequence(0, 15),
+                   j -> CAST(bucket ^ shiftleft(1, j) AS INT)))"""))
+            .as("pbucket"))
+      val pairs = probes.join(emb,
+          col("pbucket") === col("bucket") && col("vec_id") =!= col("qid"))
         .withColumn("dp", dot("qv", "v"))
         .withColumn("cosine",
           asDouble(col("dp")) /
@@ -118,15 +128,17 @@ object SimilarityOps {
     },
     Some("""WITH b AS (
         SELECT vec_id, embedding,
-          ((((((((CASE WHEN embedding[1] >= 0.0 THEN 1 ELSE 0 END) * 2 +
-            CASE WHEN embedding[2] >= 0.0 THEN 1 ELSE 0 END) * 2 +
-            CASE WHEN embedding[3] >= 0.0 THEN 1 ELSE 0 END) * 2 +
-            CASE WHEN embedding[4] >= 0.0 THEN 1 ELSE 0 END) * 2 +
-            CASE WHEN embedding[5] >= 0.0 THEN 1 ELSE 0 END) * 2 +
-            CASE WHEN embedding[6] >= 0.0 THEN 1 ELSE 0 END) * 2 +
-            CASE WHEN embedding[7] >= 0.0 THEN 1 ELSE 0 END) * 2 +
-            CASE WHEN embedding[8] >= 0.0 THEN 1 ELSE 0 END) AS bucket
+          CAST(list_sum(list_transform(range(1, 17),
+            j -> CASE WHEN embedding[j] >= 0.0
+                 THEN 1 << (16 - CAST(j AS INTEGER)) ELSE 0 END))
+            AS INTEGER) AS bucket
         FROM embeddings),
+      probes AS (
+        SELECT vec_id AS qid,
+          unnest(list_prepend(bucket,
+            list_transform(range(0, 16),
+              j -> xor(bucket, 1 << CAST(j AS INTEGER))))) AS pbucket
+        FROM b WHERE vec_id < 10),
       u AS (
         SELECT vec_id, i,
           CAST(FLOOR(CAST(embedding[CAST(i AS INTEGER)] AS DOUBLE) * CAST(1000000 AS DOUBLE) + 0.5) AS BIGINT) AS x
@@ -136,10 +148,9 @@ object SimilarityOps {
       nrm AS (
         SELECT vec_id, CAST(SUM(x*x) AS BIGINT) AS n2 FROM u GROUP BY vec_id),
       cand AS (
-        SELECT qa.vec_id AS qid, qb.vec_id AS nid
-        FROM b qa JOIN b qb
-          ON qa.bucket = qb.bucket AND qa.vec_id <> qb.vec_id
-        WHERE qa.vec_id < 10),
+        SELECT p.qid, qb.vec_id AS nid
+        FROM probes p JOIN b qb
+          ON p.pbucket = qb.bucket AND qb.vec_id <> p.qid),
       dots AS (
         SELECT c.qid, c.nid, CAST(SUM(a.x*b.x) AS BIGINT) AS dp
         FROM cand c
@@ -160,5 +171,191 @@ object SimilarityOps {
         FROM cos) WHERE rn <= 3
       ORDER BY qid, rn"""))
 
-  val defs: Seq[QueryDef] = Seq(bruteTopK, lshAnn)
+  /** IVF (inverted-file) ANN with trained centroids — the
+    * coarse-quantizer scale path (FAISS IVF-Flat shape): k=32 seed
+    * centroids (first k vectors), one Lloyd iteration entirely in
+    * exact integer arithmetic (assign by max cosine, update by
+    * floor-averaged components), final cell assignment on the trained
+    * centroids, then queries probe their nprobe=4 nearest cells and
+    * rank candidates by exact quantized cosine.
+    *
+    * 100 TB shape: the centroid table is tiny and broadcast (even
+    * k=65 536 × 64 dims × 8 B = 32 MB), assignment is a map-side
+    * broadcast argmin — no shuffle — and the candidate join is an
+    * equi-join on cell_id; k grows with n (k ≈ n/target_cell_size) so
+    * cells stay bounded. Training at scale runs on a sample with more
+    * iterations; one exact-arithmetic iteration here keeps the DuckDB
+    * oracle able to mirror the whole pipeline bit-for-bit.
+    */
+  /** Quantized embeddings frame: (vec_id, v: array<bigint>, n2). */
+  def quantized(s: org.apache.spark.sql.SparkSession, dir: String)
+      : org.apache.spark.sql.DataFrame =
+    t(s, dir, "embeddings")
+      .select(col("vec_id"), qvec.as("v"))
+      .withColumn("n2", dot("v", "v"))
+
+  /** Rank every (vector, centroid) pair by cosine per vector; keep
+    * ranks ≤ nprobe. Centroid frames are broadcast — map-side argmin,
+    * no shuffle of the big side. */
+  private def nearestCells(vecs: org.apache.spark.sql.DataFrame,
+      cents: org.apache.spark.sql.DataFrame, nprobe: Int)
+      : org.apache.spark.sql.DataFrame = {
+    val joined = vecs.join(cents)
+      .withColumn("cdp", dot("v", "cv"))
+      .withColumn("ccos",
+        asDouble(col("cdp")) /
+          (sqrt(asDouble(col("n2"))) * sqrt(asDouble(col("cn2")))))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(desc("ccos"), col("cid"))
+    joined.withColumn("crn", row_number().over(w))
+      .filter(col("crn") <= nprobe)
+      .select(col("vec_id"), col("v"), col("n2"), col("cid").as("cell"))
+  }
+
+  /** Trained IVF centroids: k seed centroids (first k vectors), one
+    * Lloyd iteration in exact integer arithmetic (assign by max
+    * cosine, update by floor-averaged components). Returns
+    * (cid, cv: array<bigint>, cn2), broadcast-hinted. */
+  def ivfCentroids(emb: org.apache.spark.sql.DataFrame, k: Int)
+      : org.apache.spark.sql.DataFrame = {
+    val cents0 = broadcast(emb.filter(col("vec_id") < k)
+      .select(col("vec_id").as("cid"), col("v").as("cv"),
+        col("n2").as("cn2")))
+    val assign0 = nearestCells(emb, cents0, 1)
+    broadcast(assign0
+      .select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy("cell", "pos")
+      .agg(sum("x").as("sx"), count(lit(1)).as("cnt"))
+      .withColumn("cx", expr(
+        "CAST(FLOOR(CAST(sx AS DOUBLE) / CAST(cnt AS DOUBLE)) AS BIGINT)"))
+      .groupBy("cell")
+      .agg(expr("transform(array_sort(collect_list(struct(pos, cx)))," +
+        " s -> s.cx)").as("cv"))
+      .select(col("cell").as("cid"), col("cv"))
+      .withColumn("cn2", dot("cv", "cv")))
+  }
+
+  /** IVF cell assignment on trained centroids:
+    * (vec_id, v, n2, cell). */
+  def ivfCells(emb: org.apache.spark.sql.DataFrame,
+      cents: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = nearestCells(emb, cents, 1)
+
+  /** IVF candidate pairs for the query set: each query probes its
+    * `nprobe` nearest cells; candidates are an equi-join on cell. */
+  def ivfCandidates(queries: org.apache.spark.sql.DataFrame,
+      cells: org.apache.spark.sql.DataFrame,
+      cents: org.apache.spark.sql.DataFrame, nprobe: Int)
+      : org.apache.spark.sql.DataFrame = {
+    val qprobe = nearestCells(queries, cents, nprobe)
+      .select(col("vec_id").as("qid"), col("v").as("qv"),
+        col("n2").as("qn2"), col("cell").as("pcell"))
+    qprobe.join(cells,
+      col("pcell") === col("cell") && col("vec_id") =!= col("qid"))
+  }
+
+  val ivfAnn = QueryDef(
+    "s_cosine_ann_ivf", "LLM-pipeline similarity: IVF trained-centroid ANN",
+    "k=32 IVF, 1 integer-exact Lloyd iteration, nprobe=4, top-3 cosine",
+    (s, dir) => {
+      val emb = quantized(s, dir)
+      val cents1 = ivfCentroids(emb, 32)
+      val cells = ivfCells(emb, cents1)
+      val pairs = ivfCandidates(emb.filter(col("vec_id") < 10),
+          cells, cents1, nprobe = 4)
+        .withColumn("dp", dot("qv", "v"))
+        .withColumn("cosine",
+          asDouble(col("dp")) /
+            (sqrt(asDouble(col("qn2"))) * sqrt(asDouble(col("n2")))))
+      val w = Window.partitionBy(col("qid"))
+        .orderBy(desc("cosine"), col("vec_id"))
+      pairs
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("qid"), col("vec_id").as("nid"), col("cosine"), col("rn"))
+        .orderBy("qid", "rn")
+    },
+    Some("""WITH u AS (
+        SELECT vec_id, i,
+          CAST(FLOOR(CAST(embedding[CAST(i AS INTEGER)] AS DOUBLE) * CAST(1000000 AS DOUBLE) + 0.5) AS BIGINT) AS x
+        FROM (SELECT vec_id, embedding,
+                unnest(range(1, len(embedding) + 1)) AS i
+              FROM embeddings)),
+      nrm AS (
+        SELECT vec_id, CAST(SUM(x*x) AS BIGINT) AS n2 FROM u GROUP BY vec_id),
+      c0 AS (SELECT vec_id AS cid, i, x FROM u WHERE vec_id < 32),
+      c0n AS (SELECT cid, CAST(SUM(x*x) AS BIGINT) AS cn2 FROM c0 GROUP BY cid),
+      a0dot AS (
+        SELECT u.vec_id, c0.cid, CAST(SUM(u.x * c0.x) AS BIGINT) AS dp
+        FROM u JOIN c0 ON u.i = c0.i
+        GROUP BY u.vec_id, c0.cid),
+      a0 AS (
+        SELECT vec_id, cid AS cell FROM (
+          SELECT a.vec_id, a.cid,
+            ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY
+              CAST(a.dp AS DOUBLE) /
+                (sqrt(CAST(n.n2 AS DOUBLE)) * sqrt(CAST(cn.cn2 AS DOUBLE)))
+              DESC, a.cid) AS rn
+          FROM a0dot a
+          JOIN nrm n ON n.vec_id = a.vec_id
+          JOIN c0n cn ON cn.cid = a.cid)
+        WHERE rn = 1),
+      c1 AS (
+        SELECT a0.cell AS cid, u.i,
+          CAST(FLOOR(CAST(SUM(u.x) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)) AS BIGINT) AS x
+        FROM u JOIN a0 ON u.vec_id = a0.vec_id
+        GROUP BY a0.cell, u.i),
+      c1n AS (SELECT cid, CAST(SUM(x*x) AS BIGINT) AS cn2 FROM c1 GROUP BY cid),
+      a1dot AS (
+        SELECT u.vec_id, c1.cid, CAST(SUM(u.x * c1.x) AS BIGINT) AS dp
+        FROM u JOIN c1 ON u.i = c1.i
+        GROUP BY u.vec_id, c1.cid),
+      cells AS (
+        SELECT vec_id, cid AS cell FROM (
+          SELECT a.vec_id, a.cid,
+            ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY
+              CAST(a.dp AS DOUBLE) /
+                (sqrt(CAST(n.n2 AS DOUBLE)) * sqrt(CAST(cn.cn2 AS DOUBLE)))
+              DESC, a.cid) AS rn
+          FROM a1dot a
+          JOIN nrm n ON n.vec_id = a.vec_id
+          JOIN c1n cn ON cn.cid = a.cid)
+        WHERE rn = 1),
+      qprobe AS (
+        SELECT vec_id AS qid, cid AS pcell FROM (
+          SELECT a.vec_id, a.cid,
+            ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY
+              CAST(a.dp AS DOUBLE) /
+                (sqrt(CAST(n.n2 AS DOUBLE)) * sqrt(CAST(cn.cn2 AS DOUBLE)))
+              DESC, a.cid) AS rn
+          FROM a1dot a
+          JOIN nrm n ON n.vec_id = a.vec_id
+          JOIN c1n cn ON cn.cid = a.cid
+          WHERE a.vec_id < 10)
+        WHERE rn <= 4),
+      cand AS (
+        SELECT q.qid, c.vec_id AS nid
+        FROM qprobe q JOIN cells c
+          ON q.pcell = c.cell AND c.vec_id <> q.qid),
+      dots AS (
+        SELECT c.qid, c.nid, CAST(SUM(a.x*b.x) AS BIGINT) AS dp
+        FROM cand c
+        JOIN u a ON a.vec_id = c.qid
+        JOIN u b ON b.vec_id = c.nid AND a.i = b.i
+        GROUP BY c.qid, c.nid),
+      cos AS (
+        SELECT qid, nid,
+          CAST(dp AS DOUBLE) /
+            (sqrt(CAST(qa.n2 AS DOUBLE)) * sqrt(CAST(qb.n2 AS DOUBLE))) AS cosine
+        FROM dots
+        JOIN nrm qa ON qa.vec_id = qid
+        JOIN nrm qb ON qb.vec_id = nid)
+      SELECT qid, nid, cosine, rn FROM (
+        SELECT qid, nid, cosine,
+          ROW_NUMBER() OVER (PARTITION BY qid
+            ORDER BY cosine DESC, nid) AS rn
+        FROM cos) WHERE rn <= 3
+      ORDER BY qid, rn"""))
+
+  val defs: Seq[QueryDef] = Seq(bruteTopK, lshAnn, ivfAnn)
 }

@@ -81,4 +81,44 @@ class PlanSpec extends SparkTestBase {
       p.contains("BroadcastNestedLoopJoin"),
       s"query side not broadcast:\n${p.take(1500)}")
   }
+
+  test("IVF ANN: cells scale with n, candidate set is far below all-pairs") {
+    import org.apache.spark.sql.functions._
+    val emb = ops.SimilarityOps.quantized(spark, "/root/testdata/sf0.01")
+    val n = emb.count()
+    val cents = ops.SimilarityOps.ivfCentroids(emb, 32)
+    val cells = ops.SimilarityOps.ivfCells(emb, cents)
+    val nCells = cells.select("cell").distinct().count()
+    assert(nCells >= 16, s"IVF collapsed to $nCells cells")
+    val maxCell = cells.groupBy("cell").count()
+      .agg(max("count")).head().getLong(0)
+    assert(maxCell <= n / 2,
+      s"one cell holds $maxCell of $n vectors — partition is degenerate")
+    // nprobe=4 of k=32 cells ⇒ candidates ≈ (4/32)·q·n on balanced
+    // cells; assert the hard bound that matters at scale: well under
+    // the brute-force q·(n−1) pair count
+    val q = emb.filter(col("vec_id") < 10)
+    val cand = ops.SimilarityOps.ivfCandidates(q, cells, cents, 4).count()
+    assert(cand < 10 * (n - 1) / 2,
+      s"candidate set $cand not far below all-pairs ${10 * (n - 1)}")
+    assert(cand > 0, "IVF probing returned no candidates at all")
+  }
+
+  test("16-bit LSH: bucket population scales as n/2^bits, probes bounded") {
+    import org.apache.spark.sql.functions._
+    val emb = core.t(spark, "/root/testdata/sf0.01", "embeddings")
+      .withColumn("bucket", expr(
+        """aggregate(sequence(1, 16),
+             0, (acc, i) -> acc * 2 +
+               CASE WHEN element_at(embedding, i) >= 0.0 THEN 1 ELSE 0 END)"""))
+    val n = emb.count()
+    val byBucket = emb.groupBy("bucket").count()
+    val maxBucket = byBucket.agg(max("count")).head().getLong(0)
+    // balanced sign bits ⇒ buckets hold only near-identical vectors
+    // (planted near-dups); no bucket may aggregate a constant fraction
+    assert(maxBucket <= math.max(4L, n / 50),
+      s"one LSH bucket holds $maxBucket of $n vectors")
+    assert(byBucket.count() >= n / 4,
+      "bucket count does not grow with n — hash is degenerate")
+  }
 }
