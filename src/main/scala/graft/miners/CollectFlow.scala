@@ -142,6 +142,38 @@ object CollectFlow {
                 release_date = v.releaseDate.flatMap(tsOf))
           }
         }
+      case "deb" if namespace.contains("ubuntu") =>
+        // Ubuntu debs resolve via Launchpad getPublishedSources
+        // (reference VERSION_API_CLASS_BY_PACKAGE_NAMESPACE:
+        // deb/ubuntu → LaunchpadVersionAPI), a paginated collection
+        // walked via next_collection_link; page cap guards against a
+        // cyclic link spinning an executor task
+        val first = "https://api.launchpad.net/1.0/ubuntu/+archive/" +
+          s"primary?ws.op=getPublishedSources&source_name=$name&exact_match=true"
+        val MaxPages = 50
+        var url = Option(first)
+        var pages = 0
+        val acc = Seq.newBuilder[RegistryParsers.PackageVersion]
+        var err: Option[String] = None
+        while (url.isDefined && pages < MaxPages && err.isEmpty) {
+          transport.fetch(url.get) match {
+            case Left(e) => if (pages == 0) err = Some(e) else url = None
+            case Right(b) =>
+              val (vs, next) =
+                RegistryParsers.launchpadVersions(new String(b, "UTF-8"))
+              acc ++= vs
+              url = if (next == url) None else next
+              pages += 1
+          }
+        }
+        err.toLeft(acc.result().map { v =>
+          val initial = name.take(1)
+          PackageRow.minimal(
+            s"https://archive.ubuntu.com/ubuntu/pool/main/$initial/$name/${name}_${v.value}.dsc",
+            "deb", name, Some(v.value), CollectMiningLevel)
+            .copy(namespace = namespace,
+              release_date = v.releaseDate.flatMap(tsOf))
+        })
       case "deb" =>
         // sources.debian.org version list + the standard archive pool
         // layout for source packages

@@ -384,6 +384,37 @@ object RegistryParsers {
     }
   }
 
+  /** Launchpad getPublishedSources page
+    * (`packagedb/package_managers.py:139-175`, Ubuntu debian
+    * packages): entries[].source_package_version with the default
+    * "0:" epoch removed + date_published; returns the page's versions
+    * and the next_collection_link when the collection is paginated.
+    * Missing/empty entries yield nothing (and stop the walk). */
+  def launchpadVersions(json: String)
+      : (Seq[PackageVersion], Option[String]) = {
+    val root = JsonMethods.parse(json)
+    val entries = (root \ "entries") match {
+      case JArray(es) if es.nonEmpty => es
+      case _                         => return (Seq.empty, None)
+    }
+    val versions = entries.flatMap { e =>
+      (e \ "source_package_version") match {
+        case JString(v) if v.nonEmpty =>
+          val date = (e \ "date_published") match {
+            case JString(d) => Some(d)
+            case _          => None
+          }
+          Some(PackageVersion(v.replace("0:", ""), date))
+        case _ => None
+      }
+    }
+    val next = (root \ "next_collection_link") match {
+      case JString(u) if u.nonEmpty => Some(u)
+      case _                        => None
+    }
+    (versions, next)
+  }
+
   /** goproxy `@v/list` plain-text response
     * (`packagedb/package_managers.py:498-530`): one version per line,
     * optionally followed by a timestamp. */

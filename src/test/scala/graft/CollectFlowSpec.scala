@@ -48,6 +48,18 @@ class CollectFlowSpec extends SparkTestBase {
         Right("v0.3.1\nv1.0.0\n".getBytes)
       case u if u.contains("sources.debian.org/api/src/zlib") =>
         Right("""{"versions": [{"version": "1:1.2.13.dfsg-1"}]}""".getBytes)
+      case u if u.contains("api.launchpad.net") && u.contains("source_name=bash") &&
+          !u.contains("memo") =>
+        // page 1 of a paginated getPublishedSources collection
+        Right("""{"entries": [
+            {"source_package_version": "0:5.1-6ubuntu1",
+             "date_published": "2022-03-01T10:00:00.123456+00:00"}],
+          "next_collection_link": "https://api.launchpad.net/1.0/ubuntu/+archive/primary?ws.op=getPublishedSources&source_name=bash&exact_match=true&memo=1"}"""
+          .getBytes)
+      case u if u.contains("api.launchpad.net") && u.contains("memo=1") =>
+        Right("""{"entries": [
+            {"source_package_version": "5.2-2ubuntu3",
+             "date_published": "2023-05-10T09:30:00+00:00"}]}""".getBytes)
       case u => Left(s"unexpected fetch: $u")
     }
   }
@@ -136,6 +148,27 @@ class CollectFlowSpec extends SparkTestBase {
     // latest-version ordering keys off release_date)
     val rd = merged.select("release_date").collect().head.get(0)
     assert(rd != null && rd.toString.startsWith("2023-05-05"))
+  }
+
+  test("ubuntu debs resolve via Launchpad with pagination and epoch strip") {
+    val empty = Seq.empty[PackageRow].toDF()
+    val (merged, errors) = CollectFlow.collect(spark, empty,
+      Seq("pkg:deb/ubuntu/bash"), transport, "2026-08-12T00:00:00Z")
+    assert(errors.isEmpty, errors.mkString("; "))
+    val rows = merged
+      .select("namespace", "version", "download_url", "release_date")
+      .collect()
+    // both pages walked via next_collection_link; default epoch gone
+    assert(rows.map(_.getString(1)).toSet == Set("5.1-6ubuntu1", "5.2-2ubuntu3"))
+    assert(rows.forall(_.getString(0) == "ubuntu"))
+    assert(rows.forall(_.getString(2).startsWith(
+      "https://archive.ubuntu.com/ubuntu/pool/main/b/bash/bash_")))
+    assert(rows.forall(_.get(3) != null)) // date_published parsed
+    // debian namespace still routes to sources.debian.org
+    val (m2, e2) = CollectFlow.collect(spark, empty,
+      Seq("pkg:deb/debian/zlib"), transport, "2026-08-12T00:00:00Z")
+    assert(e2.isEmpty)
+    assert(m2.select("version").collect().head.getString(0) == "1:1.2.13.dfsg-1")
   }
 
   test("collect with no resolvable purls leaves the catalog untouched") {
