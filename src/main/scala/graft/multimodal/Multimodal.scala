@@ -10,11 +10,12 @@ import org.apache.spark.sql.functions._
   * executor-side transforms (`mapPartitions` — the Scala analogue of
   * the Pandas-UDF/mapInPandas batch shape).
   *
-  * The actual codec calls are STUBBED (no image/audio libraries in
-  * this environment): `FakeCodec` derives deterministic pseudo-decoded
-  * frames/samples from the payload bytes. Everything around the stub —
-  * schema, partitioning, batch iteration, output shapes — is real and
-  * is what a production codec would drop into.
+  * The IMAGE path is real: payloads are genuine PNG bytes and
+  * [[ImageCodec]] decodes them with the JDK's `javax.imageio` (zero
+  * extra dependencies), resizes with a deterministic nearest-neighbor
+  * sampler, and reports exact pixel statistics. Audio/video decoding
+  * stays STUBBED (`FakeCodec`, no codec libraries in this
+  * environment) behind the same batched plumbing.
   */
 object Multimodal {
 
@@ -32,20 +33,92 @@ object Multimodal {
       frame_hash: Long)
 
   // ======================================================================
-  // STUB CODEC — deterministic fake standing in for image/audio decoding.
-  // A real deployment replaces only this object (e.g. with javacv/ffmpeg
-  // bindings); the Spark plumbing below is unchanged.
+  // REAL IMAGE CODEC — JDK javax.imageio PNG/JPEG decode, deterministic
+  // synthesis and resize. Executor-safe, no external dependencies.
+  // ======================================================================
+  object ImageCodec {
+    // no temp-file cache: decoding happens inside executor tasks
+    javax.imageio.ImageIO.setUseCache(false)
+
+    /** Deterministic RGB pixel for (x, y) under a seed. */
+    def pixel(seed: Long, x: Int, y: Int): Int =
+      (Fnv.hash64(s"$seed:$x:$y".getBytes("UTF-8")) & 0xffffff).toInt
+
+    /** Encode a real PNG with deterministic pixels. */
+    def encodePng(width: Int, height: Int, seed: Long): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(width, height,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < height) {
+        var x = 0
+        while (x < width) {
+          img.setRGB(x, y, pixel(seed, x, y)); x += 1
+        }
+        y += 1
+      }
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", out)
+      out.toByteArray
+    }
+
+    /** Decode PNG/JPEG bytes → (width, height, sum of R+G+B over all
+      * pixels). None when the payload is not a decodable image. */
+    def decode(content: Array[Byte]): Option[(Int, Int, Long)] = {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(content))
+      if (img == null) None
+      else {
+        var sum = 0L
+        var y = 0
+        while (y < img.getHeight) {
+          var x = 0
+          while (x < img.getWidth) {
+            val rgb = img.getRGB(x, y)
+            sum += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+            x += 1
+          }
+          y += 1
+        }
+        Some((img.getWidth, img.getHeight, sum))
+      }
+    }
+
+    /** Deterministic nearest-neighbor resize → pixel-sum statistic of
+      * the resized image. (Graphics2D interpolation is rendering-
+      * pipeline dependent; explicit sampling is bit-stable across
+      * JVMs.) */
+    def resizeNearest(content: Array[Byte], tw: Int, th: Int)
+        : Option[Long] = {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(content))
+      if (img == null) None
+      else {
+        val (w, h) = (img.getWidth, img.getHeight)
+        var sum = 0L
+        var y = 0
+        while (y < th) {
+          val sy = math.min(h - 1, y * h / th)
+          var x = 0
+          while (x < tw) {
+            val sx = math.min(w - 1, x * w / tw)
+            val rgb = img.getRGB(sx, sy)
+            sum += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+            x += 1
+          }
+          y += 1
+        }
+        Some(sum)
+      }
+    }
+  }
+
+  // ======================================================================
+  // STUB CODEC — deterministic fake standing in for audio/video decoding
+  // only (no ffmpeg in this environment). A real deployment replaces only
+  // this object (e.g. with javacv/ffmpeg bindings); the Spark plumbing is
+  // unchanged. Images use the REAL ImageCodec above.
   // ======================================================================
   object FakeCodec {
-    /** "Decode" an image payload: dimensions from the metadata, pixel
-      * statistics derived from payload bytes. Deterministic. */
-    def decodeImage(content: Array[Byte], meta: MediaMeta): (Int, Int, Long) =
-      (meta.width, meta.height, Fnv.hash64(content))
-
-    /** "Resize": deterministic re-hash folding in target dims. */
-    def resize(pixelsHash: Long, w: Int, h: Int): Long =
-      Fnv.hash64(s"$pixelsHash:$w:$h".getBytes("UTF-8"))
-
     /** "Frame-sample" a video payload: one hash per sampled frame. */
     def sampleFrames(content: Array[Byte], everyNth: Int,
         nFrames: Int): Seq[(Int, Long)] =
@@ -66,10 +139,11 @@ object Multimodal {
     }
   }
 
-  /** Build a deterministic media table from the documents table: text
-    * bytes as payloads, alternating kinds, synthesized metadata. This
-    * is the test/bench input; production reads real blobs the same
-    * way (binary column + metadata struct). */
+  /** Build a deterministic media table from the documents table:
+    * image rows carry REAL PNG payloads (deterministic pixels seeded
+    * by doc_id, dimensions derived from n_chars), audio/video rows
+    * carry text bytes, all with typed metadata. Production reads real
+    * blobs the same way (binary column + metadata struct). */
   def mediaTable(spark: SparkSession, dir: String): Dataset[MediaRow] = {
     import spark.implicits._
     graft.core.t(spark, dir, "documents")
@@ -79,24 +153,32 @@ object Multimodal {
         val kind = (id % 3) match {
           case 0 => "image"; case 1 => "audio"; case _ => "video"
         }
-        MediaRow(id, kind, text.getBytes("UTF-8"),
-          MediaMeta(s"fake/$kind", width = (nChars % 640).toInt + 64,
-            height = (nChars % 480).toInt + 48, sampleRate = 16000,
-            durationMs = nChars * 10))
+        if (kind == "image") {
+          val w = (nChars % 64).toInt + 8
+          val h = (nChars % 48).toInt + 6
+          MediaRow(id, kind, ImageCodec.encodePng(w, h, seed = id),
+            MediaMeta("image/png", width = w, height = h,
+              sampleRate = 0, durationMs = 0))
+        } else
+          MediaRow(id, kind, text.getBytes("UTF-8"),
+            MediaMeta(s"fake/$kind", width = 0, height = 0,
+              sampleRate = 16000, durationMs = nChars * 10))
       }
   }
 
-  /** Decode+resize for image rows — batched per partition; the
-    * iterator is consumed lazily so a partition never materializes in
-    * memory (the mapInPandas batch contract). */
+  /** Decode+resize for image rows — REAL ImageIO decode, batched per
+    * partition; the iterator is consumed lazily so a partition never
+    * materializes in memory (the mapInPandas batch contract).
+    * Undecodable payloads are dropped (production would route them to
+    * an error sink). */
   def imagePipeline(images: Dataset[MediaRow], targetW: Int,
       targetH: Int): Dataset[(Long, Int, Int, Long)] = {
     import images.sparkSession.implicits._
     images.filter(_.kind == "image").mapPartitions { it =>
-      it.map { m =>
-        val (w, h, pixels) = FakeCodec.decodeImage(m.content, m.meta)
-        (m.media_id, targetW, targetH,
-          FakeCodec.resize(pixels, targetW, targetH))
+      it.flatMap { m =>
+        ImageCodec.resizeNearest(m.content, targetW, targetH).map { sum =>
+          (m.media_id, targetW, targetH, sum)
+        }
       }
     }
   }
@@ -127,14 +209,24 @@ object Multimodal {
     }
   }
 
-  /** Driver-surface query: media features summarized (rows-only
-    * check; the codec is a stub, the plumbing is what's exercised). */
+  /** Driver-surface query: media features summarized. Image rows
+    * report REAL decoded dimensions and exact pixel sums from the PNG
+    * payload (javax.imageio); audio/video report stub features
+    * (rows-only check — binary payloads have no SQL oracle). */
   def featureSummary(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    features(mediaTable(spark, dir))
-      .map(f => (f.media_id, f.width, f.height,
-        f.embedding.map(x => x.toDouble * x.toDouble).sum))
-      .toDF("media_id", "width", "height", "embedding_norm2")
+    mediaTable(spark, dir).mapPartitions { it =>
+      it.map { m =>
+        val decoded =
+          if (m.kind == "image") ImageCodec.decode(m.content) else None
+        val (w, h, psum) = decoded.getOrElse(
+          (m.meta.width, m.meta.height, -1L))
+        val emb = FakeCodec.embed(m.content, 64)
+        (m.media_id, m.kind, w, h, psum,
+          emb.map(x => x.toDouble * x.toDouble).sum)
+      }
+    }.toDF("media_id", "kind", "width", "height", "pixel_sum",
+      "embedding_norm2")
       .orderBy("media_id")
   }
 }

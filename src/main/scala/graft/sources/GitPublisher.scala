@@ -1,0 +1,111 @@
+package graft.sources
+
+import java.io.File
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+
+/** S15 — FederatedCode git publisher
+  * (`minecode/pipelines/__init__.py:150-348`,
+  * `minecode/pipes/__init__.py:161-332`): mined purls are written as
+  * sorted `purls.yml` files into a git checkout and committed in
+  * batches of 100 files, with a numbered commit message per batch and
+  * a final commit for the remainder.
+  *
+  * Spark shape: a git checkout is a single-writer resource, so the
+  * publisher is the *sink* side of a `foreachBatch` — the distributed
+  * plan produces (path, purls) rows, and each micro-batch drains
+  * driver-side through `toLocalIterator` (bounded memory: one row at
+  * a time) into the checkout. Mining stays fully distributed; only
+  * the final file/commit step is serialized, exactly like the
+  * reference's worker loop.
+  */
+object GitPublisher {
+
+  /** One file to publish: repo-relative path + the purls it lists. */
+  final case class PublishItem(relativePath: String, purls: Seq[String])
+
+  val DefaultBatchSize = 100 // minecode/pipelines/__init__.py:218
+
+  /** Run git in `repoDir` with a fixed identity (no global config
+    * dependency); returns stdout, throws on nonzero exit. */
+  def git(repoDir: File, args: String*): String = {
+    val cmd = Seq("git", "-c", "user.name=graft-publisher",
+      "-c", "user.email=publisher@graft.invalid") ++ args
+    val pb = new ProcessBuilder(cmd: _*)
+    pb.directory(repoDir)
+    pb.redirectErrorStream(true)
+    val p = pb.start()
+    val out = new String(p.getInputStream.readAllBytes(),
+      StandardCharsets.UTF_8)
+    if (p.waitFor() != 0)
+      throw new RuntimeException(
+        s"git ${args.mkString(" ")} failed in $repoDir:\n$out")
+    out
+  }
+
+  /** Write one purls.yml: sorted unique purls as a YAML list
+    * (`pipes/__init__.py:161-173`); append merges with the existing
+    * list before dedup+sort. Returns the relative path written. */
+  def writePurlsYaml(repoDir: File, relativePath: String,
+      purls: Seq[String], append: Boolean = false): String = {
+    val full = Paths.get(repoDir.getPath, relativePath)
+    Files.createDirectories(full.getParent)
+    val existing =
+      if (append && Files.exists(full))
+        Files.readAllLines(full).toArray(Array.empty[String]).toSeq
+          .filter(_.startsWith("- ")).map(_.stripPrefix("- "))
+      else Seq.empty
+    val merged = (existing ++ purls).distinct.sorted
+    val yaml = merged.map(p => s"- $p").mkString("", "\n", "\n")
+    Files.write(full, yaml.getBytes(StandardCharsets.UTF_8))
+    relativePath
+  }
+
+  /** The reference's numbered commit message
+    * (`pipelines/__init__.py:118-134`, without the service identity
+    * footer). */
+  def commitMessage(commitCount: Int, totalCommitCount: String = "many")
+      : String =
+    s"Add newly mined PackageURLs ($commitCount/$totalCommitCount)"
+
+  /** Publish a stream of items into the checkout: write each file,
+    * commit every `batchSize` files, final commit for the remainder.
+    * Returns the number of commits made. */
+  def publish(items: Iterator[PublishItem], repoDir: File,
+      batchSize: Int = DefaultBatchSize, append: Boolean = false): Int = {
+    var pending = List.empty[String]
+    var commits = 0
+    def commit(msg: String): Unit = if (pending.nonEmpty) {
+      git(repoDir, Seq("add", "--") ++ pending.reverse: _*)
+      git(repoDir, "commit", "-q", "-m", msg)
+      commits += 1
+      pending = Nil
+    }
+    items.foreach { item =>
+      pending ::= writePurlsYaml(repoDir, item.relativePath, item.purls,
+        append)
+      if (pending.size >= batchSize) commit(commitMessage(commits + 1))
+    }
+    commit(commitMessage(commits + 1, totalCommitCount = s"${commits + 1}"))
+    commits
+  }
+
+  /** Drain one micro-batch DataFrame of (relativePath, purls) into
+    * the checkout — the body of a `foreachBatch((df, id) => ...)`
+    * streaming sink. `toLocalIterator` keeps driver memory bounded to
+    * one row regardless of batch size. */
+  def publishBatch(batch: DataFrame, repoDir: File,
+      batchSize: Int = DefaultBatchSize, append: Boolean = false): Int = {
+    import scala.jdk.CollectionConverters._
+    val session = batch.sparkSession
+    import session.implicits._
+    val items: Dataset[(String, Seq[String])] = batch
+      .selectExpr("CAST(relativePath AS STRING)", "purls")
+      .as[(String, Seq[String])]
+    publish(items.toLocalIterator().asScala
+      .map { case (p, purls) => PublishItem(p, purls) },
+      repoDir, batchSize, append)
+  }
+}

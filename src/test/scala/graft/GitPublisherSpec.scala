@@ -1,0 +1,74 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.sources.GitPublisher
+import graft.sources.GitPublisher.PublishItem
+
+/** End-to-end S15: publish purls.yml batches into a real local git
+  * repo and assert the batched-commit contract
+  * (`minecode/pipelines/__init__.py:150-348`, batch_size=100).
+  */
+class GitPublisherSpec extends SparkTestBase {
+
+  private def initRepo(): java.io.File = {
+    val dir = Files.createTempDirectory("graft-publisher").toFile
+    GitPublisher.git(dir, "init", "-q", "-b", "main")
+    dir
+  }
+
+  private def log(dir: java.io.File): Seq[String] =
+    GitPublisher.git(dir, "log", "--pretty=%s").linesIterator.toSeq
+
+  test("publisher commits in batches of batch_size files + final commit") {
+    val dir = initRepo()
+    val items = (1 to 250).map(i =>
+      PublishItem(f"aboutcode-packages-0/npm/pkg$i%03d/purls.yml",
+        Seq(f"pkg:npm/pkg$i%03d@1.0.0")))
+    val commits = GitPublisher.publish(items.iterator, dir, batchSize = 100)
+    assert(commits == 3) // 100 + 100 + 50
+    val messages = log(dir)
+    assert(messages == Seq(
+      "Add newly mined PackageURLs (3/3)",
+      "Add newly mined PackageURLs (2/many)",
+      "Add newly mined PackageURLs (1/many)"))
+    // every file landed in exactly one commit
+    val firstBatch = GitPublisher.git(dir, "show", "--stat", "--pretty=",
+      "HEAD~2").linesIterator.count(_.contains("purls.yml"))
+    assert(firstBatch == 100)
+    val lastBatch = GitPublisher.git(dir, "show", "--stat", "--pretty=",
+      "HEAD").linesIterator.count(_.contains("purls.yml"))
+    assert(lastBatch == 50)
+  }
+
+  test("purls.yml is a sorted YAML list; append merges and dedups") {
+    val dir = initRepo()
+    GitPublisher.writePurlsYaml(dir, "deb/zlib/purls.yml",
+      Seq("pkg:deb/zlib@2", "pkg:deb/zlib@1"))
+    val p = java.nio.file.Paths.get(dir.getPath, "deb/zlib/purls.yml")
+    assert(new String(Files.readAllBytes(p), "UTF-8") ==
+      "- pkg:deb/zlib@1\n- pkg:deb/zlib@2\n")
+    // append: merge, dedup, re-sort (pipes write_packageurls_to_file)
+    GitPublisher.writePurlsYaml(dir, "deb/zlib/purls.yml",
+      Seq("pkg:deb/zlib@3", "pkg:deb/zlib@1"), append = true)
+    assert(new String(Files.readAllBytes(p), "UTF-8") ==
+      "- pkg:deb/zlib@1\n- pkg:deb/zlib@2\n- pkg:deb/zlib@3\n")
+    // overwrite mode replaces
+    GitPublisher.writePurlsYaml(dir, "deb/zlib/purls.yml",
+      Seq("pkg:deb/zlib@9"))
+    assert(new String(Files.readAllBytes(p), "UTF-8") == "- pkg:deb/zlib@9\n")
+  }
+
+  test("foreachBatch-shaped sink drains a DataFrame into the checkout") {
+    import spark.implicits._
+    val dir = initRepo()
+    val df = (1 to 7).map(i =>
+        (s"aboutcode-packages-1/gem/g$i/purls.yml", Seq(s"pkg:gem/g$i@1")))
+      .toDF("relativePath", "purls")
+    val commits = GitPublisher.publishBatch(df, dir, batchSize = 3)
+    assert(commits == 3) // 3 + 3 + 1
+    assert(log(dir).head == "Add newly mined PackageURLs (3/3)")
+    val tracked = GitPublisher.git(dir, "ls-files").linesIterator.size
+    assert(tracked == 7)
+  }
+}

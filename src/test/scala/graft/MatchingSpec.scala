@@ -218,4 +218,57 @@ class MatchingSpec extends SparkTestBase {
     assert(r1.getAs[String]("download_url") == "http://p/big.jar")
     assert(out.count() == 3)
   }
+
+  test("snippet pipeline matches the reference's approximate-file corpus") {
+    // The reference's approximate-file-matching fixtures: index.js is
+    // deep-equal 1.0.1's real source, index-modified.js a lightly
+    // edited copy that the reference expects to match it
+    // (index-modified.js-expected.json); inflate.c / inflate-mod.c the
+    // same for zlib. End-to-end: tokenize, produce REAL 16-token
+    // rolling-window fingerprints per position (rollhash_fps, the X6
+    // producer), snippet-match, and assert the reference's expected
+    // best-match outcomes with no cross-corpus confusion.
+    graft.functions.GraftFunctions.register(spark) // rollhash_fps in expr()
+    val dir = "/root/reference/matchcode/tests/testfiles/match/" +
+      "approximate-file-matching"
+    def tokens(name: String): Seq[String] =
+      new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(dir, name)), "UTF-8")
+        .split("[^A-Za-z0-9]+").filter(_.nonEmpty).toSeq
+
+    def windowFps(files: Seq[String]): org.apache.spark.sql.DataFrame =
+      files.map(f => (f, tokens(f))).toDF("path", "tokens")
+        .select(col("path"),
+          posexplode(expr(
+            """transform(sequence(1, greatest(size(tokens) - 15, 1)),
+                 p -> element_at(
+                   rollhash_fps(slice(tokens, p, 16), 16, 1), 1))""")))
+        .withColumnRenamed("pos", "position")
+        .withColumnRenamed("col", "fingerprint")
+        .select(col("path"), col("fingerprint").cast("string"),
+          col("position").cast("long").as("position"))
+
+    val queries = windowFps(Seq("index-modified.js", "inflate-mod.c"))
+      .withColumnRenamed("path", "q_path")
+    val index = windowFps(Seq("index.js", "index-2.js", "inflate.c"))
+      .withColumn("download_url", concat(lit("pkg://"), col("path")))
+    val out = Matching.snippetMatch(queries, index).collect()
+
+    def jaccard(q: String, i: String): Double = out
+      .find(r => r.getAs[String]("q_path") == q &&
+        r.getAs[String]("download_url") == s"pkg://$i")
+      .map(_.getAs[Double]("jaccard")).getOrElse(0.0)
+
+    // the reference's expected outcomes
+    assert(jaccard("index-modified.js", "index.js") > 0.5,
+      "modified deep-equal source must match its original")
+    assert(jaccard("inflate-mod.c", "inflate.c") > 0.5,
+      "modified zlib inflate must match its original")
+    // best-match ordering within the JS corpus
+    assert(jaccard("index-modified.js", "index.js") >
+      jaccard("index-modified.js", "index-2.js"))
+    // no cross-language confusion
+    assert(jaccard("index-modified.js", "inflate.c") < 0.05)
+    assert(jaccard("inflate-mod.c", "index.js") < 0.05)
+  }
 }
