@@ -209,6 +209,29 @@ object Multimodal {
     }
   }
 
+  /** Driver-surface query with a FULL DuckDB oracle: image rows only,
+    * REAL `javax.imageio` decode of the PNG payload → decoded
+    * dimensions + exact pixel sum. Because the payload pixels are
+    * seeded-FNV deterministic and PNG RGB is lossless, the oracle can
+    * recompute the identical sums from the pixel formula without ever
+    * decoding an image — an end-to-end correctness check ON the real
+    * decode path (encode → PNG bytes → ImageIO decode → statistics).
+    */
+  def imageStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    mediaTable(spark, dir)
+      .filter(_.kind == "image")
+      .mapPartitions { it =>
+        it.flatMap { m =>
+          ImageCodec.decode(m.content).map { case (w, h, psum) =>
+            (m.media_id, w, h, psum)
+          }
+        }
+      }
+      .toDF("media_id", "width", "height", "pixel_sum")
+      .orderBy("media_id")
+  }
+
   /** Driver-surface query: media features summarized. Image rows
     * report REAL decoded dimensions and exact pixel sums from the PNG
     * payload (javax.imageio); audio/video report stub features

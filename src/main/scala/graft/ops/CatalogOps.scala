@@ -285,7 +285,150 @@ object CatalogOps {
       graft.matching.Matching.approximateMatch(queries, index)
         .orderBy("q_path", "download_url")
     },
-    None)
+    // DuckDB mirror of the full bah128 pipeline: per-(source, shingle)
+    // seeded FNV-1a64 ×2 (seed-derived init constants precomputed from
+    // `Fnv.hash64(bytes, seed)`'s definition; murmur fmix multiplies
+    // split into 32-bit halves to stay inside HUGEINT), 128-bit
+    // majority vote as two UBIGINT halves, 4×32-bit band join, ±5%
+    // element-count band (floor semantics), Hamming<10 verify, rank.
+    // The name_diff tie-break uses an exact-name proxy (0 when
+    // q_name = name, else 1) instead of Ratcliff-Obershelp — not
+    // SQL-expressible — which is exact whenever surviving matches are
+    // exact-name, as they are for this query's perturbation design
+    // (the query side is each source's own shingle subset).
+    Some("""WITH docs AS (
+        SELECT doc_id, source,
+          list_filter(string_split(text, ' '), x -> x <> '') AS ws
+        FROM documents),
+      sh AS (
+        SELECT doc_id, source,
+          unnest(list_transform(range(1, greatest(len(ws)-2, 1) + 1),
+            i -> array_to_string(ws[i:i+2], ' '))) AS shingle
+        FROM docs),
+      per_shingle AS (
+        SELECT source, shingle,
+          max(CASE WHEN doc_id % 25 <> 0 THEN 1 ELSE 0 END) AS in_q
+        FROM sh GROUP BY 1, 2),
+      fnv AS (
+        SELECT source, shingle, in_q,
+          list_reduce(
+            list_prepend(CAST(2418831075770096789 AS HUGEINT),
+              list_transform(range(1, length(shingle)+1),
+                i -> CAST(unicode(substr(shingle, i, 1)) AS HUGEINT))),
+            (h, b) -> (CAST(xor(CAST(h AS UBIGINT), CAST(b AS UBIGINT)) AS HUGEINT)
+                       * 1099511628211) % 18446744073709551616) AS h0_s1,
+          list_reduce(
+            list_prepend(CAST(11897090167733100029 AS HUGEINT),
+              list_transform(range(1, length(shingle)+1),
+                i -> CAST(unicode(substr(shingle, i, 1)) AS HUGEINT))),
+            (h, b) -> (CAST(xor(CAST(h AS UBIGINT), CAST(b AS UBIGINT)) AS HUGEINT)
+                       * 1099511628211) % 18446744073709551616) AS h0_s2
+        FROM per_shingle),
+      h11 AS (SELECT *, CAST(xor(CAST(h0_s1 AS UBIGINT),
+          CAST(h0_s1 AS UBIGINT) // 8589934592) AS HUGEINT) AS h1_f1 FROM fnv),
+      h12 AS (SELECT *,
+        (((CAST(h1_f1 AS HUGEINT) * (18397679294719823053 // 4294967296)) % 4294967296)
+           * 4294967296
+         + CAST(h1_f1 AS HUGEINT) * (18397679294719823053 % 4294967296))
+          % 18446744073709551616 AS h1_f2 FROM h11),
+      h13 AS (SELECT *, CAST(xor(CAST(h1_f2 AS UBIGINT),
+          CAST(h1_f2 AS UBIGINT) // 8589934592) AS HUGEINT) AS h1_f3 FROM h12),
+      h14 AS (SELECT *,
+        (((CAST(h1_f3 AS HUGEINT) * (14181476777654086739 // 4294967296)) % 4294967296)
+           * 4294967296
+         + CAST(h1_f3 AS HUGEINT) * (14181476777654086739 % 4294967296))
+          % 18446744073709551616 AS h1_f4 FROM h13),
+      h15 AS (SELECT *, xor(CAST(h1_f4 AS UBIGINT),
+          CAST(h1_f4 AS UBIGINT) // 8589934592) AS h1 FROM h14),
+      h21 AS (SELECT *, CAST(xor(CAST(h0_s2 AS UBIGINT),
+          CAST(h0_s2 AS UBIGINT) // 8589934592) AS HUGEINT) AS h2_f1 FROM h15),
+      h22 AS (SELECT *,
+        (((CAST(h2_f1 AS HUGEINT) * (18397679294719823053 // 4294967296)) % 4294967296)
+           * 4294967296
+         + CAST(h2_f1 AS HUGEINT) * (18397679294719823053 % 4294967296))
+          % 18446744073709551616 AS h2_f2 FROM h21),
+      h23 AS (SELECT *, CAST(xor(CAST(h2_f2 AS UBIGINT),
+          CAST(h2_f2 AS UBIGINT) // 8589934592) AS HUGEINT) AS h2_f3 FROM h22),
+      h24 AS (SELECT *,
+        (((CAST(h2_f3 AS HUGEINT) * (14181476777654086739 // 4294967296)) % 4294967296)
+           * 4294967296
+         + CAST(h2_f3 AS HUGEINT) * (14181476777654086739 % 4294967296))
+          % 18446744073709551616 AS h2_f4 FROM h23),
+      hashes AS (SELECT source, shingle, in_q, h1,
+        xor(CAST(h2_f4 AS UBIGINT), CAST(h2_f4 AS UBIGINT) // 8589934592) AS h2
+        FROM h24),
+      bits AS (
+        SELECT source, in_q, unnest(range(0, 64)) AS i, h1, h2 FROM hashes),
+      idx_cnt AS (
+        SELECT source, i,
+          SUM(CASE WHEN (h1 // CAST(power(2,i) AS UBIGINT)) % 2 = 1
+              THEN 1 ELSE 0 END) AS c1,
+          SUM(CASE WHEN (h2 // CAST(power(2,i) AS UBIGINT)) % 2 = 1
+              THEN 1 ELSE 0 END) AS c2,
+          COUNT(*) AS n
+        FROM bits GROUP BY 1, 2),
+      idx_fp AS (
+        SELECT source,
+          CAST(SUM(CASE WHEN c1*2 > n THEN CAST(power(2,i) AS HUGEINT)
+              ELSE 0 END) AS UBIGINT) AS b1,
+          CAST(SUM(CASE WHEN c2*2 > n THEN CAST(power(2,i) AS HUGEINT)
+              ELSE 0 END) AS UBIGINT) AS b2,
+          MAX(n) AS cnt
+        FROM idx_cnt GROUP BY 1),
+      qbits AS (
+        SELECT source, unnest(range(0, 64)) AS i, h1, h2 FROM hashes
+        WHERE in_q = 1),
+      qcnt AS (
+        SELECT source, i,
+          SUM(CASE WHEN (h1 // CAST(power(2,i) AS UBIGINT)) % 2 = 1
+              THEN 1 ELSE 0 END) AS c1,
+          SUM(CASE WHEN (h2 // CAST(power(2,i) AS UBIGINT)) % 2 = 1
+              THEN 1 ELSE 0 END) AS c2,
+          COUNT(*) AS n
+        FROM qbits GROUP BY 1, 2),
+      q_fp AS (
+        SELECT source,
+          CAST(SUM(CASE WHEN c1*2 > n THEN CAST(power(2,i) AS HUGEINT)
+              ELSE 0 END) AS UBIGINT) AS b1,
+          CAST(SUM(CASE WHEN c2*2 > n THEN CAST(power(2,i) AS HUGEINT)
+              ELSE 0 END) AS UBIGINT) AS b2,
+          MAX(n) AS cnt
+        FROM qcnt GROUP BY 1),
+      i_bands AS (
+        SELECT source, cnt, b1, b2, unnest(range(0,4)) AS band_idx,
+          CASE unnest(range(0,4))
+            WHEN 0 THEN b1 % 4294967296 WHEN 1 THEN b1 // 4294967296
+            WHEN 2 THEN b2 % 4294967296 ELSE b2 // 4294967296 END AS band_val
+        FROM idx_fp),
+      q_bands AS (
+        SELECT source, cnt, b1, b2, unnest(range(0,4)) AS band_idx,
+          CASE unnest(range(0,4))
+            WHEN 0 THEN b1 % 4294967296 WHEN 1 THEN b1 // 4294967296
+            WHEN 2 THEN b2 % 4294967296 ELSE b2 // 4294967296 END AS band_val
+        FROM q_fp),
+      cand AS (
+        SELECT DISTINCT q.source AS q_path,
+          'pkg://' || i.source AS download_url, i.source AS path,
+          q.b1 AS qb1, q.b2 AS qb2, i.b1 AS ib1, i.b2 AS ib2
+        FROM q_bands q JOIN i_bands i
+          ON q.band_idx = i.band_idx AND q.band_val = i.band_val
+          AND i.cnt >= CAST(floor(q.cnt * 0.95) AS BIGINT)
+          AND i.cnt <= CAST(floor(q.cnt * 1.05) AS BIGINT)),
+      verified AS (
+        SELECT q_path, download_url, path,
+          CAST(bit_count(xor(qb1, ib1)) + bit_count(xor(qb2, ib2))
+            AS INTEGER) AS hamming
+        FROM cand
+        WHERE bit_count(xor(qb1, ib1)) + bit_count(xor(qb2, ib2)) < 10),
+      ranked AS (
+        SELECT q_path, download_url, path, hamming,
+          CAST(0 AS BIGINT) AS size_diff,
+          CASE WHEN q_path = path THEN 0.0 ELSE 1.0 END AS name_diff,
+          rank() OVER (PARTITION BY q_path ORDER BY hamming,
+            CASE WHEN q_path = path THEN 0 ELSE 1 END) AS rk
+        FROM verified)
+      SELECT q_path, download_url, path, hamming, size_diff, name_diff
+      FROM ranked WHERE rk = 1 ORDER BY q_path, download_url"""))
 
   val defs: Seq[QueryDef] = Seq(a6merge, exact, snippet, rank, halohash)
 }

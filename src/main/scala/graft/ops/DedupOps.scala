@@ -173,7 +173,83 @@ object DedupOps {
         .select("d1", "d2", "hamming", "size_diff")
         .orderBy("d1", "d2")
     },
-    None)
+    // Full DuckDB mirror of the fingerprint function: FNV-1a 64 over
+    // each word's bytes (ASCII text ⇒ codepoint = byte) via
+    // list_reduce, murmur fmix finalizer with 64-bit multiplies split
+    // into 32-bit halves (HUGEINT would overflow on a full 64×64
+    // product), majority-bit SimHash, then the identical band join /
+    // ±5% length band / Hamming<8 / rank pipeline.
+    Some("""WITH w AS (
+        SELECT doc_id, n_chars,
+          list_filter(string_split(text, ' '), x -> x <> '') AS ws
+        FROM documents),
+      tok AS (
+        SELECT doc_id, n_chars, len(ws) AS n_tok, unnest(ws) AS word FROM w),
+      fnv AS (
+        SELECT doc_id, n_chars, n_tok,
+          list_reduce(
+            list_prepend(CAST(14695981039346656037 AS HUGEINT),
+              list_transform(range(1, length(word)+1),
+                i -> CAST(unicode(substr(word, i, 1)) AS HUGEINT))),
+            (h, b) -> (CAST(xor(CAST(h AS UBIGINT), CAST(b AS UBIGINT)) AS HUGEINT)
+                       * 1099511628211) % 18446744073709551616
+          ) AS h0
+        FROM tok),
+      mix1 AS (SELECT doc_id, n_chars, n_tok,
+        CAST(xor(CAST(h0 AS UBIGINT), CAST(h0 AS UBIGINT) // 8589934592) AS HUGEINT) AS f1
+        FROM fnv),
+      mix2 AS (SELECT doc_id, n_chars, n_tok,
+        (((CAST(f1 AS HUGEINT) * (18397679294719823053 // 4294967296)) % 4294967296)
+           * 4294967296
+         + CAST(f1 AS HUGEINT) * (18397679294719823053 % 4294967296))
+          % 18446744073709551616 AS f2
+        FROM mix1),
+      mix3 AS (SELECT doc_id, n_chars, n_tok,
+        CAST(xor(CAST(f2 AS UBIGINT), CAST(f2 AS UBIGINT) // 8589934592) AS HUGEINT) AS f3
+        FROM mix2),
+      mix4 AS (SELECT doc_id, n_chars, n_tok,
+        (((CAST(f3 AS HUGEINT) * (14181476777654086739 // 4294967296)) % 4294967296)
+           * 4294967296
+         + CAST(f3 AS HUGEINT) * (14181476777654086739 % 4294967296))
+          % 18446744073709551616 AS f4
+        FROM mix3),
+      hashed AS (SELECT doc_id, n_chars, n_tok,
+        xor(CAST(f4 AS UBIGINT), CAST(f4 AS UBIGINT) // 8589934592) AS h FROM mix4),
+      bits AS (
+        SELECT doc_id, n_chars, n_tok, unnest(range(0, 64)) AS b, h FROM hashed),
+      bitcnt AS (
+        SELECT doc_id, n_chars, n_tok, b,
+          SUM(CASE WHEN (h // CAST(power(2, b) AS UBIGINT)) % 2 = 1
+              THEN 1 ELSE 0 END) AS cnt
+        FROM bits GROUP BY 1,2,3,4),
+      fp AS (
+        SELECT doc_id, n_chars,
+          CAST(SUM(CASE WHEN cnt*2 > n_tok
+              THEN CAST(power(2, b) AS HUGEINT) ELSE 0 END) AS UBIGINT) AS fp
+        FROM bitcnt GROUP BY 1,2),
+      banded AS (
+        SELECT doc_id, n_chars, fp, unnest(range(0, 4)) AS band_idx FROM fp),
+      banded2 AS (
+        SELECT doc_id, n_chars, fp, band_idx,
+          (fp // CAST(power(2, band_idx*16) AS UBIGINT)) % 65536 AS band_val
+        FROM banded),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2, a.fp AS fp1, b.fp AS fp2,
+          a.n_chars AS nc1, b.n_chars AS nc2
+        FROM banded2 a JOIN banded2 b
+          ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+          AND a.doc_id < b.doc_id
+          AND abs(a.n_chars - b.n_chars) <= a.n_chars * 0.05),
+      verified AS (
+        SELECT d1, d2, CAST(bit_count(xor(fp1, fp2)) AS INTEGER) AS hamming,
+          abs(nc1 - nc2) AS size_diff
+        FROM cand WHERE bit_count(xor(fp1, fp2)) < 8),
+      ranked AS (
+        SELECT d1, d2, hamming, size_diff,
+          rank() OVER (PARTITION BY d1 ORDER BY hamming, size_diff) AS rk
+        FROM verified)
+      SELECT d1, d2, hamming, size_diff FROM ranked WHERE rk = 1
+      ORDER BY d1, d2"""))
 
   /** Character 3-gram Jaccard between consecutive doc pairs — the
     * oracle-checkable exact-set variant of near-dup scoring. */

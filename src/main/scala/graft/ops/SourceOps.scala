@@ -206,6 +206,60 @@ object SourceOps {
     (s, dir) => graft.multimodal.Multimodal.featureSummary(s, dir),
     None)
 
+  val mmImageStats = QueryDef(
+    "mm_image_stats", "LLM-pipeline: multimodal columns (oracled)",
+    "REAL ImageIO PNG decode → dimensions + exact pixel sums",
+    (s, dir) => graft.multimodal.Multimodal.imageStats(s, dir),
+    // The payload pixels are (fnv64("id:x:y") & 0xffffff) and PNG RGB
+    // is lossless, so the oracle recomputes the decoded statistics
+    // from the formula — same FNV-1a + fmix mirror as the simhash
+    // oracle (multiplies split into 32-bit halves for HUGEINT).
+    Some("""WITH img AS (
+        SELECT doc_id, CAST(n_chars % 64 + 8 AS INTEGER) AS w,
+          CAST(n_chars % 48 + 6 AS INTEGER) AS h
+        FROM documents WHERE doc_id % 3 = 0),
+      px AS (
+        SELECT doc_id, w, h, unnest(range(0, w)) AS x FROM img),
+      pxy AS (
+        SELECT doc_id, w, h, x, unnest(range(0, h)) AS y FROM px),
+      keys AS (
+        SELECT doc_id, w, h,
+          CAST(doc_id AS VARCHAR) || ':' || CAST(x AS VARCHAR) || ':' ||
+            CAST(y AS VARCHAR) AS key
+        FROM pxy),
+      fnv AS (
+        SELECT doc_id, w, h,
+          list_reduce(
+            list_prepend(CAST(14695981039346656037 AS HUGEINT),
+              list_transform(range(1, length(key)+1),
+                i -> CAST(unicode(substr(key, i, 1)) AS HUGEINT))),
+            (a, b) -> (CAST(xor(CAST(a AS UBIGINT), CAST(b AS UBIGINT)) AS HUGEINT)
+                       * 1099511628211) % 18446744073709551616) AS h0
+        FROM keys),
+      m1 AS (SELECT doc_id, w, h,
+        CAST(xor(CAST(h0 AS UBIGINT), CAST(h0 AS UBIGINT) // 8589934592) AS HUGEINT) AS f1
+        FROM fnv),
+      m2 AS (SELECT doc_id, w, h,
+        (((CAST(f1 AS HUGEINT) * (18397679294719823053 // 4294967296)) % 4294967296)
+           * 4294967296
+         + CAST(f1 AS HUGEINT) * (18397679294719823053 % 4294967296))
+          % 18446744073709551616 AS f2 FROM m1),
+      m3 AS (SELECT doc_id, w, h,
+        CAST(xor(CAST(f2 AS UBIGINT), CAST(f2 AS UBIGINT) // 8589934592) AS HUGEINT) AS f3
+        FROM m2),
+      m4 AS (SELECT doc_id, w, h,
+        (((CAST(f3 AS HUGEINT) * (14181476777654086739 // 4294967296)) % 4294967296)
+           * 4294967296
+         + CAST(f3 AS HUGEINT) * (14181476777654086739 % 4294967296))
+          % 18446744073709551616 AS f4 FROM m3),
+      pxv AS (SELECT doc_id, w, h,
+        xor(CAST(f4 AS UBIGINT), CAST(f4 AS UBIGINT) // 8589934592) % 16777216 AS p
+        FROM m4)
+      SELECT doc_id AS media_id, MAX(w) AS width, MAX(h) AS height,
+        CAST(SUM(p // 65536 + (p // 256) % 256 + p % 256) AS BIGINT) AS pixel_sum
+      FROM pxv GROUP BY doc_id ORDER BY media_id"""))
+
   val defs: Seq[QueryDef] =
-    Seq(s4json, s8html, s10sync, cdHarvest, cdResources, mmFeatures)
+    Seq(s4json, s8html, s10sync, cdHarvest, cdResources, mmFeatures,
+      mmImageStats)
 }

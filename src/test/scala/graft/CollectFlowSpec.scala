@@ -78,7 +78,7 @@ class CollectFlowSpec extends SparkTestBase {
       Seq("pkg:pypi/requests",
         "pkg:maven/org.apache.pulsar/pulsar",
         "pkg:npm/leftpad",     // transport 404
-        "pkg:conda/numpy",     // unsupported ecosystem
+        "pkg:brew/wget",       // unsupported ecosystem
         "not-a-purl"),
       transport, "2026-08-12T00:00:00Z")
 

@@ -1,0 +1,121 @@
+package graft
+
+import graft.miners.MoreVisitors._
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Golden tests for the tier-2 frontier visitors (Packagist, F-Droid,
+  * Apache podlings, Haxe, godoc search, Bower) against the
+  * reference's own `*_expected_uris` fixtures.
+  */
+class MoreVisitorsSpec extends AnyFunSuite {
+
+  private val fixtures = "/root/reference/minecode/tests/testfiles"
+
+  private def read(path: String): String =
+    new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$fixtures/$path")), "UTF-8")
+
+  /** (uri, package_url, visited, data-as-JValue) rows of an expected
+    * fixture; `data` arrives either as a JSON string or an inline
+    * object depending on the miner. */
+  private def expected(path: String): Seq[(String, Option[String], Boolean, Option[JValue])] =
+    JsonMethods.parse(read(path)) match {
+      case JArray(items) => items.map { it =>
+        def str(f: String): Option[String] = it \ f match {
+          case JString(v) => Some(v); case _ => None
+        }
+        val data = it \ "data" match {
+          case JNothing | JNull => None
+          case JString(s)       => Some(JsonMethods.parse(s))
+          case other            => Some(other)
+        }
+        (str("uri").get, str("package_url"), it \ "visited" == JBool(true), data)
+      }
+      case _ => fail(s"unexpected fixture shape: $path")
+    }
+
+  private def check(
+      got: Seq[graft.miners.RegistryVisitors.VisitedUri],
+      want: Seq[(String, Option[String], Boolean, Option[JValue])]): Unit = {
+    assert(got.size == want.size)
+    got.zip(want).foreach { case (g, (uri, purl, visited, data)) =>
+      assert(g.uri == uri)
+      assert(g.packageUrl == purl, s"purl mismatch for $uri")
+      assert(g.visited == visited, s"visited mismatch for $uri")
+      (g.data, data) match {
+        case (Some(a), Some(b)) =>
+          assert(JsonMethods.parse(a) == b, s"data mismatch for $uri")
+        case (None, None) =>
+        case (a, b) => fail(s"data presence mismatch for $uri: $a vs $b")
+      }
+    }
+  }
+
+  test("packagist list visitor matches the reference's expected URIs") {
+    val src = "https://packagist.org/packages/list.json"
+    check(
+      packagistListUris(read("packagist/list.json"), src),
+      expected("packagist/packagist_list_expected"))
+  }
+
+  test("fdroid index-v2 visitor matches the reference's expected URIs") {
+    val src = "https://f-droid.org/repo/index-v2.json"
+    check(
+      fdroidIndexUris(read("fdroid/index-v2.json"), src),
+      expected("fdroid/index-v2-expected-visit.json"))
+  }
+
+  test("apache podlings visitor matches the reference's expected URIs") {
+    val src = "https://projects.apache.org/json/foundation/podlings.json"
+    check(
+      apachePodlingsUris(read("apache/podlings.json"), src),
+      expected("apache/podlings_expected_uris.json"))
+  }
+
+  test("haxe all-projects visitor matches the reference's expected URIs") {
+    val src = "https://lib.haxe.org/all"
+    check(
+      haxeProjectsUris(read("haxe/all_haxelibs.html"), src),
+      expected("haxe/all_haxelibs.html-expected"))
+  }
+
+  test("haxe versions visitor matches the reference's expected URIs") {
+    val src = "https://lib.haxe.org/p/openfl/versions"
+    check(
+      haxeVersionsUris(read("haxe/all_versions_openfl.html"), src),
+      expected("haxe/all_versions_openfl.html-expected"))
+  }
+
+  test("godoc search visitor matches the reference's expected URIs") {
+    check(
+      godocSearchUris(read("golang/godoc_search.json"),
+        "https://api.godoc.org/search?q=github.com/golang"),
+      expected("golang/godoc_search_expected_uris.json"))
+  }
+
+  test("godoc off-github search visitor matches the reference's expected URIs") {
+    check(
+      godocSearchUris(read("golang/godoc_search_off_github.json"),
+        "https://api.godoc.org/search?q=github.com/golang*"),
+      expected("golang/godoc_search_off_github_expected_uris.json"))
+  }
+
+  test("bower visitor matches the reference's expected URIs") {
+    // every fixture entry's name differs from its repo path
+    // ("0x100-angular-steps" vs ".../0x100/angular-steps.git"), so the
+    // reference's `name in url` guard drops them all — the checked-in
+    // expected fixture is the empty list
+    val src = "https://registry.bower.io/packages"
+    val got = bowerPackagesUris(read("bower/packages.json"), src)
+    check(got, expected("bower/packages_expected_uris.json"))
+    // and the documented positive path on a name-in-url entry
+    val synthetic = bowerPackagesUris(
+      """[{"name": "bello", "url": "https://github.com/QiaoBuTang/bello.git"}]""",
+      src)
+    assert(synthetic.map(u => (u.uri, u.packageUrl.get)) == Seq(
+      ("https://raw.githubusercontent.com/QiaoBuTang/bello/master/bower.json",
+        "pkg:bower/bello")))
+  }
+}
