@@ -259,7 +259,12 @@ object SimilarityOps {
     "k=32 IVF, 1 integer-exact Lloyd iteration, nprobe=4, top-3 cosine",
     (s, dir) => {
       val emb = quantized(s, dir)
-      val cents1 = ivfCentroids(emb, 32)
+      // the trained-centroid frame is consumed twice (cell assignment
+      // + query probing); cache the 32 rows so the Lloyd-iteration
+      // subplan — an emb-wide explode + two aggregations — runs once.
+      // At production scale centroid training is a separate
+      // materialized artifact for the same reason.
+      val cents1 = ivfCentroids(emb, 32).cache()
       val cells = ivfCells(emb, cents1)
       val pairs = ivfCandidates(emb.filter(col("vec_id") < 10),
           cells, cents1, nprobe = 4)

@@ -230,5 +230,112 @@ object TextOps {
       LEFT JOIN best b ON b.doc_id = docs.doc_id AND b.rn = 1
       ORDER BY docs.doc_id"""))
 
-  val defs: Seq[QueryDef] = Seq(tok, quality, langid, langidNgram, fingerprint)
+  /** CCNet/Gopher-style repetition filter: the fraction of a
+    * document's word bigrams taken by its single most frequent bigram,
+    * plus the distinct-bigram ratio. Highly repetitive machine text
+    * concentrates mass in few n-grams; the published filters drop
+    * documents above a top-fraction threshold (0.18 here). One
+    * explode + one map-side-combining groupBy per doc — the shape
+    * scales linearly with corpus size. */
+  val repetition = QueryDef(
+    "t_repetition", "LLM-pipeline: repetition filter",
+    "top word-bigram mass + distinct-bigram ratio per doc",
+    (s, dir) => {
+      val grams = t(s, dir, "documents")
+        .select(col("doc_id"), words.as("w"))
+        .select(col("doc_id"),
+          explode(expr(
+            """transform(sequence(1, greatest(size(w) - 1, 1)),
+                 i -> array_join(slice(w, i, 2), ' '))""")).as("g"))
+      grams
+        .groupBy("doc_id", "g")
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy("doc_id")
+        .agg(sum("cnt").as("n_bigrams"),
+          max("cnt").as("top_count"),
+          count(lit(1)).as("uniq_bigrams"))
+        .select(col("doc_id"), col("n_bigrams"), col("top_count"),
+          col("uniq_bigrams"),
+          (asDouble(col("top_count")) / asDouble(col("n_bigrams")))
+            .as("top_frac"),
+          (asDouble(col("uniq_bigrams")) / asDouble(col("n_bigrams")))
+            .as("uniq_frac"),
+          (asDouble(col("top_count")) / asDouble(col("n_bigrams")) >= 0.18)
+            .as("repetitive"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH w AS (
+        SELECT doc_id,
+          list_filter(string_split(text, ' '), x -> x <> '') AS ws
+        FROM documents),
+      grams AS (
+        SELECT doc_id,
+          unnest(list_transform(range(1, greatest(len(ws) - 1, 1) + 1),
+            i -> array_to_string(ws[i:i+1], ' '))) AS g
+        FROM w),
+      cnts AS (
+        SELECT doc_id, g, COUNT(*) AS cnt FROM grams GROUP BY 1, 2),
+      agg AS (
+        SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_bigrams,
+          CAST(MAX(cnt) AS BIGINT) AS top_count,
+          CAST(COUNT(*) AS BIGINT) AS uniq_bigrams
+        FROM cnts GROUP BY 1)
+      SELECT doc_id, n_bigrams, top_count, uniq_bigrams,
+        CAST(top_count AS DOUBLE) / CAST(n_bigrams AS DOUBLE) AS top_frac,
+        CAST(uniq_bigrams AS DOUBLE) / CAST(n_bigrams AS DOUBLE) AS uniq_frac,
+        CAST(top_count AS DOUBLE) / CAST(n_bigrams AS DOUBLE) >= 0.18
+          AS repetitive
+      FROM agg ORDER BY doc_id"""))
+
+  /** Duplicate-segment fraction (the line/paragraph-dedup signal of
+    * the published corpus filters, applied to sentence-ish segments):
+    * fraction of segments that are repeats of an earlier identical
+    * segment, and the fraction of characters inside those repeats. */
+  val dupSegments = QueryDef(
+    "t_dup_segments", "LLM-pipeline: duplicate-segment filter",
+    "repeated sentence-segment and char fractions per doc",
+    (s, dir) => {
+      val segs = t(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(expr(
+            "filter(transform(split(text, '\\\\. '), x -> trim(x)), x -> x <> '')"))
+            .as("seg"))
+      segs
+        .groupBy("doc_id", "seg")
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("seg_len", length(col("seg")))
+        .groupBy("doc_id")
+        .agg(sum("cnt").as("n_segs"),
+          sum(col("cnt") - 1).as("n_dup_segs"),
+          sum(col("seg_len") * col("cnt")).as("n_chars"),
+          sum(col("seg_len") * (col("cnt") - 1)).as("n_dup_chars"))
+        .select(col("doc_id"), col("n_segs"), col("n_dup_segs"),
+          (asDouble(col("n_dup_segs")) / asDouble(col("n_segs")))
+            .as("dup_seg_frac"),
+          (asDouble(col("n_dup_chars")) / asDouble(col("n_chars")))
+            .as("dup_char_frac"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH segs AS (
+        SELECT doc_id,
+          unnest(list_filter(list_transform(string_split(text, '. '),
+            x -> trim(x)), x -> x <> '')) AS seg
+        FROM documents),
+      cnts AS (
+        SELECT doc_id, seg, COUNT(*) AS cnt, length(seg) AS seg_len
+        FROM segs GROUP BY 1, 2),
+      agg AS (
+        SELECT doc_id,
+          CAST(SUM(cnt) AS BIGINT) AS n_segs,
+          CAST(SUM(cnt - 1) AS BIGINT) AS n_dup_segs,
+          CAST(SUM(seg_len * cnt) AS BIGINT) AS n_chars,
+          CAST(SUM(seg_len * (cnt - 1)) AS BIGINT) AS n_dup_chars
+        FROM cnts GROUP BY 1)
+      SELECT doc_id, n_segs, n_dup_segs,
+        CAST(n_dup_segs AS DOUBLE) / CAST(n_segs AS DOUBLE) AS dup_seg_frac,
+        CAST(n_dup_chars AS DOUBLE) / CAST(n_chars AS DOUBLE) AS dup_char_frac
+      FROM agg ORDER BY doc_id"""))
+
+  val defs: Seq[QueryDef] = Seq(tok, quality, langid, langidNgram, fingerprint,
+    repetition, dupSegments)
 }

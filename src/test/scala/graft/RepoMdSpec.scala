@@ -1,0 +1,94 @@
+package graft
+
+import graft.miners.Transport
+import graft.sources.RepoMd
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Golden tests for the yum/dnf repomd collect walk against the
+  * reference's own centos and opensuse fixtures and their
+  * expected.json (miners/test_repomd_parser.py expectations).
+  */
+class RepoMdSpec extends AnyFunSuite {
+
+  private val dir =
+    "/root/reference/minecode/tests/testfiles/repodata_rpms/repomd_parser"
+
+  private def bytesOf(path: String): Array[Byte] =
+    java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))
+
+  private def transportFor(fixtureDir: String, baseUrl: String): Transport =
+    new Transport {
+      def fetch(uri: String): Either[String, Array[Byte]] =
+        if (!uri.startsWith(baseUrl)) Left(s"unexpected fetch: $uri")
+        else {
+          val name = uri.substring(uri.lastIndexOf('/') + 1)
+          val p = java.nio.file.Paths.get(s"$fixtureDir/$name")
+          if (java.nio.file.Files.exists(p)) Right(bytesOf(p.toString))
+          else Left(s"no fixture for $uri")
+        }
+    }
+
+  /** Reference-computed fields of expected.json rows:
+    * (name, version, download_url, homepage_url, license). */
+  private def expected(path: String): Seq[(String, String, String, Option[String], Option[String])] =
+    JsonMethods.parse(new String(bytesOf(path), "UTF-8")) match {
+      case JArray(items) => items.map { it =>
+        def str(f: String): Option[String] = it \ f match {
+          case JString(v) => Some(v); case _ => None
+        }
+        (str("name").get, str("version").get, str("download_url").get,
+          str("homepage_url"), str("extracted_license_statement"))
+      }
+      case _ => fail(s"unexpected fixture shape: $path")
+    }
+
+  test("centos repomd collect matches the reference's expected packages") {
+    val uri = "http://vault.centos.org/3.8/updates/x86_64/repodata/repomd.xml"
+    val rows = RepoMd.collectFromRepomd(
+      uri, transportFor(s"$dir/centos", "http://vault.centos.org/"))
+      .fold(e => fail(e), identity)
+    val want = expected(s"$dir/centos/expected.json")
+    assert(rows.size == want.size)
+    rows.zip(want).foreach { case (r, (name, version, dl, home, lic)) =>
+      assert(r.name == name)
+      assert(r.version.contains(version))
+      assert(r.download_url == dl)
+      assert(r.homepage_url == home)
+      assert(r.declared_license_expression == lic)
+    }
+    // the centos fixture uses sha(1) checksums
+    assert(rows.head.sha1.contains("96eb0196f9a9461438b845cf5a7455216e66e721"))
+    assert(rows.head.sha256.isEmpty)
+  }
+
+  test("opensuse repomd collect matches the reference's expected packages") {
+    val uri = "http://download.opensuse.org/distribution/12.3/repo/oss/suse/repodata/repomd.xml"
+    val rows = RepoMd.collectFromRepomd(
+      uri, transportFor(s"$dir/opensuse", "http://download.opensuse.org/"))
+      .fold(e => fail(e), identity)
+    val want = expected(s"$dir/opensuse/expected.json")
+    assert(rows.size == want.size)
+    rows.zip(want).foreach { case (r, (name, version, dl, home, _)) =>
+      assert(r.name == name)
+      assert(r.version.contains(version))
+      assert(r.download_url == dl)
+      assert(r.homepage_url == home)
+    }
+  }
+
+  test("evr renders epoch 0 explicitly, like packagedcode") {
+    assert(RepoMd.evr(Some("0"), Some("1.5.0"), Some("1.el7"))
+      .contains("0:1.5.0-1.el7"))
+    assert(RepoMd.evr(None, Some("2.0"), None).contains("2.0"))
+    assert(RepoMd.evr(Some(""), Some("2.0"), Some("3")).contains("2.0-3"))
+  }
+
+  test("absolute location hrefs bypass the base join") {
+    assert(RepoMd.buildDownloadUrl("http://b/x",
+      "http://mirror/pkg.rpm") == "http://mirror/pkg.rpm")
+    assert(RepoMd.buildDownloadUrl("http://b/x/", "/RPMS/a.rpm") ==
+      "http://b/x/RPMS/a.rpm")
+  }
+}
