@@ -137,6 +137,124 @@ object MoreVisitors {
           packageUrl = Some(s"pkg:haxe/$project@$version"))
     }.toSeq
 
+  private val ApacheRowRx =
+    ("""<a href="([^"]+)"[^>]*>[^<]*</a></td>\s*""" +
+      """<td[^>]*>([^<]*)</td>\s*<td[^>]*>([^<]*)</td>""").r
+
+  private val DateMinuteRx = """\d{4}-\d{2}-\d{2} \d{2}:\d{2}""".r
+
+  /** OpenSSL ftp directory listing (`minecode/miners/openssl.py:31-97`):
+    * every row link (skipping sort/parent links) becomes a URI with
+    * the listing's last-modified date and size; sizes are kilobytes
+    * unless suffixed M/G; files get a `pkg:generic/openssl` purl with
+    * the version cut out of `openssl-{v}.tar.gz*` names. */
+  def opensslIndexUris(html: String, sourceUri: String): Seq[VisitedUri] =
+    ApacheRowRx.findAllMatchIn(html).flatMap { m =>
+      val href = m.group(1)
+      if (href.startsWith("?") || href.startsWith("/")) None
+      else {
+        val url = sourceUri + href
+        val date = DateMinuteRx.findFirstIn(m.group(2).trim).map(_ + ":00")
+        val rawSize = m.group(3).trim
+        val size: Option[Long] =
+          if (rawSize.forall(_.isDigit) && rawSize.nonEmpty)
+            Some(rawSize.toLong * 1024L)
+          else if (rawSize.toLowerCase.endsWith("m"))
+            rawSize.dropRight(1).toDoubleOption.map(d => (d * 1024 * 1024).toLong)
+          else if (rawSize.toLowerCase.endsWith("g"))
+            rawSize.dropRight(1).toDoubleOption.map(d => (d * 1024 * 1024 * 1024).toLong)
+          else None
+        if (url.endsWith("/"))
+          Some(VisitedUri(uri = url, sourceUri = sourceUri, date = date,
+            size = size))
+        else {
+          val fileName = url.substring(url.lastIndexOf('/') + 1)
+          val version =
+            if (fileName.contains("tar.gz"))
+              Some(fileName.replace("openssl-", "").split("\\.tar\\.gz")(0))
+            else None
+          Some(VisitedUri(
+            uri = url, sourceUri = sourceUri,
+            packageUrl = Some("pkg:generic/openssl" +
+              version.map("@" + _).getOrElse("")),
+            fileName = Some(fileName), date = date, size = size))
+        }
+      }
+    }.toSeq
+
+  private val SublevelRepoRx =
+    """class=["']sublevel-repo["'][^>]*>\s*<a[^>]*href="([^"]+)"[^>]*>([^<]+)<""".r
+
+  /** Eclipse Git repository index (`minecode/miners/eclipse.py:55-70`):
+    * each `td.sublevel-repo` link is one repository URI with a
+    * `pkg:eclipse` purl named after the repo. */
+  def eclipseGitRepoUris(html: String, sourceUri: String): Seq[VisitedUri] =
+    SublevelRepoRx.findAllMatchIn(html).map { m =>
+      VisitedUri(uri = m.group(1), sourceUri = sourceUri,
+        packageUrl = Some(s"pkg:eclipse/${purlName(m.group(2))}"))
+    }.toSeq
+
+  private val FieldContentRx =
+    """class=["']field-content["'][^>]*>\s*<a[^>]*href="([^"]+)"[^>]*>([^<][^<]*)<""".r
+
+  /** Eclipse all-packages page (`minecode/miners/eclipse.py:73-96`):
+    * `span.field-content` links to release pages; anchors whose first
+    * child is markup rather than text are skipped like the
+    * reference's isinstance(str) guard. */
+  def eclipsePackagesUris(html: String, sourceUri: String): Seq[VisitedUri] =
+    FieldContentRx.findAllMatchIn(html).map { m =>
+      VisitedUri(uri = m.group(1), sourceUri = sourceUri,
+        packageUrl = Some(s"pkg:eclipse/${purlName(m.group(2))}"))
+    }.toSeq
+
+  private val EclipseReleaseSuffixes = Seq(
+    "-win32.zip", "-win64.exe", "-win32-x86_64.zip",
+    "-linux-gtk-x86_64.tar.gz", "-macosx-cocoa-x86_64.tar.gz",
+    "-linux-gtk.tar.gz", "-x86_64.tar.gz")
+
+  private val EclipseDivOrLinkRx =
+    """(?i)<div\b|</div\s*>|<a\b[^>]*href="([^"]*download\.php\?file=[^"]*)"""".r
+
+  /** Eclipse release page (`minecode/miners/eclipse.py:98-129`):
+    * every `download.php?file=` link is a distribution artifact; the
+    * platform suffix strips off the file name to form the purl.
+    * The reference iterates every `<div>` and re-yields the links of
+    * its whole SUBTREE, so a link appears once per ancestor div — its
+    * expected fixture (337 rows, 27 unique links) depends on that
+    * multiplicity, reproduced here with a div-interval scan. */
+  def eclipseReleaseUris(html: String, sourceUri: String): Seq[VisitedUri] = {
+    val divs = Seq.newBuilder[(Int, Int)]
+    var stack = List.empty[Int]
+    val links = Seq.newBuilder[(Int, String)]
+    EclipseDivOrLinkRx.findAllMatchIn(html).foreach { m =>
+      val tok = m.matched.toLowerCase
+      if (tok.startsWith("<div")) stack ::= m.start
+      else if (tok.startsWith("</div")) stack match {
+        case s :: rest => divs += ((s, m.start)); stack = rest
+        case Nil       =>
+      }
+      else links += ((m.start, m.group(1)))
+    }
+    stack.foreach(s => divs += ((s, html.length))) // unclosed divs
+    val allLinks = links.result()
+    divs.result().sortBy(_._1).flatMap { case (s, e) =>
+      allLinks.collect { case (pos, url) if pos > s && pos < e =>
+        val fileName = url.substring(url.lastIndexOf('/') + 1)
+        val name = EclipseReleaseSuffixes.foldLeft(fileName)(
+          (n, suf) => n.replace(suf, ""))
+        VisitedUri(uri = url, sourceUri = sourceUri,
+          packageUrl = Some(s"pkg:eclipse/${purlName(name)}"),
+          fileName = Some(fileName))
+      }
+    }
+  }
+
+  /** purl name segment encoding as packageurl-python emits it for
+    * these visitors (space → %20; other characters in the fixtures
+    * are purl-safe). */
+  private def purlName(name: String): String =
+    name.trim.replace(" ", "%20")
+
   private val RepoHosters = Seq("bitbucket.org/", "github.com/", "gitlab.com/")
 
   /** Go standard-library prefix screen
@@ -178,6 +296,90 @@ object MoreVisitors {
       if (isHosted) s"$base?vcs_repository=https://$canonical" else base
     (purl, canonical)
   }
+
+  private val DebArchiveSuffixes = Seq(
+    ".deb", ".udeb", ".tar.gz", ".tar.xz", ".tar.bz2", ".tar.lzma")
+
+  /** `name_version_arch.deb` → (name, version, arch) after stripping
+    * the archive suffix (debian_inspector `get_nva` behavior consumed
+    * by `minecode/miners/debian.py:131-139`). */
+  def debNva(fileName: String): (String, Option[String], Option[String]) = {
+    val stem = DebArchiveSuffixes.find(fileName.endsWith)
+      .map(s => fileName.dropRight(s.length)).getOrElse(fileName)
+    stem.split("_").toSeq match {
+      case Seq(n, v, a) => (n, Some(v), Some(a))
+      case Seq(n, v)    => (n, Some(v), None)
+      case _            => (stem, None, None)
+    }
+  }
+
+  /** A Debian-archive file worth collecting
+    * (`minecode/miners/debian.py:68-87`): package indexes, Release
+    * files, Contents indexes, and the .deb/.dsc artifacts. */
+  def isDebCollectible(fileName: String): Boolean =
+    Seq("Packages.gz", "Release", "Sources.gz").contains(fileName) ||
+      fileName.endsWith(".deb") || fileName.endsWith(".dsc") ||
+      (fileName.startsWith("Contents-") && fileName.endsWith(".gz"))
+
+  /** Debian/Ubuntu `ls-lR.gz` directory-index visitor
+    * (`minecode/miners/debian.py:104-151`): every collectible FILE
+    * entry becomes a pool URI; binary artifacts carry a versioned
+    * `pkg:deb` purl with the arch qualifier. */
+  def debianLsLrUris(listing: String, sourceUri: String): Seq[VisitedUri] = {
+    val namespace =
+      if (sourceUri.contains("debian.org")) Some("debian")
+      else if (sourceUri.contains("ubuntu")) Some("ubuntu")
+      else None
+    namespace.toSeq.flatMap { ns =>
+      LsParser.parse(listing).filter(_.isFile).flatMap { e =>
+        val path = e.path.dropWhile(_ == '/')
+        val fileName = path.substring(path.lastIndexOf('/') + 1)
+        if (!isDebCollectible(fileName)) None
+        else {
+          val purl =
+            if (DebArchiveSuffixes.exists(fileName.endsWith)) {
+              val (n, v, a) = debNva(fileName)
+              Some(s"pkg:deb/$ns/$n" + v.map("@" + _).getOrElse("") +
+                a.map("?arch=" + _).getOrElse(""))
+            } else None
+          Some(VisitedUri(
+            uri = sourceUri.replace("ls-lR.gz", path),
+            sourceUri = sourceUri,
+            packageUrl = purl,
+            fileName = Some(fileName),
+            size = e.size,
+            date = e.date))
+        }
+      }
+    }
+  }
+
+  private val LocRx = """<loc>\s*([^<]+?)\s*</loc>""".r
+
+  /** SourceForge master sitemap (`minecode/miners/sourceforge.py:31-48`):
+    * one URI per sub-sitemap `<loc>`. */
+  def sourceforgeSitemapIndexUris(xml: String, sourceUri: String)
+      : Seq[VisitedUri] =
+    LocRx.findAllMatchIn(xml).map(m =>
+      VisitedUri(uri = m.group(1), sourceUri = sourceUri)).toSeq
+
+  private val SfProjectRx =
+    """^https?://sourceforge.net/projects/[a-z0-9.-]+/?$""".r
+
+  /** SourceForge sub-sitemap (`minecode/miners/sourceforge.py:51-68`):
+    * project page `<loc>`s become project-JSON API URIs with a
+    * `pkg:sourceforge` purl. */
+  def sourceforgeSitemapPageUris(xml: String, sourceUri: String)
+      : Seq[VisitedUri] =
+    LocRx.findAllMatchIn(xml).map(_.group(1)).collect {
+      case loc if SfProjectRx.findFirstIn(loc).isDefined =>
+        val name = loc.split("https?://sourceforge.net/projects/").last
+          .reverse.dropWhile(_ == '/').reverse
+        VisitedUri(
+          uri = s"https://sourceforge.net/api/project/name/$name/json",
+          sourceUri = sourceUri,
+          packageUrl = Some(s"pkg:sourceforge/$name"))
+    }.toSeq
 
   /** godoc search API (`minecode/miners/golang.py:63-84`): one
     * pre-visited purl-as-URI per distinct canonical package path, the

@@ -102,6 +102,101 @@ class MoreVisitorsSpec extends AnyFunSuite {
       expected("golang/godoc_search_off_github_expected_uris.json"))
   }
 
+  test("debian ls-lR visitor matches the reference's expected URIs") {
+    val src = "http://ftp.debian.org/debian/ls-lR.gz"
+    val got = debianLsLrUris(read("debian/lslr/ls-lR_debian"), src)
+    val wantRaw = JsonMethods.parse(read("debian/lslr/ls-lR_debian.gz-expected.json"))
+    val want = wantRaw match {
+      case JArray(items) => items.map { it =>
+        def str(f: String): Option[String] = it \ f match {
+          case JString(v) => Some(v); case _ => None
+        }
+        val size = it \ "size" match {
+          case JInt(n) => Some(n.toLong); case _ => None
+        }
+        (str("uri").get, str("package_url"), str("file_name"), size, str("date"))
+      }
+      case _ => fail("unexpected fixture shape")
+    }
+    assert(got.size == want.size)
+    got.zip(want).foreach { case (g, (uri, purl, fileName, size, date)) =>
+      assert(g.uri == uri)
+      assert(g.packageUrl == purl, s"purl mismatch for $uri")
+      assert(g.fileName == fileName)
+      assert(g.size == size)
+      assert(g.date == date)
+    }
+  }
+
+  test("sourceforge sitemap visitors match the reference's expected URIs") {
+    check(
+      sourceforgeSitemapIndexUris(read("sourceforge/sitemap.xml"),
+        "http://sourceforge.net/sitemap.xml"),
+      expected("sourceforge/expected_sf_sitemap_new.json"))
+    check(
+      sourceforgeSitemapPageUris(read("sourceforge/sitemap-1.xml"),
+        "http://sourceforge.net/sitemap-1.xml"),
+      expected("sourceforge/expected_sf_sitemap_page_new.json"))
+  }
+
+  test("openssl listing visitors match the reference's expected URIs") {
+    def checkFull(got: Seq[graft.miners.RegistryVisitors.VisitedUri],
+        fixture: String): Unit = {
+      val want = JsonMethods.parse(read(fixture)) match {
+        case JArray(items) => items.map { it =>
+          def str(f: String): Option[String] = it \ f match {
+            case JString(v) => Some(v); case _ => None
+          }
+          // the reference emits sizes as strings in this fixture
+          val size = it \ "size" match {
+            case JInt(n)    => Some(n.toLong)
+            case JString(s) => s.toLongOption
+            case _          => None
+          }
+          (str("uri").get, str("package_url"), str("file_name"), size,
+            str("date"))
+        }
+        case _ => fail("unexpected fixture shape")
+      }
+      assert(got.size == want.size)
+      got.zip(want).foreach { case (g, (uri, purl, fileName, size, date)) =>
+        assert(g.uri == uri)
+        assert(g.packageUrl == purl, s"purl mismatch for $uri")
+        assert(g.fileName == fileName, s"file_name mismatch for $uri")
+        assert(g.size == size, s"size mismatch for $uri")
+        assert(g.date == date, s"date mismatch for $uri")
+      }
+    }
+    checkFull(
+      opensslIndexUris(read("openssl/Index.html"), "https://ftp.openssl.org/"),
+      "openssl/expected_uri_openssl_index.json")
+    checkFull(
+      opensslIndexUris(read("openssl/Indexof_source.html"),
+        "https://ftp.openssl.org/source/"),
+      "openssl/expected_uri_openssl_sourceindex.json")
+  }
+
+  test("eclipse git repository visitor matches the reference's expected URIs") {
+    check(
+      eclipseGitRepoUris(read("eclipse/Eclipse_Git_repositories.html"),
+        "http://git.eclipse.org/c"),
+      expected("eclipse/eclipse_git_repos_expected"))
+  }
+
+  test("eclipse packages visitor matches the reference's expected URIs") {
+    check(
+      eclipsePackagesUris(read("eclipse/All_Releases_Packages.html"),
+        "http://www.eclipse.org/downloads/packages/all"),
+      expected("eclipse/eclipse_packages_expected"))
+  }
+
+  test("eclipse release visitor matches the reference's expected URIs") {
+    val src = "http://www.eclipse.org/downloads/packages/release/Neon/R"
+    val got = eclipseReleaseUris(read("eclipse/Neon_R.html"), src)
+    val want = expected("eclipse/Neon_R-expected.json")
+    check(got, want)
+  }
+
   test("bower visitor matches the reference's expected URIs") {
     // every fixture entry's name differs from its repo path
     // ("0x100-angular-steps" vs ".../0x100/angular-steps.git"), so the
