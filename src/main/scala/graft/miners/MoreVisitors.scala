@@ -137,6 +137,95 @@ object MoreVisitors {
           packageUrl = Some(s"pkg:haxe/$project@$version"))
     }.toSeq
 
+  /** Bitbucket repository index page
+    * (`minecode/miners/bitbucket.py:74-87`): only the `next` link is a
+    * new URI — each page's repo records flow to the mapper. */
+  def bitbucketIndexUris(json: String, sourceUri: String): Seq[VisitedUri] =
+    (JsonMethods.parse(json) \ "next") match {
+      case JString(next) => Seq(VisitedUri(uri = next, sourceUri = sourceUri))
+      case _             => Seq.empty
+    }
+
+  /** Single Bitbucket repo record → detail URIs
+    * (`minecode/miners/bitbucket.py:170-198`): latest commit
+    * (pagelen=1), fork/watcher counts (fields=size), and the paginated
+    * tags/downloads when the record links them. */
+  def bitbucketRepoUris(json: String, sourceUri: String): Seq[VisitedUri] = {
+    val root = JsonMethods.parse(json)
+    val fullName = (root \ "full_name") match {
+      case JString(s) => s.trim; case _ => ""
+    }
+    val purl = Some(s"pkg:bitbucket/$fullName")
+    def link(name: String): Option[String] =
+      (root \ "links" \ name \ "href") match {
+        case JString(h) => Some(h); case _ => None
+      }
+    link("commits").map(u => VisitedUri(uri = u + "?pagelen=1",
+      sourceUri = sourceUri, packageUrl = purl)).toSeq ++
+      Seq("forks", "watchers").flatMap(l => link(l).map(u =>
+        VisitedUri(uri = u + "?pagelen=1&fields=size",
+          sourceUri = sourceUri, packageUrl = purl))) ++
+      Seq("refs/tags", "downloads").flatMap(l => link(l).map(u =>
+        VisitedUri(uri = u + "?pagelen=100",
+          sourceUri = sourceUri, packageUrl = purl)))
+  }
+
+  private val ApacheArchiveExts = Seq(
+    ".jar", ".zip", ".tar.gz", ".tgz", ".tar.bz2", ".war", ".tar.xz",
+    ".tar", ".whl", ".gem", ".nupkg")
+
+  private val ApacheChecksumExts = Seq(".sha256", ".sha512", ".md5", ".sha", ".sha1")
+
+  private val ApacheIgnoredPathContains = Seq(
+    "META/", "/documentation/", "/doc/", "-doc.", "-doc-", "/docs/",
+    "-docs.", "-docs-", "javadoc", "fulldoc", "apidoc", "-manual.",
+    "-asdocs.", "updatesite/", "eclipse-update-site", "update/eclipse",
+    "sling/eclipse", "eclipse.site-", "-distro.", "-bin-withdeps.",
+    "-bin-with-deps", "apache-airavata-distribution",
+    "apache-airavata-server", "apache-mahout-distribution",
+    "/syncope-standalone-", "binaries/conda", "perl/contrib", "zzz",
+    "ant/manual")
+
+  /** Apache purl from a dist path (`minecode/miners/apache.py:224-249`):
+    * name = first segment; the version segment is only trusted for
+    * `/distribution/` and `/sources/` layouts. */
+  def apachePurl(path: String): String = {
+    val segments = path.split("/").filter(_.nonEmpty)
+    val version =
+      if (segments.length > 1 &&
+        (path.contains("/distribution/") || path.contains("/sources/")))
+        Some(segments(1))
+      else None
+    s"pkg:apache/${segments.head}" + version.map("@" + _).getOrElse("")
+  }
+
+  /** Apache dist `find -ls` index (`minecode/miners/apache.py:184-221`):
+    * archive + archive-checksum files (screened against the ignore
+    * list) become dist URIs; archives are pre-visited (they go
+    * straight to scanning), checksum files need a further visit. */
+  def apacheFindLsUris(listing: String, sourceUri: String): Seq[VisitedUri] = {
+    val kept = ApacheArchiveExts ++
+      (for (ae <- ApacheArchiveExts; ce <- ApacheChecksumExts) yield ae + ce)
+    listing.linesIterator.flatMap { line =>
+      val fields = line.trim.split("\\s+", 11)
+      if (fields.length < 11) None
+      else {
+        val perms = fields(2)
+        val size = fields(6).toLongOption
+        val path = fields(10).stripPrefix("./")
+        if (!perms.startsWith("-")) None
+        else if (!kept.exists(path.endsWith) ||
+          ApacheIgnoredPathContains.exists(path.contains)) None
+        else Some(VisitedUri(
+          uri = s"https://apache.org/dist/$path",
+          sourceUri = sourceUri,
+          packageUrl = Some(apachePurl(path)),
+          size = size,
+          visited = !ApacheChecksumExts.exists(path.endsWith)))
+      }
+    }.toSeq
+  }
+
   private val ApacheRowRx =
     ("""<a href="([^"]+)"[^>]*>[^<]*</a></td>\s*""" +
       """<td[^>]*>([^<]*)</td>\s*<td[^>]*>([^<]*)</td>""").r

@@ -139,6 +139,50 @@ class MoreVisitorsSpec extends AnyFunSuite {
       expected("sourceforge/expected_sf_sitemap_page_new.json"))
   }
 
+  test("apache find-ls dist index visitor matches the reference's expected URIs") {
+    val src = "http://apache.org/dist/zzz/find-ls.gz"
+    val gz = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(
+      s"$fixtures/apache/find-ls.gz"))
+    val listing = new String(graft.sources.GzipTolerant.readAll(gz), "UTF-8")
+    val got = apacheFindLsUris(listing, src)
+    // the fixture serializes package_url as PackageURL components
+    val want = JsonMethods.parse(read("apache/find-ls.gz_uris-expected.json")) match {
+      case JArray(items) => items.map { it =>
+        val uri = (it \ "uri").asInstanceOf[JString].s
+        val visited = it \ "visited" == JBool(true)
+        val size = it \ "size" match {
+          case JInt(n) => Some(n.toLong); case _ => None
+        }
+        val purl = it \ "package_url" match {
+          case JArray(JString(t) :: ns :: JString(n) :: v :: _) =>
+            val version = v match { case JString(s) => "@" + s; case _ => "" }
+            Some(s"pkg:$t/$n$version")
+          case _ => None
+        }
+        (uri, purl, visited, size)
+      }
+      case _ => fail("unexpected fixture shape")
+    }
+    assert(got.size == want.size)
+    got.zip(want).foreach { case (g, (uri, purl, visited, size)) =>
+      assert(g.uri == uri)
+      assert(g.packageUrl == purl, s"purl mismatch for $uri")
+      assert(g.visited == visited, s"visited mismatch for $uri")
+      assert(g.size == size, s"size mismatch for $uri")
+    }
+  }
+
+  test("bitbucket repo-index visitors match the reference's expected URIs") {
+    check(
+      bitbucketIndexUris(read("bitbucket/visit/index-repositories.json"),
+        "https://bitbucket.org/api/2.0/repositories/?pagelen=100"),
+      expected("bitbucket/visit/index-repositories_expected_uris.json"))
+    check(
+      bitbucketRepoUris(read("bitbucket/visit/singlerepo.json"),
+        "https://api.bitbucket.org/2.0/repositories/bastiand/mercurialeclipse"),
+      expected("bitbucket/visit/singlerepo_expected_uris.json"))
+  }
+
   test("openssl listing visitors match the reference's expected URIs") {
     def checkFull(got: Seq[graft.miners.RegistryVisitors.VisitedUri],
         fixture: String): Unit = {
