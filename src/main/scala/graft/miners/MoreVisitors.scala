@@ -137,6 +137,26 @@ object MoreVisitors {
           packageUrl = Some(s"pkg:haxe/$project@$version"))
     }.toSeq
 
+  /** GitLab projects API page (`minecode/miners/gitlab.py:58-96`):
+    * each project's `web_url` becomes a URI named after the project's
+    * last path segment, carrying the record as payload. */
+  def gitlabProjectsUris(json: String, sourceUri: String): Seq[VisitedUri] =
+    JsonMethods.parse(json) match {
+      case JArray(projects) => projects.flatMap { p =>
+        (p \ "web_url") match {
+          case JString(url) =>
+            // gitlab purl names are case-insensitive → lowercased
+            // (packageurl-python type normalization)
+            val name = url.substring(url.lastIndexOf('/') + 1).toLowerCase
+            Some(VisitedUri(uri = url, sourceUri = sourceUri,
+              packageUrl = Some(s"pkg:gitlab/$name"),
+              data = Some(compact(p))))
+          case _ => None
+        }
+      }
+      case _ => Seq.empty
+    }
+
   /** Bitbucket repository index page
     * (`minecode/miners/bitbucket.py:74-87`): only the `next` link is a
     * new URI — each page's repo records flow to the mapper. */

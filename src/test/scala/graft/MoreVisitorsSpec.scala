@@ -172,6 +172,13 @@ class MoreVisitorsSpec extends AnyFunSuite {
     }
   }
 
+  test("gitlab projects visitor matches the reference's expected URIs") {
+    check(
+      gitlabProjectsUris(read("gitlab/projects_visitor.json"),
+        "https://gitlab.com/api/v4/projects?page=1&per_page=70&statistics=true"),
+      expected("gitlab/expected_projects_visitor.json"))
+  }
+
   test("bitbucket repo-index visitors match the reference's expected URIs") {
     check(
       bitbucketIndexUris(read("bitbucket/visit/index-repositories.json"),
