@@ -1,0 +1,169 @@
+package graft.miners
+
+import graft.catalog.{PackageRow, PartyRow}
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+
+/** Package mappers — the map side of the reference's miners: a
+  * visited payload (registry JSON / package page HTML) becomes full
+  * package records. Mirrors `minecode/miners/packagist.py` and
+  * `minecode/miners/cran.py` build_packages, golden-tested against
+  * their `mapper_*_expected.json` fixtures.
+  */
+object Mappers {
+
+  /** A mapped package: the catalog row plus its parties and the VCS
+    * url (carried separately — the catalog schema keeps parties in
+    * their own table and has no vcs column). */
+  final case class MappedPackage(row: PackageRow, parties: Seq[PartyRow],
+      vcsUrl: Option[String])
+
+  private def str(v: JValue): Option[String] = v match {
+    case JString(s) if s.nonEmpty => Some(s)
+    case _                        => None
+  }
+
+  // ----------------------------------------------------------- packagist
+
+  /** Packagist `p/{vendor}/{package}.json`
+    * (`minecode/miners/packagist.py:80-140`): one package per version
+    * with dist url+sha1, git source as vcs, authors as parties, and
+    * the license union. The composer `name` keeps its vendor prefix. */
+  def packagistPackages(json: String): Seq[MappedPackage] = {
+    val root = JsonMethods.parse(json)
+    (root \ "package") match {
+      case pkg: JObject =>
+        val language = str(pkg \ "language")
+        (pkg \ "versions") match {
+          case JObject(versions) => versions.map { case (_, v) =>
+            val name = str(v \ "name").getOrElse("")
+            val downloadUrl = str(v \ "dist" \ "url")
+            val sha1 = str(v \ "dist" \ "shasum")
+            val vcs = (str(v \ "source" \ "type"), str(v \ "source" \ "url")) match {
+              case (Some("git"), Some(u)) => Some(s"git+$u")
+              case _                      => None
+            }
+            val keywords = (v \ "keywords") match {
+              case JArray(ks) => ks.flatMap(str)
+              case _          => Seq.empty
+            }
+            val licenses = (v \ "license") match {
+              case JArray(ls) => ls.flatMap(str).distinct
+              case _          => Seq.empty
+            }
+            val parties = (v \ "authors") match {
+              case JArray(as) => as.map { a =>
+                PartyRow(downloadUrl.getOrElse(""), "person", Some("author"),
+                  str(a \ "name"), str(a \ "email"), str(a \ "homepage"))
+              }
+              case _ => Seq.empty
+            }
+            MappedPackage(
+              PackageRow.minimal(downloadUrl.getOrElse(""), "composer", name,
+                str(v \ "version"))
+                .copy(
+                  description = str(v \ "description"),
+                  primary_language = language,
+                  keywords = keywords,
+                  homepage_url = str(v \ "homepage"),
+                  declared_license_expression =
+                    if (licenses.isEmpty) None else Some(licenses.mkString("\n")),
+                  sha1 = sha1),
+              parties, vcs)
+          }
+          case _ => Seq.empty
+        }
+      case _ => Seq.empty
+    }
+  }
+
+  // ---------------------------------------------------------------- cran
+
+  private val CranUrl = "https://cloud.r-project.org/"
+
+  /** Decode the HTML entities CRAN pages use (hex/decimal numeric
+    * references plus the handful of named ones in the fixtures). */
+  private[miners] def decodeEntities(s: String): String = {
+    val numeric = """&#x([0-9a-fA-F]+);|&#(\d+);""".r
+    val afterNumeric = numeric.replaceAllIn(s, m =>
+      java.util.regex.Matcher.quoteReplacement(
+        Option(m.group(1)).map(h => Integer.parseInt(h, 16))
+          .getOrElse(m.group(2).toInt).toChar.toString))
+    afterNumeric
+      .replace("&nbsp;", " ").replace("&ge;", "≥")
+      .replace("&le;", "≤").replace("&amp;", "&")
+      .replace("&lt;", "<").replace("&gt;", ">").replace("&quot;", "\"")
+  }
+
+  private val TrRx = """(?s)<tr>\s*(.*?)\s*</tr>""".r
+  private val TdRx = """(?s)<td[^>]*>(.*?)</td>""".r
+  private val ARx = """(?s)<a\s+href="([^"]+)"[^>]*>""".r
+  private val TagRx = """(?s)<[^>]+>""".r
+  private val PRx = """(?s)<p>\s*(.*?)\s*</p>""".r
+
+  private def cellText(cell: String): String =
+    decodeEntities(TagRx.replaceAllIn(cell, "")).trim
+
+  /** CRAN package page HTML → packages, one per download location
+    * (`minecode/miners/cran.py:92-210`): version/license/URL/author/
+    * maintainer/published from the summary table, downloads from the
+    * "source"/"binaries" rows (hrefs rebased onto the CRAN root), a
+    * trailing row for the archive link. */
+  def cranPackagesFromHtml(html: String, uri: String): Seq[MappedPackage] = {
+    val name = {
+      val parent = uri.substring(0, uri.lastIndexOf('/'))
+      parent.substring(parent.lastIndexOf('/') + 1)
+    }
+    val description = PRx.findFirstMatchIn(html).map(m => cellText(m.group(1)))
+    var version: Option[String] = None
+    var homepage: Option[String] = None
+    var releaseDate: Option[java.sql.Timestamp] = None
+    val licenses = Seq.newBuilder[String]
+    val parties = Seq.newBuilder[PartyRow]
+    val downloads = Seq.newBuilder[String]
+    TrRx.findAllMatchIn(html).foreach { tr =>
+      val cells = TdRx.findAllMatchIn(tr.group(1)).map(_.group(1)).toSeq
+      if (cells.size >= 2) {
+        val key = cellText(cells.head).replace(' ', ' ')
+        val value = cellText(cells(1))
+        val hrefs = ARx.findAllMatchIn(cells(1)).map(_.group(1).trim).toSeq
+        key match {
+          case "Version:" => version = Some(value)
+          case "URL:" =>
+            homepage = if (hrefs.nonEmpty) Some(hrefs.mkString("\n"))
+              else Some(value)
+          case "License:" => licenses ++= hrefs
+          case "Author:" =>
+            parties += PartyRow("", "person", Some("author"), Some(value),
+              None, None)
+          case "Maintainer:" =>
+            value.split("<").toSeq match {
+              case Seq(n, e) =>
+                parties += PartyRow("", "person", Some("maintainer"),
+                  Some(n.trim),
+                  Some(e.replace(">", "").replace(" at ", "@").trim), None)
+              case _ =>
+            }
+          case "Published:" =>
+            releaseDate = scala.util.Try(
+              java.sql.Timestamp.valueOf(s"$value 00:00:00")).toOption
+          case k if k.contains("source") || k.contains("binaries") =>
+            downloads ++= hrefs.map(_.replace("../../../", CranUrl))
+          case _ =>
+        }
+      }
+    }
+    val licenseExpr = {
+      val ls = licenses.result()
+      if (ls.isEmpty) None else Some(ls.mkString("\n"))
+    }
+    downloads.result().map { dl =>
+      MappedPackage(
+        PackageRow.minimal(dl, "cran", name, version)
+          .copy(description = description, homepage_url = homepage,
+            declared_license_expression = licenseExpr,
+            release_date = releaseDate),
+        parties.result().map(_.copy(download_url = dl)), None)
+    }
+  }
+}
