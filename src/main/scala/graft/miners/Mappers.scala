@@ -77,6 +77,100 @@ object Mappers {
     }
   }
 
+  // -------------------------------------------------------------- github
+
+  /** GitHub repo record (as the single-repo visitor dumps it) →
+    * packages (`minecode/miners/github.py:214-295`): one per download,
+    * per tag tarball AND zipball, and per branch download URL. The
+    * reference wraps `git_url` in a 1-tuple before formatting, so its
+    * expected vcs_url reads `git+('<url>',)` — reproduced verbatim
+    * since its own fixtures assert it. */
+  def githubPackages(json: String): Seq[MappedPackage] = {
+    val root = JsonMethods.parse(json)
+    val fullName = str(root \ "full_name").getOrElse("")
+    val (namespace, name) = fullName.split("/", 2) match {
+      case Array(ns, n) => (Some(ns), n)
+      case _            => (None, fullName)
+    }
+    val vcs = Some(s"git+('${str(root \ "git_url").getOrElse("")}',)")
+    val owner = str(root \ "owner").map(o =>
+      PartyRow("", "person", Some("owner"), Some(o), None, None))
+    def base(downloadUrl: String): PackageRow =
+      PackageRow.minimal(downloadUrl, "github", name)
+        .copy(namespace = namespace,
+          description = str(root \ "description"),
+          primary_language = str(root \ "language"),
+          homepage_url = str(root \ "html_url"),
+          size = (root \ "size") match {
+            case JInt(n) => Some(n.toLong); case _ => None
+          })
+    val downloads = (root \ "downloads") match {
+      case JArray(ds) => ds.flatMap { d =>
+        str(d \ "html_url").map { u =>
+          MappedPackage(base(u).copy(
+            size = (d \ "size") match {
+              case JInt(n) => Some(n.toLong); case _ => None
+            },
+            release_date = str(d \ "created_at").flatMap(s =>
+              scala.util.Try(java.sql.Timestamp.valueOf(
+                s.replace("T", " ").take(19))).toOption)),
+            owner.toSeq, vcs)
+        }
+      }
+      case _ => Seq.empty
+    }
+    val tags = (root \ "tags") match {
+      case JArray(ts) => ts.flatMap { t =>
+        val version = str(t \ "name")
+        val sha1 = str(t \ "sha1")
+        Seq("tarball_url", "zipball_url").flatMap(k =>
+          str(t \ k).map(u =>
+            MappedPackage(base(u).copy(version = version, sha1 = sha1),
+              owner.toSeq, vcs)))
+      }
+      case _ => Seq.empty
+    }
+    val branches = (root \ "branches_download_urls") match {
+      case JArray(bs) => bs.flatMap(str).map(u =>
+        MappedPackage(base(u), owner.toSeq, vcs))
+      case _ => Seq.empty
+    }
+    downloads ++ tags ++ branches
+  }
+
+  // -------------------------------------------------------------- golang
+
+  /** godoc record + purl → one package
+    * (`minecode/miners/golang.py:222-240`): homepage from the import
+    * path, vcs from the purl's `vcs_repository` qualifier (git-tagged
+    * only for github namespaces), synopsis as description. */
+  def golangPackage(recordJson: String, purl: String): Option[MappedPackage] = {
+    val parsed = graft.functions.PurlParse.parse(purl)
+    if (parsed == null) None
+    else {
+      val (ptype, namespace, name) = (parsed(0), Option(parsed(1)), parsed(2))
+      val qualifiers = Option(parsed(4)).toSeq
+        .flatMap(_.split("&").toSeq).flatMap { kv =>
+          val i = kv.indexOf('=')
+          if (i <= 0) None else Some(kv.substring(0, i) -> kv.substring(i + 1))
+        }.toMap
+      val vcsRepo = qualifiers.get("vcs_repository")
+      val vcs =
+        if (namespace.exists(_.contains("github.com")))
+          vcsRepo.map(u => s"git+$u")
+        else vcsRepo
+      val record = JsonMethods.parse(recordJson)
+      Some(MappedPackage(
+        PackageRow.minimal("", ptype, name)
+          .copy(namespace = namespace,
+            primary_language = Some("Go"),
+            description = str(record \ "synopsis"),
+            homepage_url = Some(
+              ("https:/" +: namespace.toSeq :+ name).mkString("/"))),
+        Seq.empty, vcs))
+    }
+  }
+
   // ---------------------------------------------------------------- cran
 
   private val CranUrl = "https://cloud.r-project.org/"

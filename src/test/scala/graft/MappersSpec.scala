@@ -54,6 +54,45 @@ class MappersSpec extends AnyFunSuite {
     }
   }
 
+  test("github mapper matches the reference's expected grit packages") {
+    val got = Mappers.githubPackages(
+      read("github/mojombo_grit_from_visitor_4mapper_input.json"))
+    val want = arr("github/mojombo_grit_result_mapper_expected.json")
+    assert(got.size == want.size)
+    got.zip(want).foreach { case (g, w) =>
+      assert(g.row.name == str(w \ "name").get)
+      assert(g.row.version == str(w \ "version"))
+      assert(g.row.download_url == str(w \ "download_url").get)
+      assert(g.row.sha1 == str(w \ "sha1"))
+      assert(g.row.primary_language == str(w \ "primary_language"))
+      assert(g.row.homepage_url == str(w \ "homepage_url"))
+      assert(g.vcsUrl == str(w \ "vcs_url"))
+    }
+  }
+
+  test("golang mapper matches the reference's expected packages") {
+    def checkOne(input: String, purl: String, expectedPath: String): Unit = {
+      val g = Mappers.golangPackage(read(input), purl).get
+      val w = arr(expectedPath).head
+      assert(g.row.name == str(w \ "name").get)
+      assert(g.row.namespace == str(w \ "namespace"))
+      assert(g.row.ptype == str(w \ "type").get)
+      assert(g.row.description == str(w \ "description"))
+      assert(g.row.homepage_url == str(w \ "homepage_url"))
+      assert(g.row.primary_language == str(w \ "primary_language"))
+      assert(g.vcsUrl == str(w \ "vcs_url"))
+    }
+    checkOne("golang/glog.json",
+      "pkg:golang/github.com/golang/glog?vcs_repository=https://github.com/golang/glog",
+      "golang/glog_expected.json")
+    checkOne("golang/math3.json",
+      "pkg:bitbucket/bitbucket.org/zombiezen/yaml?vcs_repository=https://bitbucket.org/zombiezen/yaml",
+      "golang/math3_expected.json")
+    checkOne("golang/winter.json",
+      "pkg:golang/winterdrache.de/bindings/sdl",
+      "golang/winter_expected.json")
+  }
+
   test("cran html mapper matches the reference's expected ANN2 packages") {
     val got = Mappers.cranPackagesFromHtml(read("cran/CRAN_Package_ANN2.html"),
       "https://cloud.r-project.org/web/packages/ANN2/index.html")
