@@ -171,6 +171,44 @@ object Mappers {
     }
   }
 
+  // --------------------------------------------------------------- nuget
+
+  /** NuGet catalog-entry JSON → one package
+    * (`minecode/miners/nuget.py:183-225`): summary+description joined
+    * (suppressed when identical), comma-split authors, tags as
+    * keywords, licenseUrl as the license statement, copyright kept. */
+  def nugetPackage(json: String): Option[MappedPackage] = {
+    val m = JsonMethods.parse(json)
+    str(m \ "id").map { id =>
+      val shortDesc = str(m \ "summary")
+      val longDesc0 = str(m \ "description")
+      val longDesc = if (longDesc0 == shortDesc) None else longDesc0
+      val description = Seq(shortDesc, longDesc).flatten
+        .map(_.trim).filter(_.nonEmpty)
+      val downloadUrl = str(m \ "packageContent")
+      val parties = str(m \ "authors").toSeq.flatMap(_.split(",").toSeq)
+        .map(n => PartyRow(downloadUrl.getOrElse(""), "person",
+          Some("author"), Some(n.trim), None, None))
+      val keywords = (m \ "tags") match {
+        case JArray(ts) => ts.flatMap(str)
+        case JString(t) => Seq(t)
+        case _          => Seq.empty
+      }
+      MappedPackage(
+        PackageRow.minimal(downloadUrl.getOrElse(""), "nuget", id,
+          str(m \ "version"))
+          .copy(
+            description =
+              if (description.isEmpty) None else Some(description.mkString("\n")),
+            homepage_url = str(m \ "projectUrl"),
+            declared_license_expression = str(m \ "licenseExpression")
+              .orElse(str(m \ "licenseUrl")),
+            copyright = str(m \ "copyright"),
+            keywords = keywords),
+        parties, None)
+    }
+  }
+
   // ---------------------------------------------------------------- cran
 
   private val CranUrl = "https://cloud.r-project.org/"

@@ -137,6 +137,81 @@ object MoreVisitors {
           packageUrl = Some(s"pkg:haxe/$project@$version"))
     }.toSeq
 
+  /** NuGet search query root (`minecode/miners/nuget.py:44-56`):
+    * `totalHits` paginates into skip=0,20,40,… query URIs. */
+  def nugetQueryUris(json: String, sourceUri: String): Seq[VisitedUri] = {
+    val total = (JsonMethods.parse(json) \ "totalHits") match {
+      case JInt(n) => n.toLong; case _ => 0L
+    }
+    (0L until total by 20L).map(count =>
+      VisitedUri(uri = s"https://api-v2v3search-0.nuget.org/query?skip=$count",
+        sourceUri = sourceUri)).toSeq
+  }
+
+  /** NuGet search results page (`minecode/miners/nuget.py:59-88`):
+    * per package-version registration URIs (fixing the registry's
+    * stray trailing `.0` version segment), then the alternate
+    * registration0/registration1 form of each. */
+  def nugetPageUris(json: String, sourceUri: String): Seq[VisitedUri] =
+    (JsonMethods.parse(json) \ "data") match {
+      case JArray(packages) => packages.flatMap { p =>
+        (p \ "versions") match {
+          case JArray(versions) => versions.flatMap { v =>
+            (v \ "version", v \ "@id") match {
+              case (JString(ver), JString(id0)) =>
+                val name = id0
+                  .replace("https://api.nuget.org/v3/registration1/", "")
+                  .split("/")(0)
+                val versionName = s"$ver.0.json"
+                val id = if (id0.contains(versionName))
+                  id0.replace(versionName, s"$ver.json") else id0
+                val first = VisitedUri(uri = id, sourceUri = sourceUri,
+                  packageUrl = Some(s"pkg:nuget/$name@$ver"))
+                val alternate =
+                  if (id.contains("/registration0/"))
+                    Some(VisitedUri(
+                      uri = id.replace("/registration0/", "/registration1/"),
+                      sourceUri = sourceUri))
+                  else if (id.contains("/registration1/"))
+                    Some(VisitedUri(
+                      uri = id.replace("/registration1/", "/registration0/"),
+                      sourceUri = sourceUri))
+                  else None
+                first +: alternate.toSeq
+              case _ => Seq.empty
+            }
+          }
+          case _ => Seq.empty
+        }
+      }
+      case _ => Seq.empty
+    }
+
+  /** NuGet registration leaf (`minecode/miners/nuget.py:92-127`): the
+    * nupkg `packageContent` (purl from its file name) and the
+    * `catalogEntry` URI. */
+  def nugetDownloadUris(json: String, sourceUri: String): Seq[VisitedUri] = {
+    val root = JsonMethods.parse(json)
+    val content = (root \ "packageContent") match {
+      case JString(u) =>
+        val fileName = u.substring(u.lastIndexOf('/') + 1)
+        val stem = fileName.replace(".nupkg", "")
+        val i = stem.indexOf('.')
+        val (name, version) =
+          if (i < 0) (stem, None) else (stem.substring(0, i),
+            Some(stem.substring(i + 1)))
+        Seq(VisitedUri(uri = u, sourceUri = sourceUri,
+          packageUrl = Some(s"pkg:nuget/$name" +
+            version.map("@" + _).getOrElse(""))))
+      case _ => Seq.empty
+    }
+    val catalog = (root \ "catalogEntry") match {
+      case JString(u) => Seq(VisitedUri(uri = u, sourceUri = sourceUri))
+      case _          => Seq.empty
+    }
+    content ++ catalog
+  }
+
   /** GitLab projects API page (`minecode/miners/gitlab.py:58-96`):
     * each project's `web_url` becomes a URI named after the project's
     * last path segment, carrying the record as payload. */

@@ -116,6 +116,24 @@ class MappersSpec extends AnyFunSuite {
     }
   }
 
+  test("nuget mapper matches the reference's expected entityframework package") {
+    val got = Mappers.nugetPackage(read("nuget/entityframework2.json")).get
+    val w = arr("nuget/nuget_mapper_expected.json").head
+    assert(got.row.name == str(w \ "name").get)
+    assert(got.row.version == str(w \ "version"))
+    assert(got.row.description == str(w \ "description"))
+    assert(got.row.homepage_url == str(w \ "homepage_url"))
+    // scancode license DETECTION (ms-net-library) is out of scope; the
+    // raw statement is the licenseUrl the reference extracted
+    assert(got.row.declared_license_expression ==
+      str(w \ "extracted_license_statement"))
+    val wantKeywords = (w \ "keywords") match {
+      case JArray(ks) => ks.flatMap(str); case _ => Seq.empty
+    }
+    assert(got.row.keywords == wantKeywords)
+    assert(got.parties.map(_.name) == Seq(Some("Microsoft")))
+  }
+
   test("cran html mapper matches the reference's expected abe packages") {
     val got = Mappers.cranPackagesFromHtml(read("cran/CRAN_Package_abe.html"),
       "https://cloud.r-project.org/web/packages/abe/index.html")

@@ -31,7 +31,17 @@ class MoreVisitorsSpec extends AnyFunSuite {
           case JString(s)       => Some(JsonMethods.parse(s))
           case other            => Some(other)
         }
-        (str("uri").get, str("package_url"), it \ "visited" == JBool(true), data)
+        // package_url arrives either as a purl string or as serialized
+        // PackageURL components [type, ns, name, version, quals, subpath]
+        val purl = it \ "package_url" match {
+          case JString(p) => Some(p)
+          case JArray(JString(t) :: ns :: JString(n) :: v :: _) =>
+            val nsPart = ns match { case JString(s) => s + "/"; case _ => "" }
+            val vPart = v match { case JString(s) => "@" + s; case _ => "" }
+            Some(s"pkg:$t/$nsPart$n$vPart")
+          case _ => None
+        }
+        (str("uri").get, purl, it \ "visited" == JBool(true), data)
       }
       case _ => fail(s"unexpected fixture shape: $path")
     }
@@ -170,6 +180,21 @@ class MoreVisitorsSpec extends AnyFunSuite {
       assert(g.visited == visited, s"visited mismatch for $uri")
       assert(g.size == size, s"size mismatch for $uri")
     }
+  }
+
+  test("nuget visitors match the reference's expected URIs") {
+    check(
+      nugetQueryUris(read("nuget/query.json"),
+        "https://api-v2v3search-0.nuget.org/query"),
+      expected("nuget/nuget_query_expected"))
+    check(
+      nugetPageUris(read("nuget/query_search.json"),
+        "https://api-v2v3search-0.nuget.org/query?skip=0"),
+      expected("nuget/nuget_page_json_expected"))
+    check(
+      nugetDownloadUris(read("nuget/entityframework.json"),
+        "https://api.nuget.org/v3/registration1/entityframework/6.1.3.json"),
+      expected("nuget/nuget_downlloadvisitor_json_expected"))
   }
 
   test("gitlab projects visitor matches the reference's expected URIs") {
