@@ -177,8 +177,10 @@ class EcosystemCollectSpec extends AnyFunSuite {
           // break the fixture's pagination so the walk ends after page 1
           .replace("\"next\":", "\"next_disabled\":").getBytes)
       case u if u == "https://hub.docker.com/v2/repositories/library/nginx/" =>
-        Right("""{"description": "Official build of Nginx.",
-          "full_description": "# Quick reference"}""".getBytes)
+        // the reference fixture wraps the repo summary under "summary"
+        Right(org.json4s.jackson.JsonMethods.compact(
+          org.json4s.jackson.JsonMethods.parse(fixture("dockerhub/nginx.json"))
+            \ "summary").getBytes)
       case u if u.contains("hub.docker.com/v2/repositories/library/nginx/tags") =>
         Right(fixture("dockerhub/nginx.json").getBytes)
       case u if u.contains("huggingface.co/api/models/google/bert") =>
@@ -287,15 +289,28 @@ class EcosystemCollectSpec extends AnyFunSuite {
       "https://bitbucket.org/bastiand/mercurialeclipse/get/tip.tar.gz")
   }
 
-  test("docker collect selects a tag by name and carries the digest") {
+  test("docker collect matches the reference's expected-nginx1 mapping") {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
     val rows = rowsOf("pkg:docker/nginx@stable-perl")
     assert(rows.size == 1)
     val r = rows.head
-    assert(r.sha256.contains(
-      "3d8957cb61d0223de2ab1aa2ec91d29796eb82a81cdcc1e968c090c29606d648"))
-    assert(r.size.contains(83983956L))
-    assert(r.description.exists(_.startsWith("Official build of Nginx.")))
-    assert(r.homepage_url.contains("https://hub.docker.com/_/nginx"))
+    val w = JsonMethods.parse(fixture("dockerhub/expected-nginx1.json")) match {
+      case JArray(items) => items.head
+      case other         => other
+    }
+    def str(f: String): Option[String] = w \ f match {
+      case JString(v) => Some(v); case _ => None
+    }
+    assert(r.name == str("name").get)
+    assert(r.version == str("version"))
+    assert(r.description == str("description"))
+    assert(r.sha256 == str("sha256"))
+    assert(r.homepage_url == str("homepage_url"))
+    assert(r.size == (w \ "size" match {
+      case JInt(n) => Some(n.toLong); case _ => None
+    }))
+    assert(r.download_url == str("download_url").get)
   }
 
   test("huggingface collect yields one row per .bin weight file") {
