@@ -555,6 +555,53 @@ object CollectFlow {
           s"$name-$v-$arch.pkg.tar.zst"
         Right(Seq(PackageRow.minimal(url, "alpm", name, Some(v),
           CollectMiningLevel).copy(namespace = namespace)))
+      case "nix" =>
+        // official nixpkgs only (`minecode/collectors/nix.py:14-46`);
+        // devbox API record → per release/platform/output rows, each
+        // resolved through its cache.nixos.org narinfo to the nar
+        // archive URL (`minecode/miners/nix.py:16-107`)
+        if (!namespace.exists(_.equalsIgnoreCase("nixpkgs")))
+          return Left(s"nix purls are collected for nixpkgs only: $purl")
+        transport.fetch(s"https://search.devbox.sh/v2/pkg?name=$name")
+          .flatMap { b =>
+            EcosystemParsers.nixPackage(new String(b, "UTF-8")) match {
+              case None => Left(s"unparseable nix package data: $purl")
+              case Some(pkg) =>
+                val rows = for {
+                  release <- pkg.releases
+                  if version.forall(_ == release.version)
+                  platform <- release.platforms
+                  output <- platform.outputs
+                } yield {
+                  val baseName = output.storePath
+                    .reverse.takeWhile(_ != '/').reverse
+                  val hash = baseName.split("-")(0)
+                  val dl = transport
+                    .fetch(s"https://cache.nixos.org/$hash.narinfo")
+                    .toOption
+                    .flatMap(n => EcosystemParsers.narinfoUrl(
+                      new String(n, "UTF-8")))
+                    .map(p => s"https://cache.nixos.org/$p")
+                    .getOrElse(s"https://cache.nixos.org/$hash.narinfo")
+                  val qualifiers = (
+                    platform.commit.map("commit=" + _).toSeq ++
+                      Seq(s"output=${output.name}") ++
+                      platform.system.map("system=" + _).toSeq
+                    ).mkString("&")
+                  PackageRow.minimal(dl, "nix", name,
+                    Some(release.version), CollectMiningLevel)
+                    .copy(namespace = namespace,
+                      qualifiers = Some(qualifiers),
+                      description = pkg.summary,
+                      homepage_url = pkg.homepage,
+                      declared_license_expression =
+                        if (pkg.licenses.isEmpty) None
+                        else Some(pkg.licenses.mkString("\n")),
+                      release_date = platform.date.flatMap(tsOf))
+                }
+                Right(rows)
+            }
+          }
       case "generic" =>
         // generic purls carry their own download_url qualifier
         // (`minecode/collectors/generic.py:30-55`)

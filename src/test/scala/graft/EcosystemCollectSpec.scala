@@ -202,6 +202,12 @@ class EcosystemCollectSpec extends AnyFunSuite {
         Right(fixture("openssl/Indexof_source.html").getBytes)
       case u if u.contains("luarocks.org/manifests/kikito/inspect-3.1.1.src.rock") =>
         Right(Array.emptyByteArray)
+      case u if u.contains("search.devbox.sh/v2/pkg?name=SDL_mixer") =>
+        Right(fixture("nix/SDL_mixer_package-expected.json").getBytes)
+      case u if u.contains("cache.nixos.org/") && u.endsWith(".narinfo") =>
+        val hash = u.split("/").last.stripSuffix(".narinfo")
+        Right((s"StorePath: /nix/store/$hash-x\n" +
+          s"URL: nar/$hash.nar.xz\nCompression: xz\n").getBytes)
       case u => Left(s"unexpected fetch: $u")
     }
   }
@@ -365,6 +371,22 @@ class EcosystemCollectSpec extends AnyFunSuite {
     val r = rowsOf("pkg:alpm/arch/bemenu-ncurses@0.6.13-1?arch=x86_64").head
     assert(r.download_url ==
       "https://archive.archlinux.org/packages/b/bemenu-ncurses/bemenu-ncurses-0.6.13-1-x86_64.pkg.tar.zst")
+  }
+
+  test("nix collect resolves store paths through narinfo per platform output") {
+    val rows = rowsOf("pkg:nix/nixpkgs/SDL_mixer@1.2.12")
+    // 4 platforms × 2 outputs in the reference fixture
+    assert(rows.size == 8)
+    val first = rows.head
+    assert(first.download_url ==
+      "https://cache.nixos.org/nar/bgg1d95f9px23i9db6aal7cjbkdw025n.nar.xz")
+    assert(first.qualifiers.contains(
+      "commit=3d46470bb3030020f7e1361f33514854f5bfa86d&output=out&system=aarch64-linux"))
+    assert(first.description.contains("SDL multi-channel audio mixer library"))
+    assert(first.declared_license_expression.contains("Zlib"))
+    assert(first.release_date.get.toString.startsWith("2026-06-27"))
+    // non-nixpkgs namespaces are refused like the reference
+    assert(CollectFlow.collectPurl("pkg:nix/myrepo/SDL_mixer@1", transport).isLeft)
   }
 
   test("generic collect requires and uses the download_url qualifier") {
