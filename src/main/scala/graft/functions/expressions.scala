@@ -137,6 +137,27 @@ object PurlParse {
       else null
     Array(ptype, namespace, name, version, qualifiers, subpath)
   }
+
+  /** Decoded qualifier map for `purl`. Unlike re-splitting the joined
+    * string in `parse` (which URL-decodes values first), this splits the
+    * RAW query on `&`/`=` before decoding, so values legitimately
+    * containing encoded `%26`/`%3D` survive intact. */
+  def parseQualifiers(purl: String): Map[String, String] = {
+    var s = purl.trim
+    val hashIdx = s.indexOf('#')
+    if (hashIdx >= 0) s = s.substring(0, hashIdx)
+    val qIdx = s.indexOf('?')
+    if (qIdx < 0) Map.empty
+    else s.substring(qIdx + 1).split("&").toSeq.flatMap { kv =>
+      val eq = kv.indexOf('=')
+      if (eq <= 0) None
+      else {
+        val k = kv.substring(0, eq).toLowerCase
+        val v = dec(kv.substring(eq + 1))
+        if (k.isEmpty || v.isEmpty) None else Some(k -> v)
+      }
+    }.toMap
+  }
 }
 
 /** natver_key(version) -> string key whose binary ordering equals the

@@ -29,13 +29,11 @@ object CollectFlow {
     if (parsed == null) return Left(s"invalid purl: $purl")
     val (ptype, namespace, name) = (parsed(0), Option(parsed(1)), parsed(2))
     val version = Option(parsed(3))
-    val qualifiers: Map[String, String] = Option(parsed(4)) match {
-      case Some(q) => q.split("&").toSeq.flatMap { kv =>
-        val i = kv.indexOf('=')
-        if (i <= 0) None else Some(kv.substring(0, i) -> kv.substring(i + 1))
-      }.toMap
-      case None => Map.empty
-    }
+    // split from the raw purl, not parsed(4): the joined form has
+    // already URL-decoded values, so an encoded '&' inside a value
+    // (e.g. a download_url qualifier) would corrupt a re-split
+    val qualifiers: Map[String, String] =
+      graft.functions.PurlParse.parseQualifiers(purl)
     ptype match {
       case "pypi" =>
         transport.fetch(s"https://pypi.org/pypi/$name/json").map { bytes =>
@@ -327,13 +325,18 @@ object CollectFlow {
         while (!done && page <= MaxPages && err.isEmpty) {
           transport.fetch(
             s"https://api.github.com/repos/$owner/$name/tags?page=$page&per_page=100") match {
-            case Left(e) => if (page == 1) err = Some(e) else done = true
+            // a mid-pagination failure means the tag list is incomplete
+            // — fail the collect rather than merge a silently-truncated
+            // version set into the catalog
+            case Left(e) => err = Some(s"page $page: $e")
             case Right(b) =>
               val tags = EcosystemParsers.githubTags(new String(b, "UTF-8"))
               if (tags.isEmpty) done = true
               else { acc ++= tags; page += 1 }
           }
         }
+        if (err.isEmpty && !done)
+          err = Some(s"tag pagination truncated after $MaxPages pages: $purl")
         err.toLeft(acc.result()
           .filter(t => version.forall(_ == t))
           .map { tag =>
@@ -374,7 +377,7 @@ object CollectFlow {
         var err: Option[String] = None
         while (url.isDefined && pages < MaxPages && err.isEmpty) {
           transport.fetch(url.get) match {
-            case Left(e) => if (pages == 0) err = Some(e) else url = None
+            case Left(e) => err = Some(s"page ${pages + 1}: $e")
             case Right(b) =>
               val (tags, next) =
                 EcosystemParsers.bitbucketTags(new String(b, "UTF-8"))
@@ -383,6 +386,8 @@ object CollectFlow {
               pages += 1
           }
         }
+        if (err.isEmpty && url.isDefined)
+          err = Some(s"tag pagination truncated after $MaxPages pages: $purl")
         err.toLeft(acc.result()
           .filter(t => version.forall(_ == t.name))
           .map { t =>
@@ -406,7 +411,7 @@ object CollectFlow {
           var err: Option[String] = None
           while (url.isDefined && pages < MaxPages && err.isEmpty) {
             transport.fetch(url.get) match {
-              case Left(e) => if (pages == 0) err = Some(e) else url = None
+              case Left(e) => err = Some(s"page ${pages + 1}: $e")
               case Right(b) =>
                 val (tags, next) =
                   EcosystemParsers.dockerhubTags(new String(b, "UTF-8"))
@@ -415,6 +420,8 @@ object CollectFlow {
                 pages += 1
             }
           }
+          if (err.isEmpty && url.isDefined)
+            err = Some(s"tag pagination truncated after $MaxPages pages: $purl")
           err.toLeft(acc.result()
             .filter { t =>
               version.forall(v =>
@@ -567,39 +574,45 @@ object CollectFlow {
             EcosystemParsers.nixPackage(new String(b, "UTF-8")) match {
               case None => Left(s"unparseable nix package data: $purl")
               case Some(pkg) =>
-                val rows = for {
+                val combos = for {
                   release <- pkg.releases
                   if version.forall(_ == release.version)
                   platform <- release.platforms
                   output <- platform.outputs
-                } yield {
-                  val baseName = output.storePath
-                    .reverse.takeWhile(_ != '/').reverse
-                  val hash = baseName.split("-")(0)
-                  val dl = transport
-                    .fetch(s"https://cache.nixos.org/$hash.narinfo")
-                    .toOption
-                    .flatMap(n => EcosystemParsers.narinfoUrl(
-                      new String(n, "UTF-8")))
-                    .map(p => s"https://cache.nixos.org/$p")
-                    .getOrElse(s"https://cache.nixos.org/$hash.narinfo")
-                  val qualifiers = (
-                    platform.commit.map("commit=" + _).toSeq ++
-                      Seq(s"output=${output.name}") ++
-                      platform.system.map("system=" + _).toSeq
-                    ).mkString("&")
-                  PackageRow.minimal(dl, "nix", name,
-                    Some(release.version), CollectMiningLevel)
-                    .copy(namespace = namespace,
-                      qualifiers = Some(qualifiers),
-                      description = pkg.summary,
-                      homepage_url = pkg.homepage,
-                      declared_license_expression =
-                        if (pkg.licenses.isEmpty) None
-                        else Some(pkg.licenses.mkString("\n")),
-                      release_date = platform.date.flatMap(tsOf))
-                }
-                Right(rows)
+                } yield (release, platform, output)
+                // a failed/unparseable narinfo means we don't know the
+                // archive URL — fail the collect instead of recording
+                // the metadata URL as a fake download_url
+                combos.foldLeft(
+                  Right(Vector.empty): Either[String, Vector[PackageRow]]) {
+                  case (accE, (release, platform, output)) => accE.flatMap { acc =>
+                    val baseName = output.storePath
+                      .reverse.takeWhile(_ != '/').reverse
+                    val hash = baseName.split("-")(0)
+                    transport.fetch(s"https://cache.nixos.org/$hash.narinfo")
+                      .flatMap(n => EcosystemParsers.narinfoUrl(
+                        new String(n, "UTF-8"))
+                        .toRight(s"narinfo without URL field: $hash"))
+                      .map { p =>
+                        val dl = s"https://cache.nixos.org/$p"
+                        val qualifiers = (
+                          platform.commit.map("commit=" + _).toSeq ++
+                            Seq(s"output=${output.name}") ++
+                            platform.system.map("system=" + _).toSeq
+                          ).mkString("&")
+                        acc :+ PackageRow.minimal(dl, "nix", name,
+                          Some(release.version), CollectMiningLevel)
+                          .copy(namespace = namespace,
+                            qualifiers = Some(qualifiers),
+                            description = pkg.summary,
+                            homepage_url = pkg.homepage,
+                            declared_license_expression =
+                              if (pkg.licenses.isEmpty) None
+                              else Some(pkg.licenses.mkString("\n")),
+                            release_date = platform.date.flatMap(tsOf))
+                      }
+                  }
+                }.map(rows => rows: Seq[PackageRow])
             }
           }
       case "generic" =>

@@ -149,11 +149,7 @@ object Mappers {
     if (parsed == null) None
     else {
       val (ptype, namespace, name) = (parsed(0), Option(parsed(1)), parsed(2))
-      val qualifiers = Option(parsed(4)).toSeq
-        .flatMap(_.split("&").toSeq).flatMap { kv =>
-          val i = kv.indexOf('=')
-          if (i <= 0) None else Some(kv.substring(0, i) -> kv.substring(i + 1))
-        }.toMap
+      val qualifiers = graft.functions.PurlParse.parseQualifiers(purl)
       val vcsRepo = qualifiers.get("vcs_repository")
       val vcs =
         if (namespace.exists(_.contains("github.com")))
@@ -166,7 +162,7 @@ object Mappers {
             primary_language = Some("Go"),
             description = str(record \ "synopsis"),
             homepage_url = Some(
-              ("https:/" +: namespace.toSeq :+ name).mkString("/"))),
+              "https://" + (namespace.toSeq :+ name).mkString("/"))),
         Seq.empty, vcs))
     }
   }

@@ -51,9 +51,15 @@ object MoreVisitors {
       case JArray(entries) => entries.flatMap { e =>
         (e \ "name", e \ "url") match {
           case (JString(name), JString(url)) if url.contains(name) =>
+            // owner = first path segment after the host (indexOf(name)
+            // is unsafe: with the common owner==name layout, or a name
+            // that happens to occur inside the host, it lands before
+            // the path start)
             hostMap.collectFirst {
-              case (host, template) if url.startsWith(host) =>
-                val owner = url.substring(host.length, url.indexOf(name) - 1)
+              case (host, template) if url.startsWith(host) &&
+                  url.stripPrefix(host).takeWhile(_ != '/').nonEmpty &&
+                  url.stripPrefix(host).contains('/') =>
+                val owner = url.stripPrefix(host).takeWhile(_ != '/')
                 VisitedUri(
                   uri = template.format(owner, name),
                   sourceUri = sourceUri,

@@ -127,7 +127,10 @@ object EcosystemParsers {
       val name = new String(bytes, off, 100, "US-ASCII").takeWhile(_ != '\u0000')
       if (name.isEmpty) { off = bytes.length } // two zero blocks = end
       else {
+        // POSIX allows leading spaces (and NULs) padding the octal
+        // size field — strip them before reading digits
         val sizeStr = new String(bytes, off + 124, 12, "US-ASCII")
+          .dropWhile(c => c == ' ' || c == '\u0000')
           .takeWhile(c => c >= '0' && c <= '7')
         val size = if (sizeStr.isEmpty) 0L else java.lang.Long.parseLong(sizeStr, 8)
         val typeFlag = bytes(off + 156).toChar

@@ -100,7 +100,8 @@ object RepoMd {
       urlForType(new String(repomdBytes, "UTF-8"), "primary") match {
         case None => Left(s"no primary entry in $repomdUri")
         case Some(href) =>
-          val url = s"$base/${href.dropWhile(_ == '/')}"
+          // absolute hrefs (mirrored repos) must pass through
+          val url = buildDownloadUrl(base, href)
           transport.fetch(url).map { bytes =>
             val xml =
               if (href.endsWith(".gz"))

@@ -394,5 +394,52 @@ class EcosystemCollectSpec extends AnyFunSuite {
       "pkg:generic/ipxe@1.21.1?download_url=https%3A%2F%2Fgithub.com%2Fipxe%2Fipxe%2Farchive%2Fv1.21.1.tar.gz").head
     assert(r.download_url == "https://github.com/ipxe/ipxe/archive/v1.21.1.tar.gz")
     assert(CollectFlow.collectPurl("pkg:generic/ipxe@1.21.1", transport).isLeft)
+    // an encoded '&' inside the value must survive the qualifier split
+    val enc = rowsOf(
+      "pkg:generic/foo@1.0?download_url=http%3A%2F%2Fhost%2Fdl%3Fa%3D1%26b%3D2").head
+    assert(enc.download_url == "http://host/dl?a=1&b=2")
+  }
+
+  test("github collect fails rather than truncating on a mid-pagination error") {
+    val flaky = new Transport {
+      def fetch(uri: String): Either[String, Array[Byte]] = uri match {
+        case u if u.contains("tags?page=1") =>
+          Right("""[{"name": "v1.0"}]""".getBytes)
+        case _ => Left("HTTP 500")
+      }
+    }
+    val r = CollectFlow.collectPurl("pkg:github/torvalds/linux", flaky)
+    assert(r.isLeft && r.swap.exists(_.contains("page 2")))
+  }
+
+  test("nix collect fails when a narinfo cannot be resolved") {
+    val broken = new Transport {
+      def fetch(uri: String): Either[String, Array[Byte]] = uri match {
+        case u if u.contains("search.devbox.sh/v2/pkg?name=SDL_mixer") =>
+          Right(fixture("nix/SDL_mixer_package-expected.json").getBytes)
+        case u if u.endsWith(".narinfo") => Left("HTTP 404")
+        case u => Left(s"unexpected fetch: $u")
+      }
+    }
+    assert(CollectFlow.collectPurl("pkg:nix/nixpkgs/SDL_mixer@1.2.12", broken).isLeft)
+  }
+
+  test("tar entries tolerate space-padded octal size fields") {
+    val data = "space-padded".getBytes("UTF-8")
+    val header = new Array[Byte](512)
+    val nameBytes = "APKINDEX".getBytes("US-ASCII")
+    System.arraycopy(nameBytes, 0, header, 0, nameBytes.length)
+    // POSIX-legal left-space-padded size with a trailing space
+    val size = ("%11s".format("%o".format(data.length)) + " ").getBytes("US-ASCII")
+    System.arraycopy(size, 0, header, 124, 12)
+    header(156) = '0'.toByte
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(header)
+    out.write(data)
+    out.write(new Array[Byte]((512 - data.length % 512) % 512))
+    out.write(new Array[Byte](1024))
+    val entries = EcosystemParsers.tarEntries(out.toByteArray)
+    assert(entries.map { case (n, b) => (n, new String(b, "UTF-8")) } ==
+      Seq("APKINDEX" -> "space-padded"))
   }
 }

@@ -93,6 +93,15 @@ class MappersSpec extends AnyFunSuite {
       "golang/winter_expected.json")
   }
 
+  test("golang mapper survives namespace-less purls and encoded qualifiers") {
+    val bare = Mappers.golangPackage("""{"synopsis": "s"}""", "pkg:golang/mypkg").get
+    assert(bare.row.homepage_url == Some("https://mypkg"))
+    // an encoded '&' inside vcs_repository must survive the qualifier split
+    val enc = Mappers.golangPackage("{}",
+      "pkg:golang/github.com/x/y?vcs_repository=https%3A%2F%2Fgithub.com%2Fx%2Fy%3Fa%3D1%26b%3D2").get
+    assert(enc.vcsUrl == Some("git+https://github.com/x/y?a=1&b=2"))
+  }
+
   test("cran html mapper matches the reference's expected ANN2 packages") {
     val got = Mappers.cranPackagesFromHtml(read("cran/CRAN_Package_ANN2.html"),
       "https://cloud.r-project.org/web/packages/ANN2/index.html")

@@ -288,5 +288,14 @@ class MoreVisitorsSpec extends AnyFunSuite {
     assert(synthetic.map(u => (u.uri, u.packageUrl.get)) == Seq(
       ("https://raw.githubusercontent.com/QiaoBuTang/bello/master/bower.json",
         "pkg:bower/bello")))
+    // owner == name (the common layout) must not crash or mis-slice,
+    // nor must a name that occurs inside the host ("hub")
+    val tricky = bowerPackagesUris(
+      """[{"name": "angular", "url": "https://github.com/angular/angular.git"},
+         |{"name": "hub", "url": "https://github.com/acme/hub.git"},
+         |{"name": "x", "url": "https://github.com/x"}]""".stripMargin, src)
+    assert(tricky.map(_.uri) == Seq(
+      "https://raw.githubusercontent.com/angular/angular/master/bower.json",
+      "https://raw.githubusercontent.com/acme/hub/master/bower.json"))
   }
 }

@@ -91,4 +91,30 @@ class RepoMdSpec extends AnyFunSuite {
     assert(RepoMd.buildDownloadUrl("http://b/x/", "/RPMS/a.rpm") ==
       "http://b/x/RPMS/a.rpm")
   }
+
+  test("an absolute primary href walks through unmangled") {
+    // mirrored repos may point at an absolute primary.xml URL — the
+    // walk must fetch it as-is, not join it onto the base
+    val repomd =
+      """<repomd><data type="primary">
+        |<location href="http://mirror.example/repodata/primary.xml"/>
+        |</data></repomd>""".stripMargin
+    val primary =
+      """<metadata><package type="rpm"><name>zsh</name><arch>x86_64</arch>
+        |<version epoch="0" ver="4.3" rel="1"/>
+        |<location href="RPMS/zsh-4.3.rpm"/><format/></package></metadata>"""
+        .stripMargin
+    val t = new Transport {
+      def fetch(uri: String): Either[String, Array[Byte]] = uri match {
+        case "http://base/os/repodata/repomd.xml" => Right(repomd.getBytes)
+        case "http://mirror.example/repodata/primary.xml" =>
+          Right(primary.getBytes)
+        case u => Left(s"unexpected fetch: $u")
+      }
+    }
+    val rows = RepoMd.collectFromRepomd("http://base/os/repodata/repomd.xml", t)
+      .fold(e => fail(e), identity)
+    assert(rows.map(_.name) == Seq("zsh"))
+    assert(rows.head.download_url == "http://base/os/RPMS/zsh-4.3.rpm")
+  }
 }
