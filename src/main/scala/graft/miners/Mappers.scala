@@ -16,7 +16,10 @@ object Mappers {
     * url (carried separately — the catalog schema keeps parties in
     * their own table and has no vcs column). */
   final case class MappedPackage(row: PackageRow, parties: Seq[PartyRow],
-      vcsUrl: Option[String])
+      vcsUrl: Option[String],
+      codeViewUrl: Option[String] = None,
+      bugTrackingUrl: Option[String] = None,
+      dependencies: Seq[String] = Seq.empty)
 
   private def str(v: JValue): Option[String] = v match {
     case JString(s) if s.nonEmpty => Some(s)
@@ -292,6 +295,259 @@ object Mappers {
             declared_license_expression = licenseExpr,
             release_date = releaseDate),
         parties.result().map(_.copy(download_url = dl)), None)
+    }
+  }
+
+  /** `Name <email>` split (reference `minecode/debutils.py`
+    * parse_email). */
+  private[miners] def parseEmail(s: String): (Option[String], Option[String]) = {
+    val m = """^([^<]*)<([^>]*)>""".r.findFirstMatchIn(s)
+    m match {
+      case Some(g) =>
+        (Some(g.group(1).trim).filter(_.nonEmpty),
+          Some(g.group(2).trim).filter(_.nonEmpty))
+      case None => (Some(s.trim).filter(_.nonEmpty), None)
+    }
+  }
+
+  // ------------------------------------------------------------- freebsd
+
+  /** packagesite.yaml content — one JSON object per line
+    * (`minecode/miners/freebsd.py:97-120` feeding packagedcode's
+    * CompactManifestHandler): name/version/arch/origin, categories as
+    * keywords, maintainer party, `www` homepage; download under
+    * `https://pkg.freebsd.org/{arch}/latest/{path}`, ports svnweb as
+    * code view, and the license dict rendered Python-repr style, as
+    * the reference fixtures pin it. */
+  def freebsdIndexPackages(indexText: String): Seq[MappedPackage] =
+    indexText.linesIterator
+      .map(_.trim)
+      .filter(l => l.nonEmpty && l != "{" && l != "}")
+      .flatMap { line =>
+        scala.util.Try(JsonMethods.parse(line)).toOption
+      }
+      .collect { case m: JObject if str(m \ "name").isDefined =>
+        val name = str(m \ "name").get
+        val version = str(m \ "version")
+        val arch = str(m \ "arch")
+        val origin = str(m \ "origin")
+        val quals = (arch.map("arch=" + _).toSeq ++
+          origin.map("origin=" + _).toSeq).mkString("&")
+        val path = str(m \ "path").getOrElse(
+          s"All/$name-${version.getOrElse("")}.txz")
+        val downloadUrl = arch
+          .map(a => s"https://pkg.freebsd.org/$a/latest/$path")
+          .getOrElse("")
+        val licenses = (m \ "licenses") match {
+          case JArray(ls) => ls.flatMap(str)
+          case _          => Seq.empty
+        }
+        val licenseStmt =
+          if (licenses.isEmpty) None
+          else {
+            val lics = licenses.map(l => s"'$l'").mkString(", ")
+            val logic = str(m \ "licenselogic")
+              .map(lg => s", 'licenselogic': '$lg'").getOrElse("")
+            Some(s"{'licenses': [$lics]$logic}")
+          }
+        val keywords = (m \ "categories") match {
+          case JArray(cs) => cs.flatMap(str)
+          case _          => Seq.empty
+        }
+        MappedPackage(
+          PackageRow.minimal(downloadUrl, "freebsd", name, version)
+            .copy(
+              qualifiers = Some(quals).filter(_.nonEmpty),
+              description = str(m \ "desc"),
+              keywords = keywords,
+              homepage_url = str(m \ "www"),
+              declared_license_expression = licenseStmt),
+          str(m \ "maintainer").toSeq.map(e =>
+            PartyRow(downloadUrl, "person", Some("maintainer"), None,
+              Some(e), None)),
+          None,
+          codeViewUrl = origin.map(o =>
+            s"https://svnweb.freebsd.org/ports/head/$o"))
+      }
+      .toSeq
+
+  // ------------------------------------------------------------- openwrt
+
+  /** ipk control paragraph → one package
+    * (`minecode/miners/openwrt.py:119-171`): Section+Architecture as
+    * keywords, Depends as bare-name dependencies, maintainer split
+    * into name/email. */
+  def openwrtIpkPackage(control: Seq[(String, String)],
+      downloadUrl: String): Option[MappedPackage] = {
+    val m = control.toMap
+    m.get("Package").map { name =>
+      val parties = m.get("Maintainer").toSeq.flatMap { raw =>
+        val (n, e) = parseEmail(raw)
+        if (n.isDefined) Seq(PartyRow(downloadUrl, "person",
+          Some("maintainer"), n, e, None))
+        else Seq.empty
+      }
+      MappedPackage(
+        PackageRow.minimal(downloadUrl, "openwrt", name, m.get("Version"))
+          .copy(
+            description = m.get("Description"),
+            size = m.get("Installed-Size").flatMap(_.toLongOption),
+            declared_license_expression = m.get("License"),
+            keywords = m.get("Section").toSeq ++ m.get("Architecture").toSeq),
+        parties, None,
+        dependencies = m.get("Depends").toSeq
+          .flatMap(_.split(",").toSeq).map(_.trim).filter(_.nonEmpty))
+    }
+  }
+
+  // ----------------------------------------------------------- gstreamer
+
+  /** Download URL → package (`minecode/miners/gstreamer.py:88-121`):
+    * name/"version" split on the LAST `-` of the file name — the
+    * version keeps the archive extension, as the reference's expected
+    * fixture pins (`gst-openmax@0.10.0.2.tar.bz2`). */
+  def gstreamerUrlPackage(uri: String): Option[MappedPackage] = {
+    val fileName = uri.substring(uri.lastIndexOf('/') + 1)
+    val stripped = Seq(".tar.bz2", ".tar.gz", ".tar.xz")
+      .foldLeft(fileName)((n, ext) => n.replace(ext, ""))
+    if (!stripped.contains("-")) None
+    else {
+      val cut = fileName.lastIndexOf('-')
+      Some(MappedPackage(
+        PackageRow.minimal(uri, "gstreamer", fileName.substring(0, cut),
+          Some(fileName.substring(cut + 1)))
+          .copy(homepage_url = Some("https://gstreamer.freedesktop.org")),
+        Seq.empty, None))
+    }
+  }
+
+  // --------------------------------------------------------- freedesktop
+
+  /** Project wiki page → package
+    * (`minecode/miners/freedesktop.py:68-98`): h1 as description,
+    * freedesktop.org release/dist links as download, buglist.cgi as
+    * bug tracker, cgit tree links as code view, `git://` list items as
+    * vcs. */
+  def freedesktopProject(html: String, pageUri: String,
+      purl: String): Option[MappedPackage] = {
+    val parsed = graft.functions.PurlParse.parse(purl)
+    if (parsed == null) None
+    else {
+      val name = parsed(2)
+      val version = Option(parsed(3))
+      val description = """(?s)<h1[^>]*>\s*(.*?)\s*</h1>""".r
+        .findFirstMatchIn(html).map(m =>
+          decodeEntities("""(?s)<[^>]+>""".r.replaceAllIn(m.group(1), ""))
+            .trim)
+        .filter(_.nonEmpty)
+      var downloadUrl: Option[String] = None
+      var bugTracking: Option[String] = None
+      var codeView: Option[String] = None
+      """<a[^>]*href="([^"]+)"""".r.findAllMatchIn(html)
+        .map(m => decodeEntities(m.group(1)))
+        .filter(_.contains("freedesktop.org"))
+        .foreach { link =>
+          if (link.contains("/releases/") || link.contains("/dist/"))
+            downloadUrl = Some(link)
+          if (link.contains("https://bugs.freedesktop.org/buglist.cgi"))
+            bugTracking = Some(link)
+          if (link.contains("http://cgit.freedesktop.org/") &&
+            link.contains("tree/"))
+            codeView = Some(link)
+        }
+      val vcs = """(?s)<li[^>]*>\s*(git://[^<\s]+)""".r
+        .findFirstMatchIn(html).map(m => s"git+${m.group(1)}")
+      Some(MappedPackage(
+        PackageRow.minimal(downloadUrl.getOrElse(""), "freedesktop", name,
+          version)
+          .copy(description = description, homepage_url = Some(pageUri)),
+        Seq.empty, vcs,
+        codeViewUrl = codeView, bugTrackingUrl = bugTracking))
+    }
+  }
+
+  // ---------------------------------------------------------- googlecode
+
+  /** v2 project.json → package
+    * (`minecode/miners/googlecode.py:192-229`): summary+description
+    * joined, license as the extracted statement, labels as keywords. */
+  def googlecodeProjectV2(json: String): Option[MappedPackage] = {
+    val m = JsonMethods.parse(json)
+    str(m \ "name").map { name =>
+      val description = Seq(str(m \ "summary"), str(m \ "description"))
+        .flatten.map(_.trim).filter(_.nonEmpty)
+      MappedPackage(
+        PackageRow.minimal("", "googlecode", name)
+          .copy(
+            description =
+              if (description.isEmpty) None
+              else Some(description.mkString("\n")),
+            declared_license_expression = str(m \ "license"),
+            keywords = labelKeywords(m)),
+        Seq.empty, None)
+    }
+  }
+
+  /** v1 project.json (googleapis storage) → package
+    * (`minecode/miners/googlecode.py:246-286`): adds the archived
+    * domain as namespace and ancestorRepo as vcs. */
+  def googlecodeProjectV1(json: String): Option[MappedPackage] = {
+    val m = JsonMethods.parse(json)
+    str(m \ "name").map { name =>
+      MappedPackage(
+        PackageRow.minimal("", "googlecode", name)
+          .copy(
+            namespace = str(m \ "domain"),
+            description = str(m \ "description"),
+            declared_license_expression = str(m \ "license"),
+            keywords = labelKeywords(m)),
+        Seq.empty, str(m \ "ancestorRepo"))
+    }
+  }
+
+  private def labelKeywords(m: JValue): Seq[String] = (m \ "labels") match {
+    case JArray(ls) => ls.flatMap(str).map(_.trim).filter(_.nonEmpty)
+    case _          => Seq.empty
+  }
+
+  // ---------------------------------------------------------------- alpm
+
+  /** Extracted `.PKGINFO` + `.BUILDINFO` → one package
+    * (`minecode/miners/alpm.py:17-69`): desc/version/licenses/url/size
+    * from PKGINFO, packager party and pkgbuild sha256 from BUILDINFO,
+    * depends as `pkg:alpm/{name}` purls; the license list renders
+    * YAML-style (`- GPL3\n- LGPL3\n`) as the reference fixture pins. */
+  def alpmPackage(pkginfoText: String, buildinfoText: String,
+      purl: String, downloadUrl: String): Option[MappedPackage] = {
+    val info = graft.sources.EcosystemParsers.pkginfo(pkginfoText)
+    val build = graft.sources.EcosystemParsers.pkginfo(buildinfoText)
+    val parsed = graft.functions.PurlParse.parse(purl)
+    if (parsed == null) None
+    else {
+      def one(m: Map[String, Seq[String]], k: String): Option[String] =
+        m.get(k).flatMap(_.headOption)
+      val parties = one(build, "packager").toSeq.flatMap { raw =>
+        val (n, e) = parseEmail(raw)
+        if (n.isDefined)
+          Seq(PartyRow(downloadUrl, "person", Some("maintainer"), n, e, None))
+        else Seq.empty
+      }
+      val licenses = info.getOrElse("license", Seq.empty)
+      Some(MappedPackage(
+        PackageRow.minimal(downloadUrl, "alpm", parsed(2),
+          one(info, "pkgver"))
+          .copy(
+            qualifiers = Option(parsed(4)),
+            description = one(info, "pkgdesc"),
+            homepage_url = one(info, "url"),
+            size = one(info, "size").flatMap(_.toLongOption),
+            sha256 = one(build, "pkgbuild_sha256sum"),
+            declared_license_expression =
+              if (licenses.isEmpty) None
+              else Some(licenses.map(l => s"- $l\n").mkString)),
+        parties, None,
+        dependencies = info.getOrElse("depend", Seq.empty)
+          .map(d => s"pkg:alpm/$d")))
     }
   }
 }

@@ -26,6 +26,7 @@ object RegistryVisitors {
       size: Option[Long] = None,
       date: Option[String] = None,
       md5: Option[String] = None,
+      sha1: Option[String] = None,
       sha256: Option[String] = None)
 
   /** purl for a pypi package: lowercase, `_` → `-`

@@ -528,4 +528,64 @@ object EcosystemParsers {
       .toSeq
       .groupBy(_._1)
       .map { case (k, vs) => k -> vs.map(_._2) }
+
+  // ------------------------------------------------- debian control text
+
+  /** RFC822-ish control paragraphs (openwrt `Packages` indexes, ipk
+    * `control` files — reference parses with `debcon`,
+    * `minecode/miners/openwrt.py:70-95`): blank-line-separated
+    * paragraphs of ordered `Key: value` fields; continuation lines
+    * start with whitespace and append as `\n` + line (leading space
+    * kept, like debcon). */
+  def debParagraphs(text: String): Seq[Seq[(String, String)]] = {
+    val paras = Seq.newBuilder[Seq[(String, String)]]
+    var fields = Vector.empty[(String, String)]
+    def flush(): Unit = { if (fields.nonEmpty) paras += fields; fields = Vector.empty }
+    text.linesIterator.foreach { raw =>
+      val line = raw.stripSuffix("\r")
+      if (line.trim.isEmpty) flush()
+      else if ((line.head == ' ' || line.head == '\t') && fields.nonEmpty) {
+        val (k, v) = fields.last
+        fields = fields.init :+ (k -> (v + "\n" + line))
+      } else {
+        val i = line.indexOf(':')
+        if (i > 0)
+          fields = fields :+ (line.substring(0, i).trim ->
+            line.substring(i + 1).trim)
+      }
+    }
+    flush()
+    paras.result()
+  }
+
+  /** debcon-style serialization: `Key: value` lines in field order with
+    * a trailing newline (what the reference stores as URI `data`). */
+  def debSerialize(para: Seq[(String, String)]): String =
+    para.map { case (k, v) => s"$k: $v" }.mkString("", "\n", "\n")
+
+  /** Control fields of an OpenWrt `.ipk`: gzip tar wrapping
+    * `control.tar.gz`, itself wrapping `control`
+    * (`minecode/miners/openwrt.py:98-113`). */
+  def ipkControl(bytes: Array[Byte]): Option[Seq[(String, String)]] =
+    for {
+      controlTarGz <- tarEntries(GzipTolerant.readAll(bytes))
+        .collectFirst { case (n, b) if n.stripPrefix("./") == "control.tar.gz" => b }
+      control <- tarEntries(GzipTolerant.readAll(controlTarGz))
+        .collectFirst { case (n, b) if n.stripPrefix("./") == "control" => b }
+      para <- debParagraphs(new String(control, "UTF-8")).headOption
+    } yield para
+
+  /** Entries of a zip archive (googlecode `google-code-archive.txt.zip`
+    * — the reference extracts with `extract_file`). */
+  def zipEntries(bytes: Array[Byte]): Seq[(String, Array[Byte])] = {
+    val in = new java.util.zip.ZipInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    val out = Seq.newBuilder[(String, Array[Byte])]
+    var e = in.getNextEntry
+    while (e != null) {
+      if (!e.isDirectory) out += e.getName -> in.readAllBytes()
+      e = in.getNextEntry
+    }
+    out.result()
+  }
 }
