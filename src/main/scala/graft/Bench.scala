@@ -10,6 +10,9 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // optional comma-separated query-name filter for local iteration
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName("graft-bench")
@@ -29,9 +32,14 @@ object Bench {
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
     }
 
+    val queries = only match {
+      case Some(names) => Registry.all.filter(q => names.contains(q.name))
+      case None        => Registry.all
+    }
+
     // JVM/codegen warmup on the smallest SF so per-query timings below
     // measure the plan, not first-use compilation.
-    Registry.all.foreach { q =>
+    queries.foreach { q =>
       try q.run(spark, "/root/testdata/sf0.001").count()
       catch { case _: Throwable => () }
       release()
@@ -47,7 +55,7 @@ object Bench {
     // by an A/B run (35.9s total with it, matching the 37.3s
     // baseline).
     val passes = 3
-    def onePass(): Seq[(String, Double)] = Registry.all.map { q =>
+    def onePass(): Seq[(String, Double)] = queries.map { q =>
       val t0 = System.nanoTime()
       try q.run(spark, sfDir).count()
       catch { case _: Throwable => () }
@@ -56,7 +64,7 @@ object Bench {
       q.name -> dt
     }
     val samples = (1 to passes).map(_ => onePass())
-    val results = Registry.all.map(_.name).map { name =>
+    val results = queries.map(_.name).map { name =>
       val ts = samples.map(_.find(_._1 == name).map(_._2).getOrElse(0.0)).sorted
       name -> ts(ts.length / 2)
     }

@@ -44,21 +44,36 @@ object Multimodal {
     def pixel(seed: Long, x: Int, y: Int): Int =
       (Fnv.hash64(s"$seed:$x:$y".getBytes("UTF-8")) & 0xffffff).toInt
 
-    /** Encode a real PNG with deterministic pixels. */
+    /** Encode a real PNG with deterministic pixels (written straight
+      * into the INT_RGB backing raster — per-pixel `setRGB` goes
+      * through color-model conversion and is several times slower). */
     def encodePng(width: Int, height: Int, seed: Long): Array[Byte] = {
       val img = new java.awt.image.BufferedImage(width, height,
         java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val data = img.getRaster.getDataBuffer
+        .asInstanceOf[java.awt.image.DataBufferInt].getData
       var y = 0
       while (y < height) {
         var x = 0
         while (x < width) {
-          img.setRGB(x, y, pixel(seed, x, y)); x += 1
+          data(y * width + x) = pixel(seed, x, y); x += 1
         }
         y += 1
       }
       val out = new java.io.ByteArrayOutputStream()
       javax.imageio.ImageIO.write(img, "png", out)
       out.toByteArray
+    }
+
+    private def rgbSum(px: Array[Int]): Long = {
+      var sum = 0L
+      var i = 0
+      while (i < px.length) {
+        val rgb = px(i)
+        sum += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+        i += 1
+      }
+      sum
     }
 
     /** Decode PNG/JPEG bytes → (width, height, sum of R+G+B over all
@@ -68,18 +83,8 @@ object Multimodal {
         new java.io.ByteArrayInputStream(content))
       if (img == null) None
       else {
-        var sum = 0L
-        var y = 0
-        while (y < img.getHeight) {
-          var x = 0
-          while (x < img.getWidth) {
-            val rgb = img.getRGB(x, y)
-            sum += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
-            x += 1
-          }
-          y += 1
-        }
-        Some((img.getWidth, img.getHeight, sum))
+        val (w, h) = (img.getWidth, img.getHeight)
+        Some((w, h, rgbSum(img.getRGB(0, 0, w, h, null, 0, w))))
       }
     }
 
@@ -94,6 +99,7 @@ object Multimodal {
       if (img == null) None
       else {
         val (w, h) = (img.getWidth, img.getHeight)
+        val px = img.getRGB(0, 0, w, h, null, 0, w)
         var sum = 0L
         var y = 0
         while (y < th) {
@@ -101,7 +107,7 @@ object Multimodal {
           var x = 0
           while (x < tw) {
             val sx = math.min(w - 1, x * w / tw)
-            val rgb = img.getRGB(sx, sy)
+            val rgb = px(sy * w + sx)
             sum += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
             x += 1
           }

@@ -121,4 +121,43 @@ class PlanSpec extends SparkTestBase {
     assert(byBucket.count() >= n / 4,
       "bucket count does not grow with n — hash is degenerate")
   }
+
+  test("bucketed tables co-locate the fact-fact join: zero shuffles") {
+    import org.apache.spark.sql.functions._
+    // the SURVEY §4 layout row: catalog tables bucketed on their join
+    // keys replace the reference's multicolumn indexes — at 100 TB a
+    // recurring orders⋈lineitem-shaped join pre-bucketed on the key
+    // runs shuffle-free (only the one-time bucketed write shuffles)
+    val dir = java.nio.file.Files.createTempDirectory("graft-bucketed")
+      .toString
+    val orders = core.t(spark, sf001, "orders")
+      .select("o_orderkey", "o_totalprice")
+    val lineitem = core.t(spark, sf001, "lineitem")
+      .select("l_orderkey", "l_quantity")
+    orders.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .option("path", s"$dir/orders").mode("overwrite")
+      .saveAsTable("bucketed_orders")
+    lineitem.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .option("path", s"$dir/lineitem").mode("overwrite")
+      .saveAsTable("bucketed_lineitem")
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("bucketed_orders")
+        .join(spark.table("bucketed_lineitem"),
+          col("o_orderkey") === col("l_orderkey"))
+        .groupBy("o_orderkey")
+        .agg(sum("l_quantity").as("qty"))
+      assert(joined.count() > 0)
+      val plan = joined.queryExecution.executedPlan.toString
+      // co-located buckets: the join needs no Exchange at all, and the
+      // groupBy on the same key rides the existing distribution
+      assert(!plan.contains("Exchange"),
+        s"bucketed join still shuffles:\n$plan")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS bucketed_orders")
+      spark.sql("DROP TABLE IF EXISTS bucketed_lineitem")
+    }
+  }
 }
