@@ -83,6 +83,81 @@ object LsParser {
     }
     out.toSeq
   }
+
+  /** Reference-shaped entry (`minecode/ls.py:43-128` Entry.to_dict):
+    * type ∈ f/d/l/s, size and date only for files, target for links.
+    * Year-less listing dates carry a `0000` placeholder year — the
+    * reference's own golden tests strip the year before comparing
+    * (ftputil guesses it from the clock, which is unstable). */
+  final case class FullEntry(path: String, etype: String, size: Long,
+      date: Option[String], target: Option[String])
+
+  private val fullRe =
+    ("""^([-dlbcps])[rwxsStT-]{9}\+?\s+\d+\s+\S+\s+\S+\s+(\d+)\s+""" +
+      """([A-Za-z]{3})\s+(\d{1,2})\s+(\d{4}|\d{1,2}:\d{2})\s+(.+)$""").r
+
+  private def cleanPath(p: String): String = {
+    var s = p.trim.replaceAll("^/+|/+$", "")
+    if (s.startsWith("./")) s = s.substring(2)
+    s.trim
+  }
+
+  /** Full listing parse (`minecode/ls.py:148-194`): `from_find` strips
+    * the leading inode and block-size columns; `dir:` header lines set
+    * the base directory for `ls -lR` output; `total` lines and `.`/
+    * `..` entries are skipped. */
+  def referenceEntries(listing: String, fromFind: Boolean): Seq[FullEntry] = {
+    var baseDir = ""
+    val out = Vector.newBuilder[FullEntry]
+    listing.linesIterator.foreach { raw =>
+      var line = raw.trim
+      if (line.nonEmpty && !line.startsWith("total")) {
+        if (fromFind) {
+          // remove_inode: drop the first two space-separated tokens
+          line = line.split("\\s+", 3) match {
+            case Array(_, _, rest) => rest.trim
+            case _                 => line
+          }
+        }
+        fullRe.findFirstMatchIn(line) match {
+          case None =>
+            if (line.endsWith(":"))
+              baseDir = line.replaceAll("^:+|:+$", "")
+          case Some(m) =>
+            val kind = m.group(1)
+            val rawName = m.group(6)
+            val (name, target) =
+              if (kind == "l" && rawName.contains(" -> ")) {
+                val parts = rawName.split(" -> ", 2)
+                (parts(0), Some(parts(1)))
+              } else (rawName, None)
+            if (name != "." && name != "..") {
+              val etype = kind match {
+                case "-" => "f"; case "d" => "d"; case "l" => "l"
+                case _   => "s"
+              }
+              val date =
+                if (etype != "f") None
+                else (months.get(m.group(3).toLowerCase), m.group(5)) match {
+                  case (Some(mo), y) if y.length == 4 =>
+                    Some(f"$y-$mo%02d-${m.group(4).toInt}%02d")
+                  case (Some(mo), _) =>
+                    Some(f"0000-$mo%02d-${m.group(4).toInt}%02d")
+                  case _ => None
+                }
+              val cleaned = cleanPath(name)
+              val path =
+                if (baseDir.nonEmpty && baseDir != ".")
+                  s"${cleanPath(baseDir)}/$cleaned"
+                else cleaned
+              out += FullEntry(path, etype,
+                if (etype == "f") m.group(2).toLong else 0L, date, target)
+            }
+        }
+      }
+    }
+    out.result()
+  }
 }
 
 /** J10/F14 — source-repo candidate URL inference

@@ -75,4 +75,43 @@ class RsyncSpec extends AnyFunSuite {
     val got = SfNet.sfNet(read("filter_sf/tst_sfnet.csv"))
     assert(got == read("filter_sf/tst_sfnet2.csv"))
   }
+
+  // ------------------------------------------ ls / find -ls listings
+
+  private def checkListing(listing: String, expectedPath: String,
+      fromFind: Boolean): Unit = {
+    import org.json4s._
+    // the reference's own golden flow (`tests/test_ls.py:34-46`):
+    // strip the unstable year from dates, sort, compare dicts
+    val got = graft.miners.LsParser
+      .referenceEntries(read(listing), fromFind)
+      .map(e => e.copy(date = e.date.map(_.substring(4))))
+      .sortBy(e => (e.path, e.etype))
+    val want = org.json4s.jackson.JsonMethods.parse(read(expectedPath)) match {
+      case JArray(items) => items.map { it =>
+        def str(f: String) = it \ f match {
+          case JString(s) => Some(s); case _ => None
+        }
+        val size = it \ "size" match { case JInt(n) => n.toLong; case _ => 0L }
+        graft.miners.LsParser.FullEntry(str("path").get, str("type").get,
+          size, str("date"), str("target"))
+      }
+      case _ => fail(s"unexpected shape: $expectedPath")
+    }
+    assert(got == want)
+  }
+
+  test("find -ls listings golden-match the reference's expected entries") {
+    checkListing("directories/find-ls",
+      "directories/find-ls-expected.json", fromFind = true)
+    checkListing("directories/find-ls-apache-start",
+      "directories/find-ls-apache-start-expected.json", fromFind = true)
+  }
+
+  test("ls -lR listings golden-match the reference's expected entries") {
+    checkListing("directories/ls-lr",
+      "directories/ls-lr-expected.json", fromFind = false)
+    checkListing("directories/ls-lr-ubuntu",
+      "directories/ls-lr-ubuntu-expected.json", fromFind = false)
+  }
 }
