@@ -185,4 +185,62 @@ object SourceRepo {
     }
     (fromHomepage ++ guesses).distinct
   }
+
+  private val UrlHints = Seq("github", "gitlab", "bitbucket")
+
+  /** Repo URL → hosting purls
+    * (`purl2vcs/src/purl2vcs/find_source_repo.py:249-311`): normalize
+    * the `git@host+`, `https+//`, `git+https://...@commit`, `.git`,
+    * and `git://host:path` spellings, then emit one purl per matching
+    * host hint. */
+  def repoUrlToPurls(sourceUrl: String): Seq[String] = {
+    var url = sourceUrl
+    if (url.startsWith("git@github.com+"))
+      url = url.substring(url.indexOf('+') + 1)
+    if (url.startsWith("https+//"))
+      url = url.replace("https+//", "https://")
+    if ((url.startsWith("git+https://") || url.startsWith("git://")) &&
+      url.contains("@"))
+      url = url.substring(0, url.lastIndexOf('@'))
+    if (url.endsWith(".git"))
+      url = url.substring(0, url.length - 4)
+    if (url.startsWith("git://")) {
+      var rest = url.stripPrefix("git://")
+      if (rest.contains(":")) rest = rest.replace(":", "/")
+      url = s"https://$rest"
+    }
+    val schemeEnd = url.indexOf("://")
+    if (schemeEnd < 0) return Seq.empty
+    val afterScheme = url.substring(schemeEnd + 3)
+    val slash = afterScheme.indexOf('/')
+    if (slash < 0) return Seq.empty
+    val netloc = afterScheme.substring(0, slash)
+    val segments = afterScheme.substring(slash).split("/", -1)
+    if (segments.length <= 2) return Seq.empty
+    val (namespace, name) = (segments(1), segments(2))
+    if (name.isEmpty) Seq.empty
+    else UrlHints.filter(netloc.contains)
+      .map(hint => s"pkg:$hint/$namespace/$name")
+  }
+
+  /** (tag, commit) pairs of a `git ls-remote` output
+    * (`find_source_repo.py:436-447`). */
+  def tagsAndCommits(lsRemoteOutput: String): Seq[(String, String)] =
+    lsRemoteOutput.split("\n").toSeq.flatMap { line =>
+      line.split("\t") match {
+        case Array(commit, ref, _*) if ref.startsWith("refs/tags/") =>
+          Some(ref.stripPrefix("refs/tags/") -> commit)
+        case _ => None
+      }
+    }
+
+  /** First tag matching `version` after lowercasing, `_`→`.`, and
+    * leading-v strip (`find_source_repo.py:450-464`). */
+  def tagAndCommit(version: String, tags: Seq[(String, String)])
+      : Option[(String, String)] = {
+    val v = version.toLowerCase
+    tags.find { case (tag, _) =>
+      tag.toLowerCase.replace("_", ".").replaceAll("^v+", "") == v
+    }
+  }
 }

@@ -182,6 +182,45 @@ class DomainSpec extends SparkTestBase {
     assert(!entries.exists(e => e.path.endsWith("/.") || e.path.endsWith("/..")))
   }
 
+  test("repo URLs convert to hosting purls like purl2vcs") {
+    // the reference's own test cases (purl2vcs test_convert_repo_urls_to_purls)
+    assert(SourceRepo.repoUrlToPurls(
+      "https://bitbucket.org/connect2id/oauth-2.0-sdk-with-openid-connect-extensions") ==
+      Seq("pkg:bitbucket/connect2id/oauth-2.0-sdk-with-openid-connect-extensions"))
+    assert(SourceRepo.repoUrlToPurls(
+      "git+https://bitbucket.org/connect2id/oauth-2.0-sdk-with-openid-connect-extensions.git") ==
+      Seq("pkg:bitbucket/connect2id/oauth-2.0-sdk-with-openid-connect-extensions"))
+    assert(SourceRepo.repoUrlToPurls(
+      "git://github.com:maxmind/MaxMind-DB-Reader-java") ==
+      Seq("pkg:github/maxmind/MaxMind-DB-Reader-java"))
+    assert(SourceRepo.repoUrlToPurls(
+      "git+https://github.com/ckeditor/ckeditor4-react.git@335af5b25923beaf5446652dcf2f06574f413779") ==
+      Seq("pkg:github/ckeditor/ckeditor4-react"))
+    assert(SourceRepo.repoUrlToPurls(
+      "git+https://github.com/ckeditor/ckeditor4-react.git") ==
+      Seq("pkg:github/ckeditor/ckeditor4-react"))
+    assert(SourceRepo.repoUrlToPurls("https://example.org/x/y").isEmpty)
+  }
+
+  test("git ls-remote tags parse and match versions like purl2vcs") {
+    import org.json4s._
+    val dir = "/root/reference/purl2vcs/tests/testfiles/find_source_repo"
+    def read(p: String) = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(p)), "UTF-8")
+    val got = SourceRepo.tagsAndCommits(read(s"$dir/tags_commits.txt"))
+    val want = org.json4s.jackson.JsonMethods.parse(
+      read(s"$dir/tags_commits_list.txt")) match {
+      case JArray(pairs) => pairs.map {
+        case JArray(List(JString(t), JString(c))) => (t, c)
+        case other => fail(s"unexpected pair: $other")
+      }
+      case _ => fail("unexpected fixture shape")
+    }
+    assert(got == want)
+    assert(SourceRepo.tagAndCommit("9.35", got) ==
+      Some(("9.35", "fdc8117af75b192e3f8afcc0119c904b02686af8")))
+  }
+
   test("char-trigram language id classifies held-out sentences") {
     import graft.functions.LangId
     assert(LangId.predict(
