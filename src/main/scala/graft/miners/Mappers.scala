@@ -1,6 +1,6 @@
 package graft.miners
 
-import graft.catalog.{PackageRow, PartyRow}
+import graft.catalog.{DependencyRow, PackageRow, PartyRow}
 import org.json4s._
 import org.json4s.jackson.JsonMethods
 
@@ -19,7 +19,15 @@ object Mappers {
       vcsUrl: Option[String],
       codeViewUrl: Option[String] = None,
       bugTrackingUrl: Option[String] = None,
-      dependencies: Seq[String] = Seq.empty)
+      dependencies: Seq[DependencyRow] = Seq.empty)
+
+  /** Dependency with the reference DependentPackage defaults
+    * (runtime, non-optional, unpinned). */
+  private[miners] def dep(purl: String,
+      requirement: Option[String] = None,
+      scope: Option[String] = None): DependencyRow =
+    DependencyRow("", purl, requirement, scope,
+      is_runtime = true, is_optional = false, is_pinned = false)
 
   private def str(v: JValue): Option[String] = v match {
     case JString(s) if s.nonEmpty => Some(s)
@@ -396,7 +404,8 @@ object Mappers {
             keywords = m.get("Section").toSeq ++ m.get("Architecture").toSeq),
         parties, None,
         dependencies = m.get("Depends").toSeq
-          .flatMap(_.split(",").toSeq).map(_.trim).filter(_.nonEmpty))
+          .flatMap(_.split(",").toSeq).map(_.trim).filter(_.nonEmpty)
+          .map(dep(_)))
     }
   }
 
@@ -547,7 +556,131 @@ object Mappers {
               else Some(licenses.map(l => s"- $l\n").mkString)),
         parties, None,
         dependencies = info.getOrElse("depend", Seq.empty)
-          .map(d => s"pkg:alpm/$d")))
+          .map(d => dep(s"pkg:alpm/$d"))))
+    }
+  }
+
+  // ----------------------------------------------------------------- gem
+
+  private def yamlLicenseList(licenses: Seq[String]): Option[String] =
+    if (licenses.isEmpty) None
+    else Some(licenses.map(l => s"- $l\n").mkString)
+
+  private def summaryAndLong(short: Option[String], long0: Option[String])
+      : Option[String] = {
+    val long = if (long0 == short) None else long0
+    val parts = Seq(short, long).flatten.map(_.trim).filter(_.nonEmpty)
+    if (parts.isEmpty) None else Some(parts.mkString("\n"))
+  }
+
+  private def dateOnlyTs(s: String): Option[java.sql.Timestamp] =
+    scala.util.Try(java.sql.Timestamp.valueOf(
+      s.take(10) + " 00:00:00")).toOption
+
+  /** RubyGems versions API v1 (`minecode/miners/rubygems.py:162-207`):
+    * one package per version entry — summary+description join, sha as
+    * sha256, created_at date, single author party, license list. */
+  def gemApiPackages(json: String, name: String): Seq[MappedPackage] =
+    JsonMethods.parse(json) match {
+      case JArray(versions) => versions.map { v =>
+        val licenses = (v \ "licenses") match {
+          case JArray(ls) => ls.flatMap(str); case _ => Seq.empty
+        }
+        MappedPackage(
+          PackageRow.minimal("", "gem", name, str(v \ "number"))
+            .copy(
+              description = summaryAndLong(str(v \ "summary"),
+                str(v \ "description")),
+              sha256 = str(v \ "sha"),
+              release_date = str(v \ "created_at").flatMap(dateOnlyTs),
+              declared_license_expression = yamlLicenseList(licenses)),
+          str(v \ "authors").toSeq.map(a =>
+            PartyRow("", "person", Some("author"), Some(a), None, None)),
+          None)
+      }
+      case _ => Seq.empty
+    }
+
+  /** RubyGems API v2 single-gem record
+    * (`minecode/miners/rubygems.py:210-258`). */
+  def gemApiV2Package(json: String): Option[MappedPackage] = {
+    val m = JsonMethods.parse(json)
+    str(m \ "name").map { name =>
+      val downloadUrl = str(m \ "gem_uri").getOrElse("")
+      val licenses = (m \ "licenses") match {
+        case JArray(ls) => ls.flatMap(str); case _ => Seq.empty
+      }
+      MappedPackage(
+        PackageRow.minimal(downloadUrl, "gem", name, str(m \ "version"))
+          .copy(
+            description = str(m \ "description"),
+            homepage_url = str(m \ "homepage_uri"),
+            sha256 = str(m \ "sha"),
+            release_date = str(m \ "version_created_at").flatMap(s =>
+              scala.util.Try(java.sql.Timestamp.from(
+                java.time.Instant.parse(s))).toOption),
+            declared_license_expression = yamlLicenseList(licenses)),
+        str(m \ "authors").toSeq.map(a =>
+          PartyRow(downloadUrl, "person", Some("author"), Some(a), None, None)),
+        None)
+    }
+  }
+
+  /** Gem archive `metadata` YAML → one package
+    * (`minecode/miners/rubygems.py:271-375`): nested version object,
+    * authors list, gem licenses, date split, and dependencies with
+    * the `>= 0` unconstrained requirement elided. */
+  def gemMetadataPackage(yaml: String, downloadUrl: Option[String])
+      : Option[MappedPackage] = {
+    import graft.sources.GemYaml
+    val root = GemYaml.map(GemYaml.parse(yaml))
+    GemYaml.str(root.get("name").orNull).map { name =>
+      val version = GemYaml.str(
+        GemYaml.map(root.get("version").orNull).get("version").orNull)
+      val licenses = GemYaml.list(root.get("licenses").orNull)
+        .flatMap(GemYaml.str)
+      val deps = GemYaml.list(root.get("dependencies").orNull).flatMap { d0 =>
+        val d = GemYaml.map(d0)
+        GemYaml.str(d.get("name").orNull).map { depName =>
+          val constraints = GemYaml.list(
+            GemYaml.map(d.get("requirement").orNull)
+              .get("requirements").orNull)
+            .flatMap { pair =>
+              GemYaml.list(pair) match {
+                case List(c, v) =>
+                  val cs = GemYaml.str(c)
+                  val vs = GemYaml.str(GemYaml.map(v).get("version").orNull)
+                  (cs, vs) match {
+                    // >= 0 is the same as unconstrained: elided
+                    case (Some(">="), Some("0")) => None
+                    case (Some(c1), Some(v1))    => Some(s"$c1 $v1")
+                    case _                       => None
+                  }
+                case _ => None
+              }
+            }
+          dep(depName,
+            requirement =
+              if (constraints.isEmpty) None else Some(constraints.mkString(", ")),
+            scope = GemYaml.str(d.get("type").orNull)
+              .map(_.replaceAll("^:+", "")))
+        }
+      }
+      MappedPackage(
+        PackageRow.minimal(downloadUrl.getOrElse(""), "gem", name, version)
+          .copy(
+            description = summaryAndLong(
+              GemYaml.str(root.get("summary").orNull),
+              GemYaml.str(root.get("description").orNull)),
+            homepage_url = GemYaml.str(root.get("homepage").orNull),
+            release_date = GemYaml.str(root.get("date").orNull)
+              .flatMap(s => dateOnlyTs(s.split(" ").head)),
+            declared_license_expression = yamlLicenseList(licenses)),
+        GemYaml.list(root.get("authors").orNull).flatMap(GemYaml.str)
+          .map(a => PartyRow(downloadUrl.getOrElse(""), "person",
+            Some("author"), Some(a), None, None)),
+        None,
+        dependencies = deps)
     }
   }
 }

@@ -575,6 +575,15 @@ object EcosystemParsers {
       para <- debParagraphs(new String(control, "UTF-8")).headOption
     } yield para
 
+  /** The YAML `metadata` of a `.gem` archive — a plain tar holding a
+    * gzipped `metadata.gz` (`minecode/miners/rubygems.py` archive
+    * mapper extracts the same member). */
+  def gemMetadataText(gem: Array[Byte]): Option[String] =
+    tarEntries(gem).collectFirst {
+      case (n, b) if n.stripPrefix("./") == "metadata.gz" =>
+        new String(GzipTolerant.readAll(b), "UTF-8")
+    }
+
   /** Entries of a zip archive (googlecode `google-code-archive.txt.zip`
     * — the reference extracts with `extract_file`). */
   def zipEntries(bytes: Array[Byte]): Seq[(String, Array[Byte])] = {

@@ -177,7 +177,7 @@ class DistroVisitorsSpec extends AnyFunSuite {
       case JArray(ps) => ps.map(p => (jstr(p \ "name"), jstr(p \ "email")))
       case _          => Seq.empty
     }))
-    assert(g.dependencies == ((w \ "dependencies") match {
+    assert(g.dependencies.map(_.purl) == ((w \ "dependencies") match {
       case JArray(ds) => ds.flatMap(d => jstr(d \ "purl")); case _ => Seq.empty
     }))
   }
@@ -328,7 +328,7 @@ class DistroVisitorsSpec extends AnyFunSuite {
     assert(g.row.qualifiers.contains("arch=x86_64"))
     assert(g.parties.map(p => (p.name, p.email)) == Seq(
       (Some("Ivy Foster"), Some("iff@archlinux.org"))))
-    assert(g.dependencies == ((w \ "dependencies") match {
+    assert(g.dependencies.map(_.purl) == ((w \ "dependencies") match {
       case JArray(ds) => ds.flatMap(d => jstr(d \ "purl")); case _ => Seq.empty
     }))
   }

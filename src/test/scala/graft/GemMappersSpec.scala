@@ -1,0 +1,110 @@
+package graft
+
+import graft.miners.Mappers
+import graft.sources.EcosystemParsers
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Golden tests for the RubyGems mappers — versions API v1, gem API
+  * v2, and the YAML `metadata` inside real `.gem` archives — against
+  * the reference's own `*.package.json` expected fixtures.
+  */
+class GemMappersSpec extends AnyFunSuite {
+
+  private val dir = "/root/reference/minecode/tests/testfiles/rubygems"
+
+  private def bytes(path: String): Array[Byte] =
+    java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(s"$dir/$path"))
+
+  private def read(path: String): String = new String(bytes(path), "UTF-8")
+
+  private def jstr(v: JValue): Option[String] = v match {
+    case JString(s) if s.nonEmpty => Some(s); case _ => None
+  }
+
+  private def checkPackage(g: Mappers.MappedPackage, w: JValue): Unit = {
+    assert(g.row.name == jstr(w \ "name").get)
+    assert(g.row.version == jstr(w \ "version"), s"version of ${g.row.name}")
+    assert(g.row.description == jstr(w \ "description"),
+      s"description of ${g.row.name}@${g.row.version}")
+    assert(g.row.homepage_url == jstr(w \ "homepage_url"))
+    assert(g.row.sha256 == jstr(w \ "sha256"))
+    assert(g.row.declared_license_expression ==
+      jstr(w \ "extracted_license_statement"))
+    assert(g.parties.map(_.name.getOrElse("")) == ((w \ "parties") match {
+      case JArray(ps) => ps.flatMap(p => jstr(p \ "name")); case _ => Seq.empty
+    }))
+    // release_date compares on the date part (fixtures store either a
+    // bare date or a full instant)
+    val wantDate = jstr(w \ "release_date").map(_.take(10))
+    assert(g.row.release_date.map(_.toString.take(10)) == wantDate,
+      s"release_date of ${g.row.name}@${g.row.version}")
+    val wantDeps = (w \ "dependencies") match {
+      case JArray(ds) => ds.map(d => (jstr(d \ "purl").get,
+        jstr(d \ "extracted_requirement"), jstr(d \ "scope")))
+      case _ => Seq.empty
+    }
+    assert(g.dependencies.map(d =>
+      (d.purl, d.extracted_requirement, d.scope)) == wantDeps,
+      s"dependencies of ${g.row.name}@${g.row.version}")
+  }
+
+  private def checkMetadataGem(gemFile: String, expectedPath: String,
+      extract: Boolean = true): Unit = {
+    val metadata =
+      if (extract) EcosystemParsers.gemMetadataText(bytes(gemFile))
+        .getOrElse(fail(s"no metadata.gz in $gemFile"))
+      else read(gemFile)
+    val downloadUrl = "https://rubygems.org/downloads/" +
+      gemFile.replace(".metadata", "")
+    val g = Mappers.gemMetadataPackage(metadata, Some(downloadUrl)).get
+    val w = JsonMethods.parse(read(expectedPath)).asInstanceOf[JArray].arr.head
+    assert(g.row.download_url == jstr(w \ "download_url").getOrElse(""))
+    checkPackage(g, w)
+  }
+
+  test("gem metadata mapper matches all reference package fixtures") {
+    checkMetadataGem("0mq-0.4.1.gem.metadata", "0mq-0.4.1.gem.package.json",
+      extract = false)
+    Seq(
+      "a_okay-0.1.0.gem",
+      "archive-tar-minitar-0.5.2.gem",
+      "blankslate-3.1.3.gem",
+      "m2r-2.1.0.gem",
+      "mysmallidea-address_standardization-0.4.1.gem",
+      "mysmallidea-mad_mimi_mailer-0.0.9.gem",
+      "ng-rails-csrf-0.1.0.gem",
+      "small-0.2.gem",
+      "small_wonder-0.1.10.gem",
+      "sprockets-vendor_gems-0.1.3.gem"
+    ).foreach { gem =>
+      checkMetadataGem(gem, s"$gem.package.json")
+    }
+  }
+
+  test("gem versions API v1 mapper matches all reference fixtures") {
+    Seq(
+      ("apiv1/0xffffff.api.json", "0xffffff", "apiv1/0xffffff.api.package.json"),
+      ("apiv1/zuck.api.json", "zuck", "apiv1/zuck.api.package.json"),
+      ("apiv1/a1630ty_a1630ty.api.json", "a1630ty_a1630ty",
+        "apiv1/a1630ty_a1630ty.api.package.json"),
+      ("apiv1/action_tracker.api.json", "action_tracker",
+        "apiv1/action_tracker.api.package.json")
+    ).foreach { case (input, name, expectedPath) =>
+      val got = Mappers.gemApiPackages(read(input), name)
+      val want = JsonMethods.parse(read(expectedPath))
+        .asInstanceOf[JArray].arr
+      assert(got.size == want.size, input)
+      got.zip(want).foreach { case (g, w) => checkPackage(g, w) }
+    }
+  }
+
+  test("gem API v2 mapper matches the rails fixture") {
+    val g = Mappers.gemApiV2Package(read("apiv2/rails-8.0.2.json")).get
+    val w = JsonMethods.parse(read("apiv2/expected-rails-8.0.2.json"))
+      .asInstanceOf[JArray].arr.head
+    assert(g.row.download_url == jstr(w \ "download_url").get)
+    checkPackage(g, w)
+  }
+}
