@@ -560,6 +560,54 @@ object Mappers {
     }
   }
 
+  // --------------------------------------------------------------- cargo
+
+  /** crates.io API record → one package per version
+    * (`minecode/miners/cargo.py:14-89`): a versioned purl selects its
+    * version, `UNKNOWN` licenses are dropped, keywords come from the
+    * crate summary, the author is published_by name-or-login, and the
+    * download URL joins the version's dl_path onto crates.io. */
+  def cargoPackages(json: String, purlVersion: Option[String])
+      : Seq[MappedPackage] = {
+    val root = JsonMethods.parse(json)
+    val keywords = (root \ "crate" \ "keywords") match {
+      case JArray(ks) => ks.flatMap(str); case _ => Seq.empty
+    }
+    (root \ "versions") match {
+      case JArray(versions) => versions.flatMap { v =>
+        val version = str(v \ "num")
+        if (purlVersion.isDefined && version != purlVersion) None
+        else {
+          val downloadUrl = str(v \ "dl_path")
+            .map("https://crates.io" + _).getOrElse("")
+          val licenses = str(v \ "license").filter(_ != "UNKNOWN").toSeq
+          val author = (v \ "published_by") match {
+            case o: JObject => str(o \ "name").orElse(str(o \ "login"))
+            case _          => None
+          }
+          Some(MappedPackage(
+            PackageRow.minimal(downloadUrl, "cargo",
+              str(v \ "crate").getOrElse(""), version)
+              .copy(
+                description = str(v \ "description"),
+                homepage_url = str(v \ "homepage"),
+                keywords = keywords,
+                size = (v \ "crate_size") match {
+                  case JInt(n) => Some(n.toLong); case _ => None
+                },
+                sha256 = str(v \ "checksum"),
+                declared_license_expression =
+                  if (licenses.isEmpty) None
+                  else Some(licenses.map(l => s"- $l\n").mkString)),
+            author.toSeq.map(a => PartyRow(downloadUrl, "person",
+              Some("author"), Some(a), None, None)),
+            None))
+        }
+      }
+      case _ => Seq.empty
+    }
+  }
+
   // ----------------------------------------------------------------- gem
 
   private def yamlLicenseList(licenses: Seq[String]): Option[String] =

@@ -100,6 +100,40 @@ class GemMappersSpec extends AnyFunSuite {
     }
   }
 
+  test("cargo mapper matches the sam fixtures with and without a version") {
+    val cargoDir = "/root/reference/minecode/tests/testfiles/cargo"
+    def readC(p: String) = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$cargoDir/$p")), "UTF-8")
+    def checkAll(purlVersion: Option[String], expectedPath: String): Unit = {
+      val got = Mappers.cargoPackages(readC("sam.json"), purlVersion)
+      val want = JsonMethods.parse(readC(expectedPath))
+        .asInstanceOf[JArray].arr
+      assert(got.size == want.size)
+      got.zip(want).foreach { case (g, w) =>
+        assert(g.row.name == jstr(w \ "name").get)
+        assert(g.row.version == jstr(w \ "version"))
+        assert(g.row.description == jstr(w \ "description"))
+        assert(g.row.download_url == jstr(w \ "download_url").get)
+        assert(g.row.sha256 == jstr(w \ "sha256"))
+        assert(g.row.size == ((w \ "size") match {
+          case JInt(n) => Some(n.toLong); case _ => None
+        }))
+        assert(g.row.declared_license_expression ==
+          jstr(w \ "extracted_license_statement"))
+        assert(g.row.homepage_url == jstr(w \ "homepage_url"))
+        assert(g.row.keywords == ((w \ "keywords") match {
+          case JArray(ks) => ks.flatMap(jstr); case _ => Seq.empty
+        }))
+        assert(g.parties.flatMap(_.name) == ((w \ "parties") match {
+          case JArray(ps) => ps.flatMap(p => jstr(p \ "name"))
+          case _          => Seq.empty
+        }))
+      }
+    }
+    checkAll(None, "expected-sam.json")
+    checkAll(Some("0.3.1"), "expected-sam-0.3.1.json")
+  }
+
   test("gem API v2 mapper matches the rails fixture") {
     val g = Mappers.gemApiV2Package(read("apiv2/rails-8.0.2.json")).get
     val w = JsonMethods.parse(read("apiv2/expected-rails-8.0.2.json"))
