@@ -560,6 +560,44 @@ object Mappers {
     }
   }
 
+  // ----------------------------------------------------------------- apk
+
+  /** APKINDEX text + purl → one package
+    * (`minecode/miners/alpine.py:16-64`): the purl-named paragraph
+    * supplies description (T), version (V), license (L), maintainer
+    * (m, split name/email), url (U), size (S), and the `Q1`-prefixed
+    * base64 checksum (C) decoded to its sha1 hex digest. */
+  def apkPackage(apkIndex: String, purl: String,
+      downloadUrl: String): Option[MappedPackage] = {
+    val parsed = graft.functions.PurlParse.parse(purl)
+    if (parsed == null) return None
+    val name = parsed(2)
+    graft.sources.EcosystemParsers.apkIndexFields(apkIndex)
+      .find(_.get("P").contains(name))
+      .map { m =>
+        val parties = m.get("m").toSeq.flatMap { raw =>
+          val (n, e) = parseEmail(raw)
+          if (n.isDefined) Seq(PartyRow(downloadUrl, "person",
+            Some("maintainer"), n, e, None))
+          else Seq.empty
+        }
+        val sha1 = m.get("C").filter(_.startsWith("Q1")).flatMap { c =>
+          scala.util.Try(java.util.Base64.getDecoder.decode(c.substring(2))
+            .map("%02x".format(_)).mkString).toOption
+        }
+        MappedPackage(
+          PackageRow.minimal(downloadUrl, "apk", name, m.get("V"))
+            .copy(
+              qualifiers = Option(parsed(4)),
+              description = m.get("T"),
+              homepage_url = m.get("U"),
+              declared_license_expression = m.get("L"),
+              size = m.get("S").flatMap(_.toLongOption),
+              sha1 = sha1),
+          parties, None)
+      }
+  }
+
   // --------------------------------------------------------------- cargo
 
   /** crates.io API record → one package per version

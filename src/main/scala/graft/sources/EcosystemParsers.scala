@@ -116,6 +116,19 @@ object EcosystemParsers {
     }
   }
 
+  /** Raw single-letter field maps of an APKINDEX, one per
+    * blank-line-separated paragraph (`minecode/miners/alpine.py:67-123`
+    * parse_apkindex keeps the same shape under long names). */
+  def apkIndexFields(text: String): Seq[Map[String, String]] =
+    text.split("\n\\s*\n").toSeq.flatMap { block =>
+      val kv = block.linesIterator.flatMap { line =>
+        val i = line.indexOf(':')
+        if (i <= 0) None else Some(line.substring(0, i).trim ->
+          line.substring(i + 1).trim)
+      }.toMap
+      if (kv.isEmpty) None else Some(kv)
+    }
+
   /** Minimal ustar reader: 512-byte headers, name at 0..100, octal size
     * at 124..136, type flag at 156; data padded to 512. Enough to pull
     * APKINDEX out of APKINDEX.tar.gz (reference extracts with

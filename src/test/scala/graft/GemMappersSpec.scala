@@ -100,6 +100,48 @@ class GemMappersSpec extends AnyFunSuite {
     }
   }
 
+  test("apk mapper matches both alpine expected fixtures") {
+    val alpineDir = "/root/reference/minecode/tests/testfiles/alpine"
+    def readA(p: String) = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$alpineDir/$p")), "UTF-8")
+    def checkOne(index: String, purl: String, downloadUrl: String,
+        expectedPath: String): Unit = {
+      val g = Mappers.apkPackage(readA(s"$index/APKINDEX"), purl,
+        downloadUrl).get
+      val w = JsonMethods.parse(readA(expectedPath))
+        .asInstanceOf[JArray].arr.head
+      assert(g.row.name == jstr(w \ "name").get)
+      assert(g.row.version == jstr(w \ "version"))
+      assert(g.row.description == jstr(w \ "description"))
+      assert(g.row.download_url == jstr(w \ "download_url").get)
+      assert(g.row.homepage_url == jstr(w \ "repository_homepage_url"))
+      assert(g.row.declared_license_expression ==
+        jstr(w \ "extracted_license_statement"))
+      assert(g.row.sha1 == jstr(w \ "sha1"))
+      assert(g.row.size == ((w \ "size") match {
+        case JInt(n) => Some(n.toLong); case _ => None
+      }))
+      assert(g.parties.map(p => (p.name, p.email)) == ((w \ "parties") match {
+        case JArray(ps) => ps.map(p => (jstr(p \ "name"), jstr(p \ "email")))
+        case _          => Seq.empty
+      }))
+      val wantQuals = (w \ "qualifiers") match {
+        case JObject(fs) => fs.collect { case (k, JString(v)) => s"$k=$v" }
+          .sorted.mkString("&")
+        case _ => ""
+      }
+      assert(g.row.qualifiers.getOrElse("") == wantQuals)
+    }
+    checkOne("postgresql16-contrib_v3.14-community-armhf",
+      "pkg:apk/postgresql16-contrib@16.10-r0?arch=x86_64&repo=main&alpine_version=latest-stable",
+      "https://dl-cdn.alpinelinux.org/alpine/latest-stable/main/x86_64/postgresql16-contrib-16.10-r0.apk",
+      "mapper_postgresql16_contrib_expected.json")
+    checkOne("perf-bash-completion_latest-stable_main_x86_64",
+      "pkg:apk/perf-bash-completion@5.10.42-r0?arch=armhf&repo=community&alpine_version=v3.14",
+      "https://dl-cdn.alpinelinux.org/v3.14/community/armhf/perf-bash-completion-5.10.42-r0.apk",
+      "mapper_perf_bash_completion_expected.json")
+  }
+
   test("cargo mapper matches the sam fixtures with and without a version") {
     val cargoDir = "/root/reference/minecode/tests/testfiles/cargo"
     def readC(p: String) = new String(java.nio.file.Files.readAllBytes(
