@@ -560,6 +560,55 @@ object Mappers {
     }
   }
 
+  // ---------------------------------------------------------------- cpan
+
+  /** MetaCPAN release search page → packages
+    * (`minecode/miners/cpan.py:211-296`): abstract as description,
+    * root licenses plus resources license URLs joined YAML-style,
+    * repository url git-tagged when it reads like git, bugtracker web
+    * link, uppercase author id as the author party. */
+  def cpanReleaseSearchPackages(json: String): Seq[MappedPackage] = {
+    val root = JsonMethods.parse(json)
+    (root \ "hits" \ "hits") match {
+      case JArray(hits) => hits.flatMap { hit =>
+        val release = hit \ "_source"
+        str(release \ "name").map { name =>
+          val licensesRoot = (release \ "license") match {
+            case JArray(ls) => ls.flatMap(str).filter(_.trim.nonEmpty)
+            case _          => Seq.empty
+          }
+          val resources = release \ "resources"
+          val licenseUrls = (resources \ "license") match {
+            case JArray(ls) => ls.flatMap(str).filter(_.trim.nonEmpty)
+            case _          => Seq.empty
+          }
+          val licenses = licensesRoot ++ licenseUrls
+          val repoUrl = str(resources \ "repository" \ "url")
+          val vcs = repoUrl.map(u =>
+            if (u.contains(".git")) s"git+$u" else u)
+          val downloadUrl = str(release \ "download_url").getOrElse("")
+          MappedPackage(
+            PackageRow.minimal(downloadUrl, "cpan", name,
+              str(release \ "version"))
+              .copy(
+                description = str(release \ "abstract"),
+                homepage_url = str(resources \ "homepage"),
+                release_date = str(release \ "date").flatMap(s =>
+                  scala.util.Try(java.sql.Timestamp.valueOf(
+                    s.take(10) + " 00:00:00")).toOption),
+                declared_license_expression =
+                  if (licenses.isEmpty) None
+                  else Some(licenses.map(l => s"- $l\n").mkString)),
+            str(release \ "author").toSeq.map(a => PartyRow(downloadUrl,
+              "person", Some("author"), Some(a), None, None)),
+            vcs,
+            bugTrackingUrl = str(resources \ "bugtracker" \ "web"))
+        }
+      }
+      case _ => Seq.empty
+    }
+  }
+
   // ----------------------------------------------------------------- apk
 
   /** APKINDEX text + purl → one package

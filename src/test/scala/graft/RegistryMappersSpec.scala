@@ -6,11 +6,12 @@ import org.json4s._
 import org.json4s.jackson.JsonMethods
 import org.scalatest.funsuite.AnyFunSuite
 
-/** Golden tests for the RubyGems mappers — versions API v1, gem API
-  * v2, and the YAML `metadata` inside real `.gem` archives — against
-  * the reference's own `*.package.json` expected fixtures.
+/** Golden tests for the registry package mappers — RubyGems (API v1,
+  * API v2, and the YAML `metadata` inside real `.gem` archives),
+  * crates.io, Alpine APKINDEX, and MetaCPAN release search — against
+  * the reference's own expected-package fixtures.
   */
-class GemMappersSpec extends AnyFunSuite {
+class RegistryMappersSpec extends AnyFunSuite {
 
   private val dir = "/root/reference/minecode/tests/testfiles/rubygems"
 
@@ -98,6 +99,38 @@ class GemMappersSpec extends AnyFunSuite {
       assert(got.size == want.size, input)
       got.zip(want).foreach { case (g, w) => checkPackage(g, w) }
     }
+  }
+
+  test("cpan release-search mapper matches both reference fixtures") {
+    val cpanDir = "/root/reference/minecode/tests/testfiles/cpan"
+    def readP(p: String) = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$cpanDir/$p")), "UTF-8")
+    def checkAll(input: String, expectedPath: String): Unit = {
+      val got = Mappers.cpanReleaseSearchPackages(readP(input))
+      val want = JsonMethods.parse(readP(expectedPath))
+        .asInstanceOf[JArray].arr
+      assert(got.size == want.size, input)
+      got.zip(want).foreach { case (g, w) =>
+        assert(g.row.name == jstr(w \ "name").get)
+        assert(g.row.version == jstr(w \ "version"))
+        assert(g.row.description == jstr(w \ "description"))
+        assert(g.row.download_url == jstr(w \ "download_url").getOrElse(""))
+        assert(g.row.homepage_url == jstr(w \ "homepage_url"))
+        assert(g.row.declared_license_expression ==
+          jstr(w \ "extracted_license_statement"))
+        assert(g.vcsUrl == jstr(w \ "vcs_url"))
+        assert(g.bugTrackingUrl == jstr(w \ "bug_tracking_url"))
+        assert(g.row.release_date.map(_.toString.take(10)) ==
+          jstr(w \ "release_date").map(_.take(10)))
+        assert(g.parties.flatMap(_.name) == ((w \ "parties") match {
+          case JArray(ps) => ps.flatMap(p => jstr(p \ "name"))
+          case _          => Seq.empty
+        }))
+      }
+    }
+    checkAll("release_search.json", "expected_release_search.json")
+    checkAll("MIYAGAWA_author_release_search.json",
+      "expected_release_search_author_MIYAGAWA.json")
   }
 
   test("apk mapper matches both alpine expected fixtures") {
