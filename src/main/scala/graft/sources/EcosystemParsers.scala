@@ -571,6 +571,19 @@ object EcosystemParsers {
     paras.result()
   }
 
+  /** deb822 dictionaries — debcon `get_paragraphs_data` shape
+    * (`minecode/miners/debian.py:153-231` Release/Sources/Packages
+    * parsing): lowercase keys; a value opened by an empty first line
+    * (e.g. `MD5Sum:` blocks) drops that leading newline and the first
+    * continuation indent. */
+  def deb822Paragraphs(text: String): Seq[Map[String, String]] =
+    debParagraphs(text).map(_.map { case (k, v0) =>
+      val v =
+        if (v0.startsWith("\n")) v0.substring(1).replaceFirst("^[ \t]", "")
+        else v0
+      k.toLowerCase -> v
+    }.toMap)
+
   /** debcon-style serialization: `Key: value` lines in field order with
     * a trailing newline (what the reference stores as URI `data`). */
   def debSerialize(para: Seq[(String, String)]): String =
