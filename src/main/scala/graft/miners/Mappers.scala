@@ -560,6 +560,140 @@ object Mappers {
     }
   }
 
+  // ----------------------------------------------------------------- npm
+
+  /** `Name <email> (url)` split — the npm package.json person string
+    * convention. */
+  private def npmPerson(s: String): (Option[String], Option[String], Option[String]) = {
+    val email = """<([^>]+)>""".r.findFirstMatchIn(s).map(_.group(1).trim)
+    val url = """\(([^)]+)\)""".r.findFirstMatchIn(s).map(_.group(1).trim)
+    val name = s.replaceAll("""<[^>]*>""", "").replaceAll("""\([^)]*\)""", "")
+      .trim
+    (Some(name).filter(_.nonEmpty), email, url)
+  }
+
+  private def npmParty(v: JValue, role: String, downloadUrl: String)
+      : Option[PartyRow] = v match {
+    case JString(s) =>
+      val (n, e, u) = npmPerson(s)
+      if (n.isEmpty && e.isEmpty) None
+      else Some(PartyRow(downloadUrl, "person", Some(role), n, e, u))
+    case o: JObject =>
+      val n = str(o \ "name")
+      if (n.isEmpty) None
+      else Some(PartyRow(downloadUrl, "person", Some(role), n,
+        str(o \ "email"), str(o \ "url")))
+    case _ => None
+  }
+
+  /** npm registry document → one package per version
+    * (`minecode/miners/npm.py:121-134`, behavior pinned by the
+    * reference's seven expected fixtures): canonical registry tarball
+    * URL, dist shasum, repository normalized with a `git+` prefix and
+    * the version's gitHead, legacy `licenses` dicts rendered
+    * YAML-style, author/contributors/maintainers parties, and
+    * dependencies per scope. */
+  def npmVersionPackages(json: String): Seq[MappedPackage] = {
+    val root = JsonMethods.parse(json)
+    (root \ "versions") match {
+      case JObject(versions) => versions.flatMap { case (_, v) =>
+        str(v \ "name").map(name => npmOnePackage(name, v))
+      }
+      case _ => Seq.empty
+    }
+  }
+
+  private def npmOnePackage(name: String, v: JValue): MappedPackage = {
+    val version = str(v \ "version").getOrElse("")
+    // canonical registry tarball: scoped names keep the scope in the
+    // path but not in the file name
+    val fileName = name.split("/").last
+    val downloadUrl =
+      s"https://registry.npmjs.org/$name/-/$fileName-$version.tgz"
+    val licenseStmt = {
+      val entries: Seq[String] = (v \ "license") match {
+        case JString(l) if l.nonEmpty => Seq(s"- $l\n")
+        case o: JObject => Seq(licenseDictYaml(o))
+        case _ => (v \ "licenses") match {
+          case JArray(ls) => ls.collect { case o: JObject => licenseDictYaml(o) }
+          case o: JObject => Seq(licenseDictYaml(o))
+          case _          => Seq.empty
+        }
+      }
+      if (entries.isEmpty) None else Some(entries.mkString)
+    }
+    val vcs = ((v \ "repository") match {
+      case JString(u)     => Some(u)
+      case o: JObject     => str(o \ "url")
+      case JArray(r :: _) => r match {
+        case JString(u) => Some(u)
+        case o: JObject => str(o \ "url")
+        case _          => None
+      }
+      case _ => None
+    }).map { u0 =>
+      val u = if (u0.startsWith("git")) u0 else s"git+$u0"
+      str(v \ "gitHead") match {
+        case Some(head) => s"$u@$head"
+        case None       => u
+      }
+    }
+    val parties =
+      npmParty(v \ "author", "author", downloadUrl).toSeq ++
+        ((v \ "contributors") match {
+          case JArray(cs) => cs.flatMap(npmParty(_, "contributor", downloadUrl))
+          case other      => npmParty(other, "contributor", downloadUrl).toSeq
+        }) ++
+        ((v \ "maintainers") match {
+          case JArray(ms) => ms.flatMap(npmParty(_, "maintainer", downloadUrl))
+          case other      => npmParty(other, "maintainer", downloadUrl).toSeq
+        })
+    def depsOf(scope: String, runtime: Boolean, optional: Boolean)
+        : Seq[DependencyRow] = (v \ scope) match {
+      case JObject(ds) => ds.map { case (depName, req) =>
+        // packageurl percent-encodes '@' in scoped namespaces
+        DependencyRow("", s"pkg:npm/${depName.replace("@", "%40")}",
+          (req match { case JString(r) => Some(r); case _ => None })
+            .filter(_.nonEmpty),
+          Some(scope), is_runtime = runtime, is_optional = optional,
+          is_pinned = false)
+      }
+      case _ => Seq.empty
+    }
+    val bugs = (v \ "bugs") match {
+      case JString(u) => Some(u)
+      case o: JObject => str(o \ "url")
+      case _          => None
+    }
+    MappedPackage(
+      PackageRow.minimal(downloadUrl, "npm", name, Some(version))
+        .copy(
+          primary_language = Some("JavaScript"),
+          description = str(v \ "description"),
+          keywords = (v \ "keywords") match {
+            case JArray(ks) => ks.flatMap(str)
+            case JString(k) => Seq(k)
+            case _          => Seq.empty
+          },
+          homepage_url = str(v \ "homepage"),
+          sha1 = str(v \ "dist" \ "shasum"),
+          declared_license_expression = licenseStmt),
+      parties, vcs,
+      bugTrackingUrl = bugs,
+      dependencies =
+        depsOf("dependencies", runtime = true, optional = false) ++
+          depsOf("devDependencies", runtime = false, optional = true))
+  }
+
+  /** Legacy `{type, url}` license dict rendered as a YAML list item
+    * (what the reference's saneyaml dump produces, empty url kept). */
+  private def licenseDictYaml(o: JObject): String = {
+    val t = str(o \ "type").getOrElse("")
+    val u = str(o \ "url").getOrElse("")
+    val urlLine = if (u.isEmpty) "  url:\n" else s"  url: $u\n"
+    s"- type: $t\n$urlLine"
+  }
+
   // ---------------------------------------------------------------- cpan
 
   /** MetaCPAN release search page → packages

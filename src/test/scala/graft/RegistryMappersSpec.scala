@@ -101,6 +101,55 @@ class RegistryMappersSpec extends AnyFunSuite {
     }
   }
 
+  test("npm mapper matches the reference's expected packages across fixtures") {
+    val npmDir = "/root/reference/minecode/tests/testfiles/npm"
+    def readN(p: String) = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$npmDir/$p")), "UTF-8")
+    def checkAll(input: String, expectedPath: String): Unit = {
+      val got = Mappers.npmVersionPackages(readN(input))
+      val want = JsonMethods.parse(readN(expectedPath))
+        .asInstanceOf[JArray].arr
+      assert(got.size == want.size, input)
+      got.zip(want).foreach { case (g, w) =>
+        val tag = s"$input ${g.row.name}@${g.row.version}"
+        assert(g.row.name == jstr(w \ "name").get, tag)
+        assert(g.row.version == jstr(w \ "version"), tag)
+        assert(g.row.description == jstr(w \ "description"), tag)
+        assert(g.row.download_url == jstr(w \ "download_url").getOrElse(""), tag)
+        assert(g.row.homepage_url == jstr(w \ "homepage_url"), tag)
+        assert(g.row.sha1 == jstr(w \ "sha1"), tag)
+        assert(g.row.declared_license_expression ==
+          jstr(w \ "extracted_license_statement"), tag)
+        assert(g.vcsUrl == jstr(w \ "vcs_url"), tag)
+        assert(g.bugTrackingUrl == jstr(w \ "bug_tracking_url"), tag)
+        assert(g.row.keywords == ((w \ "keywords") match {
+          case JArray(ks) => ks.flatMap(jstr); case _ => Seq.empty
+        }), tag)
+        assert(g.parties.map(p => (p.role, p.name, p.email)) ==
+          ((w \ "parties") match {
+            case JArray(ps) => ps.map(p =>
+              (jstr(p \ "role"), jstr(p \ "name"), jstr(p \ "email")))
+            case _ => Seq.empty
+          }), tag)
+        assert(g.dependencies.map(d =>
+          (d.purl, d.extracted_requirement, d.scope, d.is_runtime,
+            d.is_optional)) ==
+          ((w \ "dependencies") match {
+            case JArray(ds) => ds.map(d => (jstr(d \ "purl").get,
+              jstr(d \ "extracted_requirement"), jstr(d \ "scope"),
+              (d \ "is_runtime") == JBool(true),
+              (d \ "is_optional") == JBool(true)))
+            case _ => Seq.empty
+          }), tag)
+      }
+    }
+    checkAll("0flux.json", "0flux_npm_expected.json")
+    checkAll("2112.json", "npm_2112_expected.json")
+    checkAll("microdata.json", "microdata-node_expected.json")
+    checkAll("jsonp-filter.json", "jsonp-filter-expected.json")
+    checkAll("mapper/index.json", "mapper/index.expected.json")
+  }
+
   test("cpan release-search mapper matches both reference fixtures") {
     val cpanDir = "/root/reference/minecode/tests/testfiles/cpan"
     def readP(p: String) = new String(java.nio.file.Files.readAllBytes(
