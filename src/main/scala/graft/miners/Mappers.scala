@@ -560,6 +560,81 @@ object Mappers {
     }
   }
 
+  // ---------------------------------------------------------------- pypi
+
+  /** PyPI JSON API record → one package per download
+    * (`minecode/miners/pypi.py:158-292`): one row for an off-PyPI
+    * `download_url`, then one per `urls[]` entry with size/md5/sha256
+    * and upload date; the license falls back to `License ::`
+    * classifiers when the license field is empty or UNKNOWN. */
+  def pypiPackages(json: String): Seq[MappedPackage] = {
+    val root = JsonMethods.parse(json)
+    val info = root \ "info"
+    val name = str(info \ "name").getOrElse(return Seq.empty)
+    val version = str(info \ "version")
+    val description = summaryAndLong(str(info \ "summary"),
+      str(info \ "description"))
+    val parties = Seq(
+      ("author", "author_email", "author"),
+      ("maintainer", "maintainer_email", "maintainer")).flatMap {
+      case (nameKey, emailKey, role) =>
+        val n = str(info \ nameKey)
+        val e = str(info \ emailKey)
+        if (n.isEmpty && e.isEmpty) None
+        else Some(PartyRow("", "person", Some(role), n, e, None))
+    }
+    val licenses = {
+      val lic = str(info \ "license").filter(_ != "UNKNOWN").toSeq
+      if (lic.nonEmpty) lic
+      else (info \ "classifiers") match {
+        case JArray(cs) =>
+          cs.flatMap(str).filter(_.toLowerCase.startsWith("license"))
+        case _ => Seq.empty
+      }
+    }
+    // saneyaml single-quotes scalars containing ": " (the classifier
+    // form) — the reference fixtures pin that rendering
+    val licenseStmt =
+      if (licenses.isEmpty) None
+      else Some(licenses.map { l =>
+        val rendered = if (l.contains(": ")) s"'$l'" else l
+        s"- $rendered\n"
+      }.mkString)
+    val keywords = str(info \ "keywords").toSeq
+      .flatMap(_.split(",").toSeq).map(_.trim).filter(_.nonEmpty)
+    def base(downloadUrl: String): PackageRow =
+      PackageRow.minimal(downloadUrl, "pypi", name, version)
+        .copy(
+          description = description,
+          homepage_url = str(info \ "home_page"),
+          keywords = keywords,
+          declared_license_expression = licenseStmt)
+    val offPypi = str(info \ "download_url").filter(_ != "UNKNOWN")
+      .map(u => MappedPackage(base(u), parties, None,
+        bugTrackingUrl = str(info \ "bugtrack_url")))
+      .toSeq
+    val downloads = (root \ "urls") match {
+      case JArray(urls) => urls.flatMap { d =>
+        str(d \ "url").map { u =>
+          MappedPackage(
+            base(u).copy(
+              size = (d \ "size") match {
+                case JInt(n) => Some(n.toLong); case _ => None
+              },
+              md5 = str(d \ "md5_digest"),
+              sha256 = str(d \ "digests" \ "sha256"),
+              release_date = str(d \ "upload_time").flatMap(s =>
+                scala.util.Try(java.sql.Timestamp.valueOf(
+                  s.take(10) + " 00:00:00")).toOption)),
+            parties, None,
+            bugTrackingUrl = str(info \ "bugtrack_url"))
+        }
+      }
+      case _ => Seq.empty
+    }
+    offPypi ++ downloads
+  }
+
   // ----------------------------------------------------------------- npm
 
   /** `Name <email> (url)` split — the npm package.json person string

@@ -101,6 +101,48 @@ class RegistryMappersSpec extends AnyFunSuite {
     }
   }
 
+  test("pypi mapper matches the reference's expected packages across fixtures") {
+    val pypiDir = "/root/reference/minecode/tests/testfiles/pypi"
+    def readP(p: String) = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$pypiDir/$p")), "UTF-8")
+    def checkAll(input: String, expectedPath: String): Unit = {
+      val got = Mappers.pypiPackages(readP(input))
+      val want = JsonMethods.parse(readP(expectedPath))
+        .asInstanceOf[JArray].arr
+      assert(got.size == want.size, input)
+      got.zip(want).foreach { case (g, w) =>
+        val tag = s"$input ${g.row.download_url}"
+        assert(g.row.name == jstr(w \ "name").get, tag)
+        assert(g.row.version == jstr(w \ "version"), tag)
+        assert(g.row.description == jstr(w \ "description"), tag)
+        assert(g.row.download_url == jstr(w \ "download_url").getOrElse(""), tag)
+        assert(g.row.homepage_url == jstr(w \ "homepage_url"), tag)
+        assert(g.row.md5 == jstr(w \ "md5"), tag)
+        assert(g.row.sha256 == jstr(w \ "sha256"), tag)
+        assert(g.row.size == ((w \ "size") match {
+          case JInt(n) => Some(n.toLong); case _ => None
+        }), tag)
+        assert(g.row.release_date.map(_.toString.take(10)) ==
+          jstr(w \ "release_date").map(_.take(10)), tag)
+        assert(g.row.declared_license_expression ==
+          jstr(w \ "extracted_license_statement"), tag)
+        assert(g.row.keywords == ((w \ "keywords") match {
+          case JArray(ks) => ks.flatMap(jstr); case _ => Seq.empty
+        }), tag)
+        assert(g.parties.map(p => (p.role, p.name, p.email)) ==
+          ((w \ "parties") match {
+            case JArray(ps) => ps.map(p =>
+              (jstr(p \ "role"), jstr(p \ "name"), jstr(p \ "email")))
+            case _ => Seq.empty
+          }), tag)
+      }
+    }
+    checkAll("lxml-3.2.0.json", "expected-lxml-3.2.0.json")
+    checkAll("boolean.py-2.0.dev3.json", "expected-boolean.py-2.0.dev3.json")
+    checkAll("cage_1.1.3.json", "expected-CAGE-1.1.3.json")
+    checkAll("cage_1.1.2.json", "expected-CAGE-1.1.2.json")
+  }
+
   test("npm mapper matches the reference's expected packages across fixtures") {
     val npmDir = "/root/reference/minecode/tests/testfiles/npm"
     def readN(p: String) = new String(java.nio.file.Files.readAllBytes(
