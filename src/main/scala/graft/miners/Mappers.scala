@@ -19,7 +19,8 @@ object Mappers {
       vcsUrl: Option[String],
       codeViewUrl: Option[String] = None,
       bugTrackingUrl: Option[String] = None,
-      dependencies: Seq[DependencyRow] = Seq.empty)
+      dependencies: Seq[DependencyRow] = Seq.empty,
+      sourcePackages: Seq[String] = Seq.empty)
 
   /** Dependency with the reference DependentPackage defaults
     * (runtime, non-optional, unpinned). */

@@ -21,13 +21,28 @@ object MavenPom {
   final case class PomRef(groupId: String, artifactId: String,
       version: String)
 
+  /** `<license>` entry: name, url, comments. */
+  final case class PomLicense(name: Option[String], url: Option[String],
+      comments: Option[String])
+
+  /** `<scm>` block: connection, developerConnection, url. */
+  final case class PomScm(connection: Option[String],
+      developerConnection: Option[String], url: Option[String])
+
+  /** `<dependency>` entry: coordinates plus scope (default compile). */
+  final case class PomDep(groupId: String, artifactId: String,
+      version: Option[String], scope: String)
+
   final case class Pom(
       groupId: Option[String], artifactId: Option[String],
       version: Option[String], parent: Option[PomRef],
       name: Option[String], description: Option[String],
       url: Option[String], licenses: Seq[(Option[String], Option[String])],
       organizationUrl: Option[String],
-      properties: Map[String, String]) {
+      properties: Map[String, String],
+      licenseComments: Seq[Option[String]] = Seq.empty,
+      scm: Option[PomScm] = None,
+      dependencies: Seq[PomDep] = Seq.empty) {
     /** Effective coordinates: missing groupId/version inherit from the
       * parent ref (standard Maven resolution). */
     def effectiveGroupId: Option[String] =
@@ -68,7 +83,23 @@ object MavenPom {
           (textOf(l \ "name"), textOf(l \ "url"))
         },
         organizationUrl = textOf(root \ "organization" \ "url"),
-        properties = props)
+        properties = props,
+        licenseComments = (root \ "licenses" \ "license").map(l =>
+          textOf(l \ "comments")),
+        scm = (root \ "scm") match {
+          case s if s.nonEmpty => Some(PomScm(
+            textOf(s \ "connection"),
+            textOf(s \ "developerConnection"),
+            textOf(s \ "url")))
+          case _ => None
+        },
+        dependencies = (root \ "dependencies" \ "dependency").flatMap { d =>
+          for {
+            g <- textOf(d \ "groupId")
+            a <- textOf(d \ "artifactId")
+          } yield PomDep(g, a, textOf(d \ "version"),
+            textOf(d \ "scope").getOrElse("compile"))
+        })
       Some(interpolated(pom))
     } catch { case _: Exception => None }
 
@@ -151,6 +182,76 @@ object MavenPom {
             description = desc,
             homepage_url = pom.url,
             declared_license_expression = lic)
+      }
+    }
+
+  /** `scm:<tool>:<rest>` connection → SPDX-style vcs URL
+    * (`git@host:path` rewritten to https), e.g.
+    * `scm:svn:http://svn...` → `svn+http://svn...`. */
+  def scmToVcsUrl(connection: String): Option[String] =
+    connection.split(":", 3) match {
+      case Array("scm", tool, rest0) =>
+        val rest =
+          if (tool == "git" && rest0.startsWith("git@"))
+            "https://" + rest0.stripPrefix("git@").replaceFirst(":", "/")
+          else rest0
+        Some(s"$tool+$rest")
+      case _ => None
+    }
+
+  /** POM → full mapped package, the shape the reference's
+    * `maven.get_package` produces (pinned by the five
+    * `maven/mapper` pom.package.json fixtures): scm-derived
+    * vcs/code-view URLs, YAML-rendered license statement with
+    * literal-block comments, scoped dependencies, and the
+    * sources-classifier source package. */
+  def pomPackage(pomText: String): Option[Mappers.MappedPackage] =
+    parse(pomText).flatMap { pom =>
+      for {
+        g <- pom.effectiveGroupId
+        a <- pom.artifactId
+        v <- pom.effectiveVersion
+      } yield {
+        val row = toPackage(pomText).get
+        val licStmt = {
+          val entries = pom.licenses.zipAll(pom.licenseComments, (None, None),
+            None).map { case ((n, u), c) =>
+            val sb = new StringBuilder("- license:\n")
+            n.foreach(x => sb ++= s"    name: $x\n")
+            u.foreach(x => sb ++= s"    url: $x\n")
+            c.foreach { x =>
+              if (x.contains("\n")) {
+                sb ++= "    comments: |\n"
+                x.linesIterator.foreach(l => sb ++= s"      ${l.trim}\n")
+              } else sb ++= s"    comments: $x\n"
+            }
+            sb.result()
+          }
+          if (entries.isEmpty) None else Some(entries.mkString)
+        }
+        val vcs = pom.scm.flatMap(s =>
+          s.connection.flatMap(scmToVcsUrl).orElse(s.url))
+        // grouped by scope in first-appearance order (the reference
+        // keys dependencies by scope), document order within a scope
+        val scopeOrder = pom.dependencies.map(_.scope).distinct
+        val deps = scopeOrder.flatMap(sc =>
+          pom.dependencies.filter(_.scope == sc)).map { d =>
+          val (runtime, optional) = d.scope match {
+            case "runtime" | "provided" => (true, false)
+            case _                      => (false, true)
+          }
+          graft.catalog.DependencyRow("",
+            s"pkg:maven/${d.groupId}/${d.artifactId}" +
+              d.version.map("@" + _).getOrElse(""),
+            d.version, Some(d.scope), is_runtime = runtime,
+            is_optional = optional, is_pinned = d.version.isDefined)
+        }
+        Mappers.MappedPackage(
+          row.copy(declared_license_expression = licStmt),
+          Seq.empty, vcs,
+          codeViewUrl = pom.scm.flatMap(_.url),
+          dependencies = deps,
+          sourcePackages = Seq(s"pkg:maven/$g/$a@$v?classifier=sources"))
       }
     }
 

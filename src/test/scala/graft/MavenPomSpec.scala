@@ -111,6 +111,45 @@ class MavenPomSpec extends SparkTestBase {
     assert(merged.history.nonEmpty)
   }
 
+  test("pom package mapper matches the reference's five mapper fixtures") {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    val dir = "/root/reference/minecode/tests/testfiles/maven/mapper"
+    def read(p: String) = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$dir/$p")), "UTF-8")
+    def jstr(v: JValue): Option[String] = v match {
+      case JString(s) if s.nonEmpty => Some(s); case _ => None
+    }
+    Seq("axis-1.4", "commons-pool-1.5.7", "struts-menu-2.4.2",
+      "mysql-connector-java-5.1.27", "xbean-jmx-2.0").foreach { fixture =>
+      val g = MavenPom.pomPackage(read(s"$fixture.pom")).get
+      val w = JsonMethods.parse(read(s"$fixture.pom.package.json"))
+      assert(g.row.name == jstr(w \ "name").get, fixture)
+      assert(g.row.namespace == jstr(w \ "namespace"), fixture)
+      assert(g.row.version == jstr(w \ "version"), fixture)
+      assert(g.row.description == jstr(w \ "description"), fixture)
+      assert(g.row.homepage_url == jstr(w \ "homepage_url"), fixture)
+      assert(g.row.declared_license_expression ==
+        jstr(w \ "extracted_license_statement"), fixture)
+      assert(g.vcsUrl == jstr(w \ "vcs_url"), fixture)
+      assert(g.codeViewUrl == jstr(w \ "code_view_url"), fixture)
+      val wantSources = (w \ "source_packages") match {
+        case JArray(ss) => ss.flatMap(jstr); case _ => Seq.empty
+      }
+      if (wantSources.nonEmpty) assert(g.sourcePackages == wantSources, fixture)
+      assert(g.dependencies.map(d => (d.purl, d.extracted_requirement,
+        d.scope, d.is_runtime, d.is_optional, d.is_pinned)) ==
+        ((w \ "dependencies") match {
+          case JArray(ds) => ds.map(d => (jstr(d \ "purl").get,
+            jstr(d \ "extracted_requirement"), jstr(d \ "scope"),
+            (d \ "is_runtime") == JBool(true),
+            (d \ "is_optional") == JBool(true),
+            (d \ "is_pinned") == JBool(true)))
+          case _ => Seq.empty
+        }), fixture)
+    }
+  }
+
   test("property interpolation resolves project built-ins and properties") {
     val text = """<project xmlns="http://maven.apache.org/POM/4.0.0">
       <parent><groupId>g.p</groupId><artifactId>par</artifactId>
