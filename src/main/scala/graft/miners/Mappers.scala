@@ -561,6 +561,423 @@ object Mappers {
     }
   }
 
+  // ------------------------------------------------------------- eclipse
+
+  /** Eclipse projects API JSON → one package per download page
+    * (`minecode/miners/eclipse.py:187-233`). */
+  def eclipseJsonPackages(json: String): Seq[MappedPackage] =
+    (JsonMethods.parse(json) \ "projects") match {
+      case JObject(projects) => projects.flatMap { case (project, m) =>
+        val description = (m \ "description") match {
+          case JArray(d :: _) => str(d \ "value")
+          case _              => str(m \ "title")
+        }
+        val homepage = (m \ "website_url") match {
+          case JArray(u :: _) => str(u \ "url")
+          case _              => None
+        }
+        val bugTracking = (m \ "bugzilla") match {
+          case JArray(b :: _) => str(b \ "query_url")
+          case _              => None
+        }
+        val licenses = (m \ "licenses") match {
+          case JArray(ls) => ls.flatMap(l => str(l \ "name"))
+          case _          => Seq.empty
+        }
+        val downloads = (m \ "download_url") match {
+          case JArray(ds) => ds.flatMap(d => str(d \ "url"))
+          case _          => Seq.empty
+        }
+        downloads.map { durl =>
+          MappedPackage(
+            PackageRow.minimal(durl, "eclipse", project)
+              .copy(description = description, homepage_url = homepage,
+                declared_license_expression = yamlLicenseList(licenses)),
+            Seq.empty, None, bugTrackingUrl = bugTracking)
+        }
+      }
+      case _ => Seq.empty
+    }
+
+  /** Eclipse project HTML page → one package per Downloads link
+    * (`minecode/miners/eclipse.py:248-298`): dcterms meta tags carry
+    * name/description, the project-licenses block carries license
+    * links, `Website`/`Downloads` anchors carry the URLs. */
+  def eclipseHtmlPackages(html: String): Seq[MappedPackage] = {
+    def metaContent(key: String): Option[String] =
+      (s"""<meta[^>]*name="[^"]*$key[^"]*"[^>]*content="([^"]*)"""").r
+        .findFirstMatchIn(html).map(m => decodeEntities(m.group(1)))
+        .filter(_.nonEmpty)
+    val name = metaContent("dcterms.title")
+    val description = metaContent("dcterms.description")
+    val licenses = """(?s)field-name-field-project-licenses(.*?)field-name-field-""".r
+      .findFirstMatchIn(html).toSeq.flatMap(block =>
+      """<a[^>]*>([^<]+)</a>""".r.findAllMatchIn(block.group(1))
+        .map(m => decodeEntities(m.group(1))))
+    def anchorByText(text: String): Seq[String] =
+      ("""<a[^>]*href="([^"]+)"[^>]*>\s*""" + text + """\s*<""").r
+        .findAllMatchIn(html).map(m => decodeEntities(m.group(1))).toSeq
+    val homepage = anchorByText("Website").headOption
+    def base(durl: String, version: Option[String]): MappedPackage =
+      MappedPackage(
+        PackageRow.minimal(durl, "eclipse", name.getOrElse(""), version)
+          .copy(description = description, homepage_url = homepage,
+            declared_license_expression = yamlLicenseList(licenses)),
+        Seq.empty, None)
+    val downloads = anchorByText("Downloads").map(base(_, None))
+    // latest-releases table: one package per row, class-less anchors
+    // carry version text + release URL
+    val releases = """(?s)field-name-field-latest-releases.*?<tbody>(.*?)</tbody>""".r
+      .findFirstMatchIn(html).toSeq.flatMap { tbody =>
+        """<td[^>]*>\s*<a href="([^"]+)">([^<]+)<""".r
+          .findAllMatchIn(tbody.group(1))
+          .map(m => base(decodeEntities(m.group(1)),
+            Some(decodeEntities(m.group(2)))))
+      }
+    downloads ++ releases
+  }
+
+  // -------------------------------------------------------------- fdroid
+
+  /** F-Droid per-package index-v2 record → one source + one apk
+    * package per version (`minecode/miners/fdroid.py:115-240`). */
+  def fdroidPackages(purl: String, json: String): Seq[MappedPackage] = {
+    val parsed = graft.functions.PurlParse.parse(purl)
+    if (parsed == null) return Seq.empty
+    val name = parsed(2)
+    val root = JsonMethods.parse(json)
+    val m = root \ "metadata"
+    def localized(key: String): Option[String] =
+      str(m \ key \ "en-US")
+    // name/summary/description, each dropped when the next one
+    // already starts with it (`build_description`)
+    val description = {
+      val n0 = localized("name")
+      val s0 = localized("summary")
+      val d = localized("description")
+      val n = if (n0.isDefined && s0.exists(_.startsWith(n0.get))) None else n0
+      val s = if (s0.isDefined && d.exists(_.startsWith(s0.get))) None else s0
+      val parts = Seq(n, s, d).flatten
+      if (parts.isEmpty) None else Some(parts.mkString("\n"))
+    }
+    val keywords = (m \ "categories") match {
+      case JArray(cs) => cs.flatMap(str); case _ => Seq.empty
+    }
+    val parties = {
+      val an = str(m \ "authorName")
+      val ae = str(m \ "authorEmail")
+      val au = str(m \ "authorWebSite")
+      if (an.isEmpty && ae.isEmpty && au.isEmpty) Seq.empty
+      else Seq(PartyRow("", "person", Some("author"), an, ae, au))
+    }
+    def base(downloadUrl: String, version: String, sha256: Option[String],
+        size: Option[Long]): PackageRow =
+      PackageRow.minimal(downloadUrl, parsed(0), name, Some(version))
+        .copy(
+          description = description,
+          keywords = keywords,
+          homepage_url = str(m \ "webSite"),
+          sha256 = sha256,
+          size = size,
+          declared_license_expression = str(m \ "license"))
+    (root \ "versions") match {
+      case JObject(versions) => versions.flatMap { case (_, v) =>
+        val versionCode = (v \ "manifest" \ "versionCode") match {
+          case JInt(n) => n.toString; case JString(s) => s; case _ => ""
+        }
+        def fileOf(key: String): Option[(String, Option[String], Option[Long])] =
+          str(v \ key \ "name").map { n =>
+            (s"https://f-droid.org/repo/${n.dropWhile(_ == '/')}",
+              str(v \ key \ "sha256"),
+              (v \ key \ "size") match {
+                case JInt(x) => Some(x.toLong); case _ => None
+              })
+          }
+        val srcPkg = fileOf("src").map { case (durl, sha, size) =>
+          MappedPackage(base(durl, versionCode, sha, size), parties,
+            str(m \ "sourceCode"),
+            bugTrackingUrl = str(m \ "issueTracker"))
+        }
+        val apkPkg = fileOf("file").map { case (durl, sha, size) =>
+          MappedPackage(base(durl, versionCode, sha, size), parties,
+            str(m \ "sourceCode"),
+            bugTrackingUrl = str(m \ "issueTracker"),
+            sourcePackages = fileOf("src").toSeq.map { case (srcUrl, _, _) =>
+              s"pkg:${parsed(0)}/$name@$versionCode?download_url=$srcUrl"
+            })
+        }
+        srcPkg.toSeq ++ apkPkg.toSeq
+      }
+      case _ => Seq.empty
+    }
+  }
+
+  // --------------------------------------------------------- sourceforge
+
+  /** SourceForge project API record → one package
+    * (`minecode/miners/sourceforge.py:105-174`). */
+  def sourceforgePackage(json: String): Option[MappedPackage] = {
+    val m = JsonMethods.parse(json)
+    str(m \ "shortname").orElse(str(m \ "name")).map { name =>
+      val description = joinDescriptions(str(m \ "summary"),
+        str(m \ "short_description"))
+      val parties = (m \ "developers") match {
+        case JArray(ds) => ds.flatMap { d =>
+          str(d \ "name").map(n => PartyRow("", "person",
+            Some("contributor"), Some(n), None, str(d \ "url")))
+        }
+        case _ => Seq.empty
+      }
+      val categories = m \ "categories"
+      val languages = (categories \ "language") match {
+        case JArray(ls) => ls.flatMap(l => str(l \ "shortname"))
+        case _          => Seq.empty
+      }
+      val licenses = (categories \ "license") match {
+        case JArray(ls) => ls.flatMap { l =>
+          // shortname then fullname, both gated on fullname presence
+          str(l \ "fullname").toSeq.flatMap(full =>
+            str(l \ "shortname").toSeq :+ full)
+        }
+        case _ => Seq.empty
+      }
+      val keywords = (categories \ "topic") match {
+        case JArray(ts) => ts.flatMap(t => str(t \ "shortname"))
+        case _          => Seq.empty
+      }
+      MappedPackage(
+        PackageRow.minimal("", "sourceforge", name)
+          .copy(
+            description = description,
+            // dict.get(key, default) semantics: the url fallback only
+            // applies when external_homepage is ABSENT, not empty
+            homepage_url = (m \ "external_homepage") match {
+              case JNothing => str(m \ "url")
+              case v        => str(v)
+            },
+            primary_language =
+              if (languages.isEmpty) None else Some(languages.mkString(", ")),
+            keywords = keywords,
+            declared_license_expression = yamlLicenseList(licenses)),
+        parties, None)
+    }
+  }
+
+  // -------------------------------------------------------------- apache
+
+  /** Apache dist download URL → name/version package
+    * (`minecode/miners/apache.py:533-592`): the name comes from the
+    * purl; the version is the first digits-and-dots segment of the
+    * file base name joined with every later segment. */
+  def apacheDownloadPackage(uri: String, purl: String): Option[MappedPackage] = {
+    val parsed = graft.functions.PurlParse.parse(purl)
+    if (parsed == null) return None
+    val path = uri.split("apache\\.org/dist/", 2) match {
+      case Array(_, p) => p; case _ => uri
+    }
+    val fileName = path.substring(path.lastIndexOf('/') + 1)
+    val baseName = fileName.lastIndexOf('.') match {
+      case -1 => fileName
+      case i  => fileName.substring(0, i)
+    }
+    var version: Option[String] = None
+    baseName.split("-").foreach { seg =>
+      version match {
+        case Some(v) => version = Some(s"$v-$seg")
+        case None =>
+          if (seg.nonEmpty && seg.split("\\.").forall(p =>
+            p.nonEmpty && p.forall(_.isDigit)))
+            version = Some(seg)
+      }
+    }
+    Some(MappedPackage(
+      PackageRow.minimal(uri, "apache", parsed(2), version)
+        .copy(namespace = Option(parsed(1))),
+      Seq.empty, None))
+  }
+
+  /** Apache projects.json → one package per project release (or one
+    * per project when it lists none)
+    * (`minecode/miners/apache.py:389-483`): the doap license URL is
+    * the extracted statement, category splits into keywords. */
+  def apacheProjectsPackages(json: String): Seq[MappedPackage] =
+    JsonMethods.parse(json) match {
+      case JObject(projects) => projects.flatMap { case (projectName, m) =>
+        val parties = (m \ "maintainer") match {
+          case JArray(ms) => ms.map { p =>
+            PartyRow("", "person", Some("maintainer"), str(p \ "name"),
+              str(p \ "mbox").map(_.replace("mailto:", "")), None)
+          }
+          case _ => Seq.empty
+        }
+        val codeView = (m \ "repository") match {
+          case JArray(r :: _) => r match {
+            case JString(u) => Some(u); case _ => None
+          }
+          case _ => None
+        }
+        val keywords = str(m \ "category").toSeq
+          .flatMap(_.split(",").toSeq).map(_.trim).filter(_.nonEmpty)
+        def base(version: Option[String],
+            releaseDate: Option[java.sql.Timestamp]): MappedPackage =
+          MappedPackage(
+            PackageRow.minimal(str(m \ "download-page").getOrElse(""),
+              "apache", projectName, version)
+              .copy(
+                description = joinDescriptions(str(m \ "shortdesc"),
+                  str(m \ "description")),
+                homepage_url = str(m \ "homepage"),
+                keywords = keywords,
+                release_date = releaseDate,
+                primary_language = str(m \ "programming-language"),
+                declared_license_expression = str(m \ "license")),
+            parties, None,
+            codeViewUrl = codeView,
+            bugTrackingUrl = str(m \ "bug-database"))
+        (m \ "release") match {
+          case JArray(releases) if releases.nonEmpty => releases.map { r =>
+            base(str(r \ "revision"),
+              str(r \ "created").filter(_.length == 10).flatMap(dateOnlyTs))
+          }
+          case _ => Seq(base(None, None))
+        }
+      }
+      case _ => Seq.empty
+    }
+
+  /** Apache podling record → one package
+    * (`minecode/miners/apache.py:493-509`). */
+  def apachePodlingPackage(json: String): Option[MappedPackage] = {
+    val m = JsonMethods.parse(json)
+    str(m \ "name").map { name =>
+      MappedPackage(
+        PackageRow.minimal("", "apache-podling", name)
+          .copy(description = str(m \ "description"),
+            homepage_url = str(m \ "homepage")),
+        Seq.empty, None)
+    }
+  }
+
+  // ----------------------------------------------------------- dockerhub
+
+  /** Docker Hub library record → one package
+    * (`minecode/miners/dockerhub.py:174-197`). */
+  def dockerhubJsonPackage(json: String): Option[MappedPackage] = {
+    val m = JsonMethods.parse(json)
+    str(m \ "name").map { name =>
+      MappedPackage(
+        PackageRow.minimal("", "docker", name)
+          .copy(
+            description = joinDescriptions(str(m \ "description"),
+              str(m \ "full_description")),
+            homepage_url = Some(s"https://hub.docker.com/_/$name")),
+        Seq.empty, None)
+    }
+  }
+
+  // -------------------------------------------------------------- gitlab
+
+  /** GitLab project record → one package
+    * (`minecode/miners/gitlab.py:113-137`). */
+  def gitlabProjectPackage(json: String): Option[MappedPackage] = {
+    val m = JsonMethods.parse(json)
+    str(m \ "name").map { name =>
+      val vcs = str(m \ "http_url_to_repo").map(u => s"git+$u")
+      MappedPackage(
+        PackageRow.minimal("", "gitlab", name)
+          .copy(
+            description = str(m \ "description"),
+            homepage_url = str(m \ "web_url"),
+            release_date = str(m \ "created_at").flatMap(dateOnlyTs)),
+        Seq.empty, vcs, codeViewUrl = vcs)
+    }
+  }
+
+  // ------------------------------------------------------------- openssl
+
+  /** OpenSSL snapshot/source URL → one generic package
+    * (`minecode/miners/openssl.py:118-157`): fixed project metadata,
+    * version from the file name with archive/checksum extensions
+    * stripped. */
+  def opensslPackage(uri: String, size: Option[Long],
+      lastModified: Option[java.sql.Timestamp]): MappedPackage = {
+    val fileName = uri.substring(uri.lastIndexOf('/') + 1)
+    val version = fileName.replace(".tar.gz", "").replace("openssl-", "")
+      .replace(".asc", "").replace(".md5", "")
+      .replace(".sha1", "").replace(".sha256", "")
+    MappedPackage(
+      PackageRow.minimal(uri, "generic", fileName, Some(version))
+        .copy(
+          description = Some("The OpenSSL Project is a collaborative " +
+            "effort to develop a robust, commercial-grade, fully " +
+            "featured, and Open Source toolkit implementing the " +
+            "Transport Layer Security (TLS) protocols (including SSLv3) " +
+            "as well as a full-strength general purpose cryptographic " +
+            "library."),
+          size = size,
+          release_date = lastModified,
+          declared_license_expression = Some("OpenSSL License"),
+          homepage_url = Some("https://www.openssl.org/"),
+          copyright = Some("Copyright (c) 1998-2018 The OpenSSL Project\n" +
+            "Copyright (c) 1995-1998 Eric A. Young, Tim J. Hudson\n" +
+            "All rights reserved.")),
+      Seq.empty, Some("git+https://github.com/openssl/openssl.git"),
+      codeViewUrl = Some("https://github.com/openssl/openssl"),
+      bugTrackingUrl = Some("https://github.com/openssl/openssl/issues"))
+  }
+
+  // ----------------------------------------------------------- bitbucket
+
+  /** Bitbucket repo record + purl → package template
+    * (`minecode/miners/bitbucket.py:264-303`). */
+  def bitbucketRepoPackage(json: String, purl: String): Option[MappedPackage] = {
+    val parsed = graft.functions.PurlParse.parse(purl)
+    if (parsed == null) return None
+    val (namespace, name) = (Option(parsed(1)), parsed(2))
+    val m = JsonMethods.parse(json)
+    val protocol = str(m \ "scm").getOrElse("git")
+    val bbUrl =
+      s"$protocol+https://bitbucket.org/${namespace.getOrElse("")}/$name"
+    val owner = (m \ "owner") match {
+      case o: JObject => Seq(PartyRow("", "person", Some("owner"),
+        str(o \ "username"), None, str(o \ "links" \ "html" \ "href")))
+      case _ => Seq.empty
+    }
+    Some(MappedPackage(
+      PackageRow.minimal("", "bitbucket", name)
+        .copy(
+          namespace = namespace,
+          description = str(m \ "description"),
+          primary_language = str(m \ "language"),
+          homepage_url = str(m \ "website").orElse(Some(bbUrl))),
+      owner, Some(bbUrl),
+      codeViewUrl = Some(bbUrl + "/src"),
+      bugTrackingUrl =
+        if ((m \ "has_issues") == JBool(true)) Some(bbUrl + "/issues")
+        else None))
+  }
+
+  /** Bitbucket downloads payload + purl → one package
+    * (`minecode/miners/bitbucket.py:214-238`): the reference passes
+    * the whole paginated response as a single download record (its
+    * own expected fixtures pin one package with a null download URL
+    * and the page-level `size`), so this takes the record as-is. */
+  def bitbucketDownloadPackage(download: JValue, purl: String)
+      : Option[MappedPackage] = {
+    val parsed = graft.functions.PurlParse.parse(purl)
+    if (parsed == null) return None
+    Some(MappedPackage(
+      PackageRow.minimal(
+        str(download \ "links" \ "self" \ "href").getOrElse(""),
+        "bitbucket", parsed(2), Option(parsed(3)))
+        .copy(
+          namespace = Option(parsed(1)),
+          size = (download \ "size") match {
+            case JInt(n) => Some(n.toLong); case _ => None
+          }),
+      Seq.empty, None))
+  }
+
   // ---------------------------------------------------------------- pypi
 
   /** PyPI JSON API record → one package per download
@@ -573,7 +990,7 @@ object Mappers {
     val info = root \ "info"
     val name = str(info \ "name").getOrElse(return Seq.empty)
     val version = str(info \ "version")
-    val description = summaryAndLong(str(info \ "summary"),
+    val description = joinDescriptions(str(info \ "summary"),
       str(info \ "description"))
     val parties = Seq(
       ("author", "author_email", "author"),
@@ -911,12 +1328,19 @@ object Mappers {
     if (licenses.isEmpty) None
     else Some(licenses.map(l => s"- $l\n").mkString)
 
-  private def summaryAndLong(short: Option[String], long0: Option[String])
+  /** `"\n".join` of the non-blank parts, untrimmed (the reference
+    * keeps original whitespace and only filters blank parts). */
+  private def joinDescriptions(short: Option[String], long: Option[String])
       : Option[String] = {
-    val long = if (long0 == short) None else long0
-    val parts = Seq(short, long).flatten.map(_.trim).filter(_.nonEmpty)
+    val parts = Seq(short, long).flatten.filter(_.trim.nonEmpty)
     if (parts.isEmpty) None else Some(parts.mkString("\n"))
   }
+
+  /** Like [[joinDescriptions]] but suppressing a long description
+    * identical to the summary (the gem/nuget rule). */
+  private def summaryAndLong(short: Option[String], long0: Option[String])
+      : Option[String] =
+    joinDescriptions(short, if (long0 == short) None else long0)
 
   private def dateOnlyTs(s: String): Option[java.sql.Timestamp] =
     scala.util.Try(java.sql.Timestamp.valueOf(
