@@ -217,7 +217,14 @@ object DistroVisitors {
             if (fn.contains("_") && fn.contains(".")) {
               val cut = fn.indexOf('_')
               val rest = fn.substring(cut + 1)
-              s"pkg:googlecode/${fn.substring(0, cut)}@${rest.substring(0, rest.lastIndexOf('.'))}"
+              // no '.' after the '_' (e.g. "v1.2_readme"): the
+              // reference's rpartition yields an empty version
+              val version = rest.lastIndexOf('.') match {
+                case -1 => ""
+                case i  => rest.substring(0, i)
+              }
+              s"pkg:googlecode/${fn.substring(0, cut)}" +
+                (if (version.isEmpty) "" else s"@$version")
             } else s"pkg:googlecode/$fn"
           val date = (d \ "releaseDate") match {
             case JInt(ts) =>

@@ -106,19 +106,33 @@ object GemYaml {
               else Map.empty[String, Any]
             Map(head) ++ tail
           case None =>
-            // plain multi-line scalar: more-indented follow-up lines
-            // fold onto the value with a single space
-            var s = parseScalar(rest)
-            if (s.isInstanceOf[String] && !(rest.startsWith("\"") ||
-              rest.startsWith("'") || rest.startsWith("*"))) {
+            val quote = rest.headOption.filter(c => c == '\'' || c == '"')
+            if (quote.isDefined && (rest.length == 1 ||
+              rest.last != quote.get)) {
+              // multi-line QUOTED scalar: fold continuation lines
+              // until the closing quote (psych wraps long strings)
+              var acc = rest
               while (i < lines.length && lines(i)._1 > indent &&
-                !lines(i)._2.startsWith("- ") &&
-                splitKey(lines(i)._2).isEmpty) {
-                s = s.asInstanceOf[String] + " " + lines(i)._2
+                (acc.length == 1 || acc.last != quote.get)) {
+                acc = acc + " " + lines(i)._2
                 i += 1
               }
+              parseScalar(acc)
+            } else {
+              // plain multi-line scalar: more-indented follow-up lines
+              // fold onto the value with a single space
+              var s = parseScalar(rest)
+              if (s.isInstanceOf[String] && quote.isEmpty &&
+                !rest.startsWith("*")) {
+                while (i < lines.length && lines(i)._1 > indent &&
+                  !lines(i)._2.startsWith("- ") &&
+                  splitKey(lines(i)._2).isEmpty) {
+                  s = s.asInstanceOf[String] + " " + lines(i)._2
+                  i += 1
+                }
+              }
+              s
             }
-            s
         }
       anchor.foreach(a => anchors(a) = v)
       v
@@ -144,7 +158,7 @@ object GemYaml {
           case Some((key, value)) =>
             i += 1
             out(key) = parseValue(value, indent)
-          case None => i = lines.length // unparseable line: stop
+          case None => i += 1 // unparseable line: skip it, keep the rest
         }
       }
       out.toMap

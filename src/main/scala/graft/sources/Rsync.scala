@@ -31,7 +31,10 @@ object Rsync {
 
   private val Octal = """#(\d{3})""".r
 
-  /** Decode rsync's `#ddd` octal escapes (`minecode/rsync.py:52-62`). */
+  /** Decode rsync's `#ddd` octal escapes (`minecode/rsync.py:52-62`).
+    * Non-octal digit runs (`#888`) throw, matching the reference's
+    * ValueError — directoryEntries skips such lines like the
+    * reference's parse loop does. */
   def decodePath(p: String): String =
     Octal.replaceAllIn(p, m =>
       java.util.regex.Matcher.quoteReplacement(
@@ -55,7 +58,12 @@ object Rsync {
     }
   }
 
-  /** Every parseable Entry of a listing (`minecode/rsync.py:113-126`). */
+  /** Every parseable Entry of a listing (`minecode/rsync.py:113-126`);
+    * lines whose path decoding fails are skipped, as the reference's
+    * `except ValueError: continue` does. */
   def directoryEntries(text: String): Seq[Entry] =
-    text.linesIterator.flatMap(entry).toSeq
+    text.linesIterator.flatMap { l =>
+      try entry(l)
+      catch { case _: NumberFormatException => None }
+    }.toSeq
 }

@@ -74,7 +74,9 @@ object SfNet {
     parseCsv(inputCsv).zipWithIndex.foreach { case (row0, i) =>
       var row = row0
       if (i == 0) row = row ++ NewHeaders
-      if (row.nonEmpty) {
+      // blank lines parse as a single empty field; Python's csv.reader
+      // yields [] for them and the reference skips those rows
+      if (row.exists(_.nonEmpty) && row.size > 2) {
         val versionColumn = row(2)
         val sepIdx = versionColumn.indexOf(Sep)
         if (sepIdx < 0) out ++= writeRow(row)
