@@ -21,6 +21,17 @@ object CollectFlow {
 
   val CollectMiningLevel = 50
 
+  /** Percent-encode one URL path segment: a purl name/version holding a
+    * reserved character (space, '#', '?', '+', '/') must not change the
+    * request's path structure. Unreserved characters pass through, so
+    * well-formed names build byte-identical URLs to before. */
+  private[miners] def encSeg(s: String): String =
+    java.net.URLEncoder.encode(s, "UTF-8").replace("+", "%20")
+
+  /** Percent-encode a query-string value (form-urlencoded: space → '+'). */
+  private[miners] def encQ(s: String): String =
+    java.net.URLEncoder.encode(s, "UTF-8")
+
   /** Resolve one purl via the registry: fetch → parse versions →
     * build one PackageRow per version. */
   def collectPurl(purl: String, transport: Transport)
@@ -197,7 +208,7 @@ object CollectFlow {
         // crandb version list; CRAN source layout src/contrib
         // (`minecode/collectors/cran.py:23-35`, download URL asserted in
         // the reference's own test_cran.py)
-        transport.fetch(s"https://crandb.r-pkg.org/$name/all").map { b =>
+        transport.fetch(s"https://crandb.r-pkg.org/${encSeg(name)}/all").map { b =>
           EcosystemParsers.cranVersions(new String(b, "UTF-8"))
             .filter(v => version.forall(_ == v.value))
             .map { v =>
@@ -210,7 +221,7 @@ object CollectFlow {
       case "hackage" =>
         // hackage version map; canonical tarball + homepage layout
         // (`minecode/collectors/hackage.py:24-70`)
-        transport.fetch(s"https://hackage.haskell.org/package/$name.json")
+        transport.fetch(s"https://hackage.haskell.org/package/${encSeg(name)}.json")
           .map { b =>
             EcosystemParsers.hackageVersions(new String(b, "UTF-8"))
               .filter(v => version.forall(_ == v))
@@ -284,7 +295,7 @@ object CollectFlow {
         val v = version.getOrElse(return Left(s"cpan purl needs version: $purl"))
         transport.fetch(
           "https://fastapi.metacpan.org/v1/release/_search?" +
-            s"q=distribution:$name%20AND%20version:$v").map { b =>
+            s"q=distribution:${encQ(name)}%20AND%20version:${encQ(v)}").map { b =>
           EcosystemParsers.cpanRelease(new String(b, "UTF-8")).toSeq.map { r =>
             PackageRow.minimal(
               r.downloadUrl.getOrElse(
@@ -299,8 +310,9 @@ object CollectFlow {
         // pub.dev API; archive layout per the reference's pub miner
         // (`minecode/collectors/pub.py:17-60`, `minecode/miners/pub.py:38`)
         val url = version match {
-          case Some(v) => s"https://pub.dev/api/packages/$name/versions/$v"
-          case None    => s"https://pub.dev/api/packages/$name"
+          case Some(v) =>
+            s"https://pub.dev/api/packages/${encSeg(name)}/versions/${encSeg(v)}"
+          case None    => s"https://pub.dev/api/packages/${encSeg(name)}"
         }
         transport.fetch(url).map { b =>
           EcosystemParsers.pubVersions(new String(b, "UTF-8")).map { v =>
@@ -324,7 +336,7 @@ object CollectFlow {
         var done = false
         while (!done && page <= MaxPages && err.isEmpty) {
           transport.fetch(
-            s"https://api.github.com/repos/$owner/$name/tags?page=$page&per_page=100") match {
+            s"https://api.github.com/repos/${encSeg(owner)}/${encSeg(name)}/tags?page=$page&per_page=100") match {
             // a mid-pagination failure means the tag list is incomplete
             // — fail the collect rather than merge a silently-truncated
             // version set into the catalog

@@ -231,8 +231,12 @@ object Mappers {
           .getOrElse(m.group(2).toInt).toChar.toString))
     afterNumeric
       .replace("&nbsp;", " ").replace("&ge;", "≥")
-      .replace("&le;", "≤").replace("&amp;", "&")
+      .replace("&le;", "≤")
       .replace("&lt;", "<").replace("&gt;", ">").replace("&quot;", "\"")
+      // `&amp;` decodes LAST: doing it earlier would turn already-escaped
+      // text like `&amp;lt;` into `&lt;` and then into `<`, double-decoding
+      // what the page encoded as the literal string "&lt;".
+      .replace("&amp;", "&")
   }
 
   private val TrRx = """(?s)<tr>\s*(.*?)\s*</tr>""".r
