@@ -238,10 +238,16 @@ object Multimodal {
       .orderBy("media_id")
   }
 
-  /** Driver-surface query: media features summarized. Image rows
-    * report REAL decoded dimensions and exact pixel sums from the PNG
-    * payload (javax.imageio); audio/video report stub features
-    * (rows-only check — binary payloads have no SQL oracle). */
+  /** Driver-surface query with a FULL DuckDB oracle: media features
+    * summarized. Image rows report REAL decoded dimensions and exact
+    * pixel sums from the PNG payload (javax.imageio); every row then
+    * embeds its DECODED feature descriptor (`kind:id:w:h:psum`) — not
+    * the opaque payload bytes — so the real decode output is
+    * load-bearing for the embedding and the whole pipeline
+    * (encode → decode → describe → embed → norm) is exactly
+    * mirrorable in SQL via the same FNV-1a + fmix mirror the
+    * `mm_image_stats` oracle uses. (Payload-bytes embeddings remain
+    * available through [[features]].) */
   def featureSummary(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     mediaTable(spark, dir).mapPartitions { it =>
@@ -250,7 +256,8 @@ object Multimodal {
           if (m.kind == "image") ImageCodec.decode(m.content) else None
         val (w, h, psum) = decoded.getOrElse(
           (m.meta.width, m.meta.height, -1L))
-        val emb = FakeCodec.embed(m.content, 64)
+        val desc = s"${m.kind}:${m.media_id}:$w:$h:$psum"
+        val emb = FakeCodec.embed(desc.getBytes("UTF-8"), 64)
         (m.media_id, m.kind, w, h, psum,
           emb.map(x => x.toDouble * x.toDouble).sum)
       }
