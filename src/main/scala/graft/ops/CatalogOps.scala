@@ -430,5 +430,57 @@ object CatalogOps {
       SELECT q_path, download_url, path, hamming, size_diff, name_diff
       FROM ranked WHERE rk = 1 ORDER BY q_path, download_url"""))
 
-  val defs: Seq[QueryDef] = Seq(a6merge, exact, snippet, rank, halohash)
+  val scanIndex = QueryDef(
+    "m_scan_index", "S4/J4/X8",
+    "scan-data indexing: scan JSON → resources → exact + dir-content index",
+    (s, dir) => {
+      // synthesize one scancode.io-shaped scan document per ten docs,
+      // then run the REAL indexing flow: from_json decode → explode →
+      // index projections (`Indexing.scanResources`)
+      val files = t(s, dir, "documents").select(
+        concat(lit("http://pkg/"),
+          expr("CAST(doc_id div 10 AS STRING)")).as("download_url"),
+        struct(
+          concat(lit("f/"), col("doc_id").cast("string")).as("path"),
+          lit("file").as("type"),
+          concat(lit("f"), col("doc_id").cast("string")).as("name"),
+          col("n_chars").as("size"),
+          md5(col("text")).as("sha1"),
+          struct(
+            when(col("doc_id") % 7 === 0,
+              md5(concat(col("lang"), col("n_chars").cast("string"))))
+              .otherwise(lit("")).as("directory_content"))
+            .as("extra_data")).as("f"))
+      val scans = files.groupBy("download_url")
+        .agg(to_json(struct(collect_list(col("f")).as("files")))
+          .as("scan_json"))
+      val sr = graft.matching.Indexing.scanResources(scans)
+      graft.matching.Indexing.exactFileIndex(sr)
+        .select(col("download_url"), lit("exact").as("idx"),
+          col("sha1").as("fingerprint"),
+          lit(null).cast("string").as("path"))
+        .unionByName(graft.matching.Indexing.directoryContentIndex(sr)
+          .select(col("download_url"), lit("dir_content").as("idx"),
+            col("fingerprint"), col("path")))
+        .orderBy("download_url", "idx", "fingerprint")
+    },
+    Some("""WITH rows_ AS (
+        SELECT 'http://pkg/' || CAST(doc_id // 10 AS VARCHAR)
+            AS download_url,
+          'f/' || CAST(doc_id AS VARCHAR) AS path,
+          md5(text) AS sha1,
+          CASE WHEN doc_id % 7 = 0
+            THEN md5(lang || CAST(n_chars AS VARCHAR))
+            ELSE '' END AS dc
+        FROM documents)
+      SELECT download_url, 'exact' AS idx, sha1 AS fingerprint,
+        CAST(NULL AS VARCHAR) AS path
+      FROM (SELECT DISTINCT download_url, sha1 FROM rows_)
+      UNION ALL
+      SELECT download_url, 'dir_content' AS idx, dc AS fingerprint, path
+      FROM rows_ WHERE dc <> ''
+      ORDER BY download_url, idx, fingerprint"""))
+
+  val defs: Seq[QueryDef] =
+    Seq(a6merge, exact, snippet, rank, halohash, scanIndex)
 }
