@@ -2,7 +2,7 @@ package graft.streaming
 
 import java.sql.Timestamp
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** The remaining queue surfaces (SURVEY §2.9 ST5/ST6/ST8): priority
@@ -51,4 +51,108 @@ object Queues {
     inbox.unionByName(
       events.filter(lower(col("activity_type")) === "create")
         .select(col("actor"), col("payload"), col("received_date")))
+
+  // ---------------------------------------------------------------- watch
+
+  /** Ecosystems the collect flow can fetch versions for (the engine's
+    * analogue of fetchcode's `SUPPORTED_ECOSYSTEMS`,
+    * `packagedb/tasks.py:13`). */
+  val FetchSupportedEcosystems: Seq[String] = Seq("pypi", "npm", "maven",
+    "cargo", "gem", "nuget", "composer", "hex", "golang", "deb",
+    "ubuntu", "cran", "hackage", "conda", "apk", "cpan", "pub", "github",
+    "gitlab", "bitbucket", "docker", "huggingface", "conan", "swift",
+    "gnu", "openssl", "luarocks", "alpm", "nix", "generic")
+
+  /** Ecosystems the priority queue can process
+    * (`packagedb/tasks.py:17`). */
+  val PriorityQueueSupportedEcosystems: Seq[String] = Seq("maven", "npm")
+
+  /** Ecosystems with a native version comparator
+    * (`packagedb/tasks.py:19-21` via univers; here
+    * [[graft.functions.EcosystemVersions]]). */
+  val VersionComparatorEcosystems: Seq[String] = Seq("pypi", "deb",
+    "debian", "ubuntu", "maven", "npm", "cargo", "composer", "hex",
+    "golang", "swift", "gem", "nuget", "generic")
+
+  /** `is_supported_watch_ecosystem` (`packagedb/tasks.py:87-104`) as a
+    * column: null when supported, else the first failing layer's error
+    * message. */
+  def watchSupportError(ptype: Column): Column =
+    when(!ptype.isin(FetchSupportedEcosystems: _*),
+      concat(lit("`"), ptype, lit("` ecosystem is not supported by the collect flow")))
+      .when(!ptype.isin(PriorityQueueSupportedEcosystems: _*),
+        concat(lit("`"), ptype, lit("` ecosystem is not supported by the priority queue")))
+      .when(!ptype.isin(VersionComparatorEcosystems: _*),
+        concat(lit("`"), ptype, lit("` ecosystem is not supported by the version comparators")))
+
+  /** `get_next_execution` (`packagedb/schedules.py:22-30`): the next
+    * watch run is last_watch_date + interval, or now when unset or
+    * already past. */
+  def nextExecution(watchIntervalDays: Int,
+      lastWatchDate: Option[Timestamp], now: Timestamp): Timestamp =
+    lastWatchDate
+      .map(d => new Timestamp(d.getTime + watchIntervalDays * 86400000L))
+      .filter(_.after(now))
+      .getOrElse(now)
+
+  /** The watch cycle (`packagedb/tasks.py:25-85`,
+    * `watch_new_packages` / `get_and_index_new_purls`) as one
+    * distributed pass over every due watch at once — the reference
+    * runs one RQ job per watch; here the fetched version lists and the
+    * catalog join in bulk, so 10 M watches are a broadcast join plus
+    * one anti-join, not 10 M tasks.
+    *
+    *  - `watches`: (package_url, ptype, namespace, name, is_active,
+    *    watch_interval, last_watch_date)
+    *  - `packages`: the catalog (ptype, namespace, name, version, ...)
+    *  - `fetched`: registry version rows from the collect flow
+    *    (ptype, namespace, name, version)
+    *  - `pending`: the priority-request queue (uri, request_date,
+    *    wip_date, processed_date)
+    *
+    * Returns (updated watches, updated pending queue): versions the
+    * catalog doesn't have yet become priority requests
+    * (insert-if-absent), every processed watch gets
+    * last_watch_date=now, unsupported ecosystems get watch_error.
+    */
+  def watchCycle(watches: DataFrame, packages: DataFrame,
+      fetched: DataFrame, pending: DataFrame, now: Timestamp)
+      : (DataFrame, DataFrame) = {
+    val due = dueWatches(watches, now)
+      .withColumn("watch_error", watchSupportError(col("ptype")))
+    val keys = Seq("ptype", "namespace", "name")
+    val supported = due.filter(col("watch_error").isNull)
+      .select(keys.map(col): _*)
+
+    // fetched minus local: anti-join on the full purl key
+    val newPurls = fetched
+      .join(broadcast(supported), keys, "left_semi")
+      .join(packages.select(col("ptype"), col("namespace"), col("name"),
+          col("version")),
+        Seq("ptype", "namespace", "name", "version"), "left_anti")
+      .select(concat(lit("pkg:"), col("ptype"),
+          when(col("namespace").isNotNull && col("namespace") =!= "",
+            concat(lit("/"), col("namespace"))).otherwise(lit("")),
+          lit("/"), col("name"), lit("@"), col("version")).as("uri"),
+        lit(now).cast("timestamp").as("request_date"),
+        lit(null).cast("timestamp").as("wip_date"),
+        lit(null).cast("timestamp").as("processed_date"))
+
+    val dueKeys = due.select(col("package_url").as("due_url"))
+    val base =
+      if (watches.columns.contains("watch_error")) watches
+      else watches.withColumn("watch_error", lit(null).cast("string"))
+    val updatedWatches = base
+      .join(broadcast(dueKeys), col("package_url") === col("due_url"),
+        "left")
+      .withColumn("last_watch_date",
+        when(col("due_url").isNotNull, lit(now).cast("timestamp"))
+          .otherwise(col("last_watch_date")))
+      .withColumn("watch_error",
+        when(col("due_url").isNotNull, watchSupportError(col("ptype")))
+          .otherwise(col("watch_error")))
+      .drop("due_url")
+
+    (updatedWatches, insertPriorityRequests(pending, newPurls))
+  }
 }

@@ -91,6 +91,73 @@ class PeripherySpec extends SparkTestBase {
     assert(due == Set("pkg:npm/a", "pkg:npm/d"))
   }
 
+  test("watch cycle: new registry versions become priority requests") {
+    // packagedb/tests/test_tasks.py: three fetched versions, one known
+    // locally → two new priority requests; unknown ecosystem errors
+    val now = Timestamp.valueOf("2026-08-12 00:00:00")
+    val watches = Seq(
+      ("pkg:maven/org.test/test-package2", "maven", "org.test",
+        "test-package2", true, 7, null: Timestamp),
+      ("pkg:unknown/org.test/test-package3", "unknown", "org.test",
+        "test-package3", true, 7, null: Timestamp),
+      ("pkg:npm/fresh", "npm", null: String, "fresh", true, 7,
+        Timestamp.valueOf("2026-08-11 00:00:00"))) // not due
+      .toDF("package_url", "ptype", "namespace", "name", "is_active",
+        "watch_interval", "last_watch_date")
+    val packages = Seq(("maven", "org.test", "test-package2", "v1.0.1"))
+      .toDF("ptype", "namespace", "name", "version")
+    val fetched = Seq(
+      ("maven", "org.test", "test-package2", "v1.0.1"),
+      ("maven", "org.test", "test-package2", "v1.2.1"),
+      ("maven", "org.test", "test-package2", "v3.0.1"),
+      ("unknown", "org.test", "test-package3", "v9"), // unsupported
+      ("npm", null: String, "fresh", "2.0.0")) // watch not due
+      .toDF("ptype", "namespace", "name", "version")
+    val pending = Seq.empty[(String, Timestamp, Timestamp, Timestamp)]
+      .toDF("uri", "request_date", "wip_date", "processed_date")
+
+    val (outWatches, outPending) =
+      Queues.watchCycle(watches, packages, fetched, pending, now)
+    assert(outPending.select("uri").as[String].collect().toSet === Set(
+      "pkg:maven/org.test/test-package2@v1.2.1",
+      "pkg:maven/org.test/test-package2@v3.0.1"))
+
+    val byUrl = outWatches.collect()
+      .map(r => r.getAs[String]("package_url") -> r).toMap
+    assert(byUrl("pkg:maven/org.test/test-package2")
+      .getAs[Timestamp]("last_watch_date") === now)
+    assert(byUrl("pkg:maven/org.test/test-package2")
+      .getAs[String]("watch_error") === null)
+    assert(byUrl("pkg:unknown/org.test/test-package3")
+      .getAs[String]("watch_error") ===
+      "`unknown` ecosystem is not supported by the collect flow")
+    // a supported-by-fetch but non-priority-queue ecosystem errors at
+    // the queue layer (packagedb/tasks.py:93-96 ordering)
+    val gemErr = Queues.watchCycle(
+      Seq(("pkg:gem/rails", "gem", null: String, "rails", true, 7,
+        null: Timestamp))
+        .toDF("package_url", "ptype", "namespace", "name", "is_active",
+          "watch_interval", "last_watch_date"),
+      packages, fetched, pending, now)._1
+      .collect()(0).getAs[String]("watch_error")
+    assert(gemErr === "`gem` ecosystem is not supported by the priority queue")
+    // not-due watch untouched
+    assert(byUrl("pkg:npm/fresh").getAs[String]("watch_error") === null)
+    assert(byUrl("pkg:npm/fresh").getAs[Timestamp]("last_watch_date") ===
+      Timestamp.valueOf("2026-08-11 00:00:00"))
+  }
+
+  test("watch next-execution matches the reference's scheduler") {
+    // packagedb/tests/test_schedules.py:test_get_next_execution
+    val now = Timestamp.valueOf("2024-01-01 00:00:00")
+    assert(Queues.nextExecution(2, None, now) === now)
+    assert(Queues.nextExecution(2, Some(now), now) ===
+      Timestamp.valueOf("2024-01-03 00:00:00"))
+    // a stale last watch schedules immediately
+    assert(Queues.nextExecution(2,
+      Some(Timestamp.valueOf("2023-01-01 00:00:00")), now) === now)
+  }
+
   test("st8: inbox appends only create activities") {
     val inbox = Seq.empty[(String, String, Timestamp)]
       .toDF("actor", "payload", "received_date")
