@@ -35,6 +35,7 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 case class HaloHashAgg(
     child: Expression,
+    algo: String = "fnv",
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[Array[Int]] with UnaryLike[Expression] {
@@ -46,19 +47,24 @@ case class HaloHashAgg(
   /** 129 ints: [0,128) per-bit set counts, [128] element count. */
   override def createAggregationBuffer(): Array[Int] = new Array[Int](129)
 
+  private val useMd5 = algo == "md5"
+
   override def update(buf: Array[Int], input: InternalRow): Array[Int] = {
     val v = child.eval(input)
     if (v != null) {
       val bytes = v.asInstanceOf[UTF8String].getBytes
-      val h1 = Fnv.hash64(bytes, 1)
-      val h2 = Fnv.hash64(bytes, 2)
-      var i = 0
-      while (i < 64) {
-        buf(i) += ((h1 >>> i) & 1L).toInt
-        buf(64 + i) += ((h2 >>> i) & 1L).toInt
-        i += 1
+      if (useMd5) HaloHash.updateMd5(buf, bytes)
+      else {
+        val h1 = Fnv.hash64(bytes, 1)
+        val h2 = Fnv.hash64(bytes, 2)
+        var i = 0
+        while (i < 64) {
+          buf(i) += ((h1 >>> i) & 1L).toInt
+          buf(64 + i) += ((h2 >>> i) & 1L).toInt
+          i += 1
+        }
+        buf(128) += 1
       }
-      buf(128) += 1
     }
     buf
   }
@@ -70,7 +76,8 @@ case class HaloHashAgg(
   }
 
   override def eval(buf: Array[Int]): Any =
-    UTF8String.fromString(HaloHash.format(buf))
+    UTF8String.fromString(
+      if (useMd5) HaloHash.formatMd5(buf) else HaloHash.format(buf))
 
   override def serialize(buf: Array[Int]): Array[Byte] = {
     val bb = ByteBuffer.allocate(129 * 4)
@@ -121,6 +128,54 @@ object HaloHash {
   def halohash(c: Column): Column =
     GraftBridge.column(
       HaloHashAgg(GraftBridge.expression(c)).toAggregateExpression())
+
+  /** Toolkit-parity bah128 (reverse-validated bit-for-bit against the
+    * directory fingerprints recorded in the reference's own scan
+    * fixtures `scancodeio_abbot-0.12.3.json` and
+    * `scancodeio_wagon-api-20040705.181715.json`): each element hashes
+    * with MD5, bits counted MSB-first, and the final bit is 1 iff
+    * FEWER than half the elements set it (ties → 0). */
+  def bah128md5(c: Column): Column =
+    GraftBridge.column(
+      HaloHashAgg(GraftBridge.expression(c), algo = "md5")
+        .toAggregateExpression())
+
+  /** MSB-first md5 bit-count update for the toolkit-parity mode. */
+  private[matching] def updateMd5(buf: Array[Int], bytes: Array[Byte])
+      : Unit = {
+    val d = java.security.MessageDigest.getInstance("MD5").digest(bytes)
+    var i = 0
+    while (i < 128) {
+      buf(i) += (d(i / 8) >>> (7 - (i % 8))) & 1
+      i += 1
+    }
+    buf(128) += 1
+  }
+
+  /** Toolkit-parity rendering: %08x count + 32 hex, bit i (MSB-first)
+    * set iff 2*count_i < n. */
+  private[matching] def formatMd5(buf: Array[Int]): String = {
+    val n = buf(128)
+    val bits = new Array[Byte](16)
+    var i = 0
+    while (i < 128) {
+      if (buf(i) * 2L < n)
+        bits(i / 8) = (bits(i / 8) | (0x80 >>> (i % 8))).toByte
+      i += 1
+    }
+    val sb = new StringBuilder(40)
+    sb.append(f"$n%08x")
+    i = 0
+    while (i < 16) { sb.append(f"${bits(i) & 0xff}%02x"); i += 1 }
+    sb.toString
+  }
+
+  /** Direct toolkit-parity computation for tests / small inputs. */
+  def ofMd5(elements: Seq[String]): String = {
+    val buf = new Array[Int](129)
+    elements.foreach(e => updateMd5(buf, e.getBytes("UTF-8")))
+    formatMd5(buf)
+  }
 
   /** Direct computation for tests / small inputs. */
   def of(elements: Seq[String]): String = {

@@ -124,6 +124,20 @@ object Indexing {
   def stemmedSnippetIndex(scanRes: DataFrame): DataFrame =
     snippetIdx(scanRes, "stemmed_snippets")
 
+  /** `index_package_directories` (`matchcode/utils.py:247-265`): when
+    * the scan tool did NOT precompute directory fingerprints, compute
+    * them from the resource rows ([[Fingerprints.directoryFingerprints]],
+    * toolkit-parity) and return the (content, structure) index frames
+    * in the [[Matching.approximateMatch]] input shape. */
+  def directoryFingerprintIndexes(resources: DataFrame)
+      : (DataFrame, DataFrame) = {
+    val fps = Fingerprints.directoryFingerprints(resources)
+    def idx(c: String): DataFrame =
+      fps.select(col(c).as("fingerprint"), col("download_url"),
+        col("path"), col("name"), col("size"), col("is_file"))
+    (idx("directory_content"), idx("directory_structure"))
+  }
+
   /** `combine_expressions` over an array column (`indexing.py:208-215`
     * via the license-expression lib, same rules as
     * [[graft.functions.LicenseExpressions.combine]]): distinct
