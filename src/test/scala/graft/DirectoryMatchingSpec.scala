@@ -144,6 +144,79 @@ class DirectoryMatchingSpec extends SparkTestBase {
     }
   }
 
+  // ---- nested corpus (MatchNestedPackagesTestCase): a codebase with a
+  // package vendored under node_modules matches the nested package on
+  // the right subtree only
+  private val nestedBase =
+    "/root/reference/matchcode/tests/testfiles/match/nested"
+
+  private def readNested(name: String): String =
+    new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$nestedBase/$name")), "UTF-8")
+
+  private lazy val nestedIndexes: (DataFrame, DataFrame) = {
+    val all = Indexing.resources(Indexing.scanResources(Seq(
+      ("https://registry.npmjs.org/@umijs/plugin-request/-/" +
+        "plugin-request-2.4.1.tgz", readNested("plugin-request-2.4.1-ip.json")),
+      ("https://registry.npmjs.org/@types/underscore/-/" +
+        "underscore-1.10.9.tgz", readNested("underscore-1.10.9-ip.json")))
+      .toDF("download_url", "scan_json")))
+    val (c, s) = Indexing.directoryFingerprintIndexes(all)
+    (c.cache(), s.cache())
+  }
+
+  private val nestedPurls = Map(
+    ("https://registry.npmjs.org/@umijs/plugin-request/-/" +
+      "plugin-request-2.4.1.tgz") -> "pkg:npm/plugin-request@2.4.1",
+    ("https://registry.npmjs.org/@types/underscore/-/" +
+      "underscore-1.10.9.tgz") -> "pkg:npm/underscore@1.10.9")
+
+  private def nestedMatch(index: DataFrame, fpCol: String)
+      : Map[String, Set[String]] = {
+    val sr = Indexing.resources(Indexing.scanResources(
+      Seq(("http://q/nested", readNested("nested.json")))
+        .toDF("download_url", "scan_json")))
+    val queries = graft.matching.Fingerprints.directoryFingerprints(sr)
+      .select(col("path").as("q_path"), col("name").as("q_name"),
+        col("size").as("q_size"), col("is_file").as("q_is_file"),
+        col(fpCol).as("fingerprint"))
+    val dirMatches = Matching.approximateMatch(queries, index)
+      .select(col("q_path"), col("download_url")).collect()
+      .groupBy(_.getString(0))
+      .view.mapValues(_.map(r => nestedPurls(r.getString(1))).toSet).toMap
+    sr.select("path").as[String].collect().map { p =>
+      val ancestors = p.split('/').inits.map(_.mkString("/"))
+        .filter(_.nonEmpty).toSeq
+      p -> ancestors.flatMap(a => dirMatches.getOrElse(a, Set.empty)).toSet
+    }.toMap
+  }
+
+  private def nestedExpected(name: String): Map[String, Set[String]] = {
+    val files = (JsonMethods.parse(readNested(name)) \ "files")
+      .asInstanceOf[JArray].arr
+    files.map { f =>
+      val JString(path) = (f \ "path"): @unchecked
+      val matched = f \ "matched_to" match {
+        case JArray(xs) => xs.collect { case JString(s) => s }.toSet
+        case _          => Set.empty[String]
+      }
+      path -> matched
+    }.toMap
+  }
+
+  test("nested codebase: content match finds the vendored package subtree") {
+    val got = nestedMatch(nestedIndexes._1, "directory_content")
+    val exp = nestedExpected("nested-directory-content-match-expected.json")
+    assert(got.keySet === exp.keySet)
+    exp.foreach { case (p, m) => assert(got(p) === m, p) }
+  }
+
+  test("nested codebase: structure match finds the vendored package subtree") {
+    val got = nestedMatch(nestedIndexes._2, "directory_structure")
+    val exp = nestedExpected("nested-directory-structure-match-expected.json")
+    exp.foreach { case (p, m) => assert(got(p) === m, p) }
+  }
+
   test("directory match: unindexed get-stdin matches nothing") {
     val got = matchedPaths("get-stdin-3.0.2", indexes._1,
       "directory_content")
