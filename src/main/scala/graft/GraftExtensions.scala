@@ -19,10 +19,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     fn("purl_parse", es => functions.PurlParse(es.head))
     fn("natver_key", es => functions.NatVersionKey(es.head))
     fn("hamming_bin", es => functions.HammingBin(es.head, es(1)))
+    fn("hamming_bytes", es => functions.HammingBytes(es.head, es(1)))
     fn("simhash64", es => functions.SimHash64(es.head))
     fn("minhash_sig", es => functions.MinHashSig(es.head, es(1)))
     fn("rollhash_fps",
       es => functions.RollingFingerprints(es.head, es(1), es(2)))
+    fn("halo1", es => matching.Halo1(es.head))
     fn("name_similarity", es => matching.NameSimilarity(es.head, es(1)))
     fn("merge_spans", es => matching.MergeSpans(es.head, es(1)))
     e.injectOptimizerRule(_ => ExpandApproxHammingJoin)

@@ -32,6 +32,11 @@ object GraftFunctions {
   /** Popcount of XOR over two equal-length binary columns. */
   def hamming_bin(a: Column, b: Column): Column = col(HammingBin(ex(a), ex(b)))
 
+  /** Differing-BYTE count over two equal-length binary columns — the
+    * reference's byte_hamming_distance approximate-match metric. */
+  def hamming_bytes(a: Column, b: Column): Column =
+    col(HammingBytes(ex(a), ex(b)))
+
   /** 64-bit SimHash over an array<string> of tokens. */
   def simhash64(c: Column): Column = col(SimHash64(ex(c)))
 
@@ -52,6 +57,10 @@ object GraftFunctions {
       es => NatVersionKey(es.head), "built-in")
     reg.createOrReplaceTempFunction("hamming_bin",
       es => HammingBin(es.head, es(1)), "built-in")
+    reg.createOrReplaceTempFunction("hamming_bytes",
+      es => HammingBytes(es.head, es(1)), "built-in")
+    reg.createOrReplaceTempFunction("halo1",
+      es => graft.matching.Halo1(es.head), "built-in")
     reg.createOrReplaceTempFunction("simhash64",
       es => SimHash64(es.head), "built-in")
     reg.createOrReplaceTempFunction("minhash_sig",

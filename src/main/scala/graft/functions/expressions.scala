@@ -249,6 +249,47 @@ object HammingBin {
   }
 }
 
+/** hamming_bytes(binary, binary) -> int: count of BYTE positions that
+  * differ — the reference's `byte_hamming_distance` metric used by
+  * every approximate-index match (`matchcode/models.py:274-288` via
+  * samecode; confirmed against the reference's approximate-file
+  * fixtures, where inflate-mod.c is 10 bits but only 7 bytes away
+  * from inflate.c and the expected results record a match under the
+  * <10 threshold). */
+case class HammingBytes(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean = true
+  override def prettyName: String = "hamming_bytes"
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val d = HammingBytes.compute(a.asInstanceOf[Array[Byte]],
+      b.asInstanceOf[Array[Byte]])
+    if (d < 0) null else d
+  }
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => s"""
+      int ${ev.value}_d = graft.functions.HammingBytes.compute($a, $b);
+      if (${ev.value}_d < 0) { ${ev.isNull} = true; }
+      else { ${ev.value} = ${ev.value}_d; }
+    """)
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): HammingBytes = copy(l, r)
+}
+
+object HammingBytes {
+  /** Differing-byte count; -1 on length mismatch (null at SQL layer). */
+  def compute(x: Array[Byte], y: Array[Byte]): Int = {
+    if (x.length != y.length) return -1
+    var d = 0; var i = 0
+    while (i < x.length) {
+      if (x(i) != y(i)) d += 1
+      i += 1
+    }
+    d
+  }
+}
+
 /** simhash64(array<string>) -> long: Charikar SimHash over token
   * FNV-1a-64 hashes — bit i of the result is 1 iff the count of tokens
   * with bit i set exceeds half the token count. Used for near-duplicate

@@ -5,8 +5,9 @@ import java.nio.ByteBuffer
 import graft.functions.Fnv
 import org.apache.spark.sql.{Column, GraftBridge}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.trees.UnaryLike
 import org.apache.spark.sql.types.{DataType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
@@ -177,6 +178,34 @@ object HaloHash {
     formatMd5(buf)
   }
 
+  /** halo1 — the FILE-content approximate fingerprint: bah128 over the
+    * md5s of 8-word shingles (lowercased alphanumeric tokens, joined
+    * with no separator). Reverse-validated against the fingerprint the
+    * reference indexes for its inflate.c fixture
+    * (`matchcode/tests/test_match.py:95-112`,
+    * "000018fba23a49e4cd40718d1297be719e6564a4"). Null for content
+    * with fewer than 8 tokens — too short to be distinctive. */
+  def halo1(content: String): String = {
+    val words = content.toLowerCase(java.util.Locale.ROOT)
+      .split("[^a-z0-9]+").filter(_.nonEmpty)
+    if (words.length < 8) return null
+    val buf = new Array[Int](129)
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i <= words.length - 8) {
+      sb.setLength(0)
+      var j = 0
+      while (j < 8) { sb.append(words(i + j)); j += 1 }
+      updateMd5(buf, sb.toString.getBytes("UTF-8"))
+      i += 1
+    }
+    formatMd5(buf)
+  }
+
+  /** Column form of [[halo1]]. */
+  def halo1(c: Column): Column =
+    GraftBridge.column(Halo1(GraftBridge.expression(c)))
+
   /** Direct computation for tests / small inputs. */
   def of(elements: Seq[String]): String = {
     val buf = new Array[Int](129)
@@ -194,4 +223,19 @@ object HaloHash {
     }
     format(buf)
   }
+}
+
+/** halo1(content) -> the reference's file-content approximate
+  * fingerprint string (see [[HaloHash.halo1]]). */
+case class Halo1(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def prettyName: String = "halo1"
+  override protected def nullSafeEval(input: Any): Any = {
+    val out = HaloHash.halo1(input.asInstanceOf[UTF8String].toString)
+    if (out == null) null else UTF8String.fromString(out)
+  }
+  override protected def withNewChildInternal(c: Expression): Halo1 =
+    copy(child = c)
 }

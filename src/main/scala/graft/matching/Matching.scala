@@ -72,6 +72,10 @@ object Matching {
       .dropDuplicates("q_path", "download_url", "path")
 
     val verified = candidates
+      // bit-popcount distance; `hamming_bytes` (differing-byte count,
+      // another reading of samecode's byte_hamming_distance) is
+      // registered for callers that want slice semantics — every
+      // reference fixture matches identically under either metric
       .withColumn("hamming", hamming_bin(col("q_bah"), col("i_bah")))
       .filter(col("hamming") < threshold)
 

@@ -217,6 +217,43 @@ class DirectoryMatchingSpec extends SparkTestBase {
     exp.foreach { case (p, m) => assert(got(p) === m, p) }
   }
 
+  // ---- approximate FILE match (test_do_match_approximate_package_file
+  // _match): the halo1 content fingerprint of a lightly edited file
+  // matches the indexed original under the byte-distance threshold
+  test("halo1 producer reconstructs the reference's indexed fingerprint") {
+    val afDir = "/root/reference/matchcode/tests/testfiles/match/" +
+      "approximate-file-matching"
+    val inflate = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$afDir/inflate.c")), "UTF-8")
+    // the exact fingerprint the reference's setUp indexes for inflate.c
+    // (matchcode/tests/test_match.py:108)
+    assert(HaloHash.halo1(inflate) ===
+      "000018fba23a49e4cd40718d1297be719e6564a4")
+    assert(HaloHash.halo1("too few words") === null)
+  }
+
+  test("approximate file match: the reference's query scan matches inflate") {
+    // test_do_match_approximate_package_file_match: the query scan
+    // carries its halo1 directly (approximate-match-test.json); the
+    // index holds the fingerprint the reference's setUp indexes for
+    // inflate.c of pkg:generic/inflate@1.0.0
+    val index = Seq(("inflate.com/inflate.tar.gz", "inflate.c",
+      "inflate.c", 55466L, true,
+      "000018fba23a49e4cd40718d1297be719e6564a4"))
+      .toDF("download_url", "path", "name", "size", "is_file",
+        "fingerprint")
+    val queries = Seq(("inflate-mod.c", "inflate-mod.c", 55466L, true,
+      "000018f4aa3a49e4cd40718d1297be519e6564a4"))
+      .toDF("q_path", "q_name", "q_size", "q_is_file", "fingerprint")
+    val out = Matching.approximateMatch(queries, index).collect()
+    // approximate-match-test-results.json: matched_to
+    // pkg:generic/inflate@1.0.0
+    assert(out.length === 1)
+    assert(out(0).getAs[String]("download_url") ===
+      "inflate.com/inflate.tar.gz")
+    assert(out(0).getAs[Int]("hamming") === 2)
+  }
+
   test("directory match: unindexed get-stdin matches nothing") {
     val got = matchedPaths("get-stdin-3.0.2", indexes._1,
       "directory_content")
