@@ -217,6 +217,41 @@ class DirectoryMatchingSpec extends SparkTestBase {
     exp.foreach { case (p, m) => assert(got(p) === m, p) }
   }
 
+  // ---- async corpus (matchcode/tests/test_models.py): two ADJACENT
+  // versions indexed; the query matches only its own version — the
+  // fingerprints discriminate 0.2.9 from 0.2.10
+  test("async 0.2.9 matches itself but not the adjacent 0.2.10") {
+    val mBase = "/root/reference/matchcode/tests/testfiles/models/" +
+      "directory-matching"
+    def mRead(n: String): String =
+      new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(s"$mBase/$n")), "UTF-8")
+    val all = Indexing.resources(Indexing.scanResources(Seq(
+      ("https://registry.npmjs.org/async/-/async-0.2.10.tgz",
+        mRead("async-0.2.10.tgz-i.json")),
+      ("https://registry.npmjs.org/async/-/async-0.2.9.tgz",
+        mRead("async-0.2.9-i.json")))
+      .toDF("download_url", "scan_json")))
+    val (cIdx, sIdx) = Indexing.directoryFingerprintIndexes(all)
+    val qr = Indexing.resources(Indexing.scanResources(
+      Seq(("http://q/async", mRead("async-0.2.9-i.json")))
+        .toDF("download_url", "scan_json")))
+    for ((idx, fpCol) <- Seq((cIdx, "directory_content"),
+        (sIdx, "directory_structure"))) {
+      val queries = graft.matching.Fingerprints.directoryFingerprints(qr)
+        .select(col("path").as("q_path"), col("name").as("q_name"),
+          col("size").as("q_size"), col("is_file").as("q_is_file"),
+          col(fpCol).as("fingerprint"))
+      val out = Matching.approximateMatch(queries, idx)
+        .select("q_path", "download_url").collect()
+        .map(r => (r.getString(0), r.getString(1)))
+      // expected-content/-structure: only 'package' matches, and only
+      // to async@0.2.9
+      assert(out.toSeq === Seq(("package",
+        "https://registry.npmjs.org/async/-/async-0.2.9.tgz")), fpCol)
+    }
+  }
+
   // ---- approximate FILE match (test_do_match_approximate_package_file
   // _match): the halo1 content fingerprint of a lightly edited file
   // matches the indexed original under the byte-distance threshold
