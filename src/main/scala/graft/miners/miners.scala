@@ -186,6 +186,25 @@ object SourceRepo {
     (fromHomepage ++ guesses).distinct
   }
 
+  /** Apache SVN tag URL → the mirrored GitHub tree URL
+    * (`purl2vcs/src/purl2vcs/find_source_repo.py:84-113`): only
+    * `svn.apache.org/repos/asf/{name}/tags/{tag}/...` converts; any
+    * other shape returns None. */
+  def convertApacheSvnToGithubUrl(rawUrl: String): Option[String] = {
+    val url =
+      if (rawUrl.contains("svn+")) rawUrl.split("svn\\+", 2).last
+      else rawUrl
+    val uri =
+      try new java.net.URI(url)
+      catch { case _: Exception => return None }
+    if (uri.getHost != "svn.apache.org") return None
+    val segs = Option(uri.getPath).getOrElse("").split("/")
+    if (segs.length < 6) return None
+    if (segs(1) != "repos" || segs(2) != "asf" || segs(4) != "tags")
+      return None
+    Some(s"https://github.com/apache/${segs(3)}/tree/${segs(5)}")
+  }
+
   private val UrlHints = Seq("github", "gitlab", "bitbucket")
 
   /** Repo URL → hosting purls

@@ -182,6 +182,69 @@ class DomainSpec extends SparkTestBase {
     assert(!entries.exists(e => e.path.endsWith("/.") || e.path.endsWith("/..")))
   }
 
+  test("apache svn tag URLs convert to github tree URLs") {
+    // the reference's own doctest (find_source_repo.py:84-92)
+    assert(SourceRepo.convertApacheSvnToGithubUrl(
+      "svn+https://svn.apache.org/repos/asf/cdi/tags/1.0/cdi-extension-el-jsp")
+      .contains("https://github.com/apache/cdi/tree/1.0"))
+    assert(SourceRepo.convertApacheSvnToGithubUrl(
+      "https://svn.apache.org/repos/asf/httpd/tags/2.4.58/server")
+      .contains("https://github.com/apache/httpd/tree/2.4.58"))
+    // non-asf, non-tags, short, and non-apache shapes all reject
+    assert(SourceRepo.convertApacheSvnToGithubUrl(
+      "https://svn.apache.org/repos/other/cdi/tags/1.0/x").isEmpty)
+    assert(SourceRepo.convertApacheSvnToGithubUrl(
+      "https://svn.apache.org/repos/asf/cdi/branches/1.0/x").isEmpty)
+    assert(SourceRepo.convertApacheSvnToGithubUrl(
+      "https://svn.apache.org/repos/asf/cdi").isEmpty)
+    assert(SourceRepo.convertApacheSvnToGithubUrl(
+      "https://svn.example.org/repos/asf/cdi/tags/1.0/x").isEmpty)
+    assert(SourceRepo.convertApacheSvnToGithubUrl("not a url://").isEmpty)
+  }
+
+  test("package sets group binary and source forms idempotently") {
+    import spark.implicits._
+    import graft.catalog.PackageSets
+    val members0 = Seq.empty[(String, String)]
+      .toDF("set_id", "download_url")
+    val pairs = Seq(
+      ("http://repo/a.jar", "http://github/a-src"),
+      ("http://repo/b.jar", "http://github/b-src")).toDF(
+      "package_url", "source_url")
+    val m1 = PackageSets.assignSourcePackages(members0, pairs)
+    // each package founded one set holding (package, source)
+    val sets = m1.collect().groupBy(_.getString(0))
+      .view.mapValues(_.map(_.getString(1)).toSet).toMap
+    assert(sets.size === 2)
+    assert(sets.values.toSet === Set(
+      Set("http://repo/a.jar", "http://github/a-src"),
+      Set("http://repo/b.jar", "http://github/b-src")))
+    // re-running is idempotent; adding another source joins the
+    // EXISTING set rather than founding a new one
+    val m2 = PackageSets.assignSourcePackages(m1, pairs)
+    assert(m2.count() === m1.count())
+    val m3 = PackageSets.assignSourcePackages(m2,
+      Seq(("http://repo/a.jar", "http://github/a-src2"))
+        .toDF("package_url", "source_url"))
+    val sets3 = m3.collect().groupBy(_.getString(0))
+      .view.mapValues(_.map(_.getString(1)).toSet).toMap
+    assert(sets3.size === 2)
+    assert(sets3.values.exists(_ === Set("http://repo/a.jar",
+      "http://github/a-src", "http://github/a-src2")))
+    // members ordered by package_content within a set
+    val pkgs = Seq(
+      ("http://repo/a.jar", 2), ("http://github/a-src", 1),
+      ("http://github/a-src2", 3), ("http://repo/b.jar", 1),
+      ("http://github/b-src", 2))
+      .toDF("download_url", "package_content")
+    val aSet = sets3.find(_._2.contains("http://repo/a.jar")).get._1
+    val ordered = PackageSets.members(m3, pkgs)
+      .filter(col("set_id") === aSet)
+      .select("download_url").as[String].collect().toSeq
+    assert(ordered === Seq("http://github/a-src", "http://repo/a.jar",
+      "http://github/a-src2"))
+  }
+
   test("repo URLs convert to hosting purls like purl2vcs") {
     // the reference's own test cases (purl2vcs test_convert_repo_urls_to_purls)
     assert(SourceRepo.repoUrlToPurls(
