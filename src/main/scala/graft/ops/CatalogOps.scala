@@ -481,6 +481,52 @@ object CatalogOps {
       FROM rows_ WHERE dc <> ''
       ORDER BY download_url, idx, fingerprint"""))
 
+  val packageSets = QueryDef(
+    "a_package_sets", "S13 + purl2vcs set assignment",
+    "package sets: founders seed new sets, sources join existing ones",
+    (s, dir) => {
+      val pairs = t(s, dir, "part").filter(col("p_partkey") % 3 === 0)
+        .select(concat(lit("http://repo/p"),
+          col("p_partkey").cast("string")).as("package_url"),
+          concat(lit("http://src/p"),
+            col("p_partkey").cast("string")).as("source_url"))
+      // every 9th part already sits in a pre-existing seed set, so the
+      // join-existing-set path is exercised alongside the founder path
+      val members0 = t(s, dir, "part").filter(col("p_partkey") % 9 === 0)
+        .select(concat(lit("seed"),
+          col("p_partkey").cast("string")).as("set_id"),
+          concat(lit("http://repo/p"),
+            col("p_partkey").cast("string")).as("download_url"))
+      graft.catalog.PackageSets.assignSourcePackages(members0, pairs)
+        .orderBy("set_id", "download_url")
+    },
+    Some("""WITH pairs AS (
+        SELECT 'http://repo/p' || CAST(p_partkey AS VARCHAR)
+            AS package_url,
+          'http://src/p' || CAST(p_partkey AS VARCHAR) AS source_url
+        FROM part WHERE p_partkey % 3 = 0),
+      members0 AS (
+        SELECT 'seed' || CAST(p_partkey AS VARCHAR) AS set_id,
+          'http://repo/p' || CAST(p_partkey AS VARCHAR) AS download_url
+        FROM part WHERE p_partkey % 9 = 0),
+      existing AS (
+        SELECT m.set_id, p.source_url
+        FROM pairs p JOIN members0 m ON p.package_url = m.download_url),
+      founders AS (
+        SELECT sha256(package_url) AS set_id, package_url, source_url
+        FROM pairs p
+        WHERE NOT EXISTS (SELECT 1 FROM members0 m
+          WHERE m.download_url = p.package_url)),
+      new_rows AS (
+        SELECT set_id, package_url AS download_url FROM founders
+        UNION ALL SELECT set_id, source_url FROM founders
+        UNION ALL SELECT set_id, source_url FROM existing),
+      all_rows AS (
+        SELECT set_id, download_url FROM members0
+        UNION ALL SELECT set_id, download_url FROM new_rows)
+      SELECT DISTINCT set_id, download_url FROM all_rows
+      ORDER BY set_id, download_url"""))
+
   val defs: Seq[QueryDef] =
-    Seq(a6merge, exact, snippet, rank, halohash, scanIndex)
+    Seq(a6merge, exact, snippet, rank, halohash, scanIndex, packageSets)
 }
