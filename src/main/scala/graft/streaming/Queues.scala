@@ -52,6 +52,59 @@ object Queues {
       events.filter(lower(col("activity_type")) === "create")
         .select(col("actor"), col("payload"), col("received_date")))
 
+  /** The priority-queue worker loop (`minecode/management/commands/
+    * priority_queue.py:60-101` + `test_priority_queue.py`) as one
+    * batch pass: claim the oldest unprocessed requests FIFO
+    * (`get_next_request`), run each purl through the registry
+    * collectors (the router), merge the collected packages into the
+    * catalog, and mark every claimed request processed — per-request
+    * errors recorded, wip cleared and processed_date set whether the
+    * collect succeeded or not (the reference's `finally` block).
+    *
+    * The claim is a bounded driver-side batch (the reference's
+    * MAP_BATCH_SIZE-style loop); the collects themselves run on
+    * executors inside [[graft.miners.CollectFlow.collect]].
+    * Returns (updated pending queue, updated catalog).
+    */
+  def processPriorityRequests(spark: org.apache.spark.sql.SparkSession,
+      pending: DataFrame, catalog: DataFrame,
+      transport: graft.miners.Transport, now: Timestamp,
+      batchSize: Int = 10): (DataFrame, DataFrame) = {
+    import spark.implicits._
+    val claimed = claimPriorityRequests(pending, batchSize)
+      .select("uri").as[String].collect().toSeq
+    if (claimed.isEmpty) return (pending, catalog)
+    val (merged, errors) = graft.miners.CollectFlow.collect(
+      spark, catalog, claimed, transport, now.toString)
+    // error strings are "purl: message"; attribute them back to rows
+    val errByPurl = claimed.map { u =>
+      u -> (errors.collect {
+        case e if e.startsWith(u + ": ") => e.substring(u.length + 2)
+      } match {
+        case Seq() => null: String
+        case es    => es.mkString("; ")
+      })
+    }
+    val claimedDf = errByPurl.toDF("c_uri", "c_err")
+    val base =
+      if (pending.columns.contains("processing_error")) pending
+      else pending.withColumn("processing_error",
+        lit(null).cast("string"))
+    val updated = base
+      .join(broadcast(claimedDf), base("uri") === col("c_uri"), "left")
+      .withColumn("processed_date",
+        when(col("c_uri").isNotNull, lit(now).cast("timestamp"))
+          .otherwise(col("processed_date")))
+      .withColumn("wip_date",
+        when(col("c_uri").isNotNull, lit(null).cast("timestamp"))
+          .otherwise(col("wip_date")))
+      .withColumn("processing_error",
+        when(col("c_uri").isNotNull, col("c_err"))
+          .otherwise(col("processing_error")))
+      .drop("c_uri", "c_err")
+    (updated, merged)
+  }
+
   // ---------------------------------------------------------------- watch
 
   /** Ecosystems the collect flow can fetch versions for (the engine's

@@ -147,6 +147,56 @@ class PeripherySpec extends SparkTestBase {
       Timestamp.valueOf("2026-08-11 00:00:00"))
   }
 
+  test("priority queue batch: claim, collect, merge, mark processed") {
+    // minecode/tests/test_priority_queue.py test_process_request: a
+    // queued purl collects packages into the catalog and is marked
+    // processed; an unroutable purl records its error but is equally
+    // marked processed (the loop's finally block)
+    import graft.miners.Transport
+    val now = Timestamp.valueOf("2026-08-12 00:00:00")
+    val transport = new Transport {
+      def fetch(uri: String): Either[String, Array[Byte]] = uri match {
+        case u if u.contains("repo1.maven.org") &&
+            u.endsWith("maven-metadata.xml") =>
+          Right("""<metadata><versioning><versions>
+            <version>0.12.0</version>
+            </versions></versioning></metadata>""".getBytes)
+        case u => Left(s"unexpected fetch: $u")
+      }
+    }
+    val pending = Seq(
+      ("pkg:maven/org.apache.twill/twill-core",
+        Timestamp.valueOf("2026-01-01 00:00:00"), null, null),
+      ("pkg:doesnotexist/nope",
+        Timestamp.valueOf("2026-01-02 00:00:00"), null, null),
+      ("pkg:maven/late/later",
+        Timestamp.valueOf("2026-01-03 00:00:00"), null, null))
+      .toDF("uri", "request_date", "wip_date", "processed_date")
+      .select(col("uri"), col("request_date"),
+        col("wip_date").cast("timestamp"),
+        col("processed_date").cast("timestamp"))
+    val catalog = Seq.empty[graft.catalog.PackageRow].toDF()
+
+    val (pending2, catalog2) = Queues.processPriorityRequests(
+      spark, pending, catalog, transport, now, batchSize = 2)
+
+    val rows = pending2.collect()
+      .map(r => r.getAs[String]("uri") -> r).toMap
+    val done = rows("pkg:maven/org.apache.twill/twill-core")
+    assert(done.getAs[Timestamp]("processed_date") === now)
+    assert(done.getAs[String]("processing_error") === null)
+    val bad = rows("pkg:doesnotexist/nope")
+    assert(bad.getAs[Timestamp]("processed_date") === now)
+    assert(bad.getAs[String]("processing_error") != null)
+    // the third request was beyond the batch and stays claimable
+    assert(rows("pkg:maven/late/later")
+      .getAs[Timestamp]("processed_date") === null)
+
+    val pkgs = catalog2.select("download_url").as[String].collect()
+    assert(pkgs.toSeq === Seq("https://repo1.maven.org/maven2/" +
+      "org/apache/twill/twill-core/0.12.0/twill-core-0.12.0.jar"))
+  }
+
   test("watch next-execution matches the reference's scheduler") {
     // packagedb/tests/test_schedules.py:test_get_next_execution
     val now = Timestamp.valueOf("2024-01-01 00:00:00")
