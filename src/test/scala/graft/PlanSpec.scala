@@ -160,4 +160,39 @@ class PlanSpec extends SparkTestBase {
       spark.sql("DROP TABLE IF EXISTS bucketed_lineitem")
     }
   }
+
+  test("m_scan_index decodes scans once with no cartesian product") {
+    val df = Registry.byName("m_scan_index").run(spark, sf001)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(1500))
+  }
+
+  test("directory fingerprints aggregate with map-side partials") {
+    import graft.matching.{Fingerprints, Indexing}
+    import spark.implicits._
+    val json = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("/root/reference/minecode/tests/testfiles/" +
+        "indexing/scancodeio_wagon-api-20040705.181715.json")), "UTF-8")
+    val sr = Indexing.resources(Indexing.scanResources(
+      Seq(("http://wagon", json)).toDF("download_url", "scan_json")))
+    val fps = Fingerprints.directoryFingerprints(sr)
+    fps.collect()
+    val p = fps.queryExecution.executedPlan.toString
+    // the bah128 typed aggregate must run partial (map-side) + final:
+    // two ObjectHashAggregate stages around one shuffle of 516-byte
+    // partial states — never a row-per-file shuffle to a single reduce
+    assert("ObjectHashAggregate".r.findAllIn(p).size >= 2,
+      s"no partial aggregation:\n${p.take(2000)}")
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+  }
+
+  test("a_package_sets stays join-shaped with no cartesian product") {
+    val df = Registry.byName("a_package_sets").run(spark, sf001)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(1500))
+  }
 }
