@@ -341,6 +341,47 @@ class DomainSpec extends SparkTestBase {
     assert(repo.enhanced_by.isEmpty) // source-repo passes through
   }
 
+  test("cyclonedx document matches the reference's sbom fixture") {
+    // packagedb/tests/test_sbom.py: the full BOM for generic/Foo with
+    // two dependency purls, compared after removing the same volatile
+    // fields the reference removes (serialNumber, bom-ref, timestamp,
+    // ref, properties)
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    val pkg = PackageRow.minimal("http://example.com", "generic", "Foo",
+      Some("12.34")).copy(
+      namespace = Some("generic"), qualifiers = Some("test_qual=qual"),
+      subpath = Some("test_subpath"), sha1 = Some("testsha1"),
+      md5 = Some("testmd5"), size = Some(101L))
+    val deps = Seq(("http://example.com", "pkg:generic/dep1"),
+      ("http://example.com", "pkg:generic/dep2"))
+      .toDF("download_url", "dep_purl")
+    val bom = JsonMethods.parse(
+      Sbom.toCycloneDxDocument(Seq(pkg).toDF(), deps)
+        .select("bom").as[String].collect().head)
+
+    val expected = JsonMethods.parse(new String(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(
+        "/root/reference/packagedb/tests/testfiles/sbom/" +
+          "package-sbom-expected.json")), "UTF-8"))
+    def strip(v: JValue): JValue = v.removeField {
+      case ("serialNumber", _) | ("bom-ref", _) | ("timestamp", _) |
+           ("ref", _) | ("properties", _) | ("tools", _) => true
+      case _ => false
+    }
+    for (path <- Seq("bomFormat", "specVersion", "version")) {
+      assert(bom \ path === expected \ path, path)
+    }
+    assert(strip(bom \ "metadata" \ "component") ===
+      strip(expected \ "metadata" \ "component"))
+    assert(strip(bom \ "components") === strip(expected \ "components"))
+    // the dependsOn edge list is the dependency purls
+    val dependsOn = (bom \ "dependencies")(0) \ "dependsOn"
+    assert(dependsOn === (expected \ "dependencies")(0) \ "dependsOn")
+    assert((bom \ "dependencies").asInstanceOf[JArray].arr.size ===
+      (expected \ "dependencies").asInstanceOf[JArray].arr.size)
+  }
+
   test("cyclonedx export emits valid component json") {
     val pkgs = Seq(PackageRow.minimal("http://x/a.jar", "maven", "a",
       Some("1.0")).copy(sha1 = Some("ab" * 20),
