@@ -166,4 +166,54 @@ object CatalogApi {
       .orderBy(natver_key(col("version")).desc, col("download_url"))
       .limit(1)
   }
+
+  final case class PurlValidation(purl: String, valid: Boolean,
+      exists: Option[Boolean], message: String)
+
+  /** GET /api/validate/ (`packagedb/api.py:1124-1238`): syntax check,
+    * then optional existence — first against the catalog, then against
+    * the upstream registry via the injected `fetchVersions` (the
+    * collect flow; returns None on fetch failure). Messages are the
+    * reference's verbatim strings. */
+  def validatePurl(packages: DataFrame, purl: String,
+      checkExistence: Boolean = false,
+      fetchVersions: String => Option[Seq[String]] = _ => None)
+      : PurlValidation = {
+    val parsed = graft.functions.PurlParse.parse(purl)
+    if (parsed == null)
+      return PurlValidation(purl, valid = false, exists = None,
+        "The provided PackageURL is not valid.")
+    if (!checkExistence)
+      return PurlValidation(purl, valid = true, exists = None,
+        "The provided PackageURL is valid.")
+
+    val inCatalog = !packages.filter(purlPredicate(packages, purl))
+      .isEmpty
+    if (inCatalog)
+      return PurlValidation(purl, valid = true, exists = Some(true),
+        "The provided Package URL is valid, and the package exists " +
+          "in the upstream repo.")
+
+    val ptype = parsed(0)
+    val supported = graft.streaming.Queues.FetchSupportedEcosystems
+      .contains(ptype) &&
+      graft.streaming.Queues.VersionComparatorEcosystems.contains(ptype)
+    if (!supported)
+      return PurlValidation(purl, valid = true, exists = None,
+        "The provided PackageURL is valid, but `check_existence` is " +
+          "not supported for this package type.")
+
+    val versionless = s"pkg:$ptype" +
+      Option(parsed(1)).map("/" + _).getOrElse("") + s"/${parsed(2)}"
+    val upstream = fetchVersions(versionless).getOrElse(Seq.empty)
+    val version = Option(parsed(3))
+    if (upstream.nonEmpty && version.forall(upstream.contains))
+      PurlValidation(purl, valid = true, exists = Some(true),
+        "The provided Package URL is valid, and the package exists " +
+          "in the upstream repo.")
+    else
+      PurlValidation(purl, valid = true, exists = Some(false),
+        "The provided PackageURL is valid, but does not exist in the " +
+          "upstream repo.")
+  }
 }

@@ -81,6 +81,43 @@ class CatalogApiSpec extends SparkTestBase {
     assert(row("http://r/bin.jar").contains("from source repo"))
   }
 
+  test("purl validation mirrors the reference's endpoint") {
+    // packagedb/tests/test_api.py test_api_purl_validation*
+    import graft.api.CatalogApi.validatePurl
+    // catalog hit
+    val hit = validatePurl(catalog, "pkg:npm/blib@2.0",
+      checkExistence = true)
+    assert(hit.valid && hit.exists.contains(true))
+    assert(hit.message === "The provided Package URL is valid, and " +
+      "the package exists in the upstream repo.")
+    // malformed purl
+    val bad = validatePurl(catalog, "pkg:npm/?foobar@1.1.0",
+      checkExistence = true)
+    assert(!bad.valid && bad.exists.isEmpty)
+    assert(bad.message === "The provided PackageURL is not valid.")
+    // valid, no existence check requested
+    val syntaxOnly = validatePurl(catalog, "pkg:npm/foobar@1.1.0")
+    assert(syntaxOnly.valid && syntaxOnly.exists.isEmpty)
+    assert(syntaxOnly.message === "The provided PackageURL is valid.")
+    // unsupported ecosystem for check_existence
+    val unsup = validatePurl(catalog, "pkg:random/foobar@1.1.0",
+      checkExistence = true)
+    assert(unsup.valid && unsup.exists.isEmpty)
+    assert(unsup.message === "The provided PackageURL is valid, but " +
+      "`check_existence` is not supported for this package type.")
+    // upstream says the version exists / does not exist
+    val up = validatePurl(catalog, "pkg:npm/foobar@1.1.0",
+      checkExistence = true,
+      fetchVersions = p => { assert(p === "pkg:npm/foobar")
+        Some(Seq("1.0.0", "1.1.0")) })
+    assert(up.exists.contains(true))
+    val down = validatePurl(catalog, "pkg:npm/foobar@9.9.9",
+      checkExistence = true, fetchVersions = _ => Some(Seq("1.1.0")))
+    assert(down.exists.contains(false))
+    assert(down.message === "The provided PackageURL is valid, but " +
+      "does not exist in the upstream repo.")
+  }
+
   test("latest version resolves by natural order") {
     val out = CatalogApi.latestVersion(catalog, "maven", Some("org.acme"),
       "alib").select("version").as[String].collect()
