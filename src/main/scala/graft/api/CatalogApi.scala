@@ -167,6 +167,49 @@ object CatalogApi {
       .limit(1)
   }
 
+  final case class ResolvedPackages(
+      resolved: Seq[(String, Int)], // (purl, priority)
+      unsupportedPurls: Seq[String],
+      unsupportedVers: Seq[String])
+
+  /** `get_resolved_packages` (`packagedb/api.py:1238-1290`): each
+    * request is a purl with an optional vers range. Versioned purls
+    * pass through at priority 100; versionless purls resolve against
+    * the upstream version list (all versions, or the vers-range
+    * subset via the VERSION-RANGE-SPEC containment); malformed or
+    * unsupported inputs are reported, not dropped silently. */
+  def resolvePackages(requests: Seq[(String, Option[String])],
+      fetchVersions: String => Option[Seq[String]],
+      supportedEcosystems: Seq[String] =
+        graft.streaming.Queues.FetchSupportedEcosystems)
+      : ResolvedPackages = {
+    val resolved = scala.collection.mutable.LinkedHashMap
+      .empty[String, Int]
+    val badPurls = scala.collection.mutable.LinkedHashSet.empty[String]
+    val badVers = scala.collection.mutable.LinkedHashSet.empty[String]
+    for ((purl, vers) <- requests if purl != null && purl.nonEmpty) {
+      val parsed = graft.functions.PurlParse.parse(purl)
+      if (parsed == null) badPurls += purl
+      else if (!supportedEcosystems.contains(parsed(0))) badPurls += purl
+      else if (parsed(3) != null) resolved(purl) = 100
+      else {
+        val versionless = s"pkg:${parsed(0)}" +
+          Option(parsed(1)).map("/" + _).getOrElse("") + s"/${parsed(2)}"
+        val all = fetchVersions(versionless).getOrElse(Seq.empty)
+        val matching = vers match {
+          case None => all
+          case Some(v) =>
+            val hits = all.filter(ver =>
+              graft.functions.VersRange.contains(v, ver).contains(true))
+            if (hits.isEmpty) { badVers += v; Seq.empty }
+            else hits
+        }
+        matching.foreach(ver => resolved(s"$versionless@$ver") = 0)
+      }
+    }
+    ResolvedPackages(resolved.toSeq, badPurls.toSeq, badVers.toSeq)
+  }
+
   final case class PurlValidation(purl: String, valid: Boolean,
       exists: Option[Boolean], message: String)
 

@@ -118,6 +118,35 @@ class CatalogApiSpec extends SparkTestBase {
       "does not exist in the upstream repo.")
   }
 
+  test("purl+vers requests resolve to concrete package versions") {
+    // packagedb/api.py get_resolved_packages: versioned purls pass at
+    // priority 100, versionless resolve upstream, vers ranges subset,
+    // malformed/unsupported inputs reported
+    import graft.api.CatalogApi.resolvePackages
+    val versions = Map("pkg:npm/foo" -> Seq("1.0.0", "1.5.0", "2.0.0"))
+    val out = resolvePackages(
+      Seq(
+        ("pkg:npm/bar@3.0.0", None),                       // explicit
+        ("pkg:npm/foo", None),                             // all versions
+        ("pkg:npm/foo", Some("vers:npm/>=1.0.0|<2.0.0")),  // range
+        ("pkg:npm/foo", Some("vers:npm/>5.0.0")),          // empty range
+        ("pkg:wat/x@1", None),                             // unsupported
+        ("not-a-purl", None)),                             // malformed
+      p => versions.get(p))
+    assert(out.resolved.toMap === Map(
+      "pkg:npm/bar@3.0.0" -> 100,
+      "pkg:npm/foo@1.0.0" -> 0, "pkg:npm/foo@1.5.0" -> 0,
+      "pkg:npm/foo@2.0.0" -> 0))
+    assert(out.unsupportedPurls === Seq("pkg:wat/x@1", "not-a-purl"))
+    assert(out.unsupportedVers === Seq("vers:npm/>5.0.0"))
+    // the range request alone yields only the in-range versions
+    val ranged = resolvePackages(
+      Seq(("pkg:npm/foo", Some("vers:npm/>=1.0.0|<2.0.0"))),
+      p => versions.get(p))
+    assert(ranged.resolved.map(_._1).toSet ===
+      Set("pkg:npm/foo@1.0.0", "pkg:npm/foo@1.5.0"))
+  }
+
   test("latest version resolves by natural order") {
     val out = CatalogApi.latestVersion(catalog, "maven", Some("org.acme"),
       "alib").select("version").as[String].collect()
