@@ -28,6 +28,22 @@ object GitPublisher {
 
   val DefaultBatchSize = 100 // minecode/pipelines/__init__.py:218
 
+  /** Repo-relative directory for a purl's artifacts
+    * (`clearcode/store_scans.py:157-161`): type/namespace?/name/version. */
+  def purlPath(ptype: String, namespace: Option[String], name: String,
+      version: String): String =
+    (Seq(ptype) ++ namespace.filter(_.nonEmpty) ++ Seq(name, version))
+      .mkString("/")
+
+  /** Short lowercase purl hash used to shard purls across federated
+    * repos (`clearcode/store_scans.py:164-174`): first `length` hex
+    * chars of sha512(purl). */
+  def purlHash(purl: String, length: Int = 3): String = {
+    val d = java.security.MessageDigest.getInstance("SHA-512")
+      .digest(purl.getBytes(StandardCharsets.UTF_8))
+    d.take((length + 1) / 2).map(b => f"$b%02x").mkString.take(length)
+  }
+
   /** Run git in `repoDir` with a fixed identity (no global config
     * dependency); returns stdout, throws on nonzero exit. */
   def git(repoDir: File, args: String*): String = {

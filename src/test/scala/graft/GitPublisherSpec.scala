@@ -41,6 +41,18 @@ class GitPublisherSpec extends SparkTestBase {
     assert(lastBatch == 50)
   }
 
+  test("purl paths and shard hashes match the reference layout") {
+    // clearcode/store_scans.py get_purl_path / get_purl_hash
+    assert(GitPublisher.purlPath("npm", None, "abbrev", "1.0.3") ===
+      "npm/abbrev/1.0.3")
+    assert(GitPublisher.purlPath("maven", Some("org.apache"), "x", "1")
+      === "maven/org.apache/x/1")
+    // sha512 prefixes verified against hashlib
+    assert(GitPublisher.purlHash("pkg:npm/abbrev@1.0.3") === "9b1")
+    assert(GitPublisher.purlHash("pkg:maven/org.apache/x@1", 5) ===
+      "f2146")
+  }
+
   test("purls.yml is a sorted YAML list; append merges and dedups") {
     val dir = initRepo()
     GitPublisher.writePurlsYaml(dir, "deb/zlib/purls.yml",
