@@ -3,6 +3,7 @@ package graft
 import java.sql.Timestamp
 
 import graft.streaming._
+import org.apache.spark.sql.Dataset
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 
@@ -91,6 +92,43 @@ class StreamingSpec extends SparkTestBase {
       // u1 walks all four states; u2 only reaches submitted; u3 fails
       assert(rows == Set(("u1", 1), ("u1", 2), ("u1", 3), ("u1", 4),
         ("u2", 1), ("u3", 1), ("u3", 2), ("u3", 5)))
+    } finally q.stop()
+  }
+
+  test("scan queue feeds the indexing flow end-to-end") {
+    // the minecode lifecycle glue: a scan reaching SCAN_COMPLETED
+    // (status 3) carries its scan data; each micro-batch runs
+    // index_package over the completed scans (`indexing.py:199-253`)
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[ScanQueue.ScanEvent]
+    val states = ScanQueue.run(spark, input.toDS(), withTimeouts = false)
+    val indexed = scala.collection.mutable.Set.empty[(String, String)]
+    val scanJson = """{"files": [
+      {"path": "a.txt", "type": "file", "name": "a.txt", "sha1": "aa"},
+      {"path": "b.txt", "type": "file", "name": "b.txt", "sha1": "bb"}]}"""
+    val q = states.writeStream.outputMode("append")
+      .foreachBatch { (batch: Dataset[ScanQueue.ScanState], _: Long) =>
+        val scans = batch.filter(_.status == 3).toDF()
+          .select(col("uuid").as("download_url"),
+            col("detail").as("scan_json"))
+        val idx = graft.matching.Indexing.exactFileIndex(
+          graft.matching.Indexing.resources(
+            graft.matching.Indexing.scanResources(scans)))
+        val rows = idx.collect()
+        indexed.synchronized {
+          rows.foreach(r => indexed += ((r.getString(0), r.getString(1))))
+        }
+        ()
+      }.start()
+    try {
+      input.addData(
+        ScanQueue.ScanEvent("http://p1", "submit", ""),
+        ScanQueue.ScanEvent("http://p1", "start", ""),
+        ScanQueue.ScanEvent("http://p1", "scan_done", scanJson),
+        ScanQueue.ScanEvent("http://p2", "submit", "")) // not completed
+      q.processAllAvailable()
+      assert(indexed.synchronized(indexed.toSet) ===
+        Set(("aa", "http://p1"), ("bb", "http://p1")))
     } finally q.stop()
   }
 
