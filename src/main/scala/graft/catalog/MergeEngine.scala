@@ -2,7 +2,7 @@ package graft.catalog
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{ArrayType, StringType}
+import org.apache.spark.sql.types.{ArrayType, NumericType, StringType}
 
 /** Field-level merge/upsert engine — the Spark re-expression of the
   * reference's `merge_packages` / `merge_or_create_package`
@@ -22,8 +22,16 @@ import org.apache.spark.sql.types.{ArrayType, StringType}
   *     a driver-side throw would kill a 100 TB job for one bad row
   *   - `mining_level` bumps to the visit level only in replace mode
   *     (`model_utils.py:319`)
-  *   - a history entry listing updated fields is appended when
-  *     anything changed (`model_utils.py:322-327`, F17)
+  *   - an `updated_fields` entry `{field, old_value, new_value}` is
+  *     recorded for every field whose new value is truthy and whose
+  *     existing value is empty or replace-mode is on — even when the
+  *     two values are equal, exactly like the reference loop
+  *     (`model_utils.py:143-222`; the run_map goldens record
+  *     `type: generic -> generic` no-op entries), in the reference's
+  *     `to_dict()` field order; a history entry with the reference's
+  *     exact message "Package field values have been updated."
+  *     (`model_utils.py:322-327`, F17) is appended when any entry
+  *     exists
   *
   * Scale notes: one shuffle on the identity key; no driver-side loops;
   * per-field logic is pure Column CASE trees inside whole-stage
@@ -39,6 +47,24 @@ object MergeEngine {
     "declared_license_expression", "copyright",
     "md5", "sha1", "sha256", "sha512", "size", "release_date",
     "package_content")
+
+  /** (reference `to_dict()` label, our column) in the reference's
+    * iteration order (`packagedb` Package.to_dict key order, which
+    * drives the order of `updated_fields` entries in
+    * `model_utils.py:143-222`). `download_url` is the join key but
+    * still gets a recorded entry in replace mode, as the run_map
+    * goldens show. */
+  val updateOrder: Seq[(String, String)] = Seq(
+    "type" -> "ptype", "namespace" -> "namespace", "name" -> "name",
+    "version" -> "version", "qualifiers" -> "qualifiers",
+    "subpath" -> "subpath", "package_content" -> "package_content",
+    "primary_language" -> "primary_language",
+    "description" -> "description", "release_date" -> "release_date",
+    "keywords" -> "keywords", "homepage_url" -> "homepage_url",
+    "download_url" -> "download_url", "size" -> "size",
+    "md5" -> "md5", "sha1" -> "sha1", "sha256" -> "sha256",
+    "sha512" -> "sha512", "copyright" -> "copyright",
+    "declared_license_expression" -> "declared_license_expression")
 
   val checksumFields: Seq[String] = Seq("md5", "sha1", "sha256", "sha512")
 
@@ -69,22 +95,19 @@ object MergeEngine {
     val existsN = col("n.download_url").isNotNull
     val replace = col("n.visit_level") >= col("e.mining_level")
 
-    def emptyE(f: String) = {
-      val c = col(s"e.$f")
+    // Python truthiness (`if not new_value` / `if not existing_value`,
+    // model_utils.py:144,148): "" and 0 are as empty as NULL.
+    def emptyAt(side: String, f: String) = {
+      val c = col(s"$side.$f")
       existing.schema(f).dataType match {
-        case StringType   => c.isNull || c === ""
-        case _: ArrayType => c.isNull || size(c) === 0
-        case _            => c.isNull
+        case StringType            => c.isNull || c === ""
+        case _: ArrayType          => c.isNull || size(c) === 0
+        case _: NumericType        => c.isNull || c === 0
+        case _                     => c.isNull
       }
     }
-    def emptyN(f: String) = {
-      val c = col(s"n.$f")
-      existing.schema(f).dataType match {
-        case StringType   => c.isNull || c === ""
-        case _: ArrayType => c.isNull || size(c) === 0
-        case _            => c.isNull
-      }
-    }
+    def emptyE(f: String) = emptyAt("e", f)
+    def emptyN(f: String) = emptyAt("n", f)
 
     // checksum-conflict guard: both sides non-empty and different
     val conflict = checksumFields
@@ -99,22 +122,38 @@ object MergeEngine {
         .when(replace, col(s"n.$f"))
         .otherwise(col(s"e.$f"))
 
-    def changed(f: String): Column =
-      existsE && existsN && !emptyN(f) && (emptyE(f) || replace) &&
-        (col(s"e.$f").isNull || col(s"e.$f") =!= col(s"n.$f"))
+    // updated_fields entries, reference rule (model_utils.py:143-222):
+    // recorded iff the new value is truthy AND (existing is empty OR
+    // replace) — equality NOT required, matching the run_map goldens'
+    // `type: generic -> generic` no-op entries. String rendering: raw
+    // for strings, JSON for arrays, cast for numerics/timestamps.
+    def asString(side: String, f: String): Column = {
+      val c = col(s"$side.$f")
+      existing.schema(f).dataType match {
+        case StringType   => c
+        case _: ArrayType => to_json(c)
+        case _            => c.cast("string")
+      }
+    }
+    def entryFor(label: String, f: String): Column =
+      when(existsE && existsN && !emptyN(f) && (emptyE(f) || replace),
+        struct(lit(label).as("field"),
+          asString("e", f).as("old_value"),
+          asString("n", f).as("new_value")))
 
-    val changedFields = array_compact(array(mergeableFields.map(f =>
-      when(changed(f), lit(f))): _*))
+    val updatedFields = array_compact(array(updateOrder.map {
+      case (label, f) => entryFor(label, f)
+    }: _*))
 
     val newHistory = {
       val base = when(existsE, coalesce(col("e.history"),
         array().cast("array<struct<timestamp:string,message:string>>")))
         .otherwise(array().cast("array<struct<timestamp:string,message:string>>"))
-      when(size(changedFields) > 0,
+      when(size(updatedFields) > 0,
         concat(base, array(struct(
           lit(now).as("timestamp"),
-          concat(lit("Package field values have been updated: "),
-            array_join(changedFields, ", ")).as("message")))))
+          // the reference's exact history message (model_utils.py:325)
+          lit("Package field values have been updated.").as("message")))))
         .otherwise(base)
     }
 
@@ -135,9 +174,12 @@ object MergeEngine {
         .otherwise(col("e.keywords"))
         .as("keywords")
 
+    val emptyEntries = array()
+      .cast("array<struct<field:string,old_value:string,new_value:string>>")
     val outCols: Seq[Column] =
       keyCol +: mergeableFields.map(f => mergedField(f).as(f)) :+
-        keywordsCol :+ miningLevel :+ newHistory.as("history")
+        keywordsCol :+ miningLevel :+ newHistory.as("history") :+
+        updatedFields.as("updated_fields")
 
     val good = joined.filter(!conflict).select(outCols: _*)
     // conflicted rows: stored package wins untouched; emit error detail
@@ -146,7 +188,8 @@ object MergeEngine {
         mergeableFields.map(f => col(s"e.$f").as(f)) :+
         col("e.keywords").as("keywords") :+
         col("e.mining_level").as("mining_level") :+
-        col("e.history").as("history")): _*)
+        col("e.history").as("history") :+
+        emptyEntries.as("updated_fields")): _*)
     val errors = joined.filter(conflict).select(
       col("e.download_url").as("download_url"),
       lit("checksum mismatch").as("error"),

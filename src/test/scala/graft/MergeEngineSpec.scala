@@ -51,8 +51,12 @@ class MergeEngineSpec extends SparkTestBase {
     assert(row.getAs[String]("homepage_url") == "http://home")
     assert(row.getAs[Int]("mining_level") == 50)
     val hist = row.getSeq[org.apache.spark.sql.Row](row.fieldIndex("history"))
-    assert(hist.size == 1 && hist.head.getAs[String]("message")
-      .contains("homepage_url"))
+    assert(hist.size == 1 && hist.head.getAs[String]("message") ==
+      "Package field values have been updated.")
+    val updated = row.getSeq[org.apache.spark.sql.Row](
+      row.fieldIndex("updated_fields"))
+    assert(updated.map(_.getAs[String]("field")) == Seq("homepage_url"))
+    assert(updated.head.getAs[String]("new_value") == "http://home")
   }
 
   test("higher/equal visit level replaces non-empty values and bumps level") {
@@ -90,12 +94,17 @@ class MergeEngineSpec extends SparkTestBase {
       Seq("sha1"))
   }
 
-  test("no history entry when nothing changes") {
+  test("no history entry when nothing fills or replaces") {
+    // lower level + no empty existing fields fillable → no entries.
+    // (In replace mode the reference DOES record no-op entries for
+    // equal values — see the run_map goldens replayed in
+    // MapUriCorpusSpec.)
     val in = incoming(
-      PackageRow.minimal("http://x/b.jar", "maven", "b", Some("2.0")))(60)
+      PackageRow.minimal("http://x/b.jar", "maven", "b", Some("2.0")))(10)
     val row = MergeEngine.mergePackages(existingDf, in, NOW)
       .packages.filter($"download_url" === "http://x/b.jar").collect().head
     assert(row.getSeq[Any](row.fieldIndex("history")).isEmpty)
+    assert(row.getSeq[Any](row.fieldIndex("updated_fields")).isEmpty)
   }
 
   test("child sets replace in replace-mode, else kept unless empty") {
