@@ -64,6 +64,28 @@ object CollectFlow {
           case None     => name
         }
         val tarDir = namespace.map(ns => s"$ns/$name").getOrElse(name)
+        // a versioned purl collects exactly that version via the
+        // per-version endpoint, like the reference's map_npm_package
+        // (collectors/npm.py:30-77); an unversioned purl collects the
+        // full version list for the watch/diff path
+        version match {
+          case Some(v) =>
+            return transport
+              .fetch(s"https://registry.npmjs.org/$metaId/$v").map { bytes =>
+                Mappers.npmSingleVersionPackage(new String(bytes, "UTF-8"))
+                  .toSeq.map { mp =>
+                    PackageRow.minimal(mp.row.download_url, "npm", name,
+                      Some(v), CollectMiningLevel)
+                      .copy(namespace = namespace,
+                        description = mp.row.description,
+                        homepage_url = mp.row.homepage_url,
+                        sha1 = mp.row.sha1,
+                        declared_license_expression =
+                          mp.row.declared_license_expression)
+                  }
+              }
+          case None =>
+        }
         transport.fetch(s"https://registry.npmjs.org/$metaId").map { bytes =>
           RegistryParsers.npmVersions(new String(bytes, "UTF-8")).map { v =>
             PackageRow.minimal(

@@ -1100,6 +1100,14 @@ object Mappers {
     }
   }
 
+  /** One-version npm registry document (the
+    * `registry.npmjs.org/<name>/<version>` endpoint the reference's
+    * collector fetches, `collectors/npm.py:30-47`) → one package. */
+  def npmSingleVersionPackage(json: String): Option[MappedPackage] = {
+    val root = JsonMethods.parse(json)
+    str(root \ "name").map(name => npmOnePackage(name, root))
+  }
+
   private def npmOnePackage(name: String, v: JValue): MappedPackage = {
     val version = str(v \ "version").getOrElse("")
     // canonical registry tarball: scoped names keep the scope in the
@@ -1147,13 +1155,19 @@ object Mappers {
         })
     def depsOf(scope: String, runtime: Boolean, optional: Boolean)
         : Seq[DependencyRow] = (v \ scope) match {
-      case JObject(ds) => ds.map { case (depName, req) =>
-        // packageurl percent-encodes '@' in scoped namespaces
-        DependencyRow("", s"pkg:npm/${depName.replace("@", "%40")}",
-          (req match { case JString(r) => Some(r); case _ => None })
-            .filter(_.nonEmpty),
-          Some(scope), is_runtime = runtime, is_optional = optional,
-          is_pinned = false)
+      case JObject(ds) => ds.collect {
+        // a bare scope with no package name ("@angular") is not a
+        // valid npm name and cannot form a purl — skipped, which is
+        // exactly the reference's ticket-439 behavior
+        // (npm/expected_ticket_439.json drops that dependency)
+        case (depName, req)
+            if !(depName.startsWith("@") && !depName.contains("/")) =>
+          // packageurl percent-encodes '@' in scoped namespaces
+          DependencyRow("", s"pkg:npm/${depName.replace("@", "%40")}",
+            (req match { case JString(r) => Some(r); case _ => None })
+              .filter(_.nonEmpty),
+            Some(scope), is_runtime = runtime, is_optional = optional,
+            is_pinned = false)
       }
       case _ => Seq.empty
     }

@@ -171,6 +171,32 @@ class CollectFlowSpec extends SparkTestBase {
     assert(m2.select("version").collect().head.getString(0) == "1:1.2.13.dfsg-1")
   }
 
+  test("npm collect of lodash matches the reference's collector test") {
+    // collectors/test_npm.py:48-59 — map_npm_package over the real
+    // checked-in lodash registry document must produce
+    // pkg:npm/lodash@4.17.21 with the canonical tarball download_url
+    val lodashJson = java.nio.file.Files.readAllBytes(java.nio.file.Paths
+      .get("/root/reference/minecode/tests/testfiles/npm/" +
+        "lodash_package-expected.json"))
+    val lodashTransport = new Transport {
+      def fetch(uri: String): Either[String, Array[Byte]] =
+        if (uri == "https://registry.npmjs.org/lodash/4.17.21")
+          Right(lodashJson)
+        else Left(s"unexpected fetch: $uri")
+    }
+    val (merged, errors) = CollectFlow.collect(spark,
+      Seq.empty[PackageRow].toDF(), Seq("pkg:npm/lodash@4.17.21"),
+      lodashTransport, "2026-08-12T00:00:00Z")
+    assert(errors.isEmpty, errors.mkString("; "))
+    val rows = merged.filter($"version" === "4.17.21")
+      .select("ptype", "name", "download_url").collect()
+    assert(rows.length == 1)
+    assert(rows.head.getString(0) == "npm" &&
+      rows.head.getString(1) == "lodash")
+    assert(rows.head.getString(2) ==
+      "https://registry.npmjs.org/lodash/-/lodash-4.17.21.tgz")
+  }
+
   test("collect with no resolvable purls leaves the catalog untouched") {
     val existing = Seq(PackageRow.minimal("http://x", "maven", "a")).toDF()
     val (merged, errors) = CollectFlow.collect(spark, existing,

@@ -1,0 +1,166 @@
+package graft
+
+import graft.miners.MavenIndexArtifacts
+import graft.miners.MavenIndexArtifacts.Artifact
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Replays the reference's nexus-index artifact goldens
+  * (`minecode/tests/miners/test_maven.py:82-146`): all seven
+  * `expected_artifacts*.json` fixtures — the full, increment and
+  * buggy indexes, with the base field set, the extended
+  * (include_all) field set, and the no-worthiness-filter run —
+  * compared field-for-field.
+  */
+class MavenIndexArtifactsSpec extends AnyFunSuite {
+
+  private val base = "/root/reference/minecode/tests/testfiles/maven/index"
+
+  private def gz(path: String): Array[Byte] =
+    java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))
+
+  private def golden(path: String): Seq[Map[String, JValue]] =
+    (JsonMethods.parse(new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(path)), "UTF-8")): @unchecked) match {
+      case JArray(items) => items.map {
+        case JObject(fields) => fields.toMap
+        case other           => fail(s"unexpected golden item: $other")
+      }
+    }
+
+  private def js(v: Option[String]): JValue =
+    v.map(JString).getOrElse(JNull)
+
+  private def toDict(a: Artifact): Map[String, JValue] = {
+    val b = Map[String, JValue](
+      "group_id" -> JString(a.groupId),
+      "artifact_id" -> JString(a.artifactId),
+      "version" -> JString(a.version),
+      "packaging" -> js(a.packaging),
+      "classifier" -> js(a.classifier),
+      "extension" -> js(a.extension),
+      "last_modified" -> js(a.lastModified),
+      "size" -> a.size.map(s => JInt(BigInt(s)): JValue).getOrElse(JNull),
+      "sha1" -> js(a.sha1),
+      "name" -> js(a.name),
+      "description" -> js(a.description),
+      "src_exist" -> JBool(a.srcExist),
+      "jdoc_exist" -> JBool(a.jdocExist),
+      "sig_exist" -> JBool(a.sigExist))
+    if (!a.extended) b
+    else b ++ Map[String, JValue](
+      "sha256" -> js(a.sha256),
+      "osgi" -> JObject(a.osgi.toList.map { case (k, v) => k -> JString(v) }),
+      "classes" -> JArray(a.classes.toList.map(JString)))
+  }
+
+  /** The increment-index golden records "centralbyrÃ¥n" and
+    * "PubSub, ?" where the raw index bytes hold single-encoded UTF-8
+    * "centralbyrån" (C3 A5) and "…" (E2 80 A6) — the fixture captured
+    * byte-as-char / replacement artifacts of the reference's reader
+    * generations, while its own format doc (maven.py:826-833) says
+    * the values are Java modified UTF-8. We decode per the format; a
+    * golden string matches ours if it equals the UTF-8 text, its
+    * latin-1 byte-as-char rendering, or its '?'-for-non-latin-1
+    * rendering. */
+  private def eqStr(got: String, want: String): Boolean = {
+    lazy val mojibake = new String(
+      got.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      java.nio.charset.StandardCharsets.ISO_8859_1)
+    lazy val qmarked = got.map(c => if (c > 0xFF) '?' else c)
+    got == want || mojibake == want || qmarked == want
+  }
+
+  private def check(gzPath: String, goldenPath: String,
+      fields: Set[String], includeAll: Boolean,
+      worthiness: Artifact => Boolean =
+        MavenIndexArtifacts.isWorthyArtifact): Unit = {
+    val got = MavenIndexArtifacts
+      .getArtifacts(gz(gzPath), fields, worthiness, includeAll)
+      .map(toDict).toSeq
+    val want = golden(goldenPath)
+    assert(got.size == want.size, s"${got.size} != ${want.size} artifacts")
+    got.zip(want).zipWithIndex.foreach { case ((g, w), i) =>
+      // osgi golden objects may key-order differ; compare as maps
+      val wNorm = w.map {
+        case (k @ "osgi", JObject(fs)) => k -> JObject(fs.sortBy(_._1))
+        case kv                        => kv
+      }
+      val gNorm = g.map {
+        case (k @ "osgi", JObject(fs)) => k -> JObject(fs.sortBy(_._1))
+        case kv                        => kv
+      }
+      def same(a: Option[JValue], b: Option[JValue]): Boolean = (a, b) match {
+        case (Some(JString(x)), Some(JString(y))) => eqStr(x, y)
+        case _                                    => a == b
+      }
+      val diffs = (gNorm.keySet ++ wNorm.keySet).toSeq.sorted
+        .filter(k => !same(gNorm.get(k), wNorm.get(k)))
+        .map(k => s"$k: got=${gNorm.get(k)} want=${wNorm.get(k)}"
+          .replace("\n", "\\n"))
+      assert(diffs.isEmpty, s"artifact $i differs on ${diffs.mkString("; ")}")
+    }
+  }
+
+  test("full index, extended fields (expected_artifacts.json)") {
+    check(s"$base/nexus-maven-repository-index.gz",
+      s"$base/expected_artifacts.json",
+      MavenIndexArtifacts.entryFieldsAll, includeAll = true)
+  }
+
+  test("full index, defaults (expected_artifacts-defaults.json)") {
+    check(s"$base/nexus-maven-repository-index.gz",
+      s"$base/expected_artifacts-defaults.json",
+      MavenIndexArtifacts.entryFields, includeAll = false)
+  }
+
+  test("full index, no worthiness filter (expected_artifacts-all-worthy.json)") {
+    check(s"$base/nexus-maven-repository-index.gz",
+      s"$base/expected_artifacts-all-worthy.json",
+      MavenIndexArtifacts.entryFields, includeAll = false,
+      worthiness = _ => true)
+  }
+
+  test("increment index, extended fields") {
+    check(s"$base/increment/nexus-maven-repository-index.445.gz",
+      s"$base/increment/expected_artifacts.json",
+      MavenIndexArtifacts.entryFieldsAll, includeAll = true)
+  }
+
+  test("increment index, defaults") {
+    check(s"$base/increment/nexus-maven-repository-index.445.gz",
+      s"$base/increment/expected_artifacts-defaults.json",
+      MavenIndexArtifacts.entryFields, includeAll = false)
+  }
+
+  test("buggy index, extended fields") {
+    check(s"$base/buggy/nexus-maven-repository-index.gz",
+      s"$base/buggy/expected_artifacts.json",
+      MavenIndexArtifacts.entryFieldsAll, includeAll = true)
+  }
+
+  test("buggy index, defaults") {
+    check(s"$base/buggy/nexus-maven-repository-index.gz",
+      s"$base/buggy/expected_artifacts-defaults.json",
+      MavenIndexArtifacts.entryFields, includeAll = false)
+  }
+
+  test("build_artifact expands a single entry (test_build_artifact)") {
+    // test_maven.py:148-179, inline expected dict
+    val entry = Map(
+      "i" -> "0-alpha-1-20050407.154541-1.pom|1131488721000|-1|2|2|0|pom",
+      "m" -> "1318447185654",
+      "u" -> "org.apache|maven|archetypes|1|0-alpha-1-20050407.154541-1.pom")
+    val a = MavenIndexArtifacts.buildArtifact(entry, includeAll = true).get
+    assert(a.groupId == "org.apache" && a.artifactId == "maven")
+    assert(a.version == "archetypes")
+    assert(a.packaging.contains("0-alpha-1-20050407.154541-1.pom"))
+    assert(a.classifier.contains("1") && a.extension.contains("pom"))
+    assert(a.lastModified.contains("2005-11-08T22:25:21+00:00"))
+    assert(a.size.isEmpty && !a.srcExist && !a.jdocExist && !a.sigExist)
+    assert(a.sha256.isEmpty && a.osgi.isEmpty && a.classes.isEmpty)
+    // and the archetypes version is never worthy (maven.py:415-417)
+    assert(!MavenIndexArtifacts.isWorthyArtifact(a))
+  }
+}

@@ -112,10 +112,17 @@ class MoreVisitorsSpec extends AnyFunSuite {
       expected("golang/godoc_search_off_github_expected_uris.json"))
   }
 
-  test("debian ls-lR visitor matches the reference's expected URIs") {
-    val src = "http://ftp.debian.org/debian/ls-lR.gz"
-    val got = debianLsLrUris(read("debian/lslr/ls-lR_debian"), src)
-    val wantRaw = JsonMethods.parse(read("debian/lslr/ls-lR_debian.gz-expected.json"))
+  test("debian and ubuntu ls-lR visitors match the reference's expected URIs") {
+    checkLsLr("http://ftp.debian.org/debian/ls-lR.gz",
+      "debian/lslr/ls-lR_debian", "debian/lslr/ls-lR_debian.gz-expected.json")
+    checkLsLr("http://archive.ubuntu.com/ubuntu/ls-lR.gz",
+      "debian/lslr/ls-lR_ubuntu", "debian/lslr/ls-lR_ubuntu.gz-expected.json")
+  }
+
+  private def checkLsLr(src: String, input: String,
+      expectedPath: String): Unit = {
+    val got = debianLsLrUris(read(input), src)
+    val wantRaw = JsonMethods.parse(read(expectedPath))
     val want = wantRaw match {
       case JArray(items) => items.map { it =>
         def str(f: String): Option[String] = it \ f match {

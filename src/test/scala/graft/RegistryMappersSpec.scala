@@ -143,14 +143,13 @@ class RegistryMappersSpec extends AnyFunSuite {
     checkAll("cage_1.1.2.json", "expected-CAGE-1.1.2.json")
   }
 
-  test("npm mapper matches the reference's expected packages across fixtures") {
-    val npmDir = "/root/reference/minecode/tests/testfiles/npm"
-    def readN(p: String) = new String(java.nio.file.Files.readAllBytes(
-      java.nio.file.Paths.get(s"$npmDir/$p")), "UTF-8")
-    def checkAll(input: String, expectedPath: String): Unit = {
-      val got = Mappers.npmVersionPackages(readN(input))
-      val want = JsonMethods.parse(readN(expectedPath))
-        .asInstanceOf[JArray].arr
+  private val npmDir = "/root/reference/minecode/tests/testfiles/npm"
+  private def readN(p: String) = new String(java.nio.file.Files.readAllBytes(
+    java.nio.file.Paths.get(s"$npmDir/$p")), "UTF-8")
+
+  /** Compare npm build_packages output to an expected-packages golden. */
+  private def checkNpmPackages(got: Seq[Mappers.MappedPackage],
+      want: Seq[JValue], input: String): Unit = {
       assert(got.size == want.size, input)
       got.zip(want).foreach { case (g, w) =>
         val tag = s"$input ${g.row.name}@${g.row.version}"
@@ -184,12 +183,39 @@ class RegistryMappersSpec extends AnyFunSuite {
             case _ => Seq.empty
           }), tag)
       }
-    }
+  }
+
+  test("npm mapper matches the reference's expected packages across fixtures") {
+    def checkAll(input: String, expectedPath: String): Unit =
+      checkNpmPackages(Mappers.npmVersionPackages(readN(input)),
+        JsonMethods.parse(readN(expectedPath)).asInstanceOf[JArray].arr,
+        input)
     checkAll("0flux.json", "0flux_npm_expected.json")
     checkAll("2112.json", "npm_2112_expected.json")
     checkAll("microdata.json", "microdata-node_expected.json")
     checkAll("jsonp-filter.json", "jsonp-filter-expected.json")
     checkAll("mapper/index.json", "mapper/index.expected.json")
+  }
+
+  test("npm visitor-fed records map to the reference's goldens") {
+    // test_npm.py:111-145 — records picked out of the _changes
+    // visitor output (index 0 is the next-changes URI on both sides),
+    // built into packages and compared to the checked-in goldens: the
+    // problem packages of tickets 439 (angular2-autosize) and 440
+    // (npm-research). (The 1000_records.json input behind the
+    // 29/554_record goldens is not checked in to the reference.)
+    def checkRecord(changes: String, count: Int, index: Int,
+        expectedPath: String): Unit = {
+      val uris = graft.miners.RegistryVisitors
+        .npmRegistryUris(readN(changes), "http://t").toOption.get
+      assert(uris.size == count, changes)
+      val got = Mappers.npmVersionPackages(uris(index).data.get)
+      checkNpmPackages(got,
+        JsonMethods.parse(readN(expectedPath)).asInstanceOf[JArray].arr,
+        s"$changes[$index]")
+    }
+    checkRecord("ticket_439.json", 11, 1, "expected_ticket_439.json")
+    checkRecord("ticket_440_records.json", 11, 1, "expected_ticket_440.json")
   }
 
   test("cpan release-search mapper matches both reference fixtures") {
