@@ -181,6 +181,101 @@ object Mappers {
 
   // --------------------------------------------------------------- nuget
 
+  /** NuGet package-page HTML → one package per listed version
+    * (`minecode/miners/nuget.py:267-328`, golden
+    * `nuget/nuget_mapper_log4net_expected.json`): name from the h1
+    * text node, license from the outbound-license-url anchor text,
+    * copyright from the paragraph after the Copyright h2, description
+    * from the og:description meta, one version per anchor inside the
+    * no-border version-history tbodys, download at the v2 package
+    * endpoint, homepage = the page URI. */
+  def nugetHtmlPackages(html: String, uri: String): Seq[MappedPackage] = {
+    val H1Rx = "(?s)<h1[^>]*>\\s*([^<]*?)\\s*<".r
+    val LicRx =
+      "(?s)<a\\b[^>]*data-track=\"outbound-license-url\"[^>]*>\\s*([^<]*?)\\s*</a>".r
+    val CopyRx = "(?s)<h2>Copyright</h2>\\s*<p>([^<]*)</p>".r
+    val DescRx = "property=\"og:description\" content=\"([^\"]*)\"".r
+    val TbodyRx = "(?s)<tbody class=\"no-border[^\"]*\"[^>]*>(.*?)</tbody>".r
+    val VerRx = "(?s)<a [^>]*>\\s*([^<\\s][^<]*?)\\s*</a>".r
+
+    H1Rx.findFirstMatchIn(html).map(_.group(1)).filter(_.nonEmpty)
+      .toSeq.flatMap { name =>
+        val license = LicRx.findAllMatchIn(html).toSeq.lastOption
+          .map(_.group(1)).filter(_.nonEmpty)
+        val copyright = CopyRx.findFirstMatchIn(html).map(_.group(1).trim)
+        val description = DescRx.findFirstMatchIn(html)
+          .map(m => decodeEntities(m.group(1)))
+        TbodyRx.findAllMatchIn(html).flatMap(tb =>
+          VerRx.findAllMatchIn(tb.group(1)).map(_.group(1))).toSeq
+          .map { version =>
+            MappedPackage(
+              PackageRow.minimal(
+                s"https://www.nuget.org/api/v2/package/$name/$version",
+                "nuget", name, Some(version))
+                .copy(
+                  description = description,
+                  homepage_url = Some(uri),
+                  declared_license_expression = license,
+                  copyright = copyright),
+              Seq.empty, vcsUrl = None)
+          }
+      }
+  }
+
+  /** Bower bower.json → one package
+    * (`minecode/miners/bower.py:105-198`, goldens
+    * `bower/expected_28msec_bower.json`,
+    * `expected_mapper_example1_bower.json`): a scalar `author` or
+    * "label: name" entries in `authors` become author parties, the
+    * repository type+url joins as the SPDX-style vcs URL, `licenses`
+    * serialize as the "- X\n" statement list. Bare dependency names
+    * are not valid purls and are dropped, exactly as the reference's
+    * goldens record empty dependency lists. */
+  def bowerPackages(json: String, uri: String): Seq[MappedPackage] = {
+    val root = JsonMethods.parse(json)
+    str(root \ "name").toSeq.map { name =>
+      val vcs = (str(root \ "repository" \ "type"),
+        str(root \ "repository" \ "url")) match {
+        case (Some(t), Some(u)) => Some(s"$t+$u")
+        case _                  => None
+      }
+      val licenseStmt = ((root \ "licenses") match {
+        case JArray(ls) => ls.flatMap(str)
+        case JString(l) => Seq(l)
+        case _          => Seq.empty
+      }) match {
+        case Seq()   => None
+        case entries => Some(entries.map(l => s"- $l\n").mkString)
+      }
+      val parties = str(root \ "author") match {
+        case Some(author) =>
+          Seq(PartyRow("", "person", Some("author"), Some(author), None, None))
+        case None => (root \ "authors") match {
+          case JArray(as) => as.flatMap(str).flatMap { a =>
+            a.split(":").toSeq match {
+              case parts if parts.size > 1 =>
+                Some(PartyRow("", "person", Some("author"),
+                  Some(parts(1).trim), None, None))
+              case _ => None
+            }
+          }
+          case _ => Seq.empty
+        }
+      }
+      val keywords = (root \ "keywords") match {
+        case JArray(ks) => ks.flatMap(str); case _ => Seq.empty
+      }
+      MappedPackage(
+        PackageRow.minimal("", "bower", name, str(root \ "version"))
+          .copy(
+            description = str(root \ "description"),
+            homepage_url = str(root \ "homepage"),
+            declared_license_expression = licenseStmt,
+            keywords = keywords),
+        parties, vcsUrl = vcs)
+    }
+  }
+
   /** NuGet catalog-entry JSON → one package
     * (`minecode/miners/nuget.py:183-225`): summary+description joined
     * (suppressed when identical), comma-split authors, tags as
@@ -1100,6 +1195,53 @@ object Mappers {
     }
   }
 
+  /** haxelib package.json → one package
+    * (`minecode/miners/haxe.py:106-111` via the haxelib handler,
+    * golden `haxe/project_package.json-expected`): contributors
+    * become contributor parties with lib.haxe.org profile URLs, the
+    * canonical download lives at `/p/<name>/<version>/download/`, and
+    * dependency versions are percent-encoded into pinned haxe purls.
+    * package.json-only fields (keywords, homepage, bugs, repository)
+    * are NOT mapped — the handler reads the haxelib field set. */
+  def haxePackages(json: String): Seq[MappedPackage] = {
+    val root = JsonMethods.parse(json)
+    str(root \ "name").toSeq.map { name =>
+      val version = str(root \ "version")
+      val downloadUrl = version match {
+        case Some(v) => s"https://lib.haxe.org/p/$name/$v/download/"
+        case None    => s"https://lib.haxe.org/p/$name"
+      }
+      val parties = (root \ "contributors") match {
+        case JArray(cs) => cs.collect { case JString(c) =>
+          PartyRow(downloadUrl, "person", Some("contributor"), Some(c),
+            None, Some(s"https://lib.haxe.org/u/$c"))
+        }
+        case _ => Seq.empty
+      }
+      val deps = (root \ "dependencies") match {
+        case JObject(ds) => ds.map { case (depName, depVer) =>
+          val v = (depVer match {
+            case JString(s) => Some(s); case _ => None
+          }).filter(_.nonEmpty)
+          val encoded = v.map(s =>
+            java.net.URLEncoder.encode(s, "UTF-8").replace("+", "%20"))
+          DependencyRow("",
+            encoded.fold(s"pkg:haxe/$depName")(e => s"pkg:haxe/$depName@$e"),
+            None, None, is_runtime = true, is_optional = false,
+            is_pinned = v.isDefined)
+        }
+        case _ => Seq.empty
+      }
+      MappedPackage(
+        graft.catalog.PackageRow.minimal(downloadUrl, "haxe", name, version)
+          .copy(
+            primary_language = Some("Haxe"),
+            description = str(root \ "description"),
+            declared_license_expression = str(root \ "license")),
+        parties, vcsUrl = None, dependencies = deps)
+    }
+  }
+
   /** One-version npm registry document (the
     * `registry.npmjs.org/<name>/<version>` endpoint the reference's
     * collector fetches, `collectors/npm.py:30-47`) → one package. */
@@ -1198,6 +1340,105 @@ object Mappers {
 
   /** Legacy `{type, url}` license dict rendered as a YAML list item
     * (what the reference's saneyaml dump produces, empty url kept). */
+  /** Lift GemYaml's untyped parse into a JValue tree. */
+  private def anyToJValue(v: Any): JValue = v match {
+    case m: Map[_, _] => JObject(m.toList.map {
+      case (k, value) => k.toString -> anyToJValue(value)
+    })
+    case l: List[_]  => JArray(l.map(anyToJValue))
+    case s: String   => JString(s)
+    case i: Int      => JInt(i)
+    case i: Long     => JInt(i)
+    case b: Boolean  => JBool(b)
+    case null        => JNull
+    case other       => JString(other.toString)
+  }
+
+  /** CPAN META.yml / META.json → one package
+    * (`minecode/miners/cpan.py:325-393`, goldens
+    * `cpan/expected_yaml_cpanmapper.json`,
+    * `expected_json_cpanmapper.json`). Reference quirks kept:
+    * `uri.replace(".meta", ".tar.gz")` turns the test's `.metadata`
+    * suffix into `.tar.gzdata`, and only `git:`-prefixed
+    * `resources.repository` URLs become `git+` vcs URLs. */
+  def cpanMetaPackages(metadata: String, uri: String): Seq[MappedPackage] = {
+    val root: JValue =
+      try JsonMethods.parse(metadata)
+      catch {
+        case _: Exception =>
+          anyToJValue(graft.sources.GemYaml.parse(metadata))
+      }
+    str(root \ "name").toSeq.map { name =>
+      val licenses = (root \ "license") match {
+        case JArray(ls) => ls.flatMap(str)
+        case JString(l) => Seq(l)
+        case _          => Seq.empty
+      }
+      val vcs = str(root \ "resources" \ "repository")
+        .orElse(str(root \ "resources" \ "repository" \ "url"))
+        .filter(_.startsWith("git:")).map(u => s"git+$u")
+      val parties = (root \ "author") match {
+        case JArray(as) => as.flatMap(str).map { a =>
+          val (n, e) =
+            if (a.contains("<")) {
+              val Array(n0, e0) = a.split("<", 2)
+              (n0.reverse.dropWhile(_ == ' ').reverse,
+                e0.stripSuffix(">"))
+            } else (a, "")
+          PartyRow("", "person", Some("author"), Some(n), Some(e), None)
+        }
+        case _ => Seq.empty
+      }
+      MappedPackage(
+        PackageRow.minimal(uri.replace(".meta", ".tar.gz"), "cpan", name,
+          str(root \ "version").orElse((root \ "version") match {
+            case JInt(n) => Some(n.toString); case _ => None
+          }))
+          .copy(
+            description = str(root \ "abstract").orElse(Some(name)),
+            declared_license_expression =
+              if (licenses.isEmpty) None
+              else Some(licenses.map(l => s"- $l\n").mkString),
+            keywords = (root \ "keywords") match {
+              case JArray(ks) => ks.flatMap(str); case _ => Seq.empty
+            }),
+        parties, vcsUrl = vcs)
+    }
+  }
+
+  /** CPAN readme sections → one package
+    * (`minecode/miners/cpan.py:427-478`, goldens
+    * `cpan/expected_json_readmefile_cpanmapper{,2}.json`). Reference
+    * quirks kept: the whole NAME section is the package name, the
+    * AUTHOR section is iterated character-by-character so each `<`
+    * yields one empty-name/empty-email party, and a DEVELOPMENT
+    * section's `<git url>` becomes the vcs URL. */
+  def cpanReadmePackages(sections: Seq[(String, String)], uri: String)
+      : Seq[MappedPackage] = {
+    val content = sections.toMap
+    content.get("NAME").filter(_.nonEmpty).toSeq.map { name =>
+      val vcs = content.get("DEVELOPMENT").flatMap { repo =>
+        val lt = repo.indexOf('<')
+        val gt = repo.indexOf('>')
+        if (lt >= 0 && gt > lt && repo.contains("git:"))
+          Some("git+" + repo.substring(lt + 1, gt))
+        else None
+      }
+      val parties = content.getOrElse("AUTHOR", "").toSeq
+        .filter(_ == '<')
+        .map(_ => PartyRow("", "person", Some("author"), Some(""),
+          Some(""), None))
+      MappedPackage(
+        PackageRow.minimal(uri.replace(".meta", ".tar.gz"), "cpan", name,
+          content.get("VERSION"))
+          .copy(
+            description = content.get("ABSTRACT").orElse(Some(name)),
+            copyright = content.get("COPYRIGHT and LICENSE"),
+            keywords = content.get("KEYWORDS").toSeq),
+        parties, vcsUrl = vcs)
+    }
+  }
+
   private def licenseDictYaml(o: JObject): String = {
     val t = str(o \ "type").getOrElse("")
     val u = str(o \ "url").getOrElse("")

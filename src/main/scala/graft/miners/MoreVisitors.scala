@@ -143,6 +143,107 @@ object MoreVisitors {
           packageUrl = Some(s"pkg:haxe/$project@$version"))
     }.toSeq
 
+  /** MetaCPAN author email search (`minecode/miners/cpan.py:63-85`,
+    * golden `cpan/expected_search_email_a.json`): one release-search
+    * URI per author `_id` hit. */
+  def cpanAuthorSearchUris(json: String, sourceUri: String): Seq[VisitedUri] =
+    (JsonMethods.parse(json) \ "hits" \ "hits") match {
+      case JArray(hits) => hits.flatMap { h =>
+        (h \ "_id") match {
+          case JString(id) if id.nonEmpty => Some(VisitedUri(
+            uri = "https://fastapi.metacpan.org/release/_search" +
+              s"?q=author:$id&size=5000",
+            sourceUri = sourceUri))
+          case _ => None
+        }
+      }
+      case _ => Seq.empty
+    }
+
+  /** CPAN modules index page (`cpan.py:100-124`, golden
+    * `cpan/expected_html_modules.json`): every `../authors` link that
+    * is not an archive, re-rooted at www.cpan.org. */
+  def cpanModulesIndexUris(html: String, sourceUri: String): Seq[VisitedUri] =
+    HrefRx.findAllMatchIn(html).map(_.group(1)).collect {
+      case url if url.startsWith("../authors") &&
+          !url.endsWith(".zip") && !url.endsWith(".tar.gz") =>
+        VisitedUri(uri = s"http://www.cpan.org/${url.drop(3)}",
+          sourceUri = sourceUri)
+    }.toSeq
+
+  /** CPAN author directory page (`cpan.py:128-164`, golden
+    * `cpan/expected_html_files.json`): one URI per listed file with a
+    * purl from the name-version split. The reference strips the
+    * literal "tar.gz" (not ".tar.gz"), so archive purls keep a
+    * trailing dot in the version — the golden records
+    * `pkg:cpan/AWS-Signature4@1.00.` and this reproduces it. */
+  def cpanAuthorDirUris(html: String, sourceUri: String): Seq[VisitedUri] = {
+    val base = if (sourceUri.endsWith("/")) sourceUri else sourceUri + "/"
+    HrefRx.findAllMatchIn(html).map(_.group(1)).collect {
+      case url if url.nonEmpty && !url.startsWith("/") && !url.startsWith("?") =>
+        val name0 = url.replace("tar.gz", "")
+          .replace(".readme", "").replace(".meta", "")
+        val idx = name0.lastIndexOf('-')
+        val (name, version) =
+          if (idx < 0) ("", name0) else (name0.take(idx), name0.drop(idx + 1))
+        val purl =
+          if (name.nonEmpty && version.nonEmpty)
+            Some(s"pkg:cpan/$name@$version")
+          else None
+        VisitedUri(uri = base + url, sourceUri = sourceUri,
+          packageUrl = purl)
+    }.toSeq
+  }
+
+  /** CPAN readme → JSON (`cpan.py:179-200`, golden
+    * `cpan/expected_readme.json`): ALL-CAPS lines open sections,
+    * stripped body lines join under the previous header. The
+    * reference only flushes a section when the NEXT header appears,
+    * so the final section is dropped — reproduced as-is. */
+  def cpanReadmeSections(readme: String): Seq[(String, String)] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var head: Option[String] = None
+    var body = List.newBuilder[String]
+    readme.linesIterator.foreach { line =>
+      val isUpper = line.exists(_.isLetter) &&
+        line.forall(c => !c.isLetter || c.isUpper)
+      if (line.length > 1 && isUpper && !line.startsWith(" ")) {
+        head.foreach { h =>
+          out += h -> body.result().mkString("\n")
+            .dropWhile(_ == '\n').reverse.dropWhile(_ == '\n').reverse
+        }
+        head = Some(line)
+        body = List.newBuilder[String]
+      } else body += line.trim
+    }
+    out.toSeq
+  }
+
+  /** RubyGems specs index (`minecode/miners/rubygems.py:56-86`,
+    * golden `rubygems/index/latest_specs.4.8.gz.expected.json`): for
+    * each `[name, version, platform]` Marshal triple, the versions
+    * API URI, then the .gem download URI (platform suffixed unless
+    * "ruby"). */
+  def rubyGemsIndexUris(specsGzBytes: Array[Byte], sourceUri: String)
+      : Iterator[VisitedUri] =
+    graft.sources.RubyMarshal
+      .gemSpecs(graft.sources.GzipTolerant.readAll(specsGzBytes))
+      .flatMap { case (name, version, platform) =>
+        val download =
+          if (platform != "ruby")
+            s"https://rubygems.org/downloads/$name-$version-$platform.gem"
+          else s"https://rubygems.org/downloads/$name-$version.gem"
+        Iterator(
+          VisitedUri(
+            uri = s"https://rubygems.org/api/v1/versions/$name.json",
+            sourceUri = sourceUri,
+            packageUrl = Some(s"pkg:gem/$name")),
+          VisitedUri(
+            uri = download,
+            sourceUri = sourceUri,
+            packageUrl = Some(s"pkg:gem/$name@$version")))
+      }
+
   /** NuGet search query root (`minecode/miners/nuget.py:44-56`):
     * `totalHits` paginates into skip=0,20,40,… query URIs. */
   def nugetQueryUris(json: String, sourceUri: String): Seq[VisitedUri] = {
@@ -152,6 +253,32 @@ object MoreVisitors {
     (0L until total by 20L).map(count =>
       VisitedUri(uri = s"https://api-v2v3search-0.nuget.org/query?skip=$count",
         sourceUri = sourceUri)).toSeq
+  }
+
+  /** NuGet packages HTML listing (`minecode/miners/nuget.py:131-152`,
+    * golden `nuget/packages.html.expected.json`): one package-page
+    * URI per `package-title` anchor, then the next ?page= URI when
+    * the page listed any package. */
+  def nugetHtmlPageUris(html: String, sourceUri: String): Seq[VisitedUri] = {
+    val ARx =
+      "(?s)<a\\b[^>]*class=\"[^\"]*package-title[^\"]*\"[^>]*href=\"([^\"]*)\"|<a\\b[^>]*href=\"([^\"]*)\"[^>]*class=\"[^\"]*package-title[^\"]*\"".r
+    val names = ARx.findAllMatchIn(html).toSeq
+      .map(m => Option(m.group(1)).getOrElse(m.group(2)))
+      .map(_.stripPrefix("/").stripSuffix("/"))
+      .map(h => h.split("/", 2).toSeq match {
+        case Seq(_, name) => name; case _ => ""
+      })
+      .filter(_.nonEmpty)
+    val pages = names.map(name => VisitedUri(
+      uri = s"https://www.nuget.org/packages/$name", sourceUri = sourceUri))
+    if (pages.isEmpty) pages
+    else {
+      val pageId = sourceUri
+        .replace("https://www.nuget.org/packages?page=", "").stripSuffix("/")
+      pages :+ VisitedUri(
+        uri = s"https://www.nuget.org/packages?page=${pageId.toInt + 1}",
+        sourceUri = sourceUri)
+    }
   }
 
   /** NuGet search results page (`minecode/miners/nuget.py:59-88`):

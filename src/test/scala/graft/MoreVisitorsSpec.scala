@@ -202,6 +202,53 @@ class MoreVisitorsSpec extends AnyFunSuite {
       nugetDownloadUris(read("nuget/entityframework.json"),
         "https://api.nuget.org/v3/registration1/entityframework/6.1.3.json"),
       expected("nuget/nuget_downlloadvisitor_json_expected"))
+    check(
+      nugetHtmlPageUris(read("nuget/packages.html"),
+        "https://www.nuget.org/packages?page=1"),
+      expected("nuget/packages.html.expected.json"))
+  }
+
+  test("cpan visitors match the reference's expected URIs") {
+    // miners/test_cpan.py:25-59
+    check(
+      cpanAuthorSearchUris(read("cpan/search_email_a.json"),
+        "https://fastapi.metacpan.org/author/_search?q=email:a*&size=5000"),
+      expected("cpan/expected_search_email_a.json"))
+    check(
+      cpanModulesIndexUris(
+        read("cpan/Modules on CPAN alphabetically.html"),
+        "http://www.cpan.org/modules/01modules.index.html"),
+      expected("cpan/expected_html_modules.json"))
+    check(
+      cpanAuthorDirUris(read("cpan/Index_of_authors_id_L_LD_LDS.html"),
+        "http://www.cpan.org/authors/id/L/LD/LDS/"),
+      expected("cpan/expected_html_files.json"))
+  }
+
+  test("cpan readme parser matches the reference's expected sections") {
+    // miners/test_cpan.py:61-71 vs cpan/expected_readme.json
+    val got = cpanReadmeSections(
+      read("cpan/Mojolicious-Plugin-Nour-Config-0.09.readme"))
+    val want = (JsonMethods.parse(read("cpan/expected_readme.json"))
+      : @unchecked) match {
+      case JObject(fields) => fields.map {
+        case (k, JString(v)) => k -> v
+        case (k, other)      => k -> other.toString
+      }
+    }
+    assert(got == want)
+  }
+
+  test("rubygems specs-index visitor matches the first 1000 expected URIs") {
+    // miners/test_rubygems.py:58-67 — the golden records uris[0:1000]
+    // of the >260k produced from the Marshal 4.8 specs index
+    val gz = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(
+      s"$fixtures/rubygems/index/latest_specs.4.8.gz"))
+    val got = rubyGemsIndexUris(gz, "http://rubygems.org/specs.4.8.gz")
+      .take(1000).toSeq
+    val want = expected("rubygems/index/latest_specs.4.8.gz.expected.json")
+    assert(want.size == 1000)
+    check(got, want)
   }
 
   test("gitlab projects visitor matches the reference's expected URIs") {
