@@ -246,4 +246,123 @@ object DistroVisitors {
     }
     next ++ downloads
   }
+
+  // ------------------------------------------------------------ dockerhub
+
+  /** Two-character search query conditions
+    * (`minecode/miners/dockerhub.py:26-45`, golden
+    * `dockerhub/conditions_expected`): the hub search API needs at
+    * least two characters, so seed every aa..99 pair. */
+  def dockerhubSearchConditions: Seq[String] = {
+    val chars = ('a' to 'z').map(_.toString) ++ (0 to 9).map(_.toString)
+    for (a <- chars; b <- chars) yield a + b
+  }
+
+  /** Seed URIs (`dockerhub.py:48-55`, golden
+    * `dockerhub/seeds_expected`). */
+  def dockerhubSeeds: Seq[String] =
+    "https://hub.docker.com/explore/?page=1" +:
+      dockerhubSearchConditions.map(c =>
+        s"https://index.docker.io/v1/search?q=$c&n=100&page=1")
+
+  /** Explore page (`dockerhub.py:58-98`, golden
+    * `dockerhub/visitor_explore_page1_expected`): each `/_/name`
+    * library link yields the HTML page and the v2 REST API URIs, and
+    * a legal page yields the next explore page. */
+  def dockerhubExplorePageUris(html: String, pageUri: String)
+      : Seq[VisitedUri] = {
+    val AnyHrefRx = """<a\b[^>]*href="([^"]+)"""".r
+    val projects = AnyHrefRx.findAllMatchIn(html).map(m => dec(m.group(1)))
+      .filter(_.startsWith("/_/")).toSeq
+    val uris = projects.flatMap { href =>
+      val project = href.drop(1) // "_/elixir/"
+      val name = project.replace("_/", "library/").stripSuffix("/")
+      val purl = Some(s"pkg:docker/$name")
+      val leaf = href.split("/_/", 2).last
+      Seq(
+        VisitedUri(uri = s"https://hub.docker.com/$project",
+          sourceUri = pageUri, packageUrl = purl),
+        VisitedUri(
+          uri = s"https://registry.hub.docker.com/v2/repositories/library/$leaf",
+          sourceUri = pageUri, packageUrl = purl))
+    }
+    if (uris.isEmpty) uris
+    else {
+      val page = pageUri.split("=").last
+      uris :+ VisitedUri(
+        uri = s"https://hub.docker.com/explore/?page=${page.toInt + 1}",
+        sourceUri = pageUri)
+    }
+  }
+
+  /** Search API page (`dockerhub.py:135-160`, golden
+    * `dockerhub/visitor_search_expected`): the next search page while
+    * pages remain, then one v2 repository URI per result. */
+  def dockerhubSearchUris(json: String, pageUri: String): Seq[VisitedUri] = {
+    val root = JsonMethods.parse(json)
+    def int(v: JValue): Option[Int] = v match {
+      case JInt(n) => Some(n.toInt); case JString(s) => s.toIntOption
+      case _ => None
+    }
+    val next = (int(root \ "page"), int(root \ "num_pages")) match {
+      case (Some(p), Some(n)) if p < n =>
+        Seq(VisitedUri(
+          uri = pageUri.substring(0, pageUri.lastIndexOf('=') + 1) + (p + 1),
+          sourceUri = pageUri))
+      case _ => Seq.empty
+    }
+    val repos = (root \ "results") match {
+      case JArray(rs) => rs.flatMap { r =>
+        (r \ "name") match {
+          case JString(name) if name.nonEmpty => Some(VisitedUri(
+            uri = s"https://hub.docker.com/v2/repositories/$name",
+            sourceUri = pageUri,
+            packageUrl = Some(s"pkg:docker/$name")))
+          case _ => None
+        }
+      }
+      case _ => Seq.empty
+    }
+    next ++ repos
+  }
+
+  /** Project page metadata (`dockerhub.py:101-124`, golden
+    * `dockerhub/visitor_library_elixir_expected`): the short
+    * description from the card after the "Short Description" header,
+    * and the license text as the concatenation of the text nodes and
+    * tag-free paragraphs following the License h1 — whitespace
+    * between paragraphs included, link-bearing paragraphs skipped,
+    * exactly like the reference's sibling walk. */
+  def dockerhubProjectMeta(html: String): Map[String, String] = {
+    val out = Map.newBuilder[String, String]
+    val sdIdx = html.indexOf(">Short Description<")
+    if (sdIdx >= 0) {
+      val SpanRx = "(?s)<span[^>]*>([^<]*)</span>".r
+      // the card block after the header, up to the next card: spans
+      // in order, last one wins (the reference's sibling-span loop)
+      val cardEnd = html.indexOf("Card__card", sdIdx)
+      val block = html.substring(sdIdx,
+        if (cardEnd < 0) math.min(html.length, sdIdx + 4000) else cardEnd)
+      SpanRx.findAllMatchIn(block).map(_.group(1)).toSeq.lastOption
+        .filter(_.nonEmpty).foreach(s => out += "summary" -> dec(s))
+    }
+    val licIdx = html.indexOf("<h1>License</h1>")
+    if (licIdx >= 0) {
+      val start = licIdx + "<h1>License</h1>".length
+      val end = html.indexOf("</div>", start)
+      val segment = html.substring(start, if (end < 0) html.length else end)
+      val PRx = "(?s)<p>(.*?)</p>".r
+      val sb = new StringBuilder
+      var pos = 0
+      PRx.findAllMatchIn(segment).foreach { m =>
+        sb.append(segment.substring(pos, m.start))
+        val inner = m.group(1)
+        if (!inner.contains('<')) sb.append(dec(inner))
+        pos = m.end
+      }
+      sb.append(segment.substring(pos))
+      if (sb.nonEmpty) out += "license_text" -> sb.toString
+    }
+    out.result()
+  }
 }

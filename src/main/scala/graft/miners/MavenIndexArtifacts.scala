@@ -148,4 +148,93 @@ object MavenIndexArtifacts {
     NexusIndexReader.readGzippedEntries(gzBytes, fields)
       .flatMap(buildArtifact(_, includeAll))
       .filter(worthiness)
+
+  /** `build_url_and_filename` (maven.py:540-566): the canonical repo1
+    * download URL + file name for an artifact's coordinates. */
+  def buildUrlAndFilename(groupId: String, artifactId: String,
+      version: String, extension: String, classifier: Option[String],
+      baseRepoUrl: String = "https://repo1.maven.org/maven2")
+      : (String, String) = {
+    val fileName =
+      s"$artifactId-$version${classifier.fold("")("-" + _)}.$extension"
+    val gPath = groupId.replace('.', '/')
+    (s"$baseRepoUrl/$gPath/$artifactId/$version/$fileName", fileName)
+  }
+
+  /** `build_maven_xml_url` (maven.py:568-576). */
+  def buildMavenXmlUrl(groupId: String, artifactId: String): String = {
+    val gPath = groupId.replace('.', '/')
+    s"https://repo1.maven.org/maven2/$gPath/$artifactId/maven-metadata.xml"
+  }
+
+  /** purl qualifiers for an index artifact (maven.py:172-180): a
+    * non-jar extension becomes `type`, a classifier stays
+    * `classifier`; rendered sorted like normalize_qualifiers. */
+  def purlQualifiers(a: Artifact): Option[String] = {
+    val quals =
+      a.extension.filter(_ != "jar").map("type" -> _).toSeq ++
+        a.classifier.map("classifier" -> _).toSeq
+    if (quals.isEmpty) None
+    else Some(quals.sortBy(_._1).map { case (k, v) => s"$k=$v" }
+      .mkString("&"))
+  }
+
+  /** `get_mini_package` (maven.py:989-1032): the minimal catalog row
+    * an index artifact carries — coordinates, description, download
+    * URL, release date, size, sha1. */
+  def miniPackageWithUrl(a: Artifact, downloadUrl: String)
+      : graft.catalog.PackageRow =
+    graft.catalog.PackageRow.minimal(downloadUrl, "maven",
+      a.artifactId, Some(a.version))
+      .copy(
+        namespace = Some(a.groupId),
+        qualifiers = purlQualifiers(a),
+        description = a.description,
+        size = a.size,
+        sha1 = a.sha1,
+        release_date = a.lastModified.flatMap(lm =>
+          scala.util.Try(java.sql.Timestamp.valueOf(
+            lm.take(10) + " 00:00:00")).toOption))
+
+  def miniPackage(a: Artifact): Option[graft.catalog.PackageRow] =
+    a.extension.map { ext =>
+      val (downloadUrl, _) = buildUrlAndFilename(
+        a.groupId, a.artifactId, a.version, ext, a.classifier)
+      miniPackageWithUrl(a, downloadUrl)
+    }
+
+  /** An index artifact round-tripped through the frontier's
+    * `maven-index://` URI data payload (maven.py:989-1005: the
+    * serialized artifact dict plus its `download_url`). */
+  def miniPackageFromIndexData(json: String)
+      : Option[graft.catalog.PackageRow] = {
+    import org.json4s._
+    val root = org.json4s.jackson.JsonMethods.parse(json)
+    def s(f: String): Option[String] = root \ f match {
+      case JString(v) => Some(v); case _ => None
+    }
+    for {
+      g <- s("group_id"); a <- s("artifact_id"); v <- s("version")
+      url <- s("download_url")
+    } yield miniPackageWithUrl(
+      Artifact(g, a, v, s("packaging"), s("classifier"), s("extension"),
+        s("last_modified"),
+        root \ "size" match { case JInt(n) => Some(n.toLong); case _ => None },
+        s("sha1"), s("name"), s("description"),
+        (root \ "src_exist") == JBool(true),
+        (root \ "jdoc_exist") == JBool(true),
+        (root \ "sig_exist") == JBool(true)),
+      url)
+  }
+
+  /** The index visit+map flow end-to-end
+    * (`test_MavenNexusIndexVisitor_with_run_visit_then_map_end2end`,
+    * golden `maven/end2end/expected_mapped_packages.json`): worthy
+    * artifacts with full coordinates become mini packages. */
+  def indexPackages(gzBytes: Array[Byte])
+      : Iterator[graft.catalog.PackageRow] =
+    getArtifacts(gzBytes)
+      .filter(a => a.groupId.nonEmpty && a.artifactId.nonEmpty &&
+        a.version.nonEmpty && a.extension.nonEmpty)
+      .flatMap(miniPackage)
 }

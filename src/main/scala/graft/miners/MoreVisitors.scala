@@ -505,6 +505,65 @@ object MoreVisitors {
   /** Eclipse Git repository index (`minecode/miners/eclipse.py:55-70`):
     * each `td.sublevel-repo` link is one repository URI with a
     * `pkg:eclipse` purl named after the repo. */
+  /** Maven/jcenter HTML directory page
+    * (`minecode/miners/maven.py:257-283`, goldens
+    * `maven/html/visitor_expected_*.json`): every `<pre>` anchor
+    * appended to the page URI; a leading `:` is a bintray special
+    * char and is stripped; files (non-`/` suffix) carry file_name. */
+  def mavenHtmlPageUris(html: String, pageUri: String): Seq[VisitedUri] = {
+    val PreRx = "(?s)<pre[^>]*>(.*?)</pre>".r
+    val ARx = """<a\b[^>]*href="([^"]*)"""".r
+    PreRx.findAllMatchIn(html).flatMap(pre =>
+      ARx.findAllMatchIn(pre.group(1)).map(_.group(1))).collect {
+      case href if href.nonEmpty =>
+        val url = if (href.startsWith(":")) href.drop(1) else href
+        VisitedUri(uri = pageUri + url, sourceUri = pageUri,
+          fileName = if (url.endsWith("/")) None else Some(url))
+    }.toSeq
+  }
+
+  /** maven-metadata.xml (`minecode/miners/maven.py:288-345`, golden
+    * `maven/maven-metadata/expected_maven_xml.json`): per version,
+    * the pre-visited jar and sources-jar URIs and the to-visit POM
+    * URI. */
+  def mavenMetadataXmlUris(xml: String, pageUri: String): Seq[VisitedUri] = {
+    val TagRx = "(?s)<(groupId|artifactId|version)>\\s*([^<]*?)\\s*</\\1>".r
+    val tags = TagRx.findAllMatchIn(xml)
+      .map(m => m.group(1) -> m.group(2)).toSeq
+    val groupId = tags.collectFirst { case ("groupId", v) => v }
+    val artifactId = tags.collectFirst { case ("artifactId", v) => v }
+    (groupId, artifactId) match {
+      case (Some(g), Some(a)) =>
+        val base = pageUri.split("maven-metadata\\.xml")(0)
+        tags.collect { case ("version", v) => v }.flatMap { v =>
+          val purl = Some(s"pkg:maven/$g/$a@$v")
+          Seq(
+            VisitedUri(uri = s"$base$v/$a-$v.jar", sourceUri = pageUri,
+              packageUrl = purl, visited = true),
+            VisitedUri(uri = s"$base$v/$a-$v-sources.jar",
+              sourceUri = pageUri, packageUrl = purl, visited = true),
+            VisitedUri(uri = s"$base$v/$a-$v.pom", sourceUri = pageUri,
+              packageUrl = purl))
+        }
+      case _ => Seq.empty
+    }
+  }
+
+  /** Eclipse list-of-projects page (`minecode/miners/eclipse.py:32-45`,
+    * golden `eclipse/eclipse_projects_expected`): one URI per
+    * projects.eclipse.org project link. */
+  def eclipseProjectsListUris(html: String, sourceUri: String)
+      : Seq[VisitedUri] = {
+    val AnyHrefRx = """<a\b[^>]*href="([^"]+)"""".r
+    AnyHrefRx.findAllMatchIn(html).map(_.group(1)).collect {
+      case href if href.startsWith("https://projects.eclipse.org/projects/") =>
+        val project =
+          href.replace("https://projects.eclipse.org/projects/", "")
+        VisitedUri(uri = href, sourceUri = sourceUri,
+          packageUrl = Some(s"pkg:eclipse/$project"))
+    }.toSeq
+  }
+
   def eclipseGitRepoUris(html: String, sourceUri: String): Seq[VisitedUri] =
     SublevelRepoRx.findAllMatchIn(html).map { m =>
       VisitedUri(uri = m.group(1), sourceUri = sourceUri,

@@ -1,5 +1,6 @@
 package graft
 
+import graft.miners.DistroVisitors
 import graft.miners.DistroVisitors._
 import graft.miners.Mappers
 import graft.sources.EcosystemParsers
@@ -180,6 +181,29 @@ class DistroVisitorsSpec extends AnyFunSuite {
     assert(g.dependencies.map(_.purl) == ((w \ "dependencies") match {
       case JArray(ds) => ds.flatMap(d => jstr(d \ "purl")); case _ => Seq.empty
     }))
+
+    // wpa-cli mapper golden (miners/test_openwrt.py:93-102)
+    val wpaControl = EcosystemParsers.ipkControl(
+      bytes("openwrt/wpa-cli_0.5.7-1_mipsel.ipk"))
+      .getOrElse(fail("no control in wpa-cli ipk"))
+    val g2 = Mappers.openwrtIpkPackage(wpaControl,
+      "https://downloads.openwrt.org/chaos_calmer/15.05/adm5120/rb1xx/packages/base/wpa-cli_0.5.7-1_mipsel.ipk").get
+    val w2 = JsonMethods.parse(
+      read("openwrt/wpa-cli_0.5.7-1_mipsel.ipk_expected_mapper.json"))
+      .asInstanceOf[JArray].arr.head
+    assert(g2.row.name == jstr(w2 \ "name").get)
+    assert(g2.row.version == jstr(w2 \ "version"))
+    assert(g2.row.description == jstr(w2 \ "description"))
+    assert(g2.row.keywords == ((w2 \ "keywords") match {
+      case JArray(ks) => ks.flatMap(jstr); case _ => Seq.empty
+    }))
+    assert(g2.parties.map(p => (p.name, p.email)) == ((w2 \ "parties") match {
+      case JArray(ps) => ps.map(p => (jstr(p \ "name"), jstr(p \ "email")))
+      case _          => Seq.empty
+    }))
+    assert(g2.dependencies.map(_.purl) == ((w2 \ "dependencies") match {
+      case JArray(ds) => ds.flatMap(d => jstr(d \ "purl")); case _ => Seq.empty
+    }))
   }
 
   // ----------------------------------------------------------- gstreamer
@@ -331,5 +355,42 @@ class DistroVisitorsSpec extends AnyFunSuite {
     assert(g.dependencies.map(_.purl) == ((w \ "dependencies") match {
       case JArray(ds) => ds.flatMap(d => jstr(d \ "purl")); case _ => Seq.empty
     }))
+  }
+
+  test("dockerhub search conditions and seeds match the goldens") {
+    // miners/test_dockerhub.py:29-38
+    val wantConds = (JsonMethods.parse(read("dockerhub/conditions_expected"))
+      : @unchecked) match { case JArray(cs) => cs.flatMap(jstr) }
+    assert(DistroVisitors.dockerhubSearchConditions == wantConds)
+    val wantSeeds = (JsonMethods.parse(read("dockerhub/seeds_expected"))
+      : @unchecked) match { case JArray(ss) => ss.flatMap(jstr) }
+    assert(DistroVisitors.dockerhubSeeds == wantSeeds)
+  }
+
+  test("dockerhub explore-page visitor matches the expected URIs") {
+    check(
+      DistroVisitors.dockerhubExplorePageUris(
+        read("dockerhub/Explore_DockerHub_Page1.html"),
+        "https://hub.docker.com/explore/?page=1"),
+      expected("dockerhub/visitor_explore_page1_expected"))
+  }
+
+  test("dockerhub search-api visitor matches the expected URIs") {
+    check(
+      DistroVisitors.dockerhubSearchUris(read("dockerhub/search.json"),
+        "https://index.docker.io/v1/search?q=1a&n=100&page=2"),
+      expected("dockerhub/visitor_search_expected"))
+  }
+
+  test("dockerhub project-page metadata matches the elixir golden") {
+    val got = DistroVisitors.dockerhubProjectMeta(
+      read("dockerhub/library_elixir.html"))
+    val want = (JsonMethods.parse(
+      read("dockerhub/visitor_library_elixir_expected")): @unchecked) match {
+      case JObject(fields) => fields.collect {
+        case (k, JString(v)) => k -> v
+      }.toMap
+    }
+    assert(got == want)
   }
 }

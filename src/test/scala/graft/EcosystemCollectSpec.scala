@@ -319,6 +319,33 @@ class EcosystemCollectSpec extends AnyFunSuite {
     assert(r.download_url == str("download_url").get)
   }
 
+  test("docker collect matches the reference's expected-nginx2 mapping") {
+    // miners/test_dockerhub.py:97-111 — the purl version is a sha256
+    // digest instead of a tag name; selection is by image digest
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    val rows = rowsOf("pkg:docker/nginx@sha256:" +
+      "3d8957cb61d0223de2ab1aa2ec91d29796eb82a81cdcc1e968c090c29606d648")
+    assert(rows.size == 1)
+    val r = rows.head
+    val w = JsonMethods.parse(fixture("dockerhub/expected-nginx2.json")) match {
+      case JArray(items) => items.head
+      case other         => other
+    }
+    def str(f: String): Option[String] = w \ f match {
+      case JString(v) => Some(v); case _ => None
+    }
+    assert(r.name == str("name").get)
+    assert(r.version == str("version"))
+    assert(r.description == str("description"))
+    assert(r.sha256 == str("sha256"))
+    assert(r.homepage_url == str("homepage_url"))
+    assert(r.size == (w \ "size" match {
+      case JInt(n) => Some(n.toLong); case _ => None
+    }))
+    assert(r.download_url == str("download_url").get)
+  }
+
   test("huggingface collect yields one row per .bin weight file") {
     val rows = rowsOf("pkg:huggingface/google/bert@abc123")
     assert(rows.size == 1)

@@ -55,9 +55,20 @@ class MappersSpec extends AnyFunSuite {
   }
 
   test("github mapper matches the reference's expected grit packages") {
-    val got = Mappers.githubPackages(
-      read("github/mojombo_grit_from_visitor_4mapper_input.json"))
-    val want = arr("github/mojombo_grit_result_mapper_expected.json")
+    checkGithub("github/mojombo_grit_from_visitor_4mapper_input.json",
+      "github/mojombo_grit_result_mapper_expected.json")
+  }
+
+  test("github mapper matches the calendar_builder branch golden") {
+    // miners/test_github.py:142-151 — no tags/downloads, two branch
+    // archive packages with the owner party and the vcs tuple quirk
+    checkGithub("github/calendar_builder.json",
+      "github/mapper_calendar_builder_expected.json")
+  }
+
+  private def checkGithub(input: String, expectedPath: String): Unit = {
+    val got = Mappers.githubPackages(read(input))
+    val want = arr(expectedPath)
     assert(got.size == want.size)
     got.zip(want).foreach { case (g, w) =>
       assert(g.row.name == str(w \ "name").get)

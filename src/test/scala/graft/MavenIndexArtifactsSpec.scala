@@ -146,6 +146,70 @@ class MavenIndexArtifactsSpec extends AnyFunSuite {
       MavenIndexArtifacts.entryFields, includeAll = false)
   }
 
+  test("build_url_and_filename matches the five inline reference cases") {
+    // test_maven.py:181-250
+    import MavenIndexArtifacts.buildUrlAndFilename
+    assert(buildUrlAndFilename("de.alpharogroup", "address-book-domain",
+      "3.12.0", "jar", None) ==
+      (("https://repo1.maven.org/maven2/de/alpharogroup/address-book-domain/3.12.0/address-book-domain-3.12.0.jar",
+        "address-book-domain-3.12.0.jar")))
+    assert(buildUrlAndFilename("de.alpharogroup", "address-book-data",
+      "3.12.0", "pom", None)._1.endsWith("address-book-data-3.12.0.pom"))
+    assert(buildUrlAndFilename("de.alpharogroup", "address-book-rest-web",
+      "3.12.0", "war", None)._2 == "address-book-rest-web-3.12.0.war")
+    assert(buildUrlAndFilename("uk.com.robust-it", "cloning", "1.9.5",
+      "jar", Some("sources")) ==
+      (("https://repo1.maven.org/maven2/uk/com/robust-it/cloning/1.9.5/cloning-1.9.5-sources.jar",
+        "cloning-1.9.5-sources.jar")))
+    assert(buildUrlAndFilename("uk.com.robust-it", "cloning", "1.9.5",
+      "jar", Some("sources"), baseRepoUrl = "maven-index://") ==
+      (("maven-index:///uk/com/robust-it/cloning/1.9.5/cloning-1.9.5-sources.jar",
+        "cloning-1.9.5-sources.jar")))
+    assert(MavenIndexArtifacts.buildMavenXmlUrl("de.alpharogroup",
+      "address-book-domain") ==
+      "https://repo1.maven.org/maven2/de/alpharogroup/address-book-domain/maven-metadata.xml")
+  }
+
+  test("index visit+map end-to-end matches expected_mapped_packages") {
+    // test_maven.py:336-384 — 19 worthy artifacts → mini packages
+    // compared by download_url: the golden records DB insertion order,
+    // which interleaves differently from raw index order
+    val got = MavenIndexArtifacts
+      .indexPackages(gz(s"$base/nexus-maven-repository-index.gz")).toSeq
+      .sortBy(_.download_url)
+    val want = golden(
+      "/root/reference/minecode/tests/testfiles/maven/end2end/expected_mapped_packages.json")
+      .sortBy(w => w.get("download_url") match {
+        case Some(JString(s)) => s; case _ => ""
+      })
+    assert(got.size == 19 && want.size == 19)
+    def js(v: Option[String]): JValue = v.map(JString).getOrElse(JNull)
+    got.zip(want).foreach { case (g, w) =>
+      def wStr(f: String): JValue = w.getOrElse(f, JNull) match {
+        case JString(s) if s.nonEmpty => JString(s); case _ => JNull
+      }
+      assert(JString(g.name) == wStr("name"))
+      assert(js(g.namespace) == wStr("namespace"))
+      assert(js(g.version) == wStr("version"))
+      assert(js(g.description) == wStr("description"))
+      assert(JString(g.download_url) == wStr("download_url"))
+      assert(js(g.sha1) == wStr("sha1"))
+      assert(g.size.map(s => JInt(BigInt(s)): JValue).getOrElse(JNull) ==
+        w.getOrElse("size", JNull), s"size of ${g.name}")
+      assert(js(g.release_date.map(_.toString.take(10))) ==
+        (wStr("release_date") match {
+          case JString(s) => JString(s.take(10)); case other => other
+        }), s"release_date of ${g.name}")
+      val wantQuals = w.getOrElse("qualifiers", JNull) match {
+        case JObject(fs) => fs.collect { case (k, JString(v)) => s"$k=$v" }
+          .sorted.mkString("&")
+        case JString(s)  => s
+        case _           => ""
+      }
+      assert(g.qualifiers.getOrElse("") == wantQuals, s"qualifiers of ${g.name}")
+    }
+  }
+
   test("build_artifact expands a single entry (test_build_artifact)") {
     // test_maven.py:148-179, inline expected dict
     val entry = Map(

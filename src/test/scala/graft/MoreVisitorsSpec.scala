@@ -154,6 +154,10 @@ class MoreVisitorsSpec extends AnyFunSuite {
       sourceforgeSitemapPageUris(read("sourceforge/sitemap-1.xml"),
         "http://sourceforge.net/sitemap-1.xml"),
       expected("sourceforge/expected_sf_sitemap_page_new.json"))
+    check(
+      sourceforgeSitemapPageUris(read("sourceforge/sitemap-6.xml"),
+        "https://sourceforge.net/sitemap-6.xml"),
+      expected("sourceforge/expected_sitemap-6.json"))
   }
 
   test("apache find-ls dist index visitor matches the reference's expected URIs") {
@@ -304,6 +308,37 @@ class MoreVisitorsSpec extends AnyFunSuite {
       opensslIndexUris(read("openssl/Indexof_source.html"),
         "https://ftp.openssl.org/source/"),
       "openssl/expected_uri_openssl_sourceindex.json")
+  }
+
+  test("maven html-index visitor matches all three jcenter goldens") {
+    // miners/test_maven.py:551-585
+    check(
+      mavenHtmlPageUris(read("maven/html/jcenter.bintray.com.html"),
+        "http://jcenter.bintray.com/"),
+      expected("maven/html/visitor_expected_jcenter.bintray.com2.html.json"))
+    check(
+      mavenHtmlPageUris(read("maven/html/app.html"),
+        "http://jcenter.bintray.com/Action/app/"),
+      expected("maven/html/visitor_expected_app.html.json"))
+    check(
+      mavenHtmlPageUris(read("maven/html/stateframework-compiler.html"),
+        "http://jcenter.bintray.com/'com/virtualightning'/stateframework-compiler/"),
+      expected("maven/html/visitor_expected_stateframework-compiler.html.json"))
+  }
+
+  test("maven-metadata.xml visitor matches the reference's expected URIs") {
+    // miners/test_maven.py:538-549
+    check(
+      mavenMetadataXmlUris(read("maven/maven-metadata/maven-metadata.xml"),
+        "https://repo1.maven.org/maven2/st/digitru/identity-core/maven-metadata.xml"),
+      expected("maven/maven-metadata/expected_maven_xml.json"))
+  }
+
+  test("eclipse list-of-projects visitor matches the reference's expected URIs") {
+    check(
+      eclipseProjectsListUris(read("eclipse/projects.eclipse.org.html"),
+        "https://projects.eclipse.org/list-of-projects"),
+      expected("eclipse/eclipse_projects_expected"))
   }
 
   test("eclipse git repository visitor matches the reference's expected URIs") {

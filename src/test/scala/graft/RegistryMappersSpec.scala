@@ -141,6 +141,21 @@ class RegistryMappersSpec extends AnyFunSuite {
     checkAll("boolean.py-2.0.dev3.json", "expected-boolean.py-2.0.dev3.json")
     checkAll("cage_1.1.3.json", "expected-CAGE-1.1.3.json")
     checkAll("cage_1.1.2.json", "expected-CAGE-1.1.2.json")
+
+    // the map-stage golden (miners/test_pypi.py:190-199): the release
+    // JSON arrives as a ResourceURI `data` payload
+    val resUri = JsonMethods.parse(readP("map/3to2-1.1.1.json"))
+    val data = jstr(resUri \ "data").get
+    val got = Mappers.pypiPackages(data)
+    val want = JsonMethods.parse(readP("map/expected-3to2-1.1.1.json"))
+      .asInstanceOf[JArray].arr
+    assert(got.size == want.size)
+    got.zip(want).foreach { case (g, w) =>
+      assert(g.row.name == jstr(w \ "name").get)
+      assert(g.row.version == jstr(w \ "version"))
+      assert(g.row.download_url == jstr(w \ "download_url").getOrElse(""))
+      assert(g.row.md5 == jstr(w \ "md5"))
+    }
   }
 
   private val npmDir = "/root/reference/minecode/tests/testfiles/npm"
