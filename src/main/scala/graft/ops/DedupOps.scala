@@ -52,55 +52,61 @@ object DedupOps {
     * every pair above the threshold must be total, and any false
     * candidate must be filtered by the verify.
     */
+  /** The MinHash+LSH near-dup flow shared by `d_minhash_lsh` and
+    * `d_dedup_clusters`: 3-token shingles → 32-hash signature → 8×4
+    * band bucket equi-join → exact-Jaccard verify. Returns verified
+    * pairs (d1 < d2, n_common, jaccard ≥ 0.5). */
+  private def verifiedMinhashPairs(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    // 3-token shingles: single tokens are too coarse on small
+    // vocabularies (every doc resembles every other); shingling
+    // restores discrimination, as in standard MinHash practice.
+    val docs = t(s, dir, "documents")
+      .withColumn("w", words)
+      .withColumn("sh", array_distinct(expr(
+        """transform(sequence(1, greatest(size(w) - 2, 1)),
+             i -> array_join(slice(w, i, 3), ' '))""")))
+    val sigs = docs
+      .select(col("doc_id"), col("sh"), minhash_sig(col("sh"), 32).as("sig"))
+    val bands = sigs.select(col("doc_id"), col("sig"),
+        explode(expr(
+          """transform(sequence(0, 7),
+               b -> struct(b AS band_idx,
+                           hash(slice(sig, b*4 + 1, 4)) AS band_hash))"""))
+          .as("band"))
+      .select(col("doc_id"),
+        col("band.band_idx").as("band_idx"),
+        col("band.band_hash").as("band_hash"))
+    val a = bands.alias("a")
+    val b = bands.alias("b")
+    val cand = a.join(b,
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_hash") === col("b.band_hash") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .dropDuplicates("d1", "d2")
+    // exact verify: join candidate pairs back to their distinct
+    // shingle sets; Jaccard = |∩| / (|s1|+|s2|-|∩|)
+    val sets = docs.select(col("doc_id"), col("sh"),
+      size(col("sh")).as("n_sh"))
+    cand
+      .join(sets.select(col("doc_id").as("d1"), col("sh").as("sh1"),
+        col("n_sh").as("n1")), "d1")
+      .join(sets.select(col("doc_id").as("d2"), col("sh").as("sh2"),
+        col("n_sh").as("n2")), "d2")
+      .withColumn("n_common",
+        size(array_intersect(col("sh1"), col("sh2"))))
+      .withColumn("jaccard",
+        asDouble(col("n_common")) /
+          asDouble(col("n1") + col("n2") - col("n_common")))
+      .filter(col("jaccard") >= 0.5)
+      .select("d1", "d2", "n_common", "jaccard")
+  }
+
   val minhash = QueryDef(
     "d_minhash_lsh", "LLM-pipeline dedup: MinHash+LSH",
     "shingle→minhash(32)→band(8×4)→bucket-join→exact-Jaccard verify≥0.5",
-    (s, dir) => {
-      // 3-token shingles: single tokens are too coarse on small
-      // vocabularies (every doc resembles every other); shingling
-      // restores discrimination, as in standard MinHash practice.
-      val docs = t(s, dir, "documents")
-        .withColumn("w", words)
-        .withColumn("sh", array_distinct(expr(
-          """transform(sequence(1, greatest(size(w) - 2, 1)),
-               i -> array_join(slice(w, i, 3), ' '))""")))
-      val sigs = docs
-        .select(col("doc_id"), col("sh"), minhash_sig(col("sh"), 32).as("sig"))
-      val bands = sigs.select(col("doc_id"), col("sig"),
-          explode(expr(
-            """transform(sequence(0, 7),
-                 b -> struct(b AS band_idx,
-                             hash(slice(sig, b*4 + 1, 4)) AS band_hash))"""))
-            .as("band"))
-        .select(col("doc_id"),
-          col("band.band_idx").as("band_idx"),
-          col("band.band_hash").as("band_hash"))
-      val a = bands.alias("a")
-      val b = bands.alias("b")
-      val cand = a.join(b,
-          col("a.band_idx") === col("b.band_idx") &&
-            col("a.band_hash") === col("b.band_hash") &&
-            col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
-        .dropDuplicates("d1", "d2")
-      // exact verify: join candidate pairs back to their distinct
-      // shingle sets; Jaccard = |∩| / (|s1|+|s2|-|∩|)
-      val sets = docs.select(col("doc_id"), col("sh"),
-        size(col("sh")).as("n_sh"))
-      cand
-        .join(sets.select(col("doc_id").as("d1"), col("sh").as("sh1"),
-          col("n_sh").as("n1")), "d1")
-        .join(sets.select(col("doc_id").as("d2"), col("sh").as("sh2"),
-          col("n_sh").as("n2")), "d2")
-        .withColumn("n_common",
-          size(array_intersect(col("sh1"), col("sh2"))))
-        .withColumn("jaccard",
-          asDouble(col("n_common")) /
-            asDouble(col("n1") + col("n2") - col("n_common")))
-        .filter(col("jaccard") >= 0.5)
-        .select("d1", "d2", "n_common", "jaccard")
-        .orderBy("d1", "d2")
-    },
+    (s, dir) => verifiedMinhashPairs(s, dir).orderBy("d1", "d2"),
     Some("""WITH w AS (
         SELECT doc_id,
           list_filter(string_split(text, ' '), x -> x <> '') AS ws
@@ -305,5 +311,83 @@ object DedupOps {
       LEFT JOIN inter ON sa.doc_id = inter.doc_id
       ORDER BY d1"""))
 
-  val defs: Seq[QueryDef] = Seq(exact, minhash, simhash, ngram)
+  /** Connected-components dedup clustering: near-dup pairs become
+    * undirected edges; every document gets the minimum doc_id
+    * reachable in its component as its cluster id (singletons cluster
+    * with themselves). The canonical keeper of a cluster is the row
+    * where doc_id == cluster_id.
+    *
+    * Scale notes: min-label propagation — each round is one
+    * edges⋈labels shuffle join + a map-side-combined groupBy-min,
+    * converging in O(component diameter) rounds (near-dup components
+    * are shallow; a web-scale graph would swap in large-star/
+    * small-star to get O(log n) rounds with the same join shape).
+    * Labels are localCheckpointed each round so lineage stays flat,
+    * and the loop stops at the fixpoint, never on a guessed count.
+    */
+  val clusters = QueryDef(
+    "d_dedup_clusters", "LLM-pipeline dedup: connected components",
+    "LSH pair gen → exact-Jaccard edges → iterative min-label propagation",
+    (s, dir) => {
+      val pairs = verifiedMinhashPairs(s, dir).select("d1", "d2")
+        .localCheckpoint(true)
+      val edges = pairs.select(col("d1").as("u"), col("d2").as("v"))
+        .unionByName(pairs.select(col("d2").as("u"), col("d1").as("v")))
+      var labels = t(s, dir, "documents")
+        .select(col("doc_id"), col("doc_id").as("cluster_id"))
+        .localCheckpoint(true)
+      var changed = 1L
+      var rounds = 0
+      while (changed > 0 && rounds < 30) {
+        val nbr = edges
+          .join(labels.select(col("doc_id").as("v"), col("cluster_id")), "v")
+          .select(col("u").as("doc_id"), col("cluster_id"))
+        val next = labels.unionByName(nbr).groupBy("doc_id")
+          .agg(min("cluster_id").as("cluster_id"))
+          .localCheckpoint(true)
+        changed = next.alias("n")
+          .join(labels.alias("o"), Seq("doc_id"))
+          .filter(col("n.cluster_id") =!= col("o.cluster_id")).count()
+        labels = next
+        rounds += 1
+      }
+      labels.orderBy("doc_id")
+    },
+    Some("""WITH RECURSIVE w AS (
+        SELECT doc_id,
+          list_filter(string_split(text, ' '), x -> x <> '') AS ws
+        FROM documents),
+      sh AS (
+        SELECT doc_id,
+          list_distinct(list_transform(
+            range(1, greatest(len(ws) - 2, 1) + 1),
+            i -> array_to_string(ws[i:i+2], ' '))) AS shs
+        FROM w),
+      grams AS (SELECT doc_id, unnest(shs) AS g FROM sh),
+      sizes AS (SELECT doc_id, len(shs) AS n_sh FROM sh),
+      inter AS (
+        SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS n_common
+        FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+        GROUP BY 1, 2),
+      pairs AS (
+        SELECT i.d1, i.d2
+        FROM inter i
+        JOIN sizes s1 ON i.d1 = s1.doc_id
+        JOIN sizes s2 ON i.d2 = s2.doc_id
+        WHERE CAST(i.n_common AS DOUBLE) /
+            CAST(s1.n_sh + s2.n_sh - i.n_common AS DOUBLE) >= 0.5),
+      edges AS (
+        SELECT d1 AS u, d2 AS v FROM pairs
+        UNION SELECT d2, d1 FROM pairs),
+      walk(node, reach) AS (
+        SELECT u, v FROM edges
+        UNION
+        SELECT wk.node, e.v FROM walk wk JOIN edges e ON wk.reach = e.u)
+      SELECT d.doc_id,
+        LEAST(d.doc_id, COALESCE(MIN(wk.reach), d.doc_id)) AS cluster_id
+      FROM documents d LEFT JOIN walk wk ON wk.node = d.doc_id
+      GROUP BY d.doc_id
+      ORDER BY doc_id"""))
+
+  val defs: Seq[QueryDef] = Seq(exact, minhash, simhash, ngram, clusters)
 }

@@ -336,6 +336,129 @@ object TextOps {
         CAST(n_dup_chars AS DOUBLE) / CAST(n_chars AS DOUBLE) AS dup_char_frac
       FROM agg ORDER BY doc_id"""))
 
-  val defs: Seq[QueryDef] = Seq(tok, quality, langid, langidNgram, fingerprint,
+  /** HTML → text extraction (boilerplate strip): drop script/style
+    * blocks wholesale, strip the remaining tags, decode the common
+    * entities, collapse whitespace. Runs as a chain of codegen'd
+    * regexp_replace calls — no UDF in the hot path — over an
+    * html-wrapped rendering of the documents (the synthetic corpus
+    * ships plain text; the wrap gives the stripper something real to
+    * undo, and the oracle mirrors both sides). */
+  val htmlToText = QueryDef(
+    "t_html_to_text", "LLM-pipeline: HTML-to-text extraction",
+    "script/style removal → tag strip → entity decode → whitespace collapse",
+    (s, dir) => {
+      val html = concat(
+        lit("<html><head><title>d</title><style>p{color:red}</style></head>"),
+        lit("<body><h1>Doc &amp; more</h1><p class=\"x\">"), col("text"),
+        lit("</p><script>var x = 1 < 2;</script><br/></body></html>"))
+      // script and style stripped separately: the oracle's RE2 engine
+      // has no backreferences, so no `</\1>` on either side
+      val stripped =
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(html, "(?s)<script\\b[^>]*>.*?</script>", " "),
+            "(?s)<style\\b[^>]*>.*?</style>", " "),
+          "<[^>]+>", " ")
+      val decoded =
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(stripped, "&amp;", "&"),
+            "&lt;", "<"),
+          "&gt;", ">")
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          trim(regexp_replace(decoded, "\\s+", " ")).as("clean_text"))
+        .orderBy("doc_id")
+    },
+    Some("""SELECT doc_id,
+        trim(regexp_replace(
+          replace(replace(replace(
+            regexp_replace(
+              regexp_replace(
+                '<html><head><title>d</title><style>p{color:red}</style></head>'
+                  || '<body><h1>Doc &amp; more</h1><p class="x">' || text
+                  || '</p><script>var x = 1 < 2;</script><br/></body></html>',
+                '(?s)<script\b[^>]*>.*?</script>|(?s)<style\b[^>]*>.*?</style>',
+                ' ', 'g'),
+              '<[^>]+>', ' ', 'g'),
+            '&amp;', '&'), '&lt;', '<'), '&gt;', '>'),
+          '\s+', ' ', 'g')) AS clean_text
+      FROM documents ORDER BY doc_id"""))
+
+  /** PII scrubbing: emails and phone-shaped numbers are replaced with
+    * typed placeholder tokens. Vectorized regexp_replace, both
+    * patterns mirrored byte-for-byte in the oracle; the synthetic
+    * corpus carries no PII, so deterministic contact lines derived
+    * from doc_id are appended first — the scrub itself is the
+    * operator under test. */
+  val piiScrub = QueryDef(
+    "t_pii_scrub", "LLM-pipeline: PII scrubbing",
+    "email + phone redaction with placeholder tokens, counts per doc",
+    (s, dir) => {
+      val withPii = concat(col("text"),
+        lit(" contact user"), col("doc_id").cast("string"),
+        lit("@example.com or +1-555-010"), col("doc_id").cast("string"))
+      val emailRx = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      val phoneRx = "\\+?[0-9][0-9()\\-\\s]{6,}[0-9]"
+      t(s, dir, "documents")
+        .withColumn("pii_text", withPii)
+        .select(col("doc_id"),
+          regexp_replace(
+            regexp_replace(col("pii_text"), emailRx, "<EMAIL>"),
+            phoneRx, "<PHONE>").as("scrubbed"),
+          // occurrence count as split-segments − 1 (split keeps
+          // trailing empties at limit -1, so the count is exact) —
+          // avoids SQL-literal escaping of the pattern
+          (size(split(col("pii_text"), emailRx)) - 1).as("n_emails"),
+          (size(split(col("pii_text"), phoneRx)) - 1).as("n_phones"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH p AS (
+        SELECT doc_id,
+          text || ' contact user' || CAST(doc_id AS VARCHAR)
+            || '@example.com or +1-555-010' || CAST(doc_id AS VARCHAR)
+            AS pii_text
+        FROM documents)
+      SELECT doc_id,
+        regexp_replace(
+          regexp_replace(pii_text,
+            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+          '\+?[0-9][0-9()\-\s]{6,}[0-9]', '<PHONE>', 'g') AS scrubbed,
+        CAST(len(regexp_extract_all(pii_text,
+          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INTEGER)
+          AS n_emails,
+        CAST(len(regexp_extract_all(pii_text,
+          '\+?[0-9][0-9()\-\s]{6,}[0-9]')) AS INTEGER) AS n_phones
+      FROM p ORDER BY doc_id"""))
+
+  /** Deterministic stratified sampling: per-source keep rates applied
+    * via an md5-of-key threshold — reproducible across engines and
+    * runs (no RNG), shuffle-free (a pure filter on the scan), and the
+    * exact pattern that downsamples over-represented sources in a
+    * 100 TB corpus mix. */
+  val stratifiedSample = QueryDef(
+    "a_stratified_sample", "LLM-pipeline: deterministic stratified sampling",
+    "per-source md5-threshold keep rates, no RNG, filter-only plan",
+    (s, dir) => {
+      val bucket = substring(md5(concat(col("source"), lit(":"),
+        col("doc_id").cast("string"))), 1, 2)
+      val threshold = when(col("source") === "web", lit("20"))
+        .when(col("source") === "books", lit("80"))
+        .otherwise(lit("40"))
+      t(s, dir, "documents")
+        .filter(bucket < threshold)
+        .select(col("doc_id"), col("source"), bucket.as("bucket"))
+        .orderBy("doc_id")
+    },
+    Some("""SELECT doc_id, source,
+        substr(md5(source || ':' || CAST(doc_id AS VARCHAR)), 1, 2) AS bucket
+      FROM documents
+      WHERE substr(md5(source || ':' || CAST(doc_id AS VARCHAR)), 1, 2) <
+        CASE WHEN source = 'web' THEN '20'
+             WHEN source = 'books' THEN '80' ELSE '40' END
+      ORDER BY doc_id"""))
+
+  val defs: Seq[QueryDef] = Seq(htmlToText, piiScrub, stratifiedSample,
+    tok, quality, langid, langidNgram, fingerprint,
     repetition, dupSegments)
 }
