@@ -156,6 +156,164 @@ object MavenCrawl {
         .parse(t.replace(" Z ", " UTC "), NexusTs).toInstant)))
   }
 
+  /** `get_maven_release_dates` (`minecode/management/commands/
+    * get_maven_release_dates.py`): for maven packages missing a
+    * release_date whose download lives under repo1.maven.org, fetch
+    * the version-directory listing, read the artifact link's listing
+    * timestamp, and fill the date in.
+    *
+    * Scale notes: the reference fetches one page per PACKAGE; this
+    * fetches each distinct version directory once inside
+    * `mapPartitions` (executor-side transport, like CollectFlow) and
+    * joins the (download_url → timestamp) frame back — one shuffle on
+    * the page URL, one on download_url. */
+  def fillReleaseDates(packages: org.apache.spark.sql.DataFrame,
+      transport: Transport): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val spark = packages.sparkSession
+    import spark.implicits._
+
+    val target = packages.filter(
+      col("ptype") === "maven" && col("release_date").isNull &&
+        col("download_url").startsWith("https://repo1.maven.org/maven2"))
+    val pages = target
+      .select(expr("substring_index(download_url, '/', " +
+        "size(split(download_url, '/')) - 1)").as("page_url"))
+      .distinct()
+    val stamped = pages.as[String].mapPartitions { urls =>
+      urls.flatMap { pageUrl =>
+        transport.fetch(pageUrl).toOption.toSeq.flatMap { bytes =>
+          collectLinksFromText(new String(bytes, "UTF-8"),
+            filterForArtifacts)
+            .flatMap { case (link, ts) =>
+              parseListingTimestamp(ts).map(t => (s"$pageUrl/$link", t))
+            }
+        }
+      }
+    }.toDF("download_url", "listing_ts").dropDuplicates("download_url")
+    packages.join(stamped, Seq("download_url"), "left")
+      .withColumn("release_date",
+        when(col("ptype") === "maven" && col("release_date").isNull,
+          col("listing_ts")).otherwise(col("release_date")))
+      .drop("listing_ts")
+  }
+
+  /** `update_maven_package_data` (`minecode/management/commands/
+    * update_maven_package_data.py:200-363`) as one distributed diff
+    * between the catalog and the freshly-read index packages:
+    *
+    *   1. exact purl-coordinate match → download_url/release_date
+    *      refreshed from the index; coordinate-duplicates whose
+    *      download_url disagrees with the index are deleted;
+    *   2. otherwise a LOWERCASED-coordinate match → coordinates are
+    *      canonicalized to the index's casing and the same fields
+    *      refresh (same duplicate rule);
+    *   3. otherwise (with `createMissing`) the index package is
+    *      created unless its download_url already exists.
+    *
+    * Scale notes: two coordinate equi-joins + one anti-join, all
+    * hash-partitioned on the coordinate key — the reference's
+    * row-at-a-time loop with 2000-row flush becomes three shuffles
+    * regardless of index size.
+    */
+  final case class IndexSync(packages: org.apache.spark.sql.DataFrame,
+      deleted: org.apache.spark.sql.DataFrame)
+
+  def updateFromIndex(catalog: org.apache.spark.sql.DataFrame,
+      index: org.apache.spark.sql.DataFrame,
+      createMissing: Boolean): IndexSync = {
+    import org.apache.spark.sql.functions._
+    def key(df: org.apache.spark.sql.DataFrame, lower: Boolean) = {
+      def k(c: String) = {
+        val v = coalesce(col(c), lit(""))
+        if (lower) org.apache.spark.sql.functions.lower(v) else v
+      }
+      df.withColumn("k_ns", k("namespace")).withColumn("k_name", k("name"))
+        .withColumn("k_ver", k("version")).withColumn("k_q", k("qualifiers"))
+    }
+    val keyCols = Seq("k_ns", "k_name", "k_ver", "k_q")
+    val idxCols = Seq("namespace", "name", "version", "qualifiers",
+      "download_url", "release_date")
+    def idxSide(lower: Boolean) = key(index, lower).select(
+      (keyCols.map(col) :+ col("download_url").as("idx_url") :+
+        col("release_date").as("idx_date")) ++
+        (if (lower) Seq(col("namespace").as("idx_ns"),
+          col("name").as("idx_name"), col("version").as("idx_ver"),
+          col("qualifiers").as("idx_q"))
+        else Seq.empty): _*)
+
+    val cat = key(catalog.filter(col("ptype") === "maven"), lower = false)
+    val nonMaven = catalog.filter(col("ptype") =!= "maven")
+
+    // pass 1: exact coordinates
+    val j1 = cat.join(idxSide(lower = false), keyCols, "left")
+    val exactDeleted = j1.filter(col("idx_url").isNotNull &&
+      col("download_url") =!= col("idx_url"))
+    val exactKept = j1.filter(col("idx_url").isNull ||
+      col("download_url") === col("idx_url"))
+      .withColumn("release_date",
+        when(col("idx_url").isNotNull, coalesce(col("idx_date"),
+          col("release_date"))).otherwise(col("release_date")))
+      .withColumn("matched", col("idx_url").isNotNull)
+      .drop("idx_url", "idx_date")
+
+    // pass 2: lowercased coordinates, only for rows pass 1 missed
+    val cat2 = key(exactKept.filter(!col("matched")).drop("matched")
+      .drop(keyCols: _*), lower = true)
+    val j2 = cat2.join(idxSide(lower = true), keyCols, "left")
+    val lcDeleted = j2.filter(col("idx_url").isNotNull &&
+      col("download_url") =!= col("idx_url"))
+    val lcKept = j2.filter(col("idx_url").isNull ||
+      col("download_url") === col("idx_url"))
+      .withColumn("namespace",
+        when(col("idx_url").isNotNull, col("idx_ns"))
+          .otherwise(col("namespace")))
+      .withColumn("name",
+        when(col("idx_url").isNotNull, col("idx_name"))
+          .otherwise(col("name")))
+      .withColumn("version",
+        when(col("idx_url").isNotNull, col("idx_ver"))
+          .otherwise(col("version")))
+      .withColumn("qualifiers",
+        when(col("idx_url").isNotNull, col("idx_q"))
+          .otherwise(col("qualifiers")))
+      .withColumn("release_date",
+        when(col("idx_url").isNotNull,
+          coalesce(col("idx_date"), col("release_date")))
+          .otherwise(col("release_date")))
+      .drop("idx_url", "idx_date", "idx_ns", "idx_name", "idx_ver", "idx_q")
+
+    val survivors = exactKept.filter(col("matched"))
+      .drop("matched").drop(keyCols: _*)
+      .unionByName(lcKept.drop(keyCols: _*))
+      .unionByName(nonMaven)
+
+    // pass 3: creations — index rows whose coordinates matched nothing
+    // and whose download_url is absent from the whole catalog
+    val created =
+      if (!createMissing) survivors.limit(0)
+      else {
+        val matchedKeys = key(cat, lower = false).select(keyCols.map(col): _*)
+          .unionByName(key(cat, lower = true).select(keyCols.map(col): _*))
+          .distinct()
+        key(index, lower = false)
+          .join(matchedKeys, keyCols, "left_anti")
+          .join(catalog.select(col("download_url")), Seq("download_url"),
+            "left_anti")
+          .drop(keyCols: _*)
+      }
+
+    IndexSync(
+      if (createMissing) survivors.unionByName(created, allowMissingColumns = true)
+      else survivors,
+      exactDeleted.drop("matched").drop(keyCols: _*)
+        .drop("idx_url", "idx_date")
+        .unionByName(lcDeleted
+          .drop(keyCols: _*)
+          .drop("idx_url", "idx_date", "idx_ns", "idx_name", "idx_ver",
+            "idx_q")))
+  }
+
   /** `import_queue.process_request`: one package page → catalog rows.
     * The page's directory links are version directories; each version
     * page's artifact links become one PackageRow each, with classifier

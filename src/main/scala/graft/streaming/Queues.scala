@@ -32,6 +32,28 @@ object Queues {
       .orderBy(col("request_date"), col("uri"))
       .limit(batchSize)
 
+  /** `make_scannableuris` (`minecode/management/commands/
+    * make_scannableuris.py`): one scan-queue entry per catalog
+    * package, insert-if-absent on the download URL (J12 anti-join).
+    * `scannables` carries (uri, priority). */
+  def makeScannableUris(scannables: DataFrame,
+      packages: DataFrame): DataFrame = {
+    val created = packages
+      .select(col("download_url").as("uri")).distinct()
+      .join(scannables.select("uri"), Seq("uri"), "left_anti")
+      .withColumn("priority", lit(0))
+    scannables.unionByName(created)
+  }
+
+  /** `increase_scannableuri_priority`: bump matching URIs to the
+    * arbitrary top priority 100 (case-insensitive regex, like the
+    * reference's `uri__iregex`). */
+  def increaseScannablePriority(scannables: DataFrame,
+      pattern: String): DataFrame =
+    scannables.withColumn("priority",
+      when(col("uri").rlike(s"(?i)$pattern"), lit(100))
+        .otherwise(col("priority")))
+
   /** ST6 — package watches (`packagedb/models.py:1285-1454`): due when
     * last_watch_date is null or older than watch_interval days
     * (1-365 clamp, default 7). */

@@ -90,6 +90,98 @@ class MavenEnd2EndSpec extends SparkTestBase {
       s"$base/expected_mapped_commons-jaxrs-1.21-from-pom.json")
   }
 
+  test("get_maven_release_dates fills dates from directory listings") {
+    // minecode/management/commands/get_maven_release_dates.py — only
+    // maven rows missing a date under repo1.maven.org are touched;
+    // the listing's artifact timestamp becomes the release_date
+    import graft.catalog.PackageRow
+    import graft.miners.{MavenCrawl, Transport}
+    val base = "https://repo1.maven.org/maven2/g/a/1.0"
+    val listing =
+      """<a href="../">../</a>
+        |<a href="a-1.0.jar" title="a-1.0.jar">a-1.0.jar</a>
+        |                 2015-09-22 16:03       12345
+        |<a href="a-1.0.pom" title="a-1.0.pom">a-1.0.pom</a>
+        |                 2015-09-22 16:02       321
+        |""".stripMargin
+    val transport = new Transport {
+      def fetch(uri: String): Either[String, Array[Byte]] =
+        if (uri == base) Right(listing.getBytes("UTF-8"))
+        else Left(s"unexpected fetch: $uri")
+    }
+    val existingDate =
+      Some(java.sql.Timestamp.valueOf("2020-01-01 00:00:00"))
+    val pkgs = Seq(
+      PackageRow.minimal(s"$base/a-1.0.jar", "maven", "a", Some("1.0")),
+      // already dated: untouched (and its page never fetched)
+      PackageRow.minimal(s"$base/a-1.0.pom", "maven", "a", Some("1.0"))
+        .copy(release_date = existingDate),
+      // non-repo1: untouched
+      PackageRow.minimal("https://other.repo/x.jar", "maven", "x"),
+      // non-maven: untouched
+      PackageRow.minimal(s"$base/a-1.0.jar.other", "npm", "a")).toDF()
+    val out = MavenCrawl.fillReleaseDates(pkgs, transport)
+      .select("download_url", "release_date")
+      .as[(String, Option[java.sql.Timestamp])].collect().toMap
+    assert(out(s"$base/a-1.0.jar")
+      .contains(java.sql.Timestamp.valueOf("2015-09-22 16:03:00")))
+    assert(out(s"$base/a-1.0.pom") == existingDate)
+    assert(out("https://other.repo/x.jar").isEmpty)
+    assert(out(s"$base/a-1.0.jar.other").isEmpty)
+  }
+
+  test("update_maven_package_data: refresh, lowercase-fix, dedupe, create") {
+    // minecode/management/commands/update_maven_package_data.py —
+    // the four decision paths of the index-vs-catalog diff
+    import graft.catalog.PackageRow
+    import graft.miners.MavenCrawl
+    def idxRow(ns: String, name: String, v: String, url: String,
+        date: String): PackageRow =
+      PackageRow.minimal(url, "maven", name, Some(v))
+        .copy(namespace = Some(ns),
+          release_date = Some(java.sql.Timestamp.valueOf(date)))
+    val index = Seq(
+      idxRow("org.a", "lib", "1.0", "https://r/a/lib-1.0.jar",
+        "2020-01-01 00:00:00"),
+      idxRow("org.b", "MixedCase", "2.0", "https://r/b/mixedcase-2.0.jar",
+        "2021-01-01 00:00:00"),
+      idxRow("org.c", "fresh", "3.0", "https://r/c/fresh-3.0.jar",
+        "2022-01-01 00:00:00")).toDF()
+    val catalog = Seq(
+      // exact match, stale date and a coordinate-duplicate at a wrong URL
+      PackageRow.minimal("https://r/a/lib-1.0.jar", "maven", "lib",
+        Some("1.0")).copy(namespace = Some("org.a")),
+      PackageRow.minimal("https://r/a/WRONG-lib-1.0.jar", "maven", "lib",
+        Some("1.0")).copy(namespace = Some("org.a")),
+      // lowercased coordinates that need canonicalizing
+      PackageRow.minimal("https://r/b/mixedcase-2.0.jar", "maven",
+        "mixedcase", Some("2.0")).copy(namespace = Some("org.b")),
+      // untouched non-maven row
+      PackageRow.minimal("https://npm/x.tgz", "npm", "x")).toDF()
+
+    val out = MavenCrawl.updateFromIndex(catalog, index,
+      createMissing = true)
+    val rows = out.packages
+      .select("download_url", "name", "release_date")
+      .as[(String, String, Option[java.sql.Timestamp])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    // refresh: exact match got the index date
+    assert(rows("https://r/a/lib-1.0.jar")._2
+      .contains(java.sql.Timestamp.valueOf("2020-01-01 00:00:00")))
+    // dedupe: the wrong-URL duplicate was deleted
+    assert(!rows.contains("https://r/a/WRONG-lib-1.0.jar"))
+    assert(out.deleted.select("download_url").as[String].collect().toSeq ==
+      Seq("https://r/a/WRONG-lib-1.0.jar"))
+    // lowercase-fix: coordinates canonicalized to the index casing
+    assert(rows("https://r/b/mixedcase-2.0.jar")._1 == "MixedCase")
+    // create: the unseen index package materialized
+    assert(rows.contains("https://r/c/fresh-3.0.jar"))
+    // non-maven untouched
+    assert(rows.contains("https://npm/x.tgz"))
+    // 3 survivors (duplicate deleted) + 1 created
+    assert(out.packages.count() == 4)
+  }
+
   test("unicode POM visit-and-map yields no package (empty golden)") {
     // test_maven.py:390-425: the 1.22 POM (with unicode content)
     // parses, but a bare POM map has no download_url, so the mapped-

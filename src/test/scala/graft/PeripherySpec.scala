@@ -250,4 +250,22 @@ class PeripherySpec extends SparkTestBase {
     assert(pkg.qualifiers.contains("classifier=tests"))
     assert(ArtifactBuilder.mavenPackage(Map("groupId" -> "g")).isEmpty)
   }
+
+  test("make_scannableuris inserts only missing packages; priority bump is iregex") {
+    import graft.streaming.Queues
+    val scannables = Seq(("http://a/1.jar", 0)).toDF("uri", "priority")
+    val packages = Seq(
+      graft.catalog.PackageRow.minimal("http://a/1.jar", "maven", "a"),
+      graft.catalog.PackageRow.minimal("http://b/2.jar", "maven", "b")).toDF()
+    val made = Queues.makeScannableUris(scannables, packages)
+    assert(made.count() == 2) // existing kept once, new inserted at 0
+    assert(made.filter($"uri" === "http://b/2.jar")
+      .select("priority").as[Int].collect().head == 0)
+    // increase_scannableuri_priority.py:27 — matching rows jump to 100
+    val bumped = Queues.increaseScannablePriority(made, ".*B/2.*")
+    val byUri = bumped.select("uri", "priority").as[(String, Int)]
+      .collect().toMap
+    assert(byUri("http://b/2.jar") == 100) // case-insensitive match
+    assert(byUri("http://a/1.jar") == 0)
+  }
 }

@@ -68,10 +68,31 @@ class PlanSpec extends SparkTestBase {
 
   test("near-dup band joins are equi-joins, never cartesian products") {
     for (q <- Seq("j5_simhash_banded_match", "d_minhash_lsh",
-        "d_embed_neardup", "s_cosine_ann_lsh")) {
+        "d_embed_neardup", "s_cosine_ann_lsh", "d_dedup_clusters")) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct"),
         s"$q degenerated to a cartesian product:\n${p.take(1500)}")
+    }
+  }
+
+  test("stratified sample is a filter-only plan: no shuffle at all") {
+    val p = plan("a_stratified_sample")
+    // an ordered display Sort is fine; no aggregation/join Exchange
+    // before it means the sample is a pure scan+filter at 100 TB
+    assert(!p.contains("HashAggregate"), p.take(1200))
+    assert(!p.contains("Join"), p.take(1200))
+  }
+
+  test("text extraction ops stay inside whole-stage codegen") {
+    for (q <- Seq("t_html_to_text", "t_pii_scrub")) {
+      // AQE prints codegen stages only in the final plan → execute first
+      val df = Registry.byName(q).run(spark, sf001)
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("WholeStageCodegen") || "\\*\\(\\d+\\)".r
+        .findFirstIn(p).isDefined, s"$q fell out of codegen:\n${p.take(1200)}")
+      assert(!p.contains("BatchEvalPython") && !p.contains("SerializeFromObject"),
+        s"$q has a non-codegen hot path:\n${p.take(1200)}")
     }
   }
 
