@@ -218,6 +218,44 @@ object CatalogApi {
     * the upstream registry via the injected `fetchVersions` (the
     * collect flow; returns None on fetch failure). Messages are the
     * reference's verbatim strings. */
+  /** The `update_packages` endpoint (`packagedb/api.py:520-573`):
+    * each (purl, content_type) request reports "Already Exists" when
+    * the purl matches a catalog row, otherwise a bare row is created
+    * (the reference stores a single-space download_url and the
+    * content-type code) and reported "Updated". Returns the per-purl
+    * statuses and the created rows — set assignment is the caller's
+    * [[graft.catalog.PackageSets]] pass over the created frame. */
+  final case class UpdateResult(
+      statuses: Seq[(String, String)],
+      created: Seq[graft.catalog.PackageRow])
+
+  def updatePackages(packages: DataFrame,
+      requests: Seq[(String, Int)]): UpdateResult = {
+    val statuses = Seq.newBuilder[(String, String)]
+    val created = Seq.newBuilder[graft.catalog.PackageRow]
+    requests.foreach { case (purl, contentType) =>
+      val exists = !packages.filter(purlPredicate(packages, purl)).isEmpty
+      if (exists) statuses += purl -> "Already Exists"
+      else {
+        val parsed = graft.functions.PurlParse.parse(purl)
+        if (parsed == null) statuses += purl -> "Already Exists"
+        else {
+          val Array(ptype, namespace, name, version, qualifiers, subpath) =
+            parsed
+          created += graft.catalog.PackageRow.minimal(
+            " ", Option(ptype).getOrElse(""), Option(name).getOrElse(""),
+            Option(version))
+            .copy(namespace = Option(namespace),
+              qualifiers = Option(qualifiers),
+              subpath = Option(subpath),
+              package_content = Some(contentType))
+          statuses += purl -> "Updated"
+        }
+      }
+    }
+    UpdateResult(statuses.result(), created.result())
+  }
+
   def validatePurl(packages: DataFrame, purl: String,
       checkExistence: Boolean = false,
       fetchVersions: String => Option[Seq[String]] = _ => None)

@@ -30,6 +30,23 @@ object GitPublisher {
 
   /** Repo-relative directory for a purl's artifacts
     * (`clearcode/store_scans.py:157-161`): type/namespace?/name/version. */
+  /** `dump_purls` (`minecode/management/commands/dump_purls.py`):
+    * one compact JSON line `{"purl":…,"download_url":…}` per package
+    * of the given type. The caller writes the frame with
+    * `.write.text(...)` — at 100 TB that shards naturally by
+    * partition instead of the reference's per-million-row file
+    * rotation. */
+  def dumpPurls(packages: org.apache.spark.sql.DataFrame,
+      packageType: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    import graft.functions.GraftFunctions.purl_build
+    packages.filter(col("ptype") === packageType)
+      .select(to_json(struct(
+        purl_build(col("ptype"), col("namespace"), col("name"),
+          col("version")).as("purl"),
+        col("download_url"))).as("line"))
+  }
+
   def purlPath(ptype: String, namespace: Option[String], name: String,
       version: String): String =
     (Seq(ptype) ++ namespace.filter(_.nonEmpty) ++ Seq(name, version))

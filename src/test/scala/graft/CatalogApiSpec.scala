@@ -152,4 +152,28 @@ class CatalogApiSpec extends SparkTestBase {
       "alib").select("version").as[String].collect()
     assert(out.toSeq == Seq("1.10"))
   }
+
+  test("update_packages endpoint: existing report as-is, missing create") {
+    // packagedb/api.py:520-573 — the request example's semantics:
+    // an existing purl is untouched ("Already Exists"); a missing one
+    // creates a bare row with a single-space download_url, the
+    // content-type code, and an "Updated" status
+    val existingPurl = {
+      val r = catalog.select("ptype", "namespace", "name", "version")
+        .as[(String, Option[String], String, Option[String])].collect().head
+      s"pkg:${r._1}/${r._2.fold("")(_ + "/")}${r._3}@${r._4.get}"
+    }
+    val out = CatalogApi.updatePackages(catalog, Seq(
+      existingPurl -> 1,
+      "pkg:npm/less@1.0.32" -> 2))
+    assert(out.statuses == Seq(
+      existingPurl -> "Already Exists",
+      "pkg:npm/less@1.0.32" -> "Updated"))
+    assert(out.created.size == 1)
+    val c = out.created.head
+    assert(c.download_url == " ")
+    assert(c.ptype == "npm" && c.name == "less" &&
+      c.version.contains("1.0.32"))
+    assert(c.package_content.contains(2))
+  }
 }

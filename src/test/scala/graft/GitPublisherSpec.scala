@@ -83,4 +83,19 @@ class GitPublisherSpec extends SparkTestBase {
     val tracked = GitPublisher.git(dir, "ls-files").linesIterator.size
     assert(tracked == 7)
   }
+
+  test("dump_purls emits compact JSON lines for one package type") {
+    // minecode/management/commands/dump_purls.py — compact separators
+    import graft.catalog.PackageRow
+    import spark.implicits._
+    val pkgs = Seq(
+      PackageRow.minimal("http://a/x.jar", "maven", "x", Some("1.0"))
+        .copy(namespace = Some("org.a")),
+      PackageRow.minimal("http://n/y.tgz", "npm", "y", Some("2.0")))
+      .toDF()
+    val lines = GitPublisher.dumpPurls(pkgs, "maven")
+      .as[String].collect().toSeq
+    assert(lines == Seq(
+      """{"purl":"pkg:maven/org.a/x@1.0","download_url":"http://a/x.jar"}"""))
+  }
 }

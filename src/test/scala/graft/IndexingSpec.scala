@@ -82,6 +82,26 @@ class IndexingSpec extends SparkTestBase {
       Set("fingerprint", "download_url", "path", "name", "size", "is_file"))
   }
 
+  test("matchcode api batch filters look up the built indexes") {
+    // matchcode/api.py:160-260 — multi-sha1 and multi-fingerprint
+    // batch lookups over the same index frames
+    import graft.matching.MatchApi
+    val files = Indexing.exactFileIndex(wagonScan)
+    val someSha1 = files.select("sha1")
+      .as[String].collect().take(2).toSeq
+    val hit = MatchApi.filterBySha1s(files,
+      someSha1.map(_.toUpperCase) :+ "feedfeed")
+    assert(hit.select("sha1").as[String].collect().toSet == someSha1.toSet)
+    assert(MatchApi.filterBySha1s(files, Seq("feedfeed")).isEmpty)
+    assert(MatchApi.filterBySha1s(files, Seq.empty).count() == files.count())
+
+    val dirs = Indexing.directoryContentIndex(wagonScan)
+    val metaInfFp = "000000022b0422490200223401893280e0912000"
+    val fpHit = MatchApi.filterByFingerprints(dirs, Seq(metaInfFp))
+    assert(fpHit.select("path").as[String].collect().toSeq == Seq("META-INF"))
+    assert(MatchApi.filterByFingerprints(dirs, Seq("0" * 40)).isEmpty)
+  }
+
   test("dwarf scan yields one resource and no fingerprint indexes") {
     // test_indexing_index_package_dwarf: one resource; its extra_data
     // carries dwarf paths, no fingerprints, so every index is empty
