@@ -203,6 +203,62 @@ object MavenIndexArtifacts {
       miniPackageWithUrl(a, downloadUrl)
     }
 
+  /** `MavenNexusIndexVisitor.get_uris` (maven.py:144-255, goldens
+    * `maven/index/expected_uris.json` + increment/buggy): per worthy
+    * artifact, the pre-visited `maven-index://` URI carrying the
+    * serialized artifact + its real download URL, then the to-visit
+    * POM URI at mining level 20. */
+  def nexusIndexUris(gzBytes: Array[Byte], sourceUri: String)
+      : Iterator[graft.miners.RegistryVisitors.VisitedUri] = {
+    import graft.miners.RegistryVisitors.VisitedUri
+    import org.json4s._
+    getArtifacts(gzBytes)
+      .filter(a => a.groupId.nonEmpty && a.artifactId.nonEmpty &&
+        a.version.nonEmpty && a.extension.nonEmpty)
+      .flatMap { a =>
+        val ext = a.extension.get
+        val purlQuals = purlQualifiers(a).fold("")("?" + _)
+        val purl =
+          s"pkg:maven/${a.groupId}/${a.artifactId}@${a.version}$purlQuals"
+        val purlPlain = s"pkg:maven/${a.groupId}/${a.artifactId}@${a.version}"
+        val (jarUrl, fileName) = buildUrlAndFilename(
+          a.groupId, a.artifactId, a.version, ext, a.classifier)
+        val gPath = a.groupId.replace('.', '/')
+        val mockUri = "maven-index://repo1.maven.org/" +
+          s"$gPath/${a.artifactId}/${a.version}/$fileName"
+        def js(v: Option[String]): JValue = v.map(JString).getOrElse(JNull)
+        // the reference's artifact.to_dict() key order + download_url
+        val data = org.json4s.jackson.JsonMethods.compact(
+          org.json4s.jackson.JsonMethods.render(JObject(List(
+            "group_id" -> JString(a.groupId),
+            "artifact_id" -> JString(a.artifactId),
+            "version" -> JString(a.version),
+            "packaging" -> js(a.packaging),
+            "classifier" -> js(a.classifier),
+            "extension" -> js(a.extension),
+            "last_modified" -> js(a.lastModified),
+            "size" -> a.size.map(s => JInt(BigInt(s)): JValue)
+              .getOrElse(JNull),
+            "sha1" -> js(a.sha1),
+            "name" -> js(a.name),
+            "description" -> js(a.description),
+            "src_exist" -> JBool(a.srcExist),
+            "jdoc_exist" -> JBool(a.jdocExist),
+            "sig_exist" -> JBool(a.sigExist),
+            "download_url" -> JString(jarUrl)))))
+        val (pomUrl, pomName) = buildUrlAndFilename(
+          a.groupId, a.artifactId, a.version, "pom", None)
+        Iterator(
+          VisitedUri(uri = mockUri, sourceUri = sourceUri,
+            packageUrl = Some(purl), data = Some(data), visited = true,
+            fileName = Some(fileName), size = a.size, sha1 = a.sha1,
+            date = a.lastModified),
+          VisitedUri(uri = pomUrl, sourceUri = sourceUri,
+            packageUrl = Some(purlPlain), fileName = Some(pomName),
+            size = Some(0L), date = a.lastModified))
+      }
+  }
+
   /** An index artifact round-tripped through the frontier's
     * `maven-index://` URI data payload (maven.py:989-1005: the
     * serialized artifact dict plus its `download_url`). */

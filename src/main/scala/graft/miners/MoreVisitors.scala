@@ -368,6 +368,55 @@ object MoreVisitors {
   /** Bitbucket repository index page
     * (`minecode/miners/bitbucket.py:74-87`): only the `next` link is a
     * new URI — each page's repo records flow to the mapper. */
+  /** Apache foundation projects.json (`minecode/miners/apache.py:
+    * 273-313`, golden `apache/projects_uris-expected.json`): one
+    * per-project JSON URI per entry, dated from `created` — no
+    * source_uri, matching the reference's URI construction. */
+  def apacheProjectsUris(json: String): Seq[VisitedUri] =
+    (JsonMethods.parse(json): @unchecked) match {
+      case JObject(projects) => projects.map { case (name, meta) =>
+        VisitedUri(
+          uri = s"https://projects.apache.org/json/projects/$name.json",
+          sourceUri = null,
+          packageUrl = Some(s"pkg:apache/$name"),
+          date = (meta \ "created") match {
+            case JString(d) if d.nonEmpty => Some(d); case _ => None
+          })
+      }
+    }
+
+  /** Paginated bitbucket details (`minecode/miners/bitbucket.py:
+    * 104-111`, golden `paginated_tags_expected_uris.json`): follow
+    * the payload's `next` link with the repo purl derived from the
+    * page URI. */
+  def bitbucketPaginatedUris(json: String, pageUri: String)
+      : Seq[VisitedUri] =
+    (JsonMethods.parse(json) \ "next") match {
+      case JString(next) if next.nonEmpty =>
+        val purl = "/repositories/([^/]+)/([^/?]+)".r
+          .findFirstMatchIn(pageUri)
+          .map(m => s"pkg:bitbucket/${m.group(1)}/${m.group(2)}")
+        Seq(VisitedUri(uri = next, sourceUri = pageUri, packageUrl = purl))
+      case _ => Seq.empty
+    }
+
+  /** Maven nexus index properties (`minecode/miners/maven.py:
+    * 114-136`, golden `expected_properties_uris.json`): each
+    * `nexus.index.incremental-N=526` row points at one increment
+    * index fragment. */
+  def mavenIndexPropertiesUris(properties: String, sourceUri: String)
+      : Seq[VisitedUri] =
+    properties.linesIterator
+      .map(_.trim)
+      .filter(l => l.startsWith("nexus.index.incremental") && l.contains("="))
+      .map { l =>
+        val value = l.split("=", 2)(1).trim
+        VisitedUri(
+          uri = "https://repo1.maven.org/maven2/.index/" +
+            s"nexus-maven-repository-index.$value.gz",
+          sourceUri = sourceUri)
+      }.toSeq
+
   def bitbucketIndexUris(json: String, sourceUri: String): Seq[VisitedUri] =
     (JsonMethods.parse(json) \ "next") match {
       case JString(next) => Seq(VisitedUri(uri = next, sourceUri = sourceUri))
