@@ -200,19 +200,23 @@ object MavenCrawl {
 
   /** `update_maven_package_data` (`minecode/management/commands/
     * update_maven_package_data.py:200-363`) as one distributed diff
-    * between the catalog and the freshly-read index packages:
+    * between the catalog and the freshly-read index packages. Per
+    * index artifact, mirroring `update_maven_packages`' control flow
+    * exactly:
     *
-    *   1. exact purl-coordinate match → download_url/release_date
-    *      refreshed from the index; coordinate-duplicates whose
-    *      download_url disagrees with the index are deleted;
-    *   2. otherwise a LOWERCASED-coordinate match → coordinates are
-    *      canonicalized to the index's casing and the same fields
-    *      refresh (same duplicate rule);
-    *   3. otherwise (with `createMissing`) the index package is
-    *      created unless its download_url already exists.
+    *   1. among catalog rows with the same purl coordinates (exact,
+    *      then lowercased), IF one carries the index's download_url
+    *      it is refreshed (release_date; plus canonicalized
+    *      coordinates in the lowercased pass) and its wrong-URL
+    *      coordinate-duplicates are deleted;
+    *   2. when no coordinate match carries the index URL, the matches
+    *      are left untouched (the reference's matcher returns None
+    *      and its collected duplicates are discarded);
+    *   3. with `createMissing`, an index package whose download_url
+    *      exists nowhere in the catalog is created.
     *
-    * Scale notes: two coordinate equi-joins + one anti-join, all
-    * hash-partitioned on the coordinate key — the reference's
+    * Scale notes: two coordinate equi-joins with a per-key window
+    * flag + one URL anti-join, all hash-partitioned — the reference's
     * row-at-a-time loop with 2000-row flush becomes three shuffles
     * regardless of index size.
     */
@@ -223,6 +227,7 @@ object MavenCrawl {
       index: org.apache.spark.sql.DataFrame,
       createMissing: Boolean): IndexSync = {
     import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
     def key(df: org.apache.spark.sql.DataFrame, lower: Boolean) = {
       def k(c: String) = {
         val v = coalesce(col(c), lit(""))
@@ -232,8 +237,6 @@ object MavenCrawl {
         .withColumn("k_ver", k("version")).withColumn("k_q", k("qualifiers"))
     }
     val keyCols = Seq("k_ns", "k_name", "k_ver", "k_q")
-    val idxCols = Seq("namespace", "name", "version", "qualifiers",
-      "download_url", "release_date")
     def idxSide(lower: Boolean) = key(index, lower).select(
       (keyCols.map(col) :+ col("download_url").as("idx_url") :+
         col("release_date").as("idx_date")) ++
@@ -241,77 +244,66 @@ object MavenCrawl {
           col("name").as("idx_name"), col("version").as("idx_ver"),
           col("qualifiers").as("idx_q"))
         else Seq.empty): _*)
+    val keyWindow = Window.partitionBy(keyCols.map(col): _*)
+    val urlHit = col("idx_url").isNotNull &&
+      col("download_url") === col("idx_url")
+    def withUrlFlag(df: org.apache.spark.sql.DataFrame) =
+      df.withColumn("has_url_match",
+        max(when(urlHit, 1).otherwise(0)).over(keyWindow))
 
     val cat = key(catalog.filter(col("ptype") === "maven"), lower = false)
     val nonMaven = catalog.filter(col("ptype") =!= "maven")
 
-    // pass 1: exact coordinates
-    val j1 = cat.join(idxSide(lower = false), keyCols, "left")
-    val exactDeleted = j1.filter(col("idx_url").isNotNull &&
-      col("download_url") =!= col("idx_url"))
-    val exactKept = j1.filter(col("idx_url").isNull ||
-      col("download_url") === col("idx_url"))
+    // pass 1: exact coordinates; a group only acts when it contains
+    // the index URL
+    val j1 = withUrlFlag(cat.join(idxSide(lower = false), keyCols, "left"))
+    val exactDeleted = j1.filter(col("has_url_match") === 1 && !urlHit &&
+      col("idx_url").isNotNull)
+    val exactUpdated = j1.filter(urlHit)
       .withColumn("release_date",
-        when(col("idx_url").isNotNull, coalesce(col("idx_date"),
-          col("release_date"))).otherwise(col("release_date")))
-      .withColumn("matched", col("idx_url").isNotNull)
-      .drop("idx_url", "idx_date")
+        coalesce(col("idx_date"), col("release_date")))
+    val exactCarried = j1.filter(col("idx_url").isNull ||
+      col("has_url_match") === 0)
+    def dropExact(df: org.apache.spark.sql.DataFrame) =
+      df.drop("has_url_match", "idx_url", "idx_date").drop(keyCols: _*)
 
-    // pass 2: lowercased coordinates, only for rows pass 1 missed
-    val cat2 = key(exactKept.filter(!col("matched")).drop("matched")
-      .drop(keyCols: _*), lower = true)
-    val j2 = cat2.join(idxSide(lower = true), keyCols, "left")
-    val lcDeleted = j2.filter(col("idx_url").isNotNull &&
-      col("download_url") =!= col("idx_url"))
-    val lcKept = j2.filter(col("idx_url").isNull ||
-      col("download_url") === col("idx_url"))
-      .withColumn("namespace",
-        when(col("idx_url").isNotNull, col("idx_ns"))
-          .otherwise(col("namespace")))
-      .withColumn("name",
-        when(col("idx_url").isNotNull, col("idx_name"))
-          .otherwise(col("name")))
-      .withColumn("version",
-        when(col("idx_url").isNotNull, col("idx_ver"))
-          .otherwise(col("version")))
-      .withColumn("qualifiers",
-        when(col("idx_url").isNotNull, col("idx_q"))
-          .otherwise(col("qualifiers")))
+    // pass 2: lowercased coordinates, only for rows pass 1 did not act
+    // on (the reference falls through to the lowercased matcher)
+    val j2 = withUrlFlag(key(dropExact(exactCarried), lower = true)
+      .join(idxSide(lower = true), keyCols, "left"))
+    val lcDeleted = j2.filter(col("has_url_match") === 1 && !urlHit &&
+      col("idx_url").isNotNull)
+    val lcUpdated = j2.filter(urlHit)
+      .withColumn("namespace", col("idx_ns"))
+      .withColumn("name", col("idx_name"))
+      .withColumn("version", col("idx_ver"))
+      .withColumn("qualifiers", col("idx_q"))
       .withColumn("release_date",
-        when(col("idx_url").isNotNull,
-          coalesce(col("idx_date"), col("release_date")))
-          .otherwise(col("release_date")))
-      .drop("idx_url", "idx_date", "idx_ns", "idx_name", "idx_ver", "idx_q")
+        coalesce(col("idx_date"), col("release_date")))
+    val lcCarried = j2.filter(col("idx_url").isNull ||
+      col("has_url_match") === 0)
+    def dropLc(df: org.apache.spark.sql.DataFrame) =
+      df.drop("has_url_match", "idx_url", "idx_date", "idx_ns",
+        "idx_name", "idx_ver", "idx_q").drop(keyCols: _*)
 
-    val survivors = exactKept.filter(col("matched"))
-      .drop("matched").drop(keyCols: _*)
-      .unionByName(lcKept.drop(keyCols: _*))
+    val survivors = dropExact(exactUpdated)
+      .unionByName(dropLc(lcUpdated))
+      .unionByName(dropLc(lcCarried))
       .unionByName(nonMaven)
 
-    // pass 3: creations — index rows whose coordinates matched nothing
-    // and whose download_url is absent from the whole catalog
+    // pass 3: creations — an index URL absent from the whole catalog
+    // (a same-URL coordinate match would be in the catalog, so the
+    // reference's "already exists" skip is the same anti-join)
     val created =
       if (!createMissing) survivors.limit(0)
-      else {
-        val matchedKeys = key(cat, lower = false).select(keyCols.map(col): _*)
-          .unionByName(key(cat, lower = true).select(keyCols.map(col): _*))
-          .distinct()
-        key(index, lower = false)
-          .join(matchedKeys, keyCols, "left_anti")
-          .join(catalog.select(col("download_url")), Seq("download_url"),
-            "left_anti")
-          .drop(keyCols: _*)
-      }
+      else index.join(catalog.select(col("download_url")),
+        Seq("download_url"), "left_anti")
 
     IndexSync(
-      if (createMissing) survivors.unionByName(created, allowMissingColumns = true)
+      if (createMissing)
+        survivors.unionByName(created, allowMissingColumns = true)
       else survivors,
-      exactDeleted.drop("matched").drop(keyCols: _*)
-        .drop("idx_url", "idx_date")
-        .unionByName(lcDeleted
-          .drop(keyCols: _*)
-          .drop("idx_url", "idx_date", "idx_ns", "idx_name", "idx_ver",
-            "idx_q")))
+      dropExact(exactDeleted).unionByName(dropLc(lcDeleted)))
   }
 
   /** `import_queue.process_request`: one package page → catalog rows.

@@ -182,6 +182,29 @@ class MavenEnd2EndSpec extends SparkTestBase {
     assert(out.packages.count() == 4)
   }
 
+  test("update_maven_package_data: coordinate match without the index URL") {
+    // update_maven_package_data.py:219-242 — when no coordinate match
+    // carries the index URL, update_maven_packages returns None and
+    // its collected duplicates are DISCARDED: the stale row survives
+    // untouched and the index package is created alongside
+    import graft.catalog.PackageRow
+    import graft.miners.MavenCrawl
+    val index = Seq(
+      PackageRow.minimal("https://r/d/lib-4.0.jar", "maven", "lib",
+        Some("4.0")).copy(namespace = Some("org.d"),
+        release_date =
+          Some(java.sql.Timestamp.valueOf("2023-01-01 00:00:00")))).toDF()
+    val catalog = Seq(
+      PackageRow.minimal("https://r/d/OLD-lib-4.0.jar", "maven", "lib",
+        Some("4.0")).copy(namespace = Some("org.d"))).toDF()
+    val out = MavenCrawl.updateFromIndex(catalog, index,
+      createMissing = true)
+    val urls = out.packages.select("download_url").as[String].collect().toSet
+    assert(urls == Set("https://r/d/OLD-lib-4.0.jar",
+      "https://r/d/lib-4.0.jar"))
+    assert(out.deleted.isEmpty)
+  }
+
   test("unicode POM visit-and-map yields no package (empty golden)") {
     // test_maven.py:390-425: the 1.22 POM (with unicode content)
     // parses, but a bare POM map has no download_url, so the mapped-
