@@ -125,6 +125,49 @@ object GitPublisher {
     commits
   }
 
+  /** The SBOM federation commit message (`minecode/management/
+    * commands/federate_sboms.py:19-29`, without the service-identity
+    * footer that is deployment config). */
+  def sbomCommitMessage(commitBatch: Int,
+      totalCommitBatch: String = "many"): String =
+    s"Save CycloneDX SBOMs from PurlDB ($commitBatch/$totalCommitBatch)"
+
+  /** `federate_sboms`: write one CycloneDX document per package into
+    * the checkout at its purl path and commit every `batchSize` files
+    * (the reference's PACKAGE_BATCH_SIZE is 1000). `sboms` rows:
+    * (purl, sbom json) — the output of
+    * [[graft.catalog.Sbom.toCycloneDxDocument]]. `toLocalIterator`
+    * keeps driver memory at one row; the git tree shards by the
+    * purl's path segments. Returns the commit count. */
+  def federateSboms(sboms: DataFrame, repoDir: File,
+      batchSize: Int = 1000): Int = {
+    import scala.jdk.CollectionConverters._
+    val session = sboms.sparkSession
+    import session.implicits._
+    val rows = sboms.selectExpr("CAST(purl AS STRING)",
+      "CAST(bom AS STRING)").as[(String, String)]
+    var pending = List.empty[String]
+    var commits = 0
+    def commit(msg: String): Unit = if (pending.nonEmpty) {
+      git(repoDir, Seq("add", "--") ++ pending.reverse: _*)
+      git(repoDir, "commit", "-q", "-m", msg)
+      commits += 1
+      pending = Nil
+    }
+    rows.toLocalIterator().asScala.foreach { case (purl, json) =>
+      // qualifiers don't belong in a filesystem path
+      val rel = purl.stripPrefix("pkg:").split('?').head +
+        "/cyclonedx-bom.json"
+      val full = Paths.get(repoDir.getPath, rel)
+      Files.createDirectories(full.getParent)
+      Files.write(full, json.getBytes(StandardCharsets.UTF_8))
+      pending ::= rel
+      if (pending.size >= batchSize) commit(sbomCommitMessage(commits + 1))
+    }
+    commit(sbomCommitMessage(commits + 1, s"${commits + 1}"))
+    commits
+  }
+
   /** Drain one micro-batch DataFrame of (relativePath, purls) into
     * the checkout — the body of a `foreachBatch((df, id) => ...)`
     * streaming sink. `toLocalIterator` keeps driver memory bounded to

@@ -84,6 +84,33 @@ class GitPublisherSpec extends SparkTestBase {
     assert(tracked == 7)
   }
 
+  test("federate_sboms writes CycloneDX docs at purl paths with batch commits") {
+    // minecode/management/commands/federate_sboms.py — one document
+    // per package in the checkout, committed in batches with the
+    // reference's SBOM message format
+    import graft.catalog.{DependencyRow, PackageRow, Sbom}
+    import spark.implicits._
+    val dir = initRepo()
+    val pkgs = (1 to 3).map(i =>
+      PackageRow.minimal(s"http://r/p$i.jar", "maven", s"p$i", Some("1.0"))
+        .copy(namespace = Some("org.x"))).toDF()
+    val deps = Seq.empty[DependencyRow].toDF()
+      .select($"download_url", $"purl".as("dep_purl"))
+    val sboms = Sbom.toCycloneDxDocument(pkgs, deps)
+    val commits = GitPublisher.federateSboms(sboms, dir, batchSize = 2)
+    assert(commits == 2) // 2 + 1
+    assert(log(dir).head == "Save CycloneDX SBOMs from PurlDB (2/2)")
+    val files = GitPublisher.git(dir, "ls-files").linesIterator.toSeq
+    assert(files.size == 3)
+    assert(files.forall(_.endsWith("/cyclonedx-bom.json")))
+    assert(files.exists(_.startsWith("maven/org.x/p1@1.0/")))
+    // the committed document is the Sbom output verbatim
+    val content = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dir.getPath,
+        files.find(_.contains("p1")).get)), "UTF-8")
+    assert(content.contains("\"bomFormat\":\"CycloneDX\""))
+  }
+
   test("dump_purls emits compact JSON lines for one package type") {
     // minecode/management/commands/dump_purls.py — compact separators
     import graft.catalog.PackageRow
