@@ -125,6 +125,27 @@ object GitPublisher {
     commits
   }
 
+  /** `federate_packages` (`minecode/management/commands/
+    * federate_packages.py`): every catalog purl appended into its
+    * shard's purls.yml, committed in 1000-file batches — the same
+    * publish machinery as the mining pipelines, driven from the
+    * whole-catalog frame. `purled` rows: (relativePath, purl). */
+  def federatePackages(purled: DataFrame, repoDir: File,
+      batchSize: Int = 1000): Int = {
+    import scala.jdk.CollectionConverters._
+    val session = purled.sparkSession
+    import session.implicits._
+    val items = purled
+      .groupBy("relativePath")
+      .agg(org.apache.spark.sql.functions.sort_array(
+        org.apache.spark.sql.functions.collect_set("purl")).as("purls"))
+      .selectExpr("CAST(relativePath AS STRING)", "purls")
+      .as[(String, Seq[String])]
+    publish(items.toLocalIterator().asScala
+      .map { case (p, purls) => PublishItem(p, purls) },
+      repoDir, batchSize, append = true)
+  }
+
   /** The SBOM federation commit message (`minecode/management/
     * commands/federate_sboms.py:19-29`, without the service-identity
     * footer that is deployment config). */

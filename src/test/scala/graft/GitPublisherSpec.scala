@@ -111,6 +111,27 @@ class GitPublisherSpec extends SparkTestBase {
     assert(content.contains("\"bomFormat\":\"CycloneDX\""))
   }
 
+  test("federate_packages appends purls into sharded purls.yml files") {
+    import spark.implicits._
+    val dir = initRepo()
+    val purled = Seq(
+      ("maven/org.x/purls.yml", "pkg:maven/org.x/a@1.0"),
+      ("maven/org.x/purls.yml", "pkg:maven/org.x/b@1.0"),
+      ("npm/purls.yml", "pkg:npm/c@2.0")).toDF("relativePath", "purl")
+    val commits = GitPublisher.federatePackages(purled, dir, batchSize = 1000)
+    assert(commits == 1)
+    val yml = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dir.getPath, "maven/org.x/purls.yml")), "UTF-8")
+    assert(yml == "- pkg:maven/org.x/a@1.0\n- pkg:maven/org.x/b@1.0\n")
+    // append semantics: a re-run with one new purl merges + dedups
+    val again = Seq(("npm/purls.yml", "pkg:npm/c@2.0"),
+      ("npm/purls.yml", "pkg:npm/d@1.0")).toDF("relativePath", "purl")
+    GitPublisher.federatePackages(again, dir, batchSize = 1000)
+    val npm = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dir.getPath, "npm/purls.yml")), "UTF-8")
+    assert(npm == "- pkg:npm/c@2.0\n- pkg:npm/d@1.0\n")
+  }
+
   test("dump_purls emits compact JSON lines for one package type") {
     // minecode/management/commands/dump_purls.py — compact separators
     import graft.catalog.PackageRow
