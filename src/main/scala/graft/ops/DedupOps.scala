@@ -389,5 +389,58 @@ object DedupOps {
       GROUP BY d.doc_id
       ORDER BY doc_id"""))
 
-  val defs: Seq[QueryDef] = Seq(exact, minhash, simhash, ngram, clusters)
+  /** Corpus-wide line/segment dedup (the CCNet/RefinedWeb pipeline
+    * stage): segments that repeat across more than `keepMax`
+    * documents are boilerplate and are dropped from every document;
+    * the text is rebuilt in original segment order.
+    *
+    * Scale notes: one explode + one groupBy-count on the segment hash
+    * (map-side combined) + one equi-join back + one per-doc
+    * reassembly groupBy — all hash-partitioned, no driver loops; at
+    * 100 TB the count frame is tiny relative to the corpus and the
+    * join broadcast-eligible when the boilerplate set is.
+    */
+  val lineDedup = QueryDef(
+    "d_line_dedup", "LLM-pipeline dedup: corpus-wide segment removal",
+    "explode segments → corpus counts → drop >2-doc repeats → rebuild",
+    (s, dir) => {
+      val segs = t(s, dir, "documents")
+        .select(col("doc_id"), posexplode(split(col("text"), "\\. ")))
+        .withColumnRenamed("pos", "seg_idx")
+        .withColumnRenamed("col", "seg")
+        .filter(trim(col("seg")) =!= "")
+      val counts = segs.groupBy("seg")
+        .agg(countDistinct(col("doc_id")).as("n_docs"))
+      val kept = segs.join(counts, Seq("seg"))
+        .filter(col("n_docs") <= 2)
+      kept.groupBy("doc_id")
+        .agg(
+          concat_ws(". ",
+            transform(array_sort(collect_list(struct(col("seg_idx"),
+              col("seg")))), x => x.getField("seg"))).as("clean_text"),
+          count(lit(1)).cast("int").as("n_kept_segments"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH segs AS (
+        SELECT doc_id, i AS seg_idx,
+          list_extract(string_split(text, '. '), i) AS seg
+        FROM documents,
+          LATERAL (SELECT unnest(range(1,
+            len(string_split(text, '. ')) + 1)) AS i)
+        ),
+      nonblank AS (SELECT * FROM segs WHERE trim(seg) <> ''),
+      counts AS (
+        SELECT seg, COUNT(DISTINCT doc_id) AS n_docs
+        FROM nonblank GROUP BY seg),
+      kept AS (
+        SELECT nb.doc_id, nb.seg_idx, nb.seg
+        FROM nonblank nb JOIN counts c ON nb.seg = c.seg
+        WHERE c.n_docs <= 2)
+      SELECT doc_id,
+        string_agg(seg, '. ' ORDER BY seg_idx) AS clean_text,
+        CAST(COUNT(*) AS INTEGER) AS n_kept_segments
+      FROM kept GROUP BY doc_id ORDER BY doc_id"""))
+
+  val defs: Seq[QueryDef] = Seq(exact, minhash, simhash, ngram, clusters,
+    lineDedup)
 }
