@@ -119,6 +119,28 @@ object Frontier {
     frontier.filter(col("last_visit_date").isNotNull &&
       col("last_map_date").isNull && col("visit_error").isNull)
 
+  /** `remap` (`minecode/management/commands/remap.py`): clear the map
+    * state of successfully-mapped URIs whose prefix matches one of
+    * the registry roots, so the next map cycle reprocesses them. */
+  val RemapPrefixes: Seq[String] = Seq("https://repo1", "maven-index://",
+    "https://replicate", "https://registry")
+
+  def remap(frontier: DataFrame,
+      prefixes: Seq[String] = RemapPrefixes): DataFrame = {
+    val matches = prefixes.map(p => col("uri").startsWith(p)).reduce(_ || _)
+    // successfully_mapped: mapped and error-free (this frontier
+    // carries one error column for both stages)
+    val successfullyMapped =
+      col("last_map_date").isNotNull && col("visit_error").isNull
+    frontier
+      .withColumn("wip_date",
+        when(successfullyMapped && matches,
+          lit(null).cast("timestamp")).otherwise(col("wip_date")))
+      .withColumn("last_map_date",
+        when(successfullyMapped && matches,
+          lit(null).cast("timestamp")).otherwise(col("last_map_date")))
+  }
+
   /** Map micro-cycle: top-N mappables by -priority → mapper flatMap
     * (X2) → mark mapped. Returns (next frontier, mapped package rows).
     */

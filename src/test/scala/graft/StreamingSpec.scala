@@ -69,6 +69,36 @@ class StreamingSpec extends SparkTestBase {
     assert(Frontier.mappables(next).count() == 0)
   }
 
+  test("remap clears map state only for registry-prefixed mapped URIs") {
+    // minecode/management/commands/remap.py
+    val now = ts("2026-08-12 00:00:00")
+    def row(uri: String, mapped: Boolean, err: Option[String] = None) =
+      Frontier.UriRow(uri, uri, "h", 1, Some(now),
+        if (mapped) Some(now) else None,
+        if (mapped) Some(now) else None, err)
+    val frontier = Seq(
+      row("https://repo1.maven.org/maven2/a", mapped = true),
+      row("maven-index://repo1.maven.org/b", mapped = true),
+      row("https://example.com/c", mapped = true),        // prefix miss
+      row("https://registry.npmjs.org/d", mapped = false), // never mapped
+      row("https://replicate.npmjs.com/e", mapped = true,
+        err = Some("boom"))).toDF()                        // errored
+    val out = Frontier.remap(frontier)
+    val cleared = out.filter(col("last_map_date").isNull &&
+      col("wip_date").isNull)
+      .select("uri").as[String].collect().toSet
+    assert(cleared == Set(
+      "https://repo1.maven.org/maven2/a",
+      "maven-index://repo1.maven.org/b",
+      "https://registry.npmjs.org/d"))
+    assert(out.filter(col("uri") === "https://example.com/c")
+      .filter(col("last_map_date").isNotNull).count() == 1)
+    assert(out.filter(col("uri") === "https://replicate.npmjs.com/e")
+      .filter(col("last_map_date").isNotNull).count() == 1)
+    // remapped rows become mappable again
+    assert(Frontier.mappables(out).count() == 3)
+  }
+
   test("scan queue: full happy path and guarded transitions") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[ScanQueue.ScanEvent]
