@@ -113,6 +113,30 @@ object Frontier {
       .unionByName(newUris)
   }
 
+  /** Bloom-filter pre-filter for frontier inserts. At 100 TB the
+    * insert-if-absent anti-join shuffles every candidate against the
+    * whole frontier; a Bloom filter over the frontier's canonical
+    * keys (built once per maintenance window, broadcast to
+    * executors) lets definitely-new candidates skip the join
+    * entirely — only the `mightContain` maybes (fpp-bounded) pay the
+    * shuffle. No false negatives, so the union is exactly the plain
+    * anti-join result. */
+  def insertIfAbsentWithBloom(frontier: DataFrame, candidates: DataFrame,
+      expectedItems: Long = 1000000L, fpp: Double = 0.01): DataFrame = {
+    val pending = frontier.filter(col("last_visit_date").isNull)
+    val bloom = pending.stat.bloomFilter("canonical",
+      math.max(expectedItems, 1L), fpp)
+    val session = candidates.sparkSession
+    val mightContain = session.udf.register("graft_bloom_might_contain",
+      (s: String) => s != null && bloom.mightContain(s))
+    val definitelyNew = candidates.filter(!mightContain(col("canonical")))
+    val maybes = candidates.filter(mightContain(col("canonical")))
+      .join(pending.select(col("canonical").as("existing_canonical")),
+        col("canonical") === col("existing_canonical"), "left_anti")
+      .drop("existing_canonical")
+    definitelyNew.unionByName(maybes)
+  }
+
   /** Mappables (ST3): visited but never mapped
     * (`minecode/models.py:246-252` exclusion semantics, U3). */
   def mappables(frontier: DataFrame): DataFrame =

@@ -69,6 +69,27 @@ class StreamingSpec extends SparkTestBase {
     assert(Frontier.mappables(next).count() == 0)
   }
 
+  test("bloom-prefiltered insert equals the plain anti-join insert") {
+    val now = ts("2026-08-12 00:00:00")
+    val frontier = (1 to 200).map(i =>
+      Frontier.UriRow(s"http://h/$i", s"http://h/$i", "h", 0,
+        if (i % 2 == 0) Some(now) else None, None, None, None)).toDF()
+    // candidates: half collide with pending rows, half are new
+    val candidates = (150 to 250).map(i =>
+      Frontier.UriRow(s"http://h/$i", s"http://h/$i", "h", 0,
+        None, None, None, None)).toDF()
+    val plain = candidates
+      .join(frontier.filter(col("last_visit_date").isNull)
+          .select(col("canonical").as("existing_canonical")),
+        col("canonical") === col("existing_canonical"), "left_anti")
+      .select("uri").as[String].collect().toSet
+    val bloomed = Frontier.insertIfAbsentWithBloom(frontier, candidates)
+      .select("uri").as[String].collect().toSet
+    assert(bloomed == plain) // no false negatives, exact same inserts
+    // pending odd rows 151..199 collide; evens + 201..250 survive
+    assert(plain.contains("http://h/250") && !plain.contains("http://h/151"))
+  }
+
   test("remap clears map state only for registry-prefixed mapped URIs") {
     // minecode/management/commands/remap.py
     val now = ts("2026-08-12 00:00:00")
