@@ -113,6 +113,42 @@ object Frontier {
       .unionByName(newUris)
   }
 
+  /** `get_status` (`minecode/management/commands/get_status.py`):
+    * the frontier health counters, computed in ONE aggregation pass
+    * (conditional counts) instead of the reference's eleven separate
+    * COUNT queries. */
+  def status(frontier: DataFrame, packages: DataFrame,
+      now: Timestamp): Seq[(String, Long)] = {
+    val visited = col("last_visit_date").isNotNull
+    val mapped = col("last_map_date").isNotNull
+    def cnt(c: org.apache.spark.sql.Column) = count(when(c, 1))
+    val r = frontier.agg(
+      count(lit(1)).as("total_uri"),
+      countDistinct(col("uri")).as("unique_uri"),
+      cnt(visited).as("visited"),
+      cnt(visited && col("visit_error").isNull).as("successfully_visited"),
+      cnt(visited && col("visit_error").isNotNull)
+        .as("unsuccessfully_visited"),
+      cnt(!visited).as("never_visited"),
+      cnt(col("wip_date").isNotNull && !visited).as("visit_in_progress"),
+      cnt(visited && !mapped && col("visit_error").isNull).as("mappables"),
+      cnt(mapped).as("mapped"),
+      cnt(mapped && col("visit_error").isNull).as("successfully_mapped"))
+      .collect().head
+    Seq("total_packages" -> packages.count(),
+      "total_uri" -> r.getAs[Long]("total_uri"),
+      "unique_uri" -> r.getAs[Long]("unique_uri"),
+      "visitables" -> visitables(frontier, now).count(),
+      "visited" -> r.getAs[Long]("visited"),
+      "successfully_visited" -> r.getAs[Long]("successfully_visited"),
+      "unsuccessfully_visited" -> r.getAs[Long]("unsuccessfully_visited"),
+      "never_visited" -> r.getAs[Long]("never_visited"),
+      "visit_in_progress" -> r.getAs[Long]("visit_in_progress"),
+      "mappables" -> r.getAs[Long]("mappables"),
+      "mapped" -> r.getAs[Long]("mapped"),
+      "successfully_mapped" -> r.getAs[Long]("successfully_mapped"))
+  }
+
   /** Bloom-filter pre-filter for frontier inserts. At 100 TB the
     * insert-if-absent anti-join shuffles every candidate against the
     * whole frontier; a Bloom filter over the frontier's canonical

@@ -69,6 +69,31 @@ class StreamingSpec extends SparkTestBase {
     assert(Frontier.mappables(next).count() == 0)
   }
 
+  test("get_status counters come from one aggregation pass") {
+    val now = ts("2026-08-12 00:00:00")
+    val frontier = Seq(
+      Frontier.UriRow("http://h/1", "http://h/1", "h", 0,
+        Some(now), Some(now), None, None),          // visited + mapped
+      Frontier.UriRow("http://h/2", "http://h/2", "h", 0,
+        Some(now), None, None, None),               // visited, mappable
+      Frontier.UriRow("http://h/3", "http://h/3", "h", 0,
+        Some(now), None, None, Some("boom")),       // visit error
+      Frontier.UriRow("http://h/4", "http://h/4", "h", 0,
+        None, None, Some(now), None),               // in-flight
+      Frontier.UriRow("http://h/5", "http://h/5", "h", 0,
+        None, None, None, None)).toDF()             // never visited
+    val pkgs = Seq(graft.catalog.PackageRow.minimal("u", "maven", "a")).toDF()
+    val s = Frontier.status(frontier, pkgs, now).toMap
+    assert(s("total_packages") == 1 && s("total_uri") == 5 &&
+      s("unique_uri") == 5)
+    assert(s("visited") == 3 && s("successfully_visited") == 2 &&
+      s("unsuccessfully_visited") == 1 && s("never_visited") == 2)
+    assert(s("visit_in_progress") == 1)
+    assert(s("mappables") == 1 && s("mapped") == 1 &&
+      s("successfully_mapped") == 1)
+    assert(s("visitables") == 1) // only the idle never-visited row
+  }
+
   test("bloom-prefiltered insert equals the plain anti-join insert") {
     val now = ts("2026-08-12 00:00:00")
     val frontier = (1 to 200).map(i =>
