@@ -75,6 +75,19 @@ class PlanSpec extends SparkTestBase {
     }
   }
 
+  test("no registered query degenerates to a cartesian product") {
+    // sweep the WHOLE registry: plans only (no execution beyond what
+    // eager queries do themselves at sf0.001)
+    val offenders = Registry.all.flatMap { q =>
+      val p = try q.run(spark, sf001).queryExecution.executedPlan.toString
+        catch { case e: Exception => s"PLAN FAILURE: $e" }
+      if (p.contains("CartesianProduct") || p.startsWith("PLAN FAILURE"))
+        Some(q.name -> p.take(200))
+      else None
+    }
+    assert(offenders.isEmpty, offenders.mkString("\n"))
+  }
+
   test("stratified sample is a filter-only plan: no shuffle at all") {
     val p = plan("a_stratified_sample")
     // an ordered display Sort is fine; no aggregation/join Exchange
