@@ -458,7 +458,30 @@ object TextOps {
              WHEN source = 'books' THEN '80' ELSE '40' END
       ORDER BY doc_id"""))
 
+  /** Corpus vocabulary: top tokens by document frequency and raw
+    * count — the first pass of tokenizer training / OOV analysis.
+    * One explode + one map-side-combined groupBy; the top-k is a
+    * global sort of the (small) distinct-token frame, not the corpus. */
+  val vocabulary = QueryDef(
+    "t_vocabulary", "LLM-pipeline: corpus vocabulary",
+    "explode tokens → count + doc-frequency → deterministic top 100",
+    (s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), explode(words).as("token"))
+        .groupBy("token")
+        .agg(count(lit(1)).as("n_occurrences"),
+          countDistinct(col("doc_id")).as("n_docs"))
+        .orderBy(col("n_occurrences").desc, col("token"))
+        .limit(100),
+    Some("""SELECT token, CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+        CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+      FROM (SELECT doc_id, unnest(list_filter(string_split(text, ' '),
+        w -> w <> '')) AS token FROM documents)
+      GROUP BY token
+      ORDER BY n_occurrences DESC, token
+      LIMIT 100"""))
+
   val defs: Seq[QueryDef] = Seq(htmlToText, piiScrub, stratifiedSample,
-    tok, quality, langid, langidNgram, fingerprint,
+    vocabulary, tok, quality, langid, langidNgram, fingerprint,
     repetition, dupSegments)
 }
