@@ -441,6 +441,100 @@ object DedupOps {
         CAST(COUNT(*) AS INTEGER) AS n_kept_segments
       FROM kept GROUP BY doc_id ORDER BY doc_id"""))
 
+  /** Keeper selection per near-dup cluster: the component assignment
+    * of `d_dedup_clusters` joined with the `t_quality_score` formula;
+    * each cluster keeps its highest-quality member (doc_id ascending
+    * on ties). One extra join + one per-cluster window over the
+    * (tiny) cluster frame. */
+  val clusterKeeper = QueryDef(
+    "d_cluster_keeper", "LLM-pipeline dedup: per-cluster keeper",
+    "connected components ⋈ quality score → best-quality keeper per cluster",
+    (s, dir) => {
+      val labels = clusters.run(s, dir)
+      val docs = t(s, dir, "documents")
+        .withColumn("n_words", size(words))
+        .filter(col("n_words") > 0)
+        .withColumn("n_stop", size(filter(split(col("text"), " "),
+          w => w === "the" || w === "a" || w === "of")))
+        .withColumn("mean_word_len",
+          asDouble(length(regexp_replace(col("text"), " ", ""))) /
+            asDouble(col("n_words")))
+        .withColumn("quality_score",
+          (asDouble(col("n_stop")) / asDouble(col("n_words"))) * 0.5 +
+            (col("mean_word_len") / 10.0) * 0.5)
+        .select(col("doc_id"), col("quality_score"))
+      val ranked = labels.join(docs, Seq("doc_id"))
+        .withColumn("rnk", row_number().over(Window
+          .partitionBy(col("cluster_id"))
+          .orderBy(col("quality_score").desc, col("doc_id"))))
+      val sizes = labels.groupBy("cluster_id")
+        .agg(count(lit(1)).cast("int").as("n_members"))
+      ranked.filter(col("rnk") === 1)
+        .select(col("cluster_id"), col("doc_id").as("keeper_doc_id"),
+          col("quality_score"))
+        .join(sizes, Seq("cluster_id"))
+        .orderBy("cluster_id")
+    },
+    Some("""WITH RECURSIVE w AS (
+        SELECT doc_id,
+          list_filter(string_split(text, ' '), x -> x <> '') AS ws
+        FROM documents),
+      sh AS (
+        SELECT doc_id,
+          list_distinct(list_transform(
+            range(1, greatest(len(ws) - 2, 1) + 1),
+            i -> array_to_string(ws[i:i+2], ' '))) AS shs
+        FROM w),
+      grams AS (SELECT doc_id, unnest(shs) AS g FROM sh),
+      sizes AS (SELECT doc_id, len(shs) AS n_sh FROM sh),
+      inter AS (
+        SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS n_common
+        FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+        GROUP BY 1, 2),
+      pairs AS (
+        SELECT i.d1, i.d2
+        FROM inter i
+        JOIN sizes s1 ON i.d1 = s1.doc_id
+        JOIN sizes s2 ON i.d2 = s2.doc_id
+        WHERE CAST(i.n_common AS DOUBLE) /
+            CAST(s1.n_sh + s2.n_sh - i.n_common AS DOUBLE) >= 0.5),
+      edges AS (
+        SELECT d1 AS u, d2 AS v FROM pairs
+        UNION SELECT d2, d1 FROM pairs),
+      walk(node, reach) AS (
+        SELECT u, v FROM edges
+        UNION
+        SELECT wk.node, e.v FROM walk wk JOIN edges e ON wk.reach = e.u),
+      labels AS (
+        SELECT d.doc_id,
+          LEAST(d.doc_id, COALESCE(MIN(wk.reach), d.doc_id)) AS cluster_id
+        FROM documents d LEFT JOIN walk wk ON wk.node = d.doc_id
+        GROUP BY d.doc_id),
+      quality AS (
+        SELECT doc_id,
+          (CAST(len(list_filter(string_split(text, ' '),
+             x -> x = 'the' OR x = 'a' OR x = 'of')) AS DOUBLE) /
+           CAST(len(list_filter(string_split(text, ' '),
+             x -> x <> '')) AS DOUBLE)) * 0.5 +
+          ((CAST(length(replace(text, ' ', '')) AS DOUBLE) /
+            CAST(len(list_filter(string_split(text, ' '),
+              x -> x <> '')) AS DOUBLE)) / 10.0) * 0.5 AS quality_score
+        FROM documents
+        WHERE len(list_filter(string_split(text, ' '), x -> x <> '')) > 0),
+      ranked AS (
+        SELECT l.cluster_id, l.doc_id, q.quality_score,
+          ROW_NUMBER() OVER (PARTITION BY l.cluster_id
+            ORDER BY q.quality_score DESC, l.doc_id) AS rnk
+        FROM labels l JOIN quality q ON l.doc_id = q.doc_id),
+      members AS (
+        SELECT cluster_id, CAST(COUNT(*) AS INTEGER) AS n_members
+        FROM labels GROUP BY cluster_id)
+      SELECT r.cluster_id, r.doc_id AS keeper_doc_id, r.quality_score,
+        m.n_members
+      FROM ranked r JOIN members m ON r.cluster_id = m.cluster_id
+      WHERE r.rnk = 1
+      ORDER BY r.cluster_id"""))
+
   val defs: Seq[QueryDef] = Seq(exact, minhash, simhash, ngram, clusters,
-    lineDedup)
+    lineDedup, clusterKeeper)
 }
