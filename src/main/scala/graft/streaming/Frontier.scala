@@ -115,25 +115,37 @@ object Frontier {
 
   /** `get_status` (`minecode/management/commands/get_status.py`):
     * the frontier health counters, computed in ONE aggregation pass
-    * (conditional counts) instead of the reference's eleven separate
-    * COUNT queries. */
+    * (conditional counts) instead of the reference's thirteen separate
+    * COUNT queries. Predicates mirror the ResourceURI managers
+    * (`minecode/models.py:219-344`): visited/never_visited/mapped all
+    * require `wip_date IS NULL` (an in-flight row counts in neither
+    * bucket, only in visit_in_progress), and never_mapped is
+    * successfully-visited-but-unmapped. This frontier carries one
+    * error column for both stages, so has_map_error folds into
+    * visit_error. */
   def status(frontier: DataFrame, packages: DataFrame,
       now: Timestamp): Seq[(String, Long)] = {
-    val visited = col("last_visit_date").isNotNull
-    val mapped = col("last_map_date").isNotNull
+    val noWip = col("wip_date").isNull
+    val visited = noWip && col("last_visit_date").isNotNull
+    val mapped = noWip && col("last_map_date").isNotNull
+    val errFree = col("visit_error").isNull
+    val successfullyVisited = visited && errFree
+    val neverMapped = successfullyVisited && col("last_map_date").isNull
     def cnt(c: org.apache.spark.sql.Column) = count(when(c, 1))
     val r = frontier.agg(
       count(lit(1)).as("total_uri"),
       countDistinct(col("uri")).as("unique_uri"),
       cnt(visited).as("visited"),
-      cnt(visited && col("visit_error").isNull).as("successfully_visited"),
-      cnt(visited && col("visit_error").isNotNull)
-        .as("unsuccessfully_visited"),
-      cnt(!visited).as("never_visited"),
-      cnt(col("wip_date").isNotNull && !visited).as("visit_in_progress"),
-      cnt(visited && !mapped && col("visit_error").isNull).as("mappables"),
+      cnt(successfullyVisited).as("successfully_visited"),
+      cnt(visited && !errFree).as("unsuccessfully_visited"),
+      cnt(noWip && col("last_visit_date").isNull).as("never_visited"),
+      cnt(col("wip_date").isNotNull && col("last_visit_date").isNull)
+        .as("visit_in_progress"),
+      cnt(neverMapped).as("mappables"),
       cnt(mapped).as("mapped"),
-      cnt(mapped && col("visit_error").isNull).as("successfully_mapped"))
+      cnt(mapped && errFree).as("successfully_mapped"),
+      cnt(mapped && !errFree).as("unsuccessfully_mapped"),
+      cnt(neverMapped).as("never_mapped"))
       .collect().head
     Seq("total_packages" -> packages.count(),
       "total_uri" -> r.getAs[Long]("total_uri"),
@@ -146,7 +158,9 @@ object Frontier {
       "visit_in_progress" -> r.getAs[Long]("visit_in_progress"),
       "mappables" -> r.getAs[Long]("mappables"),
       "mapped" -> r.getAs[Long]("mapped"),
-      "successfully_mapped" -> r.getAs[Long]("successfully_mapped"))
+      "successfully_mapped" -> r.getAs[Long]("successfully_mapped"),
+      "unsuccessfully_mapped" -> r.getAs[Long]("unsuccessfully_mapped"),
+      "never_mapped" -> r.getAs[Long]("never_mapped"))
   }
 
   /** Bloom-filter pre-filter for frontier inserts. At 100 TB the
@@ -173,31 +187,40 @@ object Frontier {
     definitelyNew.unionByName(maybes)
   }
 
-  /** Mappables (ST3): visited but never mapped
-    * (`minecode/models.py:246-252` exclusion semantics, U3). */
+  /** Mappables (ST3): successfully visited, never mapped, not
+    * in-flight (`minecode/models.py:318-344` never_mapped /
+    * get_mappables semantics, U3). */
   def mappables(frontier: DataFrame): DataFrame =
-    frontier.filter(col("last_visit_date").isNotNull &&
+    frontier.filter(col("wip_date").isNull &&
+      col("last_visit_date").isNotNull &&
       col("last_map_date").isNull && col("visit_error").isNull)
 
   /** `remap` (`minecode/management/commands/remap.py`): clear the map
     * state of successfully-mapped URIs whose prefix matches one of
-    * the registry roots, so the next map cycle reprocesses them. */
+    * the registry roots (resetting wip_date too), then additionally
+    * clear last_map_date alone for any successfully-mapped URI merely
+    * CONTAINING "maven" or "npm" — the reference's two follow-up
+    * UPDATE statements. The reference's final `is_mappable=False`
+    * update on non-registry rows is unrepresentable in this schema
+    * (no is_mappable column) and intentionally not modeled. */
   val RemapPrefixes: Seq[String] = Seq("https://repo1", "maven-index://",
     "https://replicate", "https://registry")
 
+  val RemapContains: Seq[String] = Seq("maven", "npm")
+
   def remap(frontier: DataFrame,
       prefixes: Seq[String] = RemapPrefixes): DataFrame = {
-    val matches = prefixes.map(p => col("uri").startsWith(p)).reduce(_ || _)
+    val prefixMatch =
+      prefixes.map(p => col("uri").startsWith(p)).reduce(_ || _)
+    val containsMatch =
+      RemapContains.map(s => col("uri").contains(s)).reduce(_ || _)
     // successfully_mapped: mapped and error-free (this frontier
     // carries one error column for both stages)
-    val successfullyMapped =
+    val successfullyMapped = col("wip_date").isNull &&
       col("last_map_date").isNotNull && col("visit_error").isNull
     frontier
-      .withColumn("wip_date",
-        when(successfullyMapped && matches,
-          lit(null).cast("timestamp")).otherwise(col("wip_date")))
       .withColumn("last_map_date",
-        when(successfullyMapped && matches,
+        when(successfullyMapped && (prefixMatch || containsMatch),
           lit(null).cast("timestamp")).otherwise(col("last_map_date")))
   }
 

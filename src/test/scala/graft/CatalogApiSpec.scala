@@ -165,10 +165,13 @@ class CatalogApiSpec extends SparkTestBase {
     }
     val out = CatalogApi.updatePackages(catalog, Seq(
       existingPurl -> 1,
-      "pkg:npm/less@1.0.32" -> 2))
+      "pkg:npm/less@1.0.32" -> 2,
+      "not-a-purl" -> 1))
     assert(out.statuses == Seq(
       existingPurl -> "Already Exists",
-      "pkg:npm/less@1.0.32" -> "Updated"))
+      "pkg:npm/less@1.0.32" -> "Updated",
+      // reference purl_to_lookups raises on this; per-row error status
+      "not-a-purl" -> "Invalid PURL"))
     assert(out.created.size == 1)
     val c = out.created.head
     assert(c.download_url == " ")

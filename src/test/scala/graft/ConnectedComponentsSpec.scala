@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.ConnectedComponents
+
+class ConnectedComponentsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  /** Brute-force union-find for expected labels. */
+  private def expected(n: Long, edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map[Long, Long](
+      (0L until n).map(i => i -> i): _*)
+    def find(x: Long): Long =
+      if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    (0L until n).map(i => i -> find(i)).toMap
+  }
+
+  private def run(n: Long, edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val nodes = spark.range(n).select(col("id").as("doc_id"))
+    val e = edges.toDF("u", "v")
+    ConnectedComponents.labels(nodes, e)
+      .as[(Long, Long)].collect().toMap
+  }
+
+  test("matches union-find on a deterministic pseudo-random graph") {
+    val n = 500L
+    // LCG-driven edge set: multiple components of varied shapes
+    val edges = (0 until 400).map { i =>
+      val a = (i * 1103515245L + 12345L) % n
+      val b = (i * 69069L + 1L) % n
+      (math.abs(a), math.abs(b))
+    }.filter { case (a, b) => a != b }
+    assert(run(n, edges) == expected(n, edges))
+  }
+
+  test("chain of length 200 converges (O(log n), not O(diameter))") {
+    // a 30-round min-label loop would return WRONG labels here; the
+    // star algorithm contracts the chain geometrically
+    val n = 201L
+    val edges = (0L until 200L).map(i => (i, i + 1))
+    val got = run(n, edges)
+    assert(got.values.toSet == Set(0L))
+  }
+
+  test("singletons label themselves; duplicate/reversed edges fold") {
+    val edges = Seq((1L, 2L), (2L, 1L), (1L, 2L), (5L, 6L))
+    val got = run(8L, edges)
+    assert(got == Map(0L -> 0L, 1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 4L,
+      5L -> 5L, 6L -> 5L, 7L -> 7L))
+  }
+
+  test("non-convergence within maxRounds fails loudly") {
+    val nodes = spark.range(10L).select(col("id").as("doc_id"))
+    val e = (0L until 9L).map(i => (i, i + 1)).toDF("u", "v")
+    intercept[IllegalStateException] {
+      ConnectedComponents.labels(nodes, e, maxRounds = 1)
+    }
+  }
+}

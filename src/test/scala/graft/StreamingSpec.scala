@@ -87,10 +87,13 @@ class StreamingSpec extends SparkTestBase {
     assert(s("total_packages") == 1 && s("total_uri") == 5 &&
       s("unique_uri") == 5)
     assert(s("visited") == 3 && s("successfully_visited") == 2 &&
-      s("unsuccessfully_visited") == 1 && s("never_visited") == 2)
-    assert(s("visit_in_progress") == 1)
+      s("unsuccessfully_visited") == 1)
+    // never_visited requires wip_date IS NULL (minecode/models.py:224):
+    // the in-flight row counts ONLY in visit_in_progress
+    assert(s("never_visited") == 1 && s("visit_in_progress") == 1)
     assert(s("mappables") == 1 && s("mapped") == 1 &&
       s("successfully_mapped") == 1)
+    assert(s("unsuccessfully_mapped") == 0 && s("never_mapped") == 1)
     assert(s("visitables") == 1) // only the idle never-visited row
   }
 
@@ -115,34 +118,40 @@ class StreamingSpec extends SparkTestBase {
     assert(plain.contains("http://h/250") && !plain.contains("http://h/151"))
   }
 
-  test("remap clears map state only for registry-prefixed mapped URIs") {
-    // minecode/management/commands/remap.py
+  test("remap clears map state for registry prefixes and maven/npm URIs") {
+    // minecode/management/commands/remap.py: prefix-matched
+    // successfully-mapped rows are cleared, then uri__contains maven /
+    // npm rows get last_map_date cleared too. A mapped row has
+    // wip_date reset already (models.py lifecycle), so rows still
+    // in-flight are untouched.
     val now = ts("2026-08-12 00:00:00")
     def row(uri: String, mapped: Boolean, err: Option[String] = None) =
       Frontier.UriRow(uri, uri, "h", 1, Some(now),
-        if (mapped) Some(now) else None,
-        if (mapped) Some(now) else None, err)
+        if (mapped) Some(now) else None, None, err)
     val frontier = Seq(
       row("https://repo1.maven.org/maven2/a", mapped = true),
       row("maven-index://repo1.maven.org/b", mapped = true),
-      row("https://example.com/c", mapped = true),        // prefix miss
+      row("https://example.com/c", mapped = true),        // no match at all
       row("https://registry.npmjs.org/d", mapped = false), // never mapped
       row("https://replicate.npmjs.com/e", mapped = true,
-        err = Some("boom"))).toDF()                        // errored
+        err = Some("boom")),                               // errored
+      // prefix miss but uri CONTAINS "maven": the reference's second
+      // UPDATE clears last_map_date for it
+      row("https://other.example/maven/artifact", mapped = true)).toDF()
     val out = Frontier.remap(frontier)
-    val cleared = out.filter(col("last_map_date").isNull &&
-      col("wip_date").isNull)
+    val cleared = out.filter(col("last_map_date").isNull)
       .select("uri").as[String].collect().toSet
     assert(cleared == Set(
       "https://repo1.maven.org/maven2/a",
       "maven-index://repo1.maven.org/b",
-      "https://registry.npmjs.org/d"))
+      "https://registry.npmjs.org/d",
+      "https://other.example/maven/artifact"))
     assert(out.filter(col("uri") === "https://example.com/c")
       .filter(col("last_map_date").isNotNull).count() == 1)
     assert(out.filter(col("uri") === "https://replicate.npmjs.com/e")
       .filter(col("last_map_date").isNotNull).count() == 1)
     // remapped rows become mappable again
-    assert(Frontier.mappables(out).count() == 3)
+    assert(Frontier.mappables(out).count() == 4)
   }
 
   test("scan queue: full happy path and guarded transitions") {
