@@ -10,12 +10,18 @@ import org.apache.spark.sql.functions._
   * executor-side transforms (`mapPartitions` — the Scala analogue of
   * the Pandas-UDF/mapInPandas batch shape).
   *
-  * The IMAGE path is real: payloads are genuine PNG bytes and
-  * [[ImageCodec]] decodes them with the JDK's `javax.imageio` (zero
-  * extra dependencies), resizes with a deterministic nearest-neighbor
-  * sampler, and reports exact pixel statistics. Audio/video decoding
-  * stays STUBBED (`FakeCodec`, no codec libraries in this
-  * environment) behind the same batched plumbing.
+  * ALL THREE modalities decode for real, with zero extra dependencies:
+  *  - images are genuine PNG bytes decoded by `javax.imageio`
+  *    ([[ImageCodec]]), resized with a deterministic nearest-neighbor
+  *    sampler, with exact pixel statistics;
+  *  - audio is genuine 16-bit PCM WAV decoded through
+  *    `javax.sound.sampled` ([[AudioCodec]]) with exact sample
+  *    statistics;
+  *  - video is a length-prefixed container of real PNG frames
+  *    ([[VideoCodec]]) — frame sampling decodes the selected frames
+  *    through the real ImageIO path. (The container itself is
+  *    project-defined: the JDK ships no MP4/AVI demuxer; a production
+  *    deployment swaps the demuxer and keeps the frame pipeline.)
   */
 object Multimodal {
 
@@ -29,8 +35,8 @@ object Multimodal {
   final case class ImageFeatures(media_id: Long, width: Int, height: Int,
       embedding: Seq[Float])
 
-  final case class FrameSample(media_id: Long, frame_idx: Int,
-      frame_hash: Long)
+  final case class FrameStat(media_id: Long, frame_idx: Int,
+      width: Int, height: Int, pixel_sum: Long)
 
   // ======================================================================
   // REAL IMAGE CODEC — JDK javax.imageio PNG/JPEG decode, deterministic
@@ -119,19 +125,118 @@ object Multimodal {
   }
 
   // ======================================================================
-  // STUB CODEC — deterministic fake standing in for audio/video decoding
-  // only (no ffmpeg in this environment). A real deployment replaces only
-  // this object (e.g. with javacv/ffmpeg bindings); the Spark plumbing is
-  // unchanged. Images use the REAL ImageCodec above.
+  // REAL AUDIO CODEC — 16-bit PCM mono WAV, decoded through the JDK's
+  // javax.sound.sampled (the container/format parsing is the real audio
+  // stack, not a byte peek). Executor-safe, headless-safe (WAV parsing
+  // needs no audio device), no external dependencies.
   // ======================================================================
-  object FakeCodec {
-    /** "Frame-sample" a video payload: one hash per sampled frame. */
-    def sampleFrames(content: Array[Byte], everyNth: Int,
-        nFrames: Int): Seq[(Int, Long)] =
-      (0 until nFrames by everyNth).map { i =>
-        i -> Fnv.hash64(content, i)
-      }
+  object AudioCodec {
+    /** Deterministic signed 16-bit sample for (id, i). */
+    def sampleAt(id: Long, i: Int): Int =
+      ((Fnv.hash64(s"$id:a:$i".getBytes("UTF-8")) & 0xffffL) - 32768L).toInt
 
+    /** Encode a real RIFF/WAVE file: 44-byte canonical header +
+      * little-endian 16-bit PCM mono samples. */
+    def encodeWav(id: Long, nSamples: Int, sampleRate: Int): Array[Byte] = {
+      val dataLen = nSamples * 2
+      val buf = java.nio.ByteBuffer.allocate(44 + dataLen)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+        .put("WAVE".getBytes("US-ASCII")).put("fmt ".getBytes("US-ASCII"))
+        .putInt(16).putShort(1).putShort(1) // PCM, mono
+        .putInt(sampleRate).putInt(sampleRate * 2)
+        .putShort(2).putShort(16)
+        .put("data".getBytes("US-ASCII")).putInt(dataLen)
+      var i = 0
+      while (i < nSamples) { buf.putShort(sampleAt(id, i).toShort); i += 1 }
+      buf.array()
+    }
+
+    /** Decode WAV bytes via `AudioSystem` →
+      * (sampleRate, nSamples, sum of samples, max |sample|). None when
+      * the payload is not decodable 16-bit mono PCM. */
+    def decode(content: Array[Byte])
+        : Option[(Int, Int, Long, Int)] = {
+      try {
+        val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(content))
+        val fmt = in.getFormat
+        if (fmt.getSampleSizeInBits != 16 || fmt.getChannels != 1) None
+        else {
+          val bytes = in.readAllBytes()
+          val bb = java.nio.ByteBuffer.wrap(bytes).order(
+            if (fmt.isBigEndian) java.nio.ByteOrder.BIG_ENDIAN
+            else java.nio.ByteOrder.LITTLE_ENDIAN)
+          var n = 0
+          var sum = 0L
+          var maxAbs = 0
+          while (bb.remaining() >= 2) {
+            val v = bb.getShort.toInt
+            n += 1; sum += v
+            if (math.abs(v) > maxAbs) maxAbs = math.abs(v)
+          }
+          Some((fmt.getSampleRate.toInt, n, sum, maxAbs))
+        }
+      } catch {
+        case _: javax.sound.sampled.UnsupportedAudioFileException => None
+        case _: java.io.IOException => None
+      }
+    }
+  }
+
+  // ======================================================================
+  // REAL VIDEO CODEC — a length-prefixed container of genuine PNG frames;
+  // frame sampling decodes the selected frames through ImageIO. The
+  // demuxer is project-defined (the JDK has no MP4 demuxer); a production
+  // deployment replaces ONLY the container walk, the per-frame decode and
+  // the Spark plumbing stay as-is.
+  // ======================================================================
+  object VideoCodec {
+    /** Per-frame pixel seed, mirrored by the mm_video_frames oracle. */
+    def frameSeed(id: Long, frameIdx: Int): Long = id * 1000L + frameIdx
+
+    /** Container: int32-BE frame count, then per frame int32-BE byte
+      * length + PNG payload. */
+    def encodeFrames(id: Long, nFrames: Int, w: Int, h: Int): Array[Byte] = {
+      val frames = (0 until nFrames)
+        .map(f => ImageCodec.encodePng(w, h, frameSeed(id, f)))
+      val buf = java.nio.ByteBuffer
+        .allocate(4 + frames.map(_.length + 4).sum)
+      buf.putInt(nFrames)
+      frames.foreach { fb => buf.putInt(fb.length); buf.put(fb) }
+      buf.array()
+    }
+
+    /** Walk the container and REALLY decode every `everyNth` frame →
+      * (frame_idx, width, height, pixel_sum). Malformed containers or
+      * undecodable frames yield nothing (error-sink semantics). */
+    def sampleFrames(content: Array[Byte], everyNth: Int)
+        : Seq[(Int, Int, Int, Long)] = {
+      val bb = java.nio.ByteBuffer.wrap(content)
+      if (bb.remaining() < 4) return Seq.empty
+      val n = bb.getInt
+      if (n < 0 || n > 1000000) return Seq.empty
+      val out = Seq.newBuilder[(Int, Int, Int, Long)]
+      var f = 0
+      while (f < n && bb.remaining() >= 4) {
+        val len = bb.getInt
+        if (len < 0 || len > bb.remaining()) return out.result()
+        val fb = new Array[Byte](len)
+        bb.get(fb)
+        if (f % everyNth == 0)
+          ImageCodec.decode(fb).foreach { case (w, h, s) =>
+            out += ((f, w, h, s))
+          }
+        f += 1
+      }
+      out.result()
+    }
+  }
+
+  /** Deterministic payload-hash embedding (content fingerprints for
+    * the similarity operators; a production pipeline swaps in a model
+    * server call with the same batch shape). */
+  object FakeCodec {
     /** Feature extraction: D-dim embedding from payload bytes. */
     def embed(content: Array[Byte], dim: Int): Array[Float] = {
       val out = new Array[Float](dim)
@@ -145,30 +250,55 @@ object Multimodal {
     }
   }
 
-  /** Build a deterministic media table from the documents table:
-    * image rows carry REAL PNG payloads (deterministic pixels seeded
-    * by doc_id, dimensions derived from n_chars), audio/video rows
-    * carry text bytes, all with typed metadata. Production reads real
-    * blobs the same way (binary column + metadata struct). */
-  def mediaTable(spark: SparkSession, dir: String): Dataset[MediaRow] = {
+  val AllKinds: Set[String] = Set("image", "audio", "video")
+
+  /** Build a deterministic media table from the documents table: image
+    * rows carry REAL PNG payloads, audio rows REAL 16-bit PCM WAV,
+    * video rows a container of REAL PNG frames — all deterministic
+    * (seeded by doc_id, sized from n_chars) with typed metadata.
+    * Production reads real blobs the same way (binary column +
+    * metadata struct).
+    *
+    * `payloadKinds` is the synthesis analogue of column pruning: a
+    * consumer that never decodes a kind's payload (e.g. the feature
+    * summary, whose audio/video descriptors come from metadata) skips
+    * its encode cost; unrequested kinds carry an empty payload. A
+    * parquet-backed production media table gets this for free from
+    * predicate pushdown + lazy blob columns. */
+  def mediaTable(spark: SparkSession, dir: String,
+      payloadKinds: Set[String] = AllKinds): Dataset[MediaRow] = {
     import spark.implicits._
+    val none = Array.emptyByteArray
     graft.core.t(spark, dir, "documents")
       .select(col("doc_id"), col("text"), col("n_chars"))
       .as[(Long, String, Long)]
-      .map { case (id, text, nChars) =>
-        val kind = (id % 3) match {
-          case 0 => "image"; case 1 => "audio"; case _ => "video"
+      .map { case (id, _, nChars) =>
+        (id % 3) match {
+          case 0 =>
+            val w = (nChars % 64).toInt + 8
+            val h = (nChars % 48).toInt + 6
+            MediaRow(id, "image",
+              if (payloadKinds("image")) ImageCodec.encodePng(w, h, seed = id)
+              else none,
+              MediaMeta("image/png", width = w, height = h,
+                sampleRate = 0, durationMs = 0))
+          case 1 =>
+            val n = (nChars % 400).toInt + 100
+            MediaRow(id, "audio",
+              if (payloadKinds("audio")) AudioCodec.encodeWav(id, n, 16000)
+              else none,
+              MediaMeta("audio/wav", width = 0, height = 0,
+                sampleRate = 16000, durationMs = nChars * 10))
+          case _ =>
+            val nf = (nChars % 8).toInt + 3
+            val w = (nChars % 16).toInt + 8
+            val h = (nChars % 12).toInt + 6
+            MediaRow(id, "video",
+              if (payloadKinds("video")) VideoCodec.encodeFrames(id, nf, w, h)
+              else none,
+              MediaMeta("video/x-graft-frames", width = 0, height = 0,
+                sampleRate = 16000, durationMs = nChars * 10))
         }
-        if (kind == "image") {
-          val w = (nChars % 64).toInt + 8
-          val h = (nChars % 48).toInt + 6
-          MediaRow(id, kind, ImageCodec.encodePng(w, h, seed = id),
-            MediaMeta("image/png", width = w, height = h,
-              sampleRate = 0, durationMs = 0))
-        } else
-          MediaRow(id, kind, text.getBytes("UTF-8"),
-            MediaMeta(s"fake/$kind", width = 0, height = 0,
-              sampleRate = 16000, durationMs = nChars * 10))
       }
   }
 
@@ -202,15 +332,15 @@ object Multimodal {
     }
   }
 
-  /** Frame sampling for video rows: every `everyNth` frame of a
-    * pseudo 30fps stream. */
+  /** Frame sampling for video rows: walk the container and REALLY
+    * decode every `everyNth` PNG frame (ImageIO) → exact per-frame
+    * pixel statistics. */
   def frameSamples(media: Dataset[MediaRow], everyNth: Int = 10)
-      : Dataset[FrameSample] = {
+      : Dataset[FrameStat] = {
     import media.sparkSession.implicits._
     media.filter(_.kind == "video").flatMap { m =>
-      val nFrames = math.max(1, (m.meta.durationMs / 33).toInt)
-      FakeCodec.sampleFrames(m.content, everyNth, nFrames).map {
-        case (idx, h) => FrameSample(m.media_id, idx, h)
+      VideoCodec.sampleFrames(m.content, everyNth).map {
+        case (idx, w, h, psum) => FrameStat(m.media_id, idx, w, h, psum)
       }
     }
   }
@@ -225,7 +355,7 @@ object Multimodal {
     */
   def imageStats(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    mediaTable(spark, dir)
+    mediaTable(spark, dir, payloadKinds = Set("image"))
       .filter(_.kind == "image")
       .mapPartitions { it =>
         it.flatMap { m =>
@@ -250,7 +380,8 @@ object Multimodal {
     * available through [[features]].) */
   def featureSummary(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    mediaTable(spark, dir).mapPartitions { it =>
+    mediaTable(spark, dir, payloadKinds = Set("image"))
+      .mapPartitions { it =>
       it.map { m =>
         val decoded =
           if (m.kind == "image") ImageCodec.decode(m.content) else None
@@ -264,5 +395,41 @@ object Multimodal {
     }.toDF("media_id", "kind", "width", "height", "pixel_sum",
       "embedding_norm2")
       .orderBy("media_id")
+  }
+
+  /** Driver-surface query with a FULL DuckDB oracle: audio rows only,
+    * REAL `javax.sound.sampled` decode of the WAV payload → sample
+    * rate, sample count, exact sample sum and peak. The samples are
+    * seeded-FNV deterministic and PCM is lossless, so the oracle
+    * recomputes the identical statistics from the sample formula
+    * without decoding audio — end-to-end coverage of the real decode
+    * path (encode → WAV bytes → AudioSystem decode → statistics),
+    * exactly mirroring the mm_image_stats design. */
+  def audioStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    mediaTable(spark, dir, payloadKinds = Set("audio"))
+      .filter(_.kind == "audio")
+      .mapPartitions { it =>
+        it.flatMap { m =>
+          AudioCodec.decode(m.content).map { case (rate, n, sum, maxAbs) =>
+            (m.media_id, rate, n, sum, maxAbs)
+          }
+        }
+      }
+      .toDF("media_id", "sample_rate", "n_samples", "sum_samples",
+        "max_abs")
+      .orderBy("media_id")
+  }
+
+  /** Driver-surface query with a FULL DuckDB oracle: video rows only,
+    * every 3rd frame REALLY decoded from the PNG-frame container →
+    * per-frame dimensions + exact pixel sum (the mm_image_stats
+    * check, per sampled frame). */
+  def videoFrameStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    frameSamples(mediaTable(spark, dir, payloadKinds = Set("video")),
+        everyNth = 3)
+      .toDF()
+      .orderBy("media_id", "frame_idx")
   }
 }

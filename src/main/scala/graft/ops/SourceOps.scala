@@ -385,7 +385,112 @@ FROM norm2 ORDER BY media_id"""))
         CAST(SUM(p // 65536 + (p // 256) % 256 + p % 256) AS BIGINT) AS pixel_sum
       FROM pxv GROUP BY doc_id ORDER BY media_id"""))
 
+  val mmAudioStats = QueryDef(
+    "mm_audio_stats", "LLM-pipeline: multimodal columns (oracled)",
+    "REAL javax.sound WAV decode → sample rate/count + exact sample stats",
+    (s, dir) => graft.multimodal.Multimodal.audioStats(s, dir),
+    // Samples are ((fnv64("id:a:i") & 0xffff) - 32768) and 16-bit PCM
+    // is lossless, so the oracle recomputes the decoded statistics
+    // from the formula — same FNV-1a + fmix mirror as mm_image_stats.
+    Some("""WITH aud AS (
+        SELECT doc_id, CAST(n_chars % 400 + 100 AS INTEGER) AS n
+        FROM documents WHERE doc_id % 3 = 1),
+      idx AS (SELECT doc_id, unnest(range(0, n)) AS i FROM aud),
+      keys AS (
+        SELECT doc_id,
+          CAST(doc_id AS VARCHAR) || ':a:' || CAST(i AS VARCHAR) AS key
+        FROM idx),
+      fnv AS (
+        SELECT doc_id,
+          list_reduce(
+            list_prepend(CAST(14695981039346656037 AS HUGEINT),
+              list_transform(range(1, length(key)+1),
+                i -> CAST(unicode(substr(key, i, 1)) AS HUGEINT))),
+            (a, b) -> (CAST(xor(CAST(a AS UBIGINT), CAST(b AS UBIGINT)) AS HUGEINT)
+                       * 1099511628211) % 18446744073709551616) AS h0
+        FROM keys),
+      m1 AS (SELECT doc_id,
+        CAST(xor(CAST(h0 AS UBIGINT), CAST(h0 AS UBIGINT) // 8589934592) AS HUGEINT) AS f1
+        FROM fnv),
+      m2 AS (SELECT doc_id,
+        (((CAST(f1 AS HUGEINT) * (18397679294719823053 // 4294967296)) % 4294967296)
+           * 4294967296
+         + CAST(f1 AS HUGEINT) * (18397679294719823053 % 4294967296))
+          % 18446744073709551616 AS f2 FROM m1),
+      m3 AS (SELECT doc_id,
+        CAST(xor(CAST(f2 AS UBIGINT), CAST(f2 AS UBIGINT) // 8589934592) AS HUGEINT) AS f3
+        FROM m2),
+      m4 AS (SELECT doc_id,
+        (((CAST(f3 AS HUGEINT) * (14181476777654086739 // 4294967296)) % 4294967296)
+           * 4294967296
+         + CAST(f3 AS HUGEINT) * (14181476777654086739 % 4294967296))
+          % 18446744073709551616 AS f4 FROM m3),
+      vals AS (SELECT doc_id,
+        CAST(xor(CAST(f4 AS UBIGINT), CAST(f4 AS UBIGINT) // 8589934592)
+          % 65536 AS BIGINT) - 32768 AS v
+        FROM m4)
+      SELECT doc_id AS media_id, CAST(16000 AS INTEGER) AS sample_rate,
+        CAST(COUNT(*) AS INTEGER) AS n_samples,
+        CAST(SUM(v) AS BIGINT) AS sum_samples,
+        CAST(MAX(abs(v)) AS INTEGER) AS max_abs
+      FROM vals GROUP BY doc_id ORDER BY media_id"""))
+
+  val mmVideoFrames = QueryDef(
+    "mm_video_frames", "LLM-pipeline: multimodal columns (oracled)",
+    "PNG-frame container walk → every 3rd frame REALLY decoded → stats",
+    (s, dir) => graft.multimodal.Multimodal.videoFrameStats(s, dir),
+    // Frame pixels are (fnv64("(id*1000+f):x:y") & 0xffffff); the
+    // oracle recomputes each sampled frame's dimensions and pixel sum
+    // from the formula (mm_image_stats check, per frame).
+    Some("""WITH vid AS (
+        SELECT doc_id, CAST(n_chars % 8 + 3 AS INTEGER) AS nf,
+          CAST(n_chars % 16 + 8 AS INTEGER) AS w,
+          CAST(n_chars % 12 + 6 AS INTEGER) AS h
+        FROM documents WHERE doc_id % 3 = 2),
+      fr AS (SELECT doc_id, w, h, unnest(range(0, nf)) AS f FROM vid),
+      sampled AS (SELECT doc_id, w, h, f FROM fr WHERE f % 3 = 0),
+      px AS (SELECT doc_id, w, h, f, unnest(range(0, w)) AS x FROM sampled),
+      pxy AS (SELECT doc_id, w, h, f, x, unnest(range(0, h)) AS y FROM px),
+      keys AS (
+        SELECT doc_id, w, h, f,
+          CAST(doc_id * 1000 + f AS VARCHAR) || ':' ||
+            CAST(x AS VARCHAR) || ':' || CAST(y AS VARCHAR) AS key
+        FROM pxy),
+      fnv AS (
+        SELECT doc_id, w, h, f,
+          list_reduce(
+            list_prepend(CAST(14695981039346656037 AS HUGEINT),
+              list_transform(range(1, length(key)+1),
+                i -> CAST(unicode(substr(key, i, 1)) AS HUGEINT))),
+            (a, b) -> (CAST(xor(CAST(a AS UBIGINT), CAST(b AS UBIGINT)) AS HUGEINT)
+                       * 1099511628211) % 18446744073709551616) AS h0
+        FROM keys),
+      m1 AS (SELECT doc_id, w, h, f,
+        CAST(xor(CAST(h0 AS UBIGINT), CAST(h0 AS UBIGINT) // 8589934592) AS HUGEINT) AS f1
+        FROM fnv),
+      m2 AS (SELECT doc_id, w, h, f,
+        (((CAST(f1 AS HUGEINT) * (18397679294719823053 // 4294967296)) % 4294967296)
+           * 4294967296
+         + CAST(f1 AS HUGEINT) * (18397679294719823053 % 4294967296))
+          % 18446744073709551616 AS f2 FROM m1),
+      m3 AS (SELECT doc_id, w, h, f,
+        CAST(xor(CAST(f2 AS UBIGINT), CAST(f2 AS UBIGINT) // 8589934592) AS HUGEINT) AS f3
+        FROM m2),
+      m4 AS (SELECT doc_id, w, h, f,
+        (((CAST(f3 AS HUGEINT) * (14181476777654086739 // 4294967296)) % 4294967296)
+           * 4294967296
+         + CAST(f3 AS HUGEINT) * (14181476777654086739 % 4294967296))
+          % 18446744073709551616 AS f4 FROM m3),
+      pxv AS (SELECT doc_id, w, h, f,
+        xor(CAST(f4 AS UBIGINT), CAST(f4 AS UBIGINT) // 8589934592) % 16777216 AS p
+        FROM m4)
+      SELECT doc_id AS media_id, CAST(f AS INTEGER) AS frame_idx,
+        MAX(w) AS width, MAX(h) AS height,
+        CAST(SUM(p // 65536 + (p // 256) % 256 + p % 256) AS BIGINT)
+          AS pixel_sum
+      FROM pxv GROUP BY doc_id, f ORDER BY media_id, frame_idx"""))
+
   val defs: Seq[QueryDef] =
     Seq(s4json, s8html, s10sync, cdHarvest, cdResources, mmFeatures,
-      mmImageStats)
+      mmImageStats, mmAudioStats, mmVideoFrames)
 }
