@@ -27,6 +27,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     fn("halo1", es => matching.Halo1(es.head))
     fn("name_similarity", es => matching.NameSimilarity(es.head, es(1)))
     fn("merge_spans", es => matching.MergeSpans(es.head, es(1)))
+    fn("canonical_url", es => functions.CanonicalUrlExpr(es.head))
+    fn("vers_contains", es => functions.VersContains(es.head, es(1)))
+    fn("vers_cmp", es => functions.VersCmp(es.head, es(1), es(2)))
+    fn("langid", es => functions.LangIdExpr(es.head))
     e.injectOptimizerRule(_ => ExpandApproxHammingJoin)
   }
 }

@@ -48,6 +48,20 @@ object GraftFunctions {
   def rollhash_fps(c: Column, window: Int, keep: Int): Column =
     col(RollingFingerprints(ex(c), ex(lit(window)), ex(lit(keep))))
 
+  /** F2 — URL canonicalization (NULL for unparseable input). */
+  def canonical_url(c: Column): Column = col(CanonicalUrlExpr(ex(c)))
+
+  /** F15 — vers range membership (NULL for unsupported specs). */
+  def vers_contains(range: Column, version: Column): Column =
+    col(VersContains(ex(range), ex(version)))
+
+  /** F15/F6 — sign of the scheme-aware version comparison. */
+  def vers_cmp(scheme: Column, a: Column, b: Column): Column =
+    col(VersCmp(ex(scheme), ex(a), ex(b)))
+
+  /** Trigram-profile language identification. */
+  def langid(c: Column): Column = col(LangIdExpr(ex(c)))
+
   /** Register all custom functions in the session's FunctionRegistry. */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
@@ -67,5 +81,13 @@ object GraftFunctions {
       es => MinHashSig(es.head, es(1)), "built-in")
     reg.createOrReplaceTempFunction("rollhash_fps",
       es => RollingFingerprints(es.head, es(1), es(2)), "built-in")
+    reg.createOrReplaceTempFunction("canonical_url",
+      es => CanonicalUrlExpr(es.head), "built-in")
+    reg.createOrReplaceTempFunction("vers_contains",
+      es => VersContains(es.head, es(1)), "built-in")
+    reg.createOrReplaceTempFunction("vers_cmp",
+      es => VersCmp(es.head, es(1), es(2)), "built-in")
+    reg.createOrReplaceTempFunction("langid",
+      es => LangIdExpr(es.head), "built-in")
   }
 }

@@ -422,3 +422,108 @@ case class RollingFingerprints(
       a: Expression, b: Expression, c: Expression): RollingFingerprints =
     copy(a, b, c)
 }
+
+/** F2 — canonical_url(url): lowercase scheme/host (IDN-encoded),
+  * default-port drop, dot-segment normalization, fragment drop
+  * (reference `minecode/utils.py` get_canonical semantics via
+  * [[CanonicalUrl]]). Static-forwarder codegen: the call stays inside
+  * whole-stage codegen, no UDF serialization barrier. Unparseable
+  * URLs yield NULL. */
+case class CanonicalUrlExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def prettyName: String = "canonical_url"
+  override protected def nullSafeEval(u: Any): Any =
+    CanonicalUrlExpr.compute(u.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, u => s"""
+      ${ev.value} = graft.functions.CanonicalUrlExpr.compute($u);
+      if (${ev.value} == null) { ${ev.isNull} = true; }
+    """)
+  override protected def withNewChildInternal(c: Expression)
+      : CanonicalUrlExpr = copy(c)
+}
+
+object CanonicalUrlExpr {
+  /** Static forwarder shared by interpreted eval and generated code. */
+  def compute(u: UTF8String): UTF8String =
+    CanonicalUrl(u.toString).map(UTF8String.fromString).orNull
+}
+
+/** F15 — vers_contains(rangeSpec, version): VERSION-RANGE-SPEC
+  * membership ([[VersRange.contains]]). Three-valued: NULL when the
+  * spec is unsupported/malformed (callers coalesce to their default),
+  * matching the Option the Scala API returns. */
+case class VersContains(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = BooleanType
+  override def nullable: Boolean = true
+  override def prettyName: String = "vers_contains"
+  override protected def nullSafeEval(r: Any, v: Any): Any =
+    VersContains.compute(r.asInstanceOf[UTF8String],
+      v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (r, v) => s"""
+      java.lang.Boolean ${ev.value}_b =
+        graft.functions.VersContains.compute($r, $v);
+      if (${ev.value}_b == null) { ${ev.isNull} = true; }
+      else { ${ev.value} = ${ev.value}_b.booleanValue(); }
+    """)
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): VersContains = copy(l, r)
+}
+
+object VersContains {
+  /** Static forwarder shared by interpreted eval and generated code. */
+  def compute(range: UTF8String, v: UTF8String): java.lang.Boolean =
+    VersRange.contains(range.toString, v.toString)
+      .map(java.lang.Boolean.valueOf).orNull
+}
+
+/** F15/F6 — vers_cmp(scheme, a, b): sign of the scheme-aware version
+  * comparison ([[EcosystemVersions.compare]]: pep440/debian/maven/
+  * semver/generic orderings). */
+case class VersCmp(first: Expression, second: Expression,
+    third: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "vers_cmp"
+  override protected def nullSafeEval(s: Any, a: Any, b: Any): Any =
+    VersCmp.compute(s.asInstanceOf[UTF8String],
+      a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (s, a, b) => s"graft.functions.VersCmp.compute($s, $a, $b)")
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): VersCmp = copy(f, s, t)
+}
+
+object VersCmp {
+  /** Static forwarder shared by interpreted eval and generated code. */
+  def compute(scheme: UTF8String, a: UTF8String, b: UTF8String): Int =
+    Integer.signum(
+      EcosystemVersions.compare(scheme.toString, a.toString, b.toString))
+}
+
+/** langid(text) — Cavnar-Trenkle trigram-profile language
+  * identification ([[LangId.predict]]). */
+case class LangIdExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "langid"
+  override protected def nullSafeEval(t: Any): Any =
+    LangIdExpr.compute(t.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, t => s"graft.functions.LangIdExpr.compute($t)")
+  override protected def withNewChildInternal(c: Expression): LangIdExpr =
+    copy(c)
+}
+
+object LangIdExpr {
+  /** Static forwarder shared by interpreted eval and generated code. */
+  def compute(t: UTF8String): UTF8String =
+    UTF8String.fromString(LangId.predict(t.toString))
+}

@@ -244,8 +244,9 @@ object Functions {
     "f2_canonical_url", "F2",
     "URL canonicalization: case, default port, dot segments, fragment",
     (s, dir) => {
-      val canonical = udf((u: String) =>
-        graft.functions.CanonicalUrl(u).orNull)
+      // codegen'd Catalyst expression (static-forwarder doGenCode) —
+      // no UDF serialization barrier in the plan
+      val canonical = graft.functions.GraftFunctions.canonical_url _
       t(s, dir, "documents")
         .withColumn("raw",
           concat(lit("HTTP://Example.COM:80/"), col("source"), lit("/x/../doc/"),
@@ -264,15 +265,14 @@ object Functions {
     "f15_vers_range", "F15",
     "vers-range membership over synthesized versions (union-of-intervals)",
     (s, dir) => {
-      val inRange = udf((v: String) =>
-        graft.functions.VersRange.contains("vers:generic/>=0.4|<2.2", v)
-          .getOrElse(false))
       t(s, dir, "part")
         .withColumn("version",
           concat(pmod(col("p_partkey"), lit(3)).cast("string"), lit("."),
             pmod(col("p_partkey"), lit(12)).cast("string")))
         .select(col("p_partkey"), col("version"),
-          inRange(col("version")).as("in_range"))
+          coalesce(graft.functions.GraftFunctions.vers_contains(
+            lit("vers:generic/>=0.4|<2.2"), col("version")), lit(false))
+            .as("in_range"))
         .orderBy("p_partkey")
     },
     Some("""SELECT p_partkey,
@@ -283,11 +283,14 @@ object Functions {
           AS in_range
       FROM part ORDER BY p_partkey"""))
 
-  /** sign of the scheme-aware version comparison, as a UDF (complex
-    * recursive-descent parsing per ecosystem — not expressible in
-    * built-in column ops; deterministic, so oracle-checkable). */
-  private val vcmp = udf((scheme: String, a: String, b: String) =>
-    Integer.signum(graft.functions.EcosystemVersions.compare(scheme, a, b)))
+  /** sign of the scheme-aware version comparison — the VersCmp
+    * Catalyst expression (static-forwarder codegen; the recursive-
+    * descent parsing runs inside whole-stage codegen, no UDF
+    * serialization barrier). */
+  private def vcmp(scheme: org.apache.spark.sql.Column,
+      a: org.apache.spark.sql.Column,
+      b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    graft.functions.GraftFunctions.vers_cmp(scheme, a, b)
 
   /** F15/pep440 — versions synthesized so the expected comparison
     * against the pivot "1.2" is computable in plain SQL: epoch beats

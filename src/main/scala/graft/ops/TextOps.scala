@@ -165,7 +165,7 @@ object TextOps {
     "t_langid_ngram", "LLM-pipeline: language ID (char n-gram)",
     "trigram rank-profile classification per document",
     (s, dir) => {
-      val predict = udf((t: String) => graft.functions.LangId.predict(t))
+      val predict = graft.functions.GraftFunctions.langid _
       t(s, dir, "documents")
         .select(col("doc_id"), predict(col("text")).as("predicted"))
         .orderBy("doc_id")

@@ -96,6 +96,18 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("Join"), p.take(1200))
   }
 
+  test("former UDF fallbacks are Catalyst expressions now (no ScalaUDF)") {
+    // canonical_url / vers_contains / vers_cmp / langid carry
+    // static-forwarder doGenCode: the plan must show the named
+    // expression, never a UDF eval barrier
+    for (q <- Seq("f2_canonical_url", "f15_vers_range", "f15_vers_pep440",
+        "f15_vers_debian", "f15_vers_maven", "f15_vers_semver",
+        "t_langid_ngram")) {
+      val p = plan(q)
+      assert(!p.contains("UDF"), s"$q still plans a UDF:\n${p.take(1200)}")
+    }
+  }
+
   test("text extraction ops stay inside whole-stage codegen") {
     for (q <- Seq("t_html_to_text", "t_pii_scrub")) {
       // AQE prints codegen stages only in the final plan → execute first
