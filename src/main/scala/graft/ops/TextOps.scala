@@ -481,7 +481,128 @@ object TextOps {
       ORDER BY n_occurrences DESC, token
       LIMIT 100"""))
 
+  /** BPE tokenizer training, first R merges — the natural next step
+    * after `t_vocabulary`: start from character symbols over the
+    * (small) distinct-word frame, and per round (1) count adjacent
+    * symbol pairs weighted by word frequency (one explode + one
+    * map-side-combined groupBy), (2) take the top pair (count desc,
+    * then lexicographic — fully deterministic), (3) re-merge every
+    * greedy non-overlapping occurrence via a pure-column aggregate()
+    * fold. The per-round collect() is ONE row — the trained artifact,
+    * the same driver-loop shape as K-Means/IVF training; the corpus
+    * itself is touched once (word-count shuffle), every round after
+    * that runs on the localCheckpointed distinct-word frame (tiny vs
+    * corpus — at 100 TB the vocabulary still fits executors easily).
+    *
+    * The DuckDB oracle unrolls the identical five rounds (top-pair CTE
+    * + list_reduce re-merge per round), so the merge table is checked
+    * end to end. */
+  val bpeMerges = QueryDef(
+    "t_bpe_merges", "LLM-pipeline: BPE merge training",
+    "5 rounds: adjacent-pair counts → deterministic top pair → re-merge",
+    (s, dir) => {
+      val rounds = 5
+      var state = t(s, dir, "documents")
+        .select(explode(words).as("word"))
+        .groupBy("word").agg(count(lit(1)).as("freq"))
+        .withColumn("syms", split(col("word"), ""))
+        .localCheckpoint(true)
+      val merges = Seq.newBuilder[(Int, String, String, String, Long)]
+      for (rank <- 1 to rounds) {
+        val top = state.filter(size(col("syms")) >= 2)
+          .select(col("freq"), explode(expr(
+            """transform(sequence(1, size(syms) - 1), i ->
+                 struct(element_at(syms, i) AS l,
+                        element_at(syms, i + 1) AS r))""")).as("p"))
+          .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+          .agg(sum("freq").as("cnt"))
+          .orderBy(col("cnt").desc, col("l"), col("r"))
+          .limit(1).collect()(0)
+        val (l, r, cnt) = (top.getString(0), top.getString(1),
+          top.getLong(2))
+        merges += ((rank, l, r, l + r, cnt))
+        // greedy left-to-right non-overlapping re-merge: compare the
+        // fold's last element (slice, never element_at — safe on the
+        // empty accumulator under ANSI) against the merge pair
+        state = state.withColumn("syms",
+          aggregate(col("syms"), array().cast("array<string>"),
+            (acc, x) =>
+              when(slice(acc, -1, 1) === array(lit(l)) && x === lit(r),
+                concat(slice(acc, lit(1), size(acc) - 1),
+                  array(lit(l + r))))
+              .otherwise(concat(acc, array(x)))))
+          .localCheckpoint(true)
+      }
+      import s.implicits._
+      merges.result()
+        .toDF("merge_rank", "lhs", "rhs", "merged", "pair_count")
+        .orderBy("merge_rank")
+    },
+    Some("""WITH w AS (
+        SELECT unnest(list_filter(string_split(text, ' '),
+          x -> x <> '')) AS word
+        FROM documents),
+      vocab AS (SELECT word, COUNT(*) AS freq FROM w GROUP BY word),
+      s0 AS (SELECT freq,
+        list_transform(range(1, length(word) + 1),
+          i -> substr(word, CAST(i AS INTEGER), 1)) AS syms
+        FROM vocab),
+      p1 AS (SELECT syms[CAST(i AS INTEGER)] AS l,
+          syms[CAST(i AS INTEGER) + 1] AS r, SUM(freq) AS cnt
+        FROM s0, LATERAL (SELECT unnest(range(1, len(syms))) AS i)
+        GROUP BY 1, 2),
+      t1 AS (SELECT l, r, cnt FROM p1 ORDER BY cnt DESC, l, r LIMIT 1),
+      s1 AS (SELECT freq, list_reduce(list_transform(syms, x -> [x]),
+          (acc, x) -> CASE WHEN acc[-1] = t1.l AND x[1] = t1.r
+            THEN list_append(acc[1:len(acc)-1], t1.l || t1.r)
+            ELSE list_concat(acc, x) END) AS syms
+        FROM s0, t1),
+      p2 AS (SELECT syms[CAST(i AS INTEGER)] AS l,
+          syms[CAST(i AS INTEGER) + 1] AS r, SUM(freq) AS cnt
+        FROM s1, LATERAL (SELECT unnest(range(1, len(syms))) AS i)
+        GROUP BY 1, 2),
+      t2 AS (SELECT l, r, cnt FROM p2 ORDER BY cnt DESC, l, r LIMIT 1),
+      s2 AS (SELECT freq, list_reduce(list_transform(syms, x -> [x]),
+          (acc, x) -> CASE WHEN acc[-1] = t2.l AND x[1] = t2.r
+            THEN list_append(acc[1:len(acc)-1], t2.l || t2.r)
+            ELSE list_concat(acc, x) END) AS syms
+        FROM s1, t2),
+      p3 AS (SELECT syms[CAST(i AS INTEGER)] AS l,
+          syms[CAST(i AS INTEGER) + 1] AS r, SUM(freq) AS cnt
+        FROM s2, LATERAL (SELECT unnest(range(1, len(syms))) AS i)
+        GROUP BY 1, 2),
+      t3 AS (SELECT l, r, cnt FROM p3 ORDER BY cnt DESC, l, r LIMIT 1),
+      s3 AS (SELECT freq, list_reduce(list_transform(syms, x -> [x]),
+          (acc, x) -> CASE WHEN acc[-1] = t3.l AND x[1] = t3.r
+            THEN list_append(acc[1:len(acc)-1], t3.l || t3.r)
+            ELSE list_concat(acc, x) END) AS syms
+        FROM s2, t3),
+      p4 AS (SELECT syms[CAST(i AS INTEGER)] AS l,
+          syms[CAST(i AS INTEGER) + 1] AS r, SUM(freq) AS cnt
+        FROM s3, LATERAL (SELECT unnest(range(1, len(syms))) AS i)
+        GROUP BY 1, 2),
+      t4 AS (SELECT l, r, cnt FROM p4 ORDER BY cnt DESC, l, r LIMIT 1),
+      s4 AS (SELECT freq, list_reduce(list_transform(syms, x -> [x]),
+          (acc, x) -> CASE WHEN acc[-1] = t4.l AND x[1] = t4.r
+            THEN list_append(acc[1:len(acc)-1], t4.l || t4.r)
+            ELSE list_concat(acc, x) END) AS syms
+        FROM s3, t4),
+      p5 AS (SELECT syms[CAST(i AS INTEGER)] AS l,
+          syms[CAST(i AS INTEGER) + 1] AS r, SUM(freq) AS cnt
+        FROM s4, LATERAL (SELECT unnest(range(1, len(syms))) AS i)
+        GROUP BY 1, 2),
+      t5 AS (SELECT l, r, cnt FROM p5 ORDER BY cnt DESC, l, r LIMIT 1)
+      SELECT merge_rank, lhs, rhs, lhs || rhs AS merged,
+        CAST(cnt AS BIGINT) AS pair_count
+      FROM (
+        SELECT 1 AS merge_rank, l AS lhs, r AS rhs, cnt FROM t1
+        UNION ALL SELECT 2, l, r, cnt FROM t2
+        UNION ALL SELECT 3, l, r, cnt FROM t3
+        UNION ALL SELECT 4, l, r, cnt FROM t4
+        UNION ALL SELECT 5, l, r, cnt FROM t5)
+      ORDER BY merge_rank"""))
+
   val defs: Seq[QueryDef] = Seq(htmlToText, piiScrub, stratifiedSample,
     vocabulary, tok, quality, langid, langidNgram, fingerprint,
-    repetition, dupSegments)
+    repetition, dupSegments, bpeMerges)
 }

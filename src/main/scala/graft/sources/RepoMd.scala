@@ -66,6 +66,134 @@ object RepoMd {
     }
   }
 
+  // ====================================================================
+  // Full three-file repodata parsing (`minecode/miners/repodata.py`):
+  // primary.xml + other.xml + filelists.xml each yield one DICT per
+  // package; dicts sharing a pkgid merge (later keys win), changelogs
+  // and file lists included. RawRpmDict mirrors the reference's dict
+  // shape: `scalars` holds key → maybe-text (a key can be present with
+  // a None value, e.g. description when the tag is absent), list
+  // fields exist only when their tag does.
+  // ====================================================================
+
+  final case class RawRpmDict(
+      scalars: Map[String, Option[String]],
+      requiredRpms: Option[Seq[Map[String, String]]],
+      providedRpms: Option[Seq[Map[String, String]]],
+      files: Option[Seq[String]],
+      directories: Option[Seq[String]],
+      changelogs: Option[Seq[Map[String, String]]]) {
+    def pkgid: Option[String] = scalars.getOrElse("pkgid", None)
+  }
+
+  /** attrs of a tag as dict entries, keys suffixed `_name`
+    * (`repodata.py:53-67` convert_tuples_to_dict). */
+  private def suffixed(n: Option[scala.xml.Node], suffix: String)
+      : Map[String, Option[String]] =
+    n.map(_.attributes.asAttrMap.map { case (k, v) =>
+      (if (suffix.isEmpty) k else s"${k}_$suffix") -> Option(v)
+    }).getOrElse(Map.empty)
+
+  private def attrsOf(n: scala.xml.Node): Map[String, Option[String]] =
+    n.attributes.asAttrMap.map { case (k, v) => k -> Option(v) }
+
+  /** primary.xml → one dict per package (`repodata.py:168-237`):
+    * package/checksum/format scalar tags, attr dicts for packager/
+    * size/time/location/header-range/vendor (attrs only — tag TEXT of
+    * packager and vendor is dropped, as in the reference), plus
+    * requires/provides entry dicts when present. */
+  def parsePrimaryDicts(xml: String): Seq[RawRpmDict] = {
+    val root = scala.xml.XML.loadString(xml)
+    (root \ "package").map { p =>
+      val fmt = (p \ "format").headOption
+      def fmtText(tag: String): Option[String] =
+        fmt.flatMap(f => (f \ tag).headOption.map(_.text))
+      val scalars = attrsOf(p) ++
+        Map(
+          "description" -> (p \ "description").headOption.map(_.text),
+          "summary" -> (p \ "summary").headOption.map(_.text),
+          "url" -> (p \ "url").headOption.map(_.text),
+          "checksum" -> (p \ "checksum").headOption.map(_.text),
+          "pkgid" -> (p \ "checksum").headOption.map(_.text),
+          "buildhost" -> fmtText("buildhost"),
+          "group" -> fmtText("group"),
+          "license" -> fmtText("license"),
+          "sourcerpm" -> fmtText("sourcerpm")) ++
+        suffixed((p \ "packager").headOption, "packager") ++
+        suffixed((p \ "size").headOption, "size") ++
+        suffixed((p \ "time").headOption, "time") ++
+        suffixed((p \ "location").headOption, "") ++
+        suffixed(fmt.flatMap(f => (f \ "header-range").headOption),
+          "header_range") ++
+        suffixed(fmt.flatMap(f => (f \ "vendor").headOption), "vendor")
+      def entries(tag: String): Option[Seq[Map[String, String]]] =
+        fmt.flatMap(f => (f \ tag).headOption)
+          .map(_.child.collect {
+            case e: scala.xml.Elem => e.attributes.asAttrMap
+          }.toSeq)
+      RawRpmDict(scalars, entries("requires"), entries("provides"),
+        files = None, directories = None, changelogs = None)
+    }
+  }
+
+  /** other.xml → package+version attrs and the changelog dicts
+    * (author/date attrs + the entry text, `repodata.py:240-268`). */
+  def parseOtherDicts(xml: String): Seq[RawRpmDict] = {
+    val root = scala.xml.XML.loadString(xml)
+    (root \ "package").map { p =>
+      val scalars = attrsOf(p) ++
+        (p \ "version").headOption.map(attrsOf).getOrElse(Map.empty)
+      val changelogs = (p \ "changelog").map { c =>
+        c.attributes.asAttrMap + ("changelog" -> c.text)
+      }
+      RawRpmDict(scalars, None, None, None, None, Some(changelogs))
+    }
+  }
+
+  /** filelists.xml → package+version attrs and the file/directory
+    * name lists (`repodata.py:127-165`: an attr-less file tag is a
+    * file, `type="dir"` a directory, any other attributed tag — e.g.
+    * ghost files — is dropped, as in the reference). */
+  def parseFilelistsDicts(xml: String): Seq[RawRpmDict] = {
+    val root = scala.xml.XML.loadString(xml)
+    (root \ "package").map { p =>
+      val scalars = attrsOf(p) ++
+        (p \ "version").headOption.map(attrsOf).getOrElse(Map.empty)
+      val entries = (p \ "file")
+      val files = entries.filter(_.attributes.isEmpty).map(_.text)
+      val dirs = entries
+        .filter(e => e.attributes.asAttrMap.get("type").contains("dir"))
+        .map(_.text)
+      RawRpmDict(scalars, None, None, Some(files), Some(dirs), None)
+    }
+  }
+
+  private def mergeDicts(a: RawRpmDict, b: RawRpmDict): RawRpmDict =
+    RawRpmDict(
+      a.scalars ++ b.scalars,
+      b.requiredRpms.orElse(a.requiredRpms),
+      b.providedRpms.orElse(a.providedRpms),
+      b.files.orElse(a.files),
+      b.directories.orElse(a.directories),
+      b.changelogs.orElse(a.changelogs))
+
+  /** `get_pkg_infos` (`repodata.py:271-277`): merge the three files'
+    * dicts per pkgid — primary first, then other, then filelists
+    * (later keys win) — one combined dict per distinct non-empty
+    * pkgid, ordered by first occurrence. (The reference recombines
+    * per occurrence and dedups; grouping once is the same result in
+    * O(n) — and the per-pkgid groupBy is exactly the Spark shape this
+    * takes at repository scale.) */
+  def combinedPkgInfos(filelistsXml: String, primaryXml: String,
+      otherXml: String): Seq[RawRpmDict] = {
+    val all = parsePrimaryDicts(primaryXml) ++ parseOtherDicts(otherXml) ++
+      parseFilelistsDicts(filelistsXml)
+    val withId = all.flatMap(d => d.pkgid.filter(_.nonEmpty).map(_ -> d))
+    val order = withId.map(_._1).distinct
+    val grouped = withId.groupBy(_._1)
+    order.map(pid => grouped(pid).map(_._2).reduce(mergeDicts))
+  }
+
   /** EVR string as packagedcode renders it (`EVR.to_string`): epoch
     * prefixed with a colon whenever present — including "0" — then
     * `version-release`. */

@@ -117,4 +117,69 @@ class RepoMdSpec extends AnyFunSuite {
     assert(rows.map(_.name) == Seq("zsh"))
     assert(rows.head.download_url == "http://base/os/RPMS/zsh-4.3.rpm")
   }
+
+  test("three-file repodata merge matches the reference's expected dict") {
+    // minecode/tests/miners/test_repodata.py test_get_pkg_infos — the
+    // combined primary+other+filelists record, field for field
+    val fx = "/root/reference/minecode/tests/testfiles/repodata_rpms/repodata"
+    def read(f: String) = new String(bytesOf(s"$fx/$f"), "UTF-8")
+    val out = RepoMd.combinedPkgInfos(
+      read("filelists.xml"), read("primary.xml"), read("other.xml"))
+    assert(out.size == 1)
+    val d = out.head
+    def sc(k: String): Option[String] = d.scalars.getOrElse(k,
+      fail(s"missing key $k"))
+    assert(sc("type").contains("rpm"))
+    assert(sc("name").contains("python-ceilometerclient"))
+    assert(sc("arch").contains("src"))
+    assert(sc("epoch").contains("0") && sc("ver").contains("1.5.0") &&
+      sc("rel").contains("1.el7"))
+    assert(sc("pkgid").contains(
+      "36547e200627ea25c4e3fb6f9735d58e682f8e35cd815dceed796c83628e60d5"))
+    assert(sc("checksum") == sc("pkgid"))
+    assert(sc("href").contains("python-ceilometerclient-1.5.0-1.el7.src.rpm"))
+    assert(sc("license").contains("ASL 2.0"))
+    assert(sc("url").contains(
+      "https://github.com/openstack/python-ceilometerclient"))
+    assert(sc("summary").contains(
+      "Python API and CLI for OpenStack Ceilometer"))
+    assert(sc("description").isEmpty)  // key present, value None
+    assert(sc("sourcerpm").isEmpty)
+    assert(sc("buildhost").contains("c1bk.rdu2.centos.org"))
+    assert(sc("group").contains("Development/Languages"))
+    assert(sc("package_size").contains("101516"))
+    assert(sc("installed_size").contains("99230"))
+    assert(sc("archive_size").contains("99648"))
+    assert(sc("file_time").contains("1446590411"))
+    assert(sc("build_time").contains("1442515098"))
+    assert(sc("start_header_range").contains("880"))
+    assert(sc("end_header_range").contains("4876"))
+    // packager and vendor tag TEXT is dropped (attrs only) — reference
+    // convert_tuples_to_dict over .items()
+    assert(!d.scalars.contains("packager") && !d.scalars.contains("vendor"))
+    assert(d.requiredRpms.contains(Seq(
+      Map("name" -> "python-d2to1"),
+      Map("name" -> "python-oslo-sphinx", "flags" -> "GE",
+        "epoch" -> "0", "ver" -> "2.5.0"),
+      Map("name" -> "python-pbr"),
+      Map("name" -> "python-setuptools"),
+      Map("name" -> "python-sphinx"),
+      Map("name" -> "python2-devel"))))
+    assert(d.providedRpms.isEmpty) // no provides tag -> key absent
+    assert(d.files.contains(Seq("python-ceilometerclient-1.5.0.tar.gz",
+      "python-ceilometerclient.spec")))
+    assert(d.directories.contains(Seq.empty))
+    assert(d.changelogs.contains(Seq(Map(
+      "date" -> "1387195200",
+      "author" -> "Jakub Ruzicka <jruzicka@redhat.com> 1.0.8-1",
+      "changelog" -> "- Update to upstream 1.0.8\n- New dependency: python-six"))))
+  }
+
+  test("repomd urlForType resolves the filelists data entry") {
+    // test_repodata.py test_get_url_for_tag
+    val fx = "/root/reference/minecode/tests/testfiles/repodata_rpms/repodata"
+    val xml = new String(bytesOf(s"$fx/repomd.xml"), "UTF-8")
+    assert(RepoMd.urlForType(xml, "filelists").contains(
+      "repodata/4c31e7e12c7aa42cf4d7d0b6ab7166fad76b5e40ea18f911e4a820cfa68d1541-filelists.xml.gz"))
+  }
 }
