@@ -45,7 +45,9 @@ object ConnectedComponents {
       .filter(col("v") > col("u"))
       .select(col("v").as("u"), col("m").as("v"))
       .filter(col("u") =!= col("v"))
-      .distinct()
+    // duplicates left in place: small-star's min-aggregate is
+    // duplicate-insensitive and its final distinct dedups the round's
+    // output — dropping the dedup here saves one shuffle per round
   }
 
   /** small-star: for every node, link it and all smaller neighbors to
