@@ -570,6 +570,60 @@ object DedupOps {
       WHERE r.rnk = 1
       ORDER BY r.cluster_id"""))
 
+  /** Benchmark decontamination — the eval-set overlap scrub every
+    * training corpus needs: flag any training document sharing an
+    * 8-token shingle with the benchmark set (here: every 17th doc
+    * plays the benchmark). Scale shape: the benchmark gram set is
+    * SMALL by construction → broadcast; the training side is one scan
+    * + explode + broadcast-join + map-side-combined count — the corpus
+    * is never shuffled, only the (rare) hits aggregate. */
+  val decontaminate = QueryDef(
+    "d_decontaminate", "LLM-pipeline: benchmark decontamination",
+    "flag training docs sharing an 8-gram with the benchmark split",
+    (s, dir) => {
+      val grams = t(s, dir, "documents")
+        .withColumn("w", words)
+        .select(col("doc_id"),
+          explode(when(size(col("w")) < 8, array().cast("array<string>"))
+            .otherwise(expr(
+              """transform(sequence(1, size(w) - 7),
+                   i -> array_join(slice(w, i, 8), ' '))"""))).as("gram"))
+      val benchGrams = grams.filter(col("doc_id") % 17 === 0)
+        .select("gram").distinct()
+      val hits = grams.filter(col("doc_id") % 17 =!= 0)
+        .join(broadcast(benchGrams), Seq("gram"))
+        .groupBy("doc_id")
+        .agg(countDistinct(col("gram")).as("n_hits"))
+      t(s, dir, "documents").filter(col("doc_id") % 17 =!= 0)
+        .select(col("doc_id"))
+        .join(hits, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+          (coalesce(col("n_hits"), lit(0L)) > 0).as("contaminated"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH w AS (
+        SELECT doc_id,
+          list_filter(string_split(text, ' '), x -> x <> '') AS ws
+        FROM documents),
+      g AS (
+        SELECT doc_id,
+          unnest(list_transform(range(1, greatest(len(ws) - 7, 0) + 1),
+            i -> array_to_string(ws[i:i+7], ' '))) AS gram
+        FROM w),
+      bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 17 = 0),
+      hits AS (
+        SELECT g.doc_id, COUNT(DISTINCT g.gram) AS n_hits
+        FROM g JOIN bench USING (gram)
+        WHERE g.doc_id % 17 <> 0
+        GROUP BY g.doc_id)
+      SELECT d.doc_id, COALESCE(h.n_hits, 0) AS n_hits,
+        COALESCE(h.n_hits, 0) > 0 AS contaminated
+      FROM documents d
+      LEFT JOIN hits h ON d.doc_id = h.doc_id
+      WHERE d.doc_id % 17 <> 0
+      ORDER BY d.doc_id"""))
+
   val defs: Seq[QueryDef] = Seq(exact, minhash, simhash, ngram, clusters,
-    lineDedup, clusterKeeper)
+    lineDedup, clusterKeeper, decontaminate)
 }

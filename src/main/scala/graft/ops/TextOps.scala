@@ -497,44 +497,52 @@ object TextOps {
     * The DuckDB oracle unrolls the identical five rounds (top-pair CTE
     * + list_reduce re-merge per round), so the merge table is checked
     * end to end. */
+  /** The BPE training loop shared by `t_bpe_merges` and
+    * `t_bpe_encode`: returns the final (word, freq, syms) state and
+    * the ordered merge list. */
+  private def trainBpe(s: org.apache.spark.sql.SparkSession, dir: String,
+      rounds: Int): (org.apache.spark.sql.DataFrame,
+      Seq[(Int, String, String, String, Long)]) = {
+    var state = t(s, dir, "documents")
+      .select(explode(words).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+      .withColumn("syms", split(col("word"), ""))
+      .localCheckpoint(true)
+    val merges = Seq.newBuilder[(Int, String, String, String, Long)]
+    for (rank <- 1 to rounds) {
+      val top = state.filter(size(col("syms")) >= 2)
+        .select(col("freq"), explode(expr(
+          """transform(sequence(1, size(syms) - 1), i ->
+               struct(element_at(syms, i) AS l,
+                      element_at(syms, i + 1) AS r))""")).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum("freq").as("cnt"))
+        .orderBy(col("cnt").desc, col("l"), col("r"))
+        .limit(1).collect()(0)
+      val (l, r, cnt) = (top.getString(0), top.getString(1),
+        top.getLong(2))
+      merges += ((rank, l, r, l + r, cnt))
+      // greedy left-to-right non-overlapping re-merge: compare the
+      // fold's last element (slice, never element_at — safe on the
+      // empty accumulator under ANSI) against the merge pair
+      state = state.withColumn("syms",
+        aggregate(col("syms"), array().cast("array<string>"),
+          (acc, x) =>
+            when(slice(acc, -1, 1) === array(lit(l)) && x === lit(r),
+              concat(slice(acc, lit(1), size(acc) - 1),
+                array(lit(l + r))))
+            .otherwise(concat(acc, array(x)))))
+        .localCheckpoint(true)
+    }
+    (state, merges.result())
+  }
+
   val bpeMerges = QueryDef(
     "t_bpe_merges", "LLM-pipeline: BPE merge training",
     "5 rounds: adjacent-pair counts → deterministic top pair → re-merge",
     (s, dir) => {
-      val rounds = 5
-      var state = t(s, dir, "documents")
-        .select(explode(words).as("word"))
-        .groupBy("word").agg(count(lit(1)).as("freq"))
-        .withColumn("syms", split(col("word"), ""))
-        .localCheckpoint(true)
-      val merges = Seq.newBuilder[(Int, String, String, String, Long)]
-      for (rank <- 1 to rounds) {
-        val top = state.filter(size(col("syms")) >= 2)
-          .select(col("freq"), explode(expr(
-            """transform(sequence(1, size(syms) - 1), i ->
-                 struct(element_at(syms, i) AS l,
-                        element_at(syms, i + 1) AS r))""")).as("p"))
-          .groupBy(col("p.l").as("l"), col("p.r").as("r"))
-          .agg(sum("freq").as("cnt"))
-          .orderBy(col("cnt").desc, col("l"), col("r"))
-          .limit(1).collect()(0)
-        val (l, r, cnt) = (top.getString(0), top.getString(1),
-          top.getLong(2))
-        merges += ((rank, l, r, l + r, cnt))
-        // greedy left-to-right non-overlapping re-merge: compare the
-        // fold's last element (slice, never element_at — safe on the
-        // empty accumulator under ANSI) against the merge pair
-        state = state.withColumn("syms",
-          aggregate(col("syms"), array().cast("array<string>"),
-            (acc, x) =>
-              when(slice(acc, -1, 1) === array(lit(l)) && x === lit(r),
-                concat(slice(acc, lit(1), size(acc) - 1),
-                  array(lit(l + r))))
-              .otherwise(concat(acc, array(x)))))
-          .localCheckpoint(true)
-      }
       import s.implicits._
-      merges.result()
+      trainBpe(s, dir, 5)._2
         .toDF("merge_rank", "lhs", "rhs", "merged", "pair_count")
         .orderBy("merge_rank")
     },
@@ -602,7 +610,97 @@ object TextOps {
         UNION ALL SELECT 5, l, r, cnt FROM t5)
       ORDER BY merge_rank"""))
 
+  /** Apply the trained BPE merges: per-document token counts under the
+    * learned vocabulary — the "how many tokens will this corpus cost"
+    * measurement every training pipeline runs after tokenizer training. The
+    * encode itself happens ONCE per distinct word (the trained state
+    * frame), then joins back to the corpus — the corpus pass is one
+    * explode + one broadcastable join + one map-side-combined sum, no
+    * per-document re-encoding. */
+  val bpeEncode = QueryDef(
+    "t_bpe_encode", "LLM-pipeline: BPE encode (token counts)",
+    "apply the 5 trained merges per distinct word → per-doc token sums",
+    (s, dir) => {
+      val (state, _) = trainBpe(s, dir, 5)
+      val vocabTokens = state
+        .select(col("word"), size(col("syms")).as("n_sub"))
+      t(s, dir, "documents")
+        .select(col("doc_id"), explode(words).as("word"))
+        .join(broadcast(vocabTokens), Seq("word"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_words"),
+          sum("n_sub").as("n_bpe_tokens"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH w AS (
+        SELECT unnest(list_filter(string_split(text, ' '),
+          x -> x <> '')) AS word
+        FROM documents),
+      vocab AS (SELECT word, COUNT(*) AS freq FROM w GROUP BY word),
+      s0 AS (SELECT word, freq,
+        list_transform(range(1, length(word) + 1),
+          i -> substr(word, CAST(i AS INTEGER), 1)) AS syms
+        FROM vocab),
+      p1 AS (SELECT syms[CAST(i AS INTEGER)] AS l,
+          syms[CAST(i AS INTEGER) + 1] AS r, SUM(freq) AS cnt
+        FROM s0, LATERAL (SELECT unnest(range(1, len(syms))) AS i)
+        GROUP BY 1, 2),
+      t1 AS (SELECT l, r, cnt FROM p1 ORDER BY cnt DESC, l, r LIMIT 1),
+      s1 AS (SELECT word, freq, list_reduce(list_transform(syms, x -> [x]),
+          (acc, x) -> CASE WHEN acc[-1] = t1.l AND x[1] = t1.r
+            THEN list_append(acc[1:len(acc)-1], t1.l || t1.r)
+            ELSE list_concat(acc, x) END) AS syms
+        FROM s0, t1),
+      p2 AS (SELECT syms[CAST(i AS INTEGER)] AS l,
+          syms[CAST(i AS INTEGER) + 1] AS r, SUM(freq) AS cnt
+        FROM s1, LATERAL (SELECT unnest(range(1, len(syms))) AS i)
+        GROUP BY 1, 2),
+      t2 AS (SELECT l, r, cnt FROM p2 ORDER BY cnt DESC, l, r LIMIT 1),
+      s2 AS (SELECT word, freq, list_reduce(list_transform(syms, x -> [x]),
+          (acc, x) -> CASE WHEN acc[-1] = t2.l AND x[1] = t2.r
+            THEN list_append(acc[1:len(acc)-1], t2.l || t2.r)
+            ELSE list_concat(acc, x) END) AS syms
+        FROM s1, t2),
+      p3 AS (SELECT syms[CAST(i AS INTEGER)] AS l,
+          syms[CAST(i AS INTEGER) + 1] AS r, SUM(freq) AS cnt
+        FROM s2, LATERAL (SELECT unnest(range(1, len(syms))) AS i)
+        GROUP BY 1, 2),
+      t3 AS (SELECT l, r, cnt FROM p3 ORDER BY cnt DESC, l, r LIMIT 1),
+      s3 AS (SELECT word, freq, list_reduce(list_transform(syms, x -> [x]),
+          (acc, x) -> CASE WHEN acc[-1] = t3.l AND x[1] = t3.r
+            THEN list_append(acc[1:len(acc)-1], t3.l || t3.r)
+            ELSE list_concat(acc, x) END) AS syms
+        FROM s2, t3),
+      p4 AS (SELECT syms[CAST(i AS INTEGER)] AS l,
+          syms[CAST(i AS INTEGER) + 1] AS r, SUM(freq) AS cnt
+        FROM s3, LATERAL (SELECT unnest(range(1, len(syms))) AS i)
+        GROUP BY 1, 2),
+      t4 AS (SELECT l, r, cnt FROM p4 ORDER BY cnt DESC, l, r LIMIT 1),
+      s4 AS (SELECT word, freq, list_reduce(list_transform(syms, x -> [x]),
+          (acc, x) -> CASE WHEN acc[-1] = t4.l AND x[1] = t4.r
+            THEN list_append(acc[1:len(acc)-1], t4.l || t4.r)
+            ELSE list_concat(acc, x) END) AS syms
+        FROM s3, t4),
+      p5 AS (SELECT syms[CAST(i AS INTEGER)] AS l,
+          syms[CAST(i AS INTEGER) + 1] AS r, SUM(freq) AS cnt
+        FROM s4, LATERAL (SELECT unnest(range(1, len(syms))) AS i)
+        GROUP BY 1, 2),
+      t5 AS (SELECT l, r, cnt FROM p5 ORDER BY cnt DESC, l, r LIMIT 1),
+      s5 AS (SELECT word, freq, list_reduce(list_transform(syms, x -> [x]),
+          (acc, x) -> CASE WHEN acc[-1] = t5.l AND x[1] = t5.r
+            THEN list_append(acc[1:len(acc)-1], t5.l || t5.r)
+            ELSE list_concat(acc, x) END) AS syms
+        FROM s4, t5),
+      enc AS (SELECT word, len(syms) AS n_sub FROM s5),
+      dw AS (SELECT doc_id,
+        unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS word
+        FROM documents)
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+        CAST(SUM(n_sub) AS BIGINT) AS n_bpe_tokens
+      FROM dw JOIN enc USING (word)
+      GROUP BY doc_id ORDER BY doc_id"""))
+
   val defs: Seq[QueryDef] = Seq(htmlToText, piiScrub, stratifiedSample,
     vocabulary, tok, quality, langid, langidNgram, fingerprint,
-    repetition, dupSegments, bpeMerges)
+    repetition, dupSegments, bpeMerges, bpeEncode)
 }
