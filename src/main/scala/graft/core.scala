@@ -43,6 +43,19 @@ object core {
     }
   }
 
+  /** Spread a frame across the session's shuffle parallelism before
+    * EXPENSIVE per-row compute (hashing, shingling, codecs). The
+    * synthetic tables are single-row-group parquet files, so the scan
+    * is ONE input partition and everything fused into the scan stage
+    * runs on one core; one small round-robin shuffle of the raw rows
+    * buys full-width parallelism for the compute that follows. At
+    * cluster scale inputs arrive already split (many files/row
+    * groups) and this is a cheap no-op-sized shuffle; it must only be
+    * applied where the downstream per-row work dominates the shuffle
+    * cost. */
+  def par(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sessionState.conf.numShufflePartitions)
+
   /** Exact integer cents: CAST(FLOOR(x*100 + 0.5) AS BIGINT).
     * floor(+0.5) rather than round(): the double product can land
     * exactly on .5, where Spark rounds HALF_UP but DuckDB ties-to-even;

@@ -269,7 +269,9 @@ object Multimodal {
       payloadKinds: Set[String] = AllKinds): Dataset[MediaRow] = {
     import spark.implicits._
     val none = Array.emptyByteArray
-    graft.core.t(spark, dir, "documents")
+    // codecs are the per-row cost: spread the single-row-group scan
+    // across the session's parallelism before encoding
+    graft.core.par(graft.core.t(spark, dir, "documents"))
       .select(col("doc_id"), col("text"), col("n_chars"))
       .as[(Long, String, Long)]
       .map { case (id, _, nChars) =>

@@ -162,7 +162,7 @@ object CatalogOps {
     "m_snippet_match", "J6/A3/A4",
     "snippet inverted-index match: distinct-fp Jaccard per (query, resource)",
     (s, dir) => {
-      val words = t(s, dir, "documents")
+      val words = graft.core.par(t(s, dir, "documents"))
         .select(col("doc_id"), col("source"),
           posexplode(array_distinct(filter(split(col("text"), " "),
             w => w =!= ""))))
@@ -256,7 +256,7 @@ object CatalogOps {
     (s, dir) => {
       // query side excludes shingles contributed ONLY by every 25th doc
       // (~4% perturbation, inside the ±5% candidate band)
-      val perShingle = t(s, dir, "documents")
+      val perShingle = graft.core.par(t(s, dir, "documents"))
         .withColumn("w", filter(split(col("text"), " "), w => w =!= ""))
         .select(col("doc_id"), col("source"),
           explode(expr(

@@ -61,7 +61,7 @@ object DedupOps {
     // 3-token shingles: single tokens are too coarse on small
     // vocabularies (every doc resembles every other); shingling
     // restores discrimination, as in standard MinHash practice.
-    val docs = t(s, dir, "documents")
+    val docs = par(t(s, dir, "documents"))
       .withColumn("w", words)
       .withColumn("sh", array_distinct(expr(
         """transform(sequence(1, greatest(size(w) - 2, 1)),
@@ -163,7 +163,7 @@ object DedupOps {
     "j5_simhash_banded_match", "J5/W3/F4 + LLM-pipeline dedup: SimHash",
     "simhash64 → 4×16-bit bands → candidate join → hamming<8 → rank",
     (s, dir) => {
-      val fps = t(s, dir, "documents")
+      val fps = par(t(s, dir, "documents"))
         .select(col("doc_id"), col("n_chars"), simhash64(words).as("fp"))
       val banded = fps.select(col("doc_id"), col("n_chars"), col("fp"),
           explode(expr(
@@ -283,7 +283,7 @@ object DedupOps {
     "d_ngram_jaccard", "LLM-pipeline dedup: n-gram Jaccard",
     "char-3-gram shingle sets, exact Jaccard vs next doc",
     (s, dir) => {
-      val grams = t(s, dir, "documents")
+      val grams = par(t(s, dir, "documents"))
         .select(col("doc_id"),
           explode(array_distinct(expr(
             "transform(sequence(1, greatest(length(text)-2, 1)), i -> substring(text, i, 3))")))
@@ -581,7 +581,7 @@ object DedupOps {
     "d_decontaminate", "LLM-pipeline: benchmark decontamination",
     "flag training docs sharing an 8-gram with the benchmark split",
     (s, dir) => {
-      val grams = t(s, dir, "documents")
+      val grams = par(t(s, dir, "documents"))
         .withColumn("w", words)
         .select(col("doc_id"),
           explode(when(size(col("w")) < 8, array().cast("array<string>"))

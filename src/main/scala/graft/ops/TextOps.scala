@@ -166,7 +166,7 @@ object TextOps {
     "trigram rank-profile classification per document",
     (s, dir) => {
       val predict = graft.functions.GraftFunctions.langid _
-      t(s, dir, "documents")
+      par(t(s, dir, "documents"))
         .select(col("doc_id"), predict(col("text")).as("predicted"))
         .orderBy("doc_id")
     },
