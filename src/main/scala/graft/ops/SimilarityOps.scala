@@ -190,7 +190,8 @@ object SimilarityOps {
   /** Quantized embeddings frame: (vec_id, v: array<bigint>, n2). */
   def quantized(s: org.apache.spark.sql.SparkSession, dir: String)
       : org.apache.spark.sql.DataFrame =
-    t(s, dir, "embeddings")
+    // single-row-group scan: spread before the per-row vector math
+    par(t(s, dir, "embeddings"))
       .select(col("vec_id"), qvec.as("v"))
       .withColumn("n2", dot("v", "v"))
 
