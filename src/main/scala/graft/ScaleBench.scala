@@ -23,7 +23,9 @@ import org.apache.spark.sql.functions._
 object ScaleBench {
 
   val Queries = Seq("d_ngram_jaccard", "m_snippet_match",
-    "x5_halohash_match", "d_dedup_clusters", "s_cosine_ann_ivf")
+    "x5_halohash_match", "d_dedup_clusters", "s_cosine_ann_ivf",
+    "d_minhash_lsh", "d_cluster_keeper", "mm_feature_extract",
+    "t_bpe_encode", "d_decontaminate")
 
   def buildScaled(spark: SparkSession, base: String, out: String,
       factor: Int): Unit = {
