@@ -7,12 +7,17 @@ import org.apache.spark.sql.functions._
   * BINARY or SOURCE_ARCHIVE package in a package set, fill its empty
   * fields from set peers with strictly lower package_content rank
   * (SOURCE_ARCHIVE packages may only take data from SOURCE_REPO
-  * peers); record each contributing peer in `enhanced_by`. SOURCE_REPO
-  * packages and packages outside any set pass through unchanged.
+  * peers); record each contributing peer in `enhanced_by`. Packages
+  * with NULL package_content, SOURCE_REPO packages, any other content
+  * kind (CURATION/PATCH/TEST/DOC), and packages outside any set pass
+  * through unchanged — `get_enhanced_package` early-returns
+  * `package.to_dict()` for all of those (`packagedb/api.py:648-679`).
   *
   * Package content ranks (reference PackageContentType): 1=CURATION,
   * 2=PATCH, 3=SOURCE_REPO, 4=SOURCE_ARCHIVE, 5=BINARY, 6=TEST, 7=DOC.
-  * Null content defaults to BINARY (reference issue #490 workaround).
+  * The issue-#490 default-to-BINARY applies only to NULL-content PEERS
+  * inside `_get_enhanced_package` (`packagedb/api.py:691-699`) — a
+  * NULL-content package itself never reaches that helper.
   *
   * Spark shape: per-set `mapGroups` fold — members sorted by content
   * rank ascending, left-to-right coalesce (SURVEY §2.10 X9). One
@@ -43,7 +48,10 @@ object Enhance {
       .flatMapGroups { (_, it) =>
         val all = it.toSeq
         all.map { m =>
-          val content = m.package_content.getOrElse(Binary)
+          // NULL content early-returns unenhanced, same as SOURCE_REPO
+          // and the other content kinds (packagedb/api.py:648-679); only
+          // peers default NULL→BINARY (issue #490, api.py:691-699).
+          val content = m.package_content.getOrElse(0)
           if (content != SourceArchive && content != Binary)
             Enhanced(m.set_id, m.download_url, m.package_content,
               m.description, m.homepage_url, m.declared_license_expression,

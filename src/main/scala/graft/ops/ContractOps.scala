@@ -195,8 +195,11 @@ object ContractOps {
     * peers (SOURCE_ARCHIVE only from SOURCE_REPO), recording each
     * contributing peer in `enhanced_by` in (rank, url) iteration
     * order. Sets of four: SOURCE_REPO(3), SOURCE_ARCHIVE(4),
-    * BINARY(5), and a NULL-content member (defaults BINARY,
-    * reference issue #490). */
+    * BINARY(5), and a NULL-content member — which passes through
+    * UNENHANCED, because `get_enhanced_package` early-returns when
+    * `package_content` is falsy (`packagedb/api.py:648-660`); the
+    * issue-#490 BINARY default only applies to peers inside
+    * `_get_enhanced_package`. */
   val x9 = QueryDef(
     "x9_enhanced_package", "X9/A6",
     "package-set enhance: fill empty fields from lower-rank set peers",
@@ -247,31 +250,30 @@ object ContractOps {
           cop AS c1 FROM mem WHERE r = 1)
       SELECT 'set' || CAST(mem.sid AS VARCHAR) AS set_id,
         mem.url AS download_url,
-        CASE WHEN mem.r = 0 THEN mem.descr
-             WHEN mem.r = 1 THEN COALESCE(mem.descr, d0)
-             ELSE COALESCE(mem.descr, d0, d1) END AS description,
-        CASE WHEN mem.r = 0 THEN mem.home
-             WHEN mem.r = 1 THEN COALESCE(mem.home, h0)
-             ELSE COALESCE(mem.home, h0, h1) END AS homepage_url,
-        CASE WHEN mem.r = 0 THEN mem.lic
-             WHEN mem.r = 1 THEN COALESCE(mem.lic, l0)
-             ELSE COALESCE(mem.lic, l0, l1) END
+        CASE WHEN mem.r = 1 THEN COALESCE(mem.descr, d0)
+             WHEN mem.r = 2 THEN COALESCE(mem.descr, d0, d1)
+             ELSE mem.descr END AS description,
+        CASE WHEN mem.r = 1 THEN COALESCE(mem.home, h0)
+             WHEN mem.r = 2 THEN COALESCE(mem.home, h0, h1)
+             ELSE mem.home END AS homepage_url,
+        CASE WHEN mem.r = 1 THEN COALESCE(mem.lic, l0)
+             WHEN mem.r = 2 THEN COALESCE(mem.lic, l0, l1)
+             ELSE mem.lic END
           AS declared_license_expression,
-        CASE WHEN mem.r = 0 THEN mem.cop
-             WHEN mem.r = 1 THEN COALESCE(mem.cop, c0)
-             ELSE COALESCE(mem.cop, c0, c1) END AS copyright,
-        CASE WHEN mem.r = 0 THEN ''
-             ELSE concat_ws(',',
+        CASE WHEN mem.r = 1 THEN COALESCE(mem.cop, c0)
+             WHEN mem.r = 2 THEN COALESCE(mem.cop, c0, c1)
+             ELSE mem.cop END AS copyright,
+        CASE WHEN mem.r IN (1, 2) THEN concat_ws(',',
           CASE WHEN (mem.descr IS NULL AND d0 IS NOT NULL)
             OR (mem.home IS NULL AND h0 IS NOT NULL)
             OR (mem.lic IS NULL AND l0 IS NOT NULL)
             OR (mem.cop IS NULL AND c0 IS NOT NULL) THEN url0 END,
-          CASE WHEN mem.r >= 2 AND (
+          CASE WHEN mem.r = 2 AND (
                (mem.descr IS NULL AND d0 IS NULL AND d1 IS NOT NULL)
             OR (mem.home IS NULL AND h0 IS NULL AND h1 IS NOT NULL)
             OR (mem.lic IS NULL AND l0 IS NULL AND l1 IS NOT NULL)
             OR (mem.cop IS NULL AND c0 IS NULL AND c1 IS NOT NULL))
-            THEN url1 END) END AS enhanced_by
+            THEN url1 END) ELSE '' END AS enhanced_by
       FROM mem
       LEFT JOIN p0 ON mem.sid = p0.sid
       LEFT JOIN p1 ON mem.sid = p1.sid

@@ -341,6 +341,34 @@ class DomainSpec extends SparkTestBase {
     assert(repo.enhanced_by.isEmpty) // source-repo passes through
   }
 
+  test("enhance returns NULL-content members unenhanced") {
+    // get_enhanced_package early-returns package.to_dict() when
+    // package_content is falsy (packagedb/api.py:648-660); the
+    // issue-#490 BINARY default applies only to peers.
+    val members = Seq(
+      Enhance.Member("set1", "http://p/unknown.bin", None,
+        None, None, None, None),
+      Enhance.Member("set1", "http://p/repo", Some(Enhance.SourceRepo),
+        Some("repo desc"), Some("http://home"), Some("apache-2.0"),
+        Some("(c) acme"))).toDF()
+    val out = Enhance.enhance(spark, members)
+    val unk = out.filter($"download_url" === "http://p/unknown.bin")
+      .as[Enhance.Enhanced].collect().head
+    assert(unk.description.isEmpty && unk.homepage_url.isEmpty &&
+      unk.declared_license_expression.isEmpty && unk.copyright.isEmpty)
+    assert(unk.enhanced_by.isEmpty)
+    // but a NULL-content PEER counts as BINARY for an enhanceable member:
+    // it is skipped for a BINARY target (5 >= 5), taken for nothing
+    val bin = Enhance.enhance(spark, Seq(
+      Enhance.Member("set2", "http://p/bin.jar", Some(Enhance.Binary),
+        None, None, None, None),
+      Enhance.Member("set2", "http://p/mystery", None,
+        Some("mystery desc"), None, None, None)).toDF())
+      .filter($"download_url" === "http://p/bin.jar")
+      .as[Enhance.Enhanced].collect().head
+    assert(bin.description.isEmpty && bin.enhanced_by.isEmpty)
+  }
+
   test("cyclonedx document matches the reference's sbom fixture") {
     // packagedb/tests/test_sbom.py: the full BOM for generic/Foo with
     // two dependency purls, compared after removing the same volatile
