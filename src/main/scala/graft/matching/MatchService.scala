@@ -42,16 +42,19 @@ object MatchService {
   /** D2D's selected pipeline groups (`matchcode/api.py:564-568`). */
   val D2dGroups: Seq[String] = Seq("Java", "Javascript", "Elf", "Go")
 
-  /** The matching-project create (`matchcode/api.py:425-446`): fetch
-    * every input URL up front, fail the WHOLE request with the
-    * reference's verbatim message when any fetch errors, then attach
+  /** The matching-project create (`matchcode/api.py:425-446`): split
+    * each input entry on whitespace into individual URLs
+    * (`validate_input_urls`, `matchcode/api.py:422-425`), fetch every
+    * URL up front, fail the WHOLE request with the reference's
+    * verbatim message when any fetch errors, then attach
     * uploads/downloads/webhook and queue the `matching` pipeline. */
   def createMatching(uuid: String, now: Timestamp,
       uploadFile: Option[String], inputUrls: Seq[String],
       webhookUrl: Option[String],
       fetch: String => Either[String, String])
       : Either[String, Project] = {
-    val results = inputUrls.map(u => u -> fetch(u))
+    val urls = inputUrls.flatMap(_.split("\\s+")).filter(_.nonEmpty)
+    val results = urls.map(u => u -> fetch(u))
     val errors = results.collect { case (u, Left(_)) => u }
     if (errors.nonEmpty)
       Left("Could not fetch: " + errors.mkString("\n"))

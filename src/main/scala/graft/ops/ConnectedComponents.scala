@@ -20,11 +20,13 @@ import org.apache.spark.sql.functions._
 object ConnectedComponents {
 
   /** Edge set signature: (count, sum of per-edge hashes). Set-equal
-    * frames produce equal signatures; the 64-bit hash-sum collision
-    * probability is negligible against the cost of a full set
-    * compare, and a collision can only delay convergence detection by
-    * one round (the next iteration re-checks), never corrupt labels —
-    * star edge sets are stable once reached. */
+    * frames produce equal signatures. The dangerous failure direction
+    * is a 64-bit hash-sum collision between DIFFERENT consecutive
+    * edge sets: that would declare convergence PREMATURELY and return
+    * labels from a non-star edge set (wrong clusters). The signature
+    * is therefore only a cheap screen — the loop confirms the one
+    * claimed-converged round with an exact set compare before
+    * returning. */
   private def signature(e: DataFrame): (Long, String) = {
     // decimal(38,0) accumulator: a 64-bit sum would overflow under
     // ANSI mode after a few hundred max-magnitude hashes
@@ -78,9 +80,17 @@ object ConnectedComponents {
     while (!converged && rounds < maxRounds) {
       // localCheckpoint keeps lineage flat across rounds (iterative
       // plans otherwise re-derive every prior round per action)
+      val prev = e
       e = smallStar(largeStar(e)).localCheckpoint(true)
       val next = signature(e)
-      converged = next == sig
+      if (next == sig) {
+        // signature equality is necessary but not sufficient: confirm
+        // exactly on this one round. Both frames are deduped and have
+        // equal counts here, so an empty except proves set equality;
+        // on the (negligible-probability) collision where it is
+        // non-empty, the loop simply continues iterating.
+        converged = e.except(prev).isEmpty
+      }
       sig = next
       rounds += 1
     }

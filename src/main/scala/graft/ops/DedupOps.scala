@@ -356,32 +356,60 @@ object DedupOps {
     * banded matching (`matchcode/models.py:228-373`) accepts the same
     * miss probability at scale.
     */
-  private val labelsMemo =
-    new java.util.concurrent.ConcurrentHashMap[
-      (org.apache.spark.sql.SparkSession, String),
-      org.apache.spark.sql.DataFrame]()
+  /** One label-memo entry. The fixpoint builds inside the holder's own
+    * lock, NOT inside the ConcurrentHashMap's bin lock — the map only
+    * ever stores cheap holders, so concurrent callers on other keys
+    * never block behind a Spark job. Liveness of the memoized
+    * localCheckpoint is checked driver-side: the checkpoint's RDD id
+    * must still be registered in `getPersistentRDDs` (exactly the map
+    * an external release — e.g. `Bench.release()` — unpersists from).
+    * No Spark job on warm reuse; falls back to a one-row probe only if
+    * the plan shape ever hides the checkpoint RDD. */
+  private final class LabelsHolder(s: org.apache.spark.sql.SparkSession,
+      dir: String) {
+    private var frame: org.apache.spark.sql.DataFrame = null
+    private var rddId: Option[Int] = None
 
-  /** Component labels shared by `d_dedup_clusters` and
-    * `d_cluster_keeper`: LSH pair generation → exact-Jaccard verify →
-    * large-star/small-star fixpoint, memoized per (session, dir). The
-    * memoized frame is a localCheckpoint whose blocks an external
-    * caller may have unpersisted (e.g. a harness releasing cached
-    * state between queries); a checkpointed frame cannot recompute
-    * (lineage truncated), so every hit is liveness-probed and dead
-    * entries are rebuilt instead of throwing BlockNotFound. */
-  private def componentLabels(s: org.apache.spark.sql.SparkSession,
-      dir: String): org.apache.spark.sql.DataFrame =
-    labelsMemo.compute((s, dir), { (_, cached) =>
-      val alive = cached != null &&
-        (try { cached.take(1); true } catch { case _: Throwable => false })
-      if (alive) cached
-      else {
+    private def alive: Boolean = frame != null && (rddId match {
+      case Some(id) => s.sparkContext.getPersistentRDDs.contains(id)
+      case None =>
+        try { frame.take(1); true } catch { case _: Throwable => false }
+    })
+
+    def get(): org.apache.spark.sql.DataFrame = synchronized {
+      if (!alive) {
         val edges = verifiedMinhashPairs(s, dir)
           .select(col("d1").as("u"), col("d2").as("v"))
         val nodes = t(s, dir, "documents").select(col("doc_id"))
-        ConnectedComponents.labels(nodes, edges).localCheckpoint(true)
+        frame = ConnectedComponents.labels(nodes, edges)
+          .localCheckpoint(true)
+        rddId = frame.queryExecution.analyzed.collectFirst {
+          case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.id
+        }
       }
-    })
+      frame
+    }
+  }
+
+  private val labelsMemo =
+    new java.util.concurrent.ConcurrentHashMap[
+      (org.apache.spark.sql.SparkSession, String), LabelsHolder]()
+
+  /** Component labels shared by `d_dedup_clusters` and
+    * `d_cluster_keeper`: LSH pair generation → exact-Jaccard verify →
+    * large-star/small-star fixpoint, memoized per (session, dir). A
+    * checkpointed frame cannot recompute (lineage truncated), so a
+    * memo hit whose blocks an external caller unpersisted is rebuilt
+    * instead of throwing BlockNotFound. Entries of stopped sessions
+    * are dropped on access so a long-lived service does not
+    * accumulate dead (session, dir) frames. */
+  private def componentLabels(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    labelsMemo.keySet.removeIf(k => k._1.sparkContext.isStopped)
+    labelsMemo
+      .computeIfAbsent((s, dir), k => new LabelsHolder(k._1, k._2))
+      .get()
+  }
 
   val clusters = QueryDef(
     "d_dedup_clusters", "LLM-pipeline dedup: connected components",

@@ -176,9 +176,11 @@ object Frontier {
     val pending = frontier.filter(col("last_visit_date").isNull)
     val bloom = pending.stat.bloomFilter("canonical",
       math.max(expectedItems, 1L), fpp)
-    val session = candidates.sparkSession
-    val mightContain = session.udf.register("graft_bloom_might_contain",
-      (s: String) => s != null && bloom.mightContain(s))
+    // anonymous column function, NOT udf.register: a session-global
+    // registered name would let two concurrent calls on one session
+    // (two maintenance windows, two frontiers) silently overwrite each
+    // other's bloom filter. Each call closes over its own filter.
+    val mightContain = udf((s: String) => s != null && bloom.mightContain(s))
     val definitelyNew = candidates.filter(!mightContain(col("canonical")))
     val maybes = candidates.filter(mightContain(col("canonical")))
       .join(pending.select(col("canonical").as("existing_canonical")),
@@ -197,8 +199,10 @@ object Frontier {
 
   /** `remap` (`minecode/management/commands/remap.py`): clear the map
     * state of successfully-mapped URIs whose prefix matches one of
-    * the registry roots (resetting wip_date too), then additionally
-    * clear last_map_date alone for any successfully-mapped URI merely
+    * the registry roots (the reference also writes wip_date=None
+    * there, a no-op under successfully_mapped — which already requires
+    * wip_date IS NULL — so this omits it), then additionally clear
+    * last_map_date alone for any successfully-mapped URI merely
     * CONTAINING "maven" or "npm" — the reference's two follow-up
     * UPDATE statements. The reference's final `is_mappable=False`
     * update on non-registry rows is unrepresentable in this schema

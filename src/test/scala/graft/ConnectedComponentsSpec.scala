@@ -53,6 +53,16 @@ class ConnectedComponentsSpec extends SparkTestBase {
       5L -> 5L, 6L -> 5L, 7L -> 7L))
   }
 
+  test("already-star input converges with the exact confirm pass") {
+    // the input is its own large/small-star fixpoint, so round 1 takes
+    // the signature-equal branch and must pass the exact set compare
+    // (the guard against a premature hash-collision stop) first try
+    val edges = Seq((3L, 0L), (2L, 0L), (1L, 0L), (6L, 5L))
+    val got = run(7L, edges)
+    assert(got == Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 4L,
+      5L -> 5L, 6L -> 5L))
+  }
+
   test("non-convergence within maxRounds fails loudly") {
     val nodes = spark.range(10L).select(col("id").as("doc_id"))
     val e = (0L until 9L).map(i => (i, i + 1)).toDF("u", "v")

@@ -31,6 +31,21 @@ class MatchServiceSpec extends SparkTestBase {
     assert(ok.webhookUrl.contains("http://hook"))
   }
 
+  test("matching create splits whitespace-joined URLs per entry") {
+    // validate_input_urls (matchcode/api.py:422-425): each entry is
+    // split on whitespace into multiple URLs before fetching
+    val fetch = (u: String) => Right(u.split('/').last): Either[String, String]
+    val ok = MatchService.createMatching("u1", now, None,
+      Seq("http://h/a.json  http://h/b.json\nhttp://h/c.json",
+        " http://h/d.json "), None, fetch)
+      .fold(e => fail(e), identity)
+    assert(ok.inputSources.map(_.filename) ==
+      Seq("a.json", "b.json", "c.json", "d.json"))
+    assert(ok.inputSources.flatMap(_.downloadUrl) ==
+      Seq("http://h/a.json", "http://h/b.json", "http://h/c.json",
+        "http://h/d.json"))
+  }
+
   test("d2d url list preserves the reference's first-element re-split quirk") {
     // plain entries strip + drop empties
     assert(MatchService.d2dUrlList(Seq(" http://a ", "", "http://b")) ==

@@ -60,6 +60,18 @@ class QueriesSpec extends SparkTestBase {
     assert(df.filter(abs(col("cosine")) > 1.0).count() == 0)
   }
 
+  test("cluster label memo rebuilds after an external unpersist") {
+    val before = Registry.byName("d_dedup_clusters").run(spark, sf001)
+      .collect().toSet
+    // simulate Bench.release(): kill every persisted block, including
+    // the memoized label checkpoint (lineage-truncated, can't recompute)
+    spark.catalog.clearCache()
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+    val after = Registry.byName("d_dedup_clusters").run(spark, sf001)
+      .collect().toSet
+    assert(before == after)
+  }
+
   test("j5 banded match: all surviving pairs respect the hamming gate") {
     val df = Registry.byName("j5_simhash_banded_match").run(spark, sf001)
     assert(df.filter(col("hamming") >= 8).count() == 0)

@@ -118,6 +118,31 @@ class StreamingSpec extends SparkTestBase {
     assert(plain.contains("http://h/250") && !plain.contains("http://h/151"))
   }
 
+  test("two interleaved bloom inserts on one session stay independent") {
+    // regression: a session-global registered UDF name would make the
+    // second call's bloom filter silently replace the first's before
+    // the first result was evaluated
+    val now = ts("2026-08-12 00:00:00")
+    def mk(prefix: String, pending: Range, candidates: Range) = {
+      val f = pending.map(i =>
+        Frontier.UriRow(s"$prefix/$i", s"$prefix/$i", "h", 0,
+          None, None, None, None)).toDF()
+      val c = candidates.map(i =>
+        Frontier.UriRow(s"$prefix/$i", s"$prefix/$i", "h", 0,
+          None, None, None, None)).toDF()
+      (f, c)
+    }
+    val (fa, ca) = mk("http://a", 1 to 100, 50 to 150)
+    val (fb, cb) = mk("http://b", 1 to 100, 90 to 190)
+    // build both lazy results BEFORE evaluating either
+    val ra = Frontier.insertIfAbsentWithBloom(fa, ca)
+    val rb = Frontier.insertIfAbsentWithBloom(fb, cb)
+    val gotA = ra.select("uri").as[String].collect().toSet
+    val gotB = rb.select("uri").as[String].collect().toSet
+    assert(gotA == (101 to 150).map(i => s"http://a/$i").toSet)
+    assert(gotB == (101 to 190).map(i => s"http://b/$i").toSet)
+  }
+
   test("remap clears map state for registry prefixes and maven/npm URIs") {
     // minecode/management/commands/remap.py: prefix-matched
     // successfully-mapped rows are cleared, then uri__contains maven /
