@@ -56,12 +56,13 @@ object DedupOps {
     * `d_dedup_clusters`: 3-token shingles → 32-hash signature → 8×4
     * band bucket equi-join → exact-Jaccard verify. Returns verified
     * pairs (d1 < d2, n_common, jaccard ≥ 0.5). */
-  private def verifiedMinhashPairs(s: org.apache.spark.sql.SparkSession,
-      dir: String): org.apache.spark.sql.DataFrame = {
-    // 3-token shingles: single tokens are too coarse on small
-    // vocabularies (every doc resembles every other); shingling
-    // restores discrimination, as in standard MinHash practice.
-    val docs = par(t(s, dir, "documents"))
+  /** (doc_id, sh) 3-token-shingle frame shared by the MinHash flow and
+    * the recall gate. Cached: identical invocations resolve to one
+    * CacheManager entry (plan-keyed), so multiple callers in one
+    * session tokenize+shingle once. */
+  private def shingleFrame(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    par(t(s, dir, "documents"))
       .withColumn("w", words)
       .withColumn("sh", array_distinct(expr(
         """transform(sequence(1, greatest(size(w) - 2, 1)),
@@ -71,6 +72,13 @@ object DedupOps {
       // grams, sizes); tokenize+shingle once, not three times.
       // MEMORY_AND_DISK default: spills rather than OOMs at scale.
       .cache()
+
+  private def verifiedMinhashPairs(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    // 3-token shingles: single tokens are too coarse on small
+    // vocabularies (every doc resembles every other); shingling
+    // restores discrimination, as in standard MinHash practice.
+    val docs = shingleFrame(s, dir)
     val sigs = docs
       .select(col("doc_id"), col("sh"), minhash_sig(col("sh"), 32).as("sig"))
     val bands = sigs.select(col("doc_id"), col("sig"),
@@ -152,6 +160,70 @@ object DedupOps {
       WHERE CAST(i.n_common AS DOUBLE) /
           CAST(s1.n_sh + s2.n_sh - i.n_common AS DOUBLE) >= 0.5
       ORDER BY d1, d2"""))
+
+  /** Measured LSH recall gate. The verified MinHash pairs are, by
+    * construction, the intersection of the 8×4-band candidate set with
+    * the exact ≥0.5-Jaccard pair set (the verify recomputes exact
+    * Jaccard over the same shingles), so
+    * recall = |verified pairs| / |exact pairs|. The exact side is
+    * enumerated with a shared-shingle equi-join (never a cartesian);
+    * that enumeration is quadratic in per-shingle collision groups, so
+    * this is a MEASUREMENT query — run on a corpus sample in
+    * production, exactly how LSH recall is audited in practice. The
+    * oracle computes the exact-pair count for BOTH counters, i.e. it
+    * asserts recall 1.0: any ≥0.5-Jaccard pair that collides in no
+    * band makes Spark's n_lsh/recall hash-mismatch instead of
+    * silently passing (closes the documented LSH-vs-oracle gap on the
+    * cluster queries). */
+  val lshRecall = QueryDef(
+    "d_lsh_recall", "LLM-pipeline dedup: measured LSH recall",
+    "verified-LSH pairs / exact ≥0.5-Jaccard pairs (gram equi-join)",
+    (s, dir) => {
+      val docs = shingleFrame(s, dir)
+      val grams = docs.select(col("doc_id"), explode(col("sh")).as("g"))
+      val sizes = docs.select(col("doc_id"), size(col("sh")).as("n_sh"))
+      val inter = grams.select(col("doc_id").as("d1"), col("g"))
+        .join(grams.select(col("doc_id").as("d2"), col("g")), "g")
+        .filter(col("d1") < col("d2"))
+        .groupBy("d1", "d2")
+        .agg(count(lit(1)).as("n_common"))
+      val exact = inter
+        .join(sizes.select(col("doc_id").as("d1"), col("n_sh").as("n1")), "d1")
+        .join(sizes.select(col("doc_id").as("d2"), col("n_sh").as("n2")), "d2")
+        .filter(asDouble(col("n_common")) /
+          asDouble(col("n1") + col("n2") - col("n_common")) >= 0.5)
+      val nExact = exact.agg(count(lit(1)).as("n_exact"))
+      val nLsh = verifiedMinhashPairs(s, dir)
+        .agg(count(lit(1)).as("n_lsh"))
+      nExact.crossJoin(nLsh).select(col("n_exact"), col("n_lsh"),
+        (asDouble(col("n_lsh")) / asDouble(col("n_exact"))).as("recall"))
+    },
+    Some("""WITH w AS (
+        SELECT doc_id,
+          list_filter(string_split(text, ' '), x -> x <> '') AS ws
+        FROM documents),
+      sh AS (
+        SELECT doc_id,
+          list_distinct(list_transform(
+            range(1, greatest(len(ws) - 2, 1) + 1),
+            i -> array_to_string(ws[i:i+2], ' '))) AS shs
+        FROM w),
+      grams AS (SELECT doc_id, unnest(shs) AS g FROM sh),
+      sizes AS (SELECT doc_id, len(shs) AS n_sh FROM sh),
+      inter AS (
+        SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS n_common
+        FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+        GROUP BY 1, 2),
+      n AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_exact
+        FROM inter i
+        JOIN sizes s1 ON i.d1 = s1.doc_id
+        JOIN sizes s2 ON i.d2 = s2.doc_id
+        WHERE CAST(i.n_common AS DOUBLE) /
+            CAST(s1.n_sh + s2.n_sh - i.n_common AS DOUBLE) >= 0.5)
+      SELECT n_exact, n_exact AS n_lsh,
+        CAST(n_exact AS DOUBLE) / CAST(n_exact AS DOUBLE) AS recall
+      FROM n"""))
 
   /** SimHash near-dup with the reference's banded approximate-match
     * plan (J5): 4 equi-join band probes unioned (here: exploded into
@@ -653,5 +725,5 @@ object DedupOps {
       ORDER BY d.doc_id"""))
 
   val defs: Seq[QueryDef] = Seq(exact, minhash, simhash, ngram, clusters,
-    lineDedup, clusterKeeper, decontaminate)
+    lineDedup, clusterKeeper, decontaminate, lshRecall)
 }
