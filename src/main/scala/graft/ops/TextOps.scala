@@ -700,7 +700,66 @@ object TextOps {
       FROM dw JOIN enc USING (word)
       GROUP BY doc_id ORDER BY doc_id"""))
 
+  /** Sequence packing — the training-data step after tokenization:
+    * documents are joined into one EOS-separated token stream in
+    * doc_id order and the stream is cut into fixed-length (L=512)
+    * training sequences (GPT-style concat-and-chunk packing; greedy
+    * fill in doc order, long documents span sequences). Output: each
+    * document's global start offset and the sequence span it lands in.
+    *
+    * Scale shape: the global token prefix-sum is computed as a
+    * DISTRIBUTED two-phase scan — per-bucket window cumsum (buckets
+    * hash-partition) plus a broadcast join against the per-bucket
+    * offsets (one tiny row per bucket; the only global-ordered window
+    * runs over that bucket frame, never the corpus). No
+    * single-partition window over the documents, no driver loop. */
+  val seqPack = QueryDef(
+    "t_seq_pack", "LLM-pipeline: sequence packing",
+    "EOS-joined token stream → fixed-length (512) training sequences",
+    (s, dir) => {
+      val L = 512
+      val bucketW = 64
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"),
+          (size(words) + 1).cast("long").as("n_tokens"))
+        .withColumn("bucket", expr(s"doc_id DIV $bucketW"))
+      val wIn = org.apache.spark.sql.expressions.Window
+        .partitionBy("bucket").orderBy("doc_id")
+      val inBucket = docs.withColumn("cum_in", sum("n_tokens").over(wIn))
+      // one row per bucket; the ordered window over it is driver-tiny
+      val wB = org.apache.spark.sql.expressions.Window.orderBy("bucket")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      val offsets = docs.groupBy("bucket")
+        .agg(sum("n_tokens").as("btot"))
+        .withColumn("boff", coalesce(sum("btot").over(wB), lit(0L)))
+        .select("bucket", "boff")
+      inBucket.join(broadcast(offsets), "bucket")
+        .withColumn("start_off", col("boff") + col("cum_in") - col("n_tokens"))
+        .withColumn("first_seq", expr(s"start_off DIV $L"))
+        .withColumn("last_seq", expr(s"(start_off + n_tokens - 1) DIV $L"))
+        .select(col("doc_id"), col("n_tokens"), col("start_off"),
+          col("first_seq"), col("last_seq"),
+          (col("last_seq") - col("first_seq") + 1).as("n_seqs"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH d AS (
+        SELECT doc_id,
+          CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+            + 1 AS BIGINT) AS n_tokens
+        FROM documents),
+      c AS (
+        SELECT doc_id, n_tokens,
+          CAST(SUM(n_tokens) OVER (ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            - n_tokens AS BIGINT) AS start_off
+        FROM d)
+      SELECT doc_id, n_tokens, start_off,
+        start_off // 512 AS first_seq,
+        (start_off + n_tokens - 1) // 512 AS last_seq,
+        (start_off + n_tokens - 1) // 512 - start_off // 512 + 1 AS n_seqs
+      FROM c ORDER BY doc_id"""))
+
   val defs: Seq[QueryDef] = Seq(htmlToText, piiScrub, stratifiedSample,
     vocabulary, tok, quality, langid, langidNgram, fingerprint,
-    repetition, dupSegments, bpeMerges, bpeEncode)
+    repetition, dupSegments, bpeMerges, bpeEncode, seqPack)
 }
