@@ -17,11 +17,10 @@ import org.apache.spark.sql.functions._
   *  - audio is genuine 16-bit PCM WAV decoded through
   *    `javax.sound.sampled` ([[AudioCodec]]) with exact sample
   *    statistics;
-  *  - video is a length-prefixed container of real PNG frames
-  *    ([[VideoCodec]]) — frame sampling decodes the selected frames
-  *    through the real ImageIO path. (The container itself is
-  *    project-defined: the JDK ships no MP4/AVI demuxer; a production
-  *    deployment swaps the demuxer and keeps the frame pipeline.)
+  *  - video is a genuine RIFF AVI container (hdrl/movi/idx1 chunk
+  *    walk, [[VideoCodec]]) carrying PNG-codec ('MPNG') frames —
+  *    frame sampling demuxes the real container format and decodes
+  *    the selected frames through the real ImageIO path.
   */
 object Multimodal {
 
@@ -185,49 +184,131 @@ object Multimodal {
   }
 
   // ======================================================================
-  // REAL VIDEO CODEC — a length-prefixed container of genuine PNG frames;
-  // frame sampling decodes the selected frames through ImageIO. The
-  // demuxer is project-defined (the JDK has no MP4 demuxer); a production
-  // deployment replaces ONLY the container walk, the per-frame decode and
-  // the Spark plumbing stay as-is.
+  // REAL VIDEO CONTAINER — RIFF AVI (the same RIFF family the WAV reader
+  // parses), muxed and demuxed here chunk-for-chunk: LIST/hdrl with avih +
+  // strl(strh,strf), LIST/movi with one '00dc' chunk per frame, idx1
+  // index. Frames are PNG-compressed ('MPNG' handler — the lossless
+  // MJPEG-family codec ffmpeg writes for `-c:v png -f avi`), so sampled
+  // frames decode through the real ImageIO path with exact pixel
+  // statistics the oracle can mirror. A production deployment pointed at
+  // MJPEG files keeps this demuxer and swaps only the per-frame decode's
+  // expectations (lossy stats).
   // ======================================================================
   object VideoCodec {
     /** Per-frame pixel seed, mirrored by the mm_video_frames oracle. */
     def frameSeed(id: Long, frameIdx: Int): Long = id * 1000L + frameIdx
 
-    /** Container: int32-BE frame count, then per frame int32-BE byte
-      * length + PNG payload. */
-    def encodeFrames(id: Long, nFrames: Int, w: Int, h: Int): Array[Byte] = {
+    private def padded(n: Int): Int = n + (n & 1)
+
+    /** Mux deterministic PNG frames into a genuine AVI file:
+      * RIFF('AVI ') → LIST(hdrl){avih, LIST(strl){strh vids/MPNG,
+      * strf BITMAPINFOHEADER}} → LIST(movi){'00dc' chunks, even-byte
+      * padded} → idx1. All sizes little-endian per RIFF. */
+    def encodeAvi(id: Long, nFrames: Int, w: Int, h: Int): Array[Byte] = {
       val frames = (0 until nFrames)
         .map(f => ImageCodec.encodePng(w, h, frameSeed(id, f)))
-      val buf = java.nio.ByteBuffer
-        .allocate(4 + frames.map(_.length + 4).sum)
-      buf.putInt(nFrames)
-      frames.foreach { fb => buf.putInt(fb.length); buf.put(fb) }
+      val avihSize = 56; val strhSize = 56; val strfSize = 40
+      val strlSize = 4 + (8 + strhSize) + (8 + strfSize)
+      val hdrlSize = 4 + (8 + avihSize) + (8 + strlSize)
+      val moviSize = 4 + frames.map(fb => 8 + padded(fb.length)).sum
+      val idx1Size = 16 * nFrames
+      val riffSize = 4 + (8 + hdrlSize) + (8 + moviSize) + (8 + idx1Size)
+      val buf = java.nio.ByteBuffer.allocate(8 + riffSize)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      def fcc(s: String): Unit = buf.put(s.getBytes("US-ASCII"))
+      fcc("RIFF"); buf.putInt(riffSize); fcc("AVI ")
+      fcc("LIST"); buf.putInt(hdrlSize); fcc("hdrl")
+      fcc("avih"); buf.putInt(avihSize)
+      buf.putInt(100000)           // dwMicroSecPerFrame: 10 fps
+        .putInt(0).putInt(0)       // dwMaxBytesPerSec, dwPaddingGranularity
+        .putInt(0x10)              // dwFlags: AVIF_HASINDEX
+        .putInt(nFrames)           // dwTotalFrames
+        .putInt(0).putInt(1)       // dwInitialFrames, dwStreams
+        .putInt(0)                 // dwSuggestedBufferSize
+        .putInt(w).putInt(h)
+        .putInt(0).putInt(0).putInt(0).putInt(0) // dwReserved[4]
+      fcc("LIST"); buf.putInt(strlSize); fcc("strl")
+      fcc("strh"); buf.putInt(strhSize)
+      fcc("vids"); fcc("MPNG")     // fccType, fccHandler
+      buf.putInt(0)                // dwFlags
+        .putShort(0).putShort(0)   // wPriority, wLanguage
+        .putInt(0)                 // dwInitialFrames
+        .putInt(1).putInt(10)      // dwScale/dwRate = 10 fps
+        .putInt(0)                 // dwStart
+        .putInt(nFrames)           // dwLength (frames)
+        .putInt(0)                 // dwSuggestedBufferSize
+        .putInt(-1).putInt(0)      // dwQuality, dwSampleSize
+        .putShort(0).putShort(0)   // rcFrame left, top
+        .putShort(w.toShort).putShort(h.toShort)
+      fcc("strf"); buf.putInt(strfSize)
+      buf.putInt(40)               // biSize (BITMAPINFOHEADER)
+        .putInt(w).putInt(h)
+        .putShort(1).putShort(24)  // biPlanes, biBitCount
+      fcc("MPNG")                  // biCompression
+      buf.putInt(0)                // biSizeImage (allowed 0 for compressed)
+        .putInt(0).putInt(0)       // biX/YPelsPerMeter
+        .putInt(0).putInt(0)       // biClrUsed, biClrImportant
+      fcc("LIST"); buf.putInt(moviSize); fcc("movi")
+      val offsets = new Array[Int](nFrames)
+      var off = 4                  // idx1 offsets: from the 'movi' fourcc
+      frames.zipWithIndex.foreach { case (fb, i) =>
+        offsets(i) = off
+        fcc("00dc"); buf.putInt(fb.length); buf.put(fb)
+        if ((fb.length & 1) == 1) buf.put(0.toByte)
+        off += 8 + padded(fb.length)
+      }
+      fcc("idx1"); buf.putInt(idx1Size)
+      frames.zipWithIndex.foreach { case (fb, i) =>
+        fcc("00dc"); buf.putInt(0x10) // AVIIF_KEYFRAME
+        buf.putInt(offsets(i)).putInt(fb.length)
+      }
       buf.array()
     }
 
-    /** Walk the container and REALLY decode every `everyNth` frame →
+    /** Demux the AVI chunk walk (RIFF header → top-level chunks →
+      * LIST/movi → '00dc'/'00db' sub-chunks with even-byte padding)
+      * and REALLY decode every `everyNth` frame →
       * (frame_idx, width, height, pixel_sum). Malformed containers or
       * undecodable frames yield nothing (error-sink semantics). */
     def sampleFrames(content: Array[Byte], everyNth: Int)
         : Seq[(Int, Int, Int, Long)] = {
       val bb = java.nio.ByteBuffer.wrap(content)
-      if (bb.remaining() < 4) return Seq.empty
-      val n = bb.getInt
-      if (n < 0 || n > 1000000) return Seq.empty
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      def fourcc(): String = {
+        val b = new Array[Byte](4); bb.get(b); new String(b, "US-ASCII")
+      }
       val out = Seq.newBuilder[(Int, Int, Int, Long)]
+      if (bb.remaining() < 12 || fourcc() != "RIFF") return Seq.empty
+      bb.getInt // riff payload size; trust remaining() instead
+      if (fourcc() != "AVI ") return Seq.empty
       var f = 0
-      while (f < n && bb.remaining() >= 4) {
-        val len = bb.getInt
-        if (len < 0 || len > bb.remaining()) return out.result()
-        val fb = new Array[Byte](len)
-        bb.get(fb)
-        if (f % everyNth == 0)
-          ImageCodec.decode(fb).foreach { case (w, h, s) =>
-            out += ((f, w, h, s))
+      while (bb.remaining() >= 8) {
+        val id = fourcc()
+        val size = bb.getInt
+        if (size < 0 || size > bb.remaining()) return out.result()
+        val bodyEnd = bb.position() + size
+        if (id == "LIST" && size >= 4 && fourcc() == "movi") {
+          while (bb.position() + 8 <= bodyEnd) {
+            val cid = fourcc()
+            val csize = bb.getInt
+            if (csize < 0 || bb.position() + csize > bodyEnd)
+              return out.result()
+            if (cid.endsWith("dc") || cid.endsWith("db")) {
+              val fb = new Array[Byte](csize)
+              bb.get(fb)
+              if (f % everyNth == 0)
+                ImageCodec.decode(fb).foreach { case (w, h, s) =>
+                  out += ((f, w, h, s))
+                }
+              f += 1
+            } else bb.position(bb.position() + csize)
+            if ((csize & 1) == 1 && bb.position() < bodyEnd)
+              bb.position(bb.position() + 1) // even-byte chunk padding
           }
-        f += 1
+        }
+        val next = bodyEnd + (size & 1)
+        if (next > bb.limit()) return out.result()
+        bb.position(next)
       }
       out.result()
     }
@@ -296,9 +377,9 @@ object Multimodal {
             val w = (nChars % 16).toInt + 8
             val h = (nChars % 12).toInt + 6
             MediaRow(id, "video",
-              if (payloadKinds("video")) VideoCodec.encodeFrames(id, nf, w, h)
+              if (payloadKinds("video")) VideoCodec.encodeAvi(id, nf, w, h)
               else none,
-              MediaMeta("video/x-graft-frames", width = 0, height = 0,
+              MediaMeta("video/x-msvideo", width = 0, height = 0,
                 sampleRate = 16000, durationMs = nChars * 10))
         }
       }

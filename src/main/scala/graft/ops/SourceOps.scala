@@ -437,7 +437,7 @@ FROM norm2 ORDER BY media_id"""))
 
   val mmVideoFrames = QueryDef(
     "mm_video_frames", "LLM-pipeline: multimodal columns (oracled)",
-    "PNG-frame container walk → every 3rd frame REALLY decoded → stats",
+    "AVI (RIFF) demux → every 3rd PNG frame REALLY decoded → stats",
     (s, dir) => graft.multimodal.Multimodal.videoFrameStats(s, dir),
     // Frame pixels are (fnv64("(id*1000+f):x:y") & 0xffffff); the
     // oracle recomputes each sampled frame's dimensions and pixel sum
