@@ -143,6 +143,42 @@ class StreamingSpec extends SparkTestBase {
     assert(gotB == (101 to 190).map(i => s"http://b/$i").toSet)
   }
 
+  test("crash-replay: re-applied visit micro-batch stays exactly-once") {
+    // ST9: a micro-batch that fails between the frontier claim and the
+    // visited-status merge leaves either (a) nothing applied or (b)
+    // only the child inserts applied. Replaying the SAME batch from
+    // either state must converge to the same frontier, with the
+    // pending-row identity (canonical, last_visit_date) unique —
+    // minecode/models.py:450's unique_together, which is what makes
+    // re-application idempotent in the reference too.
+    val now = ts("2026-08-12 00:00:00")
+    val f0 = (1 to 5).map(i => Frontier.UriRow(s"http://h/p$i",
+      s"http://h/p$i", "h", 5, None, None, None, None)).toDF().cache()
+    val visitor: Frontier.Visitor = u => Seq(s"$u/c1", s"$u/c2")
+
+    val f1 = Frontier.visitCycle(spark, f0, visitor, now, batchSize = 5)
+    val rows1 = f1.as[Frontier.UriRow].collect().toSet
+    assert(rows1.size == 15) // 5 visited seeds + 10 pending children
+    assert(rows1.groupBy(r => (r.canonical, r.last_visit_date))
+      .forall(_._2.size == 1), "pending-row identity must be unique")
+
+    // crash case (a): nothing was written — the replay re-derives the
+    // exact same next state
+    val replayed = Frontier.visitCycle(spark, f0, visitor, now, 5)
+      .as[Frontier.UriRow].collect().toSet
+    assert(replayed == rows1)
+
+    // crash case (b): children were inserted, the visited merge was
+    // not. Replaying on the half-applied state re-claims the seeds
+    // (higher priority than the pending children), the re-yielded
+    // children all hit the (canonical, last_visit_date IS NULL)
+    // anti-join, and the final frontier is identical — no duplicates
+    val half = f0.unionByName(f1.filter(col("last_visit_date").isNull))
+    val replayedHalf = Frontier.visitCycle(spark, half, visitor, now, 5)
+      .as[Frontier.UriRow].collect().toSet
+    assert(replayedHalf == rows1)
+  }
+
   test("remap clears map state for registry prefixes and maven/npm URIs") {
     // minecode/management/commands/remap.py: prefix-matched
     // successfully-mapped rows are cleared, then uri__contains maven /
