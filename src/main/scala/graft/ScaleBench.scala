@@ -1,24 +1,28 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
+import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 /** Scale-scaling measurement: run the heaviest queries at the base SF
-  * and at a synthetic 10× corpus, and report sec ratios — the
-  * "would it survive 100×?" question answered with data (round-5
-  * advice item 5). Results are recorded in BASELINE.md.
+  * and at synthetic 10×/100× corpora, and report wall-clock ratios AND
+  * per-query shuffle telemetry (rows/bytes shuffled, stage count, CC
+  * round/edge counts) — the "would it survive 100×?" question answered
+  * with data. Results are recorded in BASELINE.md.
   *
-  * The 10× corpus is 10 copies of the base documents with ids offset
-  * and every token suffixed `_k` in copy k>0: WITHIN-copy near-dup
-  * structure is preserved exactly (token-relative shingles are
-  * unchanged), while CROSS-copy similarity is zero — so pair counts,
-  * cluster sizes, and bucket populations scale linearly, which is the
-  * honest scaling model (naive duplication would make every document
-  * 9 mutual near-dups and measure an artificial quadratic blowup).
-  * Embeddings get id offsets (bucket populations scale linearly).
+  * The scaled corpus is `factor` copies of the base documents with ids
+  * offset and every token suffixed `_k` in copy k>0: WITHIN-copy
+  * near-dup structure is preserved exactly (token-relative shingles
+  * are unchanged), while CROSS-copy similarity is zero — so pair
+  * counts, cluster sizes, and bucket populations scale linearly, which
+  * is the honest scaling model (naive duplication would make every
+  * document `factor-1` mutual near-dups and measure an artificial
+  * quadratic blowup). Embeddings get id offsets (bucket populations
+  * scale linearly).
   *
-  * Usage: SPARK_GRAFT_SF_DIR=<base> runMain graft.ScaleBench
-  * (writes/reuses the scaled corpus under /tmp/graft_scale10x).
+  * Usage: SPARK_GRAFT_SF_DIR=<base> [SPARK_GRAFT_SCALE_FACTORS=10,100]
+  * [SPARK_GRAFT_SCALE_ONLY=q1,q2] runMain graft.ScaleBench
+  * (writes/reuses the scaled corpora under /tmp/graft_scale<f>x).
   */
 object ScaleBench {
 
@@ -26,6 +30,38 @@ object ScaleBench {
     "x5_halohash_match", "d_dedup_clusters", "s_cosine_ann_ivf",
     "d_minhash_lsh", "d_cluster_keeper", "mm_feature_extract",
     "t_bpe_encode", "d_decontaminate")
+
+  /** Shuffle totals accumulated across the stages of one query run.
+    * Listener events arrive asynchronously; callers drain with a short
+    * sleep after the action (measurement harness, not product code). */
+  final class ShuffleListener extends SparkListener {
+    private val lock = new Object
+    private var readRecs, readBytes, writeRecs, writeBytes, maxWrite = 0L
+    private var nStages = 0
+    override def onStageCompleted(sc: SparkListenerStageCompleted): Unit =
+      lock.synchronized {
+        val m = sc.stageInfo.taskMetrics
+        if (m != null) {
+          val r = m.shuffleReadMetrics
+          val w = m.shuffleWriteMetrics
+          readRecs += r.recordsRead
+          readBytes += r.remoteBytesRead + r.localBytesRead
+          writeRecs += w.recordsWritten
+          writeBytes += w.bytesWritten
+          maxWrite = math.max(maxWrite, w.recordsWritten)
+          nStages += 1
+        }
+      }
+    def reset(): Unit = lock.synchronized {
+      readRecs = 0; readBytes = 0; writeRecs = 0; writeBytes = 0
+      maxWrite = 0; nStages = 0
+    }
+    /** (readRecs, readBytes, writeRecs, writeBytes, maxStageWriteRecs,
+      * stages) */
+    def snapshot: (Long, Long, Long, Long, Long, Int) = lock.synchronized {
+      (readRecs, readBytes, writeRecs, writeBytes, maxWrite, nStages)
+    }
+  }
 
   def buildScaled(spark: SparkSession, base: String, out: String,
       factor: Int): Unit = {
@@ -54,8 +90,14 @@ object ScaleBench {
   def main(args: Array[String]): Unit = {
     val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR",
       "/root/testdata/sf0.1")
-    val out = "/tmp/graft_scale10x"
-    val factor = 10
+    val factors = sys.env.getOrElse("SPARK_GRAFT_SCALE_FACTORS", "10,100")
+      .split(",").map(_.trim).filter(_.nonEmpty).map(_.toInt).toSeq
+    val only = sys.env.get("SPARK_GRAFT_SCALE_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val queries = only match {
+      case Some(names) => Queries.filter(names.contains)
+      case None        => Queries
+    }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -66,10 +108,17 @@ object ScaleBench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val listener = new ShuffleListener
+    spark.sparkContext.addSparkListener(listener)
 
-    if (!java.nio.file.Files.exists(
-        java.nio.file.Paths.get(s"$out/documents.parquet")))
-      buildScaled(spark, base, out, factor)
+    val dirs: Seq[(String, String)] =
+      ("base" -> base) +: factors.map { f =>
+        val out = s"/tmp/graft_scale${f}x"
+        if (!java.nio.file.Files.exists(
+            java.nio.file.Paths.get(s"$out/documents.parquet")))
+          buildScaled(spark, base, out, f)
+        s"x$f" -> out
+      }
 
     def release(): Unit = {
       spark.catalog.clearCache()
@@ -77,33 +126,50 @@ object ScaleBench {
     }
 
     // JIT/codegen warmup on the smallest SF
-    Queries.foreach { q =>
+    queries.foreach { q =>
       Registry.byName(q).run(spark, "/root/testdata/sf0.001").count()
       release()
     }
 
-    def time(q: String, dir: String): (Double, Long) = {
+    /** (minSec, rows, shuffle snapshot of the LAST run, cc edge counts
+      * of the last run for cluster queries). */
+    def time(q: String, dir: String)
+        : (Double, Long, (Long, Long, Long, Long, Long, Int), Seq[Long]) = {
       // min of two runs: scaling ratios want the contention-free floor
       val samples = (1 to 2).map { _ =>
+        listener.reset()
         val t0 = System.nanoTime()
         val rows = Registry.byName(q).run(spark, dir).count()
         val dt = (System.nanoTime() - t0) / 1e9
+        Thread.sleep(300) // drain async listener events
         release()
         (dt, rows)
       }
-      (samples.map(_._1).min, samples.head._2)
+      val cc =
+        if (q == "d_dedup_clusters" || q == "d_cluster_keeper")
+          graft.ops.ConnectedComponents.lastRunEdgeCounts
+        else Seq.empty[Long]
+      (samples.map(_._1).min, samples.head._2, listener.snapshot, cc)
     }
 
-    val entries = Queries.map { q =>
-      val (b, bRows) = time(q, base)
-      val (x, xRows) = time(q, out)
-      val line = f""""$q":{"base_sec":$b%.3f,"x10_sec":$x%.3f,""" +
-        f""""ratio":${x / b}%.2f,"base_rows":$bRows,"x10_rows":$xRows}"""
+    val entries = queries.map { q =>
+      val scales = dirs.map { case (tag, dir) =>
+        val (sec, rows, (rr, rb, wr, wb, mw, st), cc) = time(q, dir)
+        val ccPart =
+          if (cc.nonEmpty)
+            s""","cc_rounds":${cc.length - 1},"cc_edges":[${cc.mkString(",")}]"""
+          else ""
+        f""""$tag":{"sec":$sec%.3f,"rows":$rows,""" +
+          f""""sh_write_rows":$wr,"sh_write_mb":${wb / 1048576.0}%.1f,""" +
+          f""""sh_read_rows":$rr,"sh_read_mb":${rb / 1048576.0}%.1f,""" +
+          f""""max_stage_write_rows":$mw,"stages":$st$ccPart}"""
+      }
+      val line = s""""$q":{${scales.mkString(",")}}"""
       System.err.println(s"[scale] $line")
       line
     }
     println(entries.mkString(
-      s"""{"metric":"scale10x","factor":$factor,"base":"$base","queries":{""",
+      s"""{"metric":"scale","factors":"${factors.mkString(",")}","base":"$base","queries":{""",
       ",", "}}"))
     spark.stop()
   }

@@ -19,6 +19,14 @@ import org.apache.spark.sql.functions._
   */
 object ConnectedComponents {
 
+  /** Per-round post-contraction edge counts of the most recent
+    * `labels` call in this JVM (index 0 = deduped input edge count).
+    * Measurement surface for ScaleBench's round/edge telemetry only —
+    * concurrent `labels` calls overwrite each other here, which is
+    * fine for a single-threaded measurement harness. */
+  @volatile private var lastEdgeCountsVar: Seq[Long] = Seq.empty
+  def lastRunEdgeCounts: Seq[Long] = lastEdgeCountsVar
+
   /** Edge set signature: (count, sum of per-edge hashes). Set-equal
     * frames produce equal signatures. The dangerous failure direction
     * is a 64-bit hash-sum collision between DIFFERENT consecutive
@@ -77,6 +85,8 @@ object ConnectedComponents {
     var sig = signature(e)
     var converged = false
     var rounds = 0
+    val edgeCounts = Seq.newBuilder[Long]
+    edgeCounts += sig._1
     while (!converged && rounds < maxRounds) {
       // localCheckpoint keeps lineage flat across rounds (iterative
       // plans otherwise re-derive every prior round per action)
@@ -92,8 +102,10 @@ object ConnectedComponents {
         converged = e.except(prev).isEmpty
       }
       sig = next
+      edgeCounts += sig._1
       rounds += 1
     }
+    lastEdgeCountsVar = edgeCounts.result()
     if (!converged)
       throw new IllegalStateException(
         s"connected components did not converge in $maxRounds rounds " +

@@ -71,5 +71,53 @@ object StreamOps {
       SELECT uri, rn <= 16 AS visited, rn <= 10 AS mapped, priority
       FROM ranked ORDER BY uri"""))
 
-  val defs: Seq[QueryDef] = Seq(frontierSim)
+  /** ST4 — the 8-state scan-queue machine replayed deterministically
+    * (`minecode/models.py:648-808`): five event-log patterns per scan
+    * uuid, including illegal transitions the guards must IGNORE
+    * (double submit, post-terminal start, start-before-submit). The
+    * replay runs the same guarded-transition fold the streaming
+    * `flatMapGroupsWithState` machine uses ([[graft.streaming
+    * .ScanQueue.applySequence]]); the oracle re-derives each pattern's
+    * legal transition count, terminal state, and last applied detail. */
+  val scanQueueReplay = QueryDef(
+    "st_scan_queue", "ST4",
+    "scan-queue 8-state replay: guarded transitions over event logs",
+    (s, dir) => {
+      import s.implicits._
+      import graft.streaming.ScanQueue
+      t(s, dir, "part")
+        .select(col("p_partkey").cast("string").as("uuid"),
+          (col("p_partkey") % 5).cast("int").as("pat"))
+        .as[(String, Int)]
+        .map { case (uuid, pat) =>
+          val evs = pat match {
+            case 0 => Seq("submit", "start", "scan_done", "index_done")
+            case 1 => Seq("submit", "submit", "start", "scan_done")
+            case 2 => Seq("submit", "start", "fail", "start")
+            case 3 => Seq("submit", "start", "scan_done", "index_fail")
+            case _ => Seq("start", "submit", "start")
+          }
+          val out = ScanQueue.applySequence(uuid,
+            ScanQueue.ScanState(uuid, ScanQueue.New.code, ""),
+            evs.iterator.map(e =>
+              ScanQueue.ScanEvent(uuid, e, s"$e@$uuid")))
+          (uuid, out.last.status, out.size, out.last.detail)
+        }
+        .toDF("uuid", "final_status", "n_transitions", "last_detail")
+        .orderBy(col("uuid"))
+    },
+    Some("""SELECT CAST(p_partkey AS VARCHAR) AS uuid,
+        CASE p_partkey % 5 WHEN 0 THEN 4 WHEN 1 THEN 3 WHEN 2 THEN 5
+          WHEN 3 THEN 7 ELSE 2 END AS final_status,
+        CASE p_partkey % 5 WHEN 0 THEN 4 WHEN 1 THEN 3 WHEN 2 THEN 3
+          WHEN 3 THEN 4 ELSE 2 END AS n_transitions,
+        CASE p_partkey % 5
+          WHEN 0 THEN 'index_done@' || CAST(p_partkey AS VARCHAR)
+          WHEN 1 THEN 'scan_done@' || CAST(p_partkey AS VARCHAR)
+          WHEN 2 THEN 'fail@' || CAST(p_partkey AS VARCHAR)
+          WHEN 3 THEN 'index_fail@' || CAST(p_partkey AS VARCHAR)
+          ELSE 'start@' || CAST(p_partkey AS VARCHAR) END AS last_detail
+      FROM part ORDER BY uuid"""))
+
+  val defs: Seq[QueryDef] = Seq(frontierSim, scanQueueReplay)
 }

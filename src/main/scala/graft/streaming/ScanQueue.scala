@@ -43,6 +43,23 @@ object ScanQueue {
     (InProgress.code, "fail") -> Failed,
     (Completed.code, "index_fail") -> IndexFailed)
 
+  /** Pure guarded-transition fold shared by the streaming machine and
+    * the batch replay query (`st_scan_queue`): apply events in order
+    * from `start`, ignoring illegal transitions; returns every emitted
+    * state snapshot. */
+  def applySequence(uuid: String, start: ScanState,
+      events: Iterator[ScanEvent]): Seq[ScanState] = {
+    var cur = start
+    val emitted = Seq.newBuilder[ScanState]
+    events.foreach { ev =>
+      transitions.get((cur.status, ev.event)).foreach { next =>
+        cur = ScanState(uuid, next.code, ev.detail)
+        emitted += cur
+      }
+    }
+    emitted.result()
+  }
+
   def applyEvents(withTimeouts: Boolean)(uuid: String,
       events: Iterator[ScanEvent],
       state: GroupState[ScanState]): Iterator[ScanState] = {
@@ -52,14 +69,9 @@ object ScanQueue {
       state.remove()
       return Iterator(out)
     }
-    var cur = state.getOption.getOrElse(ScanState(uuid, New.code, ""))
-    val emitted = scala.collection.mutable.ArrayBuffer.empty[ScanState]
-    events.foreach { ev =>
-      transitions.get((cur.status, ev.event)).foreach { next =>
-        cur = ScanState(uuid, next.code, ev.detail)
-        emitted += cur
-      }
-    }
+    val start = state.getOption.getOrElse(ScanState(uuid, New.code, ""))
+    val emitted = applySequence(uuid, start, events)
+    val cur = emitted.lastOption.getOrElse(start)
     val terminal = Set(Indexed.code, Failed.code, TimedOut.code,
       IndexFailed.code)
     if (terminal.contains(cur.status)) state.remove()
