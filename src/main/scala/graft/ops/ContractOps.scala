@@ -352,5 +352,63 @@ object ContractOps {
       FROM purled
       ORDER BY purl, component"""))
 
-  val defs: Seq[QueryDef] = Seq(j10, f7, o2, x9, s14)
+  /** J11 — JS source-map key widening
+    * (`matchcode/pipes/matching.py:306-308`): `.map` resources carry
+    * the sha1s of their referenced sources; those explode into extra
+    * exact-match join keys attributed back to the carrying resource.
+    * Every third query row is a `.map` with two referenced sha1s (one
+    * of which may be its own direct sha1 — the (path, sha1) dedup must
+    * fold that); the index holds every fourth sha1. */
+  val j11 = QueryDef(
+    "j11_sourcemap_join", "J11/J4",
+    "source-map sha1 widening → exact index join",
+    (s, dir) => {
+      val queries = t(s, dir, "part").select(
+        concat(lit("src/f"), ks,
+          when(k % 3 === 0, lit(".js.map")).otherwise(lit(".js")))
+          .as("path"),
+        when(k % 2 === 0, md5(concat(lit("blob"), ks)))
+          .otherwise(lit(null).cast("string")).as("sha1"),
+        when(k % 3 === 0,
+          array(md5(concat(lit("blob"), (k + 4).cast("string"))),
+            md5(concat(lit("blob"), k.cast("string")))))
+          .otherwise(lit(null).cast("array<string>"))
+          .as("source_map_sha1s"))
+      val index = t(s, dir, "part")
+        .filter(k % 4 === 0)
+        .select(md5(concat(lit("blob"), ks)).as("sha1"),
+          concat(lit("http://pkg/"), (k % 50).cast("string"))
+            .as("download_url"),
+          concat(lit("lib/f"), ks).as("path"))
+      graft.matching.Matching.exactMatchWithSourceMaps(queries, index)
+        .orderBy("q_path", "sha1", "matched_path")
+    },
+    Some("""WITH q AS (
+        SELECT p_partkey AS k,
+          'src/f' || CAST(p_partkey AS VARCHAR) ||
+            CASE WHEN p_partkey % 3 = 0 THEN '.js.map' ELSE '.js' END
+            AS path,
+          CASE WHEN p_partkey % 2 = 0
+            THEN md5('blob' || CAST(p_partkey AS VARCHAR)) END AS sha1
+        FROM part),
+      widened AS (
+        SELECT path, sha1 FROM q WHERE sha1 IS NOT NULL
+        UNION
+        SELECT path, md5('blob' || CAST(k + 4 AS VARCHAR)) FROM q
+        WHERE k % 3 = 0
+        UNION
+        SELECT path, md5('blob' || CAST(k AS VARCHAR)) FROM q
+        WHERE k % 3 = 0),
+      idx AS (
+        SELECT md5('blob' || CAST(p_partkey AS VARCHAR)) AS sha1,
+          'http://pkg/' || CAST(p_partkey % 50 AS VARCHAR)
+            AS download_url,
+          'lib/f' || CAST(p_partkey AS VARCHAR) AS path
+        FROM part WHERE p_partkey % 4 = 0)
+      SELECT w.path AS q_path, w.sha1 AS sha1, idx.download_url,
+        idx.path AS matched_path
+      FROM widened w JOIN idx ON w.sha1 = idx.sha1
+      ORDER BY q_path, w.sha1, matched_path"""))
+
+  val defs: Seq[QueryDef] = Seq(j10, f7, o2, x9, s14, j11)
 }

@@ -119,5 +119,110 @@ object StreamOps {
           ELSE 'start@' || CAST(p_partkey AS VARCHAR) END AS last_detail
       FROM part ORDER BY uuid"""))
 
-  val defs: Seq[QueryDef] = Seq(frontierSim, scanQueueReplay)
+  /** ST5 — priority-request queue discipline
+    * (`minecode/models.py:812-862`): insert-if-absent against PENDING
+    * rows only (a processed request may legally be re-requested —
+    * duplicate uri, new pending row), then FIFO claim by
+    * (request_date, uri) skipping processed and in-flight rows. The
+    * oracle mirrors the anti-join's processed-rows exemption, which is
+    * the discriminating part. */
+  val priorityQueue = QueryDef(
+    "st_priority_queue", "ST5/J12/O2",
+    "priority queue: insert-if-absent (pending only) → FIFO claim",
+    (s, dir) => {
+      val nullTs = lit(null).cast("timestamp")
+      val pending = t(s, dir, "part").select(
+        concat(lit("pkg:gen/p"), col("p_partkey").cast("string"))
+          .as("uri"),
+        expr("""timestamp'2026-08-01 00:00:00' -
+            make_interval(0, 0, 0, CAST(p_partkey % 20 AS INT))""")
+          .as("request_date"),
+        when(col("p_partkey") % 3 === 0,
+          lit(Timestamp.valueOf("2026-08-05 00:00:00")))
+          .otherwise(nullTs).as("processed_date"),
+        when(col("p_partkey") % 7 === 0 && col("p_partkey") % 3 =!= 0,
+          lit(Timestamp.valueOf("2026-08-12 00:00:00")))
+          .otherwise(nullTs).as("wip_date"))
+      val requests = t(s, dir, "part").select(
+        concat(lit("pkg:gen/p"), (col("p_partkey") + 1500).cast("string"))
+          .as("uri"),
+        lit(Timestamp.valueOf("2026-08-10 00:00:00")).as("request_date"),
+        nullTs.as("processed_date"), nullTs.as("wip_date"))
+      val queue = graft.streaming.Queues
+        .insertPriorityRequests(pending, requests)
+      graft.streaming.Queues.claimPriorityRequests(queue, 50)
+        .select("uri", "request_date")
+        .orderBy("request_date", "uri")
+    },
+    Some("""WITH pending AS (
+        SELECT 'pkg:gen/p' || CAST(p_partkey AS VARCHAR) AS uri,
+          TIMESTAMP '2026-08-01 00:00:00'
+            - to_days(CAST(p_partkey % 20 AS INTEGER)) AS request_date,
+          CASE WHEN p_partkey % 3 = 0
+            THEN TIMESTAMP '2026-08-05 00:00:00' END AS processed_date,
+          CASE WHEN p_partkey % 7 = 0 AND p_partkey % 3 <> 0
+            THEN TIMESTAMP '2026-08-12 00:00:00' END AS wip_date
+        FROM part),
+      requests AS (
+        SELECT 'pkg:gen/p' || CAST(p_partkey + 1500 AS VARCHAR) AS uri,
+          TIMESTAMP '2026-08-10 00:00:00' AS request_date,
+          CAST(NULL AS TIMESTAMP) AS processed_date,
+          CAST(NULL AS TIMESTAMP) AS wip_date
+        FROM part),
+      queue AS (
+        SELECT * FROM pending
+        UNION ALL
+        SELECT r.* FROM requests r
+        WHERE NOT EXISTS (
+          SELECT 1 FROM pending p
+          WHERE p.uri = r.uri AND p.processed_date IS NULL))
+      SELECT uri, request_date FROM queue
+      WHERE processed_date IS NULL AND wip_date IS NULL
+      ORDER BY request_date, uri LIMIT 50"""))
+
+  /** ST6 — package-watch scheduling (`packagedb/models.py:1285-1454`):
+    * a watch is due when active and never watched, or last watched
+    * more than `watch_interval` days ago — interval NULL defaults to
+    * 7 and is clamped to [1, 365]. The generated intervals cover the
+    * default, both clamp edges, and both due directions. */
+  val watchesDue = QueryDef(
+    "st_watches_due", "ST6",
+    "package watches due: interval clamp + staleness filter",
+    (s, dir) => {
+      val now = Timestamp.valueOf("2026-08-13 00:00:00")
+      val watches = t(s, dir, "part").select(
+        concat(lit("pkg:maven/ns/a"), col("p_partkey").cast("string"))
+          .as("package_url"),
+        when(col("p_partkey") % 5 === 0, lit(null).cast("int"))
+          .otherwise((col("p_partkey") % 400).cast("int"))
+          .as("watch_interval"),
+        (col("p_partkey") % 4 =!= 0).as("is_active"),
+        when(col("p_partkey") % 6 === 0, lit(null).cast("timestamp"))
+          .otherwise(expr("""timestamp'2026-08-13 00:00:00' -
+            make_interval(0, 0, 0, CAST(p_partkey % 300 AS INT))"""))
+          .as("last_watch_date"))
+      graft.streaming.Queues.dueWatches(watches, now)
+        .select("package_url", "watch_interval", "is_active")
+        .orderBy("package_url")
+    },
+    Some("""WITH w AS (
+        SELECT 'pkg:maven/ns/a' || CAST(p_partkey AS VARCHAR)
+            AS package_url,
+          CASE WHEN p_partkey % 5 = 0 THEN NULL
+            ELSE CAST(p_partkey % 400 AS INTEGER) END AS watch_interval,
+          p_partkey % 4 <> 0 AS is_active,
+          CASE WHEN p_partkey % 6 = 0 THEN NULL
+            ELSE TIMESTAMP '2026-08-13 00:00:00'
+              - to_days(CAST(p_partkey % 300 AS INTEGER)) END
+            AS last_watch_date
+        FROM part)
+      SELECT package_url, watch_interval, is_active FROM w
+      WHERE is_active AND (last_watch_date IS NULL OR
+        last_watch_date < TIMESTAMP '2026-08-13 00:00:00'
+          - to_days(CAST(LEAST(GREATEST(COALESCE(watch_interval, 7), 1),
+              365) AS INTEGER)))
+      ORDER BY package_url"""))
+
+  val defs: Seq[QueryDef] =
+    Seq(frontierSim, scanQueueReplay, priorityQueue, watchesDue)
 }
