@@ -223,6 +223,59 @@ object StreamOps {
               365) AS INTEGER)))
       ORDER BY package_url"""))
 
-  val defs: Seq[QueryDef] =
-    Seq(frontierSim, scanQueueReplay, priorityQueue, watchesDue)
+  /** ST8 — activity inbox append (`packagedb/api.py:1393-1411`):
+    * only "create"-type events (case-insensitive) with non-empty
+    * content land in the inbox; other types and empty payloads are
+    * rejected. */
+  val activityInbox = QueryDef(
+    "st_activity_inbox", "ST8",
+    "activity inbox: create-type non-empty events appended",
+    (s, dir) => {
+      val inbox = t(s, dir, "part").filter(col("p_partkey") % 10 === 0)
+        .select(
+          concat(lit("actor"), (col("p_partkey") % 5).cast("string"))
+            .as("actor"),
+          concat(lit("existing "), col("p_partkey").cast("string"))
+            .as("payload"),
+          lit(Timestamp.valueOf("2026-08-01 00:00:00"))
+            .as("received_date"))
+      val events = t(s, dir, "part").select(
+        concat(lit("actor"), (col("p_partkey") % 7).cast("string"))
+          .as("actor"),
+        when(col("p_partkey") % 4 === 0, lit(""))
+          .when(col("p_partkey") % 4 === 1, lit(null).cast("string"))
+          .otherwise(concat(lit("pkg event "),
+            col("p_partkey").cast("string"))).as("payload"),
+        when(col("p_partkey") % 3 === 0, lit("Create"))
+          .when(col("p_partkey") % 3 === 1, lit("update"))
+          .otherwise(lit("CREATE")).as("activity_type"),
+        lit(Timestamp.valueOf("2026-08-13 00:00:00")).as("received_date"))
+      graft.streaming.Queues.appendActivities(inbox, events)
+        .orderBy("actor", "payload")
+    },
+    Some("""WITH inbox AS (
+        SELECT 'actor' || CAST(p_partkey % 5 AS VARCHAR) AS actor,
+          'existing ' || CAST(p_partkey AS VARCHAR) AS payload,
+          TIMESTAMP '2026-08-01 00:00:00' AS received_date
+        FROM part WHERE p_partkey % 10 = 0),
+      events AS (
+        SELECT 'actor' || CAST(p_partkey % 7 AS VARCHAR) AS actor,
+          CASE WHEN p_partkey % 4 = 0 THEN ''
+               WHEN p_partkey % 4 = 1 THEN NULL
+               ELSE 'pkg event ' || CAST(p_partkey AS VARCHAR) END
+            AS payload,
+          CASE WHEN p_partkey % 3 = 0 THEN 'Create'
+               WHEN p_partkey % 3 = 1 THEN 'update'
+               ELSE 'CREATE' END AS activity_type,
+          TIMESTAMP '2026-08-13 00:00:00' AS received_date
+        FROM part)
+      SELECT actor, payload, received_date FROM inbox
+      UNION ALL
+      SELECT actor, payload, received_date FROM events
+      WHERE payload IS NOT NULL AND payload <> ''
+        AND LOWER(activity_type) = 'create'
+      ORDER BY actor, payload"""))
+
+  val defs: Seq[QueryDef] = Seq(frontierSim, scanQueueReplay,
+    priorityQueue, watchesDue, activityInbox)
 }

@@ -68,10 +68,13 @@ object Queues {
   }
 
   /** ST8 — activity inbox (`packagedb/api.py:1393-1411`): append
-    * "create"-type events as PackageActivity rows. */
+    * "create"-type events with non-empty content as PackageActivity
+    * rows (`if content and activity_type.lower() == "create"` — an
+    * empty payload is rejected even when the type matches). */
   def appendActivities(inbox: DataFrame, events: DataFrame): DataFrame =
     inbox.unionByName(
-      events.filter(lower(col("activity_type")) === "create")
+      events.filter(col("payload").isNotNull && col("payload") =!= "" &&
+          lower(col("activity_type")) === "create")
         .select(col("actor"), col("payload"), col("received_date")))
 
   /** The priority-queue worker loop (`minecode/management/commands/

@@ -208,12 +208,16 @@ class PeripherySpec extends SparkTestBase {
       Some(Timestamp.valueOf("2023-01-01 00:00:00")), now) === now)
   }
 
-  test("st8: inbox appends only create activities") {
+  test("st8: inbox appends only non-empty create activities") {
+    // packagedb/api.py:1400: `if content and activity_type.lower() ==
+    // "create"` — empty content is rejected even with a matching type
     val inbox = Seq.empty[(String, String, Timestamp)]
       .toDF("actor", "payload", "received_date")
     val events = Seq(
       ("alice", "{}", Timestamp.valueOf("2026-01-01 00:00:00"), "Create"),
-      ("bob", "{}", Timestamp.valueOf("2026-01-01 00:00:00"), "delete"))
+      ("bob", "{}", Timestamp.valueOf("2026-01-01 00:00:00"), "delete"),
+      ("carol", "", Timestamp.valueOf("2026-01-01 00:00:00"), "create"),
+      ("dave", null, Timestamp.valueOf("2026-01-01 00:00:00"), "CREATE"))
       .toDF("actor", "payload", "received_date", "activity_type")
     val out = Queues.appendActivities(inbox, events)
     assert(out.select("actor").as[String].collect().toSeq == Seq("alice"))
