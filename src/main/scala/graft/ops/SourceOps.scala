@@ -490,7 +490,84 @@ FROM norm2 ORDER BY media_id"""))
           AS pixel_sum
       FROM pxv GROUP BY doc_id, f ORDER BY media_id, frame_idx"""))
 
+  /** S9 — `ls -lR` listing parse (`minecode/ls.py:43-128`,
+    * `LsParser`): 50 synthetic listings, each mixing directory-header
+    * lines (stateful — they set the path prefix of every following
+    * entry), file entries with year dates, time-form dates (no date
+    * emitted), directory entries, symlinks (name split on " -> "), and
+    * names containing spaces. The REAL line-by-line parser runs per
+    * listing; the oracle re-derives each line's expected entry (and
+    * its header-scoped prefix) arithmetically from the line index. */
+  val s9ls = QueryDef(
+    "s9_ls_parse", "S9/X1",
+    "ls -lR listings → (path, is_file, size, date) rows",
+    (s, dir) => {
+      import s.implicits._
+      val j = expr("p_partkey DIV 50")
+      val months = Seq("Jan", "Feb", "Mar", "Apr", "May", "Jun",
+        "Jul", "Aug", "Sep", "Oct", "Nov", "Dec")
+      val lines = t(s, dir, "part").select(
+        col("p_partkey").as("k"),
+        (col("p_partkey") % 50).as("g"),
+        j.as("j"),
+        when(j % 10 === 0,
+          concat(lit("dir"), col("p_partkey").cast("string"), lit(":")))
+        .when(j % 7 === 0,
+          concat(lit("drwxr-xr-x 2 u g 4096 Feb 3 2021 sub"),
+            col("p_partkey").cast("string")))
+        .when(j % 11 === 0,
+          concat(lit("lrwxrwxrwx 1 u g 11 Mar 4 12:30 link"),
+            col("p_partkey").cast("string"), lit(" -> /t/x")))
+        .when(j % 9 === 0,
+          concat(lit("-rw-r--r-- 1 u g "),
+            (col("p_partkey") * 3).cast("string"),
+            lit(" Apr 5 12:34 file"), col("p_partkey").cast("string"),
+            lit(".bin")))
+        .otherwise(
+          concat(lit("-rw-r--r-- 1 u g "),
+            (col("p_partkey") * 3).cast("string"),
+            lit(" "), element_at(typedLit(months), (j % 12 + 1).cast("int")),
+            lit(" "), (j % 28 + 1).cast("string"),
+            lit(" "), (j % 30 + 1990).cast("string"),
+            lit(" file"), col("p_partkey").cast("string"),
+            lit(" v2.bin"))).as("line"))
+      lines.as[(Long, Long, Long, String)]
+        .groupByKey(_._2)
+        .flatMapGroups { (g, it) =>
+          val listing = it.toSeq.sortBy(_._1).map(_._4).mkString("\n")
+          graft.miners.LsParser.parse(listing).map(e =>
+            (g, e.path, e.isFile, e.size, e.date))
+        }
+        .toDF("g", "path", "is_file", "size", "date")
+        .orderBy("g", "path")
+    },
+    Some("""WITH m AS (
+        SELECT p_partkey AS k, p_partkey % 50 AS g,
+          p_partkey // 50 AS j
+        FROM part),
+      e AS (
+        SELECT k, g, j,
+          'dir' || CAST(50 * (j - j % 10) + g AS VARCHAR) AS cur
+        FROM m WHERE j % 10 <> 0)
+      SELECT g,
+        CASE WHEN j % 7 = 0 THEN cur || '/sub' || CAST(k AS VARCHAR)
+             WHEN j % 11 = 0 THEN cur || '/link' || CAST(k AS VARCHAR)
+             WHEN j % 9 = 0 THEN cur || '/file' || CAST(k AS VARCHAR)
+               || '.bin'
+             ELSE cur || '/file' || CAST(k AS VARCHAR) || ' v2.bin'
+          END AS path,
+        j % 7 <> 0 AND j % 11 <> 0 AS is_file,
+        CASE WHEN j % 7 <> 0 AND j % 11 <> 0 THEN k * 3 END AS size,
+        CASE WHEN j % 7 = 0 THEN '2021-02-03'
+             WHEN j % 11 = 0 THEN NULL
+             WHEN j % 9 = 0 THEN NULL
+             ELSE CAST(j % 30 + 1990 AS VARCHAR) || '-' ||
+               lpad(CAST(j % 12 + 1 AS VARCHAR), 2, '0') || '-' ||
+               lpad(CAST(j % 28 + 1 AS VARCHAR), 2, '0')
+          END AS date
+      FROM e ORDER BY g, path"""))
+
   val defs: Seq[QueryDef] =
     Seq(s4json, s8html, s10sync, cdHarvest, cdResources, mmFeatures,
-      mmImageStats, mmAudioStats, mmVideoFrames)
+      mmImageStats, mmAudioStats, mmVideoFrames, s9ls)
 }
