@@ -567,7 +567,57 @@ FROM norm2 ORDER BY media_id"""))
           END AS date
       FROM e ORDER BY g, path"""))
 
+  /** S11 — Alpine APKINDEX parse (`minecode/miners/alpine.py:67-123`,
+    * `EcosystemParsers.apkIndex`): blank-line-separated `K:value`
+    * paragraph records; blocks missing the mandatory P/V keys are
+    * skipped, optional keys (arch, description, size) may be absent
+    * per record. The real text parser runs per synthetic index; the
+    * oracle re-derives every kept record's fields arithmetically. */
+  val s11apk = QueryDef(
+    "s11_apkindex", "S11/X1",
+    "APKINDEX paragraphs → package rows (real text parser)",
+    (s, dir) => {
+      import s.implicits._
+      val k = col("p_partkey")
+      val ks = k.cast("string")
+      val blocks = t(s, dir, "part").select(
+        k.as("k"),
+        (k % 50).as("g"),
+        concat_ws("\n",
+          concat(lit("P:pkg"), ks),
+          // k%13==0 blocks lack the mandatory V → whole block skipped
+          when(k % 13 =!= 0, concat(lit("V:1."), (k % 5).cast("string"))),
+          when(k % 2 === 0, lit("A:x86_64")),
+          when(k % 7 =!= 0, concat(lit("T:desc "), ks)),
+          when(k % 3 === 0, lit("L:GPL-2.0")).otherwise(lit("L:MIT")),
+          when(k % 11 =!= 0, concat(lit("S:"), (k * 7).cast("string"))),
+          concat(lit("t:"), (k + 1700000000L).cast("string"))).as("block"))
+      blocks.as[(Long, Long, String)]
+        .groupByKey(_._2)
+        .flatMapGroups { (g, it) =>
+          val text = it.toSeq.sortBy(_._1).map(_._3).mkString("\n\n")
+          graft.sources.EcosystemParsers.apkIndex(text).map(e =>
+            (g, e.name, e.version, e.arch, e.description, e.license,
+              e.size, e.buildDate))
+        }
+        .toDF("g", "name", "version", "arch", "description", "license",
+          "size", "build_date")
+        .orderBy("g", "name")
+    },
+    Some("""SELECT p_partkey % 50 AS g,
+        'pkg' || CAST(p_partkey AS VARCHAR) AS name,
+        '1.' || CAST(p_partkey % 5 AS VARCHAR) AS version,
+        CASE WHEN p_partkey % 2 = 0 THEN 'x86_64' END AS arch,
+        CASE WHEN p_partkey % 7 <> 0
+          THEN 'desc ' || CAST(p_partkey AS VARCHAR) END AS description,
+        CASE WHEN p_partkey % 3 = 0 THEN 'GPL-2.0' ELSE 'MIT' END
+          AS license,
+        CASE WHEN p_partkey % 11 <> 0 THEN p_partkey * 7 END AS size,
+        p_partkey + 1700000000 AS build_date
+      FROM part WHERE p_partkey % 13 <> 0
+      ORDER BY g, name"""))
+
   val defs: Seq[QueryDef] =
     Seq(s4json, s8html, s10sync, cdHarvest, cdResources, mmFeatures,
-      mmImageStats, mmAudioStats, mmVideoFrames, s9ls)
+      mmImageStats, mmAudioStats, mmVideoFrames, s9ls, s11apk)
 }
