@@ -29,7 +29,11 @@ object ScaleBench {
   val Queries = Seq("d_ngram_jaccard", "m_snippet_match",
     "x5_halohash_match", "d_dedup_clusters", "s_cosine_ann_ivf",
     "d_minhash_lsh", "d_cluster_keeper", "mm_feature_extract",
-    "t_bpe_encode", "d_decontaminate")
+    "t_bpe_encode", "d_decontaminate",
+    // round-7 additions: the recall gate's exact side (quadratic in
+    // per-shingle collision groups BY DESIGN — watch it), sequence
+    // packing's two-phase prefix sum, and the AVI demux path
+    "d_lsh_recall", "t_seq_pack", "mm_video_frames")
 
   /** Shuffle totals accumulated across the stages of one query run.
     * Listener events arrive asynchronously; callers drain with a short
