@@ -422,11 +422,11 @@ object DedupOps {
     * while the DuckDB oracle enumerates exact shared-shingle pairs.
     * A ≥0.5-Jaccard pair that collides in NO band (P≈60% at J=0.5,
     * falling fast — P<2% at J=0.8) would make Spark and the oracle
-    * diverge; the gate stays discriminating because the synthetic
-    * corpus' near-dup pairs sit well above the band threshold. This
-    * is the designed LSH recall trade-off, not drift: the reference's
-    * banded matching (`matchcode/models.py:228-373`) accepts the same
-    * miss probability at scale.
+    * diverge. This is no longer only an argument: the registered
+    * [[lshRecall]] gate (`d_lsh_recall`) MEASURES the recall against
+    * the exact pair set every round, so a band-miss divergence fails
+    * parity instead of passing silently. The trade itself matches the
+    * reference's banded matching (`matchcode/models.py:228-373`).
     */
   /** One label-memo entry. The fixpoint builds inside the holder's own
     * lock, NOT inside the ConcurrentHashMap's bin lock — the map only
