@@ -410,5 +410,100 @@ object ContractOps {
       FROM widened w JOIN idx ON w.sha1 = idx.sha1
       ORDER BY q_path, w.sha1, matched_path"""))
 
-  val defs: Seq[QueryDef] = Seq(j10, f7, o2, x9, s14, j11)
+  /** X7 — nexus index entry → artifact classification
+    * (`minecode/miners/maven.py:569-707` build_artifact +
+    * `:388-446` is_worthy_artifact / is_source): pipe-split `u`/`i`
+    * records, NA/null sentinel folding, the 3-branch extension
+    * inference (7th i-field wins; classifier-or-pom/war/ear takes the
+    * packaging — even when that is NULL; else "jar"), java epoch-ms →
+    * ISO-8601+00:00 timestamps with fractional seconds only when
+    * needed, the 13-shape worthiness table, and the source-classifier
+    * test. The REAL builder runs per row; the oracle re-derives every
+    * field from the same generation arithmetic. */
+  val x7 = QueryDef(
+    "x7_build_artifact", "X7",
+    "nexus u|i records → classified artifacts (worthy/source flags)",
+    (s, dir) => {
+      import s.implicits._
+      val cls5 = k % 5
+      val u = concat(lit("grp"), (k % 20).cast("string"), lit("|art"), ks,
+        lit("|"),
+        when(k % 10 === 0, lit("archetypes"))
+          .otherwise(concat(lit("1."), (k % 4).cast("string"))),
+        lit("|"),
+        when(cls5 === 1, lit("sources")).when(cls5 === 3, lit("src"))
+          .otherwise(lit("NA")),
+        when(cls5 === 4, lit("|zip")).otherwise(lit("")))
+      val i = concat(
+        when(k % 4 === 0, lit("jar")).when(k % 4 === 1, lit("pom"))
+          .when(k % 4 === 2, lit("NA")).otherwise(lit("war")),
+        lit("|"),
+        when(k % 6 === 0, lit("0"))
+          .otherwise((lit(1700000000000L) + k * 1000 +
+            when(k % 8 === 0, lit(123L)).otherwise(lit(0L)))
+            .cast("string")),
+        lit("|"),
+        when(k % 7 === 0, lit("")).otherwise((k * 10).cast("string")),
+        lit("|"), (k % 2).cast("string"),
+        lit("|"), when(k % 3 === 0, lit("1")).otherwise(lit("0")),
+        lit("|"), when(k % 11 === 0, lit("1")).otherwise(lit("0")),
+        when(k % 9 === 0, lit("|tar.gz")).otherwise(lit("")))
+      t(s, dir, "part").select(k.as("k"), u.as("u"), i.as("i"))
+        .as[(Long, String, String)]
+        .map { case (kk, uv, iv) =>
+          val a = graft.miners.MavenIndexArtifacts
+            .buildArtifact(Map("u" -> uv, "i" -> iv)).get
+          (kk, a.groupId, a.artifactId, a.version, a.packaging,
+            a.classifier, a.extension, a.lastModified, a.size,
+            a.srcExist, a.jdocExist, a.sigExist,
+            graft.miners.MavenIndexArtifacts.isWorthyArtifact(a),
+            graft.miners.MavenIndexArtifacts.isSource(a.classifier))
+        }
+        .toDF("k", "group_id", "artifact_id", "version", "packaging",
+          "classifier", "extension", "last_modified", "size",
+          "src_exist", "jdoc_exist", "sig_exist", "worthy", "is_source")
+        .orderBy("k")
+    },
+    Some("""WITH m AS (
+        SELECT p_partkey AS k,
+          CASE WHEN p_partkey % 10 = 0 THEN 'archetypes'
+            ELSE '1.' || CAST(p_partkey % 4 AS VARCHAR) END AS version,
+          CASE WHEN p_partkey % 5 = 1 THEN 'sources'
+               WHEN p_partkey % 5 = 3 THEN 'src' END AS classifier,
+          CASE WHEN p_partkey % 4 = 0 THEN 'jar'
+               WHEN p_partkey % 4 = 1 THEN 'pom'
+               WHEN p_partkey % 4 = 2 THEN NULL
+               ELSE 'war' END AS packaging
+        FROM part),
+      e AS (
+        SELECT k, version, classifier, packaging,
+          CASE WHEN k % 9 = 0 THEN 'tar.gz'
+               WHEN classifier IS NOT NULL
+                 OR packaging IN ('pom', 'war') THEN packaging
+               ELSE 'jar' END AS extension,
+          CASE WHEN k % 6 = 0 THEN NULL
+            ELSE strftime(make_timestamp((1700000000 + k) * 1000000),
+                '%Y-%m-%dT%H:%M:%S') ||
+              CASE WHEN k % 8 = 0 THEN '.123000' ELSE '' END ||
+              '+00:00' END AS last_modified,
+          CASE WHEN k % 7 = 0 THEN NULL ELSE k * 10 END AS size
+        FROM m)
+      SELECT k, 'grp' || CAST(k % 20 AS VARCHAR) AS group_id,
+        'art' || CAST(k AS VARCHAR) AS artifact_id,
+        version, packaging, classifier, extension, last_modified, size,
+        k % 2 = 1 AS src_exist, k % 3 = 0 AS jdoc_exist,
+        k % 11 = 0 AS sig_exist,
+        version <> 'archetypes' AND
+          concat_ws('/', COALESCE(packaging, '~'),
+            COALESCE(classifier, '~'), COALESCE(extension, '~')) IN
+          ('jar/sources/jar', 'jar/~/jar', 'bundle/~/jar', 'war/~/war',
+           'zip/source-release/zip', 'maven-plugin/~/jar', 'aar/~/aar',
+           'jar/sources-commercial/jar', 'zip/src/zip',
+           'tar.gz/src/tar.gz', 'jar/~/zip', 'zip/project-src/zip',
+           'jar/src/jar') AS worthy,
+        COALESCE(classifier LIKE '%source%' OR classifier LIKE '%src%',
+          FALSE) AS is_source
+      FROM e ORDER BY k"""))
+
+  val defs: Seq[QueryDef] = Seq(j10, f7, o2, x9, s14, j11, x7)
 }
