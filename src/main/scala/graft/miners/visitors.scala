@@ -44,11 +44,12 @@ final class HttpVisitor(transport: Transport,
 }
 
 /** S12 — seed source (`minecode/miners/maven.py:91-106`): static root
-  * URIs that bootstrap the frontier. */
+  * URIs that bootstrap the frontier — exactly the two the reference's
+  * MavenSeed yields (the commented-out mirrors are not seeds). */
 object Seeds {
   val maven: Seq[String] = Seq(
     "https://repo1.maven.org/maven2/.index/nexus-maven-repository-index.gz",
-    "https://repo1.maven.org/maven2/")
+    "https://repo1.maven.org/maven2/.index/nexus-maven-repository-index.properties")
   def all: Seq[String] = maven
 }
 

@@ -276,6 +276,42 @@ object StreamOps {
         AND LOWER(activity_type) = 'create'
       ORDER BY actor, payload"""))
 
+  /** S12 — seed bootstrap (`minecode/miners/maven.py:91-106`): the
+    * static MavenSeed URIs union into the frontier through the same
+    * insert-if-absent-among-pending discipline as any visitor yield; a
+    * seed already pending is not duplicated. */
+  val seedBootstrap = QueryDef(
+    "s12_seed_bootstrap", "S12/J12",
+    "static seeds union into the frontier, insert-if-absent",
+    (s, dir) => {
+      import s.implicits._
+      val existing = t(s, dir, "part")
+        .filter(col("p_partkey") < 20)
+        .select(when(col("p_partkey") === 0,
+            lit(graft.miners.Seeds.all.head))
+          .otherwise(concat(lit("http://h/"),
+            col("p_partkey").cast("string"))).as("uri"))
+      val seeds = graft.miners.Seeds.all.toDF("uri")
+      val inserted = seeds.join(
+        existing.select(col("uri").as("existing_uri")),
+        col("uri") === col("existing_uri"), "left_anti")
+      existing.unionByName(inserted.select("uri")).orderBy("uri")
+    },
+    Some("""WITH existing AS (
+        SELECT CASE WHEN p_partkey = 0 THEN
+            'https://repo1.maven.org/maven2/.index/nexus-maven-repository-index.gz'
+          ELSE 'http://h/' || CAST(p_partkey AS VARCHAR) END AS uri
+        FROM part WHERE p_partkey < 20),
+      seeds AS (SELECT * FROM (VALUES
+        ('https://repo1.maven.org/maven2/.index/nexus-maven-repository-index.gz'),
+        ('https://repo1.maven.org/maven2/.index/nexus-maven-repository-index.properties'))
+        t(uri))
+      SELECT uri FROM existing
+      UNION ALL
+      SELECT uri FROM seeds
+      WHERE uri NOT IN (SELECT uri FROM existing)
+      ORDER BY uri"""))
+
   val defs: Seq[QueryDef] = Seq(frontierSim, scanQueueReplay,
-    priorityQueue, watchesDue, activityInbox)
+    priorityQueue, watchesDue, activityInbox, seedBootstrap)
 }
