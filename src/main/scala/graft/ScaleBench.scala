@@ -98,6 +98,12 @@ object ScaleBench {
       .split(",").map(_.trim).filter(_.nonEmpty).map(_.toInt).toSeq
     val only = sys.env.get("SPARK_GRAFT_SCALE_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    only.foreach { names =>
+      val unknown = names -- Queries.toSet
+      require(unknown.isEmpty,
+        s"SPARK_GRAFT_SCALE_ONLY names not in ScaleBench.Queries: " +
+          s"${unknown.mkString(", ")}")
+    }
     val queries = only match {
       case Some(names) => Queries.filter(names.contains)
       case None        => Queries
@@ -145,7 +151,19 @@ object ScaleBench {
         val t0 = System.nanoTime()
         val rows = Registry.byName(q).run(spark, dir).count()
         val dt = (System.nanoTime() - t0) / 1e9
-        Thread.sleep(300) // drain async listener events
+        // drain the async listener bus DETERMINISTICALLY: poll until
+        // the snapshot is stable across two reads (a fixed sleep
+        // undercounts telemetry exactly on the big runs it exists to
+        // measure); cap at 10 s as a hang backstop
+        var prev = listener.snapshot
+        var stable = false
+        val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+        while (!stable && System.nanoTime() < deadline) {
+          Thread.sleep(200)
+          val cur = listener.snapshot
+          stable = cur == prev
+          prev = cur
+        }
         release()
         (dt, rows)
       }

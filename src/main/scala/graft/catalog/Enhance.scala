@@ -51,12 +51,16 @@ object Enhance {
           // NULL content early-returns unenhanced, same as SOURCE_REPO
           // and the other content kinds (packagedb/api.py:648-679); only
           // peers default NULL→BINARY (issue #490, api.py:691-699).
-          val content = m.package_content.getOrElse(0)
-          if (content != SourceArchive && content != Binary)
+          val enhanceable = m.package_content match {
+            case Some(SourceArchive) | Some(Binary) => true
+            case _                                  => false
+          }
+          if (!enhanceable)
             Enhanced(m.set_id, m.download_url, m.package_content,
               m.description, m.homepage_url, m.declared_license_expression,
               m.copyright, Seq.empty)
           else {
+            val content = m.package_content.get
             val peers0 = all.filter(_.download_url != m.download_url)
             val peers =
               if (content == SourceArchive)

@@ -195,8 +195,13 @@ object DedupOps {
       val nExact = exact.agg(count(lit(1)).as("n_exact"))
       val nLsh = verifiedMinhashPairs(s, dir)
         .agg(count(lit(1)).as("n_lsh"))
+      // an empty exact-pair set means vacuously total recall; without
+      // the guard 0/0 is NaN on the Spark side and engine-dependent on
+      // the DuckDB side
       nExact.crossJoin(nLsh).select(col("n_exact"), col("n_lsh"),
-        (asDouble(col("n_lsh")) / asDouble(col("n_exact"))).as("recall"))
+        when(col("n_exact") === 0, lit(1.0))
+          .otherwise(asDouble(col("n_lsh")) / asDouble(col("n_exact")))
+          .as("recall"))
     },
     Some("""WITH w AS (
         SELECT doc_id,
@@ -222,7 +227,9 @@ object DedupOps {
         WHERE CAST(i.n_common AS DOUBLE) /
             CAST(s1.n_sh + s2.n_sh - i.n_common AS DOUBLE) >= 0.5)
       SELECT n_exact, n_exact AS n_lsh,
-        CAST(n_exact AS DOUBLE) / CAST(n_exact AS DOUBLE) AS recall
+        CASE WHEN n_exact = 0 THEN 1.0
+          ELSE CAST(n_exact AS DOUBLE) / CAST(n_exact AS DOUBLE) END
+          AS recall
       FROM n"""))
 
   /** SimHash near-dup with the reference's banded approximate-match
@@ -403,31 +410,6 @@ object DedupOps {
       LEFT JOIN inter ON sa.doc_id = inter.doc_id
       ORDER BY d1"""))
 
-  /** Connected-components dedup clustering: near-dup pairs become
-    * undirected edges; every document gets the minimum doc_id
-    * reachable in its component as its cluster id (singletons cluster
-    * with themselves). The canonical keeper of a cluster is the row
-    * where doc_id == cluster_id.
-    *
-    * Scale notes: alternating large-star/small-star
-    * ([[ConnectedComponents]]) — O(log n) rounds regardless of
-    * component diameter, one aggregate job per round for the fixpoint
-    * check (no label-vs-label join+count), and a HARD failure on
-    * non-convergence instead of silently wrong labels. The label
-    * frame is computed ONCE per (session, sf-dir) and shared with
-    * `d_cluster_keeper` (memoized localCheckpoint), so running both
-    * queries costs one fixpoint, not two.
-    *
-    * Oracle-gap note: candidate pairs come from 8×4-band MinHash LSH,
-    * while the DuckDB oracle enumerates exact shared-shingle pairs.
-    * A ≥0.5-Jaccard pair that collides in NO band (P≈60% at J=0.5,
-    * falling fast — P<2% at J=0.8) would make Spark and the oracle
-    * diverge. This is no longer only an argument: the registered
-    * [[lshRecall]] gate (`d_lsh_recall`) MEASURES the recall against
-    * the exact pair set every round, so a band-miss divergence fails
-    * parity instead of passing silently. The trade itself matches the
-    * reference's banded matching (`matchcode/models.py:228-373`).
-    */
   /** One label-memo entry. The fixpoint builds inside the holder's own
     * lock, NOT inside the ConcurrentHashMap's bin lock — the map only
     * ever stores cheap holders, so concurrent callers on other keys
@@ -483,6 +465,31 @@ object DedupOps {
       .get()
   }
 
+  /** Connected-components dedup clustering: near-dup pairs become
+    * undirected edges; every document gets the minimum doc_id
+    * reachable in its component as its cluster id (singletons cluster
+    * with themselves). The canonical keeper of a cluster is the row
+    * where doc_id == cluster_id.
+    *
+    * Scale notes: alternating large-star/small-star
+    * ([[ConnectedComponents]]) — O(log n) rounds regardless of
+    * component diameter, one aggregate job per round for the fixpoint
+    * check (no label-vs-label join+count), and a HARD failure on
+    * non-convergence instead of silently wrong labels. The label
+    * frame is computed ONCE per (session, sf-dir) and shared with
+    * `d_cluster_keeper` (memoized localCheckpoint), so running both
+    * queries costs one fixpoint, not two.
+    *
+    * Oracle-gap note: candidate pairs come from 8×4-band MinHash LSH,
+    * while the DuckDB oracle enumerates exact shared-shingle pairs.
+    * A ≥0.5-Jaccard pair that collides in NO band (P≈60% at J=0.5,
+    * falling fast — P<2% at J=0.8) would make Spark and the oracle
+    * diverge. This is no longer only an argument: the registered
+    * [[lshRecall]] gate (`d_lsh_recall`) MEASURES the recall against
+    * the exact pair set every round, so a band-miss divergence fails
+    * parity instead of passing silently. The trade itself matches the
+    * reference's banded matching (`matchcode/models.py:228-373`).
+    */
   val clusters = QueryDef(
     "d_dedup_clusters", "LLM-pipeline dedup: connected components",
     "LSH pair gen → exact-Jaccard edges → large-star/small-star CC",

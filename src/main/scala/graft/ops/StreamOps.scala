@@ -97,11 +97,15 @@ object StreamOps {
             case 3 => Seq("submit", "start", "scan_done", "index_fail")
             case _ => Seq("start", "submit", "start")
           }
-          val out = ScanQueue.applySequence(uuid,
-            ScanQueue.ScanState(uuid, ScanQueue.New.code, ""),
+          val start = ScanQueue.ScanState(uuid, ScanQueue.New.code, "")
+          val out = ScanQueue.applySequence(uuid, start,
             evs.iterator.map(e =>
               ScanQueue.ScanEvent(uuid, e, s"$e@$uuid")))
-          (uuid, out.last.status, out.size, out.last.detail)
+          // all current patterns emit >=1 transition, but a pattern
+          // with no legal transition must yield the start state, not
+          // throw (same guard applyEvents uses)
+          val last = out.lastOption.getOrElse(start)
+          (uuid, last.status, out.size, last.detail)
         }
         .toDF("uuid", "final_status", "n_transitions", "last_detail")
         .orderBy(col("uuid"))
