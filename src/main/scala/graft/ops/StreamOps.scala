@@ -316,6 +316,165 @@ object StreamOps {
       WHERE uri NOT IN (SELECT uri FROM existing)
       ORDER BY uri"""))
 
+  /** ST2 — the FULL `get_visitables` composition
+    * (`minecode/models.py:241-273`) under the driver oracle: never
+    * visited (gated on is_visitable) ∪ revisitables — visited more
+    * than 240 h before `now`, excluding mappable-but-unmapped rows
+    * and unvisitable rows. The generated frontier covers every
+    * branch: fresh visits (inside the horizon), stale visits, WIP
+    * rows, unvisitable rows, and the mappable-pending exclusion.
+    * cutoff = 2026-08-13 − 240 h = 2026-08-03. */
+  val revisitHorizon = QueryDef(
+    "st_revisit_horizon", "ST2/U2",
+    "get_visitables: never-visited ∪ 240h revisitables with excludes",
+    (s, dir) => {
+      val now = Timestamp.valueOf("2026-08-13 00:00:00")
+      val nullTs = lit(null).cast("timestamp")
+      val f = t(s, dir, "part").select(
+        concat(lit("http://h/"), col("p_partkey").cast("string"))
+          .as("uri"),
+        (col("p_partkey") % 10).cast("int").as("priority"),
+        when(col("p_partkey") % 4 === 0, nullTs)
+          .when(col("p_partkey") % 4 === 1,
+            lit(Timestamp.valueOf("2026-07-01 00:00:00")))
+          .when(col("p_partkey") % 4 === 2,
+            lit(Timestamp.valueOf("2026-08-10 00:00:00")))
+          .otherwise(lit(Timestamp.valueOf("2026-07-20 00:00:00")))
+          .as("last_visit_date"),
+        when(col("p_partkey") % 5 === 0,
+          lit(Timestamp.valueOf("2026-07-02 00:00:00")))
+          .otherwise(nullTs).as("last_map_date"),
+        when(col("p_partkey") % 11 === 0,
+          lit(Timestamp.valueOf("2026-08-12 23:00:00")))
+          .otherwise(nullTs).as("wip_date"),
+        (col("p_partkey") % 3 =!= 0).as("is_visitable"),
+        (col("p_partkey") % 2 === 0).as("is_mappable"))
+      Frontier.getVisitables(f, now)
+        .withColumn("is_revisit", col("last_visit_date").isNotNull)
+        .select("uri", "priority", "is_revisit")
+        .orderBy("uri")
+    },
+    Some("""WITH f AS (
+        SELECT 'http://h/' || CAST(p_partkey AS VARCHAR) AS uri,
+          CAST(p_partkey % 10 AS INTEGER) AS priority,
+          CASE WHEN p_partkey % 4 = 0 THEN NULL
+               WHEN p_partkey % 4 = 1 THEN TIMESTAMP '2026-07-01 00:00:00'
+               WHEN p_partkey % 4 = 2 THEN TIMESTAMP '2026-08-10 00:00:00'
+               ELSE TIMESTAMP '2026-07-20 00:00:00' END
+            AS last_visit_date,
+          CASE WHEN p_partkey % 5 = 0
+            THEN TIMESTAMP '2026-07-02 00:00:00' END AS last_map_date,
+          CASE WHEN p_partkey % 11 = 0
+            THEN TIMESTAMP '2026-08-12 23:00:00' END AS wip_date,
+          p_partkey % 3 <> 0 AS is_visitable,
+          p_partkey % 2 = 0 AS is_mappable
+        FROM part)
+      SELECT uri, priority, FALSE AS is_revisit FROM f
+      WHERE wip_date IS NULL AND last_visit_date IS NULL AND is_visitable
+      UNION ALL
+      SELECT uri, priority, TRUE AS is_revisit FROM f
+      WHERE wip_date IS NULL AND last_visit_date IS NOT NULL
+        AND last_visit_date < TIMESTAMP '2026-08-03 00:00:00'
+        AND NOT (is_mappable AND last_map_date IS NULL)
+        AND is_visitable
+      ORDER BY uri"""))
+
+  /** ST3 — the map-loop replayed deterministically
+    * (`run_map.py:79-182`), the same closed-form trick as ST4: the
+    * loop claims batches of 10 from `get_mappables` ordered by
+    * -priority until the queue drains, and because a map outcome
+    * never re-enters the queue (every branch sets last_map_date),
+    * the whole loop collapses to rank ÷ batch-size — batch_round is
+    * the iteration that would have processed each row. Patterns cover
+    * all three `map_uri` branches (success / empty yield / mapper
+    * exception, applied through [[Frontier.mapUriOutcome]]) and all
+    * three non-mappable states (visit error, already mapped,
+    * is_mappable=false). The rank window is global like the
+    * reference's queue order; it is bounded by queue depth, and a
+    * production claimer takes orderBy().limit() per trigger instead
+    * of materializing the full rank (see st_frontier_sim). Ties in
+    * priority are broken by uri DESC (upstream leaves tie order to
+    * the database; the replay pins it for determinism). */
+  val mapCycleReplay = QueryDef(
+    "st_map_cycle", "ST3/X2",
+    "map-loop replay: batched get_mappables + map_uri outcome branches",
+    (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val nullTs = lit(null).cast("timestamp")
+      val f = t(s, dir, "part").select(
+        col("p_partkey").cast("long").as("k"),
+        concat(lit("http://repo.example/p"),
+          col("p_partkey").cast("string")).as("uri"),
+        (col("p_partkey") % 9).cast("int").as("priority"),
+        (col("p_partkey") % 6).cast("int").as("pat"))
+        .withColumn("last_visit_date",
+          lit(Timestamp.valueOf("2026-08-01 00:00:00")))
+        .withColumn("has_visit_error", col("pat") === 3)
+        .withColumn("last_map_date",
+          when(col("pat") === 4,
+            lit(Timestamp.valueOf("2026-08-02 00:00:00")))
+            .otherwise(nullTs))
+        .withColumn("is_mappable", col("pat") =!= 5)
+        .withColumn("has_map_error", lit(false))
+        .withColumn("wip_date", nullTs)
+      // get_mappables (minecode/models.py:336-345): never_mapped
+      // (successfully visited, unmapped, not in-flight) and mappable
+      // with no prior map error, ordered by -priority
+      val mappables = f.filter(col("wip_date").isNull &&
+        col("last_visit_date").isNotNull && !col("has_visit_error") &&
+        col("last_map_date").isNull && col("is_mappable") &&
+        !col("has_map_error"))
+      val ranked = mappables.withColumn("rn",
+          row_number().over(Window.orderBy(desc("priority"), desc("uri"))))
+        .withColumn("batch_round",
+          (((col("rn") - 1) / 10) + 1).cast("int"))
+      val outcomes = ranked
+        .select(col("uri"), col("pat"), col("batch_round"), col("k"))
+        .as[(String, Int, Int, Long)]
+        .map { case (uri, pat, round, k) =>
+          val res: Either[String, Seq[String]] = pat match {
+            case 0 => Right((0 until (1 + (k % 2)).toInt)
+              .map(i => s"pkg:gen/$uri#$i"))
+            case 1 => Right(Seq.empty)
+            case _ => Left(s"boom@$uri")
+          }
+          val (n, err) = Frontier.mapUriOutcome(res)
+          (uri, round, n, err.orNull)
+        }
+        .toDF("uri", "batch_round", "n_packages", "map_error")
+      f.join(outcomes, Seq("uri"), "left")
+        .select(col("uri"), col("batch_round"), col("n_packages"),
+          col("map_error"))
+        .orderBy("uri")
+    },
+    Some("""WITH f AS (
+        SELECT p_partkey AS k,
+          'http://repo.example/p' || CAST(p_partkey AS VARCHAR) AS uri,
+          CAST(p_partkey % 9 AS INTEGER) AS priority,
+          CAST(p_partkey % 6 AS INTEGER) AS pat
+        FROM part),
+      ranked AS (
+        SELECT uri, pat, k,
+          CAST((ROW_NUMBER() OVER (ORDER BY priority DESC, uri DESC)
+            - 1) // 10 + 1 AS INTEGER) AS batch_round
+        FROM f WHERE pat NOT IN (3, 4, 5)),
+      outcomes AS (
+        SELECT uri, batch_round,
+          CASE pat WHEN 0 THEN CAST(1 + k % 2 AS INTEGER)
+            ELSE 0 END AS n_packages,
+          CASE pat
+            WHEN 1 THEN 'No visited scanned packages returned.'
+            WHEN 2 THEN
+              'Error: Failed to map while processing ResourceURI: boom@'
+                || uri
+          END AS map_error
+        FROM ranked)
+      SELECT f.uri, o.batch_round, o.n_packages, o.map_error
+      FROM f LEFT JOIN outcomes o ON f.uri = o.uri
+      ORDER BY f.uri"""))
+
   val defs: Seq[QueryDef] = Seq(frontierSim, scanQueueReplay,
-    priorityQueue, watchesDue, activityInbox, seedBootstrap)
+    priorityQueue, watchesDue, activityInbox, seedBootstrap,
+    revisitHorizon, mapCycleReplay)
 }

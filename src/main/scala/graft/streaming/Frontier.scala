@@ -49,6 +49,53 @@ object Frontier {
         col("last_visit_date") < lit(cutoff)))
   }
 
+  /** ST2 — the FULL `get_visitables` composition over a frontier that
+    * carries the reference's eligibility flags
+    * (`minecode/models.py:241-273`): never-visited rows gated on
+    * `is_visitable`, unioned with "revisitables" — rows visited more
+    * than `revisitHours` ago, excluding rows that are mappable but not
+    * yet mapped (`exclude(is_mappable=True, last_map_date__isnull=
+    * True)` — a visited-but-unmapped row must be mapped, not
+    * re-visited) and rows marked unvisitable. Both branches require
+    * `wip_date IS NULL` (via never_visited/visited). The reference's
+    * flags are non-null booleans with defaults
+    * (`minecode/models.py:398-420`), so the Django excludes reduce to
+    * plain predicates. The union is a disjoint union by construction
+    * (`last_visit_date` NULL vs NOT NULL), so UNION ALL ≡ the
+    * reference's UNION. Consumers order by (-priority, -uri) and
+    * claim top-N ([[claim]]) — the global sort never materializes. */
+  def getVisitables(frontier: DataFrame, now: Timestamp,
+      revisitHours: Int = RevisitHours): DataFrame = {
+    val cutoff = new Timestamp(now.getTime - revisitHours * 3600L * 1000L)
+    val neverVisited = frontier.filter(col("wip_date").isNull &&
+      col("last_visit_date").isNull && col("is_visitable"))
+    val revisitables = frontier.filter(col("wip_date").isNull &&
+      col("last_visit_date").isNotNull &&
+      col("last_visit_date") < lit(cutoff) &&
+      !(col("is_mappable") && col("last_map_date").isNull) &&
+      col("is_visitable"))
+    neverVisited.unionByName(revisitables)
+  }
+
+  /** ST3 — outcome of mapping one URI, the three branches of
+    * `run_map.py:104-182` `map_uri`: a mapper exception records the
+    * error prefix and maps the row anyway; an empty yield records the
+    * reference's literal "no packages" message; a non-empty yield maps
+    * cleanly (map_error reset to NULL). Returns
+    * (package_count, map_error). The surrounding loop marks
+    * `last_map_date` in every branch — a failed map never re-enters
+    * the mappable queue (get_mappables filters has_map_error=False).
+    */
+  def mapUriOutcome(result: Either[String, Seq[String]])
+      : (Int, Option[String]) = result match {
+    case Left(err) =>
+      (0, Some("Error: Failed to map while processing ResourceURI: "
+        + err))
+    case Right(pkgs) if pkgs.isEmpty =>
+      (0, Some("No visited scanned packages returned."))
+    case Right(pkgs) => (pkgs.length, None)
+  }
+
   /** Claim the top-N visitables by (-priority, -uri) — the reference's
     * queue ordering (`minecode/models.py:272`, O2). */
   def claim(frontier: DataFrame, now: Timestamp, batchSize: Int): DataFrame =

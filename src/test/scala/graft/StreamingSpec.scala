@@ -57,6 +57,46 @@ class StreamingSpec extends SparkTestBase {
     assert(Frontier.visitables(stale, now).count() == 1)
   }
 
+  test("get_visitables: full composition with eligibility excludes") {
+    // one row per branch (minecode/models.py:241-273); now - 240h
+    // = 2026-08-03 00:00:00
+    val now = ts("2026-08-13 00:00:00")
+    val rows = Seq(
+      // (uri, lvd, lmd, wip, is_visitable, is_mappable, expected-in)
+      ("nv-ok", None, None, None, true, false, true), // never visited
+      ("nv-unvisitable", None, None, None, false, false, false),
+      ("nv-wip", None, None, Some(ts("2026-08-12 00:00:00")), true,
+        false, false), // in-flight
+      ("rv-ok", Some(ts("2026-07-01 00:00:00")), None, None, true,
+        false, true), // stale, not mappable
+      ("rv-fresh", Some(ts("2026-08-10 00:00:00")), None, None, true,
+        false, false), // inside horizon
+      ("rv-map-pending", Some(ts("2026-07-01 00:00:00")), None, None,
+        true, true, false), // mappable but never mapped → map first
+      ("rv-mapped", Some(ts("2026-07-01 00:00:00")),
+        Some(ts("2026-07-02 00:00:00")), None, true, true,
+        true), // mappable AND mapped → revisitable
+      ("rv-unvisitable", Some(ts("2026-07-01 00:00:00")), None, None,
+        false, false, false))
+    val f = rows.map { case (u, lvd, lmd, wip, iv, im, _) =>
+      (u, 0, lvd, lmd, wip, iv, im)
+    }.toDF("uri", "priority", "last_visit_date", "last_map_date",
+      "wip_date", "is_visitable", "is_mappable")
+    val got = Frontier.getVisitables(f, now).select("uri")
+      .as[String].collect().toSet
+    val want = rows.filter(_._7).map(_._1).toSet
+    assert(got == want)
+  }
+
+  test("map_uri outcome branches (run_map.py:104-182)") {
+    assert(Frontier.mapUriOutcome(Right(Seq("p1", "p2"))) == (2, None))
+    assert(Frontier.mapUriOutcome(Right(Seq.empty)) ==
+      (0, Some("No visited scanned packages returned.")))
+    val (n, err) = Frontier.mapUriOutcome(Left("boom"))
+    assert(n == 0 &&
+      err.contains("Error: Failed to map while processing ResourceURI: boom"))
+  }
+
   test("frontier: map cycle marks mapped and yields package data") {
     val now = ts("2026-08-12 00:00:00")
     val visited = Seq(Frontier.UriRow("http://a.io/pkg", "http://a.io/pkg",
