@@ -231,12 +231,68 @@ object MergeEngine {
           coalesce(col("n_children"), lit(0L)) === 0).as("use_new"))
   }
 
-  /** Resource upsert on (download_url, path) with a scan-field
-    * whitelist (`model_utils.py:452-497`, X8): incoming rows replace
-    * matching rows, unmatched existing rows are kept. */
+  /** Resource upsert on (download_url, path), wholesale-replace
+    * variant: incoming rows replace matching rows, unmatched existing
+    * rows are kept. This is the indexing-flow shape (every incoming
+    * row carries a full fresh scan); the faithful field-level variant
+    * is [[upsertResourcesScanFields]]. */
   def upsertResources(existing: DataFrame, incoming: DataFrame): DataFrame = {
     val keys = Seq("download_url", "path")
     existing.join(incoming.select(keys.map(col): _*), keys, "left_anti")
       .unionByName(incoming)
+  }
+
+  /** X8 — the FULL `update_or_create_resource` semantics
+    * (`minecode/model_utils.py:452-497` +
+    * `packagedb/models.py:1156-1176` `set_scan_results`) as one
+    * distributed MERGE plan:
+    *
+    *   - key = (download_url, path) — the reference's
+    *     `(package, path)` get-or-create
+    *   - unmatched existing rows pass through untouched
+    *   - NEW keys insert the incoming row as-is (creation sets base
+    *     fields AND scan fields from resource_data)
+    *   - MATCHED keys keep every existing BASE field (the exists
+    *     branch never touches them) and take the incoming value for a
+    *     SCAN field only when it is truthy (`if value and field_name
+    *     in scan_fields` — Django/Python truthiness: NULL, "" and 0
+    *     all keep the existing value; the no-overwrite-with-empty
+    *     rule)
+    *
+    * One full-outer join on the key, per-field CASE projection — the
+    * same single-shuffle Delta-MERGE shape as [[mergePackages]];
+    * both sides shuffle once on (download_url, path) and the CASE
+    * evaluation is codegen'd. `scanFields` is the ScanFieldsModelMixin
+    * whitelist; every other shared column is a base field. */
+  def upsertResourcesScanFields(existing: DataFrame, incoming: DataFrame,
+      scanFields: Seq[String]): DataFrame = {
+    val keys = Seq("download_url", "path")
+    val fields = existing.columns.toSeq
+    val e = existing.alias("e")
+    val n = incoming.alias("n")
+    val keyCond = keys.map(k => col(s"e.$k") === col(s"n.$k"))
+      .reduce(_ && _)
+    val joined = e.join(n, keyCond, "full_outer")
+    val existsE = col("e.path").isNotNull && col("e.download_url").isNotNull
+    val existsN = col("n.path").isNotNull && col("n.download_url").isNotNull
+    def truthyN(f: String) = {
+      val c = col(s"n.$f")
+      existing.schema(f).dataType match {
+        case StringType     => c.isNotNull && c =!= ""
+        case _: ArrayType   => c.isNotNull && size(c) > 0
+        case _: NumericType => c.isNotNull && c =!= 0
+        case _              => c.isNotNull
+      }
+    }
+    joined.select(fields.map { f =>
+      val out =
+        if (keys.contains(f)) coalesce(col(s"e.$f"), col(s"n.$f"))
+        else if (scanFields.contains(f))
+          when(!existsE, col(s"n.$f"))
+            .when(existsN && truthyN(f), col(s"n.$f"))
+            .otherwise(col(s"e.$f"))
+        else when(existsE, col(s"e.$f")).otherwise(col(s"n.$f"))
+      out.as(f)
+    }: _*)
   }
 }

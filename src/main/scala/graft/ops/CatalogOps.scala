@@ -527,6 +527,104 @@ object CatalogOps {
       SELECT DISTINCT set_id, download_url FROM all_rows
       ORDER BY set_id, download_url"""))
 
+  /** X8 — `update_or_create_resource` under the driver oracle
+    * (`minecode/model_utils.py:452-497`,
+    * `packagedb/models.py:1156-1176`): (download_url, path)-keyed
+    * MERGE where new keys insert wholesale, matched keys keep every
+    * base field (name, size) and take incoming SCAN fields only when
+    * truthy — the generated frames cover all gate outcomes per type:
+    * empty-string, NULL, and numeric-zero incoming values all keep
+    * the existing value; truthy values overwrite. */
+  val resourceUpsert = QueryDef(
+    "x8_resource_upsert", "X8/S13",
+    "resource upsert: keyed MERGE + truthy-gated scan-field whitelist",
+    (s, dir) => {
+      val base = t(s, dir, "part").select(col("p_partkey").cast("long").as("k"))
+      def shaped(df: DataFrame) = df.select(
+        concat(lit("http://repo/p"), (col("k") % 40).cast("string"))
+          .as("download_url"),
+        concat(lit("res/"), col("k").cast("string")).as("path"),
+        col("k"))
+      val existing = shaped(base.filter(col("k") < 1200)).select(
+        col("download_url"), col("path"),
+        concat(lit("n"), col("k").cast("string")).as("name"),
+        (col("k") % 100).cast("long").as("size"),
+        when(col("k") % 3 === 0,
+          concat(lit("lic-old-"), col("k").cast("string")))
+          .otherwise(lit("")).as("detected_license_expression"),
+        concat(lit("c-old-"), col("k").cast("string")).as("copyrights"),
+        (col("k") % 7).cast("double").as("percentage_of_license_text"))
+      val incoming = shaped(base.filter(col("k") >= 600 && col("k") < 1800))
+        .select(
+          col("download_url"), col("path"),
+          concat(lit("nn"), col("k").cast("string")).as("name"),
+          (col("k") + 1000).cast("long").as("size"),
+          when(col("k") % 2 === 0,
+            concat(lit("lic-new-"), col("k").cast("string")))
+            .otherwise(lit("")).as("detected_license_expression"),
+          when(col("k") % 5 === 0, lit(null).cast("string"))
+            .otherwise(concat(lit("c-new-"), col("k").cast("string")))
+            .as("copyrights"),
+          when(col("k") % 4 === 0, lit(0.0))
+            .otherwise((col("k") % 9 + 1).cast("double"))
+            .as("percentage_of_license_text"))
+      MergeEngine.upsertResourcesScanFields(existing, incoming,
+        Seq("detected_license_expression", "copyrights",
+          "percentage_of_license_text"))
+        .orderBy("path")
+    },
+    Some("""WITH existing AS (
+        SELECT 'http://repo/p' || CAST(p_partkey % 40 AS VARCHAR)
+            AS download_url,
+          'res/' || CAST(p_partkey AS VARCHAR) AS path,
+          'n' || CAST(p_partkey AS VARCHAR) AS name,
+          CAST(p_partkey % 100 AS BIGINT) AS size,
+          CASE WHEN p_partkey % 3 = 0
+            THEN 'lic-old-' || CAST(p_partkey AS VARCHAR)
+            ELSE '' END AS detected_license_expression,
+          'c-old-' || CAST(p_partkey AS VARCHAR) AS copyrights,
+          CAST(p_partkey % 7 AS DOUBLE) AS percentage_of_license_text
+        FROM part WHERE p_partkey < 1200),
+      incoming AS (
+        SELECT 'http://repo/p' || CAST(p_partkey % 40 AS VARCHAR)
+            AS download_url,
+          'res/' || CAST(p_partkey AS VARCHAR) AS path,
+          'nn' || CAST(p_partkey AS VARCHAR) AS name,
+          CAST(1000 + p_partkey AS BIGINT) AS size,
+          CASE WHEN p_partkey % 2 = 0
+            THEN 'lic-new-' || CAST(p_partkey AS VARCHAR)
+            ELSE '' END AS detected_license_expression,
+          CASE WHEN p_partkey % 5 = 0 THEN NULL
+            ELSE 'c-new-' || CAST(p_partkey AS VARCHAR) END AS copyrights,
+          CASE WHEN p_partkey % 4 = 0 THEN CAST(0.0 AS DOUBLE)
+            ELSE CAST(p_partkey % 9 + 1 AS DOUBLE) END
+            AS percentage_of_license_text
+        FROM part WHERE p_partkey >= 600 AND p_partkey < 1800)
+      SELECT
+        COALESCE(e.download_url, n.download_url) AS download_url,
+        COALESCE(e.path, n.path) AS path,
+        CASE WHEN e.path IS NOT NULL THEN e.name ELSE n.name END AS name,
+        CASE WHEN e.path IS NOT NULL THEN e.size ELSE n.size END AS size,
+        CASE WHEN e.path IS NULL THEN n.detected_license_expression
+          WHEN n.path IS NOT NULL AND n.detected_license_expression <> ''
+            THEN n.detected_license_expression
+          ELSE e.detected_license_expression END
+          AS detected_license_expression,
+        CASE WHEN e.path IS NULL THEN n.copyrights
+          WHEN n.copyrights IS NOT NULL AND n.copyrights <> ''
+            THEN n.copyrights
+          ELSE e.copyrights END AS copyrights,
+        CASE WHEN e.path IS NULL THEN n.percentage_of_license_text
+          WHEN n.percentage_of_license_text IS NOT NULL
+            AND n.percentage_of_license_text <> 0
+            THEN n.percentage_of_license_text
+          ELSE e.percentage_of_license_text END
+          AS percentage_of_license_text
+      FROM existing e FULL OUTER JOIN incoming n
+        ON e.download_url = n.download_url AND e.path = n.path
+      ORDER BY path"""))
+
   val defs: Seq[QueryDef] =
-    Seq(a6merge, exact, snippet, rank, halohash, scanIndex, packageSets)
+    Seq(a6merge, exact, snippet, rank, halohash, scanIndex, packageSets,
+      resourceUpsert)
 }

@@ -147,4 +147,38 @@ class MergeEngineSpec extends SparkTestBase {
     assert(x.getAs[Long]("size") == 99L)
     assert(x.getAs[String]("sha1") == "s1-new")
   }
+
+  test("scan-field upsert: base fields kept, scan fields truthy-gated") {
+    // (model_utils.py:452-497 + set_scan_results): matched rows keep
+    // base fields; a scan field only takes a TRUTHY incoming value
+    val existing = Seq(
+      ("u", "a/x.txt", "x.txt", 1L, "lic-old", "c-old", 3.0),
+      ("u", "a/y.txt", "y.txt", 2L, "", "c-old-y", 0.0)
+    ).toDF("download_url", "path", "name", "size",
+      "detected_license_expression", "copyrights",
+      "percentage_of_license_text")
+    val incoming = Seq(
+      // truthy lic overwrites; empty copyrights + zero pct keep old
+      ("u", "a/x.txt", "x-new", 99L, "lic-new", "", 0.0),
+      // new key inserts as-is, even with empty scan fields
+      ("u", "a/z.txt", "z.txt", 5L, "", "c-z", 1.0)
+    ).toDF("download_url", "path", "name", "size",
+      "detected_license_expression", "copyrights",
+      "percentage_of_license_text")
+    val out = MergeEngine.upsertResourcesScanFields(existing, incoming,
+      Seq("detected_license_expression", "copyrights",
+        "percentage_of_license_text"))
+    assert(out.count() == 3)
+    val x = out.filter($"path" === "a/x.txt").collect().head
+    assert(x.getAs[String]("name") == "x.txt") // base field never updated
+    assert(x.getAs[Long]("size") == 1L)
+    assert(x.getAs[String]("detected_license_expression") == "lic-new")
+    assert(x.getAs[String]("copyrights") == "c-old") // "" keeps old
+    assert(x.getAs[Double]("percentage_of_license_text") == 3.0) // 0 keeps old
+    val y = out.filter($"path" === "a/y.txt").collect().head
+    assert(y.getAs[String]("copyrights") == "c-old-y") // untouched row
+    val z = out.filter($"path" === "a/z.txt").collect().head
+    assert(z.getAs[String]("name") == "z.txt") // new key inserts wholesale
+    assert(z.getAs[String]("detected_license_expression") == "")
+  }
 }
