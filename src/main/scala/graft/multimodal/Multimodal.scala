@@ -18,9 +18,11 @@ import org.apache.spark.sql.functions._
   *    `javax.sound.sampled` ([[AudioCodec]]) with exact sample
   *    statistics;
   *  - video is a genuine RIFF AVI container (hdrl/movi/idx1 chunk
-  *    walk, [[VideoCodec]]) carrying PNG-codec ('MPNG') frames —
-  *    frame sampling demuxes the real container format and decodes
-  *    the selected frames through the real ImageIO path.
+  *    walk, [[VideoCodec]]) carrying PNG-codec ('MPNG') frames for
+  *    the exact-stat oracle and JPEG ('MJPG') frames for the lossy
+  *    real-world codec family — frame sampling demuxes the real
+  *    container format and decodes the selected frames through the
+  *    real ImageIO path.
   */
 object Multimodal {
 
@@ -67,6 +69,27 @@ object Multimodal {
       }
       val out = new java.io.ByteArrayOutputStream()
       javax.imageio.ImageIO.write(img, "png", out)
+      out.toByteArray
+    }
+
+    /** Encode a real baseline JPEG of the same deterministic pixels.
+      * JPEG is lossy, so decoded stats are asserted with tolerance in
+      * specs, never under the exact oracle (which uses PNG). */
+    def encodeJpeg(width: Int, height: Int, seed: Long): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(width, height,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val data = img.getRaster.getDataBuffer
+        .asInstanceOf[java.awt.image.DataBufferInt].getData
+      var y = 0
+      while (y < height) {
+        var x = 0
+        while (x < width) {
+          data(y * width + x) = pixel(seed, x, y); x += 1
+        }
+        y += 1
+      }
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", out)
       out.toByteArray
     }
 
@@ -200,13 +223,27 @@ object Multimodal {
 
     private def padded(n: Int): Int = n + (n & 1)
 
-    /** Mux deterministic PNG frames into a genuine AVI file:
-      * RIFF('AVI ') → LIST(hdrl){avih, LIST(strl){strh vids/MPNG,
+    /** Mux deterministic PNG frames into a genuine AVI file (the
+      * 'MPNG' handler — lossless, so the driver oracle can mirror
+      * frame stats exactly). */
+    def encodeAvi(id: Long, nFrames: Int, w: Int, h: Int): Array[Byte] =
+      muxAvi("MPNG", (0 until nFrames)
+        .map(f => ImageCodec.encodePng(w, h, frameSeed(id, f))), w, h)
+
+    /** Mux deterministic JPEG frames ('MJPG' handler — the dominant
+      * real-world intra-frame AVI codec). Same container walk, lossy
+      * frames: specs assert decoded stats with tolerance. */
+    def encodeAviMjpg(id: Long, nFrames: Int, w: Int, h: Int): Array[Byte] =
+      muxAvi("MJPG", (0 until nFrames)
+        .map(f => ImageCodec.encodeJpeg(w, h, frameSeed(id, f))), w, h)
+
+    /** Mux pre-encoded frames into a genuine AVI file:
+      * RIFF('AVI ') → LIST(hdrl){avih, LIST(strl){strh vids/handler,
       * strf BITMAPINFOHEADER}} → LIST(movi){'00dc' chunks, even-byte
       * padded} → idx1. All sizes little-endian per RIFF. */
-    def encodeAvi(id: Long, nFrames: Int, w: Int, h: Int): Array[Byte] = {
-      val frames = (0 until nFrames)
-        .map(f => ImageCodec.encodePng(w, h, frameSeed(id, f)))
+    def muxAvi(handler: String, frames: Seq[Array[Byte]], w: Int,
+        h: Int): Array[Byte] = {
+      val nFrames = frames.length
       val avihSize = 56; val strhSize = 56; val strfSize = 40
       val strlSize = 4 + (8 + strhSize) + (8 + strfSize)
       val hdrlSize = 4 + (8 + avihSize) + (8 + strlSize)
@@ -229,7 +266,7 @@ object Multimodal {
         .putInt(0).putInt(0).putInt(0).putInt(0) // dwReserved[4]
       fcc("LIST"); buf.putInt(strlSize); fcc("strl")
       fcc("strh"); buf.putInt(strhSize)
-      fcc("vids"); fcc("MPNG")     // fccType, fccHandler
+      fcc("vids"); fcc(handler)    // fccType, fccHandler
       buf.putInt(0)                // dwFlags
         .putShort(0).putShort(0)   // wPriority, wLanguage
         .putInt(0)                 // dwInitialFrames
@@ -244,7 +281,7 @@ object Multimodal {
       buf.putInt(40)               // biSize (BITMAPINFOHEADER)
         .putInt(w).putInt(h)
         .putShort(1).putShort(24)  // biPlanes, biBitCount
-      fcc("MPNG")                  // biCompression
+      fcc(handler)                 // biCompression
       buf.putInt(0)                // biSizeImage (allowed 0 for compressed)
         .putInt(0).putInt(0)       // biX/YPelsPerMeter
         .putInt(0).putInt(0)       // biClrUsed, biClrImportant
@@ -291,7 +328,10 @@ object Multimodal {
           while (bb.position() + 8 <= bodyEnd) {
             val cid = fourcc()
             val csize = bb.getInt
-            if (csize < 0 || bb.position() + csize > bodyEnd)
+            // long arithmetic: a malformed csize near Int.MaxValue
+            // would overflow position()+csize to negative, slip past
+            // the bound check, and allocate ~2 GB before throwing
+            if (csize < 0 || bb.position().toLong + csize > bodyEnd)
               return out.result()
             if (cid.endsWith("dc") || cid.endsWith("db")) {
               val fb = new Array[Byte](csize)
