@@ -50,11 +50,17 @@ object core {
     * runs on one core; one small round-robin shuffle of the raw rows
     * buys full-width parallelism for the compute that follows. At
     * cluster scale inputs arrive already split (many files/row
-    * groups) and this is a cheap no-op-sized shuffle; it must only be
-    * applied where the downstream per-row work dominates the shuffle
-    * cost. */
-  def par(df: DataFrame): DataFrame =
-    df.repartition(df.sparkSession.sessionState.conf.numShufflePartitions)
+    * groups) and this would be a no-op-sized shuffle — so SKIP it
+    * when the input already carries at least session parallelism:
+    * pre-split inputs (many files/row groups) pass through with no
+    * gratuitous round-trip. The partition count comes from the
+    * planned RDD lineage (no job runs); it must only be applied where
+    * the downstream per-row work dominates the shuffle cost. */
+  def par(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sessionState.conf.numShufflePartitions
+    if (df.rdd.getNumPartitions >= target) df
+    else df.repartition(target)
+  }
 
   /** Exact integer cents: CAST(FLOOR(x*100 + 0.5) AS BIGINT).
     * floor(+0.5) rather than round(): the double product can land

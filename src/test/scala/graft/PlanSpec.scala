@@ -96,6 +96,21 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("Join"), p.take(1200))
   }
 
+  test("par() skips the shuffle when input already carries parallelism") {
+    import graft.core.par
+    // single-row-group parquet scan → one partition → par() shuffles
+    val narrow = core.t(spark, sf001, "documents")
+    assert(narrow.rdd.getNumPartitions <
+      spark.sessionState.conf.numShufflePartitions)
+    assert(par(narrow).queryExecution.executedPlan.toString
+      .contains("Exchange"))
+    // pre-split input at session parallelism → par() is the identity:
+    // no gratuitous round-trip on inputs that arrive already split
+    val wide = narrow.repartition(
+      spark.sessionState.conf.numShufflePartitions)
+    assert(par(wide) eq wide)
+  }
+
   test("former UDF fallbacks are Catalyst expressions now (no ScalaUDF)") {
     // canonical_url / vers_contains / vers_cmp / langid carry
     // static-forwarder doGenCode: the plan must show the named
