@@ -141,8 +141,12 @@ object ScaleBench {
       release()
     }
 
-    /** (minSec, rows, shuffle snapshot of the LAST run, cc edge counts
-      * of the last run for cluster queries). */
+    /** (minSec, rows, shuffle snapshot, cc edge counts) — snapshot
+      * and CC telemetry are captured PER SAMPLE and the reported ones
+      * come from the min-time sample, so the telemetry always
+      * corresponds to the reported seconds (the two samples can
+      * differ when the first pays a memo/cache build the second
+      * reuses). */
     def time(q: String, dir: String)
         : (Double, Long, (Long, Long, Long, Long, Long, Int), Seq[Long]) = {
       // min of two runs: scaling ratios want the contention-free floor
@@ -164,14 +168,16 @@ object ScaleBench {
           stable = cur == prev
           prev = cur
         }
+        val snap = listener.snapshot
+        val cc =
+          if (q == "d_dedup_clusters" || q == "d_cluster_keeper")
+            graft.ops.ConnectedComponents.lastRunEdgeCounts
+          else Seq.empty[Long]
         release()
-        (dt, rows)
+        (dt, rows, snap, cc)
       }
-      val cc =
-        if (q == "d_dedup_clusters" || q == "d_cluster_keeper")
-          graft.ops.ConnectedComponents.lastRunEdgeCounts
-        else Seq.empty[Long]
-      (samples.map(_._1).min, samples.head._2, listener.snapshot, cc)
+      val best = samples.minBy(_._1)
+      (best._1, best._2, best._3, best._4)
     }
 
     val entries = queries.map { q =>
