@@ -481,21 +481,55 @@ object DedupOps {
     new java.util.concurrent.ConcurrentHashMap[
       (org.apache.spark.sql.SparkSession, String), LabelsHolder]()
 
+  private val hookedContexts = java.util.concurrent.ConcurrentHashMap
+    .newKeySet[org.apache.spark.SparkContext]()
+
+  /** Drop every memo entry whose session runs on `sc`. Called by the
+    * per-context [[org.apache.spark.scheduler.SparkListener]] on
+    * application end (deterministic lifecycle cleanup, not
+    * opportunistic on-access sweeping), and directly by specs. */
+  private[graft] def evictForContext(
+      sc: org.apache.spark.SparkContext): Unit = {
+    labelsMemo.keySet.removeIf(_._1.sparkContext eq sc)
+    hookedContexts.remove(sc)
+  }
+
+  private[graft] def labelsMemoSize: Int = labelsMemo.size()
+
+  /** One listener per SparkContext: when the application ends (the
+    * only end-of-life event Spark exposes — sessions share their
+    * context's lifecycle), every memo entry of every session on that
+    * context is dropped, so a long-lived multi-session service never
+    * accumulates dead (session, dir) frames. `stop()` drains the
+    * listener bus before returning, so the eviction runs before the
+    * context is gone. */
+  private def registerCleanup(s: org.apache.spark.sql.SparkSession): Unit = {
+    val sc = s.sparkContext
+    if (hookedContexts.add(sc)) {
+      sc.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onApplicationEnd(
+            e: org.apache.spark.scheduler
+              .SparkListenerApplicationEnd): Unit =
+          evictForContext(sc)
+      })
+    }
+  }
+
   /** Component labels shared by `d_dedup_clusters` and
     * `d_cluster_keeper`: LSH pair generation → exact-Jaccard verify →
     * large-star/small-star fixpoint, memoized per (session, dir). A
     * checkpointed frame cannot recompute (lineage truncated), so a
     * memo hit whose blocks an external caller unpersisted is rebuilt
-    * instead of throwing BlockNotFound. Entries of stopped sessions
-    * are dropped on access so a long-lived service does not
-    * accumulate dead (session, dir) frames. */
+    * instead of throwing BlockNotFound. Entries are evicted by the
+    * per-context listener registered in [[registerCleanup]]. */
   private def componentLabels(s: org.apache.spark.sql.SparkSession,
-      dir: String): org.apache.spark.sql.DataFrame = {
-    labelsMemo.keySet.removeIf(k => k._1.sparkContext.isStopped)
+      dir: String): org.apache.spark.sql.DataFrame =
     labelsMemo
-      .computeIfAbsent((s, dir), k => new LabelsHolder(k._1, k._2))
+      .computeIfAbsent((s, dir), k => {
+        registerCleanup(k._1)
+        new LabelsHolder(k._1, k._2)
+      })
       .get()
-  }
 
   /** Connected-components dedup clustering: near-dup pairs become
     * undirected edges; every document gets the minimum doc_id

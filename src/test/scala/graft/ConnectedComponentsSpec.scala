@@ -70,4 +70,17 @@ class ConnectedComponentsSpec extends SparkTestBase {
       ConnectedComponents.labels(nodes, e, maxRounds = 1)
     }
   }
+
+  test("labels memo: entries of both sessions evicted on context end") {
+    // two sessions on the shared test context each memoize a label
+    // frame; the application-end listener path (exercised directly —
+    // stopping the real context would kill the suite) must drop BOTH:
+    // sessions share their context's lifecycle
+    val s2 = spark.newSession()
+    Registry.byName("d_dedup_clusters").run(spark, sf001).count()
+    Registry.byName("d_dedup_clusters").run(s2, sf001).count()
+    assert(graft.ops.DedupOps.labelsMemoSize >= 2)
+    graft.ops.DedupOps.evictForContext(spark.sparkContext)
+    assert(graft.ops.DedupOps.labelsMemoSize == 0)
+  }
 }
