@@ -21,8 +21,10 @@ import org.apache.spark.sql.functions._
   * scale linearly).
   *
   * Usage: SPARK_GRAFT_SF_DIR=<base> [SPARK_GRAFT_SCALE_FACTORS=10,100]
-  * [SPARK_GRAFT_SCALE_ONLY=q1,q2] runMain graft.ScaleBench
-  * (writes/reuses the scaled corpora under /tmp/graft_scale<f>x).
+  * [SPARK_GRAFT_SCALE_ONLY=q1,q2] [SPARK_GRAFT_SCALE_MODE=docs|rel]
+  * runMain graft.ScaleBench (writes/reuses the scaled corpora under
+  * /tmp/graft_scale<f>x, rel mode /tmp/graft_scale_rel<f>x — rel
+  * scales the fact tables only, see [[RelQueries]]).
   */
 object ScaleBench {
 
@@ -34,6 +36,16 @@ object ScaleBench {
     // per-shingle collision groups BY DESIGN — watch it), sequence
     // packing's two-phase prefix sum, and the AVI demux path
     "d_lsh_recall", "t_seq_pack", "mm_video_frames")
+
+  /** Relational-core scale set (SPARK_GRAFT_SCALE_MODE=rel): the
+    * TPC-ish aggregation/join family, run against a corpus whose FACT
+    * tables (lineitem, orders) are replicated `factor`× with order
+    * keys offset into disjoint ranges while DIMENSIONS stay unscaled —
+    * the realistic growth model (facts grow, dims don't), under which
+    * dimension joins must stay broadcast at every factor. */
+  val RelQueries = Seq("q1_pricing_summary", "q3_top_revenue_orders",
+    "q5_region_revenue", "j1_fk_join", "j2_prefetch_agg",
+    "j9_earliest_per_key")
 
   /** Shuffle totals accumulated across the stages of one query run.
     * Listener events arrive asynchronously; callers drain with a short
@@ -91,22 +103,50 @@ object ScaleBench {
       .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
   }
 
+  /** Fact tables replicated with offset order keys; dims copied. */
+  def buildScaledRel(spark: SparkSession, base: String, out: String,
+      factor: Int): Unit = {
+    val orders = spark.read.parquet(s"$base/orders.parquet")
+    val maxOk = orders.agg(max("o_orderkey")).head().getLong(0) + 1
+    (0 until factor).map { k =>
+      if (k == 0) orders
+      else orders.withColumn("o_orderkey", col("o_orderkey") + k * maxOk)
+    }.reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$out/orders.parquet")
+    val li = spark.read.parquet(s"$base/lineitem.parquet")
+    (0 until factor).map { k =>
+      if (k == 0) li
+      else li.withColumn("l_orderkey", col("l_orderkey") + k * maxOk)
+    }.reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$out/lineitem.parquet")
+    Seq("region", "nation", "customer", "supplier", "part").foreach { d =>
+      spark.read.parquet(s"$base/$d.parquet")
+        .write.mode("overwrite").parquet(s"$out/$d.parquet")
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR",
       "/root/testdata/sf0.1")
-    val factors = sys.env.getOrElse("SPARK_GRAFT_SCALE_FACTORS", "10,100")
+    val mode = sys.env.getOrElse("SPARK_GRAFT_SCALE_MODE", "docs")
+    require(mode == "docs" || mode == "rel",
+      s"SPARK_GRAFT_SCALE_MODE must be docs or rel, got $mode")
+    val defaultFactors = if (mode == "rel") "10" else "10,100"
+    val factors = sys.env
+      .getOrElse("SPARK_GRAFT_SCALE_FACTORS", defaultFactors)
       .split(",").map(_.trim).filter(_.nonEmpty).map(_.toInt).toSeq
+    val allQueries = if (mode == "rel") RelQueries else Queries
     val only = sys.env.get("SPARK_GRAFT_SCALE_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     only.foreach { names =>
-      val unknown = names -- Queries.toSet
+      val unknown = names -- allQueries.toSet
       require(unknown.isEmpty,
-        s"SPARK_GRAFT_SCALE_ONLY names not in ScaleBench.Queries: " +
+        s"SPARK_GRAFT_SCALE_ONLY names not in the $mode query set: " +
           s"${unknown.mkString(", ")}")
     }
     val queries = only match {
-      case Some(names) => Queries.filter(names.contains)
-      case None        => Queries
+      case Some(names) => allQueries.filter(names.contains)
+      case None        => allQueries
     }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -123,10 +163,14 @@ object ScaleBench {
 
     val dirs: Seq[(String, String)] =
       ("base" -> base) +: factors.map { f =>
-        val out = s"/tmp/graft_scale${f}x"
+        val out =
+          if (mode == "rel") s"/tmp/graft_scale_rel${f}x"
+          else s"/tmp/graft_scale${f}x"
+        val probe = if (mode == "rel") "lineitem" else "documents"
         if (!java.nio.file.Files.exists(
-            java.nio.file.Paths.get(s"$out/documents.parquet")))
-          buildScaled(spark, base, out, f)
+            java.nio.file.Paths.get(s"$out/$probe.parquet")))
+          (if (mode == "rel") buildScaledRel _ else buildScaled _)(
+            spark, base, out, f)
         s"x$f" -> out
       }
 
