@@ -18,33 +18,10 @@ import org.apache.spark.sql.functions._
 class MatchLifecycleSpec extends SparkTestBase {
   import spark.implicits._
 
-  private val fixturePath =
-    "/root/reference/matchcode/tests/testfiles/match/scancodeio_abbot-0.12.3.json"
-  private def available = new java.io.File(fixturePath).exists()
+  private def available = AbbotFixture.available
 
   /** (path, name, is_file, size, sha1, dir_fp, file_fp) per resource. */
-  private lazy val fixtureRows
-      : Seq[(String, String, Boolean, Long, Option[String], Option[String],
-        Option[String])] = {
-    import org.json4s._
-    import org.json4s.jackson.JsonMethods
-    val root = JsonMethods.parse(new java.io.File(fixturePath))
-    (root \ "files") match {
-      case JArray(files) => files.map { f =>
-        def str(v: JValue): Option[String] =
-          v match { case JString(s) if s.nonEmpty => Some(s); case _ => None }
-        val path = str(f \ "path").getOrElse("")
-        val isFile = (f \ "type") == JString("file")
-        val size = (f \ "size") match {
-          case JInt(n) => n.toLong; case _ => 0L
-        }
-        (path, path.split('/').last, isFile, size, str(f \ "sha1"),
-          if (isFile) None else str(f \ "extra_data" \ "directory_content"),
-          if (isFile) str(f \ "extra_data" \ "halo1") else None)
-      }
-      case _ => Seq.empty
-    }
-  }
+  private lazy val fixtureRows = AbbotFixture.rows
 
   private val Pkg = "http://repo1.maven.org/maven2/abbot/abbot/0.12.3/abbot-0.12.3.jar"
   private val Extract = "abbot-0.12.3.jar-extract"

@@ -1,0 +1,116 @@
+package graft
+
+import graft.matching.Matching
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** The full gated `matchCodebase` lifecycle at 10× index scale: the
+  * query codebase (the abbot fixture) stays fixed while every index
+  * frame is replicated 10× with decoy packages whose keys are
+  * re-hashed — the realistic growth direction (the PurlDB index grows,
+  * a match request does not). The staged pipeline must return
+  * BIT-IDENTICAL matches (decoys share no sha1, and their re-hashed
+  * fingerprints sit ~64 hamming bits away, far outside every band),
+  * keep its equi-join shape (no cartesian), and hold wall-clock.
+  */
+class MatchScaleSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val Pkg =
+    "http://repo1.maven.org/maven2/abbot/abbot/0.12.3/abbot-0.12.3.jar"
+  private val Extract = "abbot-0.12.3.jar-extract"
+
+  /** Decoy sha1: same-length hex re-hash — never collides. */
+  private def perturbSha1(c: Column, k: Int): Column =
+    substring(sha2(concat(c, lit(s"#$k")), 256), 1, 40)
+
+  /** Decoy halohash fingerprint: KEEP the 8-hex element-count header
+    * (a realistic decoy passes the ±5% count band and must be
+    * rejected by hamming, ~64 bits away on a re-hashed bah128),
+    * re-hash only the 32-hex bah body. */
+  private def perturbFp(c: Column, k: Int): Column =
+    concat(substring(c, 1, 8),
+      substring(sha2(concat(c, lit(s"#$k")), 256), 1, 32))
+
+  private def replicate(df: DataFrame, keyCol: String, factor: Int,
+      perturb: (Column, Int) => Column): DataFrame =
+    (0 until factor).map { k =>
+      if (k == 0) df
+      else df
+        .withColumn("download_url",
+          concat(col("download_url"), lit(s"#$k")))
+        .withColumn(keyCol, perturb(col(keyCol), k))
+    }.reduce(_ unionByName _)
+
+  test("staged pipeline: identical matches and shape at 10x index") {
+    assume(AbbotFixture.available)
+    val rows = AbbotFixture.rows
+    val resources = rows.toDF("path", "name", "is_file", "size",
+      "sha1", "dir_fingerprint", "file_fingerprint")
+    val indexedDirs = Set(
+      s"$Extract/junit", s"$Extract/junit/extensions",
+      s"$Extract/junit/extensions/abbot",
+      s"$Extract/abbot/finder", s"$Extract/abbot/finder/matchers",
+      s"$Extract/abbot/script", s"$Extract/abbot/script/parsers",
+      s"$Extract/abbot/tester", s"$Extract/abbot/util",
+      s"$Extract/abbot/i18n")
+    val exactPaths = rows.collect {
+      case (p, _, true, _, Some(_), _, _)
+        if p == "abbot-0.12.3.jar" ||
+          p.startsWith(s"$Extract/abbot/editor/") => p
+    }.toSet
+    val exactIndex = rows.collect {
+      case (p, _, true, _, Some(sha1), _, _) if exactPaths(p) =>
+        (sha1, Pkg, p)
+    }.toDF("sha1", "download_url", "path")
+    val dirIndex = rows.collect {
+      case (p, n, false, sz, _, Some(fp), _) if indexedDirs(p) =>
+        (Pkg, p, n, sz, false, fp)
+    }.toDF("download_url", "path", "name", "size", "is_file", "fingerprint")
+    val fileIndex = rows.collect {
+      case (p, n, true, sz, _, _, Some(fp)) => (Pkg, p, n, sz, true, fp)
+    }.toDF("download_url", "path", "name", "size", "is_file", "fingerprint")
+    val noSnippets = Seq.empty[(String, Array[Byte], Long)]
+      .toDF("q_path", "fingerprint", "position")
+    val noSnippetIndex = Seq.empty[(Array[Byte], String, String, Long)]
+      .toDF("fingerprint", "download_url", "path", "position")
+
+    def run(f: Int): (Set[(String, String, String)], Double, String) = {
+      val (e, d, fi) =
+        if (f == 1) (exactIndex, dirIndex, fileIndex)
+        else (replicate(exactIndex, "sha1", f, perturbSha1),
+          replicate(dirIndex, "fingerprint", f, perturbFp),
+          replicate(fileIndex, "fingerprint", f, perturbFp))
+      val m = Matching.matchCodebase(resources, e, d, fi,
+        noSnippets, noSnippetIndex)
+      val plan = m.queryExecution.executedPlan.toString
+      val t0 = System.nanoTime()
+      val got = m.select("path", "download_url", "match_type")
+        .collect()
+        .map(r => (r.getString(0), r.getString(1), r.getString(2)))
+        .toSet
+      ((System.nanoTime() - t0) / 1e9, got, plan) match {
+        case (dt, g, p) => (g, dt, p)
+      }
+    }
+
+    run(1); run(10) // JIT/codegen warmup
+    val (base, baseSec, _) = run(1)
+    val (scaled, scaledSec, plan10) = run(10)
+
+    // decoys contribute NOTHING: bit-identical staged output
+    assert(scaled == base)
+    assert(base.map(_._1) ==
+      exactPaths ++ indexedDirs ++
+        Set(s"$Extract/abbot/abbot.xsd", s"$Extract/META-INF/MANIFEST.MF"))
+    assert(base.forall(_._2 == Pkg)) // never a decoy url
+    // shape holds: banded equi-joins, never a cartesian
+    assert(!plan10.contains("CartesianProduct"), plan10.take(1500))
+    info(f"matchCodebase 1x index: $baseSec%.2f s, " +
+      f"10x index: $scaledSec%.2f s (ratio ${scaledSec / baseSec}%.1f)")
+    // a degenerate plan (all-pairs against the index) would blow past
+    // this by orders of magnitude
+    assert(scaledSec < baseSec * 10 + 5.0,
+      f"10x index cost $scaledSec%.2f s vs $baseSec%.2f s at 1x")
+  }
+}
