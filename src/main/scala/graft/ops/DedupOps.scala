@@ -264,6 +264,60 @@ object DedupOps {
           AS recall
       FROM n"""))
 
+  /** The production recall-audit path that [[lshRecall]]'s scaladoc
+    * promises: the same gate run on a DETERMINISTIC document sample
+    * (doc_id parity → 50% here; the rate is the production knob, and
+    * a deterministic predicate keeps the result oracle-stable). The
+    * exact side's quadratic cost now scales with the sample, not the
+    * corpus — at 100 TB the audit runs on a fixed-size sample while
+    * the full gate would not. Same validity domain as the full gate
+    * (sampling never changes a surviving pair's Jaccard). 50% rather
+    * than a thinner rate so the synthetic corpus keeps in-sample
+    * near-dup pairs (both endpoints must survive the sample). */
+  val lshRecallSampled = QueryDef(
+    "d_lsh_recall_sampled",
+    "LLM-pipeline dedup: sampled LSH recall audit",
+    "recall gate on a deterministic 50% doc sample (production path)",
+    (s, dir) => {
+      val sample = shingleFrame(s, dir).filter(col("doc_id") % 2 === 0)
+      val nExact = exactJaccardPairs(sample)
+        .agg(count(lit(1)).as("n_exact"))
+      val nLsh = lshVerifiedPairs(sample)
+        .agg(count(lit(1)).as("n_lsh"))
+      nExact.crossJoin(nLsh).select(col("n_exact"), col("n_lsh"),
+        when(col("n_exact") === 0, lit(1.0))
+          .otherwise(asDouble(col("n_lsh")) / asDouble(col("n_exact")))
+          .as("recall"))
+    },
+    Some("""WITH w AS (
+        SELECT doc_id,
+          list_filter(string_split(text, ' '), x -> x <> '') AS ws
+        FROM documents WHERE doc_id % 2 = 0),
+      sh AS (
+        SELECT doc_id,
+          list_distinct(list_transform(
+            range(1, greatest(len(ws) - 2, 1) + 1),
+            i -> array_to_string(ws[i:i+2], ' '))) AS shs
+        FROM w),
+      grams AS (SELECT doc_id, unnest(shs) AS g FROM sh),
+      sizes AS (SELECT doc_id, len(shs) AS n_sh FROM sh),
+      inter AS (
+        SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS n_common
+        FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+        GROUP BY 1, 2),
+      n AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_exact
+        FROM inter i
+        JOIN sizes s1 ON i.d1 = s1.doc_id
+        JOIN sizes s2 ON i.d2 = s2.doc_id
+        WHERE CAST(i.n_common AS DOUBLE) /
+            CAST(s1.n_sh + s2.n_sh - i.n_common AS DOUBLE) >= 0.5)
+      SELECT n_exact, n_exact AS n_lsh,
+        CASE WHEN n_exact = 0 THEN 1.0
+          ELSE CAST(n_exact AS DOUBLE) / CAST(n_exact AS DOUBLE) END
+          AS recall
+      FROM n"""))
+
   /** SimHash near-dup with the reference's banded approximate-match
     * plan (J5): 4 equi-join band probes unioned (here: exploded into
     * one equi-join on (band_idx, band_value) — same plan, fewer ops),
@@ -798,5 +852,5 @@ object DedupOps {
       ORDER BY d.doc_id"""))
 
   val defs: Seq[QueryDef] = Seq(exact, minhash, simhash, ngram, clusters,
-    lineDedup, clusterKeeper, decontaminate, lshRecall)
+    lineDedup, clusterKeeper, decontaminate, lshRecall, lshRecallSampled)
 }
