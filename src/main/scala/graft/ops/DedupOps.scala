@@ -279,7 +279,14 @@ object DedupOps {
     "LLM-pipeline dedup: sampled LSH recall audit",
     "recall gate on a deterministic 50% doc sample (production path)",
     (s, dir) => {
-      val sample = shingleFrame(s, dir).filter(col("doc_id") % 2 === 0)
+      // sample BEFORE shingling: the parity predicate pushes down to
+      // the parquet scan and only the sample is ever tokenized — the
+      // point of the sampled audit is to NOT pay corpus-sized work
+      // (filtering the shared cached shingle frame would tokenize
+      // everything first)
+      val sample = shingleDocs(
+        par(t(s, dir, "documents").filter(col("doc_id") % 2 === 0)))
+        .cache()
       val nExact = exactJaccardPairs(sample)
         .agg(count(lit(1)).as("n_exact"))
       val nLsh = lshVerifiedPairs(sample)
