@@ -24,15 +24,25 @@ final class Router[H](routes: Vector[(Regex, H)]) extends Serializable {
 
   /** Resolve to the single matching handler.
     * @throws IllegalStateException on zero or multiple matches */
-  def resolve(uri: String): H = {
-    val hits = routes.filter { case (r, _) => r.pattern.matcher(uri).matches() }
-    hits match {
-      case Vector((_, h)) => h
-      case Vector()       => throw new IllegalStateException(s"no route: $uri")
-      case several => throw new IllegalStateException(
-        s"ambiguous route ($uri): ${several.size} matches")
-    }
+  def resolve(uri: String): H = resolveEither(uri) match {
+    case Right(h)  => h
+    case Left(err) => throw new IllegalStateException(err)
   }
+
+  /** Total-function resolve for dataflow use: Right(handler) on a
+    * unique match; Left mirrors the reference's NoRouteAvailable /
+    * MultipleRoutesDefined exceptions (`minecode/route.py:161-185`). */
+  def resolveEither(uri: String): Either[String, H] =
+    routes.filter { case (r, _) => r.pattern.matcher(uri).matches() } match {
+      case Vector((_, h)) => Right(h)
+      case Vector()       => Left(s"no route: $uri")
+      case several => Left(s"ambiguous route ($uri): ${several.size} matches")
+    }
+
+  /** Number of rules whose pattern full-matches `uri` — the candidate
+    * count `route.py:175` inspects before raising. */
+  def matchCount(uri: String): Int =
+    routes.count { case (r, _) => r.pattern.matcher(uri).matches() }
 }
 
 /** S9 — parser for `ls -alR` / find-style directory listings

@@ -474,7 +474,161 @@ object StreamOps {
       FROM f LEFT JOIN outcomes o ON f.uri = o.uri
       ORDER BY f.uri"""))
 
+  private def sqlQuote(s: String): String = s.replace("'", "''")
+
+  /** The x3 oracle is BUILT from [[graft.miners.RouteRegistry]] — the
+    * same (pattern, handler) vectors drive the Spark-side [[graft.
+    * miners.Router]] (java.util.regex) and this DuckDB SQL (RE2), so
+    * the gate cross-checks the dispatch through two independent regex
+    * engines from one source of truth. */
+  private def routeDispatchSql: String = {
+    import graft.miners.RouteRegistry
+    val pats = Seq("visit" -> RouteRegistry.visit,
+      "map" -> RouteRegistry.map,
+      "priority" -> RouteRegistry.priority).flatMap { case (rn, entries) =>
+      entries.map { case (p, h) => s"('$rn','${sqlQuote(p)}','$h')" }
+    }.mkString(",\n        ")
+    val tpls = RouteRegistry.templates.zipWithIndex
+      .map { case (tpl, i) => s"($i,'${sqlQuote(tpl)}')" }
+      .mkString(",\n        ")
+    s"""WITH tpl(tid, tpl) AS (SELECT * FROM (VALUES
+        $tpls) t(tid, tpl)),
+      uris AS (
+        SELECT DISTINCT
+          replace(tpl, '#K#', CAST(p_partkey AS VARCHAR)) AS uri
+        FROM part
+        JOIN tpl ON tid = p_partkey % ${RouteRegistry.templates.size}
+        WHERE p_partkey < 170),
+      pats AS (SELECT * FROM (VALUES
+        $pats) t(router, pattern, handler)),
+      matched AS (
+        SELECT u.uri, p.router, CAST(COUNT(*) AS INTEGER) AS n_matches,
+               MIN(p.handler) AS one_handler
+        FROM uris u JOIN pats p ON regexp_full_match(u.uri, p.pattern)
+        GROUP BY u.uri, p.router),
+      pairs AS (
+        SELECT uri, router FROM uris
+        CROSS JOIN (SELECT DISTINCT router FROM pats) r)
+      SELECT pr.uri, pr.router,
+        COALESCE(m.n_matches, 0) AS n_matches,
+        CASE WHEN m.n_matches = 1 THEN m.one_handler END AS handler,
+        CASE WHEN m.n_matches IS NULL THEN 'no_route'
+             WHEN m.n_matches = 1 THEN 'ok'
+             ELSE 'ambiguous' END AS status
+      FROM pairs pr LEFT JOIN matched m
+        ON pr.uri = m.uri AND pr.router = m.router
+      ORDER BY pr.uri, pr.router"""
+  }
+
+  /** X3 — route dispatch under the driver oracle: a templated URI
+    * corpus (every collector ecosystem, every miner family, no-route
+    * and genuinely ambiguous URIs — [[graft.miners.RouteRegistry.
+    * templates]]) is dispatched through all three registries by the
+    * executor-side [[graft.miners.Router]], reproducing
+    * `minecode/route.py:161-185`: unique match → handler, zero →
+    * NoRouteAvailable, several → MultipleRoutesDefined. The oracle SQL
+    * re-derives the dispatch from the same registry vectors with
+    * DuckDB's RE2 `regexp_full_match`, so Python-re (fixture), Java
+    * regex (Spark), and RE2 (oracle) must all agree on every
+    * corpus URI × 3 routers. */
+  val routeDispatch = QueryDef(
+    "x3_route_dispatch", "X3/ST2",
+    "three-registry route dispatch over a templated URI corpus",
+    (s, dir) => {
+      import s.implicits._
+      import graft.miners.RouteRegistry
+      val tpls = RouteRegistry.templates
+      val uris = t(s, dir, "part").filter(col("p_partkey") < 170)
+        .select(
+          element_at(typedLit(tpls),
+            (col("p_partkey") % tpls.size).cast("int") + 1).as("tpl"),
+          col("p_partkey").cast("string").as("kstr"))
+        .select(expr("replace(tpl, '#K#', kstr)").as("uri"))
+        .distinct()
+      uris.as[String]
+        .flatMap { uri =>
+          Seq("map", "priority", "visit").map { rn =>
+            val r = RouteRegistry.router(rn)
+            val (status, handler) = r.resolveEither(uri) match {
+              case Right(h)                            => ("ok", h)
+              case Left(e) if e.startsWith("no route") => ("no_route", null)
+              case Left(_)                             => ("ambiguous", null)
+            }
+            (uri, rn, r.matchCount(uri), handler, status)
+          }
+        }
+        .toDF("uri", "router", "n_matches", "handler", "status")
+        .orderBy("uri", "router")
+    },
+    Some(routeDispatchSql))
+
+  /** ST9 — the crash-replay convergence claim as an oracled query: a
+    * visit micro-batch that crashed after the child inserts but before
+    * the visited merge is REPLAYED from the half-applied state, and the
+    * result must equal the single clean application (which is what the
+    * oracle computes in closed form). Idempotence rests on the
+    * pending-row identity `(canonical, last_visit_date IS NULL)` being
+    * unique (`minecode/models.py:450` unique_together): the re-yielded
+    * children all hit the insert-if-absent anti-join, and re-claiming
+    * picks the same seeds because pending children rank below every
+    * seed (priority 0 < 1+k%10). Any double-insert or claim drift
+    * hash-mismatches. */
+  val replayIdempotent = QueryDef(
+    "st9_replay_idempotent", "ST9/J12/O2",
+    "crash-replay of a half-applied visit micro-batch stays exactly-once",
+    (s, dir) => {
+      val now = Timestamp.valueOf("2026-08-12 00:00:00")
+      val nullTs = lit(null).cast("timestamp")
+      val seeds = t(s, dir, "part").filter(col("p_partkey") < 30)
+        .select(
+          concat(lit("http://h"), (col("p_partkey") % 7).cast("string"),
+            lit(".example/p"), col("p_partkey").cast("string")).as("uri"),
+          (col("p_partkey") % 10 + 1).cast("int").as("priority"))
+        .withColumn("canonical", col("uri"))
+        .withColumn("host", regexp_extract(col("uri"), "//([^/]+)/", 1))
+        .withColumn("last_visit_date", nullTs)
+        .withColumn("last_map_date", nullTs)
+        .withColumn("wip_date", nullTs)
+        .withColumn("visit_error", lit(null).cast("string"))
+      // children count derives from the seed key: even keys yield two
+      val visitor: Frontier.Visitor = { u =>
+        val k = u.substring(u.lastIndexOf('p') + 1).toLong
+        if (k % 2 == 0) Seq(s"$u/c1", s"$u/c2") else Seq(s"$u/c1")
+      }
+      val f1 = Frontier.visitCycle(s, seeds, visitor, now, batchSize = 10)
+        .localCheckpoint(true)
+      // crash case (b) of StreamingSpec's ST9: children landed, the
+      // visited-status merge did not — rebuild that torn state
+      val children = f1.filter(col("last_visit_date").isNull)
+        .join(seeds.select("uri"), Seq("uri"), "left_anti")
+      val half = seeds.unionByName(children)
+      Frontier.visitCycle(s, half, visitor, now, batchSize = 10)
+        .select(col("uri"), col("priority"),
+          col("last_visit_date").isNotNull.as("visited"))
+        .orderBy("uri")
+    },
+    Some("""WITH seeds AS (
+        SELECT 'http://h' || CAST(p_partkey % 7 AS VARCHAR) ||
+            '.example/p' || CAST(p_partkey AS VARCHAR) AS uri,
+          CAST(p_partkey % 10 + 1 AS INTEGER) AS priority,
+          p_partkey AS k
+        FROM part WHERE p_partkey < 30),
+      claimed AS (
+        SELECT * FROM seeds ORDER BY priority DESC, uri DESC LIMIT 10),
+      children AS (
+        SELECT uri || '/c1' AS uri FROM claimed
+        UNION ALL
+        SELECT uri || '/c2' FROM claimed WHERE k % 2 = 0)
+      SELECT uri, priority, TRUE AS visited FROM claimed
+      UNION ALL
+      SELECT uri, priority, FALSE AS visited FROM seeds
+      WHERE uri NOT IN (SELECT uri FROM claimed)
+      UNION ALL
+      SELECT uri, CAST(0 AS INTEGER) AS priority, FALSE AS visited
+      FROM children
+      ORDER BY uri"""))
+
   val defs: Seq[QueryDef] = Seq(frontierSim, scanQueueReplay,
     priorityQueue, watchesDue, activityInbox, seedBootstrap,
-    revisitHorizon, mapCycleReplay)
+    revisitHorizon, mapCycleReplay, routeDispatch, replayIdempotent)
 }

@@ -39,6 +39,24 @@ object Frontier {
     * executors; must be Serializable. */
   type Visitor = String => Seq[String]
 
+  /** X3 — compute the frontier's `is_visitable` / `is_mappable`
+    * eligibility flags from the route registries, the reference's
+    * save-time `_set_defauts` (`minecode/models.py:478-483`): a row is
+    * visitable iff the visit router can route its uri, mappable iff
+    * the map router can. Uses the same anchored `^(p1|p2|...)$`
+    * alternation the reference compiles for `is_routable`
+    * (`minecode/route.py:187-200`), as a codegen'd `rlike` — the
+    * 195-pattern regex compiles once per executor, no per-row driver
+    * logic and no UDF. */
+  def withRoutability(frontier: DataFrame): DataFrame = {
+    import graft.miners.RouteRegistry
+    frontier
+      .withColumn("is_visitable",
+        col("uri").rlike(RouteRegistry.alternation(RouteRegistry.visit)))
+      .withColumn("is_mappable",
+        col("uri").rlike(RouteRegistry.alternation(RouteRegistry.map)))
+  }
+
   /** Visitable rows (ST2): never visited, or visited more than
     * `revisitHours` ago; not in-flight (`minecode/models.py:241-273`). */
   def visitables(frontier: DataFrame, now: Timestamp,

@@ -24,6 +24,22 @@ object Queues {
     pending.unionByName(newOnes)
   }
 
+  /** The index-request routability gate in front of the queue insert
+    * (`packagedb/api.py:1021-1027`, `minecode/api.py:79`): a purl the
+    * priority router cannot route is diverted to the caller's
+    * `unsupported_packages` report instead of being queued; everything
+    * routable proceeds through the ST5 insert-if-absent. The check is
+    * the reference's `is_routable` alternation (`route.py:187-200`)
+    * over [[graft.miners.RouteRegistry.priority]], as a codegen'd
+    * rlike. Returns (queue-after-insert, unsupported-requests). */
+  def insertRoutableRequests(pending: DataFrame,
+      requests: DataFrame): (DataFrame, DataFrame) = {
+    val routable = col("uri").rlike(graft.miners.RouteRegistry
+      .alternation(graft.miners.RouteRegistry.priority))
+    (insertPriorityRequests(pending, requests.filter(routable)),
+      requests.filter(!routable))
+  }
+
   /** Claim the oldest unprocessed requests, FIFO by (request_date,
     * uri). */
   def claimPriorityRequests(pending: DataFrame, batchSize: Int): DataFrame =

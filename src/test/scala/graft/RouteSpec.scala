@@ -1,0 +1,139 @@
+package graft
+
+import graft.miners.RouteRegistry
+import graft.streaming.Frontier
+import org.apache.spark.sql.functions._
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+
+/** X3 — the generated route registries against the python-re dispatch
+  * fixture (tools/route_fixture.json, emitted by tools/gen_routes.py
+  * alongside RouteRegistry.scala): every template URI must dispatch
+  * identically under java.util.regex as under Python's re with the
+  * reference's `^pat$` full-match semantics (`minecode/route.py:55-66`,
+  * `:161-185`). The third engine (DuckDB RE2) is cross-checked by the
+  * x3_route_dispatch oracle.
+  */
+class RouteSpec extends SparkTestBase {
+
+  private lazy val fixture: List[(String, Map[String, (Int, Option[String], String)])] = {
+    val src = scala.io.Source.fromFile("tools/route_fixture.json")
+    val root = try JsonMethods.parse(src.mkString) finally src.close()
+    root.asInstanceOf[JArray].arr.map { e =>
+      val uri = (e \ "uri").asInstanceOf[JString].s
+      val dispatch = (e \ "dispatch").asInstanceOf[JObject].obj.map {
+        case (router, d) =>
+          val n = (d \ "n_matches").asInstanceOf[JInt].num.toInt
+          val h = d \ "handler" match {
+            case JString(s) => Some(s)
+            case _          => None
+          }
+          val st = (d \ "status").asInstanceOf[JString].s
+          router -> ((n, h, st))
+      }.toMap
+      uri -> dispatch
+    }
+  }
+
+  test("registry sizes match the reference's active registrations") {
+    // 95 visit + 44 map + 56 priority patterns — the priority count
+    // includes the 29 fetchcode purls resolved through the generic.py
+    // splat; pinned so a reference re-read that drops or grows a
+    // registration fails loudly here
+    assert(RouteRegistry.visit.size == 95)
+    assert(RouteRegistry.map.size == 44)
+    assert(RouteRegistry.priority.size == 56)
+    // route.py:112-117 RouteAlreadyDefined: patterns unique per router
+    for (reg <- Seq(RouteRegistry.visit, RouteRegistry.map,
+        RouteRegistry.priority))
+      assert(reg.map(_._1).distinct.size == reg.size)
+  }
+
+  test("java-regex dispatch reproduces the python-re fixture exactly") {
+    assert(fixture.nonEmpty)
+    var checked = 0
+    for ((uri, expected) <- fixture; (routerName, (n, h, st)) <- expected) {
+      val r = RouteRegistry.router(routerName)
+      assert(r.matchCount(uri) == n,
+        s"$routerName matchCount($uri): got ${r.matchCount(uri)}, want $n")
+      r.resolveEither(uri) match {
+        case Right(handler) =>
+          assert(st == "ok" && h.contains(handler),
+            s"$routerName resolve($uri): got $handler, want $h/$st")
+        case Left(e) if e.startsWith("no route") =>
+          assert(st == "no_route", s"$routerName resolve($uri): $e vs $st")
+        case Left(e) =>
+          assert(st == "ambiguous", s"$routerName resolve($uri): $e vs $st")
+      }
+      assert(r.isRoutable(uri) == (n > 0))
+      checked += 1
+    }
+    // every fixture row checks all three routers
+    assert(checked == fixture.size * 3)
+    // the corpus genuinely exercises all branches in every router
+    for (router <- Seq("visit", "map", "priority")) {
+      val sts = fixture.map(_._2(router)._3).toSet
+      assert(sts == Set("ok", "no_route", "ambiguous"),
+        s"$router branch coverage: $sts")
+    }
+  }
+
+  test("withRoutability computes models.py save-time flags via rlike") {
+    import spark.implicits._
+    val uris = Seq(
+      // visitable + mappable (pom: MavenPOMVisitor / MavenPomMapper)
+      "https://repo1.maven.org/maven2/junit/junit/4.13/junit-4.13.pom",
+      // visitable only (bitbucket index visit pattern, no map route)
+      "https://api.bitbucket.org/2.0/repositories?pagelen=50",
+      // mappable only (maven-index:// has no visit route)
+      "maven-index://repo1.maven.org/part7",
+      // neither
+      "https://example.org/nothing/1")
+    val out = Frontier.withRoutability(uris.toDF("uri"))
+      .select("uri", "is_visitable", "is_mappable")
+      .as[(String, Boolean, Boolean)].collect()
+      .map { case (u, v, m) => u -> ((v, m)) }.toMap
+    assert(out(uris(0)) == ((true, true)))
+    assert(out(uris(1)) == ((true, false)))
+    assert(out(uris(2)) == ((false, true)))
+    assert(out(uris(3)) == ((false, false)))
+    // the rlike flags agree with the Router's alternation fast path
+    for (u <- uris) {
+      assert(out(u)._1 == RouteRegistry.visitRouter.isRoutable(u))
+      assert(out(u)._2 == RouteRegistry.mapRouter.isRoutable(u))
+    }
+  }
+
+  test("index-request routability gate diverts unroutable purls") {
+    import spark.implicits._
+    // packagedb/api.py:1021-1027: routable purls queue (insert-if-
+    // absent), unroutable ones land in unsupported_packages
+    val pending = Seq(("pkg:npm/lodash@4.17.21", null.asInstanceOf[String]))
+      .toDF("uri", "processed_date")
+    val reqs = Seq(
+      "pkg:npm/lodash@4.17.21",   // already pending — not duplicated
+      "pkg:pypi/requests@2.31.0", // routable — queued
+      "pkg:brew/wget@1.24",       // no collector route — unsupported
+      "pkg:nix/other/hello@2.12"  // nix requires the nixpkgs namespace
+    ).map((_, null.asInstanceOf[String])).toDF("uri", "processed_date")
+    val (queue, unsupported) =
+      graft.streaming.Queues.insertRoutableRequests(pending, reqs)
+    assert(queue.select("uri").as[String].collect().sorted.toSeq ==
+      Seq("pkg:npm/lodash@4.17.21", "pkg:pypi/requests@2.31.0"))
+    assert(unsupported.select("uri").as[String].collect().sorted.toSeq ==
+      Seq("pkg:brew/wget@1.24", "pkg:nix/other/hello@2.12"))
+  }
+
+  test("ambiguous reference registrations are faithfully ambiguous") {
+    // minecode/miners/debian.py:500 vs :571 — a dists/.../Packages.gz
+    // URI full-matches both the Packages mapper and the .gz archive
+    // mapper; the reference's resolve raises MultipleRoutesDefined
+    // (route.py:175-183), so ours must refuse too
+    val uri = "http://ftp.debian.org/debian/dists/sid/main/binary-amd64/Packages.gz"
+    assert(RouteRegistry.mapRouter.matchCount(uri) == 2)
+    assert(RouteRegistry.mapRouter.resolveEither(uri).isLeft)
+    // while the visit router resolves the same URI uniquely
+    assert(RouteRegistry.visitRouter.resolveEither(uri) ==
+      Right("debian.DebianPackagesVisitor"))
+  }
+}
