@@ -14,13 +14,15 @@ import scala.util.matching.Regex
   */
 final class Router[H](routes: Vector[(Regex, H)]) extends Serializable {
 
+  // `route.py:196-198` — one anchored `^(p1|p2|...)$` alternation,
+  // compiled once; `matches()` is already whole-string so the anchors
+  // are for fidelity with the reference's pattern text
   private val alternation: Regex =
     routes.map { case (r, _) => s"(?:${r.pattern.pattern})" }
-      .mkString("|").r
+      .mkString("^(", "|", ")$").r
 
   def isRoutable(uri: String): Boolean =
-    routes.nonEmpty && alternation.findFirstIn(uri).exists(_ == uri) ||
-      routes.exists { case (r, _) => r.pattern.matcher(uri).matches() }
+    routes.nonEmpty && alternation.pattern.matcher(uri).matches()
 
   /** Resolve to the single matching handler.
     * @throws IllegalStateException on zero or multiple matches */
