@@ -62,6 +62,11 @@ object GraftFunctions {
   /** Trigram-profile language identification. */
   def langid(c: Column): Column = col(LangIdExpr(ex(c)))
 
+  /** X3 — route-registry membership (visit/map/priority), the
+    * reference's `is_routable`, prefix-pruned. */
+  def uri_routable(c: Column, registry: String): Column =
+    col(UriRoutable(ex(c), registry))
+
   /** Register all custom functions in the session's FunctionRegistry. */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry

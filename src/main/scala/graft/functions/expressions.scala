@@ -210,6 +210,46 @@ object NatVersionKey {
   }
 }
 
+/** uri_routable(uri) -> boolean over one of the generated route
+  * registries — the reference's `is_routable` membership
+  * (`minecode/route.py:187-200`, consumed at save time by
+  * `minecode/models.py:482-483`). Runs the prefix-pruned
+  * [[graft.miners.Router]] dispatch — literal-prefix `startsWith`
+  * gates each full-match regex, cutting mean attempts/URI from 95 to
+  * ~14 (visit) and 56 to ~0.2 (priority) — so flag computation and
+  * executor-side resolve share ONE dispatch implementation. Same
+  * answer as the reference's monolithic `^(p1|..|pn)$` alternation
+  * (RouteSpec pins equivalence on the python-re fixture; RouteProbe
+  * cross-checks counts every run) at wall-clock parity on warm JIT
+  * (both ≥2.5M URIs/s on 32 threads — BASELINE.md), with a bounded
+  * worst case under regex backtracking that the alternation lacks.
+  * Stays inside whole-stage codegen; `registry` ∈ visit/map/priority
+  * is a plan-time constant.
+  */
+case class UriRoutable(child: Expression, registry: String)
+    extends UnaryExpression {
+  require(Set("visit", "map", "priority")(registry),
+    s"unknown registry: $registry")
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = s"uri_routable_$registry"
+  override protected def nullSafeEval(input: Any): Any =
+    UriRoutable.compute(input.asInstanceOf[UTF8String], registry)
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      v => s"""graft.functions.UriRoutable.compute($v, "$registry")""")
+  override protected def withNewChildInternal(c: Expression): UriRoutable =
+    copy(child = c)
+}
+
+object UriRoutable {
+  /** Static forwarder shared by interpreted eval and generated code;
+    * the router (with its compiled patterns and prefix table) is a
+    * per-JVM lazy singleton behind RouteRegistry. */
+  def compute(uri: UTF8String, registry: String): Boolean =
+    graft.miners.RouteRegistry.router(registry).isRoutable(uri.toString)
+}
+
 /** hamming_bin(a, b) -> int popcount(a XOR b) over equal-length binary
   * values; NULL on length mismatch. Reproduces the reference's
   * byte_hamming_distance over 16-byte bah128 fingerprints

@@ -43,18 +43,18 @@ object Frontier {
     * eligibility flags from the route registries, the reference's
     * save-time `_set_defauts` (`minecode/models.py:478-483`): a row is
     * visitable iff the visit router can route its uri, mappable iff
-    * the map router can. Uses the same anchored `^(p1|p2|...)$`
-    * alternation the reference compiles for `is_routable`
-    * (`minecode/route.py:187-200`), as a codegen'd `rlike` — the
-    * 195-pattern regex compiles once per executor, no per-row driver
-    * logic and no UDF. */
+    * the map router can. Same decision as the reference's anchored
+    * `^(p1|p2|...)$` alternation (`minecode/route.py:187-200`), but
+    * computed by the [[graft.functions.UriRoutable]] native expression
+    * — the same prefix-pruned Router that serves executor-side
+    * resolve, inside whole-stage codegen (measured at parity with the
+    * monolithic-alternation rlike, RouteProbe/BASELINE.md), no per-row
+    * driver logic and no UDF. */
   def withRoutability(frontier: DataFrame): DataFrame = {
-    import graft.miners.RouteRegistry
+    import graft.functions.GraftFunctions.uri_routable
     frontier
-      .withColumn("is_visitable",
-        col("uri").rlike(RouteRegistry.alternation(RouteRegistry.visit)))
-      .withColumn("is_mappable",
-        col("uri").rlike(RouteRegistry.alternation(RouteRegistry.map)))
+      .withColumn("is_visitable", uri_routable(col("uri"), "visit"))
+      .withColumn("is_mappable", uri_routable(col("uri"), "map"))
   }
 
   /** Visitable rows (ST2): never visited, or visited more than

@@ -29,13 +29,14 @@ object Queues {
     * priority router cannot route is diverted to the caller's
     * `unsupported_packages` report instead of being queued; everything
     * routable proceeds through the ST5 insert-if-absent. The check is
-    * the reference's `is_routable` alternation (`route.py:187-200`)
-    * over [[graft.miners.RouteRegistry.priority]], as a codegen'd
-    * rlike. Returns (queue-after-insert, unsupported-requests). */
+    * the reference's `is_routable` decision (`route.py:187-200`) over
+    * [[graft.miners.RouteRegistry.priority]], via the prefix-pruned
+    * [[graft.functions.UriRoutable]] codegen expression. Returns
+    * (queue-after-insert, unsupported-requests). */
   def insertRoutableRequests(pending: DataFrame,
       requests: DataFrame): (DataFrame, DataFrame) = {
-    val routable = col("uri").rlike(graft.miners.RouteRegistry
-      .alternation(graft.miners.RouteRegistry.priority))
+    val routable =
+      graft.functions.GraftFunctions.uri_routable(col("uri"), "priority")
     (insertPriorityRequests(pending, requests.filter(routable)),
       requests.filter(!routable))
   }

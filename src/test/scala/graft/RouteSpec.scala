@@ -104,6 +104,39 @@ class RouteSpec extends SparkTestBase {
     }
   }
 
+  test("literal-prefix pruning is sound on every registry pattern") {
+    import graft.miners.Router
+    // tricky shapes: optional literal stops the scan BEFORE the unit,
+    // + keeps one copy, escapes split literal vs class
+    assert(Router.literalPrefix("""https?://apache.org/x""") == "http")
+    assert(Router.literalPrefix("""http?s://x""") == "htt")
+    assert(Router.literalPrefix("""https*://x""") == "http")
+    assert(Router.literalPrefix("""ab+c""") == "ab")
+    assert(Router.literalPrefix("""pkg:generic/.*?download_url=.*""") ==
+      "pkg:generic/")
+    assert(Router.literalPrefix("""\.meta""") == ".meta")
+    assert(Router.literalPrefix("""\w+/x""") == "")
+    assert(Router.literalPrefix(""".+/repomd.xml""") == "")
+    assert(Router.literalPrefix("""a\-b\.c""") == "a-b.c")
+    // conservative: {n,m} could be {0,..}, so the scan stops before
+    assert(Router.literalPrefix("""a{2}b""") == "")
+    // soundness over the whole registry: every regex full-match in the
+    // fixture corpus starts with the pattern's computed prefix
+    val allPats = (RouteRegistry.visit ++ RouteRegistry.map ++
+      RouteRegistry.priority).map(_._1).distinct
+    var matchedPairs = 0
+    for (pat <- allPats) {
+      val p = java.util.regex.Pattern.compile(pat)
+      val prefix = Router.literalPrefix(pat)
+      for ((uri, _) <- fixture if p.matcher(uri).matches()) {
+        assert(uri.startsWith(prefix),
+          s"unsound prefix '$prefix' for pattern '$pat' on $uri")
+        matchedPairs += 1
+      }
+    }
+    assert(matchedPairs > 250) // the corpus really exercises the prune
+  }
+
   test("index-request routability gate diverts unroutable purls") {
     import spark.implicits._
     // packagedb/api.py:1021-1027: routable purls queue (insert-if-
