@@ -94,5 +94,12 @@ object GraftFunctions {
       es => VersCmp(es.head, es(1), es(2)), "built-in")
     reg.createOrReplaceTempFunction("langid",
       es => LangIdExpr(es.head), "built-in")
+    reg.createOrReplaceTempFunction("uri_routable",
+      es => UriRoutable(es.head, es(1) match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(v, _)
+            if v != null => v.toString
+        case other => throw new IllegalArgumentException(
+          s"uri_routable registry must be a string literal, got $other")
+      }), "built-in")
   }
 }

@@ -121,5 +121,10 @@ class ExpressionSpec extends SparkTestBase {
     val r = spark.sql(
       "SELECT natver_key('1.10') > natver_key('1.2') AS later").collect()
     assert(r.head.getBoolean(0))
+    val routable = spark.sql(
+      """SELECT uri_routable('pkg:npm/lodash@4.17.21', 'priority') AS a,
+                uri_routable('https://example.org/x', 'visit') AS b""")
+      .collect().head
+    assert(routable.getBoolean(0) && !routable.getBoolean(1))
   }
 }
