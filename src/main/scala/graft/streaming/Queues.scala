@@ -116,8 +116,24 @@ object Queues {
     val claimed = claimPriorityRequests(pending, batchSize)
       .select("uri").as[String].collect().toSeq
     if (claimed.isEmpty) return (pending, catalog)
-    val (merged, errors) = graft.miners.CollectFlow.collect(
-      spark, catalog, claimed, transport, now.toString)
+    // the reference worker resolves each claimed purl through the
+    // priority router before collecting; NoRouteAvailable is caught
+    // and recorded as the row's processing_error while the row is
+    // still marked processed (`minecode/management/commands/
+    // priority_queue.py:85-137`)
+    val routed = claimed.map(u =>
+      u -> graft.miners.RouteRegistry.priorityRouter.resolveEither(u))
+    val routable = routed.collect { case (u, Right(_)) => u }
+    val routeErrors = routed.collect {
+      case (u, Left(e)) if e.startsWith("no route") =>
+        s"$u: No route available for $u"
+      case (u, Left(e)) => s"$u: $e"
+    }
+    val (merged, collectErrors) =
+      if (routable.isEmpty) (catalog, Seq.empty[String])
+      else graft.miners.CollectFlow.collect(
+        spark, catalog, routable, transport, now.toString)
+    val errors = collectErrors ++ routeErrors
     // error strings are "purl: message"; attribute them back to rows
     val errByPurl = claimed.map { u =>
       u -> (errors.collect {

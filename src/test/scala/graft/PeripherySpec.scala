@@ -187,7 +187,10 @@ class PeripherySpec extends SparkTestBase {
     assert(done.getAs[String]("processing_error") === null)
     val bad = rows("pkg:doesnotexist/nope")
     assert(bad.getAs[Timestamp]("processed_date") === now)
-    assert(bad.getAs[String]("processing_error") != null)
+    // the router resolves before any collect: NoRouteAvailable is the
+    // reference's verbatim error (priority_queue.py:124-125)
+    assert(bad.getAs[String]("processing_error") ===
+      "No route available for pkg:doesnotexist/nope")
     // the third request was beyond the batch and stays claimable
     assert(rows("pkg:maven/late/later")
       .getAs[Timestamp]("processed_date") === null)
