@@ -228,6 +228,41 @@ object Frontier {
       "never_mapped" -> r.getAs[Long]("never_mapped"))
   }
 
+  /** `check_uri` (`minecode/management/commands/check_uri.py:58-118`):
+    * diagnostic view of the most recent frontier rows under a URI
+    * prefix — each row annotated with the visit- and map-router
+    * resolution ("No Route Available" when unroutable, the handler
+    * name otherwise; an ambiguous route surfaces its resolve error
+    * text like the reference's uncaught MultipleRoutesDefined would)
+    * plus the registry-derived eligibility flags. Recency stands in
+    * for the reference's `-id` ordering as descending uri (the
+    * frontier carries no surrogate id). `limit` is the command's
+    * small diagnostic bound, so the per-row resolve runs on ≤limit
+    * rows. */
+  def checkUri(frontier: DataFrame, uriPrefix: String,
+      limit: Int = 10): DataFrame = {
+    import graft.miners.RouteRegistry
+    import org.apache.spark.sql.{Encoder, Encoders, Row}
+    val picked = withRoutability(
+      frontier.filter(col("uri").startsWith(uriPrefix))
+        .orderBy(desc("uri"))
+        .limit(limit))
+    def routeName(router: String, uri: String): String =
+      RouteRegistry.router(router).resolveEither(uri) match {
+        case Right(h)                            => h
+        case Left(e) if e.startsWith("no route") => "No Route Available"
+        case Left(e)                             => e
+      }
+    val schema = picked.schema
+      .add("visit_route", "string").add("map_route", "string")
+    implicit val enc: Encoder[Row] = Encoders.row(schema)
+    picked.map { r =>
+      val uri = r.getAs[String]("uri")
+      Row.fromSeq(r.toSeq :+ routeName("visit", uri) :+
+        routeName("map", uri))
+    }
+  }
+
   /** Bloom-filter pre-filter for frontier inserts. At 100 TB the
     * insert-if-absent anti-join shuffles every candidate against the
     * whole frontier; a Bloom filter over the frontier's canonical

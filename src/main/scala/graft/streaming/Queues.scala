@@ -163,6 +163,32 @@ object Queues {
     (updated, merged)
   }
 
+  /** `load_priority_queue` (`minecode/management/commands/
+    * load_priority_queue.py:33-60`): walk a scanned codebase's sha1
+    * checksums, look each up in the maven search index (injected —
+    * the reference queries search.maven.org's solr endpoint), and
+    * create one priority request per (group, artifact, version) hit.
+    * The reference inserts directly — NOT through the
+    * insert-if-absent gate — and skips hits with any empty
+    * coordinate; lookups run on executors. Returns the created
+    * request rows (uri = package_url = the maven purl, plus the
+    * matching sha1). */
+  def loadPriorityQueue(spark: org.apache.spark.sql.SparkSession,
+      resources: DataFrame,
+      lookup: String => Seq[(String, String, String)]): DataFrame = {
+    import spark.implicits._
+    resources.filter(col("sha1").isNotNull)
+      .select("sha1").as[String]
+      .mapPartitions(_.flatMap { sha1 =>
+        lookup(sha1).collect {
+          case (g, a, v) if g.nonEmpty && a.nonEmpty && v.nonEmpty =>
+            val purl = s"pkg:maven/$g/$a@$v"
+            (purl, purl, sha1)
+        }
+      })
+      .toDF("uri", "package_url", "sha1")
+  }
+
   // ---------------------------------------------------------------- watch
 
   /** Ecosystems the collect flow can fetch versions for (the engine's

@@ -157,6 +157,46 @@ class RouteSpec extends SparkTestBase {
       Seq("pkg:brew/wget@1.24", "pkg:nix/other/hello@2.12"))
   }
 
+  test("checkUri annotates recent prefix rows with route resolutions") {
+    import spark.implicits._
+    // check_uri.py:58-118 — recent rows under the prefix, visit/map
+    // resolution with the No-Route fallback, eligibility flags
+    val f = Seq(
+      "https://repo1.maven.org/maven2/a/b/1/b-1.pom",   // visit+map ok
+      "https://repo1.maven.org/maven2/zzz/maven-metadata.xml", // visit ok
+      "https://repo1.maven.org/maven2/unroutable.bin",  // neither
+      "https://other.example/x")                        // outside prefix
+      .toDF("uri")
+    val out = Frontier.checkUri(f, "https://repo1.maven.org/", limit = 2)
+      .select("uri", "visit_route", "map_route", "is_visitable",
+        "is_mappable")
+      .as[(String, String, String, Boolean, Boolean)].collect()
+    // descending uri recency: zzz row first, then unroutable.bin
+    assert(out.length == 2)
+    assert(out(0) == (("https://repo1.maven.org/maven2/zzz/maven-metadata.xml",
+      "maven.MavenMetaDataVisitor", "No Route Available", true, false)))
+    assert(out(1) == (("https://repo1.maven.org/maven2/unroutable.bin",
+      "No Route Available", "No Route Available", false, false)))
+  }
+
+  test("loadPriorityQueue creates one maven request per sha1 hit") {
+    import spark.implicits._
+    // load_priority_queue.py:33-60 — injected index lookup, empty
+    // coordinates skipped, null sha1 skipped, direct create
+    val resources = Seq(("a" * 40, "f1"), ("b" * 40, "f2"),
+      (null.asInstanceOf[String], "f3")).toDF("sha1", "path")
+    val lookup: String => Seq[(String, String, String)] = {
+      case s if s.startsWith("aa") =>
+        Seq(("org.apache", "commons-io", "2.16"), ("", "skipme", "1.0"))
+      case _ => Seq.empty
+    }
+    val out = graft.streaming.Queues
+      .loadPriorityQueue(spark, resources, lookup)
+      .as[(String, String, String)].collect().toSeq
+    assert(out == Seq(("pkg:maven/org.apache/commons-io@2.16",
+      "pkg:maven/org.apache/commons-io@2.16", "a" * 40)))
+  }
+
   test("ambiguous reference registrations are faithfully ambiguous") {
     // minecode/miners/debian.py:500 vs :571 — a dists/.../Packages.gz
     // URI full-matches both the Packages mapper and the .gz archive
