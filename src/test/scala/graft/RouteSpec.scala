@@ -157,6 +157,32 @@ class RouteSpec extends SparkTestBase {
       Seq("pkg:brew/wget@1.24", "pkg:nix/other/hello@2.12"))
   }
 
+  test("pruned dispatch equals naive all-patterns dispatch on mutants") {
+    // the fixture pins agreement on well-formed URIs; mutants probe
+    // the prune gate off the happy path (truncations, case flips,
+    // injected chars) where an unsound literalPrefix would diverge
+    // from running every regex
+    val base = RouteRegistry.templates.map(_.replace("#K#", "7"))
+    val mutants = base.flatMap { u =>
+      Seq(u.dropRight(1), u + "x", u.toUpperCase, "x" + u,
+        u.replace("/", "//"), u.take(u.length / 2), u.reverse)
+    }.distinct
+    val regs = Seq(RouteRegistry.visit, RouteRegistry.map,
+      RouteRegistry.priority)
+    val routers = Seq("visit", "map", "priority").map(RouteRegistry.router)
+    val compiled = regs.map(_.map { case (p, _) =>
+      java.util.regex.Pattern.compile(p) })
+    var divergent = 0
+    for (u <- mutants; i <- regs.indices) {
+      val naive = compiled(i).count(_.matcher(u).matches())
+      if (routers(i).matchCount(u) != naive) divergent += 1
+      assert(routers(i).matchCount(u) == naive,
+        s"prune diverges on router $i for: $u")
+      assert(routers(i).isRoutable(u) == (naive > 0))
+    }
+    assert(divergent == 0 && mutants.size > 500)
+  }
+
   test("checkUri annotates recent prefix rows with route resolutions") {
     import spark.implicits._
     // check_uri.py:58-118 — recent rows under the prefix, visit/map
