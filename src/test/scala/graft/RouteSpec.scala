@@ -120,6 +120,12 @@ class RouteSpec extends SparkTestBase {
     assert(Router.literalPrefix("""a\-b\.c""") == "a-b.c")
     // conservative: {n,m} could be {0,..}, so the scan stops before
     assert(Router.literalPrefix("""a{2}b""") == "")
+    // top-level alternation voids any prefix ("a|b" matches "b");
+    // grouped or class-contained pipes do not
+    assert(Router.literalPrefix("""abc|def""") == "")
+    assert(Router.literalPrefix("""ab(c|d)e""") == "ab")
+    assert(Router.literalPrefix("""ab[c|d]e""") == "ab")
+    assert(Router.literalPrefix("""ab\|c""") == "ab|c")
     // soundness over the whole registry: every regex full-match in the
     // fixture corpus starts with the pattern's computed prefix
     val allPats = (RouteRegistry.visit ++ RouteRegistry.map ++
