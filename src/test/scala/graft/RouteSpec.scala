@@ -189,6 +189,38 @@ class RouteSpec extends SparkTestBase {
     assert(divergent == 0 && mutants.size > 500)
   }
 
+  test("getVisitables consumes registry-derived flags end-to-end") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    // the reference computes is_visitable/is_mappable at save time
+    // from the routers (models.py:478-483) and get_visitables then
+    // filters on them (models.py:241-273) — compose both here with
+    // REAL route outcomes instead of synthetic flags
+    val now = Timestamp.valueOf("2026-08-13 00:00:00")
+    val stale = Timestamp.valueOf("2026-07-01 00:00:00") // > 240h ago
+    val rows = Seq(
+      // visitable + mappable (pom routes in both registries): stale
+      // visit but never mapped -> EXCLUDED (mappable-pending rule)
+      ("https://repo1.maven.org/maven2/a/b/1/b-1.pom", Some(stale)),
+      // visitable, NOT mappable (metadata has no map route): stale
+      // visit -> revisitable
+      ("https://repo.maven.apache.org/x/maven-metadata.xml", Some(stale)),
+      // unroutable: never visited -> excluded (not visitable)
+      ("https://example.org/opaque.bin", None),
+      // visitable, never visited -> visitable now
+      ("https://registry.bower.io/packages", None))
+      .map { case (u, d) => (u, d.orNull) }
+      .toDF("uri", "last_visit_date")
+      .withColumn("priority", lit(0))
+      .withColumn("last_map_date", lit(null).cast("timestamp"))
+      .withColumn("wip_date", lit(null).cast("timestamp"))
+    val out = Frontier.getVisitables(Frontier.withRoutability(rows), now)
+      .select("uri").as[String].collect().toSet
+    assert(out == Set(
+      "https://repo.maven.apache.org/x/maven-metadata.xml",
+      "https://registry.bower.io/packages"))
+  }
+
   test("checkUri annotates recent prefix rows with route resolutions") {
     import spark.implicits._
     // check_uri.py:58-118 — recent rows under the prefix, visit/map
