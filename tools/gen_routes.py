@@ -267,11 +267,14 @@ def emit_scala(regs):
     w("  * URI. Handlers are named `module.Endpoint` as in Rule.__repr__.")
     w("  *")
     w("  * The registries drive [[Router]] dispatch (resolve: exactly one")
-    w("  * match, `route.py:161-185`) and the frontier's is_visitable /")
-    w("  * is_mappable flags (`minecode/models.py:482-483`) via the same")
-    w("  * `^(p1|p2|...)$` alternation as `route.py:187-200` —")
-    w("  * [[graft.streaming.Frontier.withRoutability]] compiles it into")
-    w("  * a codegen'd rlike, no per-row driver logic.")
+    w("  * match, `route.py:161-185`; prefix-pruned, see Router's docs)")
+    w("  * and the frontier's is_visitable / is_mappable flags")
+    w("  * (`minecode/models.py:482-483`) through the same Router via the")
+    w("  * [[graft.functions.UriRoutable]] codegen expression")
+    w("  * ([[graft.streaming.Frontier.withRoutability]]); the anchored")
+    w("  * `^(p1|p2|...)$` alternation of `route.py:187-200` remains")
+    w("  * available through [[alternation]] as the reference-shaped")
+    w("  * baseline (RouteProbe cross-checks the two every run).")
     w("  */")
     w("object RouteRegistry {")
     for router in ("visit", "map", "priority"):
