@@ -189,6 +189,26 @@ object Queues {
       .toDF("uri", "package_url", "sha1")
   }
 
+  /** `manage_scans`' stale-scan sweep (`minecode/management/commands/
+    * manage_scans.py:149-176`): a scan still SUBMITTED or IN_PROGRESS
+    * more than 2 hours after its scan_date is marked `timeout` and
+    * its wip_date cleared; everything else passes through. The
+    * reference computes hours from `timedelta.seconds`, which wraps
+    * every 24 h (a 25-hour-old scan reads as 1 h and is transiently
+    * immune) — an artifact of the field, not the documented intent
+    * ("past some time → timed out"); this sweep uses total elapsed
+    * time. */
+  def sweepStaleScans(scannables: DataFrame, now: Timestamp): DataFrame = {
+    val cutoff = new Timestamp(now.getTime - 2L * 3600 * 1000)
+    val stale = col("scan_status").isin("submitted", "in_progress") &&
+      col("scan_date").isNotNull && col("scan_date") < lit(cutoff)
+    scannables
+      .withColumn("wip_date",
+        when(stale, lit(null).cast("timestamp")).otherwise(col("wip_date")))
+      .withColumn("scan_status",
+        when(stale, lit("timeout")).otherwise(col("scan_status")))
+  }
+
   // ---------------------------------------------------------------- watch
 
   /** Ecosystems the collect flow can fetch versions for (the engine's

@@ -200,6 +200,28 @@ class PeripherySpec extends SparkTestBase {
       "org/apache/twill/twill-core/0.12.0/twill-core-0.12.0.jar"))
   }
 
+  test("stale-scan sweep times out 2h+ submitted/in-progress scans") {
+    // manage_scans.py:149-176 — only long-running submitted/in-progress
+    // scans flip to timeout (wip cleared); completed/failed and recent
+    // rows pass through untouched
+    val now = Timestamp.valueOf("2026-08-12 12:00:00")
+    val wip = Timestamp.valueOf("2026-08-12 11:30:00")
+    val rows = Seq(
+      ("u1", "submitted", Timestamp.valueOf("2026-08-12 09:00:00"), wip),
+      ("u2", "in_progress", Timestamp.valueOf("2026-08-12 11:00:00"), wip),
+      ("u3", "completed", Timestamp.valueOf("2026-08-12 08:00:00"), null),
+      ("u4", "submitted", null, wip))
+      .toDF("uri", "scan_status", "scan_date", "wip_date")
+    val out = Queues.sweepStaleScans(rows, now)
+      .select("uri", "scan_status", "wip_date")
+      .collect().map(r => r.getString(0) ->
+        ((r.getString(1), r.get(2) == null))).toMap
+    assert(out("u1") == (("timeout", true)))  // 3h old -> swept
+    assert(out("u2") == (("in_progress", false))) // 1h -> untouched
+    assert(out("u3") == (("completed", true)))
+    assert(out("u4") == (("submitted", false))) // no scan_date
+  }
+
   test("watch next-execution matches the reference's scheduler") {
     // packagedb/tests/test_schedules.py:test_get_next_execution
     val now = Timestamp.valueOf("2024-01-01 00:00:00")
