@@ -56,4 +56,77 @@ object PackageSets {
     membership.join(packages, Seq("download_url"))
       .orderBy(col("set_id"), col("package_content").asc_nulls_last,
         col("download_url"))
+
+  /** `create_source_repo_packages` (`packagedb/management/commands/
+    * create_source_repo_packages.py:60-105`), the inventory import as
+    * one distributed pass instead of the reference's per-row loop:
+    * each inventory row names a catalog package (by purl) and its
+    * source repo. Rows whose purl is not in the catalog are skipped
+    * (returned for reporting, the command's "does not exist"
+    * print); the source package is created when absent
+    * (package_content = SOURCE_REPO = 3; only newly created rows are
+    * enqueued for scanning), and the pair joins a package set UNLESS
+    * the two already share one (the reference's intersection guard —
+    * note this also skips the package's OTHER sets, which plain
+    * [[assignSourcePackages]] would join).
+    *
+    * `inventory`: (purl, source_type, source_namespace, source_name,
+    * source_version, source_download_url). Returns
+    * (catalog', scannables', members', skippedPurls). */
+  def createSourceRepoPackages(catalog: DataFrame, scannables: DataFrame,
+      membership: DataFrame, inventory: DataFrame)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    import graft.functions.GraftFunctions.purl_build
+    val keyed = catalog.withColumn("purl",
+      purl_build(col("ptype"), col("namespace"), col("name"),
+        col("version")))
+    val matched = inventory.join(
+      keyed.select(col("purl"), col("download_url").as("package_url")),
+      Seq("purl"))
+    val skipped = inventory.join(keyed.select("purl"), Seq("purl"),
+      "left_anti").select("purl")
+
+    // get_or_create on the source coordinates: absent download_urls
+    // become minimal SOURCE_REPO rows; only those enqueue for scanning
+    val sources = matched.select(
+        col("source_download_url").as("download_url"),
+        col("source_type").as("ptype"),
+        col("source_namespace").as("namespace"),
+        col("source_name").as("name"),
+        col("source_version").as("version"))
+      .dropDuplicates("download_url")
+    val created = sources
+      .join(catalog.select("download_url"), Seq("download_url"), "left_anti")
+      .withColumn("package_content", lit(3))
+    val catalogCols = catalog.columns
+    val createdRows = catalogCols.foldLeft(created) { (df, c) =>
+      if (df.columns.contains(c)) df
+      else df.withColumn(c, lit(null).cast(catalog.schema(c).dataType))
+    }.select(catalogCols.map(col): _*)
+      .withColumn("mining_level", coalesce(col("mining_level"), lit(0)))
+      .withColumn("keywords", coalesce(col("keywords"),
+        array().cast(catalog.schema("keywords").dataType)))
+      .withColumn("history", coalesce(col("history"),
+        array().cast(catalog.schema("history").dataType)))
+
+    val catalog2 = catalog.unionByName(createdRows)
+    val scannables2 =
+      graft.streaming.Queues.makeScannableUris(scannables, createdRows)
+
+    // the intersection guard: a (package, source) pair already sharing
+    // a set is dropped before assignment
+    val pairs = matched.select(col("package_url"),
+      col("source_download_url").as("source_url")).distinct()
+    val shared = pairs
+      .join(membership.select(col("set_id").as("s1"),
+        col("download_url").as("package_url")), Seq("package_url"))
+      .join(membership.select(col("set_id").as("s2"),
+        col("download_url").as("source_url")), Seq("source_url"))
+      .filter(col("s1") === col("s2"))
+      .select("package_url", "source_url").distinct()
+    val toAssign = pairs.join(shared, Seq("package_url", "source_url"),
+      "left_anti")
+    val members2 = assignSourcePackages(membership, toAssign)
+    (catalog2, scannables2, members2, skipped)
+  }
 }

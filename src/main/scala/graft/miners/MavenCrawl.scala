@@ -306,6 +306,142 @@ object MavenCrawl {
       dropExact(exactDeleted).unionByName(dropLc(lcDeleted)))
   }
 
+  /** One sha1-index hit for [[fixPurlValues]] — the fields of the
+    * reference's MavenArtifact the repair consumes
+    * (`fix_purl_values.py:54-96`; download_url from packagedcode
+    * get_urls, release_date from the version-directory listing — both
+    * computed by the injected lookup, which is where the reference's
+    * live solr/HEAD HTTP lives). */
+  final case class FixArtifact(namespace: String, name: String,
+      version: String, qualifiers: String, downloadUrl: String,
+      releaseDate: Option[Timestamp])
+
+  private final case class FixAction(kind: String, pkgUrl: String,
+      sha1: String, artNs: String, artName: String, artVer: String,
+      artQ: String, artUrl: String, artDate: Option[Timestamp])
+
+  /** `fix_purl_values` (`packagedb/management/commands/
+    * fix_purl_values.py:147-204`) as one distributed pass: repair
+    * maven rows against a sha1-keyed index lookup.
+    *
+    *  - a sha1 with NO index hit deletes its package
+    *    (`:158-160`);
+    *  - a hit matching the package's own coordinates re-points
+    *    download_url/release_date only when the current URL no longer
+    *    resolves (`:176-189`);
+    *  - a hit matching a maven row CASE-INSENSITIVELY canonicalizes
+    *    that row's coordinates and URL and copies the sha1
+    *    (`:190-204`; the reference's lookup spells the qualifiers
+    *    field `artifact_qualifiers__iexact` — a nonexistent field —
+    *    so the intent, qualifiers iexact, is what runs here; the
+    *    repository_* url fields it also sets have no counterpart in
+    *    this schema).
+    *
+    * The reference's per-row loop saves as it goes; the batch applies
+    * deletes, then self-fixes, then canonicalizations. Lookups and
+    * the liveness probe run on executors. Returns
+    * (repaired catalog, deleted rows). */
+  def fixPurlValues(catalog: org.apache.spark.sql.DataFrame,
+      sha1Lookup: String => Seq[FixArtifact],
+      urlResolves: String => Boolean)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    import org.apache.spark.sql.functions._
+    val spark = catalog.sparkSession
+    import spark.implicits._
+
+    val actions = catalog
+      .filter(col("ptype") === "maven" && col("sha1").isNotNull)
+      .select("download_url", "sha1", "namespace", "name", "version",
+        "qualifiers")
+      .as[(String, String, Option[String], String, Option[String],
+        Option[String])]
+      .mapPartitions(_.flatMap { case (url, sha1, ns, name, ver, q) =>
+        val arts = sha1Lookup(sha1)
+        if (arts.isEmpty)
+          Iterator(FixAction("delete", url, sha1, null, null, null, null,
+            null, None))
+        else arts.iterator.flatMap { a =>
+          val self = ns.getOrElse("") == a.namespace && name == a.name &&
+            ver.getOrElse("") == a.version &&
+            q.getOrElse("") == a.qualifiers
+          if (self) {
+            if (urlResolves(url)) None
+            else Some(FixAction("self", url, sha1, a.namespace, a.name,
+              a.version, a.qualifiers, a.downloadUrl, a.releaseDate))
+          } else Some(FixAction("canon", url, sha1, a.namespace, a.name,
+            a.version, a.qualifiers, a.downloadUrl, a.releaseDate))
+        }
+      }).toDF()
+      // external lookups must not replay on lineage re-evaluation
+      .localCheckpoint(true)
+
+    val deletes = actions.filter(col("kind") === "delete")
+      .select(col("pkgUrl").as("download_url"))
+    val deletedRows = catalog.join(deletes, Seq("download_url"), "left_semi")
+    val afterDelete = catalog.join(deletes, Seq("download_url"), "left_anti")
+
+    val selfFix = actions.filter(col("kind") === "self")
+      .select(col("pkgUrl").as("sf_url"), col("artUrl").as("sf_new_url"),
+        col("artDate").as("sf_date"))
+      .dropDuplicates("sf_url")
+    val afterSelf = afterDelete
+      .join(selfFix, col("download_url") === col("sf_url"), "left")
+      .withColumn("release_date",
+        when(col("sf_url").isNotNull,
+          coalesce(col("sf_date"), col("release_date")))
+          .otherwise(col("release_date")))
+      .withColumn("download_url",
+        when(col("sf_url").isNotNull, col("sf_new_url"))
+          .otherwise(col("download_url")))
+      .drop("sf_url", "sf_new_url", "sf_date")
+
+    // one canonicalization per case-insensitive coordinate key (first
+    // artifact by URL wins, deterministically)
+    import org.apache.spark.sql.expressions.Window
+    def lk(c: org.apache.spark.sql.Column) = lower(coalesce(c, lit("")))
+    val canon = actions.filter(col("kind") === "canon")
+      .withColumn("c_ns", lk(col("artNs"))).withColumn("c_n", lk(col("artName")))
+      .withColumn("c_v", lk(col("artVer"))).withColumn("c_q", lk(col("artQ")))
+      .withColumn("rn", row_number().over(Window
+        .partitionBy("c_ns", "c_n", "c_v", "c_q").orderBy("artUrl", "pkgUrl")))
+      .filter(col("rn") === 1)
+      .select(col("c_ns"), col("c_n"), col("c_v"), col("c_q"),
+        col("artNs"), col("artName"), col("artVer"), col("artQ"),
+        col("artUrl"), col("artDate"), col("sha1").as("src_sha1"))
+    val repaired = afterSelf
+      .withColumn("c_ns", when(col("ptype") === "maven",
+        lk(col("namespace"))))
+      .withColumn("c_n", when(col("ptype") === "maven", lk(col("name"))))
+      .withColumn("c_v", when(col("ptype") === "maven", lk(col("version"))))
+      .withColumn("c_q", when(col("ptype") === "maven",
+        lk(col("qualifiers"))))
+      .join(canon, Seq("c_ns", "c_n", "c_v", "c_q"), "left")
+      .withColumn("namespace",
+        when(col("artUrl").isNotNull, col("artNs"))
+          .otherwise(col("namespace")))
+      .withColumn("name",
+        when(col("artUrl").isNotNull, col("artName")).otherwise(col("name")))
+      .withColumn("version",
+        when(col("artUrl").isNotNull, col("artVer"))
+          .otherwise(col("version")))
+      .withColumn("qualifiers",
+        when(col("artUrl").isNotNull, col("artQ"))
+          .otherwise(col("qualifiers")))
+      .withColumn("release_date",
+        when(col("artUrl").isNotNull,
+          coalesce(col("artDate"), col("release_date")))
+          .otherwise(col("release_date")))
+      .withColumn("sha1",
+        when(col("artUrl").isNotNull, col("src_sha1"))
+          .otherwise(col("sha1")))
+      .withColumn("download_url",
+        when(col("artUrl").isNotNull, col("artUrl"))
+          .otherwise(col("download_url")))
+      .drop("c_ns", "c_n", "c_v", "c_q", "artNs", "artName", "artVer",
+        "artQ", "artUrl", "artDate", "src_sha1")
+    (repaired, deletedRows)
+  }
+
   /** `import_queue.process_request`: one package page → catalog rows.
     * The page's directory links are version directories; each version
     * page's artifact links become one PackageRow each, with classifier

@@ -179,4 +179,58 @@ class CatalogApiSpec extends SparkTestBase {
       c.version.contains("1.0.32"))
     assert(c.package_content.contains(2))
   }
+
+  test("create_source_repo_packages: inventory import in one pass") {
+    // packagedb/management/commands/create_source_repo_packages.py:
+    // 60-105 — missing purls skipped; source packages get_or_create'd
+    // as SOURCE_REPO (only new ones enqueued); pairs already sharing a
+    // set are left alone (intersection guard)
+    import graft.catalog.PackageSets
+    val cat = Seq(
+      PackageRow.minimal("http://d/p1.jar", "maven", "p1", Some("1"))
+        .copy(namespace = Some("org.x")),
+      PackageRow.minimal("http://d/p2.jar", "maven", "p2", Some("2"))
+        .copy(namespace = Some("org.x")),
+      // an already-cataloged source repo
+      PackageRow.minimal("http://src/p2-src.tgz", "github", "p2src",
+        Some("2")).copy(package_content = Some(3))).toDF()
+    val scannables = Seq.empty[(String, Int)].toDF("uri", "priority")
+    // p2 and its source already share set s1
+    val membership = Seq(("s1", "http://d/p2.jar"),
+      ("s1", "http://src/p2-src.tgz")).toDF("set_id", "download_url")
+    val inventory = Seq(
+      // p1: source absent from catalog -> created + enqueued + set
+      ("pkg:maven/org.x/p1@1", "github", "gh", "p1src", "1",
+        "http://src/p1-src.tgz"),
+      // p2: source exists AND shares a set -> fully a no-op
+      ("pkg:maven/org.x/p2@2", "github", "gh", "p2src", "2",
+        "http://src/p2-src.tgz"),
+      // unknown purl -> skipped
+      ("pkg:maven/org.x/ghost@9", "github", "gh", "g", "9",
+        "http://src/ghost.tgz"))
+      .toDF("purl", "source_type", "source_namespace", "source_name",
+        "source_version", "source_download_url")
+
+    val (cat2, scan2, mem2, skipped) = PackageSets
+      .createSourceRepoPackages(cat, scannables, membership, inventory)
+
+    assert(skipped.as[String].collect().toSeq ==
+      Seq("pkg:maven/org.x/ghost@9"))
+    val created = cat2.join(cat.select("download_url"),
+      Seq("download_url"), "left_anti").collect()
+    assert(created.map(_.getAs[String]("download_url")).toSeq ==
+      Seq("http://src/p1-src.tgz"))
+    assert(created.head.getAs[Int]("package_content") == 3)
+    // only the newly created source is enqueued
+    assert(scan2.select("uri").as[String].collect().toSeq ==
+      Seq("http://src/p1-src.tgz"))
+    // p1 founded a set with its source; the p2 pair stayed untouched
+    val mem = mem2.as[(String, String)].collect().toSet
+    assert(mem.exists(_._2 == "http://src/p1-src.tgz"))
+    assert(mem.filter(_._1 == "s1") == Set(
+      ("s1", "http://d/p2.jar"), ("s1", "http://src/p2-src.tgz")))
+    val p1Sets = mem.filter(_._2 == "http://d/p1.jar").map(_._1)
+    assert(p1Sets.size == 1 &&
+      mem.contains((p1Sets.head, "http://src/p1-src.tgz")))
+  }
 }

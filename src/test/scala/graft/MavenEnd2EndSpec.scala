@@ -222,4 +222,56 @@ class MavenEnd2EndSpec extends SparkTestBase {
       .filter(!$"download_url".endsWith(".pom"))
     assert(mapped.isEmpty)
   }
+
+  test("fix_purl_values repairs maven rows from the sha1 index") {
+    // packagedb/management/commands/fix_purl_values.py:147-204 —
+    // no-hit deletes, dead-url self-fix, case-insensitive
+    // canonicalization; resolving rows and non-maven rows untouched
+    import graft.catalog.PackageRow
+    import graft.miners.MavenCrawl
+    import graft.miners.MavenCrawl.FixArtifact
+    def m(url: String, ns: String, name: String, ver: String,
+        sha1: String) =
+      PackageRow.minimal(url, "maven", name, Some(ver))
+        .copy(namespace = Some(ns), sha1 = Some(sha1))
+    val catalog = Seq(
+      m("http://r/a-1.0.jar", "org.x", "a", "1.0", "s1"),  // self-fix
+      m("http://r/b-1.0.jar", "org.x", "b", "1.0", "s2"),  // delete
+      m("http://r/C-2.0.jar", "ORG.Y", "Cc", "2.0", "s3"), // canon
+      m("http://r/d-3.0.jar", "org.z", "d", "3.0", "s4"),  // resolves
+      PackageRow.minimal("http://n/p.tgz", "npm", "p", Some("1"))).toDF()
+    val lookup: String => Seq[FixArtifact] = {
+      case "s1" => Seq(FixArtifact("org.x", "a", "1.0", "",
+        "http://repo1/a-1.0.jar", None))
+      case "s2" => Seq.empty
+      case "s3" => Seq(FixArtifact("org.y", "cc", "2.0", "",
+        "http://repo1/cc-2.0.jar", None))
+      case "s4" => Seq(FixArtifact("org.z", "d", "3.0", "",
+        "http://repo1/d-3.0.jar", None))
+      case _ => Seq.empty
+    }
+    val resolves: String => Boolean = _ == "http://r/d-3.0.jar"
+    val (repaired, deleted) =
+      MavenCrawl.fixPurlValues(catalog, lookup, resolves)
+
+    assert(deleted.select("download_url").as[String].collect().toSeq ==
+      Seq("http://r/b-1.0.jar"))
+    val rows = repaired.collect().map(r =>
+      r.getAs[String]("sha1") -> r).toMap
+    // dead URL re-pointed, coordinates untouched
+    assert(rows("s1").getAs[String]("download_url") ==
+      "http://repo1/a-1.0.jar")
+    assert(rows("s1").getAs[String]("namespace") == "org.x")
+    // case-different row canonicalized to the artifact's coordinates
+    assert(rows("s3").getAs[String]("namespace") == "org.y")
+    assert(rows("s3").getAs[String]("name") == "cc")
+    assert(rows("s3").getAs[String]("download_url") ==
+      "http://repo1/cc-2.0.jar")
+    // resolving row and the non-maven row pass through unchanged
+    assert(rows("s4").getAs[String]("download_url") == "http://r/d-3.0.jar")
+    assert(repaired.filter($"ptype" === "npm")
+      .select("download_url").as[String].collect().toSeq ==
+      Seq("http://n/p.tgz"))
+    assert(repaired.count() == 4)
+  }
 }
