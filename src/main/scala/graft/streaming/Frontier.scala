@@ -95,6 +95,59 @@ object Frontier {
     neverVisited.unionByName(revisitables)
   }
 
+  /** The `seed` command's insert (`minecode/management/commands/
+    * seed.py:42-89` `insert_seed_uris` + `minecode/models.py:204-217`
+    * `needs_revisit`): seed URIs — optionally filtered by a
+    * prefix-matching pattern, Python `re.match` semantics — become new
+    * PENDING rows at SEED_PRIORITY=100 when
+    *  - the uri is absent from the frontier entirely, or
+    *  - every row for it has been visited and the uri is revisitable
+    *    (stale past `revisitHours` with the get_revisitables excludes;
+    *    a pending row already queued blocks re-seeding —
+    *    `needs_revisit`'s never_visited short-circuit).
+    * A revisit inserts a NEW pending row beside the visited one — the
+    * reference's update_or_create keyed on (uri, priority,
+    * last_visit_date=None), its own FIXME documenting the duplicate-
+    * uri design. `frontier` must carry the is_visitable/is_mappable
+    * flags ([[withRoutability]]); inserted rows get theirs computed
+    * the same way. */
+  def insertSeedUris(frontier: DataFrame, seeds: Seq[String],
+      now: Timestamp, pattern: Option[String] = None,
+      revisitHours: Int = RevisitHours, priority: Int = 100): DataFrame = {
+    val re = pattern.map(p => java.util.regex.Pattern.compile(p))
+    val wanted = seeds.filter(u => re.forall(_.matcher(u).lookingAt()))
+    val spark = frontier.sparkSession
+    import spark.implicits._
+    val cutoff = new Timestamp(now.getTime - revisitHours * 3600L * 1000L)
+
+    val pendingUris = frontier.filter(col("wip_date").isNull &&
+      col("last_visit_date").isNull)
+      .select(col("uri")).distinct()
+    val knownUris = frontier.select(col("uri")).distinct()
+    val revisitableUris = frontier.filter(col("wip_date").isNull &&
+      col("last_visit_date").isNotNull &&
+      col("last_visit_date") < lit(cutoff) &&
+      !(col("is_mappable") && col("last_map_date").isNull) &&
+      col("is_visitable"))
+      .select(col("uri")).distinct()
+
+    val seedDf = wanted.toDF("uri")
+    val absent = seedDf.join(knownUris, Seq("uri"), "left_anti")
+    val revisits = seedDf
+      .join(pendingUris, Seq("uri"), "left_anti")
+      .join(revisitableUris, Seq("uri"), "left_semi")
+    val nullTs = lit(null).cast("timestamp")
+    val newRows = withRoutability(absent.unionByName(revisits)
+      .withColumn("canonical", lower(col("uri")))
+      .withColumn("host", regexp_extract(col("uri"), "//([^/]+)/", 1))
+      .withColumn("priority", lit(priority))
+      .withColumn("last_visit_date", nullTs)
+      .withColumn("last_map_date", nullTs)
+      .withColumn("wip_date", nullTs)
+      .withColumn("visit_error", lit(null).cast("string")))
+    frontier.unionByName(newRows.select(frontier.columns.map(col): _*))
+  }
+
   /** ST3 — outcome of mapping one URI, the three branches of
     * `run_map.py:104-182` `map_uri`: a mapper exception records the
     * error prefix and maps the row anyway; an empty yield records the

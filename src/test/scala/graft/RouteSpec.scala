@@ -221,6 +221,53 @@ class RouteSpec extends SparkTestBase {
       "https://registry.bower.io/packages"))
   }
 
+  test("seed insert honors pattern, pending block, and revisit gate") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    // seed.py:42-89 + models.py:204-217 — absent seeds insert at
+    // priority 100; a pending row blocks; a stale visited row
+    // re-seeds as a NEW pending row; a fresh visited row does not;
+    // the pattern is a prefix match like python's re.match
+    val now = Timestamp.valueOf("2026-08-13 00:00:00")
+    val stale = Timestamp.valueOf("2026-07-01 00:00:00")
+    val fresh = Timestamp.valueOf("2026-08-12 00:00:00")
+    val nullT = null.asInstanceOf[Timestamp]
+    val f0 = graft.streaming.Frontier.withRoutability(Seq(
+      // pending — blocks its seed
+      ("https://registry.bower.io/packages", nullT, nullT),
+      // stale visited, visit-only route -> revisitable
+      ("https://repo.maven.apache.org/x/maven-metadata.xml", stale, nullT),
+      // fresh visited -> not revisitable
+      ("https://pypi.python.org/pypi/", fresh, nullT))
+      .toDF("uri", "last_visit_date", "wip_date")
+      .withColumn("priority", lit(0))
+      .withColumn("last_map_date", lit(null).cast("timestamp")))
+    val seeds = Seq(
+      "https://registry.bower.io/packages",
+      "https://repo.maven.apache.org/x/maven-metadata.xml",
+      "https://pypi.python.org/pypi/",
+      "https://lib.haxe.org/all",     // absent -> inserted
+      "rsync://yum.postgresql.org")   // filtered out by the pattern
+    val f1 = graft.streaming.Frontier.insertSeedUris(
+      f0, seeds, now, pattern = Some("https://"))
+    val added = f1.join(f0.select("uri", "last_visit_date")
+        .withColumnRenamed("last_visit_date", "old"),
+      Seq("uri"), "left")
+      .filter(col("last_visit_date").isNull)
+      .select("uri", "priority").distinct()
+      .as[(String, Int)].collect().toSet
+    // pending rows: the blocked original (priority 0) + the two seeds
+    assert(added == Set(
+      ("https://registry.bower.io/packages", 0),
+      ("https://repo.maven.apache.org/x/maven-metadata.xml", 100),
+      ("https://lib.haxe.org/all", 100)))
+    // the revisit seed coexists with its visited row (duplicate uri,
+    // distinct (canonical, last_visit_date) identity)
+    assert(f1.filter(col("uri") ===
+      "https://repo.maven.apache.org/x/maven-metadata.xml").count() == 2)
+    assert(f1.count() == 5)
+  }
+
   test("checkUri annotates recent prefix rows with route resolutions") {
     import spark.implicits._
     // check_uri.py:58-118 — recent rows under the prefix, visit/map
