@@ -476,6 +476,18 @@ object StreamOps {
 
   private def sqlQuote(s: String): String = s.replace("'", "''")
 
+  /** VALUES fragment of every (router, pattern, handler) registration
+    * — the SQL-side registry, built from the same vectors as the
+    * Spark-side Router so both engines share one source of truth. */
+  private def patsValues: String = {
+    import graft.miners.RouteRegistry
+    Seq("visit" -> RouteRegistry.visit,
+      "map" -> RouteRegistry.map,
+      "priority" -> RouteRegistry.priority).flatMap { case (rn, entries) =>
+      entries.map { case (p, h) => s"('$rn','${sqlQuote(p)}','$h')" }
+    }.mkString(",\n        ")
+  }
+
   /** The x3 oracle is BUILT from [[graft.miners.RouteRegistry]] — the
     * same (pattern, handler) vectors drive the Spark-side [[graft.
     * miners.Router]] (java.util.regex) and this DuckDB SQL (RE2), so
@@ -483,11 +495,7 @@ object StreamOps {
     * engines from one source of truth. */
   private def routeDispatchSql: String = {
     import graft.miners.RouteRegistry
-    val pats = Seq("visit" -> RouteRegistry.visit,
-      "map" -> RouteRegistry.map,
-      "priority" -> RouteRegistry.priority).flatMap { case (rn, entries) =>
-      entries.map { case (p, h) => s"('$rn','${sqlQuote(p)}','$h')" }
-    }.mkString(",\n        ")
+    val pats = patsValues
     val tpls = RouteRegistry.templates.zipWithIndex
       .map { case (tpl, i) => s"($i,'${sqlQuote(tpl)}')" }
       .mkString(",\n        ")
@@ -628,7 +636,138 @@ object StreamOps {
       FROM children
       ORDER BY uri"""))
 
+  // --- st_seed_revisit fixtures: one deterministic URI per part key,
+  // three routability families (visit+map / visit-only / unroutable)
+  private def seedFamilyUri(k: Int): String = (k % 3) match {
+    case 0 => s"https://repo1.maven.org/maven2/junit/junit/4.$k/junit-4.pom"
+    case 1 => s"https://repo.maven.apache.org/g$k/maven-metadata.xml"
+    case _ => s"https://example.org/opaque/$k.bin"
+  }
+
+  /** The seed command's static URI list — half the frontier uris plus
+    * absent routable, absent unroutable, and pattern-filtered seeds. */
+  private val seedRevisitSeeds: Seq[String] =
+    (0 until 60 by 2).map(seedFamilyUri) ++
+      (0 until 10).map(k => s"https://lib.haxe.org/p/lib$k/versions") ++
+      (0 until 5).map(k => s"ftp://mirror.example/pub/f$k.tar.gz") ++
+      Seq("rsync://filtered.example/x")
+
+  /** ST2/S12/X3 — the seed command's revisit-gated insert UNDER the
+    * driver oracle, with the frontier's eligibility flags computed by
+    * the production path (the [[graft.functions.UriRoutable]]
+    * expression over the generated registries) rather than synthetic
+    * booleans: the oracle re-derives is_visitable/is_mappable per URI
+    * with DuckDB's RE2 over the same pattern vectors, then mirrors the
+    * pattern filter (python re.match = prefix), the pending-row block,
+    * and the stale-revisit re-seed (`seed.py:42-89`,
+    * `models.py:204-217`). A flag disagreement between java.util.regex
+    * and RE2, or any drift in the gate logic, hash-mismatches. */
+  val seedRevisit = QueryDef(
+    "st_seed_revisit", "ST2/S12/X3",
+    "seed insert: pattern filter, pending block, revisit gate, real flags",
+    (s, dir) => {
+      val now = Timestamp.valueOf("2026-08-13 00:00:00")
+      val nullTs = lit(null).cast("timestamp")
+      val frontier = Frontier.withRoutability(
+        t(s, dir, "part").filter(col("p_partkey") < 60)
+          .select(col("p_partkey").cast("int").as("k"))
+          .withColumn("uri",
+            when(col("k") % 3 === 0,
+              concat(lit("https://repo1.maven.org/maven2/junit/junit/4."),
+                col("k"), lit("/junit-4.pom")))
+              .when(col("k") % 3 === 1,
+                concat(lit("https://repo.maven.apache.org/g"), col("k"),
+                  lit("/maven-metadata.xml")))
+              .otherwise(concat(lit("https://example.org/opaque/"),
+                col("k"), lit(".bin"))))
+          .withColumn("priority", (col("k") % 9).cast("int"))
+          .withColumn("last_visit_date",
+            when(col("k") % 4 === 0, nullTs)
+              .when(col("k") % 4 === 1,
+                lit(Timestamp.valueOf("2026-07-01 00:00:00")))
+              .when(col("k") % 4 === 2,
+                lit(Timestamp.valueOf("2026-08-10 00:00:00")))
+              .otherwise(lit(Timestamp.valueOf("2026-07-20 00:00:00"))))
+          .withColumn("last_map_date",
+            when(col("k") % 5 === 0,
+              lit(Timestamp.valueOf("2026-07-02 00:00:00")))
+              .otherwise(nullTs))
+          .withColumn("wip_date",
+            when(col("k") % 13 === 0,
+              lit(Timestamp.valueOf("2026-08-12 23:00:00")))
+              .otherwise(nullTs))
+          .drop("k"))
+      Frontier.insertSeedUris(frontier, seedRevisitSeeds, now,
+          pattern = Some("(https|ftp)://"))
+        .select(col("uri"), col("priority"),
+          col("last_visit_date").isNotNull.as("visited"),
+          col("is_visitable"), col("is_mappable"))
+        .orderBy("uri", "visited")
+    },
+    Some {
+      val seedVals = seedRevisitSeeds
+        .map(u => s"('${sqlQuote(u)}')").mkString(",\n        ")
+      s"""WITH f0 AS (
+        SELECT CAST(p_partkey AS INTEGER) AS k,
+          CASE CAST(p_partkey % 3 AS INTEGER)
+            WHEN 0 THEN 'https://repo1.maven.org/maven2/junit/junit/4.'
+              || CAST(p_partkey AS VARCHAR) || '/junit-4.pom'
+            WHEN 1 THEN 'https://repo.maven.apache.org/g'
+              || CAST(p_partkey AS VARCHAR) || '/maven-metadata.xml'
+            ELSE 'https://example.org/opaque/'
+              || CAST(p_partkey AS VARCHAR) || '.bin' END AS uri,
+          CAST(p_partkey % 9 AS INTEGER) AS priority,
+          CASE WHEN p_partkey % 4 = 0 THEN NULL
+               WHEN p_partkey % 4 = 1 THEN TIMESTAMP '2026-07-01 00:00:00'
+               WHEN p_partkey % 4 = 2 THEN TIMESTAMP '2026-08-10 00:00:00'
+               ELSE TIMESTAMP '2026-07-20 00:00:00' END AS last_visit_date,
+          CASE WHEN p_partkey % 5 = 0
+            THEN TIMESTAMP '2026-07-02 00:00:00' END AS last_map_date,
+          CASE WHEN p_partkey % 13 = 0
+            THEN TIMESTAMP '2026-08-12 23:00:00' END AS wip_date
+        FROM part WHERE p_partkey < 60),
+      pats AS (SELECT * FROM (VALUES
+        $patsValues) t(router, pattern, handler)),
+      seeds(uri) AS (SELECT * FROM (VALUES
+        $seedVals) s(uri)),
+      all_uris AS (SELECT uri FROM f0 UNION SELECT uri FROM seeds),
+      flags AS (
+        SELECT uri,
+          EXISTS(SELECT 1 FROM pats p WHERE p.router = 'visit'
+            AND regexp_full_match(uri, p.pattern)) AS is_visitable,
+          EXISTS(SELECT 1 FROM pats p WHERE p.router = 'map'
+            AND regexp_full_match(uri, p.pattern)) AS is_mappable
+        FROM all_uris),
+      f AS (SELECT f0.*, fl.is_visitable, fl.is_mappable
+        FROM f0 JOIN flags fl USING (uri)),
+      wanted AS (
+        SELECT uri FROM seeds
+        WHERE regexp_matches(uri, '^(?:(https|ftp)://)')),
+      pending AS (SELECT uri FROM f
+        WHERE last_visit_date IS NULL AND wip_date IS NULL),
+      revisitable AS (SELECT uri FROM f
+        WHERE wip_date IS NULL AND last_visit_date IS NOT NULL
+          AND last_visit_date < TIMESTAMP '2026-08-03 00:00:00'
+          AND NOT (is_mappable AND last_map_date IS NULL)
+          AND is_visitable),
+      inserted AS (
+        SELECT uri FROM wanted WHERE uri NOT IN (SELECT uri FROM f)
+        UNION
+        SELECT uri FROM wanted
+        WHERE uri NOT IN (SELECT uri FROM pending)
+          AND uri IN (SELECT uri FROM revisitable))
+      SELECT uri, priority, last_visit_date IS NOT NULL AS visited,
+        is_visitable, is_mappable
+      FROM f
+      UNION ALL
+      SELECT i.uri, CAST(100 AS INTEGER), FALSE, fl.is_visitable,
+        fl.is_mappable
+      FROM inserted i JOIN flags fl USING (uri)
+      ORDER BY uri, visited"""
+    })
+
   val defs: Seq[QueryDef] = Seq(frontierSim, scanQueueReplay,
     priorityQueue, watchesDue, activityInbox, seedBootstrap,
-    revisitHorizon, mapCycleReplay, routeDispatch, replayIdempotent)
+    revisitHorizon, mapCycleReplay, routeDispatch, replayIdempotent,
+    seedRevisit)
 }
