@@ -4,6 +4,14 @@ import java.sql.Timestamp
 
 import graft.catalog.PackageRow
 
+/** One sha1-index action for [[MavenCrawl.fixPurlValues]] — top-level
+  * (not nested in the object) so the Dataset encoder's generated code
+  * compiles: Janino's method resolution fails on `Outer$Inner` class
+  * names and silently drops the whole stage to interpreted mode. */
+private[miners] final case class FixAction(kind: String, pkgUrl: String,
+    sha1: String, artNs: String, artName: String, artVer: String,
+    artQ: String, artUrl: String, artDate: Option[Timestamp])
+
 /** Maven repository directory crawl + import queue
   * (`minecode/collectors/maven.py:576-845`,
   * `minecode/management/commands/import_queue.py:109-170`): parse the
@@ -315,10 +323,6 @@ object MavenCrawl {
   final case class FixArtifact(namespace: String, name: String,
       version: String, qualifiers: String, downloadUrl: String,
       releaseDate: Option[Timestamp])
-
-  private final case class FixAction(kind: String, pkgUrl: String,
-      sha1: String, artNs: String, artName: String, artVer: String,
-      artQ: String, artUrl: String, artDate: Option[Timestamp])
 
   /** `fix_purl_values` (`packagedb/management/commands/
     * fix_purl_values.py:147-204`) as one distributed pass: repair

@@ -617,7 +617,253 @@ FROM norm2 ORDER BY media_id"""))
       FROM part WHERE p_partkey % 13 <> 0
       ORDER BY g, name"""))
 
+  // --- x1/x2 fixtures: a deterministic PyPI registry derived from the
+  // part key, so the REAL visitor/mapper machinery (HttpVisitor robots
+  // gate + transport error path, json4s parse, purl normalization, the
+  // pypiPackages field extraction) runs executor-side while the oracle
+  // re-derives every yielded row in closed form.
+
+  private[ops] object PypiFixture {
+    /** k is encoded at the tail of the package name; the three name
+      * families exercise purl normalization (lowercase, `_` → `-`,
+      * `.` kept). */
+    def nameOf(k: Long): String = (k % 3) match {
+      case 0 => s"Pkg_A$k"
+      case 1 => s"pkg-b$k"
+      case _ => s"PKG.c$k"
+    }
+
+    def uriOf(k: Long): String =
+      s"http://mirror${k % 5}.example/pypi/${nameOf(k)}/json"
+
+    /** Package JSON for the X1 visitor: 1+k%3 releases `0.i.(k%7)`;
+      * k%17==0 → a releases-less document (payload, zero yields). */
+    def packageJson(k: Long): String = {
+      val rel =
+        if (k % 17 == 0) ""
+        else (0 until (1 + (k % 3)).toInt)
+          .map(i => s""""0.$i.${k % 7}":[]""").mkString(",")
+      s"""{"info":{"name":"${nameOf(k)}"},"releases":{$rel}}"""
+    }
+
+    /** Release JSON for the X2 mapper: every pypiPackages extraction
+      * branch keyed off k — summary/description join, license vs
+      * classifier fallback, keyword splitting, author/maintainer
+      * parties, off-PyPI download_url vs the urls block with digests
+      * and upload dates. Absent fields are empty strings (str()
+      * filters those, matching the reference's `or None` habit). */
+    def releaseJson(k: Long): String = {
+      val name = s"Mp$k"
+      val classifiers =
+        if (k % 2 == 1)
+          """"classifiers":["Development Status :: 4 - Beta",""" +
+            """"License :: OSI Approved :: MIT License"],"""
+        else ""
+      val urls = (0 to (k % 2).toInt).map { i =>
+        s"""{"url":"https://files.example/$name-$i.whl",""" +
+          s""""size":${k * 10 + i},"md5_digest":"aa${k}x$i",""" +
+          s""""digests":{"sha256":"ff${k}x$i"},""" +
+          s""""upload_time":"2021-0${1 + k % 9}-1${i}T05:06:07"}"""
+      }.mkString(",")
+      s"""{"info":{"name":"$name","version":"1.${k % 9}",""" +
+        s""""summary":"${if (k % 4 != 0) s"Sum $k" else ""}",""" +
+        s""""description":"${if (k % 5 != 0) s"Long desc $k" else ""}",""" +
+        s""""home_page":"${if (k % 6 != 0) s"https://home.example/$k" else ""}",""" +
+        s""""license":"${if (k % 2 == 0) "MIT" else "UNKNOWN"}",""" +
+        classifiers +
+        s""""keywords":"${if (k % 3 == 0) s"alpha, beta$k ,, gamma" else ""}",""" +
+        s""""author":"${if (k % 4 <= 1) s"Au $k" else ""}",""" +
+        s""""author_email":"${if (k % 4 == 1 || k % 4 == 2) s"a$k@x.io" else ""}",""" +
+        s""""maintainer":"${if (k % 7 == 0) s"Mn $k" else ""}",""" +
+        s""""maintainer_email":"${if (k % 7 == 0) s"mn$k@x.io" else ""}",""" +
+        s""""download_url":"${if (k % 4 == 0) s"http://ext.example/p$k.tar.gz" else "UNKNOWN"}"},""" +
+        s""""urls":[$urls]}"""
+    }
+
+    /** Zero-egress transport: answers from the fixture; k%13 → error. */
+    val transport: graft.miners.Transport = new graft.miners.Transport {
+      def fetch(uri: String): Either[String, Array[Byte]] = {
+        val k = "(\\d+)/json$".r.findFirstMatchIn(uri).get.group(1).toLong
+        if (k % 13 == 0) Left(s"HTTP 404: $uri")
+        else Right(packageJson(k).getBytes("UTF-8"))
+      }
+    }
+  }
+
+  /** X1 — the visitor generator contract under the driver oracle: one
+    * frontier URI per part key visited by the real [[graft.miners.
+    * HttpVisitor]] (robots.txt gate parsed by the real
+    * `Robots.parse`, fetch errors in-band) expanding through the real
+    * pypi package visitor (`minecode/miners/pypi.py:82-101`), i.e. the
+    * reference's `Visitor.__call__` 3-tuple (uris, payload, error)
+    * (`minecode/miners/__init__.py:137-188`). Error rows yield
+    * nothing, releases-less payloads yield an empty expansion, and
+    * each yielded URI carries the normalized purl — all re-derived in
+    * closed form by the oracle. */
+  val x1visitor = QueryDef(
+    "x1_visitor_expand", "X1/S2/S3",
+    "real HttpVisitor + pypi package visitor over a fixture registry",
+    (s, dir) => {
+      import s.implicits._
+      import graft.miners.{HttpVisitor, RegistryVisitors}
+      val robots = Map("mirror0.example" ->
+        graft.sources.Robots.parse("User-agent: *\nDisallow: /pypi/"))
+      val visitor = new HttpVisitor(
+        PypiFixture.transport,
+        bytes => RegistryVisitors
+          .pypiPackageUris(new String(bytes, "UTF-8"), "seed").map(_.uri),
+        robots)
+      par(t(s, dir, "part").filter(col("p_partkey") < 180)
+        .select(col("p_partkey").as("k"))).as[Long]
+        .flatMap { k =>
+          val uri = PypiFixture.uriOf(k)
+          val r = visitor.visit(uri)
+          r.error match {
+            case Some(e) =>
+              Seq((uri, null: String, null: String, false, e))
+            case None =>
+              val vus = RegistryVisitors.pypiPackageUris(
+                new String(r.payload.get, "UTF-8"), uri)
+              if (vus.isEmpty)
+                Seq((uri, null: String, null: String, true, null: String))
+              else vus.map(v =>
+                (uri, v.uri, v.packageUrl.orNull, true, null: String))
+          }
+        }
+        .toDF("uri", "yielded_uri", "purl", "has_payload", "error")
+        .orderBy("uri", "yielded_uri")
+    },
+    Some("""WITH base AS (
+        SELECT p_partkey AS k,
+          CASE p_partkey % 3
+            WHEN 0 THEN 'Pkg_A' || CAST(p_partkey AS VARCHAR)
+            WHEN 1 THEN 'pkg-b' || CAST(p_partkey AS VARCHAR)
+            ELSE 'PKG.c' || CAST(p_partkey AS VARCHAR) END AS name
+        FROM part WHERE p_partkey < 180),
+      u AS (
+        SELECT k, name,
+          'http://mirror' || CAST(k % 5 AS VARCHAR) || '.example/pypi/'
+            || name || '/json' AS uri
+        FROM base),
+      errs AS (
+        SELECT uri, CAST(NULL AS VARCHAR) AS yielded_uri,
+          CAST(NULL AS VARCHAR) AS purl, FALSE AS has_payload,
+          CASE WHEN k % 5 = 0 THEN 'disallowed by robots.txt: ' || uri
+               ELSE 'HTTP 404: ' || uri END AS error
+        FROM u WHERE k % 5 = 0 OR k % 13 = 0),
+      empties AS (
+        SELECT uri, CAST(NULL AS VARCHAR) AS yielded_uri,
+          CAST(NULL AS VARCHAR) AS purl, TRUE AS has_payload,
+          CAST(NULL AS VARCHAR) AS error
+        FROM u WHERE k % 5 <> 0 AND k % 13 <> 0 AND k % 17 = 0),
+      vers AS (
+        SELECT k, name, uri, i,
+          '0.' || CAST(i AS VARCHAR) || '.' || CAST(k % 7 AS VARCHAR)
+            AS ver
+        FROM u, (SELECT 0 AS i UNION ALL SELECT 1 UNION ALL SELECT 2) s
+        WHERE k % 5 <> 0 AND k % 13 <> 0 AND k % 17 <> 0
+          AND i <= k % 3),
+      yields AS (
+        SELECT uri,
+          'https://pypi.python.org/pypi/' || name || '/' || ver
+            || '/json' AS yielded_uri,
+          'pkg:pypi/' || replace(lower(name), '_', '-') || '@' || ver
+            AS purl,
+          TRUE AS has_payload, CAST(NULL AS VARCHAR) AS error
+        FROM vers)
+      SELECT * FROM errs
+      UNION ALL SELECT * FROM empties
+      UNION ALL SELECT * FROM yields
+      ORDER BY uri, yielded_uri"""))
+
+  /** X2 — the mapper `get_packages` contract under the driver oracle:
+    * the real [[graft.miners.Mappers.pypiPackages]] (the reference's
+    * pypi mapper, `minecode/miners/pypi.py` via
+    * `minecode/miners/__init__.py:249-266`) runs over a fixture
+    * release document per part key; every extraction branch — the
+    * summary+description join, license vs License-classifier fallback
+    * with the saneyaml `': '` quoting, keyword splitting, author/
+    * maintainer parties, off-PyPI download_url plus the urls block
+    * with sizes, digests and date-only release timestamps — is
+    * re-derived in closed form by the oracle. */
+  val x2mapper = QueryDef(
+    "x2_mapper_packages", "X2/X7",
+    "real pypi mapper over fixture release documents",
+    (s, dir) => {
+      import s.implicits._
+      par(t(s, dir, "part").filter(col("p_partkey") < 200)
+        .select(col("p_partkey").as("k"))).as[Long]
+        .flatMap { k =>
+          graft.miners.Mappers.pypiPackages(PypiFixture.releaseJson(k))
+            .map { mp =>
+              val r = mp.row
+              (r.download_url, r.name, r.version, r.size, r.md5,
+                r.sha256, r.release_date,
+                r.declared_license_expression, r.description,
+                r.homepage_url, mp.parties.size, r.keywords.size,
+                r.keywords.mkString("|"))
+            }
+        }
+        .toDF("download_url", "name", "version", "size", "md5",
+          "sha256", "release_date", "license", "description",
+          "homepage_url", "n_parties", "n_keywords", "kw")
+        .orderBy("download_url")
+    },
+    Some("""WITH f AS (
+        SELECT p_partkey AS k,
+          'Mp' || CAST(p_partkey AS VARCHAR) AS name,
+          '1.' || CAST(p_partkey % 9 AS VARCHAR) AS version,
+          CASE
+            WHEN p_partkey % 4 <> 0 AND p_partkey % 5 <> 0 THEN
+              'Sum ' || CAST(p_partkey AS VARCHAR) || chr(10) ||
+                'Long desc ' || CAST(p_partkey AS VARCHAR)
+            WHEN p_partkey % 4 <> 0 THEN
+              'Sum ' || CAST(p_partkey AS VARCHAR)
+            WHEN p_partkey % 5 <> 0 THEN
+              'Long desc ' || CAST(p_partkey AS VARCHAR)
+          END AS description,
+          CASE WHEN p_partkey % 6 <> 0 THEN
+            'https://home.example/' || CAST(p_partkey AS VARCHAR)
+          END AS homepage_url,
+          CASE WHEN p_partkey % 2 = 0 THEN '- MIT' || chr(10)
+            ELSE '- ''License :: OSI Approved :: MIT License'''
+              || chr(10) END AS license,
+          CAST(CASE WHEN p_partkey % 4 <> 3 THEN 1 ELSE 0 END
+            + CASE WHEN p_partkey % 7 = 0 THEN 1 ELSE 0 END
+            AS INTEGER) AS n_parties,
+          CAST(CASE WHEN p_partkey % 3 = 0 THEN 3 ELSE 0 END
+            AS INTEGER) AS n_keywords,
+          CASE WHEN p_partkey % 3 = 0 THEN
+            'alpha|beta' || CAST(p_partkey AS VARCHAR) || '|gamma'
+          ELSE '' END AS kw
+        FROM part WHERE p_partkey < 200),
+      offp AS (
+        SELECT 'http://ext.example/p' || CAST(k AS VARCHAR)
+            || '.tar.gz' AS download_url,
+          name, version, CAST(NULL AS BIGINT) AS size,
+          CAST(NULL AS VARCHAR) AS md5, CAST(NULL AS VARCHAR) AS sha256,
+          CAST(NULL AS TIMESTAMP) AS release_date,
+          license, description, homepage_url, n_parties, n_keywords, kw
+        FROM f WHERE k % 4 = 0),
+      dl AS (
+        SELECT 'https://files.example/' || name || '-'
+            || CAST(i AS VARCHAR) || '.whl' AS download_url,
+          name, version, CAST(k * 10 + i AS BIGINT) AS size,
+          'aa' || CAST(k AS VARCHAR) || 'x' || CAST(i AS VARCHAR) AS md5,
+          'ff' || CAST(k AS VARCHAR) || 'x' || CAST(i AS VARCHAR)
+            AS sha256,
+          CAST('2021-0' || CAST(1 + k % 9 AS VARCHAR) || '-1'
+            || CAST(i AS VARCHAR) || ' 00:00:00' AS TIMESTAMP)
+            AS release_date,
+          license, description, homepage_url, n_parties, n_keywords, kw
+        FROM f, (SELECT 0 AS i UNION ALL SELECT 1) s
+        WHERE i <= k % 2)
+      SELECT * FROM offp
+      UNION ALL SELECT * FROM dl
+      ORDER BY download_url"""))
+
   val defs: Seq[QueryDef] =
     Seq(s4json, s8html, s10sync, cdHarvest, cdResources, mmFeatures,
-      mmImageStats, mmAudioStats, mmVideoFrames, s9ls, s11apk)
+      mmImageStats, mmAudioStats, mmVideoFrames, s9ls, s11apk,
+      x1visitor, x2mapper)
 }
