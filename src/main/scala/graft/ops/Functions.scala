@@ -432,7 +432,73 @@ object Functions {
         END AS cmp
       FROM v ORDER BY p_partkey"""))
 
+  /** F14 — the source-repo candidate generator under the driver
+    * oracle: the real `SourceRepo.candidateUrls` (purl2vcs
+    * `get_repo_urls`/`get_urls_from_purl_type`, `purl2vcs/src/
+    * purl2vcs/find_source_repo.py`) and
+    * `convertApacheSvnToGithubUrl` (`:84-113`) run executor-side over
+    * a corpus that hits every branch — VCS vs non-VCS homepages with
+    * `.git` stripping, the github/golang/maven/other/no-namespace
+    * guess families (golang's two spellings collapse under distinct),
+    * and valid vs short Apache SVN tag URLs — each re-derived in
+    * closed form by the oracle. */
+  val f14candidates = QueryDef(
+    "f14_candidate_urls", "F14/J10",
+    "real candidate-URL generator + apache-svn conversion per branch",
+    (s, dir) => {
+      import s.implicits._
+      t(s, dir, "part").filter(col("p_partkey") < 200)
+        .select(col("p_partkey").as("k")).as[Long]
+        .flatMap { k =>
+          import graft.miners.SourceRepo
+          val ptype = Seq("github", "golang", "maven", "pypi",
+            "npm")((k % 5).toInt)
+          val ns =
+            if (k % 4 == 0) None
+            else ptype match {
+              case "golang" => Some(s"github.com/org$k")
+              case "maven"  => Some(s"com.example.org$k")
+              case _        => Some(s"org$k")
+            }
+          val homepage = (k % 3) match {
+            case 0 => Some(s"https://github.com/h$k/repo.git")
+            case 1 => Some(s"https://example.com/site$k")
+            case _ => None
+          }
+          val svn =
+            if (k % 2 == 0)
+              s"svn+https://svn.apache.org/repos/asf/proj$k/tags/v$k/sub"
+            else s"https://svn.apache.org/repos/asf/proj$k/trunk"
+          val gh = SourceRepo.convertApacheSvnToGithubUrl(svn).orNull
+          SourceRepo.candidateUrls(ptype, ns, s"n$k", homepage)
+            .map(c => (k, c, gh))
+        }
+        .toDF("k", "candidate", "apache_github")
+        .orderBy("k", "candidate")
+    },
+    Some("""WITH base AS (
+        SELECT p_partkey AS k,
+          CASE WHEN p_partkey % 4 = 0 THEN 'n' || CAST(p_partkey AS VARCHAR)
+               ELSE 'org' || CAST(p_partkey AS VARCHAR) END AS owner,
+          CASE WHEN p_partkey % 2 = 0 THEN
+            'https://github.com/apache/proj' || CAST(p_partkey AS VARCHAR)
+              || '/tree/v' || CAST(p_partkey AS VARCHAR)
+          END AS apache_github
+        FROM part WHERE p_partkey < 200),
+      cands AS (
+        SELECT k,
+          'https://github.com/h' || CAST(k AS VARCHAR) || '/repo'
+            AS candidate, apache_github
+        FROM base WHERE k % 3 = 0
+        UNION ALL
+        SELECT k,
+          'https://github.com/' || owner || '/n' || CAST(k AS VARCHAR),
+          apache_github
+        FROM base)
+      SELECT k, candidate, apache_github FROM cands
+      ORDER BY k, candidate"""))
+
   val defs: Seq[QueryDef] =
     Seq(f1, f2, f3, f4, f5, f8, f9, f11, f13, f15, f15pep, f15deb, f15mvn,
-      f15sem, f16, st1)
+      f15sem, f16, st1, f14candidates)
 }

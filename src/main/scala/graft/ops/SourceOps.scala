@@ -862,8 +862,245 @@ FROM norm2 ORDER BY media_id"""))
       UNION ALL SELECT * FROM dl
       ORDER BY download_url"""))
 
+  // --- s7 fixture: a three-level POM universe (child → par → top)
+  // keyed off the part key, served by a zero-egress transport that
+  // derives each POM from the requested coordinates.
+
+  private[ops] object PomFixture {
+    def childPom(k: Long): String = {
+      val lic =
+        if (k % 2 == 0)
+          "<licenses><license><name>MIT License</name></license></licenses>"
+        else ""
+      val url =
+        if (k % 5 == 0)
+          // ${project.version} exercises the interpolation table
+          s"<url>https://child.example/$k/v$${project.version}</url>"
+        else ""
+      val parent =
+        if (k % 3 >= 1)
+          s"<parent><groupId>com.par</groupId><artifactId>par$k" +
+            "</artifactId><version>2.0</version></parent>"
+        else ""
+      s"<project>$parent<groupId>com.ex.g${k % 10}</groupId>" +
+        s"<artifactId>art$k</artifactId><version>1.${k % 4}</version>" +
+        s"<name>Art $k</name><description>D$k</description>$url$lic" +
+        "</project>"
+    }
+
+    def parPom(k: Long): String = {
+      val url =
+        if (k % 7 != 0) s"<url>https://par.example/$k</url>" else ""
+      val parent =
+        if (k % 3 == 2)
+          s"<parent><groupId>com.top</groupId><artifactId>top$k" +
+            "</artifactId><version>3.0</version></parent>"
+        else ""
+      s"<project>$parent<groupId>com.par</groupId>" +
+        s"<artifactId>par$k</artifactId><version>2.0</version>" +
+        "<licenses><license><name>The Apache Software License, " +
+        s"Version 2.0</name></license></licenses>$url</project>"
+    }
+
+    def topPom(k: Long): String = {
+      // k%29==0: parent ref back to par — a cycle the ancestry walk
+      // must terminate on (same ancestor list as the acyclic case)
+      val parent =
+        if (k % 29 == 0)
+          s"<parent><groupId>com.par</groupId><artifactId>par$k" +
+            "</artifactId><version>2.0</version></parent>"
+        else ""
+      s"<project>$parent<groupId>com.top</groupId>" +
+        s"<artifactId>top$k</artifactId><version>3.0</version>" +
+        "<licenses><license><name>Eclipse Public License</name>" +
+        s"</license></licenses><url>https://top.example/$k</url></project>"
+    }
+
+    /** Serves `.../artifactId-version.pom` from the fixture POMs. */
+    val transport: graft.miners.Transport = new graft.miners.Transport {
+      def fetch(uri: String): Either[String, Array[Byte]] =
+        "/([a-z]+)(\\d+)-[^/]+\\.pom$".r.findFirstMatchIn(uri) match {
+          case Some(m) =>
+            val k = m.group(2).toLong
+            m.group(1) match {
+              case "art" => Right(childPom(k).getBytes("UTF-8"))
+              case "par" => Right(parPom(k).getBytes("UTF-8"))
+              case "top" => Right(topPom(k).getBytes("UTF-8"))
+              case _     => Left(s"404: $uri")
+            }
+          case None => Left(s"404: $uri")
+        }
+    }
+  }
+
+  /** S7 — POM parse + parent-ancestry merge under the driver oracle:
+    * the real `MavenPom` machinery (XML parse with `${...}`
+    * interpolation, license-name normalization, `getAncestry`'s
+    * transport walk with its cycle guard, and `mergeAncestors`'
+    * fill-only-when-empty fold with history notes —
+    * `minecode/collectors/maven.py:162-260`) runs executor-side over
+    * a three-level fixture POM universe. The oracle re-derives the
+    * merged fields in closed form, including the oldest-ancestor-wins
+    * fill order and the exact history messages. */
+  val s7pom = QueryDef(
+    "s7_pom_ancestry", "S7/X1",
+    "real POM ancestry walk and merge over a fixture POM universe",
+    (s, dir) => {
+      import s.implicits._
+      import graft.miners.MavenPom
+      par(t(s, dir, "part").filter(col("p_partkey") < 150)
+        .select(col("p_partkey").as("k"))).as[Long]
+        .map { k =>
+          val childPom = PomFixture.childPom(k)
+          val pkg = MavenPom.toPackage(childPom).get
+          val anc = MavenPom.getAncestry(childPom, PomFixture.transport)
+          val merged = MavenPom.mergedAncestorPackage(
+            pkg, PomFixture.transport)
+          (k, merged.namespace, merged.name, merged.version,
+            merged.declared_license_expression, merged.homepage_url,
+            merged.description, anc.size,
+            merged.history.map(_.message).mkString("; "))
+        }
+        .toDF("k", "namespace", "name", "version", "license",
+          "homepage", "description", "n_ancestors", "history")
+        .orderBy("k")
+    },
+    Some("""WITH f AS (
+        SELECT p_partkey AS k, p_partkey % 3 AS d,
+          p_partkey % 2 = 0 AS has_lic,
+          p_partkey % 5 = 0 AS has_home
+        FROM part WHERE p_partkey < 150),
+      m AS (
+        SELECT k, d, has_lic, has_home,
+          CASE WHEN NOT has_lic AND d >= 1 THEN TRUE ELSE FALSE END
+            AS lic_filled,
+          CASE WHEN NOT has_lic AND d = 2 THEN 'top'
+               WHEN NOT has_lic AND d = 1 THEN 'par' END AS lic_src,
+          CASE WHEN NOT has_home AND (d = 2
+                 OR (d = 1 AND k % 7 <> 0)) THEN TRUE ELSE FALSE END
+            AS home_filled,
+          CASE WHEN NOT has_home AND d = 2 THEN 'top'
+               WHEN NOT has_home AND d = 1 AND k % 7 <> 0 THEN 'par'
+          END AS home_src
+        FROM f),
+      msgs AS (
+        SELECT k, d, has_lic, has_home,
+          CASE lic_src
+            WHEN 'top' THEN 'epl-1.0'
+            WHEN 'par' THEN 'apache-2.0' END AS fill_lic,
+          CASE home_src
+            WHEN 'top' THEN 'https://top.example/' || CAST(k AS VARCHAR)
+            WHEN 'par' THEN 'https://par.example/' || CAST(k AS VARCHAR)
+          END AS fill_home,
+          CASE WHEN lic_filled THEN
+            'Field `declared_license_expression` has been updated ' ||
+            'using values obtained from the parent POM pkg:maven/' ||
+            CASE lic_src WHEN 'top' THEN 'com.top/top' ELSE 'com.par/par'
+            END || CAST(k AS VARCHAR) ||
+            CASE lic_src WHEN 'top' THEN '@3.0' ELSE '@2.0' END
+          END AS lic_msg,
+          CASE WHEN home_filled THEN
+            'Field `homepage_url` has been updated using values ' ||
+            'obtained from the parent POM pkg:maven/' ||
+            CASE home_src WHEN 'top' THEN 'com.top/top'
+              ELSE 'com.par/par' END || CAST(k AS VARCHAR) ||
+            CASE home_src WHEN 'top' THEN '@3.0' ELSE '@2.0' END
+          END AS home_msg
+        FROM m)
+      SELECT k,
+        'com.ex.g' || CAST(k % 10 AS VARCHAR) AS namespace,
+        'art' || CAST(k AS VARCHAR) AS name,
+        '1.' || CAST(k % 4 AS VARCHAR) AS version,
+        CASE WHEN has_lic THEN 'mit' ELSE fill_lic END AS license,
+        CASE WHEN has_home THEN 'https://child.example/'
+            || CAST(k AS VARCHAR) || '/v1.' || CAST(k % 4 AS VARCHAR)
+          ELSE fill_home END AS homepage,
+        'Art ' || CAST(k AS VARCHAR) || chr(10) || 'D'
+          || CAST(k AS VARCHAR) AS description,
+        CAST(d AS INTEGER) AS n_ancestors,
+        COALESCE(
+          CASE WHEN lic_msg IS NOT NULL AND home_msg IS NOT NULL
+            THEN lic_msg || '; ' || home_msg END,
+          lic_msg, home_msg, '') AS history
+      FROM msgs ORDER BY k"""))
+
+  /** S5/S6 — the real nexus full-index stream reader under the driver
+    * oracle: each group of part keys is written into the exact
+    * on-disk binary format (`writeEntries` — version byte, epoch
+    * millis, per-field Lucene flag + readUTF name + int32-length
+    * modified-UTF-8 value), given a TORN trailing record, gzipped and
+    * given trailing garbage, then decoded back through
+    * `GzipTolerant.readAll` → `readGzippedEntries` → each entry's
+    * packed u/i fields expanded by `toArtifactRecord`
+    * (`minecode/miners/maven.py:471-478,569-707,708-845`). Noise-only
+    * records are skipped by the field filter; the torn tail and the
+    * gzip trailer must vanish silently. The oracle re-derives every
+    * surviving artifact record in closed form. */
+  val s5nexus = QueryDef(
+    "s5_nexus_stream", "S5/S6/X1",
+    "real nexus index binary round-trip with torn tail + gzip garbage",
+    (s, dir) => {
+      import s.implicits._
+      import graft.sources.{GzipTolerant, NexusIndexReader => NIR}
+      par(t(s, dir, "part").filter(col("p_partkey") < 300)
+        .select(col("p_partkey").as("k"), (col("p_partkey") % 20).as("g")))
+        .as[(Long, Long)]
+        .groupByKey(_._2)
+        .flatMapGroups { (g, it) =>
+          val entries = it.toSeq.map(_._1).sorted.map { k =>
+            if (k % 9 == 0) Map("z" -> "noise")
+            else {
+              val u = s"com.g$g|art$k|1.${k % 4}|" +
+                (if (k % 5 == 0) "sources" else "NA") +
+                (if (k % 8 == 0) "|war" else "")
+              val ext = if (k % 2 == 0) "jar" else "pom"
+              Map("u" -> u,
+                "i" -> s"$ext|1000|${k * 3}|0|0|0|$ext",
+                "m" -> "5") ++
+                (if (k % 3 != 0) Map("1" -> s"ab$k") else Map.empty) ++
+                (if (k % 6 != 0) Map("n" -> s"Nämé $k") else Map.empty) ++
+                (if (k % 7 != 0) Map("d" -> s"Desc $k") else Map.empty)
+            }
+          }
+          val torn = Array[Byte](0, 0, 0, 2, 0) // record header, cut off
+          val gz = GzipTolerant.gzip(NIR.writeEntries(entries) ++ torn) ++
+            "TRAILING-GARBAGE".getBytes("UTF-8")
+          NIR.readGzippedEntries(gz, NIR.EntryFields)
+            .flatMap(NIR.toArtifactRecord)
+            .map { r =>
+              (g, r("groupId"), r("artifactId"), r("version"),
+                r.get("classifier").orNull, r.get("extension").orNull,
+                r.get("sha1").orNull, r.get("name").orNull,
+                r.get("description").orNull, r.get("packaging").orNull,
+                r.get("size").orNull)
+            }
+        }
+        .toDF("g", "group_id", "artifact_id", "version", "classifier",
+          "extension", "sha1", "name", "description", "packaging", "size")
+        .orderBy("g", "artifact_id")
+    },
+    Some("""SELECT p_partkey % 20 AS g,
+        'com.g' || CAST(p_partkey % 20 AS VARCHAR) AS group_id,
+        'art' || CAST(p_partkey AS VARCHAR) AS artifact_id,
+        '1.' || CAST(p_partkey % 4 AS VARCHAR) AS version,
+        CASE WHEN p_partkey % 5 = 0 THEN 'sources' END AS classifier,
+        CASE WHEN p_partkey % 8 = 0 THEN 'war'
+             WHEN p_partkey % 2 = 0 THEN 'jar'
+             ELSE 'pom' END AS extension,
+        CASE WHEN p_partkey % 3 <> 0
+          THEN 'ab' || CAST(p_partkey AS VARCHAR) END AS sha1,
+        CASE WHEN p_partkey % 6 <> 0
+          THEN 'Nämé ' || CAST(p_partkey AS VARCHAR) END AS name,
+        CASE WHEN p_partkey % 7 <> 0
+          THEN 'Desc ' || CAST(p_partkey AS VARCHAR) END AS description,
+        CASE WHEN p_partkey % 2 = 0 THEN 'jar' ELSE 'pom' END
+          AS packaging,
+        CAST(p_partkey * 3 AS VARCHAR) AS size
+      FROM part WHERE p_partkey < 300 AND p_partkey % 9 <> 0
+      ORDER BY g, artifact_id"""))
+
   val defs: Seq[QueryDef] =
     Seq(s4json, s8html, s10sync, cdHarvest, cdResources, mmFeatures,
       mmImageStats, mmAudioStats, mmVideoFrames, s9ls, s11apk,
-      x1visitor, x2mapper)
+      x1visitor, x2mapper, s7pom, s5nexus)
 }
