@@ -1099,8 +1099,82 @@ FROM norm2 ORDER BY media_id"""))
       FROM part WHERE p_partkey < 300 AND p_partkey % 9 <> 0
       ORDER BY g, artifact_id"""))
 
+  /** S15 — the publisher's deterministic plan under the driver
+    * oracle: the real `GitPublisher.purlPath` sharding,
+    * `renderPurlsYaml` (dedupe + sort + dash list) and
+    * `commitMessage` numbering (`minecode/pipelines/__init__.py:
+    * 118-134,150-348`) over a purl corpus, with the batch-of-100
+    * commit assignment `publish` performs — full batches say
+    * `(n/many)`, the final partial batch pins the total. Only the
+    * git sink itself (single-writer, driver-side by design) stays
+    * spec-covered in GitPublisherSpec. */
+  val s15publish = QueryDef(
+    "s15_publish_plan", "S15/O1",
+    "real publisher path/render/commit-numbering plan over a purl corpus",
+    (s, dir) => {
+      import s.implicits._
+      import graft.sources.GitPublisher
+      import org.apache.spark.sql.expressions.Window
+      val base = t(s, dir, "part").filter(col("p_partkey") < 250)
+        .select(col("p_partkey").as("k")).as[Long]
+        .map { k =>
+          val ns = if (k % 3 == 0) Some(s"ns$k") else None
+          val purl1 = "pkg:npm/" + ns.map(_ + "/").getOrElse("") +
+            s"p$k@2.${k % 5}"
+          val purls =
+            if (k % 2 == 0) Seq(s"$purl1?os=linux", purl1, purl1)
+            else Seq(purl1)
+          val path = GitPublisher.purlPath("npm", ns, s"p$k",
+            s"2.${k % 5}") + "/purls.yml"
+          (path, GitPublisher.renderPurlsYaml(purls))
+        }
+        .toDF("path", "yml")
+      base
+        .withColumn("rank", row_number().over(Window.orderBy("path")))
+        .withColumn("total", count("*").over(Window.partitionBy()))
+        .withColumn("batch", (((col("rank") - 1) / 100) + 1).cast("int"))
+        .as[(String, String, Int, Long, Int)]
+        .map { case (path, yml, _, total, batch) =>
+          val nb = ((total + 99) / 100).toInt
+          val msg = GitPublisher.commitMessage(batch,
+            if (batch == nb && total % 100 != 0) s"$nb" else "many")
+          (path, yml, batch, msg)
+        }
+        .toDF("path", "yml", "batch", "commit_msg")
+        .orderBy("path")
+    },
+    Some("""WITH f AS (
+        SELECT p_partkey AS k,
+          'npm/' || CASE WHEN p_partkey % 3 = 0
+              THEN 'ns' || CAST(p_partkey AS VARCHAR) || '/' ELSE '' END
+            || 'p' || CAST(p_partkey AS VARCHAR) || '/2.'
+            || CAST(p_partkey % 5 AS VARCHAR) || '/purls.yml' AS path,
+          'pkg:npm/' || CASE WHEN p_partkey % 3 = 0
+              THEN 'ns' || CAST(p_partkey AS VARCHAR) || '/' ELSE '' END
+            || 'p' || CAST(p_partkey AS VARCHAR) || '@2.'
+            || CAST(p_partkey % 5 AS VARCHAR) AS purl
+        FROM part WHERE p_partkey < 250),
+      r AS (
+        SELECT path,
+          CASE WHEN k % 2 = 0 THEN
+            '- ' || purl || chr(10) || '- ' || purl || '?os=linux'
+              || chr(10)
+          ELSE '- ' || purl || chr(10) END AS yml,
+          ROW_NUMBER() OVER (ORDER BY path) AS rank,
+          COUNT(*) OVER () AS total
+        FROM f)
+      SELECT path, yml,
+        CAST((rank - 1) // 100 + 1 AS INTEGER) AS batch,
+        'Add newly mined PackageURLs ('
+          || CAST((rank - 1) // 100 + 1 AS VARCHAR) || '/'
+          || CASE WHEN (rank - 1) // 100 + 1 = (total + 99) // 100
+                AND total % 100 <> 0
+              THEN CAST((total + 99) // 100 AS VARCHAR)
+              ELSE 'many' END || ')' AS commit_msg
+      FROM r ORDER BY path"""))
+
   val defs: Seq[QueryDef] =
     Seq(s4json, s8html, s10sync, cdHarvest, cdResources, mmFeatures,
       mmImageStats, mmAudioStats, mmVideoFrames, s9ls, s11apk,
-      x1visitor, x2mapper, s7pom, s5nexus)
+      x1visitor, x2mapper, s7pom, s5nexus, s15publish)
 }

@@ -90,11 +90,15 @@ object GitPublisher {
         Files.readAllLines(full).toArray(Array.empty[String]).toSeq
           .filter(_.startsWith("- ")).map(_.stripPrefix("- "))
       else Seq.empty
-    val merged = (existing ++ purls).distinct.sorted
-    val yaml = merged.map(p => s"- $p").mkString("", "\n", "\n")
+    val yaml = renderPurlsYaml(existing ++ purls)
     Files.write(full, yaml.getBytes(StandardCharsets.UTF_8))
     relativePath
   }
+
+  /** Pure rendering half of [[writePurlsYaml]]: dedupe, sort, dash
+    * list — one purl per `- ` line, trailing newline. */
+  def renderPurlsYaml(purls: Seq[String]): String =
+    purls.distinct.sorted.map(p => s"- $p").mkString("", "\n", "\n")
 
   /** The reference's numbered commit message
     * (`pipelines/__init__.py:118-134`, without the service identity
