@@ -1173,8 +1173,125 @@ FROM norm2 ORDER BY media_id"""))
               ELSE 'many' END || ')' AS commit_msg
       FROM r ORDER BY path"""))
 
+  /** S11 (debian flavor) — the real deb822 paragraph parser under the
+    * driver oracle (`minecode/miners/debian.py:153-231` via
+    * `EcosystemParsers.deb822Paragraphs`): each group of part keys
+    * becomes one Packages-style control file whose paragraphs exercise
+    * continuation-line folding (values keep their raw indented
+    * lines), the empty-first-line block form (`MD5Sum:` — leading
+    * newline and first indent dropped), lowercase key folding, and
+    * colon-less garbage lines (dropped). The oracle re-derives every
+    * field in closed form. */
+  val s11deb = QueryDef(
+    "s11_deb822", "S11/S4",
+    "real deb822 paragraph parse over generated Packages files",
+    (s, dir) => {
+      import s.implicits._
+      par(t(s, dir, "part").filter(col("p_partkey") < 250)
+        .select(col("p_partkey").as("k"), (col("p_partkey") % 25).as("g")))
+        .as[(Long, Long)]
+        .groupByKey(_._2)
+        .flatMapGroups { (g, it) =>
+          val text = it.toSeq.map(_._1).sorted.map { k =>
+            val garbage =
+              if (k % 11 == 0) s"garbage line $k\n" else ""
+            s"Package: pkg$k\n" + garbage +
+              s"Version: 1.${k % 6}-${k % 3}\n" +
+              s"Installed-Size: ${k * 2}\n" +
+              s"Description: short $k\n long line one $k\n .\n" +
+              " long line two\n" +
+              s"MD5Sum:\n abc$k 123 path$k\n"
+          }.mkString("\n")
+          graft.sources.EcosystemParsers.deb822Paragraphs(text).map { p =>
+            (g, p("package"), p("version"), p("installed-size"),
+              p("description"), p("md5sum"))
+          }
+        }
+        .toDF("g", "package", "version", "installed_size", "description",
+          "md5sum")
+        .orderBy("g", "package")
+    },
+    Some("""SELECT p_partkey % 25 AS g,
+        'pkg' || CAST(p_partkey AS VARCHAR) AS package,
+        '1.' || CAST(p_partkey % 6 AS VARCHAR) || '-'
+          || CAST(p_partkey % 3 AS VARCHAR) AS version,
+        CAST(p_partkey * 2 AS VARCHAR) AS installed_size,
+        'short ' || CAST(p_partkey AS VARCHAR) || chr(10)
+          || ' long line one ' || CAST(p_partkey AS VARCHAR) || chr(10)
+          || ' .' || chr(10) || ' long line two' AS description,
+        'abc' || CAST(p_partkey AS VARCHAR) || ' 123 path'
+          || CAST(p_partkey AS VARCHAR) AS md5sum
+      FROM part WHERE p_partkey < 250
+      ORDER BY g, package"""))
+
+  /** Minimal ustar builder for the ipk fixture — writes exactly the
+    * header fields [[graft.sources.EcosystemParsers.tarEntries]]
+    * consumes (name, octal size, '0' type flag), data padded to
+    * 512-byte blocks, one zero terminator block. */
+  private[ops] def buildTar(entries: Seq[(String, Array[Byte])])
+      : Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    entries.foreach { case (name, data) =>
+      val hdr = new Array[Byte](512)
+      val nb = name.getBytes("US-ASCII")
+      System.arraycopy(nb, 0, hdr, 0, nb.length)
+      val size = ("%011o".format(data.length) + " ").getBytes("US-ASCII")
+      System.arraycopy(size, 0, hdr, 124, size.length)
+      hdr(156) = '0'.toByte
+      bos.write(hdr)
+      bos.write(data)
+      val pad = (512 - data.length % 512) % 512
+      bos.write(new Array[Byte](pad))
+    }
+    bos.write(new Array[Byte](512))
+    bos.toByteArray
+  }
+
+  /** S11 (openwrt flavor) — the real `.ipk` control chain under the
+    * driver oracle (`minecode/miners/openwrt.py:98-113` via
+    * `EcosystemParsers.ipkControl`): gzip tar → `./control.tar.gz` →
+    * `./control`, each layer built per row and walked back by the
+    * real ustar/gzip readers; a decoy `data.tar.gz` member and the
+    * `./`-prefix stripping are exercised on the way. The oracle
+    * re-derives the control fields in closed form. */
+  val s11ipk = QueryDef(
+    "s11_ipk_control", "S11/S6",
+    "real nested ipk control walk over generated archives",
+    (s, dir) => {
+      import s.implicits._
+      import graft.sources.{EcosystemParsers => EP, GzipTolerant}
+      par(t(s, dir, "part").filter(col("p_partkey") < 200)
+        .select(col("p_partkey").as("k"))).as[Long]
+        .flatMap { k =>
+          val control =
+            s"Package: ipk$k\nVersion: 3.${k % 7}\n" +
+              s"Architecture: ${if (k % 2 == 0) "mips_24kc" else "all"}\n" +
+              s"Installed-Size: ${k * 5}\n"
+          val controlTarGz = GzipTolerant.gzip(buildTar(Seq(
+            "./control" -> control.getBytes("UTF-8"))))
+          val ipk = GzipTolerant.gzip(buildTar(Seq(
+            "./data.tar.gz" -> GzipTolerant.gzip(Array[Byte](1, 2, 3)),
+            "./control.tar.gz" -> controlTarGz)))
+          EP.ipkControl(ipk).map { para =>
+            val m = para.toMap
+            (k, m("Package"), m("Version"), m("Architecture"),
+              m("Installed-Size"))
+          }
+        }
+        .toDF("k", "package", "version", "architecture", "installed_size")
+        .orderBy("k")
+    },
+    Some("""SELECT p_partkey AS k,
+        'ipk' || CAST(p_partkey AS VARCHAR) AS package,
+        '3.' || CAST(p_partkey % 7 AS VARCHAR) AS version,
+        CASE WHEN p_partkey % 2 = 0 THEN 'mips_24kc' ELSE 'all' END
+          AS architecture,
+        CAST(p_partkey * 5 AS VARCHAR) AS installed_size
+      FROM part WHERE p_partkey < 200
+      ORDER BY k"""))
+
   val defs: Seq[QueryDef] =
     Seq(s4json, s8html, s10sync, cdHarvest, cdResources, mmFeatures,
       mmImageStats, mmAudioStats, mmVideoFrames, s9ls, s11apk,
-      x1visitor, x2mapper, s7pom, s5nexus, s15publish)
+      x1visitor, x2mapper, s7pom, s5nexus, s15publish, s11deb, s11ipk)
 }
