@@ -1290,8 +1290,146 @@ FROM norm2 ORDER BY media_id"""))
       FROM part WHERE p_partkey < 200
       ORDER BY k"""))
 
+  /** S11 (JSON registry flavors) — seven real collector parsers under
+    * one driver oracle, each fed a fixture response and normalized to
+    * a union row (eco, item, a, b, c): cran (timeline-wins release
+    * dates), hackage (empty keys dropped), pub (pubspec fields),
+    * github tags (nameless entries dropped), gitlab tags (commit
+    * author fields), dockerhub (results page), huggingface (`.bin`
+    * sibling filter + cardData license). References:
+    * `minecode/collectors/{cran,hackage,github,gitlab,dockerhub,
+    * huggingface}.py`, `minecode/miners/pub.py`. */
+  val s11json = QueryDef(
+    "s11_registry_json", "S11/S4/X1",
+    "seven real JSON registry parsers over fixture responses",
+    (s, dir) => {
+      import s.implicits._
+      import graft.sources.{EcosystemParsers => EP}
+      par(t(s, dir, "part").filter(col("p_partkey") < 210)
+        .select(col("p_partkey").as("k"))).as[Long]
+        .flatMap { k =>
+          val n = (k % 2).toInt // extra items beyond the first
+          def items[T](f: Int => T): Seq[T] = (0 to n).map(f)
+          (k % 7) match {
+            case 0 =>
+              val vers = items(i =>
+                s""""0.$i":{"Date/Publication":"D$k$i"}""").mkString(",")
+              val json =
+                s"""{"timeline":{"0.0":"T$k"},"versions":{$vers}}"""
+              EP.cranVersions(json).map(v =>
+                (k, "cran", v.value, v.releaseDate.orNull, null: String,
+                  null: String))
+            case 1 =>
+              val vers = items(i => s""""1.$i":"normal"""").mkString(",")
+              val json = s"""{"":"x",$vers}"""
+              EP.hackageVersions(json).map(v =>
+                (k, "hackage", v, null: String, null: String,
+                  null: String))
+            case 2 =>
+              val vers = items { i =>
+                val home =
+                  if (i % 2 == 0) s""","homepage":"ph$k"""" else ""
+                s"""{"version":"2.$i","published":"P$k$i",""" +
+                  s""""pubspec":{"description":"pd $k"$home}}"""
+              }.mkString(",")
+              EP.pubVersions(s"""{"versions":[$vers]}""").map(v =>
+                (k, "pub", v.version, v.description.orNull,
+                  v.homepage.orNull, v.published.orNull))
+            case 3 =>
+              val tags = items(i => s"""{"name":"v$k.$i"}""")
+                .mkString(",")
+              EP.githubTags(s"""[$tags,{"noname":1}]""").map(t =>
+                (k, "github", t, null: String, null: String,
+                  null: String))
+            case 4 =>
+              val tags = items(i =>
+                s"""{"name":"g$k.$i","commit":{"author_name":"A$k",""" +
+                  s""""author_email":"a@e$k","created_at":"C$k$i"}}""")
+                .mkString(",")
+              EP.gitlabTags(s"""[$tags]""").map(t =>
+                (k, "gitlab", t.name, t.author.orNull, t.email.orNull,
+                  t.date.orNull))
+            case 5 =>
+              val res = items(i =>
+                s"""{"name":"d$k.$i","digest":"sha256:$k$i",""" +
+                  s""""full_size":${k * 7 + i},""" +
+                  s""""tag_last_pushed":"U$k$i",""" +
+                  s""""last_updater_username":"u$k"}""").mkString(",")
+              EP.dockerhubTags(s"""{"results":[$res],"next":null}""")
+                ._1.map(t =>
+                  (k, "dockerhub", t.name, t.digest.orNull,
+                    t.size.map(_.toString).orNull, t.lastPushed.orNull))
+            case _ =>
+              val json =
+                s"""{"sha":"h$k","author":"au$k","createdAt":"M$k",""" +
+                  s""""siblings":[{"rfilename":"model.bin"},""" +
+                  s"""{"rfilename":"x.txt"},{"rfilename":"w$k.bin"}],""" +
+                  s""""cardData":{"license":"mit"}}"""
+              EP.huggingfaceModel(json).toSeq.flatMap(m =>
+                m.binFiles.map(f =>
+                  (k, "huggingface", f, m.sha.orNull, m.author.orNull,
+                    m.license.orNull)))
+          }
+        }
+        .toDF("k", "eco", "item", "a", "b", "c")
+        .orderBy("k", "item")
+    },
+    Some("""WITH base AS (
+        SELECT p_partkey AS k, p_partkey % 7 AS e,
+          CAST(p_partkey % 2 AS BIGINT) AS n
+        FROM part WHERE p_partkey < 210),
+      ii AS (SELECT 0 AS i UNION ALL SELECT 1),
+      multi AS (SELECT k, e, i FROM base JOIN ii ON i <= n),
+      rows0 AS (
+        SELECT k, 'cran' AS eco,
+          '0.' || CAST(i AS VARCHAR) AS item,
+          CASE WHEN i = 0 THEN 'T' || CAST(k AS VARCHAR)
+            ELSE 'D' || CAST(k AS VARCHAR) || CAST(i AS VARCHAR) END AS a,
+          CAST(NULL AS VARCHAR) AS b, CAST(NULL AS VARCHAR) AS c
+        FROM multi WHERE e = 0
+        UNION ALL
+        SELECT k, 'hackage', '1.' || CAST(i AS VARCHAR),
+          NULL, NULL, NULL
+        FROM multi WHERE e = 1
+        UNION ALL
+        SELECT k, 'pub', '2.' || CAST(i AS VARCHAR),
+          'pd ' || CAST(k AS VARCHAR),
+          CASE WHEN i % 2 = 0 THEN 'ph' || CAST(k AS VARCHAR) END,
+          'P' || CAST(k AS VARCHAR) || CAST(i AS VARCHAR)
+        FROM multi WHERE e = 2
+        UNION ALL
+        SELECT k, 'github',
+          'v' || CAST(k AS VARCHAR) || '.' || CAST(i AS VARCHAR),
+          NULL, NULL, NULL
+        FROM multi WHERE e = 3
+        UNION ALL
+        SELECT k, 'gitlab',
+          'g' || CAST(k AS VARCHAR) || '.' || CAST(i AS VARCHAR),
+          'A' || CAST(k AS VARCHAR), 'a@e' || CAST(k AS VARCHAR),
+          'C' || CAST(k AS VARCHAR) || CAST(i AS VARCHAR)
+        FROM multi WHERE e = 4
+        UNION ALL
+        SELECT k, 'dockerhub',
+          'd' || CAST(k AS VARCHAR) || '.' || CAST(i AS VARCHAR),
+          'sha256:' || CAST(k AS VARCHAR) || CAST(i AS VARCHAR),
+          CAST(k * 7 + i AS VARCHAR),
+          'U' || CAST(k AS VARCHAR) || CAST(i AS VARCHAR)
+        FROM multi WHERE e = 5
+        UNION ALL
+        SELECT k, 'huggingface', 'model.bin',
+          'h' || CAST(k AS VARCHAR), 'au' || CAST(k AS VARCHAR), 'mit'
+        FROM base WHERE e = 6
+        UNION ALL
+        SELECT k, 'huggingface',
+          'w' || CAST(k AS VARCHAR) || '.bin',
+          'h' || CAST(k AS VARCHAR), 'au' || CAST(k AS VARCHAR), 'mit'
+        FROM base WHERE e = 6)
+      SELECT k, eco, item, a, b, c FROM rows0
+      ORDER BY k, item"""))
+
   val defs: Seq[QueryDef] =
     Seq(s4json, s8html, s10sync, cdHarvest, cdResources, mmFeatures,
       mmImageStats, mmAudioStats, mmVideoFrames, s9ls, s11apk,
-      x1visitor, x2mapper, s7pom, s5nexus, s15publish, s11deb, s11ipk)
+      x1visitor, x2mapper, s7pom, s5nexus, s15publish, s11deb, s11ipk,
+      s11json)
 }
