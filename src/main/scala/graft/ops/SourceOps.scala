@@ -1427,9 +1427,146 @@ FROM norm2 ORDER BY media_id"""))
       SELECT k, eco, item, a, b, c FROM rows0
       ORDER BY k, item"""))
 
+  /** S11 (remaining flavors) — six more real collector parsers under
+    * one driver oracle: conda repodata (packages vs packages.conda
+    * bucket by identifier suffix), cpan release-search (license
+    * string-vs-array), nix package (release/platform/output walk,
+    * outputs without a path dropped), bitbucket tags (display_name →
+    * raw author fallback, date → target.date fallback), the gem
+    * metadata chain (plain tar → gzipped `metadata.gz`), and
+    * narinfo + `.PKGINFO` (repeatable keys, `#` comments).
+    * References: `minecode/miners/{conda,nix,alpm,rubygems}.py`,
+    * `minecode/collectors/{cpan,bitbucket}.py`. */
+  val s11json2 = QueryDef(
+    "s11_registry_json2", "S11/S4/S6",
+    "conda/cpan/nix/bitbucket/gem/narinfo parsers over fixtures",
+    (s, dir) => {
+      import s.implicits._
+      import graft.sources.{EcosystemParsers => EP, GzipTolerant}
+      par(t(s, dir, "part").filter(col("p_partkey") < 180)
+        .select(col("p_partkey").as("k"))).as[Long]
+        .flatMap { k =>
+          (k % 6) match {
+            case 0 =>
+              val ident =
+                if (k % 2 == 0) s"p$k-1.0.tar.bz2" else s"p$k-1.0.conda"
+              val bucket =
+                if (k % 2 == 0) "packages" else "packages.conda"
+              val json = s"""{"$bucket":{"$ident":{"sha256":"cs$k",""" +
+                s""""md5":"cm$k","size":${k * 11},"license":"BSD",""" +
+                s""""depends":["python >=3.8","libc"]}}}"""
+              EP.condaRepodata(json, ident).toSeq.map(m =>
+                (k, "conda", ident, m.sha256.orNull, m.license.orNull,
+                  m.depends.mkString("|")))
+            case 1 =>
+              val lic =
+                if (k % 2 == 0) """["perl_5","mit"]""" else "\"artistic\""
+              val json = s"""{"hits":{"hits":[{"_source":{""" +
+                s""""version":"4.${k % 5}","download_url":"du$k",""" +
+                s""""date":"dt$k","abstract":"ab $k","license":$lic,""" +
+                s""""checksum_sha256":"ck$k","author":"AU$k"}},""" +
+                s"""{"_source":{"version":"ignored"}}]}}"""
+              EP.cpanRelease(json).toSeq.map(r =>
+                (k, "cpan", r.version, r.downloadUrl.orNull,
+                  r.licenses.mkString("|"), r.author.orNull))
+            case 2 =>
+              val lic =
+                if (k % 2 == 0) """["mit","bsd"]""" else "\"gpl2\""
+              val json = s"""{"summary":"ns $k","license":$lic,""" +
+                s""""releases":[{"version":"5.${k % 4}","platforms":""" +
+                s"""[{"system":"x86_64-linux","date":"nd$k",""" +
+                s""""commit_hash":"ch$k","outputs":[""" +
+                s"""{"name":"out","path":"/nix/store/p$k"},""" +
+                s"""{"name":"dev"}]}]}]}"""
+              EP.nixPackage(json).toSeq.flatMap(p => p.releases.map(r =>
+                (k, "nix", r.version, p.summary.orNull,
+                  p.licenses.mkString("|"),
+                  r.platforms.flatMap(_.outputs)
+                    .map(o => s"${o.name}:${o.storePath}")
+                    .mkString("|"))))
+            case 3 =>
+              val author =
+                if (k % 2 == 0)
+                  s"""{"user":{"display_name":"DN$k"}}"""
+                else s"""{"raw":"RAW$k"}"""
+              val date =
+                if (k % 3 == 0) s""""date":"bd$k",""" else ""
+              val json = s"""{"values":[{"name":"b$k.1",$date""" +
+                s""""target":{"author":$author,"date":"td$k"}}],""" +
+                s""""next":"page2$k"}"""
+              val (tags, next) = EP.bitbucketTags(json)
+              tags.map(t =>
+                (k, "bitbucket", t.name, t.author.orNull, t.date.orNull,
+                  next.orNull))
+            case 4 =>
+              val yaml = s"name: gem$k\nversion: 1.${k % 3}\n"
+              val gem = buildTar(Seq(
+                "./checksums.yaml.gz" ->
+                  GzipTolerant.gzip("x: 1\n".getBytes("UTF-8")),
+                "./metadata.gz" ->
+                  GzipTolerant.gzip(yaml.getBytes("UTF-8"))))
+              EP.gemMetadataText(gem).toSeq.map(t =>
+                (k, "gem", "metadata", t, null: String, null: String))
+            case _ =>
+              val nar = EP.narinfoUrl(
+                s"StorePath: /nix/store/p$k\nURL: nar/x$k.nar.xz\n")
+              val pi = EP.pkginfo(
+                s"# generated\npkgname = a$k\nlicense = MIT\n" +
+                  "license = GPL\nbadline\n")
+              Seq((k, "narinfo_pkginfo", "nar", nar.orNull,
+                pi.get("license").map(_.mkString("|")).orNull,
+                pi.get("pkgname").map(_.mkString("|")).orNull))
+          }
+        }
+        .toDF("k", "eco", "item", "a", "b", "c")
+        .orderBy("k", "item")
+    },
+    Some("""WITH base AS (
+        SELECT p_partkey AS k, p_partkey % 6 AS e
+        FROM part WHERE p_partkey < 180)
+      SELECT k, 'conda' AS eco,
+        'p' || CAST(k AS VARCHAR) ||
+          CASE WHEN k % 2 = 0 THEN '-1.0.tar.bz2'
+            ELSE '-1.0.conda' END AS item,
+        'cs' || CAST(k AS VARCHAR) AS a, 'BSD' AS b,
+        'python >=3.8|libc' AS c
+      FROM base WHERE e = 0
+      UNION ALL
+      SELECT k, 'cpan', '4.' || CAST(k % 5 AS VARCHAR),
+        'du' || CAST(k AS VARCHAR),
+        CASE WHEN k % 2 = 0 THEN 'perl_5|mit' ELSE 'artistic' END,
+        'AU' || CAST(k AS VARCHAR)
+      FROM base WHERE e = 1
+      UNION ALL
+      SELECT k, 'nix', '5.' || CAST(k % 4 AS VARCHAR),
+        'ns ' || CAST(k AS VARCHAR),
+        CASE WHEN k % 2 = 0 THEN 'mit|bsd' ELSE 'gpl2' END,
+        'out:/nix/store/p' || CAST(k AS VARCHAR)
+      FROM base WHERE e = 2
+      UNION ALL
+      SELECT k, 'bitbucket', 'b' || CAST(k AS VARCHAR) || '.1',
+        CASE WHEN k % 2 = 0 THEN 'DN' || CAST(k AS VARCHAR)
+          ELSE 'RAW' || CAST(k AS VARCHAR) END,
+        CASE WHEN k % 3 = 0 THEN 'bd' || CAST(k AS VARCHAR)
+          ELSE 'td' || CAST(k AS VARCHAR) END,
+        'page2' || CAST(k AS VARCHAR)
+      FROM base WHERE e = 3
+      UNION ALL
+      SELECT k, 'gem', 'metadata',
+        'name: gem' || CAST(k AS VARCHAR) || chr(10) || 'version: 1.'
+          || CAST(k % 3 AS VARCHAR) || chr(10),
+        NULL, NULL
+      FROM base WHERE e = 4
+      UNION ALL
+      SELECT k, 'narinfo_pkginfo', 'nar',
+        'nar/x' || CAST(k AS VARCHAR) || '.nar.xz',
+        'MIT|GPL', 'a' || CAST(k AS VARCHAR)
+      FROM base WHERE e = 5
+      ORDER BY k, item"""))
+
   val defs: Seq[QueryDef] =
     Seq(s4json, s8html, s10sync, cdHarvest, cdResources, mmFeatures,
       mmImageStats, mmAudioStats, mmVideoFrames, s9ls, s11apk,
       x1visitor, x2mapper, s7pom, s5nexus, s15publish, s11deb, s11ipk,
-      s11json)
+      s11json, s11json2)
 }
