@@ -1564,9 +1564,135 @@ FROM norm2 ORDER BY media_id"""))
       FROM base WHERE e = 5
       ORDER BY k, item"""))
 
+  /** Registry document JSON for the npm mapper fixture: every
+    * npmOnePackage branch keyed off k — scoped vs plain names (the
+    * tarball file name drops the scope), license string vs dict vs
+    * legacy `licenses` list, repository string vs object with the
+    * `git+` prefix rule and the gitHead suffix, bugs string vs
+    * object, author object + contributor string/object + non-array
+    * maintainers, scope-less `@bad` dependency dropped, scoped dep
+    * purl percent-encoding, and empty devDependency requirements. */
+  private def npmDocJson(k: Long): String = {
+    val name = if (k % 4 == 0) s"@sc$k/nl$k" else s"nl$k"
+    val versions = (0 to (k % 2).toInt).map { i =>
+      val kw = (k % 3) match {
+        case 0 => s""""keywords":["k1","k2$k"],"""
+        case 1 => """"keywords":"solo","""
+        case _ => ""
+      }
+      val home =
+        if (k % 5 != 0) s""""homepage":"https://nh.example/$k",""" else ""
+      val lic = (k % 4) match {
+        case 0 => """"license":"MIT","""
+        case 1 => """"license":{"type":"ISC","url":"https://isc.example"},"""
+        case 2 => """"licenses":[{"type":"BSD","url":""}],"""
+        case _ => ""
+      }
+      val repo =
+        if (k % 2 == 0) s""""repository":"https://github.com/u/r$k","""
+        else s""""repository":{"url":"git://gh/r$k"},"""
+      val head = if (k % 3 == 0) s""""gitHead":"dh$k",""" else ""
+      val bugs =
+        if (k % 2 == 0) s""""bugs":{"url":"https://bugs.example/$k"},"""
+        else s""""bugs":"https://bugsstr.example/$k","""
+      s""""3.$i":{"name":"$name","version":"3.$i",""" +
+        s""""description":"nd $k",$kw$home$lic$repo$head$bugs""" +
+        s""""dist":{"shasum":"sha$k$i"},""" +
+        s""""author":{"name":"An $k","email":"an$k@e"},""" +
+        s""""contributors":["C One <c1$k@e> (https://c1)",""" +
+        s"""{"name":"C2 $k"}],""" +
+        s""""maintainers":{"name":"M $k"},""" +
+        s""""dependencies":{"depa":"^1.0","@bad":"1.0","@sc/x":"2.0"},""" +
+        s""""devDependencies":{"devd":""}}"""
+    }.mkString(",")
+    s"""{"versions":{$versions}}"""
+  }
+
+  /** X2 (npm flavor) — the reference's highest-traffic mapper under
+    * the driver oracle: the real `Mappers.npmVersionPackages`
+    * (`minecode/miners/npm.py:121-134`, behavior pinned upstream by
+    * seven expected fixtures) over [[npmDocJson]] registry documents;
+    * purls, canonical tarball URLs, YAML license statements, vcs
+    * normalization, parties and scoped dependencies all re-derived in
+    * closed form. */
+  val x2npm = QueryDef(
+    "x2_mapper_npm", "X2/X7/F1",
+    "real npm version mapper over fixture registry documents",
+    (s, dir) => {
+      import s.implicits._
+      par(t(s, dir, "part").filter(col("p_partkey") < 200)
+        .select(col("p_partkey").as("k"))).as[Long]
+        .flatMap { k =>
+          graft.miners.Mappers.npmVersionPackages(npmDocJson(k)).map { mp =>
+            val r = mp.row
+            (r.download_url, r.name, r.version.orNull, r.sha1.orNull,
+              r.declared_license_expression.orNull, r.description.orNull,
+              r.homepage_url.orNull, r.keywords.mkString("|"),
+              mp.vcsUrl.orNull, mp.bugTrackingUrl.orNull,
+              mp.dependencies.map(d => Seq(d.purl,
+                d.extracted_requirement.getOrElse(""),
+                d.scope.getOrElse("")).mkString(",")).mkString("|"),
+              mp.parties.map(p => Seq(p.role.getOrElse(""),
+                p.name.getOrElse(""), p.email.getOrElse(""))
+                .mkString(":")).mkString("|"))
+          }
+        }
+        .toDF("download_url", "name", "version", "sha1", "license",
+          "description", "homepage", "kw", "vcs", "bugs", "deps",
+          "parties")
+        .orderBy("download_url")
+    },
+    Some("""WITH base AS (
+        SELECT p_partkey AS k,
+          CASE WHEN p_partkey % 4 = 0
+            THEN '@sc' || CAST(p_partkey AS VARCHAR) || '/nl'
+              || CAST(p_partkey AS VARCHAR)
+            ELSE 'nl' || CAST(p_partkey AS VARCHAR) END AS name,
+          'nl' || CAST(p_partkey AS VARCHAR) AS file_name
+        FROM part WHERE p_partkey < 200),
+      v AS (
+        SELECT k, name, file_name, i, '3.' || CAST(i AS VARCHAR) AS ver
+        FROM base, (SELECT 0 AS i UNION ALL SELECT 1) s
+        WHERE i <= k % 2)
+      SELECT
+        'https://registry.npmjs.org/' || name || '/-/' || file_name
+          || '-' || ver || '.tgz' AS download_url,
+        name, ver AS version,
+        'sha' || CAST(k AS VARCHAR) || CAST(i AS VARCHAR) AS sha1,
+        CASE k % 4
+          WHEN 0 THEN '- MIT' || chr(10)
+          WHEN 1 THEN '- type: ISC' || chr(10)
+            || '  url: https://isc.example' || chr(10)
+          WHEN 2 THEN '- type: BSD' || chr(10) || '  url:' || chr(10)
+        END AS license,
+        'nd ' || CAST(k AS VARCHAR) AS description,
+        CASE WHEN k % 5 <> 0
+          THEN 'https://nh.example/' || CAST(k AS VARCHAR)
+        END AS homepage,
+        CASE k % 3
+          WHEN 0 THEN 'k1|k2' || CAST(k AS VARCHAR)
+          WHEN 1 THEN 'solo' ELSE '' END AS kw,
+        CASE WHEN k % 2 = 0
+          THEN 'git+https://github.com/u/r' || CAST(k AS VARCHAR)
+          ELSE 'git://gh/r' || CAST(k AS VARCHAR) END
+          || CASE WHEN k % 3 = 0
+            THEN '@dh' || CAST(k AS VARCHAR) ELSE '' END AS vcs,
+        CASE WHEN k % 2 = 0
+          THEN 'https://bugs.example/' || CAST(k AS VARCHAR)
+          ELSE 'https://bugsstr.example/' || CAST(k AS VARCHAR)
+        END AS bugs,
+        'pkg:npm/depa,^1.0,dependencies|pkg:npm/%40sc/x,2.0,'
+          || 'dependencies|pkg:npm/devd,,devDependencies' AS deps,
+        'author:An ' || CAST(k AS VARCHAR) || ':an'
+          || CAST(k AS VARCHAR) || '@e'
+          || '|contributor:C One:c1' || CAST(k AS VARCHAR) || '@e'
+          || '|contributor:C2 ' || CAST(k AS VARCHAR) || ':'
+          || '|maintainer:M ' || CAST(k AS VARCHAR) || ':' AS parties
+      FROM v ORDER BY download_url"""))
+
   val defs: Seq[QueryDef] =
     Seq(s4json, s8html, s10sync, cdHarvest, cdResources, mmFeatures,
       mmImageStats, mmAudioStats, mmVideoFrames, s9ls, s11apk,
       x1visitor, x2mapper, s7pom, s5nexus, s15publish, s11deb, s11ipk,
-      s11json, s11json2)
+      s11json, s11json2, x2npm)
 }
