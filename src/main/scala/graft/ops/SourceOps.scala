@@ -1690,9 +1690,148 @@ FROM norm2 ORDER BY media_id"""))
           || '|maintainer:M ' || CAST(k AS VARCHAR) || ':' AS parties
       FROM v ORDER BY download_url"""))
 
+  /** X2 (packagist/cargo/gem flavors) — three more real mappers under
+    * one driver oracle: packagist (composer names keep the vendor
+    * prefix, git-only vcs with `git+`, duplicate licenses collapse to
+    * a newline join), cargo (crates.io dl_path expansion, UNKNOWN
+    * license dropped, published_by name→login fallback), and the
+    * RubyGems versions API (summary-equal description suppressed,
+    * date-only release timestamps, YAML license list).
+    * References: `minecode/miners/{packagist,rubygems}.py`,
+    * `minecode/collectors/cargo.py`. */
+  val x2registry = QueryDef(
+    "x2_mapper_registry", "X2/X7/F8",
+    "real packagist, cargo and gem mappers over fixture responses",
+    (s, dir) => {
+      import s.implicits._
+      import graft.miners.Mappers
+      par(t(s, dir, "part").filter(col("p_partkey") < 210)
+        .select(col("p_partkey").as("k"))).as[Long]
+        .flatMap { k =>
+          def items(f: Int => String): String =
+            (0 to (k % 2).toInt).map(f).mkString(",")
+          val mapped: Seq[Mappers.MappedPackage] = (k % 3) match {
+            case 0 =>
+              val src =
+                if (k % 2 == 0)
+                  s""""source":{"type":"git","url":"https://gh/src$k"},"""
+                else """"source":{"type":"svn","url":"https://svn/x"},"""
+              val kw =
+                if (k % 4 == 0) """"keywords":["pk1","pk2"],""" else ""
+              val home =
+                if (k % 5 != 0)
+                  s""""homepage":"https://ph.example/$k",""" else ""
+              val vers = items(i =>
+                s""""1.$i":{"name":"ven$k/lib$k","version":"1.$i",""" +
+                  s""""dist":{"url":"https://dist.example/$k-$i.zip",""" +
+                  s""""shasum":"ps$k$i"},$src$kw$home""" +
+                  s""""license":["MIT","MIT","GPL"],""" +
+                  s""""authors":[{"name":"PA $k","email":"pa$k@e"}],""" +
+                  s""""description":"pdesc $k"}""")
+              Mappers.packagistPackages(
+                s"""{"package":{"language":"PHP","versions":{$vers}}}""")
+            case 1 =>
+              val by =
+                if (k % 2 == 0) """{"name":"CN"}""" else """{"login":"cl"}"""
+              val lic =
+                if (k % 2 == 0) """"license":"Apache-2.0","""
+                else """"license":"UNKNOWN","""
+              val home =
+                if (k % 7 != 0)
+                  s""""homepage":"https://ch.example/$k",""" else ""
+              val vers = items(i =>
+                s"""{"num":"0.$i.0","crate":"cr$k",""" +
+                  s""""dl_path":"/api/v1/crates/cr$k/0.$i.0/download",""" +
+                  s"""$lic$home"description":"cd $k",""" +
+                  s""""crate_size":${k * 13 + i},"checksum":"cc$k$i",""" +
+                  s""""published_by":$by}""")
+              Mappers.cargoPackages(
+                s"""{"crate":{"keywords":["ck$k"]},"versions":[$vers]}""",
+                None)
+            case _ =>
+              val desc =
+                if (k % 2 == 0) s"gs $k" else s"gl $k"
+              val vers = items(i =>
+                s"""{"number":"2.$i","summary":"gs $k",""" +
+                  s""""description":"$desc","sha":"gh$k$i",""" +
+                  s""""created_at":"2022-0${1 + k % 9}-15T10:00:00Z",""" +
+                  s""""licenses":["MIT"],"authors":"GA $k"}""")
+              Mappers.gemApiPackages(s"""[$vers]""", s"gm$k")
+          }
+          mapped.map { mp =>
+            val r = mp.row
+            (k, r.ptype, r.name, r.version.orNull, r.download_url,
+              r.sha1.orElse(r.sha256).orNull,
+              r.declared_license_expression.orNull, r.description.orNull,
+              r.homepage_url.orNull, r.keywords.mkString("|"),
+              mp.vcsUrl.orNull,
+              mp.parties.headOption.flatMap(_.name).orNull,
+              r.release_date.orNull)
+          }
+        }
+        .toDF("k", "eco", "name", "version", "download_url", "checksum",
+          "license", "description", "homepage", "kw", "vcs", "author",
+          "release_date")
+        .orderBy("k", "version")
+    },
+    Some("""WITH base AS (
+        SELECT p_partkey AS k, p_partkey % 3 AS e
+        FROM part WHERE p_partkey < 210),
+      v AS (
+        SELECT k, e, i FROM base,
+          (SELECT 0 AS i UNION ALL SELECT 1) s
+        WHERE i <= k % 2)
+      SELECT k, 'composer' AS eco,
+        'ven' || CAST(k AS VARCHAR) || '/lib' || CAST(k AS VARCHAR)
+          AS name,
+        '1.' || CAST(i AS VARCHAR) AS version,
+        'https://dist.example/' || CAST(k AS VARCHAR) || '-'
+          || CAST(i AS VARCHAR) || '.zip' AS download_url,
+        'ps' || CAST(k AS VARCHAR) || CAST(i AS VARCHAR) AS checksum,
+        'MIT' || chr(10) || 'GPL' AS license,
+        'pdesc ' || CAST(k AS VARCHAR) AS description,
+        CASE WHEN k % 5 <> 0
+          THEN 'https://ph.example/' || CAST(k AS VARCHAR)
+        END AS homepage,
+        CASE WHEN k % 4 = 0 THEN 'pk1|pk2' ELSE '' END AS kw,
+        CASE WHEN k % 2 = 0
+          THEN 'git+https://gh/src' || CAST(k AS VARCHAR) END AS vcs,
+        'PA ' || CAST(k AS VARCHAR) AS author,
+        CAST(NULL AS TIMESTAMP) AS release_date
+      FROM v WHERE e = 0
+      UNION ALL
+      SELECT k, 'cargo', 'cr' || CAST(k AS VARCHAR),
+        '0.' || CAST(i AS VARCHAR) || '.0',
+        'https://crates.io/api/v1/crates/cr' || CAST(k AS VARCHAR)
+          || '/0.' || CAST(i AS VARCHAR) || '.0/download',
+        'cc' || CAST(k AS VARCHAR) || CAST(i AS VARCHAR),
+        CASE WHEN k % 2 = 0 THEN '- Apache-2.0' || chr(10) END,
+        'cd ' || CAST(k AS VARCHAR),
+        CASE WHEN k % 7 <> 0
+          THEN 'https://ch.example/' || CAST(k AS VARCHAR) END,
+        'ck' || CAST(k AS VARCHAR),
+        CAST(NULL AS VARCHAR),
+        CASE WHEN k % 2 = 0 THEN 'CN' ELSE 'cl' END,
+        CAST(NULL AS TIMESTAMP)
+      FROM v WHERE e = 1
+      UNION ALL
+      SELECT k, 'gem', 'gm' || CAST(k AS VARCHAR),
+        '2.' || CAST(i AS VARCHAR), '',
+        'gh' || CAST(k AS VARCHAR) || CAST(i AS VARCHAR),
+        '- MIT' || chr(10),
+        CASE WHEN k % 2 = 0 THEN 'gs ' || CAST(k AS VARCHAR)
+          ELSE 'gs ' || CAST(k AS VARCHAR) || chr(10) || 'gl '
+            || CAST(k AS VARCHAR) END,
+        CAST(NULL AS VARCHAR), '', CAST(NULL AS VARCHAR),
+        'GA ' || CAST(k AS VARCHAR),
+        CAST('2022-0' || CAST(1 + k % 9 AS VARCHAR) || '-15 00:00:00'
+          AS TIMESTAMP)
+      FROM v WHERE e = 2
+      ORDER BY k, version"""))
+
   val defs: Seq[QueryDef] =
     Seq(s4json, s8html, s10sync, cdHarvest, cdResources, mmFeatures,
       mmImageStats, mmAudioStats, mmVideoFrames, s9ls, s11apk,
       x1visitor, x2mapper, s7pom, s5nexus, s15publish, s11deb, s11ipk,
-      s11json, s11json2, x2npm)
+      s11json, s11json2, x2npm, x2registry)
 }
