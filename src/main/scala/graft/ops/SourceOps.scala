@@ -1829,9 +1829,169 @@ FROM norm2 ORDER BY media_id"""))
       FROM v WHERE e = 2
       ORDER BY k, version"""))
 
+  /** X2 (bower/freebsd/fdroid/haxe flavors) — four more real mappers
+    * under one driver oracle: bower (author vs `x: name` authors
+    * fallback, licenses string-vs-array), the FreeBSD INDEX line
+    * stream (non-JSON lines dropped, arch/origin qualifiers, the
+    * python-dict-shaped license statement), f-droid (localized
+    * name/summary/description prefix suppression, apk + src rows per
+    * version), and haxelib (contributor profile parties,
+    * percent-encoded pinned dependency purls).
+    * References: `minecode/miners/{bower,freebsd,haxe}.py`,
+    * `minecode/collectors/fdroid.py`. */
+  val x2registry2 = QueryDef(
+    "x2_mapper_registry2", "X2/X7/F11",
+    "real bower, freebsd, fdroid and haxe mappers over fixtures",
+    (s, dir) => {
+      import s.implicits._
+      import graft.miners.Mappers
+      par(t(s, dir, "part").filter(col("p_partkey") < 200)
+        .select(col("p_partkey").as("k"))).as[Long]
+        .flatMap { k =>
+          val mapped: Seq[(Mappers.MappedPackage, String)] = (k % 4) match {
+            case 0 =>
+              val repo =
+                if (k % 2 == 0)
+                  s""""repository":{"type":"git","url":"https://gh/bw$k"},"""
+                else """"repository":{"type":"git"},"""
+              val lic = (k % 3) match {
+                case 0 => """"licenses":["MIT","Apache-2.0"],"""
+                case 1 => """"licenses":"GPL","""
+                case _ => ""
+              }
+              val who =
+                if (k % 2 == 0) s""""author":"BA $k","""
+                else s""""authors":["x: BN $k","plain"],"""
+              val json = s"""{"name":"bw$k","version":"0.${k % 5}",""" +
+                repo + lic + who +
+                s""""keywords":["bk$k"],"description":"bw desc $k",""" +
+                s""""homepage":"https://bh.example/$k"}"""
+              Mappers.bowerPackages(json, "u").map((_, null: String))
+            case 1 =>
+              val arch =
+                if (k % 2 == 0) """"arch":"freebsd:13:x86:64",""" else ""
+              val logic =
+                if (k % 3 == 0) """"licenselogic":"single",""" else ""
+              val line = s"""{"name":"fb$k","version":"4.${k % 3}",""" +
+                arch + logic +
+                s""""origin":"devel/fb$k","licenses":["BSD2CLAUSE"],""" +
+                s""""desc":"fb desc $k","categories":["devel","net"]}"""
+              val text = s"{\nnot json\n$line\n}\n"
+              Mappers.freebsdIndexPackages(text)
+                .map(mp => (mp, mp.row.qualifiers.orNull))
+            case 2 =>
+              val summary =
+                if (k % 2 == 0) s"App $k plus" else s"Sum $k"
+              val src =
+                if (k % 3 == 0)
+                  s""","src":{"name":"app$k-src.tar.gz","sha256":"ss$k"}"""
+                else ""
+              val json = s"""{"metadata":{""" +
+                s""""name":{"en-US":"App $k"},""" +
+                s""""summary":{"en-US":"$summary"},""" +
+                s""""description":{"en-US":"Desc $k"},""" +
+                s""""license":"GPL-3.0","categories":["cat$k"],""" +
+                s""""webSite":"https://fw.example/$k",""" +
+                s""""sourceCode":"https://src.example/$k",""" +
+                s""""authorName":"FA $k"},""" +
+                s""""versions":{"v":{""" +
+                s""""manifest":{"versionCode":${100 + k % 9}},""" +
+                s""""file":{"name":"/app$k.apk","sha256":"fs$k",""" +
+                s""""size":${k * 17}}$src}}}"""
+              Mappers.fdroidPackages(s"pkg:fdroid/app$k", json)
+                .map((_, null: String))
+            case _ =>
+              val json = s"""{"name":"hx$k","version":"1.${k % 4}",""" +
+                s""""contributors":["hc$k"],""" +
+                s""""dependencies":{"dlib":"1.0 beta","dfree":""},""" +
+                s""""description":"hx desc $k","license":"MIT"}"""
+              Mappers.haxePackages(json).map(mp =>
+                (mp, mp.dependencies.map(d =>
+                  d.purl + (if (d.is_pinned) ",pinned" else ",unpinned"))
+                  .mkString("|")))
+          }
+          mapped.map { case (mp, extra) =>
+            val r = mp.row
+            (k, r.ptype, r.name, r.version.orNull, r.download_url,
+              r.declared_license_expression.orNull, r.description.orNull,
+              r.homepage_url.orNull, r.keywords.mkString("|"),
+              mp.vcsUrl.orNull,
+              mp.parties.headOption.flatMap(_.name).orNull, extra)
+          }
+        }
+        .toDF("k", "eco", "name", "version", "download_url", "license",
+          "description", "homepage", "kw", "vcs", "author", "extra")
+        .orderBy("k", "download_url")
+    },
+    Some("""WITH base AS (
+        SELECT p_partkey AS k, p_partkey % 4 AS e
+        FROM part WHERE p_partkey < 200)
+      SELECT k, 'bower' AS eco, 'bw' || CAST(k AS VARCHAR) AS name,
+        '0.' || CAST(k % 5 AS VARCHAR) AS version, '' AS download_url,
+        CASE WHEN k % 3 = 0 THEN '- MIT' || chr(10) || '- Apache-2.0'
+            || chr(10)
+          WHEN k % 3 = 1 THEN '- GPL' || chr(10) END AS license,
+        'bw desc ' || CAST(k AS VARCHAR) AS description,
+        'https://bh.example/' || CAST(k AS VARCHAR) AS homepage,
+        'bk' || CAST(k AS VARCHAR) AS kw,
+        CASE WHEN k % 2 = 0
+          THEN 'git+https://gh/bw' || CAST(k AS VARCHAR) END AS vcs,
+        CASE WHEN k % 2 = 0 THEN 'BA ' || CAST(k AS VARCHAR)
+          ELSE 'BN ' || CAST(k AS VARCHAR) END AS author,
+        CAST(NULL AS VARCHAR) AS extra
+      FROM base WHERE e = 0
+      UNION ALL
+      SELECT k, 'freebsd', 'fb' || CAST(k AS VARCHAR),
+        '4.' || CAST(k % 3 AS VARCHAR),
+        CASE WHEN k % 2 = 0
+          THEN 'https://pkg.freebsd.org/freebsd:13:x86:64/latest/All/fb'
+            || CAST(k AS VARCHAR) || '-4.' || CAST(k % 3 AS VARCHAR)
+            || '.txz'
+          ELSE '' END,
+        '{''licenses'': [''BSD2CLAUSE'']' ||
+          CASE WHEN k % 3 = 0 THEN ', ''licenselogic'': ''single''}'
+            ELSE '}' END,
+        'fb desc ' || CAST(k AS VARCHAR),
+        CAST(NULL AS VARCHAR), 'devel|net', CAST(NULL AS VARCHAR),
+        CAST(NULL AS VARCHAR),
+        CASE WHEN k % 2 = 0
+          THEN 'arch=freebsd:13:x86:64&origin=devel/fb'
+            || CAST(k AS VARCHAR)
+          ELSE 'origin=devel/fb' || CAST(k AS VARCHAR) END
+      FROM base WHERE e = 1
+      UNION ALL
+      SELECT k, 'fdroid', 'app' || CAST(k AS VARCHAR),
+        CAST(100 + k % 9 AS VARCHAR),
+        'https://f-droid.org/repo/app' || CAST(k AS VARCHAR) || du,
+        'GPL-3.0',
+        CASE WHEN k % 2 = 0
+          THEN 'App ' || CAST(k AS VARCHAR) || ' plus' || chr(10)
+            || 'Desc ' || CAST(k AS VARCHAR)
+          ELSE 'App ' || CAST(k AS VARCHAR) || chr(10) || 'Sum '
+            || CAST(k AS VARCHAR) || chr(10) || 'Desc '
+            || CAST(k AS VARCHAR) END,
+        'https://fw.example/' || CAST(k AS VARCHAR),
+        'cat' || CAST(k AS VARCHAR),
+        'https://src.example/' || CAST(k AS VARCHAR),
+        'FA ' || CAST(k AS VARCHAR), CAST(NULL AS VARCHAR)
+      FROM base, (SELECT '.apk' AS du UNION ALL
+        SELECT '-src.tar.gz') s
+      WHERE e = 2 AND (du = '.apk' OR k % 3 = 0)
+      UNION ALL
+      SELECT k, 'haxe', 'hx' || CAST(k AS VARCHAR),
+        '1.' || CAST(k % 4 AS VARCHAR),
+        'https://lib.haxe.org/p/hx' || CAST(k AS VARCHAR) || '/1.'
+          || CAST(k % 4 AS VARCHAR) || '/download/',
+        'MIT', 'hx desc ' || CAST(k AS VARCHAR),
+        CAST(NULL AS VARCHAR), '', CAST(NULL AS VARCHAR),
+        'hc' || CAST(k AS VARCHAR),
+        'pkg:haxe/dlib@1.0%20beta,pinned|pkg:haxe/dfree,unpinned'
+      FROM base WHERE e = 3
+      ORDER BY k, download_url"""))
+
   val defs: Seq[QueryDef] =
     Seq(s4json, s8html, s10sync, cdHarvest, cdResources, mmFeatures,
       mmImageStats, mmAudioStats, mmVideoFrames, s9ls, s11apk,
       x1visitor, x2mapper, s7pom, s5nexus, s15publish, s11deb, s11ipk,
-      s11json, s11json2, x2npm, x2registry)
+      s11json, s11json2, x2npm, x2registry, x2registry2)
 }
