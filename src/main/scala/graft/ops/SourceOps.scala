@@ -1989,9 +1989,171 @@ FROM norm2 ORDER BY media_id"""))
       FROM base WHERE e = 3
       ORDER BY k, download_url"""))
 
+  /** X2 (github/golang/eclipse/apache flavors) — four more real
+    * mappers under one driver oracle: the github repo record (one row
+    * per download, per tag tarball AND zipball, per branch URL, plus
+    * the reference's verbatim `git+('<url>',)` vcs quirk its own
+    * fixtures assert), godoc+purl golang (github-namespace-gated
+    * `git+` prefix, import-path homepage), eclipse projects JSON
+    * (description[0].value with title fallback, one row per
+    * download), and the apache projects record (maintainer parties,
+    * one row per release revision with date-only timestamps).
+    * References: `minecode/miners/{github,golang,eclipse,apache}.py`. */
+  val x2registry3 = QueryDef(
+    "x2_mapper_registry3", "X2/X7/J10",
+    "real github, golang, eclipse and apache mappers over fixtures",
+    (s, dir) => {
+      import s.implicits._
+      import graft.miners.Mappers
+      par(t(s, dir, "part").filter(col("p_partkey") < 200)
+        .select(col("p_partkey").as("k"))).as[Long]
+        .flatMap { k =>
+          val mapped: Seq[(Mappers.MappedPackage, String)] = (k % 4) match {
+            case 0 =>
+              val dls =
+                if (k % 2 == 0)
+                  s""""downloads":[{"html_url":"https://dl.example/gh$k-0.zip",""" +
+                    s""""size":${k * 4},"created_at":"2020-03-04T05:06:07Z"}],"""
+                else ""
+              val brs =
+                if (k % 3 == 0)
+                  s""""branches_download_urls":["https://br.example/gh$k-main"],"""
+                else ""
+              val json = s"""{"full_name":"own$k/gh$k",""" +
+                s""""git_url":"git://gh/own$k/gh$k.git","owner":"own$k",""" +
+                s""""description":"gd $k","language":"C",""" +
+                s""""html_url":"https://github.com/own$k/gh$k",""" +
+                s""""size":${k * 3},$dls$brs""" +
+                s""""tags":[{"name":"t1","sha1":"ts$k",""" +
+                s""""tarball_url":"https://tb.example/gh$k-t1",""" +
+                s""""zipball_url":"https://zb.example/gh$k-t1"}]}"""
+              Mappers.githubPackages(json).map(mp => (mp, mp.vcsUrl.orNull))
+            case 1 =>
+              val host = if (k % 2 == 0) "github.com" else "bitbucket.org"
+              val purl = s"pkg:golang/$host/own$k/go$k" +
+                s"?vcs_repository=https://vr.example/$k"
+              Mappers.golangPackage(s"""{"synopsis":"gosyn $k"}""", purl)
+                .toSeq.map(mp => (mp, mp.vcsUrl.orNull))
+            case 2 =>
+              val desc =
+                if (k % 2 == 0) """"description":[{"value":"ed"}],"""
+                else ""
+              val json = s"""{"projects":{"ecl$k":{$desc""" +
+                s""""title":"et $k",""" +
+                s""""website_url":[{"url":"https://ew.example/$k"}],""" +
+                s""""bugzilla":[{"query_url":"https://eb.example/$k"}],""" +
+                s""""licenses":[{"name":"EPL-2.0"}],""" +
+                s""""download_url":[{"url":"https://edl.example/$k-a"},""" +
+                s"""{"url":"https://edl.example/$k-b"}]}}}"""
+              Mappers.eclipseJsonPackages(json)
+                .map(mp => (mp, mp.bugTrackingUrl.orNull))
+            case _ =>
+              val rels = (0 to (k % 2).toInt).map(i =>
+                s"""{"revision":"9.$i","created":"2021-07-2$i"}""")
+                .mkString(",")
+              val json = s"""{"ap$k":{""" +
+                s""""maintainer":[{"name":"AM $k",""" +
+                s""""mbox":"mailto:am$k@a.org"}],""" +
+                s""""repository":["https://svn.apache.org/repos/asf/ap$k"],""" +
+                s""""category":"db, lib$k",""" +
+                s""""download-page":"https://ap.example/$k/dl",""" +
+                s""""shortdesc":"as $k","description":"ad $k",""" +
+                s""""license":"Apache-2.0",""" +
+                s""""homepage":"https://ap.example/$k",""" +
+                s""""release":[$rels]}}"""
+              Mappers.apacheProjectsPackages(json)
+                .map(mp => (mp, mp.codeViewUrl.orNull))
+          }
+          mapped.map { case (mp, extra) =>
+            val r = mp.row
+            (k, r.ptype, r.name, r.version.orNull, r.download_url,
+              r.declared_license_expression.orNull, r.description.orNull,
+              r.homepage_url.orNull,
+              mp.parties.headOption.flatMap(_.name).orNull,
+              r.release_date.orNull, extra)
+          }
+        }
+        .toDF("k", "eco", "name", "version", "download_url", "license",
+          "description", "homepage", "author", "release_date", "extra")
+        .orderBy("k", "download_url", "version")
+    },
+    Some("""WITH base AS (
+        SELECT p_partkey AS k, p_partkey % 4 AS e
+        FROM part WHERE p_partkey < 200),
+      gh AS (
+        SELECT k, du, ver, sz, rd FROM base,
+          (SELECT 'dl' AS fam UNION ALL SELECT 'tb' UNION ALL
+           SELECT 'zb' UNION ALL SELECT 'br') fams,
+          LATERAL (SELECT
+            CASE fam
+              WHEN 'dl' THEN 'https://dl.example/gh' || CAST(k AS VARCHAR)
+                || '-0.zip'
+              WHEN 'tb' THEN 'https://tb.example/gh' || CAST(k AS VARCHAR)
+                || '-t1'
+              WHEN 'zb' THEN 'https://zb.example/gh' || CAST(k AS VARCHAR)
+                || '-t1'
+              ELSE 'https://br.example/gh' || CAST(k AS VARCHAR)
+                || '-main' END AS du,
+            CASE WHEN fam IN ('tb', 'zb') THEN 't1' END AS ver,
+            CASE WHEN fam = 'dl' THEN k * 4 ELSE k * 3 END AS sz,
+            CASE WHEN fam = 'dl'
+              THEN CAST('2020-03-04 05:06:07' AS TIMESTAMP) END AS rd) x
+        WHERE e = 0 AND (fam IN ('tb', 'zb')
+          OR (fam = 'dl' AND k % 2 = 0)
+          OR (fam = 'br' AND k % 3 = 0)))
+      SELECT k, 'github' AS eco, 'gh' || CAST(k AS VARCHAR) AS name,
+        ver AS version, du AS download_url,
+        CAST(NULL AS VARCHAR) AS license,
+        'gd ' || CAST(k AS VARCHAR) AS description,
+        'https://github.com/own' || CAST(k AS VARCHAR) || '/gh'
+          || CAST(k AS VARCHAR) AS homepage,
+        'own' || CAST(k AS VARCHAR) AS author,
+        rd AS release_date,
+        'git+(''git://gh/own' || CAST(k AS VARCHAR) || '/gh'
+          || CAST(k AS VARCHAR) || '.git'',)' AS extra
+      FROM gh
+      UNION ALL
+      SELECT k, 'golang', 'go' || CAST(k AS VARCHAR),
+        CAST(NULL AS VARCHAR), '', CAST(NULL AS VARCHAR),
+        'gosyn ' || CAST(k AS VARCHAR),
+        'https://' || CASE WHEN k % 2 = 0 THEN 'github.com'
+          ELSE 'bitbucket.org' END || '/own' || CAST(k AS VARCHAR)
+          || '/go' || CAST(k AS VARCHAR),
+        CAST(NULL AS VARCHAR), CAST(NULL AS TIMESTAMP),
+        CASE WHEN k % 2 = 0 THEN 'git+' ELSE '' END
+          || 'https://vr.example/' || CAST(k AS VARCHAR)
+      FROM base WHERE e = 1
+      UNION ALL
+      SELECT k, 'eclipse', 'ecl' || CAST(k AS VARCHAR),
+        CAST(NULL AS VARCHAR),
+        'https://edl.example/' || CAST(k AS VARCHAR) || suf,
+        '- EPL-2.0' || chr(10),
+        CASE WHEN k % 2 = 0 THEN 'ed' ELSE 'et ' || CAST(k AS VARCHAR)
+        END,
+        'https://ew.example/' || CAST(k AS VARCHAR),
+        CAST(NULL AS VARCHAR), CAST(NULL AS TIMESTAMP),
+        'https://eb.example/' || CAST(k AS VARCHAR)
+      FROM base, (SELECT '-a' AS suf UNION ALL SELECT '-b') s
+      WHERE e = 2
+      UNION ALL
+      SELECT k, 'apache', 'ap' || CAST(k AS VARCHAR),
+        '9.' || CAST(i AS VARCHAR),
+        'https://ap.example/' || CAST(k AS VARCHAR) || '/dl',
+        'Apache-2.0',
+        'as ' || CAST(k AS VARCHAR) || chr(10) || 'ad '
+          || CAST(k AS VARCHAR),
+        'https://ap.example/' || CAST(k AS VARCHAR),
+        'AM ' || CAST(k AS VARCHAR),
+        CAST('2021-07-2' || CAST(i AS VARCHAR) || ' 00:00:00'
+          AS TIMESTAMP),
+        'https://svn.apache.org/repos/asf/ap' || CAST(k AS VARCHAR)
+      FROM base, (SELECT 0 AS i UNION ALL SELECT 1) s
+      WHERE e = 3 AND i <= k % 2
+      ORDER BY k, download_url, version"""))
+
   val defs: Seq[QueryDef] =
     Seq(s4json, s8html, s10sync, cdHarvest, cdResources, mmFeatures,
       mmImageStats, mmAudioStats, mmVideoFrames, s9ls, s11apk,
       x1visitor, x2mapper, s7pom, s5nexus, s15publish, s11deb, s11ipk,
-      s11json, s11json2, x2npm, x2registry, x2registry2)
+      s11json, s11json2, x2npm, x2registry, x2registry2, x2registry3)
 }
