@@ -1235,7 +1235,7 @@ FROM norm2 ORDER BY media_id"""))
       val hdr = new Array[Byte](512)
       val nb = name.getBytes("US-ASCII")
       System.arraycopy(nb, 0, hdr, 0, nb.length)
-      val size = ("%011o".format(data.length) + " ").getBytes("US-ASCII")
+      val size = ("%011o".format(data.length) + "\u0000").getBytes("US-ASCII")
       System.arraycopy(size, 0, hdr, 124, size.length)
       hdr(156) = '0'.toByte
       bos.write(hdr)
