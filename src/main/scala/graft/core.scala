@@ -27,17 +27,29 @@ import org.apache.spark.sql.functions._
 object core {
   /** Read one synthetic table from the scale-factor directory.
     *
-    * `events.ts` is written as parquet TIMESTAMP(NANOS), which Spark's
-    * vectorized reader rejects; we read nanos as long
-    * (spark.sql.legacy.parquet.nanosAsLong) and rebuild a proper
-    * TimestampType column — the data is µs-precision, so the ns→µs
-    * conversion is lossless and matches DuckDB's view of the column.
+    * `events.ts` has shipped in two encodings across testdata
+    * generations: parquet TIMESTAMP(NANOS) (which Spark's vectorized
+    * reader rejects — read nanos as long via
+    * spark.sql.legacy.parquet.nanosAsLong and rebuild; the data is
+    * µs-precision so ns→µs truncation is lossless) and plain
+    * TIMESTAMP(MICROS) without UTC adjustment (arrives as
+    * TIMESTAMP_NTZ). Both are normalized to session-zone TimestampType
+    * here — the session runs UTC, so the NTZ cast is value-preserving
+    * and every downstream query sees one stable ts type matching
+    * DuckDB's view of the column.
     */
   def t(s: SparkSession, dir: String, name: String): DataFrame = {
     if (name == "events") {
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      s.read.parquet(s"$dir/$name.parquet")
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val df = s.read.parquet(s"$dir/$name.parquet")
+      df.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        case org.apache.spark.sql.types.TimestampNTZType =>
+          df.withColumn("ts",
+            col("ts").cast(org.apache.spark.sql.types.TimestampType))
+        case _ => df
+      }
     } else {
       s.read.parquet(s"$dir/$name.parquet")
     }

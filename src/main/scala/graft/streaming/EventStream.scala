@@ -14,25 +14,37 @@ import org.apache.spark.sql.types._
   */
 object EventStream {
 
-  /** events.parquet schema as read by the streaming file source
-    * (ns timestamps arrive as long via nanosAsLong, converted here). */
-  val rawSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", LongType), // nanos
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType)))
+  /** events.parquet schema as read by the streaming file source.
+    * `tsType` is the on-disk encoding of `ts`: LongType for the
+    * TIMESTAMP(NANOS) generation (arrives as long via nanosAsLong),
+    * TimestampNTZType for the TIMESTAMP(MICROS) one — a stream source
+    * needs a declared schema, so the caller probes the footer with a
+    * metadata-only batch read and passes the type in. */
+  def rawSchema(tsType: org.apache.spark.sql.types.DataType): StructType =
+    StructType(Seq(
+      StructField("event_id", LongType),
+      StructField("ts", tsType),
+      StructField("user_id", LongType),
+      StructField("event_type", StringType),
+      StructField("value", DoubleType),
+      StructField("props", StringType)))
 
   /** Start a streaming hourly-count query into an in-memory sink named
     * `sinkName`; caller drives it with processAllAvailable(). */
   def hourlyCounts(spark: SparkSession, dir: String,
       sinkName: String): StreamingQuery = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val stream = spark.readStream
-      .schema(rawSchema)
+    // footer-only probe: which ts encoding does this corpus use?
+    val tsOnDisk = spark.read.parquet(dir).schema("ts").dataType
+    val raw = spark.readStream
+      .schema(rawSchema(tsOnDisk))
       .parquet(s"$dir")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val stream = (tsOnDisk match {
+      case LongType => // nanos-as-long generation
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ => // TIMESTAMP(MICROS): NTZ → session-zone (UTC) timestamp
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+    })
       .withWatermark("ts", "2 hours")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"))
