@@ -84,11 +84,15 @@ object DedupOps {
     * 3-token shingles: single tokens are too coarse on small
     * vocabularies (every doc resembles every other); shingling
     * restores discrimination, as in standard MinHash practice. */
-  def lshVerifiedPairs(docs: org.apache.spark.sql.DataFrame)
-      : org.apache.spark.sql.DataFrame = {
-    val sigs = docs
-      .select(col("doc_id"), col("sh"), minhash_sig(col("sh"), 32).as("sig"))
-    val bands = sigs.select(col("doc_id"), col("sig"),
+  /** MinHash band-bucket rows (doc_id, band_idx, band_hash) for a
+    * pre-shingled (doc_id, sh) frame — the LSH bucket structure shared
+    * by the batch candidate join below and the incremental streaming
+    * candidate machine ([[graft.streaming.StreamDedup]]). */
+  def bandFrame(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    docs
+      .select(col("doc_id"), minhash_sig(col("sh"), 32).as("sig"))
+      .select(col("doc_id"),
         explode(expr(
           """transform(sequence(0, 7),
                b -> struct(b AS band_idx,
@@ -97,6 +101,10 @@ object DedupOps {
       .select(col("doc_id"),
         col("band.band_idx").as("band_idx"),
         col("band.band_hash").as("band_hash"))
+
+  def lshVerifiedPairs(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val bands = bandFrame(docs)
     val a = bands.alias("a")
     val b = bands.alias("b")
     val cand = a.join(b,
@@ -324,6 +332,62 @@ object DedupOps {
           ELSE CAST(n_exact AS DOUBLE) / CAST(n_exact AS DOUBLE) END
           AS recall
       FROM n"""))
+
+  /** Streaming-ingest near-dup suppression (first-seen-wins): treat
+    * doc_id as arrival order and suppress any document that matches an
+    * EARLIER one at verified Jaccard ≥ 0.5 — the decision a streaming
+    * corpus-ingest pipeline makes per arriving document. The witness is
+    * the earliest matching arrival; the relation runs against all
+    * earlier documents (kept or suppressed), so the decision for a doc
+    * never depends on the chain of prior decisions — exactly what makes
+    * the incremental bucket-state machine (DedupStreamSpec) and this
+    * batch plan provably equal. Candidates come from the shared
+    * MinHash band buckets (never all-pairs); the oracle mirrors the
+    * decision through the exact-Jaccard pair set, discriminating both
+    * missed candidates and failed verification. */
+  val streamDedup = QueryDef(
+    "d_stream_dedup", "LLM-pipeline dedup: streaming first-seen-wins",
+    "arrival-ordered suppression: dup iff an earlier doc has J ≥ 0.5",
+    (s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"))
+      val wit = verifiedMinhashPairs(s, dir)
+        .groupBy(col("d2").as("doc_id"))
+        .agg(min(col("d1")).as("witness"))
+      docs.join(wit, Seq("doc_id"), "left")
+        .withColumn("is_dup",
+          when(col("witness").isNotNull, 1).otherwise(0))
+        .select("doc_id", "is_dup", "witness")
+        .orderBy("doc_id")
+    },
+    Some("""WITH w AS (
+        SELECT doc_id,
+          list_filter(string_split(text, ' '), x -> x <> '') AS ws
+        FROM documents),
+      sh AS (
+        SELECT doc_id,
+          list_distinct(list_transform(
+            range(1, greatest(len(ws) - 2, 1) + 1),
+            i -> array_to_string(ws[i:i+2], ' '))) AS shs
+        FROM w),
+      grams AS (SELECT doc_id, unnest(shs) AS g FROM sh),
+      sizes AS (SELECT doc_id, len(shs) AS n_sh FROM sh),
+      inter AS (
+        SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS n_common
+        FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+        GROUP BY 1, 2),
+      wit AS (
+        SELECT i.d2 AS doc_id, CAST(MIN(i.d1) AS BIGINT) AS witness
+        FROM inter i
+        JOIN sizes s1 ON i.d1 = s1.doc_id
+        JOIN sizes s2 ON i.d2 = s2.doc_id
+        WHERE CAST(i.n_common AS DOUBLE) /
+            CAST(s1.n_sh + s2.n_sh - i.n_common AS DOUBLE) >= 0.5
+        GROUP BY i.d2)
+      SELECT d.doc_id,
+        CASE WHEN w.witness IS NOT NULL THEN 1 ELSE 0 END AS is_dup,
+        w.witness
+      FROM documents d LEFT JOIN wit w ON d.doc_id = w.doc_id
+      ORDER BY d.doc_id"""))
 
   /** SimHash near-dup with the reference's banded approximate-match
     * plan (J5): 4 equi-join band probes unioned (here: exploded into
@@ -859,5 +923,6 @@ object DedupOps {
       ORDER BY d.doc_id"""))
 
   val defs: Seq[QueryDef] = Seq(exact, minhash, simhash, ngram, clusters,
-    lineDedup, clusterKeeper, decontaminate, lshRecall, lshRecallSampled)
+    lineDedup, clusterKeeper, decontaminate, lshRecall, lshRecallSampled,
+    streamDedup)
 }

@@ -3,6 +3,7 @@ package graft.ops
 import graft._
 import graft.core._
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 
 /** Scale-pattern operators: explicit skew mitigation (salting) and
   * embedding-space near-duplicate detection. AQE handles most skew at
@@ -118,5 +119,75 @@ object ScaleOps {
           (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))) >= 0.4
       ORDER BY id_a, id_b"""))
 
-  val defs: Seq[QueryDef] = Seq(saltedAgg, embedNearDup)
+  /** Temperature-weighted mixture sampling — the multilingual /
+    * multi-domain rebalancing step of a training-data pipeline (the
+    * XLM-R / mT5 recipe): per-group sampling quotas ∝ n^(1/T) with
+    * T=2, so low-resource groups are up-weighted relative to their
+    * share. Everything is deterministic and engine-portable:
+    *  - weights are integer-quantized (floor(sqrt(n)*1e6 + 0.5)) so
+    *    the quota arithmetic is exact integer division, never a
+    *    float sum whose ordering differs between engines;
+    *  - row selection ranks by a fixed LCG permutation of doc_id
+    *    (h = (doc_id*1103515245 + 12345) mod 2^31 — valid for ids up
+    *    to ~8.3e9 before ANSI-mode overflow), the distributed stand-in
+    *    for a seeded shuffle: rank ≤ quota IS the sample.
+    *
+    * 100 TB shape: one groupBy for counts (5-row result, broadcast
+    * back), one window rank per group — a single shuffle over the
+    * corpus, no collect, no iteration. The 2-row crossJoin of scalar
+    * aggregates is a broadcast nested loop over one row, same pattern
+    * as the recall gate. */
+  val mixSample = QueryDef(
+    "a_mix_sample", "LLM-pipeline sampling: temperature mixture",
+    "per-lang quotas ∝ n^(1/2), target 20%, LCG-ranked selection",
+    (s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("lang"))
+      val weights = docs.groupBy("lang")
+        .agg(count(lit(1)).as("n_s"))
+        .withColumn("w",
+          floor(sqrt(asDouble(col("n_s"))) * 1000000.0 + 0.5).cast("long"))
+      val tot = weights.agg(
+        sum(col("w")).as("sum_w"),
+        sum(col("n_s")).as("n_total"))
+      val quotas = weights.crossJoin(broadcast(tot))
+        .withColumn("quota",
+          expr("(n_total div 5) * w div sum_w"))
+        .select("lang", "quota")
+      val h = expr("(doc_id * 1103515245L + 12345L) % 2147483648L")
+      val w = Window.partitionBy(col("lang")).orderBy(col("h"), col("doc_id"))
+      docs.withColumn("h", h)
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .join(broadcast(quotas), "lang")
+        .filter(col("rnk") <= col("quota"))
+        .select("doc_id", "lang", "h", "rnk")
+        .orderBy("doc_id")
+    },
+    Some("""WITH counts AS (
+        SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_s
+        FROM documents GROUP BY lang),
+      wts AS (
+        SELECT lang, n_s,
+          CAST(FLOOR(sqrt(CAST(n_s AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT)
+            AS w
+        FROM counts),
+      tot AS (
+        SELECT CAST(SUM(w) AS BIGINT) AS sum_w,
+          CAST(SUM(n_s) AS BIGINT) AS n_total
+        FROM wts),
+      quotas AS (
+        SELECT lang, ((n_total // 5) * w) // sum_w AS quota
+        FROM wts, tot),
+      ranked AS (
+        SELECT doc_id, lang,
+          (doc_id * 1103515245 + 12345) % 2147483648 AS h,
+          CAST(ROW_NUMBER() OVER (PARTITION BY lang ORDER BY
+            (doc_id * 1103515245 + 12345) % 2147483648, doc_id) AS BIGINT)
+            AS rnk
+        FROM documents)
+      SELECT r.doc_id, r.lang, r.h, r.rnk
+      FROM ranked r JOIN quotas q ON r.lang = q.lang
+      WHERE r.rnk <= q.quota
+      ORDER BY r.doc_id"""))
+
+  val defs: Seq[QueryDef] = Seq(saltedAgg, embedNearDup, mixSample)
 }

@@ -363,5 +363,122 @@ object SimilarityOps {
         FROM cos) WHERE rn <= 3
       ORDER BY qid, rn"""))
 
-  val defs: Seq[QueryDef] = Seq(bruteTopK, lshAnn, ivfAnn)
+  /** Semantic dedup in the SemDeDup shape (Abbas et al. 2023,
+    * arXiv:2303.09540): cluster the embedding space with the trained
+    * IVF coarse quantizer, then WITHIN each cluster drop every vector
+    * that has a same-cell neighbor above the cosine threshold, keeping
+    * one deterministic representative (lowest vec_id — the paper keeps
+    * the vector farthest from the centroid; lowest-id is the
+    * order-stable stand-in that both engines reproduce exactly).
+    * The drop relation runs against all same-cell vectors, not only
+    * kept ones, so the decision per vector is independent of other
+    * decisions — no iteration, one shuffle-bounded self-join.
+    *
+    * 100 TB shape: identical to IVF — centroids broadcast, cell
+    * assignment map-side, and the only self-join is the within-cell
+    * pair join, an equi-join on cell whose cost is Σ|cell|², bounded
+    * because k grows with n (k ≈ n/target_cell_size). This is exactly
+    * why SemDeDup clusters first: the all-pairs cosine matrix never
+    * materializes. */
+  val semDedup = QueryDef(
+    "d_semdedup", "LLM-pipeline dedup: semantic (SemDeDup)",
+    "IVF-trained cells → within-cell cosine ≥ 0.4 → lowest-id keeper",
+    (s, dir) => {
+      val emb = quantized(s, dir)
+      // centroid training reused verbatim from the IVF path; cached
+      // because cell assignment consumes it once per side of the join
+      val cents1 = ivfCentroids(emb, 32).cache()
+      val cells = ivfCells(emb, cents1)
+        .select(col("vec_id"), col("v"), col("n2"), col("cell"))
+        .cache()
+      val a = cells.select(col("vec_id").as("id_a"), col("v").as("va"),
+        col("n2").as("n2a"), col("cell"))
+      val b = cells.select(col("vec_id").as("id_b"), col("v").as("vb"),
+        col("n2").as("n2b"), col("cell"))
+      val dropped = a.join(b, Seq("cell"))
+        .filter(col("id_a") < col("id_b"))
+        .withColumn("dp", dot("va", "vb"))
+        .withColumn("cosine",
+          asDouble(col("dp")) /
+            (sqrt(asDouble(col("n2a"))) * sqrt(asDouble(col("n2b")))))
+        .filter(col("cosine") >= 0.4)
+        .select(col("id_b").as("vec_id")).distinct()
+        .withColumn("is_dropped", lit(1))
+      cells.select("vec_id", "cell")
+        .join(dropped, Seq("vec_id"), "left")
+        .withColumn("keep",
+          when(col("is_dropped").isNull, 1).otherwise(0))
+        .select("vec_id", "cell", "keep")
+        .orderBy("vec_id")
+    },
+    Some("""WITH u AS (
+        SELECT vec_id, i,
+          CAST(FLOOR(CAST(embedding[CAST(i AS INTEGER)] AS DOUBLE) * CAST(1000000 AS DOUBLE) + 0.5) AS BIGINT) AS x
+        FROM (SELECT vec_id, embedding,
+                unnest(range(1, len(embedding) + 1)) AS i
+              FROM embeddings)),
+      nrm AS (
+        SELECT vec_id, CAST(SUM(x*x) AS BIGINT) AS n2 FROM u GROUP BY vec_id),
+      c0 AS (SELECT vec_id AS cid, i, x FROM u WHERE vec_id < 32),
+      c0n AS (SELECT cid, CAST(SUM(x*x) AS BIGINT) AS cn2 FROM c0 GROUP BY cid),
+      a0dot AS (
+        SELECT u.vec_id, c0.cid, CAST(SUM(u.x * c0.x) AS BIGINT) AS dp
+        FROM u JOIN c0 ON u.i = c0.i
+        GROUP BY u.vec_id, c0.cid),
+      a0 AS (
+        SELECT vec_id, cid AS cell FROM (
+          SELECT a.vec_id, a.cid,
+            ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY
+              CAST(a.dp AS DOUBLE) /
+                (sqrt(CAST(n.n2 AS DOUBLE)) * sqrt(CAST(cn.cn2 AS DOUBLE)))
+              DESC, a.cid) AS rn
+          FROM a0dot a
+          JOIN nrm n ON n.vec_id = a.vec_id
+          JOIN c0n cn ON cn.cid = a.cid)
+        WHERE rn = 1),
+      c1 AS (
+        SELECT a0.cell AS cid, u.i,
+          CAST(FLOOR(CAST(SUM(u.x) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)) AS BIGINT) AS x
+        FROM u JOIN a0 ON u.vec_id = a0.vec_id
+        GROUP BY a0.cell, u.i),
+      c1n AS (SELECT cid, CAST(SUM(x*x) AS BIGINT) AS cn2 FROM c1 GROUP BY cid),
+      a1dot AS (
+        SELECT u.vec_id, c1.cid, CAST(SUM(u.x * c1.x) AS BIGINT) AS dp
+        FROM u JOIN c1 ON u.i = c1.i
+        GROUP BY u.vec_id, c1.cid),
+      cells AS (
+        SELECT vec_id, cid AS cell FROM (
+          SELECT a.vec_id, a.cid,
+            ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY
+              CAST(a.dp AS DOUBLE) /
+                (sqrt(CAST(n.n2 AS DOUBLE)) * sqrt(CAST(cn.cn2 AS DOUBLE)))
+              DESC, a.cid) AS rn
+          FROM a1dot a
+          JOIN nrm n ON n.vec_id = a.vec_id
+          JOIN c1n cn ON cn.cid = a.cid)
+        WHERE rn = 1),
+      cand AS (
+        SELECT x.vec_id AS id_a, y.vec_id AS id_b
+        FROM cells x JOIN cells y
+          ON x.cell = y.cell AND x.vec_id < y.vec_id),
+      pdots AS (
+        SELECT c.id_a, c.id_b, CAST(SUM(ua.x*ub.x) AS BIGINT) AS dp
+        FROM cand c
+        JOIN u ua ON ua.vec_id = c.id_a
+        JOIN u ub ON ub.vec_id = c.id_b AND ua.i = ub.i
+        GROUP BY c.id_a, c.id_b),
+      drp AS (
+        SELECT DISTINCT p.id_b AS vec_id
+        FROM pdots p
+        JOIN nrm na ON na.vec_id = p.id_a
+        JOIN nrm nb ON nb.vec_id = p.id_b
+        WHERE CAST(p.dp AS DOUBLE) /
+            (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE)))
+            >= 0.4)
+      SELECT c.vec_id, c.cell,
+        CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS keep
+      FROM cells c LEFT JOIN drp d ON d.vec_id = c.vec_id
+      ORDER BY c.vec_id"""))
+
+  val defs: Seq[QueryDef] = Seq(bruteTopK, lshAnn, ivfAnn, semDedup)
 }
