@@ -76,6 +76,45 @@ class QueriesSpec extends SparkTestBase {
     val df = Registry.byName("j5_simhash_banded_match").run(spark, sf001)
     assert(df.filter(col("hamming") >= 8).count() == 0)
   }
+
+  test("a_mix_sample flattens the language distribution (T=2)") {
+    val docs = core.t(spark, sf001, "documents")
+    val corpus = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = corpus.values.sum.toDouble
+    val sample = Registry.byName("a_mix_sample").run(spark, sf001)
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = sample.values.sum.toDouble
+    // target is 20% of the corpus, minus per-group floor rounding
+    assert(n >= total / 5 - corpus.size && n <= total / 5)
+    // temperature flattening: the largest group's sample share drops
+    // below its corpus share, the smallest group's share rises
+    val (big, small) = (corpus.maxBy(_._2)._1, corpus.minBy(_._2)._1)
+    assert(sample(big) / n < corpus(big) / total)
+    assert(sample(small) / n > corpus(small) / total)
+  }
+
+  test("d_semdedup always keeps the lowest vec_id of every cell") {
+    val df = Registry.byName("d_semdedup").run(spark, sf001).cache()
+    val dropped = df.filter(col("keep") === 0).count()
+    assert(dropped > 0) // the corpus has semantic dups — discriminating
+    val firstPerCell = df.groupBy("cell")
+      .agg(min("vec_id").as("vec_id"))
+    val firstDropped = df.filter(col("keep") === 0)
+      .join(firstPerCell, Seq("cell", "vec_id")).count()
+    assert(firstDropped == 0,
+      "a cell's lowest vec_id has no lower-id neighbor, must be kept")
+  }
+
+  test("d_stream_dedup: witnesses precede their duplicates") {
+    val df = Registry.byName("d_stream_dedup").run(spark, sf001).cache()
+    assert(df.filter(col("is_dup") === 1).count() > 0)
+    assert(df.filter(col("is_dup") === 1 &&
+      col("witness") >= col("doc_id")).count() == 0)
+    // the first arrival can have no earlier witness
+    assert(df.orderBy("doc_id").first().getAs[Int]("is_dup") == 0)
+  }
 }
 
 object CoreQueriesCheck {
