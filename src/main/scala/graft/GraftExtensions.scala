@@ -22,6 +22,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     fn("hamming_bytes", es => functions.HammingBytes(es.head, es(1)))
     fn("simhash64", es => functions.SimHash64(es.head))
     fn("minhash_sig", es => functions.MinHashSig(es.head, es(1)))
+    fn("dot_long", es => functions.DotLong(es.head, es(1)))
     fn("rollhash_fps",
       es => functions.RollingFingerprints(es.head, es(1), es(2)))
     fn("halo1", es => matching.Halo1(es.head))

@@ -38,11 +38,10 @@ object ScaleBench {
     "d_lsh_recall", "t_seq_pack", "mm_video_frames",
     // round-8 additions: streaming first-seen-wins (linear, rides the
     // minhash band join), temperature mixture sampling (one shuffle),
-    // and SemDeDup — whose fixed k=32 makes within-cell pairs grow
-    // quadratically with the corpus (copies are IDENTICAL vectors, so
-    // they co-locate): the measurement that shows why production must
-    // scale k with n (k ≈ n/target_cell_size, see SimilarityOps)
-    "d_stream_dedup", "a_mix_sample", "d_semdedup")
+    // SemDeDup (k scales with n — a FIXED k=32 measured 501 s at 100×
+    // from quadratic cells; the dynamic k keeps the pair join linear),
+    // and PQ ANN (broadcast ADC scan + bounded re-rank)
+    "d_stream_dedup", "a_mix_sample", "d_semdedup", "s_cosine_ann_pq")
 
   /** Relational-core scale set (SPARK_GRAFT_SCALE_MODE=rel): the
     * TPC-ish aggregation/join family, run against a corpus whose FACT

@@ -44,6 +44,10 @@ object GraftFunctions {
   def minhash_sig(c: Column, k: Int): Column =
     col(MinHashSig(ex(c), ex(lit(k))))
 
+  /** Integer dot product over two array<long> columns (codegen'd
+    * single loop — the hot op of the quantized-embedding family). */
+  def dot_long(a: Column, b: Column): Column = col(DotLong(ex(a), ex(b)))
+
   /** Winnowed rolling-hash fingerprints over token windows. */
   def rollhash_fps(c: Column, window: Int, keep: Int): Column =
     col(RollingFingerprints(ex(c), ex(lit(window)), ex(lit(keep))))
@@ -84,6 +88,8 @@ object GraftFunctions {
       es => SimHash64(es.head), "built-in")
     reg.createOrReplaceTempFunction("minhash_sig",
       es => MinHashSig(es.head, es(1)), "built-in")
+    reg.createOrReplaceTempFunction("dot_long",
+      es => DotLong(es.head, es(1)), "built-in")
     reg.createOrReplaceTempFunction("rollhash_fps",
       es => RollingFingerprints(es.head, es(1), es(2)), "built-in")
     reg.createOrReplaceTempFunction("canonical_url",

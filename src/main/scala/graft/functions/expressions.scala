@@ -373,6 +373,40 @@ object SimHash64 {
   }
 }
 
+/** dot_long(array<long>, array<long>) -> long: integer dot product
+  * in one codegen'd loop — no intermediate array. The zip_with +
+  * aggregate formulation allocates a 64-element array per evaluation,
+  * which made k-means cell assignment (n×k evaluations) ~100× the
+  * raw flop cost at the 100× scale point. Callers guarantee equal
+  * lengths and |component| ≤ 1e6 quantized units (sums bounded far
+  * below Long overflow; Java arithmetic here wraps rather than
+  * throwing like ANSI `*`, identical on the bounded domain).
+  */
+case class DotLong(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "dot_long"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    DotLong.compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.DotLong.compute($a, $b)")
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): DotLong = copy(l, r)
+}
+
+object DotLong {
+  /** Static forwarder shared by interpreted eval and generated code. */
+  def compute(a: ArrayData, b: ArrayData): Long = {
+    val n = math.min(a.numElements(), b.numElements())
+    var s = 0L
+    var i = 0
+    while (i < n) { s += a.getLong(i) * b.getLong(i); i += 1 }
+    s
+  }
+}
+
 /** minhash_sig(array<string>, k) -> array<long>: k min-hash values
   * (seeded FNV-1a) over the token set — the signature used by the
   * banded-LSH near-dup join. k must be a foldable int literal.

@@ -61,12 +61,11 @@ object ScaleOps {
         """aggregate(sequence(1, 8),
              0, (acc, i) -> acc * 2 +
                CASE WHEN element_at(embedding, i) >= 0.0 THEN 1 ELSE 0 END)""")
-      val dot = expr(
-        "aggregate(zip_with(va, vb, (x, y) -> x * y), 0L, (acc, v) -> acc + v)")
+      val dot = graft.functions.GraftFunctions.dot_long(col("va"), col("vb"))
       val emb = t(s, dir, "embeddings")
         .select(col("vec_id"), qv.as("v"), bucket.as("bucket"))
-        .withColumn("n2", expr(
-          "aggregate(zip_with(v, v, (x, y) -> x * y), 0L, (acc, v) -> acc + v)"))
+        .withColumn("n2",
+          graft.functions.GraftFunctions.dot_long(col("v"), col("v")))
       val a = emb.select(col("vec_id").as("id_a"), col("v").as("va"),
         col("n2").as("n2a"), col("bucket"))
       val b = emb.select(col("vec_id").as("id_b"), col("v").as("vb"),

@@ -28,8 +28,12 @@ object SimilarityOps {
   private def qvec = expr(
     "transform(embedding, x -> CAST(FLOOR(x * 1000000.0 + 0.5) AS BIGINT))")
 
-  private def dot(a: String, b: String) = expr(
-    s"aggregate(zip_with($a, $b, (x, y) -> x * y), 0L, (acc, v) -> acc + v)")
+  /** Codegen'd single-loop integer dot product ([[graft.functions
+    * .DotLong]]) — the zip_with + aggregate formulation allocates an
+    * intermediate array per evaluation, ~100× the flop cost on the
+    * n×k assignment paths. */
+  private def dot(a: String, b: String) =
+    graft.functions.GraftFunctions.dot_long(col(a), col(b))
 
   val bruteTopK = QueryDef(
     "s_cosine_topk", "LLM-pipeline similarity: brute-force cosine top-k",
@@ -197,20 +201,28 @@ object SimilarityOps {
 
   /** Rank every (vector, centroid) pair by cosine per vector; keep
     * ranks ≤ nprobe. Centroid frames are broadcast — map-side argmin,
-    * no shuffle of the big side. */
+    * no shuffle of the big side. The n×k scored rows are projected to
+    * NARROW (vec_id, cid, ccos) tuples inside the join's output
+    * projection, so the window sort never shuffles the vector arrays
+    * (at k ∝ n the wide form is quadratic bytes — it OOM'd the 100×
+    * scale point before this narrowing); vectors re-attach afterward
+    * via one linear equi-join on vec_id. */
   private def nearestCells(vecs: org.apache.spark.sql.DataFrame,
       cents: org.apache.spark.sql.DataFrame, nprobe: Int)
       : org.apache.spark.sql.DataFrame = {
-    val joined = vecs.join(cents)
+    val scored = vecs.join(cents)
       .withColumn("cdp", dot("v", "cv"))
-      .withColumn("ccos",
-        asDouble(col("cdp")) /
+      .select(col("vec_id"), col("cid"),
+        (asDouble(col("cdp")) /
           (sqrt(asDouble(col("n2"))) * sqrt(asDouble(col("cn2")))))
+          .as("ccos"))
     val w = Window.partitionBy(col("vec_id"))
       .orderBy(desc("ccos"), col("cid"))
-    joined.withColumn("crn", row_number().over(w))
+    val best = scored.withColumn("crn", row_number().over(w))
       .filter(col("crn") <= nprobe)
-      .select(col("vec_id"), col("v"), col("n2"), col("cid").as("cell"))
+      .select(col("vec_id"), col("cid").as("cell"))
+    vecs.join(best, Seq("vec_id"))
+      .select(col("vec_id"), col("v"), col("n2"), col("cell"))
   }
 
   /** Trained IVF centroids: k seed centroids (first k vectors), one
@@ -376,18 +388,26 @@ object SimilarityOps {
     *
     * 100 TB shape: identical to IVF — centroids broadcast, cell
     * assignment map-side, and the only self-join is the within-cell
-    * pair join, an equi-join on cell whose cost is Σ|cell|², bounded
-    * because k grows with n (k ≈ n/target_cell_size). This is exactly
-    * why SemDeDup clusters first: the all-pairs cosine matrix never
-    * materializes. */
+    * pair join, an equi-join on cell whose cost is Σ|cell|². k GROWS
+    * WITH THE CORPUS (k = max(32, n/64), i.e. ~64-vector target
+    * cells), which keeps that pair join linear: a fixed k measured
+    * 501 s at the 100× scale point (quadratic cells) vs ~linear with
+    * scaled k. Assignment cost is n×k map-side dot products — the
+    * price every k-means-based index pays, embarrassingly parallel,
+    * zero shuffle. This is exactly why SemDeDup clusters first: the
+    * all-pairs cosine matrix never materializes. */
   val semDedup = QueryDef(
     "d_semdedup", "LLM-pipeline dedup: semantic (SemDeDup)",
-    "IVF-trained cells → within-cell cosine ≥ 0.4 → lowest-id keeper",
+    "IVF cells (k scales with n) → within-cell cos ≥ 0.4 → low-id keeper",
     (s, dir) => {
       val emb = quantized(s, dir)
+      // k from the corpus size: one metadata-cheap count (the scan is
+      // column-pruned to nothing), deterministic, mirrored by the
+      // oracle's scalar subquery; 32 at oracle scales
+      val k = math.max(32L, emb.count() / 64L).toInt
       // centroid training reused verbatim from the IVF path; cached
       // because cell assignment consumes it once per side of the join
-      val cents1 = ivfCentroids(emb, 32).cache()
+      val cents1 = ivfCentroids(emb, k).cache()
       val cells = ivfCells(emb, cents1)
         .select(col("vec_id"), col("v"), col("n2"), col("cell"))
         .cache()
@@ -419,7 +439,9 @@ object SimilarityOps {
               FROM embeddings)),
       nrm AS (
         SELECT vec_id, CAST(SUM(x*x) AS BIGINT) AS n2 FROM u GROUP BY vec_id),
-      c0 AS (SELECT vec_id AS cid, i, x FROM u WHERE vec_id < 32),
+      kk AS (
+        SELECT GREATEST(32, COUNT(DISTINCT vec_id) // 64) AS k FROM u),
+      c0 AS (SELECT vec_id AS cid, i, x FROM u, kk WHERE vec_id < kk.k),
       c0n AS (SELECT cid, CAST(SUM(x*x) AS BIGINT) AS cn2 FROM c0 GROUP BY cid),
       a0dot AS (
         SELECT u.vec_id, c0.cid, CAST(SUM(u.x * c0.x) AS BIGINT) AS dp
@@ -480,5 +502,191 @@ object SimilarityOps {
       FROM cells c LEFT JOIN drp d ON d.vec_id = c.vec_id
       ORDER BY c.vec_id"""))
 
-  val defs: Seq[QueryDef] = Seq(bruteTopK, lshAnn, ivfAnn, semDedup)
+  /** Product-quantization ANN (FAISS PQ shape, Jégou et al. 2011):
+    * the vector splits into m=4 subspaces of 16 dims; each subspace
+    * trains k=16 centroids (same seed + one-Lloyd-iteration recipe as
+    * IVF, in exact integer arithmetic); every vector encodes to 4
+    * small centroid ids (the PQ code); queries build a 4×16 distance
+    * table and score the whole code table by Asymmetric Distance
+    * Computation — the sum of 4 table lookups. Distances are exact
+    * integer squared-L2 over the quantized components END TO END, so
+    * ranking is bit-deterministic and the DuckDB oracle mirrors every
+    * stage with no floating-point anywhere.
+    *
+    * A 32-bit code (4×16 centroids) is lossy by design, so the final
+    * answer follows the production IVFADC+R recipe (Jégou et al. §V):
+    * ADC scores the whole code table, the top-L=100 shortlist is
+    * re-ranked with EXACT integer distances, and only the re-ranked
+    * top-3 is returned — quantization error bounds the shortlist,
+    * never the answer.
+    *
+    * 100 TB shape: centroids are 4×16 rows (broadcast); encoding is a
+    * map-side broadcast argmin over SUBVECTOR ARRAYS — distances come
+    * from the identity Σ(x−c)² = |x|² + |c|² − 2⟨x,c⟩ with a single
+    * codegen'd dot per (vector, subspace, centroid), so candidate
+    * scoring never explodes to per-component rows (the exploded form
+    * shuffled 103M rows at the 100× point; this shape shuffles the
+    * n×m narrow assignment rows only). Components explode ONCE, for
+    * the Lloyd centroid update — a per-position mean needs them. The
+    * code table is 4 small ints per vector (the 64× memory
+    * compression that makes PQ the billion-vector standard); ADC is a
+    * broadcast join of the 640-row distance table against the code
+    * table — one linear scan, no shuffle of vectors, exactly how
+    * IVF-PQ scans its cells. The re-rank joins L×|queries| id pairs
+    * back to full vectors — bounded by the shortlist, not the
+    * corpus. */
+  val pqAnn = QueryDef(
+    "s_cosine_ann_pq", "LLM-pipeline similarity: product-quantization ANN",
+    "m=4×16-dim PQ, k=16/subspace, integer ADC top-100 → exact re-rank",
+    (s, dir) => {
+      import graft.functions.GraftFunctions.dot_long
+      // (vec_id, sub, sv, svn2): 16-dim subvectors with their norms
+      val subv = quantized(s, dir)
+        .select(col("vec_id"), explode(expr(
+          """transform(sequence(0, 3),
+               s -> struct(CAST(s AS INT) AS sub,
+                           slice(v, s*16 + 1, 16) AS sv))"""))
+          .as("e"))
+        .select(col("vec_id"), col("e.sub").as("sub"), col("e.sv").as("sv"))
+        .withColumn("svn2", dot_long(col("sv"), col("sv")))
+        .cache()
+      // argmin by exact integer d2 = svn2 + cvn2 − 2⟨sv,cv⟩; scored
+      // rows are projected NARROW before the window (same discipline
+      // as nearestCells — arrays never enter the rank shuffle)
+      def argmin(cents: org.apache.spark.sql.DataFrame)
+          : org.apache.spark.sql.DataFrame = {
+        val d = subv.join(cents, Seq("sub"))
+          .select(col("vec_id"), col("sub"), col("cid"),
+            (col("svn2") + col("cvn2") -
+              lit(2L) * dot_long(col("sv"), col("cv"))).as("d2"))
+        val w = Window.partitionBy(col("vec_id"), col("sub"))
+          .orderBy(col("d2"), col("cid"))
+        d.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+          .select(col("vec_id"), col("sub"), col("cid").as("cell"))
+      }
+      val seeds = broadcast(subv.filter(col("vec_id") < 16)
+        .select(col("sub"), col("vec_id").as("cid"),
+          col("sv").as("cv"), col("svn2").as("cvn2")))
+      val assign0 = argmin(seeds)
+      // Lloyd update: the one place components must explode — the
+      // per-position floor-mean; rebuilt into centroid arrays
+      val trained = broadcast(subv
+        .join(assign0, Seq("vec_id", "sub"))
+        .select(col("sub"), col("cell"),
+          posexplode(col("sv")).as(Seq("j", "x")))
+        .groupBy(col("sub"), col("cell"), col("j"))
+        .agg(expr(
+          "CAST(FLOOR(CAST(SUM(x) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)) AS BIGINT)")
+          .as("cx"))
+        .groupBy(col("sub"), col("cell"))
+        .agg(expr("transform(array_sort(collect_list(struct(j, cx)))," +
+          " s -> s.cx)").as("cv"))
+        .select(col("sub"), col("cell").as("cid"), col("cv"))
+        .withColumn("cvn2", dot_long(col("cv"), col("cv"))))
+      val codes = argmin(trained)
+      // query ADC tables: exact d2 to EVERY centroid of every subspace;
+      // columns renamed so the lineage-shared join below is
+      // unambiguous (codes and dtab both descend from `subv`)
+      val dtab = broadcast(subv.filter(col("vec_id") < 10)
+        .join(trained, Seq("sub"))
+        .select(col("vec_id").as("qid"), col("sub").as("qsub"),
+          col("cid").as("qcid"),
+          (col("svn2") + col("cvn2") -
+            lit(2L) * dot_long(col("sv"), col("cv"))).as("d2")))
+      val adc = codes
+        .join(dtab, col("sub") === col("qsub") &&
+          col("cell") === col("qcid") && col("vec_id") =!= col("qid"))
+        .groupBy(col("qid"), col("vec_id").as("nid"))
+        .agg(sum("d2").as("adc"))
+      val w = Window.partitionBy(col("qid"))
+        .orderBy(col("adc"), col("nid"))
+      val shortlist = adc.withColumn("arn", row_number().over(w))
+        .filter(col("arn") <= 100)
+        .select("qid", "nid")
+      // exact re-rank of the shortlist: d2 = |q|² + |n|² − 2⟨q,n⟩,
+      // all integers — the quantizer bounds the candidate set only
+      val emb = quantized(s, dir)
+      val rer = shortlist
+        .join(emb.select(col("vec_id").as("qid"), col("v").as("qv"),
+          col("n2").as("qn2")), "qid")
+        .join(emb.select(col("vec_id").as("nid"), col("v").as("nv"),
+          col("n2").as("nn2")), "nid")
+        .withColumn("dp", dot("qv", "nv"))
+        .withColumn("d2", col("qn2") + col("nn2") - lit(2L) * col("dp"))
+      val w2 = Window.partitionBy(col("qid"))
+        .orderBy(col("d2"), col("nid"))
+      rer.withColumn("rn", row_number().over(w2))
+        .filter(col("rn") <= 3)
+        .select("qid", "nid", "d2", "rn")
+        .orderBy("qid", "rn")
+    },
+    Some("""WITH u AS (
+        SELECT vec_id, i,
+          CAST(FLOOR(CAST(embedding[CAST(i AS INTEGER)] AS DOUBLE) * CAST(1000000 AS DOUBLE) + 0.5) AS BIGINT) AS x
+        FROM (SELECT vec_id, embedding,
+                unnest(range(1, len(embedding) + 1)) AS i
+              FROM embeddings)),
+      s AS (
+        SELECT vec_id, CAST((i-1)//16 AS INTEGER) AS sub,
+          (i-1)%16 AS j, x FROM u),
+      c0 AS (
+        SELECT sub, j, vec_id AS cid, x AS cx FROM s WHERE vec_id < 16),
+      a0d AS (
+        SELECT s.vec_id, s.sub, c.cid,
+          CAST(SUM((s.x-c.cx)*(s.x-c.cx)) AS BIGINT) AS d2
+        FROM s JOIN c0 c ON c.sub = s.sub AND c.j = s.j
+        GROUP BY s.vec_id, s.sub, c.cid),
+      a0 AS (
+        SELECT vec_id, sub, cid AS cell FROM (
+          SELECT vec_id, sub, cid,
+            ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+              ORDER BY d2, cid) AS rn
+          FROM a0d) WHERE rn = 1),
+      c1 AS (
+        SELECT a0.sub, a0.cell AS cid, s.j,
+          CAST(FLOOR(CAST(SUM(s.x) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)) AS BIGINT) AS cx
+        FROM s JOIN a0 ON a0.vec_id = s.vec_id AND a0.sub = s.sub
+        GROUP BY a0.sub, a0.cell, s.j),
+      ed AS (
+        SELECT s.vec_id, s.sub, c.cid,
+          CAST(SUM((s.x-c.cx)*(s.x-c.cx)) AS BIGINT) AS d2
+        FROM s JOIN c1 c ON c.sub = s.sub AND c.j = s.j
+        GROUP BY s.vec_id, s.sub, c.cid),
+      codes AS (
+        SELECT vec_id, sub, cid AS cell FROM (
+          SELECT vec_id, sub, cid,
+            ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+              ORDER BY d2, cid) AS rn
+          FROM ed) WHERE rn = 1),
+      dtab AS (
+        SELECT s.vec_id AS qid, s.sub, c.cid,
+          CAST(SUM((s.x-c.cx)*(s.x-c.cx)) AS BIGINT) AS d2
+        FROM s JOIN c1 c ON c.sub = s.sub AND c.j = s.j
+        WHERE s.vec_id < 10
+        GROUP BY s.vec_id, s.sub, c.cid),
+      adc AS (
+        SELECT d.qid, co.vec_id AS nid, CAST(SUM(d.d2) AS BIGINT) AS adc
+        FROM codes co
+        JOIN dtab d ON d.sub = co.sub AND d.cid = co.cell
+          AND co.vec_id <> d.qid
+        GROUP BY d.qid, co.vec_id),
+      short AS (
+        SELECT qid, nid FROM (
+          SELECT qid, nid,
+            ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adc, nid) AS arn
+          FROM adc) WHERE arn <= 100),
+      rd AS (
+        SELECT sh.qid, sh.nid,
+          CAST(SUM((a.x-b.x)*(a.x-b.x)) AS BIGINT) AS d2
+        FROM short sh
+        JOIN u a ON a.vec_id = sh.qid
+        JOIN u b ON b.vec_id = sh.nid AND b.i = a.i
+        GROUP BY sh.qid, sh.nid)
+      SELECT qid, nid, d2, rn FROM (
+        SELECT qid, nid, d2,
+          ROW_NUMBER() OVER (PARTITION BY qid ORDER BY d2, nid) AS rn
+        FROM rd) WHERE rn <= 3
+      ORDER BY qid, rn"""))
+
+  val defs: Seq[QueryDef] = Seq(bruteTopK, lshAnn, ivfAnn, semDedup, pqAnn)
 }
