@@ -240,6 +240,52 @@ object Functions {
       FROM events GROUP BY date_trunc('hour', ts), event_type
       ORDER BY ws, event_type"""))
 
+  /** Session windows — the gap-based event grouping every
+    * clickstream/telemetry pipeline needs, via Spark's NATIVE
+    * `session_window` (streaming-compatible: the same expression runs
+    * under `readStream` with a watermark, merging sessions across
+    * micro-batches in state). A session extends while the next event
+    * arrives strictly before last_ts + gap; window end = last_ts +
+    * gap. The oracle rebuilds the identical semantics with the
+    * classic gaps-and-islands construction (break when the gap ≥ 6 h,
+    * running sum of breaks = session id).
+    *
+    * 100 TB shape: one shuffle on user_id (the session assignment is
+    * a per-key sort — Spark plans exactly that), aggregates map-side
+    * combined; 6 h over the synthetic corpus merges ~43% of events so
+    * the merge logic is actually exercised. */
+  val stSession = QueryDef(
+    "st_session_window", "ST1-ST3 (batch view) + LLM-pipeline sessions",
+    "6h-gap session windows per user (Spark-native session_window)",
+    (s, dir) =>
+      t(s, dir, "events")
+        .groupBy(col("user_id"), session_window(col("ts"), "6 hours").as("w"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(cents(col("value"))).as("spend_cents"))
+        .select(col("user_id"), col("w.start").as("session_start"),
+          col("w.end").as("session_end"), col("n_events"),
+          col("spend_cents"))
+        .orderBy("user_id", "session_start"),
+    Some("""WITH o AS (
+        SELECT user_id, ts, value, event_id,
+          CASE WHEN LAG(ts) OVER w IS NULL
+               OR ts - LAG(ts) OVER w >= INTERVAL '6 hours' THEN 1
+               ELSE 0 END AS brk
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      sess AS (
+        SELECT user_id, ts, value,
+          SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        FROM o)
+      SELECT user_id, MIN(ts) AS session_start,
+        MAX(ts) + INTERVAL '6 hours' AS session_end,
+        CAST(COUNT(*) AS BIGINT) AS n_events,
+        CAST(SUM(CAST(FLOOR(value*100 + 0.5) AS BIGINT)) AS BIGINT)
+          AS spend_cents
+      FROM sess GROUP BY user_id, sid
+      ORDER BY user_id, session_start"""))
+
   val f2 = QueryDef(
     "f2_canonical_url", "F2",
     "URL canonicalization: case, default port, dot segments, fragment",
@@ -500,5 +546,5 @@ object Functions {
 
   val defs: Seq[QueryDef] =
     Seq(f1, f2, f3, f4, f5, f8, f9, f11, f13, f15, f15pep, f15deb, f15mvn,
-      f15sem, f16, st1, f14candidates)
+      f15sem, f16, st1, stSession, f14candidates)
 }

@@ -200,5 +200,68 @@ object Joins {
         AND l_quantity >= p_size - 5 AND l_quantity <= p_size + 5
       GROUP BY p_brand ORDER BY p_brand"""))
 
-  val defs: Seq[QueryDef] = Seq(j1, j2, j3, j4, j7, j8, j9, j12, j13)
+  /** As-of join — the temporal "latest left row at or before each
+    * right row" lookup (kdb aj / pandas merge_asof / Flink temporal
+    * join), an operator Spark lacks natively. The scalable plan is
+    * NOT a range join (whose candidate set explodes with history
+    * depth): tag both sides, UNION them, and run one per-key window
+    * with `last(_, ignoreNulls)` over a rows-frame — a single shuffle
+    * on the key, cost linear in total events, no pair materialization
+    * at any history depth. Ordering (ts, tag, event_id) is total, so
+    * an equal-timestamp click sorts before the purchase ("at or
+    * before") and both engines resolve ties identically.
+    *
+    * Here: each purchase event picks up the same user's most recent
+    * click at or before it; gap_us is the exact integer microsecond
+    * lag (epoch-µs subtraction — no float time arithmetic). */
+  val j14 = QueryDef(
+    "j14_asof_join", "J13 + LLM-pipeline temporal: as-of join",
+    "purchase ← latest prior click per user via union + last(ignoreNulls)",
+    (s, dir) => {
+      val ev = t(s, dir, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("event_id"),
+          lit(0).as("tag"), col("event_id").as("click_id"),
+          col("ts").as("click_ts"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id"),
+          lit(1).as("tag"), lit(null).cast("long").as("click_id"),
+          lit(null).cast("timestamp").as("click_ts"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("tag"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      clicks.unionByName(purchases)
+        .withColumn("asof_click_id",
+          last(col("click_id"), ignoreNulls = true).over(w))
+        .withColumn("asof_click_ts",
+          last(col("click_ts"), ignoreNulls = true).over(w))
+        .filter(col("tag") === 1)
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+          col("ts").as("purchase_ts"), col("asof_click_id"),
+          (unix_micros(col("ts")) -
+            unix_micros(col("asof_click_ts"))).as("gap_us"))
+        .orderBy("purchase_id")
+    },
+    Some("""WITH u AS (
+        SELECT user_id, ts, event_id, 0 AS tag,
+          event_id AS click_id, ts AS click_ts
+        FROM events WHERE event_type = 'click'
+        UNION ALL
+        SELECT user_id, ts, event_id, 1 AS tag,
+          NULL AS click_id, NULL AS click_ts
+        FROM events WHERE event_type = 'purchase'),
+      m AS (
+        SELECT user_id, ts, event_id, tag,
+          LAST_VALUE(click_id IGNORE NULLS) OVER w AS asof_click_id,
+          LAST_VALUE(click_ts IGNORE NULLS) OVER w AS asof_click_ts
+        FROM u
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, tag, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+      SELECT event_id AS purchase_id, user_id, ts AS purchase_ts,
+        asof_click_id,
+        epoch_us(ts) - epoch_us(asof_click_ts) AS gap_us
+      FROM m WHERE tag = 1
+      ORDER BY purchase_id"""))
+
+  val defs: Seq[QueryDef] = Seq(j1, j2, j3, j4, j7, j8, j9, j12, j13, j14)
 }

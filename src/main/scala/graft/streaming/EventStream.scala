@@ -63,4 +63,35 @@ object EventStream {
       .agg(count(lit(1)).as("n"))
       .select(col("window.start").as("ws"), col("event_type"), col("n"))
   }
+
+  /** Streaming session windows — the SAME session_window expression
+    * the `st_session_window` batch query runs, under readStream with
+    * a watermark: Spark keeps per-user session state and merges
+    * sessions across micro-batches. StreamingSpec proves equality
+    * against the batch plan. */
+  def sessionSpend(spark: SparkSession, dir: String,
+      sinkName: String): StreamingQuery = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val tsOnDisk = spark.read.parquet(dir).schema("ts").dataType
+    val raw = spark.readStream
+      .schema(rawSchema(tsOnDisk))
+      .parquet(s"$dir")
+    val stream = (tsOnDisk match {
+      case LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ =>
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+    })
+      .withWatermark("ts", "12 hours")
+      .groupBy(col("user_id"), session_window(col("ts"), "6 hours").as("w"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(graft.core.cents(col("value"))).as("spend_cents"))
+      .select(col("user_id"), col("w.start").as("session_start"),
+        col("n_events"), col("spend_cents"))
+    stream.writeStream
+      .format("memory")
+      .queryName(sinkName)
+      .outputMode("complete")
+      .start()
+  }
 }

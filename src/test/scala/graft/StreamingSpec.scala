@@ -337,4 +337,24 @@ class StreamingSpec extends SparkTestBase {
       assert(streamRows.nonEmpty)
     } finally q.stop()
   }
+
+  test("streaming session windows equal the st_session_window batch " +
+      "plan") {
+    val dir = java.nio.file.Files.createTempDirectory("events-sess")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf001/events.parquet"),
+      dir.resolve("events.parquet"))
+    val q = EventStream.sessionSpend(spark, dir.toString, "stream_sessions")
+    try {
+      q.processAllAvailable()
+      val streamRows = spark.table("stream_sessions")
+        .as[(Long, Timestamp, Long, Long)].collect().toSet
+      val batchRows = Registry.byName("st_session_window")
+        .run(spark, sf001)
+        .select("user_id", "session_start", "n_events", "spend_cents")
+        .as[(Long, Timestamp, Long, Long)].collect().toSet
+      assert(streamRows == batchRows)
+      assert(streamRows.nonEmpty)
+    } finally q.stop()
+  }
 }
