@@ -40,8 +40,10 @@ object ScaleBench {
     // minhash band join), temperature mixture sampling (one shuffle),
     // SemDeDup (k scales with n — a FIXED k=32 measured 501 s at 100×
     // from quadratic cells; the dynamic k keeps the pair join linear),
-    // and PQ ANN (broadcast ADC scan + bounded re-rank)
-    "d_stream_dedup", "a_mix_sample", "d_semdedup", "s_cosine_ann_pq")
+    // PQ ANN (broadcast ADC scan + bounded re-rank), and the two
+    // per-user-key temporal plans over the user-offset-scaled events
+    "d_stream_dedup", "a_mix_sample", "d_semdedup", "s_cosine_ann_pq",
+    "st_session_window", "j14_asof_join")
 
   /** Relational-core scale set (SPARK_GRAFT_SCALE_MODE=rel): the
     * TPC-ish aggregation/join family, run against a corpus whose FACT
@@ -107,6 +109,26 @@ object ScaleBench {
         col("embedding"), col("label"))
     }.reduce(_ unionByName _)
       .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+
+    buildScaledEvents(spark, base, out, factor)
+  }
+
+  /** events scale by USER-ID offset: per-user timelines (and so the
+    * session/as-of structure) replicate exactly — sessions and as-of
+    * matches scale linearly, the honest model for per-key temporal
+    * operators. */
+  def buildScaledEvents(spark: SparkSession, base: String, out: String,
+      factor: Int): Unit = {
+    val ev = graft.core.t(spark, base, "events")
+    val nUser = ev.agg(max("user_id")).head().getLong(0) + 1
+    val nEv = ev.agg(max("event_id")).head().getLong(0) + 1
+    (0 until factor).map { k =>
+      if (k == 0) ev
+      else ev.select((col("event_id") + k * nEv).as("event_id"),
+        col("ts"), (col("user_id") + k * nUser).as("user_id"),
+        col("event_type"), col("value"), col("props"))
+    }.reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$out/events.parquet")
   }
 
   /** Fact tables replicated with offset order keys; dims copied. */
@@ -177,6 +199,11 @@ object ScaleBench {
             java.nio.file.Paths.get(s"$out/$probe.parquet")))
           (if (mode == "rel") buildScaledRel _ else buildScaled _)(
             spark, base, out, f)
+        // events joined the docs-mode corpus in round 8; top up dirs
+        // cached by earlier rounds without rebuilding docs/embeddings
+        if (mode == "docs" && !java.nio.file.Files.exists(
+            java.nio.file.Paths.get(s"$out/events.parquet")))
+          buildScaledEvents(spark, base, out, f)
         s"x$f" -> out
       }
 
