@@ -286,6 +286,41 @@ object Functions {
       FROM sess GROUP BY user_id, sid
       ORDER BY user_id, session_start"""))
 
+  /** Sliding (hopping) windows — the third of Spark's three
+    * event-time window kinds (tumbling `st_tumbling_window`, session
+    * `st_session_window`): 1 h windows every 15 min, so each event
+    * lands in 4 overlapping windows. The oracle expands the same
+    * 4-window membership per event explicitly (generate_series of the
+    * window starts that cover each ts). Streaming-compatible like the
+    * others — the same expression runs under readStream. */
+  val stSliding = QueryDef(
+    "st_sliding_window", "ST1-ST3 (batch view) + sliding windows",
+    "1h windows sliding every 15min per event_type",
+    (s, dir) =>
+      t(s, dir, "events")
+        .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(cents(col("value"))).as("cents_sum"))
+        .select(col("w.start").as("ws"), col("event_type"), col("n"),
+          col("cents_sum"))
+        .orderBy("ws", "event_type"),
+    Some("""WITH e AS (
+        SELECT ts, event_type, value,
+          date_trunc('hour', ts) - INTERVAL '1 hour'
+            + to_minutes(CAST(15 * k AS BIGINT)) AS ws
+        FROM events,
+          (SELECT unnest(range(0, 8)) AS k)
+        WHERE date_trunc('hour', ts) - INTERVAL '1 hour'
+            + to_minutes(CAST(15 * k AS BIGINT)) <= ts
+          AND ts < date_trunc('hour', ts) - INTERVAL '1 hour'
+            + to_minutes(CAST(15 * k AS BIGINT)) + INTERVAL '1 hour')
+      SELECT ws, event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        CAST(SUM(CAST(FLOOR(value*100 + 0.5) AS BIGINT)) AS BIGINT)
+          AS cents_sum
+      FROM e GROUP BY ws, event_type
+      ORDER BY ws, event_type"""))
+
   val f2 = QueryDef(
     "f2_canonical_url", "F2",
     "URL canonicalization: case, default port, dot segments, fragment",
@@ -546,5 +581,5 @@ object Functions {
 
   val defs: Seq[QueryDef] =
     Seq(f1, f2, f3, f4, f5, f8, f9, f11, f13, f15, f15pep, f15deb, f15mvn,
-      f15sem, f16, st1, stSession, f14candidates)
+      f15sem, f16, st1, stSession, stSliding, f14candidates)
 }

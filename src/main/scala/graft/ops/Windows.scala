@@ -105,5 +105,68 @@ object Windows {
       WINDOW w AS (PARTITION BY lang, n_chars ORDER BY doc_id)
       ORDER BY doc_id"""))
 
-  val defs: Seq[QueryDef] = Seq(w2, w3, w4, w5)
+  /** Quantile bucketing — how a corpus picks quality cutoffs ("keep
+    * the top 3 deciles by quality score"). A naive global
+    * `Window.orderBy` is a SINGLE-PARTITION sort in Spark — the
+    * classic scale anti-pattern — so the global rank is built with
+    * the two-phase distributed pattern (as in t_seq_pack's prefix
+    * sum): range-repartition on the total order (score, doc_id — ties
+    * broken), per-partition local row_number, tiny per-partition
+    * count frame → broadcast prefix offsets, global rank = offset +
+    * local rank. Decile = (rank−1)·10 div n + 1, the same integer
+    * formula in both engines (no reliance on engine ntile remainder
+    * conventions). Score is integer micro-units — no float compare.
+    */
+  val w6 = QueryDef(
+    "w6_ntile_buckets", "W2/W3 + LLM-pipeline quality cutoffs",
+    "deciles over total-ordered quality score via two-phase rank",
+    (s, dir) => {
+      val scored = t(s, dir, "documents")
+        .withColumn("w", filter(split(col("text"), " "), x => x =!= ""))
+        .select(col("doc_id"), col("n_chars"),
+          (size(col("w")) * lit(1000000L) /
+            greatest(col("n_chars"), lit(1L))).cast("long").as("score"))
+        .repartitionByRange(col("score"), col("doc_id"))
+        .withColumn("pid", spark_partition_id())
+      val counts = scored.groupBy("pid")
+        .agg(count(lit(1)).as("cnt"))
+      // the offsets window runs over ≤ numShufflePartitions rows —
+      // single-partition is correct THERE (the frame is tiny)
+      val offsets = counts
+        .withColumn("offset",
+          coalesce(sum("cnt").over(Window.orderBy("pid")
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      val tot = counts.agg(sum("cnt").as("n_total"))
+      val lw = Window.partitionBy(col("pid"))
+        .orderBy(col("score"), col("doc_id"))
+      scored
+        .withColumn("local_rn", row_number().over(lw))
+        .join(broadcast(offsets.select("pid", "offset")), "pid")
+        .crossJoin(broadcast(tot))
+        .withColumn("rnk", col("offset") + col("local_rn"))
+        .withColumn("decile",
+          expr("CAST((rnk - 1) * 10 div n_total AS INT) + 1"))
+        .groupBy("decile")
+        .agg(count(lit(1)).as("n"),
+          min("score").as("min_score"),
+          max("score").as("max_score"),
+          sum(col("n_chars")).as("chars"))
+        .orderBy("decile")
+    },
+    Some("""WITH sc AS (
+        SELECT doc_id, n_chars,
+          CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+            * 1000000 // greatest(n_chars, 1) AS BIGINT) AS score
+        FROM documents),
+      d AS (
+        SELECT n_chars, score,
+          CAST((ROW_NUMBER() OVER (ORDER BY score, doc_id) - 1) * 10
+            // (SELECT COUNT(*) FROM sc) AS INTEGER) + 1 AS decile
+        FROM sc)
+      SELECT decile, CAST(COUNT(*) AS BIGINT) AS n,
+        MIN(score) AS min_score, MAX(score) AS max_score,
+        CAST(SUM(n_chars) AS BIGINT) AS chars
+      FROM d GROUP BY decile ORDER BY decile"""))
+
+  val defs: Seq[QueryDef] = Seq(w2, w3, w4, w5, w6)
 }
