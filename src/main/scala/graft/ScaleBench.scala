@@ -43,7 +43,11 @@ object ScaleBench {
     // PQ ANN (broadcast ADC scan + bounded re-rank), and the two
     // per-user-key temporal plans over the user-offset-scaled events
     "d_stream_dedup", "a_mix_sample", "d_semdedup", "s_cosine_ann_pq",
-    "st_session_window", "j14_asof_join")
+    "st_session_window", "j14_asof_join",
+    // and the single-shuffle report family: sliding windows (4-window
+    // expand), two-phase decile rank, rollup grouping sets, pivot
+    "st_sliding_window", "w6_ntile_buckets", "a_rollup",
+    "a_pivot_events")
 
   /** Relational-core scale set (SPARK_GRAFT_SCALE_MODE=rel): the
     * TPC-ish aggregation/join family, run against a corpus whose FACT

@@ -178,5 +178,56 @@ object Aggregates {
         COUNT(DISTINCT user_id) AS n_users
       FROM events"""))
 
-  val defs: Seq[QueryDef] = Seq(a1, a2, a3, j6a4, a6, a7, a8, a9)
+  /** ROLLUP — the multi-granularity report shape (per (lang, source),
+    * per lang, grand total) in ONE pass: Spark expands grouping sets
+    * inside a single hash aggregate (an Expand node feeding one
+    * shuffle), not one job per level. GROUPING() flags disambiguate
+    * NULL-as-subtotal from NULL data, and order the output. */
+  val rollup1 = QueryDef(
+    "a_rollup", "A1/A2 + grouping sets",
+    "ROLLUP(lang, source): 3 aggregation levels in one pass",
+    (s, dir) =>
+      t(s, dir, "documents")
+        .rollup(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("n_chars")).as("chars"),
+          grouping(col("lang")).as("g_lang"),
+          grouping(col("source")).as("g_source"))
+        .orderBy(col("g_lang"), col("g_source"), col("lang"),
+          col("source")),
+    Some("""SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n,
+        CAST(SUM(n_chars) AS BIGINT) AS chars,
+        CAST(GROUPING(lang) AS TINYINT) AS g_lang,
+        CAST(GROUPING(source) AS TINYINT) AS g_source
+      FROM documents
+      GROUP BY ROLLUP(lang, source)
+      ORDER BY g_lang, g_source, lang, source"""))
+
+  /** PIVOT — long→wide reshaping (per-user event-type counts as
+    * columns). Spark pivots with an explicit value list so the output
+    * schema is static and the plan is ONE aggregate, no per-column
+    * scans; the oracle is the equivalent conditional aggregation,
+    * which is also exactly what Spark compiles the pivot into. */
+  val pivot1 = QueryDef(
+    "a_pivot_events", "A2 + pivot",
+    "per-user event-type counts pivoted to columns",
+    (s, dir) =>
+      t(s, dir, "events")
+        .groupBy(col("user_id"))
+        .pivot("event_type",
+          Seq("click", "error", "purchase", "signup", "view"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .orderBy("user_id"),
+    Some("""SELECT user_id,
+        CAST(COUNT(*) FILTER (event_type = 'click') AS BIGINT) AS click,
+        CAST(COUNT(*) FILTER (event_type = 'error') AS BIGINT) AS error,
+        CAST(COUNT(*) FILTER (event_type = 'purchase') AS BIGINT)
+          AS purchase,
+        CAST(COUNT(*) FILTER (event_type = 'signup') AS BIGINT) AS signup,
+        CAST(COUNT(*) FILTER (event_type = 'view') AS BIGINT) AS view
+      FROM events GROUP BY user_id ORDER BY user_id"""))
+
+  val defs: Seq[QueryDef] =
+    Seq(a1, a2, a3, j6a4, a6, a7, a8, a9, rollup1, pivot1)
 }
