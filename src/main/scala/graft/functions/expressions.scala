@@ -375,12 +375,14 @@ object SimHash64 {
 
 /** dot_long(array<long>, array<long>) -> long: integer dot product
   * in one codegen'd loop — no intermediate array. The zip_with +
-  * aggregate formulation allocates a 64-element array per evaluation,
-  * which made k-means cell assignment (n×k evaluations) ~100× the
-  * raw flop cost at the 100× scale point. Callers guarantee equal
-  * lengths and |component| ≤ 1e6 quantized units (sums bounded far
-  * below Long overflow; Java arithmetic here wraps rather than
-  * throwing like ANSI `*`, identical on the bounded domain).
+  * aggregate formulation allocates a 64-element array per evaluation;
+  * graft.DotProbe measures 4× query-level throughput for this
+  * expression (10.3M vs 2.6M rows/s over 64-dim pairs), which
+  * compounds across the n×k evaluations of k-means cell assignment.
+  * Callers guarantee equal lengths and |component| ≤ 1e6 quantized
+  * units (sums bounded far below Long overflow; Java arithmetic here
+  * wraps rather than throwing like ANSI `*`, identical on the
+  * bounded domain).
   */
 case class DotLong(left: Expression, right: Expression)
     extends BinaryExpression {

@@ -64,6 +64,34 @@ object EventStream {
       .select(col("window.start").as("ws"), col("event_type"), col("n"))
   }
 
+  /** Streaming sliding windows — the `st_sliding_window` expression
+    * under readStream (each event contributes to 4 overlapping
+    * 1h/15min windows in state). */
+  def slidingCounts(spark: SparkSession, dir: String,
+      sinkName: String): StreamingQuery = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val tsOnDisk = spark.read.parquet(dir).schema("ts").dataType
+    val raw = spark.readStream
+      .schema(rawSchema(tsOnDisk))
+      .parquet(s"$dir")
+    val stream = (tsOnDisk match {
+      case LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ =>
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+    })
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("ws"), col("event_type"), col("n"))
+    stream.writeStream
+      .format("memory")
+      .queryName(sinkName)
+      .outputMode("complete")
+      .start()
+  }
+
   /** Streaming session windows — the SAME session_window expression
     * the `st_session_window` batch query runs, under readStream with
     * a watermark: Spark keeps per-user session state and merges

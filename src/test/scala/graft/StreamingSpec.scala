@@ -338,6 +338,26 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming sliding windows equal the st_sliding_window batch " +
+      "plan") {
+    val dir = java.nio.file.Files.createTempDirectory("events-slide")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf001/events.parquet"),
+      dir.resolve("events.parquet"))
+    val q = EventStream.slidingCounts(spark, dir.toString, "stream_sliding")
+    try {
+      q.processAllAvailable()
+      val streamRows = spark.table("stream_sliding")
+        .as[(Timestamp, String, Long)].collect().toSet
+      val batchRows = Registry.byName("st_sliding_window")
+        .run(spark, sf001)
+        .select("ws", "event_type", "n")
+        .as[(Timestamp, String, Long)].collect().toSet
+      assert(streamRows == batchRows)
+      assert(streamRows.nonEmpty)
+    } finally q.stop()
+  }
+
   test("streaming session windows equal the st_session_window batch " +
       "plan") {
     val dir = java.nio.file.Files.createTempDirectory("events-sess")
