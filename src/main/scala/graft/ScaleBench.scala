@@ -47,7 +47,11 @@ object ScaleBench {
     // and the single-shuffle report family: sliding windows (4-window
     // expand), two-phase decile rank, rollup grouping sets, pivot
     "st_sliding_window", "w6_ntile_buckets", "a_rollup",
-    "a_pivot_events")
+    "a_pivot_events",
+    // cross-doc substring dedup: gram explode + corpus count + hit
+    // join + per-doc span merge — shuffle should track gram count
+    // (linear in tokens), hits track duplicated-gram occurrences
+    "d_substring_dedup")
 
   /** Relational-core scale set (SPARK_GRAFT_SCALE_MODE=rel): the
     * TPC-ish aggregation/join family, run against a corpus whose FACT
@@ -57,7 +61,10 @@ object ScaleBench {
     * dimension joins must stay broadcast at every factor. */
   val RelQueries = Seq("q1_pricing_summary", "q3_top_revenue_orders",
     "q5_region_revenue", "j1_fk_join", "j2_prefetch_agg",
-    "j9_earliest_per_key")
+    "j9_earliest_per_key",
+    // two-phase exact quantiles: the rank shuffle must stay
+    // range-partitioned (never one task per group) as facts grow
+    "a_percentiles")
 
   /** Shuffle totals accumulated across the stages of one query run.
     * Listener events arrive asynchronously; callers drain with a short

@@ -228,6 +228,100 @@ object Aggregates {
         CAST(COUNT(*) FILTER (event_type = 'view') AS BIGINT) AS view
       FROM events GROUP BY user_id ORDER BY user_id"""))
 
+  /** Exact distributed quantiles (p50/p90/p99 of extended price per
+    * return-flag group) via two-phase rank interpolation — the same
+    * range-repartition + local row_number + broadcast-offsets shape as
+    * `w6_ntile_buckets`, so a group is NEVER forced into a single
+    * window partition (a per-group window over 4 groups at 100 TB
+    * would put ~25 TB through one task; the range partitioner keeps
+    * each group spread over all partitions and only the ≤
+    * partitions×groups offset frame is single-partition). The
+    * interpolation is spelled out rank-arithmetically — pos =
+    * p·(n−1)+1, v_lo + (pos−⌊pos⌋)·(v_hi−v_lo) — with the identical
+    * IEEE op order in Spark and the oracle (DuckDB decimal literals
+    * are cast to DOUBLE), so the gate compares bit-for-bit without
+    * relying on either engine's quantile_cont convention.
+    */
+  val percentiles = QueryDef(
+    "a_percentiles", "A1/W2 + OLAP quantiles",
+    "exact p50/p90/p99 per group via two-phase rank interpolation",
+    (s, dir) => {
+      import org.apache.spark.sql.Column
+      import org.apache.spark.sql.expressions.Window
+      val scored = par(t(s, dir, "lineitem"))
+        .select(col("l_returnflag").as("g1"), col("l_linestatus").as("g2"),
+          col("l_extendedprice").as("v"),
+          col("l_orderkey"), col("l_linenumber"))
+        .repartitionByRange(col("g1"), col("g2"), col("v"),
+          col("l_orderkey"), col("l_linenumber"))
+        .withColumn("pid", spark_partition_id())
+      val counts = scored.groupBy("pid", "g1", "g2")
+        .agg(count(lit(1)).as("cnt"))
+      // the offsets window runs over ≤ partitions×groups rows —
+      // single-partition is correct THERE (the frame is tiny)
+      val offsets = counts
+        .withColumn("offset",
+          coalesce(sum("cnt").over(Window.partitionBy("g1", "g2")
+            .orderBy("pid")
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select("pid", "g1", "g2", "offset")
+      val totals = counts.groupBy("g1", "g2").agg(sum("cnt").as("n"))
+      val lw = Window.partitionBy(col("pid"), col("g1"), col("g2"))
+        .orderBy(col("v"), col("l_orderkey"), col("l_linenumber"))
+      def pos(p: Double): Column = lit(p) * (col("n") - lit(1)) + lit(1)
+      val ranked = scored
+        .withColumn("local_rn", row_number().over(lw))
+        .join(broadcast(offsets), Seq("pid", "g1", "g2"))
+        .withColumn("rn", col("offset") + col("local_rn"))
+        .join(broadcast(totals), Seq("g1", "g2"))
+      val marks = ranked.groupBy("g1", "g2", "n").agg(
+        max(when(col("rn") === floor(pos(0.5)), col("v"))).as("lo50"),
+        max(when(col("rn") === ceil(pos(0.5)), col("v"))).as("hi50"),
+        max(when(col("rn") === floor(pos(0.9)), col("v"))).as("lo90"),
+        max(when(col("rn") === ceil(pos(0.9)), col("v"))).as("hi90"),
+        max(when(col("rn") === floor(pos(0.99)), col("v"))).as("lo99"),
+        max(when(col("rn") === ceil(pos(0.99)), col("v"))).as("hi99"))
+      def interp(p: Double, lo: String, hi: String): Column =
+        col(lo) + (pos(p) - floor(pos(p))) * (col(hi) - col(lo))
+      marks.select(
+        col("g1").as("l_returnflag"), col("g2").as("l_linestatus"),
+        col("n"),
+        interp(0.5, "lo50", "hi50").as("p50"),
+        interp(0.9, "lo90", "hi90").as("p90"),
+        interp(0.99, "lo99", "hi99").as("p99"))
+        .orderBy("l_returnflag", "l_linestatus")
+    },
+    Some("""WITH ranked AS (
+        SELECT l_returnflag AS g1, l_linestatus AS g2,
+          l_extendedprice AS v,
+          ROW_NUMBER() OVER (PARTITION BY l_returnflag, l_linestatus
+            ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS rn,
+          COUNT(*) OVER (PARTITION BY l_returnflag, l_linestatus) AS n
+        FROM lineitem),
+      marks AS (
+        SELECT g1, g2, n,
+          MAX(CASE WHEN rn = CAST(FLOOR(CAST(0.5 AS DOUBLE)*(n-1)+1)
+            AS BIGINT) THEN v END) AS lo50,
+          MAX(CASE WHEN rn = CAST(CEIL(CAST(0.5 AS DOUBLE)*(n-1)+1)
+            AS BIGINT) THEN v END) AS hi50,
+          MAX(CASE WHEN rn = CAST(FLOOR(CAST(0.9 AS DOUBLE)*(n-1)+1)
+            AS BIGINT) THEN v END) AS lo90,
+          MAX(CASE WHEN rn = CAST(CEIL(CAST(0.9 AS DOUBLE)*(n-1)+1)
+            AS BIGINT) THEN v END) AS hi90,
+          MAX(CASE WHEN rn = CAST(FLOOR(CAST(0.99 AS DOUBLE)*(n-1)+1)
+            AS BIGINT) THEN v END) AS lo99,
+          MAX(CASE WHEN rn = CAST(CEIL(CAST(0.99 AS DOUBLE)*(n-1)+1)
+            AS BIGINT) THEN v END) AS hi99
+        FROM ranked GROUP BY g1, g2, n)
+      SELECT g1 AS l_returnflag, g2 AS l_linestatus, n,
+        lo50 + ((CAST(0.5 AS DOUBLE)*(n-1)+1)
+          - FLOOR(CAST(0.5 AS DOUBLE)*(n-1)+1)) * (hi50 - lo50) AS p50,
+        lo90 + ((CAST(0.9 AS DOUBLE)*(n-1)+1)
+          - FLOOR(CAST(0.9 AS DOUBLE)*(n-1)+1)) * (hi90 - lo90) AS p90,
+        lo99 + ((CAST(0.99 AS DOUBLE)*(n-1)+1)
+          - FLOOR(CAST(0.99 AS DOUBLE)*(n-1)+1)) * (hi99 - lo99) AS p99
+      FROM marks ORDER BY l_returnflag, l_linestatus"""))
+
   val defs: Seq[QueryDef] =
-    Seq(a1, a2, a3, j6a4, a6, a7, a8, a9, rollup1, pivot1)
+    Seq(a1, a2, a3, j6a4, a6, a7, a8, a9, rollup1, pivot1, percentiles)
 }

@@ -922,7 +922,120 @@ object DedupOps {
       WHERE d.doc_id % 17 <> 0
       ORDER BY d.doc_id"""))
 
+  /** Cross-document exact-substring dedup at k-token granularity (the
+    * "deduplicating training data" span-removal stage — Lee et al.
+    * 2021, arXiv:2107.06499 — as used for C4/Pile-style corpora): any
+    * k-token window whose text appears in ≥2 distinct documents marks
+    * a duplicated span `[start, start+k)` in token space; overlapping
+    * and touching spans merge via the same [[graft.matching.MergeSpans]]
+    * expression the snippet matcher uses for X4
+    * (`matchcode/match.py:290-348` span arithmetic), and the merged
+    * duplicate token mass is reported per document. This is the
+    * substring-level sibling of [[lineDedup]] (sentence-segment
+    * granularity, boilerplate drop) and of `t_dup_segments`
+    * (within-document only).
+    *
+    * Scale notes: the gram frame is one explode (≤1 row per token,
+    * bounded width); corpus counts are one map-side-combined hash agg
+    * keyed on the gram; only duplicated grams join back (equi-join on
+    * the gram — collision-bounded, never all-pairs); the span merge is
+    * one per-doc hash agg over the hit frame only. Every stage hash-
+    * partitions on gram or doc_id. At 100 TB the gram shuffle carries
+    * k words per row — the production variant groups on
+    * `xxhash64(gram)` (8 bytes/row, false-positive rate 2^-64,
+    * verify-on-collision) instead of the literal string; the string
+    * form here is the exact-oracle configuration of the same plan.
+    */
+  private val SubstringK = 8
+
+  val substringDedup = QueryDef(
+    "d_substring_dedup", "LLM-pipeline dedup: cross-doc substring spans",
+    s"duplicated $SubstringK-token windows → merged spans → dup mass per doc",
+    (s, dir) => {
+      val k = SubstringK
+      val toks = par(t(s, dir, "documents"))
+        .select(col("doc_id"), words.as("ws"))
+        .select(col("doc_id"), col("ws"), size(col("ws")).as("n_tokens"))
+        .filter(col("n_tokens") > 0)
+      val grams = toks
+        .select(col("doc_id"), col("n_tokens"),
+          posexplode(expr(
+            s"transform(sequence(0, greatest(n_tokens - $k, 0)), " +
+              s"i -> concat_ws(' ', slice(ws, i + 1, $k)))")))
+        .withColumnRenamed("pos", "start")
+        .withColumnRenamed("col", "g")
+        .filter(col("start") + k <= col("n_tokens"))
+      val dupGrams = grams.groupBy("g")
+        .agg(countDistinct(col("doc_id")).as("n_docs"))
+        .filter(col("n_docs") >= 2)
+        .select("g")
+      val hits = grams.join(dupGrams, Seq("g"))
+        .select(col("doc_id"),
+          struct(col("start"), (col("start") + k).as("end")).as("span"))
+      val stats = hits.groupBy("doc_id")
+        .agg(collect_list(col("span")).as("spans"))
+        .select(col("doc_id"),
+          graft.matching.MatchFunctions.merge_spans(col("spans"), 0)
+            .as("merged"))
+        .select(col("doc_id"),
+          size(col("merged")).as("n_spans"),
+          aggregate(col("merged"), lit(0),
+            (acc, x) => acc + x.getField("end") - x.getField("start"))
+            .as("dup_tokens"))
+      toks.select(col("doc_id"), col("n_tokens"))
+        .join(stats, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          col("n_tokens").cast("int").as("n_tokens"),
+          coalesce(col("n_spans"), lit(0)).cast("int").as("n_spans"),
+          coalesce(col("dup_tokens"), lit(0)).cast("int").as("dup_tokens"),
+          (lit(1.0) - asDouble(coalesce(col("dup_tokens"), lit(0))) /
+            asDouble(col("n_tokens"))).as("kept_frac"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH w AS (
+        SELECT doc_id,
+          list_filter(string_split(text, ' '), x -> x <> '') AS ws
+        FROM documents),
+      tok AS (
+        SELECT doc_id, ws, len(ws) AS n_tokens FROM w WHERE len(ws) > 0),
+      grams AS (
+        SELECT doc_id, i AS start,
+          array_to_string(ws[i + 1:i + 8], ' ') AS g
+        FROM tok,
+          LATERAL (SELECT unnest(range(0, greatest(n_tokens - 8, 0) + 1)) AS i)
+        WHERE i + 8 <= n_tokens),
+      dup AS (
+        SELECT g FROM grams GROUP BY g HAVING COUNT(DISTINCT doc_id) >= 2),
+      hits AS (
+        SELECT gr.doc_id, gr.start, gr.start + 8 AS e
+        FROM grams gr JOIN dup USING (g)),
+      ord AS (
+        SELECT doc_id, start, e,
+          CASE WHEN start <= MAX(e) OVER (PARTITION BY doc_id
+              ORDER BY start, e
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+            THEN 0 ELSE 1 END AS brk
+        FROM hits),
+      grp AS (
+        SELECT doc_id, start, e,
+          SUM(brk) OVER (PARTITION BY doc_id ORDER BY start, e) AS gid
+        FROM ord),
+      merged AS (
+        SELECT doc_id, gid, MIN(start) AS s, MAX(e) AS e
+        FROM grp GROUP BY doc_id, gid),
+      agg AS (
+        SELECT doc_id, COUNT(*) AS n_spans, SUM(e - s) AS dup_tokens
+        FROM merged GROUP BY doc_id)
+      SELECT t.doc_id,
+        CAST(t.n_tokens AS INTEGER) AS n_tokens,
+        CAST(COALESCE(a.n_spans, 0) AS INTEGER) AS n_spans,
+        CAST(COALESCE(a.dup_tokens, 0) AS INTEGER) AS dup_tokens,
+        1.0 - CAST(COALESCE(a.dup_tokens, 0) AS DOUBLE) /
+          CAST(t.n_tokens AS DOUBLE) AS kept_frac
+      FROM tok t LEFT JOIN agg a USING (doc_id)
+      ORDER BY doc_id"""))
+
   val defs: Seq[QueryDef] = Seq(exact, minhash, simhash, ngram, clusters,
     lineDedup, clusterKeeper, decontaminate, lshRecall, lshRecallSampled,
-    streamDedup)
+    streamDedup, substringDedup)
 }
