@@ -948,35 +948,47 @@ object DedupOps {
     */
   private val SubstringK = 8
 
+  /** Shared stages of the substring-dedup family: tokenized docs
+    * `(doc_id, ws, n_tokens)` and, per document with at least one
+    * duplicated window, the merged duplicated spans
+    * `(doc_id, merged: array<struct<start,end>>)` in token space. */
+  private def substringSpanFrames(s: org.apache.spark.sql.SparkSession,
+      dir: String): (org.apache.spark.sql.DataFrame,
+      org.apache.spark.sql.DataFrame) = {
+    val k = SubstringK
+    val toks = par(t(s, dir, "documents"))
+      .select(col("doc_id"), words.as("ws"))
+      .select(col("doc_id"), col("ws"), size(col("ws")).as("n_tokens"))
+      .filter(col("n_tokens") > 0)
+    val grams = toks
+      .select(col("doc_id"), col("n_tokens"),
+        posexplode(expr(
+          s"transform(sequence(0, greatest(n_tokens - $k, 0)), " +
+            s"i -> concat_ws(' ', slice(ws, i + 1, $k)))")))
+      .withColumnRenamed("pos", "start")
+      .withColumnRenamed("col", "g")
+      .filter(col("start") + k <= col("n_tokens"))
+    val dupGrams = grams.groupBy("g")
+      .agg(countDistinct(col("doc_id")).as("n_docs"))
+      .filter(col("n_docs") >= 2)
+      .select("g")
+    val hits = grams.join(dupGrams, Seq("g"))
+      .select(col("doc_id"),
+        struct(col("start"), (col("start") + k).as("end")).as("span"))
+    val merged = hits.groupBy("doc_id")
+      .agg(collect_list(col("span")).as("spans"))
+      .select(col("doc_id"),
+        graft.matching.MatchFunctions.merge_spans(col("spans"), 0)
+          .as("merged"))
+    (toks, merged)
+  }
+
   val substringDedup = QueryDef(
     "d_substring_dedup", "LLM-pipeline dedup: cross-doc substring spans",
     s"duplicated $SubstringK-token windows → merged spans → dup mass per doc",
     (s, dir) => {
-      val k = SubstringK
-      val toks = par(t(s, dir, "documents"))
-        .select(col("doc_id"), words.as("ws"))
-        .select(col("doc_id"), col("ws"), size(col("ws")).as("n_tokens"))
-        .filter(col("n_tokens") > 0)
-      val grams = toks
-        .select(col("doc_id"), col("n_tokens"),
-          posexplode(expr(
-            s"transform(sequence(0, greatest(n_tokens - $k, 0)), " +
-              s"i -> concat_ws(' ', slice(ws, i + 1, $k)))")))
-        .withColumnRenamed("pos", "start")
-        .withColumnRenamed("col", "g")
-        .filter(col("start") + k <= col("n_tokens"))
-      val dupGrams = grams.groupBy("g")
-        .agg(countDistinct(col("doc_id")).as("n_docs"))
-        .filter(col("n_docs") >= 2)
-        .select("g")
-      val hits = grams.join(dupGrams, Seq("g"))
-        .select(col("doc_id"),
-          struct(col("start"), (col("start") + k).as("end")).as("span"))
-      val stats = hits.groupBy("doc_id")
-        .agg(collect_list(col("span")).as("spans"))
-        .select(col("doc_id"),
-          graft.matching.MatchFunctions.merge_spans(col("spans"), 0)
-            .as("merged"))
+      val (toks, merged) = substringSpanFrames(s, dir)
+      val stats = merged
         .select(col("doc_id"),
           size(col("merged")).as("n_spans"),
           aggregate(col("merged"), lit(0),
@@ -1035,7 +1047,92 @@ object DedupOps {
       FROM tok t LEFT JOIN agg a USING (doc_id)
       ORDER BY doc_id"""))
 
+  /** The cut half of the substring-dedup pipeline: every token inside
+    * a merged duplicated span is removed and the surviving tokens are
+    * rejoined in order — the actual corpus rewrite the span stats of
+    * [[substringDedup]] describe. Reconstruction is whitespace-
+    * normalized (tokens rejoined with single spaces), the standard
+    * contract of a token-level cut.
+    *
+    * Scale notes: tokens and spans explode from the shared frames and
+    * meet in a LEFT ANTI join on `doc_id` with the range predicate as
+    * a secondary condition — hash-partitioned on doc_id, never a
+    * cartesian; per-doc span counts are small (merged, non-
+    * overlapping), so the anti-join's probe work per token is bounded.
+    * Rebuild is the same sorted-collect shape as `d_line_dedup`. */
+  val substringCut = QueryDef(
+    "d_substring_cut", "LLM-pipeline dedup: substring span removal",
+    "cut merged duplicated spans from each doc, rebuild clean text",
+    (s, dir) => {
+      val (toks, merged) = substringSpanFrames(s, dir)
+      val tokens = toks.select(col("doc_id"), posexplode(col("ws")))
+      val spans = merged
+        .select(col("doc_id"), explode(col("merged")).as("sp"))
+        .select(col("doc_id").as("s_doc"), col("sp.start").as("s"),
+          col("sp.end").as("e"))
+      val kept = tokens.join(spans,
+        tokens("doc_id") === col("s_doc") &&
+          col("pos") >= col("s") && col("pos") < col("e"), "left_anti")
+      val rebuilt = kept.groupBy("doc_id").agg(
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("pos"), col("col")))),
+          x => x.getField("col"))).as("clean_text"),
+        count(lit(1)).cast("int").as("n_kept"))
+      toks.select("doc_id").join(rebuilt, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("clean_text"), lit("")).as("clean_text"),
+          coalesce(col("n_kept"), lit(0)).as("n_kept"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH w AS (
+        SELECT doc_id,
+          list_filter(string_split(text, ' '), x -> x <> '') AS ws
+        FROM documents),
+      tok AS (
+        SELECT doc_id, ws, len(ws) AS n_tokens FROM w WHERE len(ws) > 0),
+      grams AS (
+        SELECT doc_id, i AS start,
+          array_to_string(ws[i + 1:i + 8], ' ') AS g
+        FROM tok,
+          LATERAL (SELECT unnest(range(0, greatest(n_tokens - 8, 0) + 1)) AS i)
+        WHERE i + 8 <= n_tokens),
+      dup AS (
+        SELECT g FROM grams GROUP BY g HAVING COUNT(DISTINCT doc_id) >= 2),
+      hits AS (
+        SELECT gr.doc_id, gr.start, gr.start + 8 AS e
+        FROM grams gr JOIN dup USING (g)),
+      ord AS (
+        SELECT doc_id, start, e,
+          CASE WHEN start <= MAX(e) OVER (PARTITION BY doc_id
+              ORDER BY start, e
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+            THEN 0 ELSE 1 END AS brk
+        FROM hits),
+      grp AS (
+        SELECT doc_id, start, e,
+          SUM(brk) OVER (PARTITION BY doc_id ORDER BY start, e) AS gid
+        FROM ord),
+      merged AS (
+        SELECT doc_id, gid, MIN(start) AS s, MAX(e) AS e
+        FROM grp GROUP BY doc_id, gid),
+      toks AS (
+        SELECT doc_id, i - 1 AS pos, ws[i] AS wd
+        FROM tok, LATERAL (SELECT unnest(range(1, len(ws) + 1)) AS i)),
+      kept AS (
+        SELECT tk.doc_id, tk.pos, tk.wd FROM toks tk
+        WHERE NOT EXISTS (SELECT 1 FROM merged m
+          WHERE m.doc_id = tk.doc_id
+            AND tk.pos >= m.s AND tk.pos < m.e)),
+      reb AS (
+        SELECT doc_id, string_agg(wd, ' ' ORDER BY pos) AS clean_text,
+          CAST(COUNT(*) AS INTEGER) AS n_kept
+        FROM kept GROUP BY doc_id)
+      SELECT t.doc_id, COALESCE(r.clean_text, '') AS clean_text,
+        COALESCE(r.n_kept, 0) AS n_kept
+      FROM tok t LEFT JOIN reb r USING (doc_id)
+      ORDER BY doc_id"""))
+
   val defs: Seq[QueryDef] = Seq(exact, minhash, simhash, ngram, clusters,
     lineDedup, clusterKeeper, decontaminate, lshRecall, lshRecallSampled,
-    streamDedup, substringDedup)
+    streamDedup, substringDedup, substringCut)
 }

@@ -82,4 +82,33 @@ class SubstringDedupSpec extends SparkTestBase {
   test("every document appears exactly once in the output") {
     assert(rows.keySet == (0L to 11L).toSet)
   }
+
+  private lazy val cut: Map[Long, (String, Int)] =
+    Registry.byName("d_substring_cut").run(spark, dir).collect().map { r =>
+      r.getAs[Long]("doc_id") ->
+        ((r.getAs[String]("clean_text"), r.getAs[Int]("n_kept")))
+    }.toMap
+
+  test("cut removes exactly the merged spans and rejoins the rest") {
+    assert(cut(0L) == (((uniq("a", 5) ++ uniq("b", 5)).mkString(" "), 10)))
+    assert(cut(1L) == ((uniq("c", 12).mkString(" "), 12)))
+    assert(cut(2L) == ((uniq("d", 9).mkString(" "), 9)))
+  }
+
+  test("fully duplicated docs cut to empty text") {
+    assert(cut(3L) == (("", 0)))
+    assert(cut(4L) == (("", 0)))
+    assert(cut(7L) == (("", 0)))
+  }
+
+  test("cut keeps docs without duplicated windows verbatim") {
+    assert(cut(10L) == ((uniq("w", 5).mkString(" "), 5)))
+    assert(cut(11L) == ((uniq("w", 5).mkString(" "), 5)))
+  }
+
+  test("cut token counts agree with the span stats") {
+    for ((id, (nTok, _, dupTok, _)) <- rows)
+      assert(cut(id)._2 == nTok - dupTok,
+        s"doc $id: n_kept ${cut(id)._2} != $nTok - $dupTok")
+  }
 }
