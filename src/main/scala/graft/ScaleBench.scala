@@ -50,8 +50,9 @@ object ScaleBench {
     "a_pivot_events",
     // cross-doc substring dedup: gram explode + corpus count + hit
     // join + per-doc span merge — shuffle should track gram count
-    // (linear in tokens), hits track duplicated-gram occurrences
-    "d_substring_dedup")
+    // (linear in tokens), hits track duplicated-gram occurrences;
+    // the cut half adds the token/span anti-join + in-order rebuild
+    "d_substring_dedup", "d_substring_cut", "d_substring_dedup_hashed")
 
   /** Relational-core scale set (SPARK_GRAFT_SCALE_MODE=rel): the
     * TPC-ish aggregation/join family, run against a corpus whose FACT

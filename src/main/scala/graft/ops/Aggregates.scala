@@ -259,13 +259,16 @@ object Aggregates {
         .agg(count(lit(1)).as("cnt"))
       // the offsets window runs over ≤ partitions×groups rows —
       // single-partition is correct THERE (the frame is tiny)
+      // one tiny frame carries both the per-partition prefix offset
+      // and the per-group total, so the big ranked frame needs a
+      // single broadcast join
+      val gw = Window.partitionBy("g1", "g2")
       val offsets = counts
         .withColumn("offset",
-          coalesce(sum("cnt").over(Window.partitionBy("g1", "g2")
-            .orderBy("pid")
+          coalesce(sum("cnt").over(gw.orderBy("pid")
             .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-        .select("pid", "g1", "g2", "offset")
-      val totals = counts.groupBy("g1", "g2").agg(sum("cnt").as("n"))
+        .withColumn("n", sum("cnt").over(gw))
+        .select("pid", "g1", "g2", "offset", "n")
       val lw = Window.partitionBy(col("pid"), col("g1"), col("g2"))
         .orderBy(col("v"), col("l_orderkey"), col("l_linenumber"))
       def pos(p: Double): Column = lit(p) * (col("n") - lit(1)) + lit(1)
@@ -273,7 +276,6 @@ object Aggregates {
         .withColumn("local_rn", row_number().over(lw))
         .join(broadcast(offsets), Seq("pid", "g1", "g2"))
         .withColumn("rn", col("offset") + col("local_rn"))
-        .join(broadcast(totals), Seq("g1", "g2"))
       val marks = ranked.groupBy("g1", "g2", "n").agg(
         max(when(col("rn") === floor(pos(0.5)), col("v"))).as("lo50"),
         max(when(col("rn") === ceil(pos(0.5)), col("v"))).as("hi50"),

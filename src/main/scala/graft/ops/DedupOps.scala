@@ -951,20 +951,31 @@ object DedupOps {
   /** Shared stages of the substring-dedup family: tokenized docs
     * `(doc_id, ws, n_tokens)` and, per document with at least one
     * duplicated window, the merged duplicated spans
-    * `(doc_id, merged: array<struct<start,end>>)` in token space. */
+    * `(doc_id, merged: array<struct<start,end>>)` in token space.
+    *
+    * `hashed = true` is the production configuration: the gram
+    * shuffles as its 64-bit xxhash (8 bytes/row) instead of the
+    * k-word string. A hash collision (P ≈ n²/2⁶⁵ across distinct
+    * grams) would mark a non-duplicated window; the driver oracle
+    * compares against the exact-string computation, so a collision
+    * fails the gate loudly rather than passing silently. */
   private def substringSpanFrames(s: org.apache.spark.sql.SparkSession,
-      dir: String): (org.apache.spark.sql.DataFrame,
+      dir: String, hashed: Boolean = false)
+      : (org.apache.spark.sql.DataFrame,
       org.apache.spark.sql.DataFrame) = {
     val k = SubstringK
     val toks = par(t(s, dir, "documents"))
       .select(col("doc_id"), words.as("ws"))
       .select(col("doc_id"), col("ws"), size(col("ws")).as("n_tokens"))
       .filter(col("n_tokens") > 0)
+    val gramText =
+      s"transform(sequence(0, greatest(n_tokens - $k, 0)), " +
+        s"i -> concat_ws(' ', slice(ws, i + 1, $k)))"
+    val gramExpr =
+      if (hashed) s"transform($gramText, g -> xxhash64(g))" else gramText
     val grams = toks
       .select(col("doc_id"), col("n_tokens"),
-        posexplode(expr(
-          s"transform(sequence(0, greatest(n_tokens - $k, 0)), " +
-            s"i -> concat_ws(' ', slice(ws, i + 1, $k)))")))
+        posexplode(expr(gramExpr)))
       .withColumnRenamed("pos", "start")
       .withColumnRenamed("col", "g")
       .filter(col("start") + k <= col("n_tokens"))
@@ -983,26 +994,33 @@ object DedupOps {
     (toks, merged)
   }
 
+  /** Per-doc span stats over the shared frames (both dedup variants). */
+  private def substringStats(toks: org.apache.spark.sql.DataFrame,
+      merged: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val stats = merged
+      .select(col("doc_id"),
+        size(col("merged")).as("n_spans"),
+        aggregate(col("merged"), lit(0),
+          (acc, x) => acc + x.getField("end") - x.getField("start"))
+          .as("dup_tokens"))
+    toks.select(col("doc_id"), col("n_tokens"))
+      .join(stats, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        col("n_tokens").cast("int").as("n_tokens"),
+        coalesce(col("n_spans"), lit(0)).cast("int").as("n_spans"),
+        coalesce(col("dup_tokens"), lit(0)).cast("int").as("dup_tokens"),
+        (lit(1.0) - asDouble(coalesce(col("dup_tokens"), lit(0))) /
+          asDouble(col("n_tokens"))).as("kept_frac"))
+      .orderBy("doc_id")
+  }
+
   val substringDedup = QueryDef(
     "d_substring_dedup", "LLM-pipeline dedup: cross-doc substring spans",
     s"duplicated $SubstringK-token windows → merged spans → dup mass per doc",
     (s, dir) => {
       val (toks, merged) = substringSpanFrames(s, dir)
-      val stats = merged
-        .select(col("doc_id"),
-          size(col("merged")).as("n_spans"),
-          aggregate(col("merged"), lit(0),
-            (acc, x) => acc + x.getField("end") - x.getField("start"))
-            .as("dup_tokens"))
-      toks.select(col("doc_id"), col("n_tokens"))
-        .join(stats, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          col("n_tokens").cast("int").as("n_tokens"),
-          coalesce(col("n_spans"), lit(0)).cast("int").as("n_spans"),
-          coalesce(col("dup_tokens"), lit(0)).cast("int").as("dup_tokens"),
-          (lit(1.0) - asDouble(coalesce(col("dup_tokens"), lit(0))) /
-            asDouble(col("n_tokens"))).as("kept_frac"))
-        .orderBy("doc_id")
+      substringStats(toks, merged)
     },
     Some("""WITH w AS (
         SELECT doc_id,
@@ -1132,7 +1150,24 @@ object DedupOps {
       FROM tok t LEFT JOIN reb r USING (doc_id)
       ORDER BY doc_id"""))
 
+  /** The production configuration of [[substringDedup]]: identical
+    * plan, identical output, but the corpus-count/hit-join key is the
+    * gram's xxhash64 — 8 shuffled bytes per gram instead of the
+    * k-word string (at the 100× scale point that is the difference
+    * between a multi-GB and a sub-GB count stage). Gated by the SAME
+    * exact-string oracle: a hash collision would change the span
+    * stats and hash-mismatch the round instead of passing silently. */
+  val substringDedupHashed = QueryDef(
+    "d_substring_dedup_hashed",
+    "LLM-pipeline dedup: substring spans, hashed-gram config",
+    s"same span stats with xxhash64 gram shuffle (8 bytes/gram)",
+    (s, dir) => {
+      val (toks, merged) = substringSpanFrames(s, dir, hashed = true)
+      substringStats(toks, merged)
+    },
+    substringDedup.oracle)
+
   val defs: Seq[QueryDef] = Seq(exact, minhash, simhash, ngram, clusters,
     lineDedup, clusterKeeper, decontaminate, lshRecall, lshRecallSampled,
-    streamDedup, substringDedup, substringCut)
+    streamDedup, substringDedup, substringCut, substringDedupHashed)
 }

@@ -2151,9 +2151,59 @@ FROM norm2 ORDER BY media_id"""))
       WHERE e = 3 AND i <= k % 2
       ORDER BY k, download_url, version"""))
 
+  /** Snapshot-to-snapshot corpus diff — the dataset-versioning CDC
+    * pass a training pipeline runs between crawl snapshots (and the
+    * same shape as the reference's changed-row detection in its
+    * incremental syncs, `clearcode/sync.py` S10): classify every
+    * doc_id as added / removed / modified / unchanged by comparing
+    * content DIGESTS, never full text (at 100 TB the diff join
+    * shuffles 16-byte md5s per side after column pruning; the full
+    * outer join hash-partitions on doc_id). Snapshots are derived
+    * deterministically from the one documents table: the "old"
+    * snapshot lacks the doc_id%17 rows (later added) and carries
+    * upper-cased text for doc_id%13 rows (later edited); the "new"
+    * snapshot lacks doc_id%19 rows (since removed).
+    */
+  val snapshotDiff = QueryDef(
+    "s_snapshot_diff", "S10/CDC + LLM-pipeline dataset versioning",
+    "full-outer digest diff of two corpus snapshots → per-doc status",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val old = docs.filter(col("doc_id") % 17 =!= 0)
+        .select(col("doc_id"),
+          md5(when(col("doc_id") % 13 === 0, upper(col("text")))
+            .otherwise(col("text"))).as("old_digest"))
+      val neu = docs.filter(col("doc_id") % 19 =!= 0)
+        .select(col("doc_id"), md5(col("text")).as("new_digest"))
+      old.join(neu, Seq("doc_id"), "full_outer")
+        .select(col("doc_id"),
+          when(col("old_digest").isNull, lit("added"))
+            .when(col("new_digest").isNull, lit("removed"))
+            .when(col("old_digest") =!= col("new_digest"),
+              lit("modified"))
+            .otherwise(lit("unchanged")).as("status"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH old AS (
+        SELECT doc_id,
+          md5(CASE WHEN doc_id % 13 = 0 THEN upper(text) ELSE text END)
+            AS old_digest
+        FROM documents WHERE doc_id % 17 <> 0),
+      neu AS (
+        SELECT doc_id, md5(text) AS new_digest
+        FROM documents WHERE doc_id % 19 <> 0)
+      SELECT COALESCE(old.doc_id, neu.doc_id) AS doc_id,
+        CASE WHEN old_digest IS NULL THEN 'added'
+             WHEN new_digest IS NULL THEN 'removed'
+             WHEN old_digest <> new_digest THEN 'modified'
+             ELSE 'unchanged' END AS status
+      FROM old FULL OUTER JOIN neu ON old.doc_id = neu.doc_id
+      ORDER BY doc_id"""))
+
   val defs: Seq[QueryDef] =
     Seq(s4json, s8html, s10sync, cdHarvest, cdResources, mmFeatures,
       mmImageStats, mmAudioStats, mmVideoFrames, s9ls, s11apk,
       x1visitor, x2mapper, s7pom, s5nexus, s15publish, s11deb, s11ipk,
-      s11json, s11json2, x2npm, x2registry, x2registry2, x2registry3)
+      s11json, s11json2, x2npm, x2registry, x2registry2, x2registry3,
+      snapshotDiff)
 }

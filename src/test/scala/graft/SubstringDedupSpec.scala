@@ -111,4 +111,14 @@ class SubstringDedupSpec extends SparkTestBase {
       assert(cut(id)._2 == nTok - dupTok,
         s"doc $id: n_kept ${cut(id)._2} != $nTok - $dupTok")
   }
+
+  test("hashed-gram configuration produces identical span stats") {
+    val hashed = Registry.byName("d_substring_dedup_hashed")
+      .run(spark, dir).collect().map { r =>
+        r.getAs[Long]("doc_id") ->
+          ((r.getAs[Int]("n_tokens"), r.getAs[Int]("n_spans"),
+            r.getAs[Int]("dup_tokens"), r.getAs[Double]("kept_frac")))
+      }.toMap
+    assert(hashed == rows)
+  }
 }
