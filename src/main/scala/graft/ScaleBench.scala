@@ -52,7 +52,11 @@ object ScaleBench {
     // join + per-doc span merge — shuffle should track gram count
     // (linear in tokens), hits track duplicated-gram occurrences;
     // the cut half adds the token/span anti-join + in-order rebuild
-    "d_substring_dedup", "d_substring_cut", "d_substring_dedup_hashed")
+    "d_substring_dedup", "d_substring_cut", "d_substring_dedup_hashed",
+    // product-analytics report pair over the user-offset-scaled
+    // events: funnel = cascaded filtered-MIN aggs on user_id,
+    // retention = (user, week)-distinct frame joined to cohorts
+    "a_window_funnel", "a_retention_cohorts")
 
   /** Relational-core scale set (SPARK_GRAFT_SCALE_MODE=rel): the
     * TPC-ish aggregation/join family, run against a corpus whose FACT

@@ -324,6 +324,107 @@ object Aggregates {
           - FLOOR(CAST(0.99 AS DOUBLE)*(n-1)+1)) * (hi99 - lo99) AS p99
       FROM marks ORDER BY l_returnflag, l_linestatus"""))
 
+  /** Window funnel (the ClickHouse `windowFunnel` shape): per user,
+    * the earliest view → first click after it → first purchase after
+    * that, all inside a 7-day window from the view; the furthest
+    * stage reached is reported. Expressed as a cascade of three
+    * filtered MIN aggregations, each an equi-join + hash agg on
+    * user_id — every stage hash-partitions on the same key, so at
+    * scale the shuffles collapse onto one exchange (AQE reuses the
+    * partitioning) and no per-user event list is ever materialized.
+    */
+  val funnel = QueryDef(
+    "a_window_funnel", "A2/W1 + OLAP funnel",
+    "view→click→purchase within 7 days per user, furthest stage",
+    (s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(col("user_id"), col("event_type"), col("ts"))
+      val s1 = ev.groupBy("user_id")
+        .agg(min(when(col("event_type") === "view", col("ts"))).as("t1"))
+      val s2 = ev.join(s1, Seq("user_id"))
+        .filter(col("event_type") === "click" &&
+          col("ts") >= col("t1") &&
+          col("ts") <= col("t1") + expr("INTERVAL 7 DAYS"))
+        .groupBy("user_id").agg(min(col("ts")).as("t2"))
+      val s3 = ev.join(s1, Seq("user_id")).join(s2, Seq("user_id"))
+        .filter(col("event_type") === "purchase" &&
+          col("ts") >= col("t2") &&
+          col("ts") <= col("t1") + expr("INTERVAL 7 DAYS"))
+        .groupBy("user_id").agg(min(col("ts")).as("t3"))
+      s1.join(s2, Seq("user_id"), "left").join(s3, Seq("user_id"), "left")
+        .select(col("user_id"), col("t1"), col("t2"), col("t3"),
+          when(col("t3").isNotNull, lit(3))
+            .when(col("t2").isNotNull, lit(2))
+            .when(col("t1").isNotNull, lit(1))
+            .otherwise(lit(0)).as("stage"))
+        .orderBy("user_id")
+    },
+    Some("""WITH ev AS (
+        SELECT user_id, event_type, ts FROM events),
+      s1 AS (
+        SELECT user_id, MIN(ts) FILTER (event_type = 'view') AS t1
+        FROM ev GROUP BY user_id),
+      s2 AS (
+        SELECT e.user_id, MIN(e.ts) AS t2
+        FROM ev e JOIN s1 USING (user_id)
+        WHERE e.event_type = 'click' AND e.ts >= s1.t1
+          AND e.ts <= s1.t1 + INTERVAL 7 DAY
+        GROUP BY e.user_id),
+      s3 AS (
+        SELECT e.user_id, MIN(e.ts) AS t3
+        FROM ev e JOIN s1 USING (user_id) JOIN s2 USING (user_id)
+        WHERE e.event_type = 'purchase' AND e.ts >= s2.t2
+          AND e.ts <= s1.t1 + INTERVAL 7 DAY
+        GROUP BY e.user_id)
+      SELECT s1.user_id, t1, t2, t3,
+        CASE WHEN t3 IS NOT NULL THEN 3
+             WHEN t2 IS NOT NULL THEN 2
+             WHEN t1 IS NOT NULL THEN 1 ELSE 0 END AS stage
+      FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
+      ORDER BY user_id"""))
+
+  /** Cohort retention: users grouped by the week of their first
+    * signup, counted as retained in every later week they show any
+    * activity. Two hash aggregations and one equi-join, all keyed on
+    * user_id / (cohort, offset) — the activity frame is
+    * (user, week)-distinct BEFORE the join, so the join input is
+    * bounded by users×weeks, not by raw event volume. Week offsets
+    * are exact integer day arithmetic on week-truncated stamps (no
+    * engine datediff-boundary conventions involved). */
+  val retention = QueryDef(
+    "a_retention_cohorts", "A1/A3 + OLAP retention",
+    "signup-week cohorts × active-week offsets → retained user counts",
+    (s, dir) => {
+      val ev = t(s, dir, "events")
+      val cohorts = ev.filter(col("event_type") === "signup")
+        .groupBy("user_id")
+        .agg(date_trunc("week", min(col("ts"))).as("cw"))
+      val activity = ev
+        .select(col("user_id"), date_trunc("week", col("ts")).as("w"))
+        .distinct()
+      activity.join(cohorts, Seq("user_id"))
+        .filter(col("w") >= col("cw"))
+        .groupBy(col("cw"), expr("datediff(w, cw) div 7")
+          .cast("int").as("week_offset"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+        .select(col("cw").as("cohort_week"),
+          col("week_offset"), col("n_users"))
+        .orderBy("cohort_week", "week_offset")
+    },
+    Some("""WITH cohorts AS (
+        SELECT user_id, date_trunc('week', MIN(ts)) AS cw
+        FROM events WHERE event_type = 'signup' GROUP BY user_id),
+      activity AS (
+        SELECT DISTINCT user_id, date_trunc('week', ts) AS w
+        FROM events)
+      SELECT cw AS cohort_week,
+        CAST(date_diff('day', cw, w) // 7 AS INTEGER) AS week_offset,
+        CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+      FROM activity JOIN cohorts USING (user_id)
+      WHERE w >= cw
+      GROUP BY 1, 2 ORDER BY 1, 2"""))
+
   val defs: Seq[QueryDef] =
-    Seq(a1, a2, a3, j6a4, a6, a7, a8, a9, rollup1, pivot1, percentiles)
+    Seq(a1, a2, a3, j6a4, a6, a7, a8, a9, rollup1, pivot1, percentiles,
+      funnel, retention)
 }
