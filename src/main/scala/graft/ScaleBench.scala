@@ -56,7 +56,11 @@ object ScaleBench {
     // product-analytics report pair over the user-offset-scaled
     // events: funnel = cascaded filtered-MIN aggs on user_id,
     // retention = (user, week)-distinct frame joined to cohorts
-    "a_window_funnel", "a_retention_cohorts")
+    "a_window_funnel", "a_retention_cohorts",
+    // the end-to-end curation funnel: rides the shared CC fixpoint +
+    // two small windows; watch that the md5 window and keeper re-rank
+    // stay hash-partitioned as the corpus grows
+    "d_pipeline_e2e")
 
   /** Relational-core scale set (SPARK_GRAFT_SCALE_MODE=rel): the
     * TPC-ish aggregation/join family, run against a corpus whose FACT

@@ -1167,7 +1167,162 @@ object DedupOps {
     },
     substringDedup.oracle)
 
+  /** The flagship end-to-end curation pipeline in ONE declarative
+    * plan — the composition a RefinedWeb/FineWeb-style corpus build
+    * actually runs, per-source funnel counts out the bottom:
+    *
+    *  1. quality gate (the `d_cluster_keeper` score ≥ 0.24),
+    *  2. exact dedup (min doc_id per md5 digest among survivors),
+    *  3. near-dup cluster keeper (best surviving quality per
+    *     connected component — the full-corpus label frame is the
+    *     SAME memoized fixpoint every cluster query shares, and the
+    *     keeper is re-ranked among stage-2 survivors, not inherited
+    *     from the unfiltered corpus).
+    *
+    * Kept-token mass and mean quality aggregate in integer
+    * micro-units (one final IEEE division), the house exact-oracle
+    * style. Every stage is a hash-partitioned window or equi-join on
+    * doc_id / digest / cluster_id; nothing in the funnel collects,
+    * cartesians, or re-shuffles the text after tokenization.
+    */
+  val pipelineE2e = QueryDef(
+    "d_pipeline_e2e", "LLM-pipeline: end-to-end curation funnel",
+    "quality gate → exact dedup → near-dup keeper → per-source funnel",
+    (s, dir) => {
+      val docsQ = t(s, dir, "documents")
+        .withColumn("n_tokens", size(words))
+        .filter(col("n_tokens") > 0)
+        .withColumn("n_stop", size(filter(split(col("text"), " "),
+          w => w === "the" || w === "a" || w === "of")))
+        .withColumn("mean_word_len",
+          asDouble(length(regexp_replace(col("text"), " ", ""))) /
+            asDouble(col("n_tokens")))
+        .withColumn("q",
+          (asDouble(col("n_stop")) / asDouble(col("n_tokens"))) * 0.5 +
+            (col("mean_word_len") / 10.0) * 0.5)
+        .withColumn("q_micro",
+          floor(col("q") * 1000000 + 0.5).cast("long"))
+        .select(col("doc_id"), col("source"), col("text"),
+          col("n_tokens"), col("q"), col("q_micro"))
+      val qualified = docsQ.filter(col("q") >= 0.24)
+      val exactKept = qualified
+        .withColumn("rn_exact", row_number().over(Window
+          .partitionBy(md5(col("text"))).orderBy(col("doc_id"))))
+        .filter(col("rn_exact") === 1)
+        .select("doc_id", "q", "q_micro")
+      val ndKept = exactKept.join(componentLabels(s, dir), Seq("doc_id"))
+        .withColumn("rn_nd", row_number().over(Window
+          .partitionBy(col("cluster_id"))
+          .orderBy(col("q").desc, col("doc_id"))))
+        .filter(col("rn_nd") === 1)
+        .select("doc_id")
+      docsQ
+        .join(qualified.select(col("doc_id"), lit(true).as("pq")),
+          Seq("doc_id"), "left")
+        .join(exactKept.select(col("doc_id"), lit(true).as("pe")),
+          Seq("doc_id"), "left")
+        .join(ndKept.select(col("doc_id"), lit(true).as("pn")),
+          Seq("doc_id"), "left")
+        .groupBy("source")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          count(col("pq")).as("n_quality"),
+          count(col("pe")).as("n_exact"),
+          count(col("pn")).as("n_kept"),
+          coalesce(sum(when(col("pn"), col("n_tokens"))), lit(0L))
+            .as("tokens_kept"),
+          (asDouble(coalesce(sum(when(col("pn"), col("q_micro"))),
+            lit(0L))) /
+            asDouble(greatest(count(col("pn")), lit(1L)) * 1000000L))
+            .as("mean_kept_quality"))
+        .orderBy("source")
+    },
+    Some("""WITH RECURSIVE w AS (
+        SELECT doc_id,
+          list_filter(string_split(text, ' '), x -> x <> '') AS ws
+        FROM documents),
+      sh AS (
+        SELECT doc_id,
+          list_distinct(list_transform(
+            range(1, greatest(len(ws) - 2, 1) + 1),
+            i -> array_to_string(ws[i:i+2], ' '))) AS shs
+        FROM w),
+      grams AS (SELECT doc_id, unnest(shs) AS g FROM sh),
+      sizes AS (SELECT doc_id, len(shs) AS n_sh FROM sh),
+      inter AS (
+        SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS n_common
+        FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+        GROUP BY 1, 2),
+      pairs AS (
+        SELECT i.d1, i.d2
+        FROM inter i
+        JOIN sizes s1 ON i.d1 = s1.doc_id
+        JOIN sizes s2 ON i.d2 = s2.doc_id
+        WHERE CAST(i.n_common AS DOUBLE) /
+            CAST(s1.n_sh + s2.n_sh - i.n_common AS DOUBLE) >= 0.5),
+      edges AS (
+        SELECT d1 AS u, d2 AS v FROM pairs
+        UNION SELECT d2, d1 FROM pairs),
+      walk(node, reach) AS (
+        SELECT u, v FROM edges
+        UNION
+        SELECT wk.node, e.v FROM walk wk JOIN edges e ON wk.reach = e.u),
+      labels AS (
+        SELECT d.doc_id,
+          LEAST(d.doc_id, COALESCE(MIN(wk.reach), d.doc_id)) AS cluster_id
+        FROM documents d LEFT JOIN walk wk ON wk.node = d.doc_id
+        GROUP BY d.doc_id),
+      docsq AS (
+        SELECT doc_id, source, text,
+          len(list_filter(string_split(text, ' '), x -> x <> ''))
+            AS n_tokens,
+          (CAST(len(list_filter(string_split(text, ' '),
+             x -> x = 'the' OR x = 'a' OR x = 'of')) AS DOUBLE) /
+           CAST(len(list_filter(string_split(text, ' '),
+             x -> x <> '')) AS DOUBLE)) * 0.5 +
+          ((CAST(length(replace(text, ' ', '')) AS DOUBLE) /
+            CAST(len(list_filter(string_split(text, ' '),
+              x -> x <> '')) AS DOUBLE)) / 10.0) * 0.5 AS q
+        FROM documents
+        WHERE len(list_filter(string_split(text, ' '), x -> x <> '')) > 0),
+      docsq2 AS (
+        SELECT *, CAST(FLOOR(q * 1000000 + 0.5) AS BIGINT) AS q_micro
+        FROM docsq),
+      qualified AS (
+        SELECT * FROM docsq2 WHERE q >= CAST(0.24 AS DOUBLE)),
+      exact_kept AS (
+        SELECT doc_id, q, q_micro FROM (
+          SELECT doc_id, q, q_micro,
+            ROW_NUMBER() OVER (PARTITION BY md5(text)
+              ORDER BY doc_id) AS rn
+          FROM qualified) rq WHERE rn = 1),
+      nd_kept AS (
+        SELECT doc_id FROM (
+          SELECT e.doc_id,
+            ROW_NUMBER() OVER (PARTITION BY l.cluster_id
+              ORDER BY e.q DESC, e.doc_id) AS rn
+          FROM exact_kept e JOIN labels l ON e.doc_id = l.doc_id) rn2
+        WHERE rn = 1)
+      SELECT d.source,
+        COUNT(*) AS n_docs,
+        CAST(COUNT(qf.doc_id) AS BIGINT) AS n_quality,
+        CAST(COUNT(ek.doc_id) AS BIGINT) AS n_exact,
+        CAST(COUNT(nk.doc_id) AS BIGINT) AS n_kept,
+        CAST(COALESCE(SUM(CASE WHEN nk.doc_id IS NOT NULL
+          THEN d.n_tokens END), 0) AS BIGINT) AS tokens_kept,
+        CAST(COALESCE(SUM(CASE WHEN nk.doc_id IS NOT NULL
+            THEN d.q_micro END), 0) AS DOUBLE) /
+          CAST(GREATEST(COUNT(nk.doc_id), 1) * 1000000 AS DOUBLE)
+          AS mean_kept_quality
+      FROM docsq2 d
+      LEFT JOIN (SELECT doc_id FROM qualified) qf USING (doc_id)
+      LEFT JOIN (SELECT doc_id FROM exact_kept) ek USING (doc_id)
+      LEFT JOIN nd_kept nk USING (doc_id)
+      GROUP BY d.source
+      ORDER BY d.source"""))
+
   val defs: Seq[QueryDef] = Seq(exact, minhash, simhash, ngram, clusters,
     lineDedup, clusterKeeper, decontaminate, lshRecall, lshRecallSampled,
-    streamDedup, substringDedup, substringCut, substringDedupHashed)
+    streamDedup, substringDedup, substringCut, substringDedupHashed,
+    pipelineE2e)
 }

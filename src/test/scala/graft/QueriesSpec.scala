@@ -28,6 +28,21 @@ class QueriesSpec extends SparkTestBase {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("d_pipeline_e2e funnel counts only ever shrink stage to stage") {
+    val rows = Registry.byName("d_pipeline_e2e").run(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (a, b, c, d) = (r.getAs[Long]("n_docs"), r.getAs[Long]("n_quality"),
+        r.getAs[Long]("n_exact"), r.getAs[Long]("n_kept"))
+      assert(a >= b && b >= c && c >= d && d >= 0,
+        s"${r.getAs[String]("source")}: funnel $a -> $b -> $c -> $d")
+      if (d > 0) {
+        val q = r.getAs[Double]("mean_kept_quality")
+        assert(q >= 0.24, s"kept mean quality $q below the gate")
+      }
+    }
+  }
+
   test("every oracle query's SQL mentions only known tables") {
     val tables = Set("region", "nation", "customer", "supplier", "part",
       "orders", "lineitem", "events", "documents", "embeddings")
