@@ -60,7 +60,14 @@ object ScaleBench {
     // the end-to-end curation funnel: rides the shared CC fixpoint +
     // two small windows; watch that the md5 window and keeper re-rank
     // stay hash-partitioned as the corpus grows
-    "d_pipeline_e2e")
+    "d_pipeline_e2e",
+    // round-8 late additions: the sketch gates (shuffle volume must
+    // stay groups×tasks×sketch-size — NOT row count — as events
+    // grow), the shard manifest (one map-side-combined groupBy to 64
+    // rows), and the NFC pass (pure per-row map; isNormalized fast
+    // path keeps the ASCII bulk allocation-free)
+    "a_sketch_distinct", "a_sketch_quantile", "t_shard_manifest",
+    "t_normalize")
 
   /** Relational-core scale set (SPARK_GRAFT_SCALE_MODE=rel): the
     * TPC-ish aggregation/join family, run against a corpus whose FACT

@@ -66,6 +66,9 @@ object GraftFunctions {
   /** Trigram-profile language identification. */
   def langid(c: Column): Column = col(LangIdExpr(ex(c)))
 
+  /** Unicode NFC normalization (UAX #15 via java.text.Normalizer). */
+  def unicode_nfc(c: Column): Column = col(NfcNormalize(ex(c)))
+
   /** X3 — route-registry membership (visit/map/priority), the
     * reference's `is_routable`, prefix-pruned. */
   def uri_routable(c: Column, registry: String): Column =
@@ -100,6 +103,8 @@ object GraftFunctions {
       es => VersCmp(es.head, es(1), es(2)), "built-in")
     reg.createOrReplaceTempFunction("langid",
       es => LangIdExpr(es.head), "built-in")
+    reg.createOrReplaceTempFunction("unicode_nfc",
+      es => NfcNormalize(es.head), "built-in")
     reg.createOrReplaceTempFunction("uri_routable",
       es => UriRoutable(es.head, es(1) match {
         case org.apache.spark.sql.catalyst.expressions.Literal(v, _)

@@ -603,3 +603,35 @@ object LangIdExpr {
   def compute(t: UTF8String): UTF8String =
     UTF8String.fromString(LangId.predict(t.toString))
 }
+
+/** unicode_nfc(text) — Unicode NFC normalization
+  * (java.text.Normalizer, the JDK implementation of UAX #15). The
+  * text-cleaning pass of a training-data pipeline runs this before
+  * hashing/dedup so that canonically-equivalent byte sequences (e.g.
+  * "e" + U+0301 vs the precomposed U+00E9) collapse to one form —
+  * otherwise exact dedup silently misses visually identical
+  * documents. Static-forwarder codegen keeps it inside whole-stage
+  * codegen; the fast path skips allocation entirely for text already
+  * in NFC (Normalizer.isNormalized is a cheap scan, and ASCII — the
+  * bulk of a web corpus — always is). */
+case class NfcNormalize(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "unicode_nfc"
+  override protected def nullSafeEval(t: Any): Any =
+    NfcNormalize.compute(t.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, t => s"graft.functions.NfcNormalize.compute($t)")
+  override protected def withNewChildInternal(c: Expression): NfcNormalize =
+    copy(c)
+}
+
+object NfcNormalize {
+  import java.text.Normalizer
+  /** Static forwarder shared by interpreted eval and generated code. */
+  def compute(t: UTF8String): UTF8String = {
+    val s = t.toString
+    if (Normalizer.isNormalized(s, Normalizer.Form.NFC)) t
+    else UTF8String.fromString(Normalizer.normalize(s, Normalizer.Form.NFC))
+  }
+}

@@ -188,5 +188,87 @@ object ScaleOps {
       WHERE r.rnk <= q.quota
       ORDER BY r.doc_id"""))
 
-  val defs: Seq[QueryDef] = Seq(saltedAgg, embedNearDup, mixSample)
+  /** Sketch-vs-exact distinct-count gate — the 100 TB replacement for
+    * exact COUNT(DISTINCT). An exact per-group distinct shuffles every
+    * (group, user) pair; the HyperLogLog++ sketch
+    * (`approx_count_distinct`, Spark's native HLL++ aggregate) ships a
+    * fixed ≤ few-KB partial per group per map task instead, so the
+    * shuffle volume is groups × tasks × sketch-size — independent of
+    * row count. This query carries BOTH branches and emits the exact
+    * count plus a boolean error gate (|approx − exact| ≤ 5·rsd·exact,
+    * rsd 0.02 → 10% — 5 standard errors, far beyond observed HLL++
+    * deviation), the same discriminating-gate pattern as
+    * `d_lsh_recall`: a sketch drifting out of its error bound
+    * hash-mismatches loudly instead of passing silently. At sf ≤ 0.1
+    * the per-group cardinality sits in HLL++'s exact sparse regime, so
+    * the gate is trivially tight; the 100× user-offset events corpus
+    * pushes it into true dense-sketch estimation (the scale point in
+    * BASELINE.md). Production keeps only the sketch branch. */
+  val sketchDistinct = QueryDef(
+    "a_sketch_distinct", "A3 + HLL sketch gate",
+    "per-type exact vs approx_count_distinct(users), 5σ error gate",
+    (s, dir) =>
+      t(s, dir, "events")
+        .groupBy("event_type")
+        .agg(
+          countDistinct(col("user_id")).as("n_exact"),
+          approx_count_distinct(col("user_id"), 0.02).as("n_approx"))
+        .select(col("event_type"), col("n_exact"),
+          (abs(col("n_approx") - col("n_exact")) <=
+            asDouble(col("n_exact")) * (5 * 0.02)).as("gate_ok"))
+        .orderBy("event_type"),
+    Some("""SELECT event_type,
+        CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact,
+        TRUE AS gate_ok
+      FROM events GROUP BY event_type ORDER BY event_type"""))
+
+  /** Sketch-vs-exact quantile gate — the 100 TB replacement for the
+    * two-phase exact rank interpolation in `a_percentiles`. Spark's
+    * `percentile_approx` (Greenwald-Khanna summaries) carries a
+    * DETERMINISTIC rank guarantee: the returned element's rank is
+    * within n/accuracy of ⌈p·n⌉. The gate verifies exactly that
+    * guarantee from first principles: one extra aggregation pass
+    * computes the true rank window of each returned value
+    * (count(v < q), count(v ≤ q)) and checks it intersects
+    * [p·n − tol, p·n + tol], tol = n/accuracy + 1. Only the portable
+    * facts (group, p, n, gate booleans) are emitted — the sketch
+    * value itself is engine-specific and never crosses the oracle.
+    * Shape at scale: two map-side-combined aggregations over the
+    * corpus plus one broadcast of the ≤ groups×3 quantile frame — no
+    * sort, no range repartition, no per-group window. */
+  val sketchQuantile = QueryDef(
+    "a_sketch_quantile", "A1/W2 + GK sketch gate",
+    "percentile_approx rank-guarantee gate vs exact rank window",
+    (s, dir) => {
+      val ps = Seq(0.5, 0.9, 0.99)
+      val base = t(s, dir, "events").select(col("event_type"), col("value"))
+      val approx = base.groupBy("event_type")
+        .agg(
+          percentile_approx(col("value"),
+            array(ps.map(lit): _*), lit(10000)).as("qs"),
+          count(lit(1)).as("n"))
+        .select(col("event_type"), col("n"),
+          posexplode(col("qs")).as(Seq("i", "q")))
+        .withColumn("p", element_at(array(ps.map(lit): _*), col("i") + 1))
+      base.join(broadcast(approx), "event_type")
+        .groupBy("event_type", "p", "n")
+        .agg(
+          sum(when(col("value") < col("q"), 1L).otherwise(0L)).as("r_lt"),
+          sum(when(col("value") <= col("q"), 1L).otherwise(0L)).as("r_le"))
+        .select(col("event_type"), col("p"), col("n"),
+          ((asDouble(col("r_lt")) <=
+              col("p") * asDouble(col("n")) + asDouble(col("n")) / 10000.0 + 1.0) &&
+            (asDouble(col("r_le")) >=
+              col("p") * asDouble(col("n")) - asDouble(col("n")) / 10000.0 - 1.0))
+            .as("rank_ok"))
+        .orderBy("event_type", "p")
+    },
+    Some("""SELECT event_type, p, CAST(COUNT(*) AS BIGINT) AS n,
+        TRUE AS rank_ok
+      FROM events
+      CROSS JOIN (SELECT unnest([CAST(0.5 AS DOUBLE), 0.9, 0.99]) AS p)
+      GROUP BY event_type, p ORDER BY event_type, p"""))
+
+  val defs: Seq[QueryDef] =
+    Seq(saltedAgg, embedNearDup, mixSample, sketchDistinct, sketchQuantile)
 }

@@ -759,7 +759,101 @@ object TextOps {
         (start_off + n_tokens - 1) // 512 - start_off // 512 + 1 AS n_seqs
       FROM c ORDER BY doc_id"""))
 
+  /** Training-shard manifest — the last step of a curation pipeline
+    * before the trainer reads the corpus: deterministic hash-sharding
+    * plus the per-shard integrity manifest (doc count, char mass,
+    * token mass, id range, order-independent checksum) that streaming
+    * loaders verify before consuming a shard. Shard assignment is the
+    * same fixed LCG permutation the mixture sampler uses
+    * (engine-portable, no RNG), folded to 64 shards; the checksum is
+    * `bit_xor` over a per-doc fingerprint — commutative, so it is
+    * insensitive to row order WITHIN a shard and computable map-side.
+    * 100 TB shape: the manifest is ONE map-side-combined groupBy to 64
+    * rows; the physical shard write is
+    * `repartition(n, shard) → sortWithinPartitions(doc_id) → write`
+    * (exercised in ShardManifestSpec, which re-derives this manifest
+    * from the written files and asserts byte-identical totals) — a
+    * single corpus shuffle, no collect, no skew (the LCG spreads
+    * doc_ids uniformly). */
+  val shardManifest = QueryDef(
+    "t_shard_manifest", "LLM-pipeline: training-shard manifest",
+    "LCG hash → 64 shards; per-shard docs/chars/tokens/id-range/xor checksum",
+    (s, dir) => {
+      val h = expr("(doc_id * 1103515245L + 12345L) % 2147483648L")
+      t(s, dir, "documents")
+        .withColumn("h", h)
+        .withColumn("shard", col("h") % 64)
+        .withColumn("fp", (col("h") * 31L + col("n_chars")) % 2147483648L)
+        .groupBy("shard")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("total_chars"),
+          sum(size(words).cast("long")).as("total_tokens"),
+          min(col("doc_id")).as("min_doc_id"),
+          max(col("doc_id")).as("max_doc_id"),
+          expr("bit_xor(fp)").as("checksum"))
+        .orderBy("shard")
+    },
+    Some("""WITH d AS (
+        SELECT doc_id, n_chars,
+          (doc_id * 1103515245 + 12345) % 2147483648 AS h,
+          CAST(len(list_filter(string_split(text, ' '), w -> w <> ''))
+            AS BIGINT) AS n_tokens
+        FROM documents)
+      SELECT h % 64 AS shard,
+        CAST(COUNT(*) AS BIGINT) AS n_docs,
+        CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+        CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+        MIN(doc_id) AS min_doc_id,
+        MAX(doc_id) AS max_doc_id,
+        CAST(bit_xor((h * 31 + n_chars) % 2147483648) AS BIGINT) AS checksum
+      FROM d GROUP BY h % 64 ORDER BY shard"""))
+
+  /** Unicode + whitespace normalization — the canonicalization pass
+    * that runs BEFORE hashing/dedup so canonically-equivalent byte
+    * sequences collapse to one form (a decomposed "e"+U+0301 and the
+    * precomposed U+00E9 are different md5s but the same text). NFC is
+    * the custom codegen expression [[graft.functions.NfcNormalize]]
+    * (JDK Normalizer, UAX #15 — DuckDB's `nfc_normalize` is the
+    * oracle's independent implementation of the same spec); casefold
+    * and whitespace-collapse are built-ins. The synthetic corpus is
+    * ASCII (already NFC), so each doc gets a deterministic DECOMPOSED
+    * suffix appended — the gate then discriminates: n_norm < n_raw on
+    * every row iff composition actually happened, and the composed
+    * codepoint must round-trip DuckDB's parquet read exactly.
+    * 100 TB shape: pure per-row map, no shuffle except the output
+    * sort; NFC's isNormalized fast path makes the pass a byte scan on
+    * the (dominant) ASCII fraction. */
+  val normalize = QueryDef(
+    "t_normalize", "LLM-pipeline: unicode/whitespace normalization",
+    "NFC (custom codegen expr) + casefold + whitespace collapse",
+    (s, dir) => {
+      // "cafe" + combining acute: NFC composes the final "é" to
+      // "é", shortening the string by exactly one codepoint
+      val raw = concat(col("text"), lit("  café  MIXED Case"))
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          trim(regexp_replace(
+            lower(graft.functions.GraftFunctions.unicode_nfc(raw)),
+            "\\s+", " ")).as("norm"),
+          length(raw).as("n_raw"))
+        .withColumn("n_norm", length(col("norm")))
+        .orderBy("doc_id")
+    },
+    Some("""WITH r AS (
+        SELECT doc_id,
+          text || '  cafe' || chr(769) || '  MIXED Case' AS raw
+        FROM documents)
+      SELECT doc_id,
+        trim(regexp_replace(lower(nfc_normalize(raw)), '\s+', ' ', 'g'))
+          AS norm,
+        CAST(length(raw) AS INTEGER) AS n_raw,
+        CAST(length(trim(regexp_replace(lower(nfc_normalize(raw)),
+          '\s+', ' ', 'g'))) AS INTEGER) AS n_norm
+      FROM r ORDER BY doc_id"""))
+
   val defs: Seq[QueryDef] = Seq(htmlToText, piiScrub, stratifiedSample,
     vocabulary, tok, quality, langid, langidNgram, fingerprint,
-    repetition, dupSegments, bpeMerges, bpeEncode, seqPack)
+    repetition, dupSegments, bpeMerges, bpeEncode, seqPack, shardManifest,
+    normalize)
 }

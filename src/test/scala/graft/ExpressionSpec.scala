@@ -127,4 +127,22 @@ class ExpressionSpec extends SparkTestBase {
       .collect().head
     assert(routable.getBoolean(0) && !routable.getBoolean(1))
   }
+
+  test("unicode_nfc composes decomposed sequences, identity on NFC") {
+    val decomposed = "café Å" // e+◌́, A+◌̊
+    val composed = "café Å"          // é, Å precomposed
+    val df = Seq((decomposed, composed)).toDF("d", "c")
+      .select(
+        GraftFunctions.unicode_nfc(col("d")).as("nd"),
+        GraftFunctions.unicode_nfc(col("c")).as("nc"))
+    val row = df.collect().head
+    assert(row.getString(0) == composed)
+    assert(row.getString(1) == composed) // already-NFC input unchanged
+    // null-safe + SQL registration
+    GraftFunctions.register(spark)
+    val viaSql = spark.sql(
+      "SELECT unicode_nfc(NULL) AS a, unicode_nfc('plain ascii') AS b")
+      .collect().head
+    assert(viaSql.isNullAt(0) && viaSql.getString(1) == "plain ascii")
+  }
 }

@@ -256,4 +256,25 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("CartesianProduct"), p.take(1500))
     assert(!p.contains("BroadcastNestedLoopJoin"), p.take(1500))
   }
+
+  test("sketch gates aggregate with map-side partials") {
+    // the whole point of the HLL/GK branch: the sketch is mergeable,
+    // so the plan must show partial + final HashAggregate/ObjectHash
+    // pairs, never a single global aggregate pulling raw rows
+    for (q <- Seq("a_sketch_distinct", "a_sketch_quantile")) {
+      val p = plan(q)
+      val aggs = "HashAggregate|ObjectHashAggregate|SortAggregate"
+        .r.findAllIn(p).size
+      assert(aggs >= 2, s"$q has no partial aggregation:\n${p.take(2000)}")
+    }
+  }
+
+  test("t_shard_manifest is one shuffle to 64 rows, partials map-side") {
+    val p = plan("t_shard_manifest")
+    assert("HashAggregate|ObjectHashAggregate".r.findAllIn(p).size >= 2,
+      s"no partial aggregation:\n${p.take(2000)}")
+    // one exchange for the groupBy(shard) + one for the final sort
+    val exchanges = "Exchange".r.findAllIn(p).size
+    assert(exchanges <= 3, s"too many shuffles ($exchanges):\n${p.take(2000)}")
+  }
 }
