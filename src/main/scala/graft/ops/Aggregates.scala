@@ -424,7 +424,55 @@ object Aggregates {
       WHERE w >= cw
       GROUP BY 1, 2 ORDER BY 1, 2"""))
 
+  /** Data-quality expectation profile — the validation pass a
+    * pipeline runs BEFORE committing a corpus snapshot to training
+    * (the Deequ/Great-Expectations shape): row count, null/blank
+    * counts, metadata-consistency violations (n_chars must equal the
+    * actual text length), key-uniqueness violations, domain
+    * cardinality, and value ranges, plus the boolean gates a scheduler
+    * branches on. Everything reduces in ONE aggregation — count/sum
+    * partials combine map-side; the two exact COUNT(DISTINCT)s expand
+    * the input ×3 (Spark's Expand) but stay a single shuffle. At
+    * 100 TB the distincts are the only non-O(1)-state aggregates —
+    * swap them for the HLL sketch the `a_sketch_distinct` gate
+    * validates when exactness stops mattering. */
+  val dataQuality = QueryDef(
+    "a_data_quality", "A9/A3 + LLM-pipeline: expectation validation",
+    "one-pass corpus profile: nulls, consistency, uniqueness, ranges",
+    (s, dir) =>
+      t(s, dir, "documents")
+        .agg(
+          count(lit(1)).as("n_rows"),
+          sum(when(col("text").isNull, 1L).otherwise(0L)).as("n_null_text"),
+          sum(when(trim(col("text")) === "", 1L).otherwise(0L))
+            .as("n_blank_text"),
+          sum(when(length(col("text")) =!= col("n_chars"), 1L).otherwise(0L))
+            .as("n_len_mismatch"),
+          countDistinct(col("doc_id")).as("n_distinct_ids"),
+          countDistinct(col("lang")).as("n_langs"),
+          min(col("n_chars")).as("min_chars"),
+          max(col("n_chars")).as("max_chars"))
+        .select(col("*"),
+          (col("n_distinct_ids") === col("n_rows")).as("ok_ids_unique"),
+          (col("n_len_mismatch") === 0).as("ok_len_consistent")),
+    Some("""WITH p AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+          CAST(SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_null_text,
+          CAST(SUM(CASE WHEN trim(text) = '' THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_blank_text,
+          CAST(SUM(CASE WHEN length(text) <> n_chars THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_len_mismatch,
+          CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_distinct_ids,
+          CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+          MIN(n_chars) AS min_chars,
+          MAX(n_chars) AS max_chars
+        FROM documents)
+      SELECT *, n_distinct_ids = n_rows AS ok_ids_unique,
+        n_len_mismatch = 0 AS ok_len_consistent
+      FROM p"""))
+
   val defs: Seq[QueryDef] =
     Seq(a1, a2, a3, j6a4, a6, a7, a8, a9, rollup1, pivot1, percentiles,
-      funnel, retention)
+      funnel, retention, dataQuality)
 }

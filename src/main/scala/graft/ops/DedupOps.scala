@@ -721,6 +721,72 @@ object DedupOps {
       GROUP BY d.doc_id
       ORDER BY doc_id"""))
 
+  /** Cluster-size histogram — the standard dedup diagnostic read
+    * before choosing keeper policy (how much of the corpus sits in
+    * big near-dup families vs singletons?). Rides the SAME memoized
+    * label frame as `d_dedup_clusters`/`d_cluster_keeper` — running
+    * all three costs one CC fixpoint — then two tiny groupBys:
+    * labels → per-cluster size → (size, n_clusters, n_docs). At
+    * 100 TB the first groupBy is one hash shuffle of (doc, label)
+    * pairs with map-side combine; the histogram frame after it is at
+    * most |distinct sizes| rows. The oracle recomputes the labels
+    * with its recursive-CTE walk and aggregates the same way. */
+  val clusterStats = QueryDef(
+    "d_cluster_stats", "LLM-pipeline dedup: cluster-size histogram",
+    "CC labels → per-cluster size → size histogram",
+    (s, dir) =>
+      componentLabels(s, dir)
+        .groupBy("cluster_id")
+        .agg(count(lit(1)).as("cluster_size"))
+        .groupBy("cluster_size")
+        .agg(count(lit(1)).as("n_clusters"))
+        .select(col("cluster_size"),
+          col("n_clusters"),
+          (col("cluster_size") * col("n_clusters")).as("n_docs"))
+        .orderBy("cluster_size"),
+    Some("""WITH RECURSIVE w AS (
+        SELECT doc_id,
+          list_filter(string_split(text, ' '), x -> x <> '') AS ws
+        FROM documents),
+      sh AS (
+        SELECT doc_id,
+          list_distinct(list_transform(
+            range(1, greatest(len(ws) - 2, 1) + 1),
+            i -> array_to_string(ws[i:i+2], ' '))) AS shs
+        FROM w),
+      grams AS (SELECT doc_id, unnest(shs) AS g FROM sh),
+      sizes AS (SELECT doc_id, len(shs) AS n_sh FROM sh),
+      inter AS (
+        SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS n_common
+        FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+        GROUP BY 1, 2),
+      pairs AS (
+        SELECT i.d1, i.d2
+        FROM inter i
+        JOIN sizes s1 ON i.d1 = s1.doc_id
+        JOIN sizes s2 ON i.d2 = s2.doc_id
+        WHERE CAST(i.n_common AS DOUBLE) /
+            CAST(s1.n_sh + s2.n_sh - i.n_common AS DOUBLE) >= 0.5),
+      edges AS (
+        SELECT d1 AS u, d2 AS v FROM pairs
+        UNION SELECT d2, d1 FROM pairs),
+      walk(node, reach) AS (
+        SELECT u, v FROM edges
+        UNION
+        SELECT wk.node, e.v FROM walk wk JOIN edges e ON wk.reach = e.u),
+      labels AS (
+        SELECT d.doc_id,
+          LEAST(d.doc_id, COALESCE(MIN(wk.reach), d.doc_id)) AS cluster_id
+        FROM documents d LEFT JOIN walk wk ON wk.node = d.doc_id
+        GROUP BY d.doc_id),
+      csizes AS (
+        SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
+        FROM labels GROUP BY cluster_id)
+      SELECT cluster_size,
+        CAST(COUNT(*) AS BIGINT) AS n_clusters,
+        cluster_size * CAST(COUNT(*) AS BIGINT) AS n_docs
+      FROM csizes GROUP BY cluster_size ORDER BY cluster_size"""))
+
   /** Corpus-wide line/segment dedup (the CCNet/RefinedWeb pipeline
     * stage): segments that repeat across more than `keepMax`
     * documents are boilerplate and are dropped from every document;
@@ -1324,5 +1390,5 @@ object DedupOps {
   val defs: Seq[QueryDef] = Seq(exact, minhash, simhash, ngram, clusters,
     lineDedup, clusterKeeper, decontaminate, lshRecall, lshRecallSampled,
     streamDedup, substringDedup, substringCut, substringDedupHashed,
-    pipelineE2e)
+    pipelineE2e, clusterStats)
 }
