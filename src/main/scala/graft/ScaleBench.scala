@@ -67,7 +67,27 @@ object ScaleBench {
     // rows), and the NFC pass (pure per-row map; isNormalized fast
     // path keeps the ASCII bulk allocation-free)
     "a_sketch_distinct", "a_sketch_quantile", "t_shard_manifest",
-    "t_normalize")
+    "t_normalize",
+    // one-pass expectation profile (the COUNT(DISTINCT) expand is the
+    // only super-constant state) and the cluster histogram riding the
+    // shared CC label frame
+    "a_data_quality", "d_cluster_stats",
+    // exact set-similarity join: the prefix filter must keep the hot
+    // grams OUT of the candidate join — compare its shuffle against
+    // d_lsh_recall's exact side (same answer, no pruning). 10× ONLY:
+    // the exact pair OUTPUT is Θ(Σ cohort²) and the copy-suffix
+    // corpus multiplies every cohort by the factor — at 100× the
+    // answer itself outgrows local spill space (see the QueryDef doc)
+    "d_jaccard_prefix_join",
+    // heavy-hitters sketch gate: the Misra-Gries pass must stay O(k)
+    // state per partition; the linear branch is the exact verify
+    "t_heavy_hitters")
+
+  /** Per-query scale-factor caps: queries whose OUTPUT is inherently
+    * super-linear on the copy-suffix corpus (not an implementation
+    * artifact) stop at the documented boundary instead of dying in
+    * spill — see each QueryDef's scaladoc. */
+  val FactorCap: Map[String, Int] = Map("d_jaccard_prefix_join" -> 10)
 
   /** Relational-core scale set (SPARK_GRAFT_SCALE_MODE=rel): the
     * TPC-ish aggregation/join family, run against a corpus whose FACT
@@ -297,7 +317,13 @@ object ScaleBench {
     }
 
     val entries = queries.map { q =>
-      val scales = dirs.map { case (tag, dir) =>
+      val qDirs = FactorCap.get(q) match {
+        case Some(cap) => dirs.filter { case (tag, _) =>
+          tag == "base" || tag.stripPrefix("x").toInt <= cap
+        }
+        case None => dirs
+      }
+      val scales = qDirs.map { case (tag, dir) =>
         val (sec, rows, (rr, rb, wr, wb, mw, st), cc) = time(q, dir)
         val ccPart =
           if (cc.nonEmpty)

@@ -172,6 +172,118 @@ object DedupOps {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Exact set-similarity self-join via prefix filtering (the
+    * PPJoin/AllPairs family, Chaudhuri et al. 2006 / Xiao et al.
+    * 2008 — published algorithms, reimplemented from the papers'
+    * statements). The LOSSLESS alternative to MinHash LSH: order every
+    * document's shingles by global document frequency ascending (ties
+    * by shingle), keep only the first n − ⌈t·n⌉ + 1 as its prefix;
+    * two documents with Jaccard ≥ t MUST share a prefix shingle
+    * (prefix-filtering principle), so the candidate join on prefix
+    * shingles is complete — no band-miss probability, no recall gate
+    * needed. The oracle is the full exact pair set, so completeness
+    * is verified per-corpus, not argued.
+    *
+    * Why this scales where the naive gram join hurts: the quadratic
+    * blowup of a shared-gram equi-join lives in its most FREQUENT
+    * grams' collision groups; frequency-ascending prefixes are built
+    * from each document's RAREST grams, so exactly the hot grams are
+    * excluded from the candidate join (they can only appear in
+    * suffixes). A size filter (t·n1 ≤ n2 ≤ n1/t) prunes further.
+    * Verification then shuffles bounded-width gram rows for candidate
+    * docs only — the same shape as [[lshVerifiedPairs]]. Use LSH when
+    * approximate recall is acceptable and the corpus is adversarially
+    * skewed; use this join when the answer must be exact.
+    *
+    * Output-cardinality boundary (measured, BASELINE.md): the result
+    * of ANY exact all-pairs-≥t join is Θ(Σ cohort²) — on a corpus
+    * whose duplicate cohorts grow with the corpus (the copy-suffix
+    * scale harness multiplies every cohort by the factor) the ANSWER
+    * is quadratic, independent of algorithm; at 100× the verified
+    * pair set outgrows local spill space. Production pipelines bound
+    * the output instead of the candidates: feed the pair edges
+    * straight into the CC label fixpoint (linear output — what
+    * `d_dedup_clusters` does with LSH pairs) or cap cohort size via
+    * the keeper policy before pairing. */
+  val jaccardPrefixJoin = QueryDef(
+    "d_jaccard_prefix_join", "LLM-pipeline dedup: exact similarity join",
+    "df-ascending prefix filter → candidate equi-join → exact ≥0.5",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = shingleFrame(s, dir)
+      val grams = docs.select(col("doc_id"), explode(col("sh")).as("g"))
+      val sizes = docs.select(col("doc_id"), size(col("sh")).as("n_sh"))
+      val freq = grams.groupBy("g").agg(count(lit(1)).as("df"))
+      val w = Window.partitionBy("doc_id").orderBy(col("df"), col("g"))
+      // t = 0.5 ⇒ prefix length n − ⌈n/2⌉ + 1, in integer arithmetic.
+      // Cached: the self-join below would otherwise recompute the
+      // freq join + per-doc rank twice — the dominant upstream cost.
+      val pre = grams.join(freq, "g")
+        .withColumn("rn", row_number().over(w))
+        .join(sizes, "doc_id")
+        .filter(col("rn") <= expr("n_sh - (n_sh + 1) div 2 + 1"))
+        .select("doc_id", "g", "n_sh", "rn")
+        .cache()
+      // positional filter (the PPJoin refinement, equally lossless):
+      // matching at ranks (i, j) caps the still-possible overlap at
+      // 1 + min(na−i, nb−j); J ≥ t needs overlap ≥ ⌈t/(1+t)·(na+nb)⌉
+      // = ⌈(na+nb)/3⌉ at t=0.5. This is what prunes wide collision
+      // groups of documents sharing only a few rare grams — the case
+      // the prefix filter alone leaves quadratic.
+      val cand = pre.select(col("doc_id").as("d1"), col("g"),
+          col("n_sh").as("na"), col("rn").as("ra"))
+        .join(pre.select(col("doc_id").as("d2"), col("g"),
+          col("n_sh").as("nb"), col("rn").as("rb")), Seq("g"))
+        .filter(col("d1") < col("d2") &&
+          col("na") <= col("nb") * 2 && col("nb") <= col("na") * 2 &&
+          lit(1) + least(col("na") - col("ra"), col("nb") - col("rb")) >=
+            expr("(na + nb + 2) div 3"))
+        .select("d1", "d2").dropDuplicates("d1", "d2")
+        .cache() // consumed twice: doc pruning + the intersection join
+      val candDocs = cand.select(col("d1").as("doc_id"))
+        .unionByName(cand.select(col("d2").as("doc_id")))
+        .distinct()
+      val vGrams = grams.join(candDocs, Seq("doc_id"), "left_semi")
+      cand
+        .join(vGrams.select(col("doc_id").as("d1"), col("g")), "d1")
+        .join(vGrams.select(col("doc_id").as("d2"), col("g")), Seq("d2", "g"))
+        .groupBy("d1", "d2")
+        .agg(count(lit(1)).as("n_common"))
+        .join(sizes.select(col("doc_id").as("d1"), col("n_sh").as("n1")), "d1")
+        .join(sizes.select(col("doc_id").as("d2"), col("n_sh").as("n2")), "d2")
+        .withColumn("jaccard",
+          asDouble(col("n_common")) /
+            asDouble(col("n1") + col("n2") - col("n_common")))
+        .filter(col("jaccard") >= 0.5)
+        .select(col("d1"), col("d2"), col("n_common"), col("jaccard"))
+        .orderBy("d1", "d2")
+    },
+    Some("""WITH w AS (
+        SELECT doc_id,
+          list_filter(string_split(text, ' '), x -> x <> '') AS ws
+        FROM documents),
+      sh AS (
+        SELECT doc_id,
+          list_distinct(list_transform(
+            range(1, greatest(len(ws) - 2, 1) + 1),
+            i -> array_to_string(ws[i:i+2], ' '))) AS shs
+        FROM w),
+      grams AS (SELECT doc_id, unnest(shs) AS g FROM sh),
+      sizes AS (SELECT doc_id, len(shs) AS n_sh FROM sh),
+      inter AS (
+        SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS n_common
+        FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+        GROUP BY 1, 2)
+      SELECT i.d1, i.d2, CAST(i.n_common AS BIGINT) AS n_common,
+        CAST(i.n_common AS DOUBLE) /
+          CAST(s1.n_sh + s2.n_sh - i.n_common AS DOUBLE) AS jaccard
+      FROM inter i
+      JOIN sizes s1 ON i.d1 = s1.doc_id
+      JOIN sizes s2 ON i.d2 = s2.doc_id
+      WHERE CAST(i.n_common AS DOUBLE) /
+          CAST(s1.n_sh + s2.n_sh - i.n_common AS DOUBLE) >= 0.5
+      ORDER BY d1, d2"""))
+
   val minhash = QueryDef(
     "d_minhash_lsh", "LLM-pipeline dedup: MinHash+LSH",
     "shingle→minhash(32)→band(8×4)→bucket-join→exact-Jaccard verify≥0.5",
@@ -1390,5 +1502,5 @@ object DedupOps {
   val defs: Seq[QueryDef] = Seq(exact, minhash, simhash, ngram, clusters,
     lineDedup, clusterKeeper, decontaminate, lshRecall, lshRecallSampled,
     streamDedup, substringDedup, substringCut, substringDedupHashed,
-    pipelineE2e, clusterStats)
+    pipelineE2e, clusterStats, jaccardPrefixJoin)
 }

@@ -852,8 +852,60 @@ object TextOps {
           '\s+', ' ', 'g'))) AS INTEGER) AS n_norm
       FROM r ORDER BY doc_id"""))
 
+  /** Heavy-hitters gate — the exact top-20 corpus tokens verified
+    * against the mergeable Misra-Gries summary
+    * ([[graft.functions.MisraGries]], capacity 256). The sketch's
+    * deterministic guarantee — every token with true frequency above
+    * N/(k+1) survives any merge tree — is checked from first
+    * principles: the exact side recomputes true counts and asserts
+    * summary membership for precisely the rows the bound covers
+    * (below the bound the sketch promises nothing and the gate is
+    * vacuously true). Only exact counts and the boolean cross the
+    * oracle — the sketch's (order/partitioning-dependent)
+    * lower-bound counts never do.
+    * 100 TB shape: the sketch pass carries ≤ 2×256 map entries per
+    * partition and merges map-side (one scalar row out); the exact
+    * side is one map-side-combined groupBy — and is the branch a
+    * production job drops, keeping token-frequency monitoring at
+    * O(k) state. */
+  val heavyHitters = QueryDef(
+    "t_heavy_hitters", "LLM-pipeline: heavy-hitters sketch gate",
+    "exact top-20 tokens; MG-summary presence gated where guaranteed",
+    (s, dir) => {
+      val tokens = par(t(s, dir, "documents"))
+        .select(explode(words).as("token"))
+      val summary = tokens
+        .agg(graft.functions.MisraGries.misra_gries(col("token"))
+          .as("summary"))
+        .select(explode(map_keys(col("summary"))).as("token"),
+          lit(true).as("in_summary"))
+      val total = tokens.agg(count(lit(1)).as("n_total"))
+      // gate_ok encodes the guarantee EXACTLY: a token above the
+      // N/(k+1) bound (k=256) must be in the summary; below it the
+      // sketch promises nothing and the gate is vacuously true. The
+      // top-of-distribution rows keep the gate discriminating at
+      // every corpus scale (a fixed absolute threshold goes empty
+      // once growth dilutes relative frequencies).
+      tokens.groupBy("token").agg(count(lit(1)).as("n"))
+        .crossJoin(broadcast(total))
+        .join(broadcast(summary), Seq("token"), "left")
+        .select(col("token"), col("n"), col("n_total"),
+          (coalesce(col("in_summary"), lit(false)) ||
+            col("n") * 257 <= col("n_total")).as("gate_ok"))
+        .orderBy(col("n").desc, col("token")).limit(20)
+    },
+    Some("""WITH tok AS (
+        SELECT unnest(list_filter(string_split(text, ' '), w -> w <> ''))
+          AS token
+        FROM documents),
+      tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM tok),
+      counts AS (
+        SELECT token, CAST(COUNT(*) AS BIGINT) AS n FROM tok GROUP BY token)
+      SELECT token, n, n_total, TRUE AS gate_ok
+      FROM counts, tot ORDER BY n DESC, token LIMIT 20"""))
+
   val defs: Seq[QueryDef] = Seq(htmlToText, piiScrub, stratifiedSample,
     vocabulary, tok, quality, langid, langidNgram, fingerprint,
     repetition, dupSegments, bpeMerges, bpeEncode, seqPack, shardManifest,
-    normalize)
+    normalize, heavyHitters)
 }
