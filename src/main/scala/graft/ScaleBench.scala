@@ -81,7 +81,10 @@ object ScaleBench {
     "d_jaccard_prefix_join",
     // heavy-hitters sketch gate: the Misra-Gries pass must stay O(k)
     // state per partition; the linear branch is the exact verify
-    "t_heavy_hitters")
+    "t_heavy_hitters",
+    // corpus-bigram LM scoring: two vocabulary-sized count frames +
+    // one corpus equi-join — transitions shuffle linearly, counts don't
+    "t_lm_score")
 
   /** Per-query scale-factor caps: queries whose OUTPUT is inherently
     * super-linear on the copy-suffix corpus (not an implementation

@@ -904,8 +904,78 @@ object TextOps {
       SELECT token, n, n_total, TRUE AS gate_ok
       FROM counts, tot ORDER BY n DESC, token LIMIT 20"""))
 
+  /** Corpus-LM quality scoring — the statistical half of a
+    * CCNet-style quality filter: train a bigram MLE model ON the
+    * corpus itself (count(w1,w2)/count(w1)), then score each document
+    * by its mean transition probability; documents whose transitions
+    * are unusual relative to the corpus (noise, boilerplate,
+    * wrong-language) score low and fall to the cut. Determinism is
+    * engineered the house way: each transition probability is ONE
+    * IEEE double division then floor-quantized to integer micro-units
+    * (both engines perform the identical op sequence), per-doc
+    * aggregation is integer-exact, and the mean is a single final
+    * division. 100 TB shape: two map-side-combined count frames
+    * (bigrams, unigrams — vocabulary-sized, not corpus-sized), one
+    * equi-join of the corpus transitions against them, one per-doc
+    * groupBy. No windows, no collect; the model "training" and the
+    * scoring are the same declarative plan. */
+  val lmScore = QueryDef(
+    "t_lm_score", "LLM-pipeline: corpus-bigram LM quality score",
+    "bigram MLE transitions, micro-unit quantized, per-doc mean",
+    (s, dir) => {
+      val docs = par(t(s, dir, "documents"))
+        .select(col("doc_id"), words.as("ws"))
+        .filter(size(col("ws")) >= 2)
+      val bigrams = docs.select(col("doc_id"),
+        posexplode(expr(
+          "transform(sequence(1, size(ws) - 1), i -> struct(element_at(ws, i) AS w1, element_at(ws, i + 1) AS w2))"))
+          .as(Seq("pos", "bg")))
+        .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      val bgCounts = bigrams.groupBy("w1", "w2")
+        .agg(count(lit(1)).as("c_bg"))
+      val uniCounts = bigrams.groupBy("w1")
+        .agg(count(lit(1)).as("c_uni"))
+      bigrams
+        .join(bgCounts, Seq("w1", "w2"))
+        .join(uniCounts, Seq("w1"))
+        .withColumn("p_micro",
+          floor(asDouble(col("c_bg")) / asDouble(col("c_uni")) * 1000000.0
+            + 0.5).cast("long"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_transitions"),
+          sum(col("p_micro")).as("sum_micro"))
+        .select(col("doc_id"), col("n_transitions"),
+          (asDouble(col("sum_micro")) /
+            asDouble(col("n_transitions")) / 1000000.0).as("mean_p"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH w AS (
+        SELECT doc_id,
+          list_filter(string_split(text, ' '), x -> x <> '') AS ws
+        FROM documents),
+      bg AS (
+        SELECT doc_id, ws[CAST(i AS INTEGER)] AS w1,
+          ws[CAST(i AS INTEGER) + 1] AS w2
+        FROM (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i
+              FROM w WHERE len(ws) >= 2)),
+      cbg AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c_bg
+        FROM bg GROUP BY w1, w2),
+      cuni AS (SELECT w1, CAST(COUNT(*) AS BIGINT) AS c_uni
+        FROM bg GROUP BY w1),
+      scored AS (
+        SELECT b.doc_id,
+          CAST(FLOOR(CAST(c.c_bg AS DOUBLE) / CAST(u.c_uni AS DOUBLE)
+            * 1000000.0 + 0.5) AS BIGINT) AS p_micro
+        FROM bg b
+        JOIN cbg c ON b.w1 = c.w1 AND b.w2 = c.w2
+        JOIN cuni u ON b.w1 = u.w1)
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_transitions,
+        CAST(SUM(p_micro) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+          / 1000000.0 AS mean_p
+      FROM scored GROUP BY doc_id ORDER BY doc_id"""))
+
   val defs: Seq[QueryDef] = Seq(htmlToText, piiScrub, stratifiedSample,
     vocabulary, tok, quality, langid, langidNgram, fingerprint,
     repetition, dupSegments, bpeMerges, bpeEncode, seqPack, shardManifest,
-    normalize, heavyHitters)
+    normalize, heavyHitters, lmScore)
 }
