@@ -269,6 +269,43 @@ class PlanSpec extends SparkTestBase {
     }
   }
 
+  test("runtime bloom-filter injection prunes the big side of a " +
+      "selective shuffle join") {
+    import org.apache.spark.sql.functions._
+    // the cluster-scale complement to bucketing: when a shuffle join's
+    // small side is selective, Spark (3.3+) injects a bloom filter
+    // from the small side into the big side's scan
+    // (InjectRuntimeFilter). Default-on; the size thresholds are
+    // lowered here because sf0.001 is below them. At 100 TB this is
+    // what keeps a filtered-dimension ⋈ fact join from shuffling the
+    // whole fact table.
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
+      .map(k => k -> conf.get(k))
+    try {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+        "10GB")
+      conf.set("spark.sql.optimizer.runtime.bloomFilter." +
+        "applicationSideScanSizeThreshold", "0")
+      val orders = core.t(spark, sf001, "orders")
+        .filter(col("o_orderstatus") === "F")
+        .select("o_orderkey")
+      val lineitem = core.t(spark, sf001, "lineitem")
+        .select("l_orderkey", "l_quantity")
+      val joined = lineitem.join(orders,
+        col("l_orderkey") === col("o_orderkey"))
+      val p = joined.queryExecution.optimizedPlan.toString
+      assert(p.contains("bloom_filter_agg") || p.contains("might_contain"),
+        s"no runtime bloom filter injected:\n${p.take(2000)}")
+      assert(joined.count() > 0)
+    } finally saved.foreach { case (k, v) => conf.set(k, v) }
+  }
+
   test("t_shard_manifest is one shuffle to 64 rows, partials map-side") {
     val p = plan("t_shard_manifest")
     assert("HashAggregate|ObjectHashAggregate".r.findAllIn(p).size >= 2,
