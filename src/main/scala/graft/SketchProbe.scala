@@ -42,17 +42,33 @@ object SketchProbe {
       s"x$f" -> out
     }
 
-    def meter(tag: String, dir: String, what: String)(
+    // drain the async listener bus the ScaleBench way: poll until the
+    // snapshot is stable across two reads (a fixed sleep undercounts
+    // telemetry exactly on the big runs this probe exists to measure)
+    def drained(): (Long, Long, Long, Long, Long, Int) = {
+      var prev = listener.snapshot
+      var stable = false
+      val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+      while (!stable && System.nanoTime() < deadline) {
+        Thread.sleep(200)
+        val cur = listener.snapshot
+        stable = cur == prev
+        prev = cur
+      }
+      listener.snapshot
+    }
+
+    def meter(tag: String, what: String)(
         plan: org.apache.spark.sql.DataFrame): Unit = {
-      def pass(): Double = {
+      def pass(): (Double, (Long, Long, Long, Long, Long, Int)) = {
         listener.reset()
         val t0 = System.nanoTime()
         plan.write.format("noop").mode("overwrite").save()
-        (System.nanoTime() - t0) / 1e9
+        ((System.nanoTime() - t0) / 1e9, drained())
       }
       pass() // warm-up: codegen + JIT + page cache
-      val s1 = pass(); val snap1 = { Thread.sleep(400); listener.snapshot }
-      val s2 = pass(); val snap2 = { Thread.sleep(400); listener.snapshot }
+      val (s1, snap1) = pass()
+      val (s2, snap2) = pass()
       val (secs, snap) = if (s1 <= s2) (s1, snap1) else (s2, snap2)
       val (_, _, wr, wb, _, _) = snap
       println(f"SKETCH_PROBE $tag $what secs=$secs%.3f " +
@@ -62,10 +78,10 @@ object SketchProbe {
     dirs.foreach { case (tag, dir) =>
       val events = core.t(spark, dir, "events")
         .select(col("event_type"), col("user_id"))
-      meter(tag, dir, "exact_distinct")(
+      meter(tag, "exact_distinct")(
         events.groupBy("event_type")
           .agg(countDistinct(col("user_id")).as("n")))
-      meter(tag, dir, "hll_sketch")(
+      meter(tag, "hll_sketch")(
         events.groupBy("event_type")
           .agg(approx_count_distinct(col("user_id"), 0.02).as("n")))
     }

@@ -61,8 +61,13 @@ final class MisraGries(k: Int)
 }
 
 object MisraGries {
+  /** Default capacity. Consumers gating on the N/(k+1) guarantee
+    * (e.g. `t_heavy_hitters`) must derive their threshold from THIS
+    * constant so sketch capacity and gate stay in lockstep. */
+  val DefaultK = 256
+
   /** Column aggregate: misra_gries(tokens) → map<token, lower-bound
     * count> with at most `k` entries. */
-  def misra_gries(c: Column, k: Int = 256): Column =
+  def misra_gries(c: Column, k: Int = DefaultK): Column =
     udaf(new MisraGries(k), Encoders.STRING).apply(c)
 }

@@ -205,40 +205,52 @@ object DedupOps {
     * straight into the CC label fixpoint (linear output — what
     * `d_dedup_clusters` does with LSH pairs) or cap cohort size via
     * the keeper policy before pairing. */
+  /** Prefix-filtered candidate pairs for a pre-shingled (doc_id, sh)
+    * frame at t = 0.5 — corpus-agnostic so PrefixJoinSpec verifies
+    * losslessness on seeded borderline corpora against the SAME code
+    * the registered query runs (the convention [[shingleDocs]] /
+    * [[lshVerifiedPairs]] follow). Prefix length is n − ⌈n/2⌉ + 1 in
+    * integer arithmetic; the size filter applies t·na ≤ nb ≤ na/t;
+    * the positional filter (the PPJoin refinement, equally lossless)
+    * caps the still-possible overlap of a match at ranks (i, j) by
+    * 1 + min(na−i, nb−j), required ≥ ⌈(na+nb)/3⌉ at t = 0.5 — this
+    * is what prunes wide collision groups of documents sharing only
+    * a few rare grams, the case the prefix filter alone leaves
+    * quadratic. The prefix frame is cached: the self-join would
+    * otherwise recompute the freq join + per-doc rank twice — the
+    * dominant upstream cost. Returns distinct (d1 < d2). */
+  def prefixCandidates(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val grams = docs.select(col("doc_id"), explode(col("sh")).as("g"))
+    val sizes = docs.select(col("doc_id"), size(col("sh")).as("n_sh"))
+    val freq = grams.groupBy("g").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy("doc_id").orderBy(col("df"), col("g"))
+    val pre = grams.join(freq, "g")
+      .withColumn("rn", row_number().over(w))
+      .join(sizes, "doc_id")
+      .filter(col("rn") <= expr("n_sh - (n_sh + 1) div 2 + 1"))
+      .select("doc_id", "g", "n_sh", "rn")
+      .cache()
+    pre.select(col("doc_id").as("d1"), col("g"),
+        col("n_sh").as("na"), col("rn").as("ra"))
+      .join(pre.select(col("doc_id").as("d2"), col("g"),
+        col("n_sh").as("nb"), col("rn").as("rb")), Seq("g"))
+      .filter(col("d1") < col("d2") &&
+        col("na") <= col("nb") * 2 && col("nb") <= col("na") * 2 &&
+        lit(1) + least(col("na") - col("ra"), col("nb") - col("rb")) >=
+          expr("(na + nb + 2) div 3"))
+      .select("d1", "d2").dropDuplicates("d1", "d2")
+  }
+
   val jaccardPrefixJoin = QueryDef(
     "d_jaccard_prefix_join", "LLM-pipeline dedup: exact similarity join",
     "df-ascending prefix filter → candidate equi-join → exact ≥0.5",
     (s, dir) => {
-      import org.apache.spark.sql.expressions.Window
       val docs = shingleFrame(s, dir)
       val grams = docs.select(col("doc_id"), explode(col("sh")).as("g"))
       val sizes = docs.select(col("doc_id"), size(col("sh")).as("n_sh"))
-      val freq = grams.groupBy("g").agg(count(lit(1)).as("df"))
-      val w = Window.partitionBy("doc_id").orderBy(col("df"), col("g"))
-      // t = 0.5 ⇒ prefix length n − ⌈n/2⌉ + 1, in integer arithmetic.
-      // Cached: the self-join below would otherwise recompute the
-      // freq join + per-doc rank twice — the dominant upstream cost.
-      val pre = grams.join(freq, "g")
-        .withColumn("rn", row_number().over(w))
-        .join(sizes, "doc_id")
-        .filter(col("rn") <= expr("n_sh - (n_sh + 1) div 2 + 1"))
-        .select("doc_id", "g", "n_sh", "rn")
-        .cache()
-      // positional filter (the PPJoin refinement, equally lossless):
-      // matching at ranks (i, j) caps the still-possible overlap at
-      // 1 + min(na−i, nb−j); J ≥ t needs overlap ≥ ⌈t/(1+t)·(na+nb)⌉
-      // = ⌈(na+nb)/3⌉ at t=0.5. This is what prunes wide collision
-      // groups of documents sharing only a few rare grams — the case
-      // the prefix filter alone leaves quadratic.
-      val cand = pre.select(col("doc_id").as("d1"), col("g"),
-          col("n_sh").as("na"), col("rn").as("ra"))
-        .join(pre.select(col("doc_id").as("d2"), col("g"),
-          col("n_sh").as("nb"), col("rn").as("rb")), Seq("g"))
-        .filter(col("d1") < col("d2") &&
-          col("na") <= col("nb") * 2 && col("nb") <= col("na") * 2 &&
-          lit(1) + least(col("na") - col("ra"), col("nb") - col("rb")) >=
-            expr("(na + nb + 2) div 3"))
-        .select("d1", "d2").dropDuplicates("d1", "d2")
+      val cand = prefixCandidates(docs)
         .cache() // consumed twice: doc pruning + the intersection join
       val candDocs = cand.select(col("d1").as("doc_id"))
         .unionByName(cand.select(col("d2").as("doc_id")))

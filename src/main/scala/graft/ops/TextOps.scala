@@ -872,26 +872,32 @@ object TextOps {
     "t_heavy_hitters", "LLM-pipeline: heavy-hitters sketch gate",
     "exact top-20 tokens; MG-summary presence gated where guaranteed",
     (s, dir) => {
+      val kPlus1 = graft.functions.MisraGries.DefaultK + 1
+      // cached: the explode feeds both the sketch pass and the exact
+      // counts — tokenize once, not twice. n_total reduces over the
+      // vocabulary-sized counts frame, not a third corpus scan.
       val tokens = par(t(s, dir, "documents"))
         .select(explode(words).as("token"))
+        .cache()
       val summary = tokens
         .agg(graft.functions.MisraGries.misra_gries(col("token"))
           .as("summary"))
         .select(explode(map_keys(col("summary"))).as("token"),
           lit(true).as("in_summary"))
-      val total = tokens.agg(count(lit(1)).as("n_total"))
+      val counts = tokens.groupBy("token").agg(count(lit(1)).as("n"))
+      val total = counts.agg(sum(col("n")).as("n_total"))
       // gate_ok encodes the guarantee EXACTLY: a token above the
-      // N/(k+1) bound (k=256) must be in the summary; below it the
-      // sketch promises nothing and the gate is vacuously true. The
+      // N/(k+1) bound must be in the summary; below it the sketch
+      // promises nothing and the gate is vacuously true. The
       // top-of-distribution rows keep the gate discriminating at
       // every corpus scale (a fixed absolute threshold goes empty
       // once growth dilutes relative frequencies).
-      tokens.groupBy("token").agg(count(lit(1)).as("n"))
+      counts
         .crossJoin(broadcast(total))
         .join(broadcast(summary), Seq("token"), "left")
         .select(col("token"), col("n"), col("n_total"),
           (coalesce(col("in_summary"), lit(false)) ||
-            col("n") * 257 <= col("n_total")).as("gate_ok"))
+            col("n") * kPlus1 <= col("n_total")).as("gate_ok"))
         .orderBy(col("n").desc, col("token")).limit(20)
     },
     Some("""WITH tok AS (

@@ -19,12 +19,19 @@ class PrefixJoinSpec extends SparkTestBase {
   private val NPairs = 40
 
   // the LshRecallSpec construction: pair i's two docs share a k-token
-  // prefix, all tokens unique to the pair → J = (k-2)/(80-(k-2))
+  // prefix, all tokens unique to the pair → J = (k-2)/(80-(k-2));
+  // plus a 50-doc noise cohort all sharing ONE hot 3-token phrase
+  // (J = 1/79 pairwise, far below threshold) — 1,225 shared-gram
+  // pairs a naive gram join must examine and the candidate stage must
+  // prune (the hot gram's high df pushes it out of every prefix)
   private def corpus = (0 until NPairs).flatMap { i =>
     val k = 29 + (i % 3)
     val a = (1 to M).map(j => s"p${i}a$j")
     val b = a.take(k) ++ (1 to (M - k)).map(j => s"p${i}b$j")
     Seq((i.toLong * 2, a.mkString(" ")), (i.toLong * 2 + 1, b.mkString(" ")))
+  } ++ (0 until 50).map { i =>
+    val tail = (1 to M - 3).map(j => s"z${i}t$j")
+    (1000L + i, (Seq("zz1", "zz2", "zz3") ++ tail).mkString(" "))
   }
 
   test("prefix filter keeps every exact pair LSH would band-miss") {
@@ -33,37 +40,22 @@ class PrefixJoinSpec extends SparkTestBase {
       .select("d1", "d2").as[(Long, Long)].collect().toSet
     assert(exact.size == NPairs, s"expected $NPairs seeded pairs, got ${exact.size}")
 
-    // re-run the registered query's plan over this corpus by
-    // replicating its stages on the seeded shingle frame
-    val grams = docs.select(col("doc_id"), explode(col("sh")).as("g"))
-    val freq = grams.groupBy("g").agg(count(lit(1)).as("df"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("doc_id").orderBy(col("df"), col("g"))
-    val sized = grams.join(freq, "g")
-      .withColumn("rn", row_number().over(w))
-      .withColumn("n", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy("doc_id")))
-    val pre = sized.filter(col("rn") <= expr("n - (n + 1) div 2 + 1"))
-    // the registered query's full candidate stage: size filter AND
-    // the positional (PPJoin) filter — both must be lossless
-    val cand = pre.select(col("doc_id").as("d1"), col("g"),
-        col("n").as("na"), col("rn").as("ra"))
-      .join(pre.select(col("doc_id").as("d2"), col("g"),
-        col("n").as("nb"), col("rn").as("rb")), Seq("g"))
-      .filter(col("d1") < col("d2") &&
-        col("na") <= col("nb") * 2 && col("nb") <= col("na") * 2 &&
-        lit(1) + least(col("na") - col("ra"), col("nb") - col("rb")) >=
-          expr("(na + nb + 2) div 3"))
-      .select("d1", "d2").distinct()
+    // the registered query's candidate stage, via the SAME helper it
+    // runs (prefix + size + positional filters — all must be lossless)
+    val cand = DedupOps.prefixCandidates(docs)
       .as[(Long, Long)].collect().toSet
 
     val missed = exact -- cand
     assert(missed.isEmpty, s"prefix filter dropped true pairs: $missed")
 
-    // and the filter actually prunes: prefixes carry roughly half the
-    // gram rows, never all of them
-    val nGrams = grams.count()
-    val nPre = pre.count()
-    assert(nPre < nGrams * 6 / 10, s"no pruning: $nPre of $nGrams")
+    // and the filter actually prunes: candidate pairs stay well below
+    // the all-shared-gram pair count the naive join would examine
+    val grams = docs.select(col("doc_id"), explode(col("sh")).as("g"))
+    val allShared = grams.select(col("doc_id").as("d1"), col("g"))
+      .join(grams.select(col("doc_id").as("d2"), col("g")), Seq("g"))
+      .filter(col("d1") < col("d2"))
+      .select("d1", "d2").distinct().count()
+    assert(cand.size < allShared,
+      s"no pruning: ${cand.size} candidates vs $allShared shared-gram pairs")
   }
 }
