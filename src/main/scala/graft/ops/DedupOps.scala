@@ -222,20 +222,31 @@ object DedupOps {
   def prefixCandidates(docs: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // the candidate stage never needs gram TEXT — only a global total
+    // order and an equi-join key. Keying the df-count and the
+    // self-join on xxhash64(g) (8 bytes vs ~20-byte shingle strings)
+    // is the d_substring_dedup_hashed trade; a hash collision can
+    // only ADD a spurious candidate (two docs sharing a hash, not a
+    // gram), which the exact string-keyed verify removes. The sort
+    // order keeps the string tiebreak so colliding grams still take
+    // a DETERMINISTIC total order — prefix filtering's proof needs
+    // both documents sorted by the same total order on the universe.
     val grams = docs.select(col("doc_id"), explode(col("sh")).as("g"))
+      .withColumn("gh", xxhash64(col("g")))
     val sizes = docs.select(col("doc_id"), size(col("sh")).as("n_sh"))
-    val freq = grams.groupBy("g").agg(count(lit(1)).as("df"))
-    val w = Window.partitionBy("doc_id").orderBy(col("df"), col("g"))
-    val pre = grams.join(freq, "g")
+    val freq = grams.groupBy("gh").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("df"), col("gh"), col("g"))
+    val pre = grams.join(freq, "gh")
       .withColumn("rn", row_number().over(w))
       .join(sizes, "doc_id")
       .filter(col("rn") <= expr("n_sh - (n_sh + 1) div 2 + 1"))
-      .select("doc_id", "g", "n_sh", "rn")
+      .select("doc_id", "gh", "n_sh", "rn")
       .cache()
-    pre.select(col("doc_id").as("d1"), col("g"),
+    pre.select(col("doc_id").as("d1"), col("gh"),
         col("n_sh").as("na"), col("rn").as("ra"))
-      .join(pre.select(col("doc_id").as("d2"), col("g"),
-        col("n_sh").as("nb"), col("rn").as("rb")), Seq("g"))
+      .join(pre.select(col("doc_id").as("d2"), col("gh"),
+        col("n_sh").as("nb"), col("rn").as("rb")), Seq("gh"))
       .filter(col("d1") < col("d2") &&
         col("na") <= col("nb") * 2 && col("nb") <= col("na") * 2 &&
         lit(1) + least(col("na") - col("ra"), col("nb") - col("rb")) >=
