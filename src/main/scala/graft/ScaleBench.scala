@@ -84,7 +84,11 @@ object ScaleBench {
     "t_heavy_hitters",
     // corpus-bigram LM scoring: two vocabulary-sized count frames +
     // one corpus equi-join — transitions shuffle linearly, counts don't
-    "t_lm_score")
+    "t_lm_score",
+    // windowed cardinality: the streaming shape of the distinct gate —
+    // the exact branch shuffles (window, type, user) triples, the HLL
+    // partials stay windows×types×tasks×sketch
+    "st_window_distinct")
 
   /** Per-query scale-factor caps: queries whose OUTPUT is inherently
     * super-linear on the copy-suffix corpus (not an implementation

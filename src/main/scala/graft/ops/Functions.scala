@@ -579,7 +579,38 @@ object Functions {
       SELECT k, candidate, apache_github FROM cands
       ORDER BY k, candidate"""))
 
+  /** Windowed cardinality monitoring — event-time windows composed
+    * with the HLL++ distinct sketch, the streaming shape of
+    * `a_sketch_distinct`: per (day, event_type), distinct active
+    * users. Under `readStream` + watermark the HLL partial is
+    * precisely what Spark keeps in window state (mergeable,
+    * fixed-size) — an exact distinct would hold every user id per
+    * open window in state instead. This batch view carries BOTH
+    * branches and emits the exact count plus the 5σ error gate (same
+    * discriminating-gate contract as the other sketch rows); the
+    * oracle recomputes the exact side (tumbling 1-day windows are
+    * epoch-aligned, so `window(ts, '1 day')` ≡ `date_trunc('day')`
+    * both engines). */
+  val stWindowDistinct = QueryDef(
+    "st_window_distinct", "ST1/A3 + HLL (streaming cardinality)",
+    "per-day windowed distinct users: exact vs HLL++ 5σ gate",
+    (s, dir) =>
+      t(s, dir, "events")
+        .groupBy(window(col("ts"), "1 day").as("win"), col("event_type"))
+        .agg(countDistinct(col("user_id")).as("n_exact"),
+          approx_count_distinct(col("user_id"), 0.02).as("n_approx"))
+        .select(col("win.start").as("ws"), col("event_type"),
+          col("n_exact"),
+          (abs(col("n_approx") - col("n_exact")) <=
+            asDouble(col("n_exact")) * (5 * 0.02)).as("gate_ok"))
+        .orderBy("ws", "event_type"),
+    Some("""SELECT date_trunc('day', ts) AS ws, event_type,
+        CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact,
+        TRUE AS gate_ok
+      FROM events GROUP BY 1, 2 ORDER BY ws, event_type"""))
+
   val defs: Seq[QueryDef] =
     Seq(f1, f2, f3, f4, f5, f8, f9, f11, f13, f15, f15pep, f15deb, f15mvn,
-      f15sem, f16, st1, stSession, stSliding, f14candidates)
+      f15sem, f16, st1, stSession, stSliding, stWindowDistinct,
+      f14candidates)
 }
