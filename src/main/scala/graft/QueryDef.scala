@@ -37,7 +37,8 @@ object Registry {
       ops.StreamOps.defs ++
       ops.SourceOps.defs ++
       ops.ScaleOps.defs ++
-      ops.ContractOps.defs
+      ops.ContractOps.defs ++
+      ops.GraphOps.defs
 
   lazy val byName: Map[String, QueryDef] = all.map(q => q.name -> q).toMap
 }

@@ -1,0 +1,211 @@
+package graft.ops
+
+import graft._
+import graft.core._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Dependency-graph operators over the package dependency DAG.
+  *
+  * The reference catalogs direct dependency edges
+  * (`DependentPackage`, packagedb/models.py:953-1008) and typed
+  * source→binary relations (`PackageRelation`,
+  * packagedb/models.py:1229-1268) but answers transitive questions
+  * one package at a time in Python loops. At catalog scale the same
+  * questions — "every package in the transitive closure of this
+  * root set", "everything that would be impacted if these packages
+  * changed", "how many distinct dependency paths reach this node" —
+  * are level-synchronous iterative frontier joins: O(graph-diameter)
+  * rounds, each one equi-join against a pre-partitioned edge frame
+  * plus one dedup, with lineage truncated per round
+  * (`localCheckpoint`) exactly like the connected-components
+  * fixpoint in [[ConnectedComponents]]. Rounds scale with diameter,
+  * not data volume, so the plan survives a 100× scale-up: each
+  * round's shuffle carries only the frontier.
+  *
+  * The synthetic dependency DAG is derived arithmetically from part
+  * keys so DuckDB derives the identical graph for the oracle:
+  * package k declares dependencies on k div 2 and k div 3 (dropping
+  * the duplicate when they coincide; keys 0 and 1 declare nothing).
+  * Edges point to strictly smaller keys, so the graph is a DAG of
+  * depth ~log2(maxKey) ≈ 11 — deep enough that the BFS genuinely
+  * iterates, shallow enough that the recursive oracle terminates
+  * fast.
+  */
+object GraphOps {
+
+  private val MaxRounds = 64
+
+  private def packages(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "part").select(col("p_partkey").cast("long").as("k"))
+
+  /** Direct dependency edges (src → dst), dst strictly < src. */
+  private def edges(s: SparkSession, dir: String): DataFrame = {
+    val pk = packages(s, dir)
+    val half = pk.filter(col("k") >= 2)
+      .select(col("k").as("src"), expr("k div 2").as("dst"))
+    val third = pk
+      .filter(col("k") >= 3 && expr("k div 3") =!= expr("k div 2"))
+      .select(col("k").as("src"), expr("k div 3").as("dst"))
+    half.unionByName(third)
+  }
+
+  /** The oracle's view of the same DAG (DuckDB `//` = integer div). */
+  private val EdgeSql =
+    """pk AS (SELECT CAST(p_partkey AS BIGINT) AS k FROM part),
+      |e AS (
+      |  SELECT k AS src, k // 2 AS dst FROM pk WHERE k >= 2
+      |  UNION ALL
+      |  SELECT k, k // 3 FROM pk WHERE k >= 3 AND k // 3 <> k // 2
+      |)""".stripMargin
+
+  /** Level-synchronous BFS from `seeds` (`root`, `node`) over `e`
+    * (`src` → `dst`). Returns (`root`, `node`, `depth`) with the
+    * MINIMUM depth per pair; seeds sit at depth 0.
+    *
+    * Per round: join the frontier to the edge frame on node=src,
+    * drop pairs already visited (a left-anti join — in
+    * level-synchronous BFS the first touch IS the minimum depth, so
+    * no min-merge is needed), checkpoint the new frontier to keep
+    * the plan flat. The edge frame is hash-partitioned on the join
+    * key ONCE and reused by every round, so per-round cost is one
+    * frontier-sized shuffle + the co-located join; `visited` is a
+    * union of already-checkpointed level frames (flat lineage
+    * without re-materializing the accumulated set each round).
+    */
+  private[ops] def bfs(seeds: DataFrame, e: DataFrame): DataFrame = {
+    val ed = e.repartition(col("src")).localCheckpoint(true)
+    var frontier = seeds.select(col("root"), col("node"))
+      .withColumn("depth", lit(0L)).localCheckpoint(true)
+    var visited = frontier
+    var rounds = 0
+    while (!frontier.isEmpty && rounds < MaxRounds) {
+      frontier = frontier.join(ed, frontier("node") === ed("src"))
+        .select(col("root"), col("dst").as("node"),
+          (col("depth") + 1L).as("depth"))
+        .distinct()
+        .join(visited, Seq("root", "node"), "left_anti")
+        .localCheckpoint(true)
+      visited = visited.unionByName(frontier)
+      rounds += 1
+    }
+    if (!frontier.isEmpty)
+      throw new IllegalStateException(
+        s"BFS did not drain in $MaxRounds rounds — cycle or " +
+          "unexpectedly deep graph; refusing to return a partial closure")
+    visited
+  }
+
+  /** Transitive dependency closure of a root cohort, with BFS depth. */
+  val depClosure = QueryDef(
+    "g_dep_closure",
+    "J1-iterative over DependentPackage edges (packagedb/models.py:953-1008)",
+    "transitive dependency closure of a root set with minimum depth (frontier BFS)",
+    (s, dir) => {
+      val pk = packages(s, dir)
+      val seeds = pk.filter(col("k") % 97 === 0)
+        .select(col("k").as("root"), col("k").as("node"))
+      bfs(seeds, edges(s, dir))
+        .filter(col("depth") > 0)
+        .select(col("root"), col("node").as("dep"), col("depth"))
+        .orderBy("root", "dep")
+    },
+    Some(s"""WITH RECURSIVE $EdgeSql,
+      |reach(root, node, depth) AS (
+      |  SELECT k, k, 0 FROM pk WHERE k % 97 = 0
+      |  UNION
+      |  SELECT r.root, e.dst, r.depth + 1 FROM reach r JOIN e ON e.src = r.node
+      |)
+      |SELECT root, node AS dep, CAST(MIN(depth) AS BIGINT) AS depth
+      |FROM reach WHERE depth > 0 GROUP BY root, node
+      |ORDER BY root, dep""".stripMargin))
+
+  /** Reverse-closure impact analysis: for each target, how many
+    * packages transitively depend on it and how deep the impact
+    * chain runs. Targets with no dependents report 0 (the catalog
+    * answer "safe to change"). */
+  val revDeps = QueryDef(
+    "g_rev_deps",
+    "J12-iterative over PackageRelation/DependentPackage reverse edges " +
+      "(packagedb/models.py:1229-1268)",
+    "reverse dependency fan-in per target (who breaks if this changes)",
+    (s, dir) => {
+      val pk = packages(s, dir)
+      val targets = pk.filter(col("k") % 89 === 0)
+        .select(col("k").as("root"), col("k").as("node"))
+      val rev = edges(s, dir)
+        .select(col("dst").as("src"), col("src").as("dst"))
+      val closure = bfs(targets, rev).filter(col("depth") > 0)
+        .groupBy(col("root"))
+        .agg(count(lit(1)).as("n_dependents"),
+          max(col("depth")).as("max_depth"))
+      val tg = targets.select(col("root").as("target"))
+      tg.join(closure, tg("target") === closure("root"), "left")
+        .select(col("target"),
+          coalesce(col("n_dependents"), lit(0L)).as("n_dependents"),
+          coalesce(col("max_depth"), lit(0L)).as("max_depth"))
+        .orderBy("target")
+    },
+    Some(s"""WITH RECURSIVE $EdgeSql,
+      |reach(root, node, depth) AS (
+      |  SELECT k, k, 0 FROM pk WHERE k % 89 = 0
+      |  UNION
+      |  SELECT r.root, e.src, r.depth + 1 FROM reach r JOIN e ON e.dst = r.node
+      |),
+      |per_pair AS (
+      |  SELECT root, node, MIN(depth) AS d FROM reach WHERE depth > 0
+      |  GROUP BY root, node
+      |)
+      |SELECT t.k AS target,
+      |       COALESCE(p.n, 0) AS n_dependents,
+      |       COALESCE(p.md, 0) AS max_depth
+      |FROM (SELECT k FROM pk WHERE k % 89 = 0) t
+      |LEFT JOIN (SELECT root, COUNT(*) AS n, MAX(d) AS md
+      |           FROM per_pair GROUP BY root) p ON p.root = t.k
+      |ORDER BY target""".stripMargin))
+
+  private val PathDepthCap = 6
+
+  /** Bounded-depth distinct dependency-path counting: how many
+    * distinct declaration chains of length ≤ 6 lead from a root to
+    * each dependency. Unlike the closure (a set), path counts
+    * multiply along the DAG, so the iteration aggregates per level —
+    * frontier carries (root, node, n_paths) and each round is
+    * join + groupBy-sum. Exact integers end to end. */
+  val depPaths = QueryDef(
+    "g_dep_paths",
+    "A1-iterative path aggregation over DependentPackage edges",
+    s"distinct dependency paths (length ≤ $PathDepthCap) per (root, dep)",
+    (s, dir) => {
+      val pk = packages(s, dir)
+      val ed = edges(s, dir).repartition(col("src")).localCheckpoint(true)
+      var level = pk.filter(col("k") % 97 === 0)
+        .select(col("k").as("root"), col("k").as("node"),
+          lit(1L).as("n_paths"))
+        .localCheckpoint(true)
+      val levels = Seq.newBuilder[DataFrame]
+      for (_ <- 1 to PathDepthCap) {
+        level = level.join(ed, level("node") === ed("src"))
+          .groupBy(col("root"), col("dst").as("node"))
+          .agg(sum(col("n_paths")).as("n_paths"))
+          .localCheckpoint(true)
+        levels += level
+      }
+      levels.result().reduce(_ unionByName _)
+        .groupBy(col("root"), col("node").as("dep"))
+        .agg(sum(col("n_paths")).as("n_paths"))
+        .orderBy("root", "dep")
+    },
+    Some(s"""WITH RECURSIVE $EdgeSql,
+      |paths(root, node, depth) AS (
+      |  SELECT k, k, 0 FROM pk WHERE k % 97 = 0
+      |  UNION ALL
+      |  SELECT p.root, e.dst, p.depth + 1
+      |  FROM paths p JOIN e ON e.src = p.node WHERE p.depth < $PathDepthCap
+      |)
+      |SELECT root, node AS dep, COUNT(*) AS n_paths
+      |FROM paths WHERE depth > 0 GROUP BY root, node
+      |ORDER BY root, dep""".stripMargin))
+
+  val defs: Seq[QueryDef] = Seq(depClosure, revDeps, depPaths)
+}

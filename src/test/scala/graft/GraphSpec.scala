@@ -1,0 +1,89 @@
+package graft
+
+import scala.collection.mutable
+
+import graft.ops.GraphOps
+
+/** The iterative dependency-graph family against a brute-force
+  * in-memory recomputation of the same arithmetic DAG (package k →
+  * k/2, k/3) on sf0.001 (keys 0..199). The driver's DuckDB
+  * `WITH RECURSIVE` oracle covers the same queries at sf0.01; this
+  * spec proves the BFS/path iteration logic independently of any SQL
+  * engine and pins the structural properties (DAG depth, the
+  * zero-dependents branch, multiplicative path counts).
+  */
+class GraphSpec extends SparkTestBase {
+
+  private val maxKey = 199
+  private val adj: Map[Long, Seq[Long]] =
+    (0L to maxKey).map { k =>
+      // mirrors GraphOps.edges: k/2 for k>=2, plus k/3 for k>=3 when distinct
+      val eff =
+        if (k < 2) Seq.empty[Long]
+        else if (k < 3 || k / 3 == k / 2) Seq(k / 2)
+        else Seq(k / 2, k / 3)
+      k -> eff
+    }.toMap
+
+  private def bruteBfs(roots: Seq[Long],
+      edges: Long => Seq[Long]): Map[(Long, Long), Long] = {
+    val out = mutable.Map[(Long, Long), Long]()
+    for (r <- roots) {
+      val dist = mutable.Map(r -> 0L)
+      val q = mutable.Queue(r)
+      while (q.nonEmpty) {
+        val u = q.dequeue()
+        for (v <- edges(u) if !dist.contains(v)) {
+          dist(v) = dist(u) + 1
+          q.enqueue(v)
+        }
+      }
+      for ((n, d) <- dist if d > 0) out((r, n)) = d
+    }
+    out.toMap
+  }
+
+  test("g_dep_closure matches brute-force BFS on sf0.001") {
+    val got = GraphOps.depClosure.run(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val roots = (0L to maxKey).filter(_ % 97 == 0)
+    val want = bruteBfs(roots, adj)
+    assert(got == want, s"closure mismatch: got ${got.size}, want ${want.size}")
+    assert(want.values.max >= 5, "DAG too shallow to exercise iteration")
+  }
+
+  test("g_rev_deps reports fan-in incl. the zero-dependents branch") {
+    val rows = GraphOps.revDeps.run(spark, sf001).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // reverse adjacency
+    val rev = (0L to maxKey).flatMap(k => adj(k).map(d => d -> k))
+      .groupBy(_._1).map { case (d, xs) => d -> xs.map(_._2) }
+      .withDefaultValue(Seq.empty)
+    val targets = (0L to maxKey).filter(_ % 89 == 0)
+    val want = bruteBfs(targets, rev)
+    for (t <- targets) {
+      val pairs = want.collect { case ((r, n), d) if r == t => (n, d) }
+      val exp = if (pairs.isEmpty) (0L, 0L)
+        else (pairs.size.toLong, pairs.map(_._2).max)
+      assert(rows(t) == exp, s"target $t: got ${rows(t)}, want $exp")
+    }
+    // node 0 has no incoming edges: the "safe to change" answer
+    assert(rows(0L) == ((0L, 0L)))
+  }
+
+  test("g_dep_paths counts distinct bounded-length chains exactly") {
+    val got = GraphOps.depPaths.run(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // brute force: enumerate all chains of length 1..6 by DFS
+    val out = mutable.Map[(Long, Long), Long]().withDefaultValue(0L)
+    def walk(root: Long, node: Long, depth: Int): Unit =
+      if (depth < 6) adj(node).foreach { d =>
+        out((root, d)) += 1
+        walk(root, d, depth + 1)
+      }
+    (0L to maxKey).filter(_ % 97 == 0).foreach(r => walk(r, r, 0))
+    assert(got == out.toMap,
+      s"path counts mismatch: got ${got.size}, want ${out.size}")
+    assert(out.values.max > 1, "no node with multiple paths — not multiplicative")
+  }
+}
