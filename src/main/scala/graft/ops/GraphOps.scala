@@ -207,5 +207,68 @@ object GraphOps {
       |FROM paths WHERE depth > 0 GROUP BY root, node
       |ORDER BY root, dep""".stripMargin))
 
-  val defs: Seq[QueryDef] = Seq(depClosure, revDeps, depPaths)
+  /** Dependency pinning — the resolution step the reference leaves to
+    * clients: every `DependentPackage` row carries an
+    * `extracted_requirement` vers range
+    * (packagedb/models.py:966-980); resolving it means picking the
+    * LATEST available version of the dependency that satisfies the
+    * range, or none. Expressed as: requirement frame ⋈ available
+    * versions on the dependency key, range membership via the
+    * `VersContains` Catalyst expression (codegen, no UDF), then
+    * `max_by` on the `NatVersionKey` sortable key (the O3 natural
+    * version order), left-joined back so unresolvable requirements
+    * surface as NULL pins rather than vanishing. One equi-join + one
+    * partial-aggregated groupBy — both hash-partition on the
+    * dependency key at scale.
+    *
+    * Synthetic shape both engines derive identically: dependency dst
+    * offers versions "(j div 2).((dst+j) mod 10)" for j ∈ [0,8)
+    * (majors 0..3, two minors each); edge src requires
+    * `vers:generic/>=L.0|<H.0` with L = src mod 5, H = L+1+(src mod
+    * 2) — L=4 rows are unsatisfiable and pin NULL. */
+  val resolvePins = QueryDef(
+    "g_resolve_pins",
+    "F15/A7/O3 over DependentPackage.extracted_requirement " +
+      "(packagedb/models.py:966-980)",
+    "resolve each dependency's vers range to the latest satisfying version",
+    (s, dir) => {
+      val pk = packages(s, dir)
+      val deps = edges(s, dir)
+        .withColumn("lo", pmod(col("src"), lit(5)))
+        .withColumn("hi", col("lo") + lit(1) + pmod(col("src"), lit(2)))
+        .withColumn("requirement",
+          concat(lit("vers:generic/>="), col("lo").cast("string"),
+            lit(".0|<"), col("hi").cast("string"), lit(".0")))
+        .select("src", "dst", "requirement")
+      val versions = pk
+        .select(col("k").as("dst"), explode(sequence(lit(0), lit(7))).as("j"))
+        .select(col("dst"),
+          concat(expr("j div 2").cast("string"), lit("."),
+            pmod(col("dst") + col("j"), lit(10)).cast("string"))
+            .as("version"))
+      val fns = graft.functions.GraftFunctions
+      val resolved = deps.join(versions, "dst")
+        .filter(coalesce(
+          fns.vers_contains(col("requirement"), col("version")), lit(false)))
+        .groupBy("src", "dst", "requirement")
+        .agg(max_by(col("version"), fns.natver_key(col("version")))
+          .as("pinned"))
+      deps.join(resolved, Seq("src", "dst", "requirement"), "left")
+        .select(col("src"), col("dst"), col("requirement"), col("pinned"))
+        .orderBy("src", "dst")
+    },
+    Some(s"""WITH $EdgeSql,
+      |d AS (SELECT src, dst, src % 5 AS lo, src % 5 + 1 + src % 2 AS hi
+      |      FROM e)
+      |SELECT src, dst,
+      |  'vers:generic/>=' || CAST(lo AS VARCHAR) || '.0|<' ||
+      |    CAST(hi AS VARCHAR) || '.0' AS requirement,
+      |  CASE WHEN lo <= 3 THEN
+      |    CAST(LEAST(hi - 1, 3) AS VARCHAR) || '.' ||
+      |    CAST(GREATEST((dst + 2 * LEAST(hi - 1, 3)) % 10,
+      |                  (dst + 2 * LEAST(hi - 1, 3) + 1) % 10) AS VARCHAR)
+      |  END AS pinned
+      |FROM d ORDER BY src, dst""".stripMargin))
+
+  val defs: Seq[QueryDef] = Seq(depClosure, revDeps, depPaths, resolvePins)
 }

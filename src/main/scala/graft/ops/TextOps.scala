@@ -980,8 +980,49 @@ object TextOps {
           / 1000000.0 AS mean_p
       FROM scored GROUP BY doc_id ORDER BY doc_id"""))
 
+  /** Stride-overlap context chunking — the OTHER training-prep cut
+    * (t_seq_pack concatenates short docs into fixed windows; this
+    * splits long docs into overlapping windows): each document's
+    * token sequence becomes ceil-covering chunks of W=32 tokens at
+    * stride S=24 (8-token overlap), the standard shape for
+    * long-context pretraining and for embedding-model passage
+    * windows. Pure per-row explode — no shuffle until the final
+    * order — so it scales embarrassingly: chunk count is
+    * tokens/S-linear and each task emits its own rows.
+    *
+    * Boundary semantics (mirrored exactly by the oracle): n ≤ W →
+    * one chunk; otherwise 1 + ceil((n-W)/S) chunks, the last one
+    * truncated (never empty, always ≥ n-W mod S tokens). */
+  val chunkWindows = QueryDef(
+    "t_chunk_windows", "LLM-pipeline: context chunking (stride windows)",
+    "split documents into 32-token windows at stride 24 (8-token overlap)",
+    (s, dir) => {
+      val W = 32
+      val S = 24
+      t(s, dir, "documents")
+        .withColumn("toks", split(col("text"), " "))
+        .withColumn("n_chunks",
+          expr(s"1 + (greatest(size(toks) - $W, 0) + ${S - 1}) div $S"))
+        .select(col("doc_id"), col("toks"),
+          explode(expr("sequence(0, n_chunks - 1)")).as("chunk_id"))
+        .withColumn("ck", expr(s"slice(toks, chunk_id * $S + 1, $W)"))
+        .select(col("doc_id"), col("chunk_id").cast("long").as("chunk_id"),
+          size(col("ck")).cast("long").as("n_tokens"),
+          array_join(col("ck"), " ").as("chunk_text"))
+        .orderBy("doc_id", "chunk_id")
+    },
+    Some("""WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks
+        FROM documents),
+      n AS (SELECT doc_id, toks,
+          1 + (GREATEST(len(toks) - 32, 0) + 23) // 24 AS n_chunks FROM d),
+      c AS (SELECT doc_id, i AS chunk_id, toks[i*24+1 : i*24+32] AS ck
+        FROM n, UNNEST(range(0, n_chunks)) AS t(i))
+      SELECT doc_id, chunk_id, CAST(len(ck) AS BIGINT) AS n_tokens,
+        array_to_string(ck, ' ') AS chunk_text
+      FROM c ORDER BY doc_id, chunk_id"""))
+
   val defs: Seq[QueryDef] = Seq(htmlToText, piiScrub, stratifiedSample,
     vocabulary, tok, quality, langid, langidNgram, fingerprint,
     repetition, dupSegments, bpeMerges, bpeEncode, seqPack, shardManifest,
-    normalize, heavyHitters, lmScore)
+    normalize, heavyHitters, lmScore, chunkWindows)
 }

@@ -86,4 +86,25 @@ class GraphSpec extends SparkTestBase {
       s"path counts mismatch: got ${got.size}, want ${out.size}")
     assert(out.values.max > 1, "no node with multiple paths — not multiplicative")
   }
+
+  test("g_resolve_pins picks the natural-order latest satisfying version") {
+    val rows = GraphOps.resolvePins.run(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getString(2), Option(r.getString(3))))).toMap
+    // brute force: enumerate the synthetic version pool per dst and
+    // resolve [lo, hi) numerically
+    var nNull = 0
+    for (((src, dst), (req, pin)) <- rows) {
+      val lo = src % 5
+      val hi = lo + 1 + src % 2
+      assert(req == s"vers:generic/>=$lo.0|<$hi.0")
+      val pool = (0 until 8).map(j => (j / 2, (dst + j) % 10))
+      val sat = pool.filter { case (maj, _) => maj >= lo && maj < hi }
+      val want = if (sat.isEmpty) None
+        else Some { val (m, n) = sat.max; s"$m.$n" }
+      assert(pin == want, s"($src,$dst) req=$req: got $pin, want $want")
+      if (want.isEmpty) nNull += 1
+    }
+    assert(nNull > 0, "no unsatisfiable requirement in the corpus")
+  }
 }

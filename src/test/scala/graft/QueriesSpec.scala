@@ -162,6 +162,31 @@ class QueriesSpec extends SparkTestBase {
     // the first arrival can have no earlier witness
     assert(df.orderBy("doc_id").first().getAs[Int]("is_dup") == 0)
   }
+
+  test("t_chunk_windows covers every token with the declared overlap") {
+    val (w, s) = (32, 24)
+    val docs = spark.read.parquet(s"$sf001/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ", -1).toSeq).toMap
+    val chunks = Registry.byName("t_chunk_windows").run(spark, sf001)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getString(3)))).toMap
+    for ((doc, toks) <- docs) {
+      val n = toks.size
+      val nChunks = 1 + (math.max(n - w, 0) + s - 1) / s
+      val mine = chunks.filter(_._1._1 == doc)
+      assert(mine.size == nChunks, s"doc $doc: ${mine.size} != $nChunks")
+      for (i <- 0 until nChunks) {
+        val want = toks.slice(i * s, i * s + w)
+        val (nTok, text) = chunks((doc, i.toLong))
+        assert(nTok == want.size && text == want.mkString(" "),
+          s"doc $doc chunk $i boundary mismatch")
+      }
+      // ceil-covering: the last chunk reaches the final token
+      assert((nChunks - 1) * s + w >= n)
+    }
+  }
 }
 
 object CoreQueriesCheck {
