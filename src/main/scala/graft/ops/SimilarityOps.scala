@@ -689,5 +689,105 @@ object SimilarityOps {
         FROM rd) WHERE rn <= 3
       ORDER BY qid, rn"""))
 
-  val defs: Seq[QueryDef] = Seq(bruteTopK, lshAnn, ivfAnn, semDedup, pqAnn)
+  /** Mutual-kNN semantic clustering — the graph-based variant of
+    * semantic dedup (SemDeDup clusters around centroids; this builds
+    * the k-NN graph and takes connected components): edge (a,b) iff
+    * a is in b's top-3 AND b in a's top-3 AND cosine ≥ 0.40 (the
+    * corpus's near-dup band — unthresholded mutual-3NN chains ~90%
+    * of a random-ish corpus into one giant component, which is the
+    * known failure mode of raw kNN-graph clustering). Components are
+    * labeled by the shared large-star/small-star fixpoint.
+    *
+    * Scale shape: the exact all-pairs kNN side is the ORACLE-ABLE
+    * baseline, bounded by the broadcastable index (same contract as
+    * `s_cosine_topk`); at 100 TB the candidate generator swaps to
+    * the ANN family (`s_cosine_ann_lsh`/`_ivf`/`_pq` produce the
+    * same (a,b,cosine) frame from bucketed equi-joins) and the
+    * mutual filter + CC stages are unchanged — they only ever see
+    * the sparse edge list. */
+  val knnClusters = QueryDef(
+    "s_knn_clusters", "LLM-pipeline similarity: mutual-kNN clustering",
+    "thresholded mutual 3-NN graph → connected components (semantic clusters)",
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+        .select(col("vec_id"), qvec.as("v"))
+        .withColumn("n2", dot("v", "v"))
+      val idx = broadcast(emb.select(col("vec_id").as("nid"),
+        col("v").as("nv"), col("n2").as("nn2")))
+      val w = Window.partitionBy("vec_id").orderBy(desc("cosine"), col("nid"))
+      val knn = emb.join(idx, col("vec_id") =!= col("nid"))
+        .withColumn("cosine",
+          asDouble(dot("v", "nv")) /
+            (sqrt(asDouble(col("n2"))) * sqrt(asDouble(col("nn2")))))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("vec_id").as("a"), col("nid").as("b"), col("cosine"))
+      // cosine is symmetric (identical integer dp/norms both ways), so
+      // thresholding the forward direction thresholds the pair
+      val fwd = knn.filter(col("a") < col("b") && col("cosine") >= 0.4)
+        .select("a", "b")
+      val bwd = knn.filter(col("a") > col("b"))
+        .select(col("b").as("a"), col("a").as("b"))
+      val mutual = fwd.join(bwd, Seq("a", "b"))
+        .select(col("a").as("u"), col("b").as("v"))
+      val labels = ConnectedComponents
+        .labels(emb.select(col("vec_id").as("doc_id")), mutual)
+        .select(col("doc_id").as("vec_id"), col("cluster_id"))
+      val sizes = labels.groupBy("cluster_id")
+        .agg(count(lit(1)).as("cluster_size"))
+      labels.join(sizes, "cluster_id")
+        .select(col("vec_id"), col("cluster_id"), col("cluster_size"))
+        .orderBy("vec_id")
+    },
+    Some("""WITH RECURSIVE u AS (
+        SELECT vec_id, i,
+          CAST(FLOOR(CAST(embedding[CAST(i AS INTEGER)] AS DOUBLE) * CAST(1000000 AS DOUBLE) + 0.5) AS BIGINT) AS x
+        FROM (SELECT vec_id, embedding,
+                unnest(range(1, len(embedding) + 1)) AS i
+              FROM embeddings)),
+      nrm AS (
+        SELECT vec_id, CAST(SUM(x*x) AS BIGINT) AS n2 FROM u GROUP BY vec_id),
+      dots AS (
+        SELECT a.vec_id AS qid, b.vec_id AS nid, CAST(SUM(a.x*b.x) AS BIGINT) AS dp
+        FROM u a JOIN u b ON a.i = b.i AND a.vec_id <> b.vec_id
+        GROUP BY 1, 2),
+      cos AS (
+        SELECT qid, nid,
+          CAST(dp AS DOUBLE) /
+            (sqrt(CAST(qa.n2 AS DOUBLE)) * sqrt(CAST(qb.n2 AS DOUBLE))) AS cosine
+        FROM dots
+        JOIN nrm qa ON qa.vec_id = qid JOIN nrm qb ON qb.vec_id = nid),
+      knn AS (
+        SELECT qid AS a, nid AS b, cosine FROM (
+          SELECT qid, nid, cosine,
+            ROW_NUMBER() OVER (PARTITION BY qid
+              ORDER BY cosine DESC, nid) AS rn
+          FROM cos) WHERE rn <= 3),
+      -- MATERIALIZED: the recursive walk re-reads edges every
+      -- iteration; inlining would recompute the n^2 kNN per round
+      edges AS MATERIALIZED (
+        SELECT u, v FROM (
+          SELECT x.a AS u, x.b AS v FROM knn x JOIN knn y
+          ON x.a = y.b AND x.b = y.a
+          WHERE x.a < x.b AND x.cosine >= 0.4) m
+        UNION
+        SELECT v, u FROM (
+          SELECT x.a AS u, x.b AS v FROM knn x JOIN knn y
+          ON x.a = y.b AND x.b = y.a
+          WHERE x.a < x.b AND x.cosine >= 0.4) m2),
+      walk(node, reach) AS (
+        SELECT u, v FROM edges
+        UNION
+        SELECT wk.node, e.v FROM walk wk JOIN edges e ON wk.reach = e.u),
+      lab AS (
+        SELECT e2.vec_id,
+          LEAST(e2.vec_id, COALESCE(MIN(wk.reach), e2.vec_id)) AS cluster_id
+        FROM embeddings e2 LEFT JOIN walk wk ON wk.node = e2.vec_id
+        GROUP BY e2.vec_id),
+      sz AS (SELECT cluster_id, COUNT(*) AS cluster_size FROM lab GROUP BY 1)
+      SELECT l.vec_id, l.cluster_id, s.cluster_size
+      FROM lab l JOIN sz s USING (cluster_id) ORDER BY vec_id"""))
+
+  val defs: Seq[QueryDef] =
+    Seq(bruteTopK, lshAnn, ivfAnn, semDedup, pqAnn, knnClusters)
 }

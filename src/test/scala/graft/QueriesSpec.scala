@@ -187,6 +187,46 @@ class QueriesSpec extends SparkTestBase {
       assert((nChunks - 1) * s + w >= n)
     }
   }
+
+  test("s_knn_clusters matches a brute-force union-find clustering") {
+    val vecs = spark.read.parquet(s"$sf001/embeddings.parquet")
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(x =>
+          math.floor(x.toDouble * 1000000.0 + 0.5).toLong).toArray)
+      .sortBy(_._1)
+    val n2 = vecs.map { case (id, v) =>
+      id -> v.map(x => x * x).sum }.toMap
+    def cosine(a: Array[Long], b: Array[Long], na: Long, nb: Long) =
+      a.zip(b).map { case (x, y) => x * y }.sum.toDouble /
+        (math.sqrt(na.toDouble) * math.sqrt(nb.toDouble))
+    val knn = vecs.map { case (id, v) =>
+      id -> vecs.filter(_._1 != id)
+        .map { case (j, u) => (j, cosine(v, u, n2(id), n2(j))) }
+        .sortBy { case (j, c) => (-c, j) }.take(3)
+    }.toMap
+    val edges = for {
+      (a, ns) <- knn.toSeq
+      (b, c) <- ns
+      if a < b && c >= 0.4 && knn(b).exists(_._1 == a)
+    } yield (a, b)
+    // union-find
+    val parent = scala.collection.mutable.Map(vecs.map(v => v._1 -> v._1): _*)
+    def find(x: Long): Long =
+      if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val wantLabel = vecs.map(v => v._1 -> find(v._1)).toMap
+    val wantSize = wantLabel.values.groupBy(identity).view.mapValues(_.size)
+    val got = Registry.byName("s_knn_clusters").run(spark, sf001).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    for ((id, root) <- wantLabel)
+      assert(got(id) == ((root, wantSize(root).toLong)),
+        s"vec $id: got ${got(id)}, want ($root, ${wantSize(root)})")
+    assert(edges.nonEmpty, "corpus produced no mutual edges — test is vacuous")
+  }
 }
 
 object CoreQueriesCheck {
