@@ -263,5 +263,51 @@ object Joins {
       FROM m WHERE tag = 1
       ORDER BY purchase_id"""))
 
-  val defs: Seq[QueryDef] = Seq(j1, j2, j3, j4, j7, j8, j9, j12, j13, j14)
+  /** Explicit skew-salted shuffle join — the manual counterpart to
+    * AQE's skew-join splitting, for the case AQE cannot fix: a HOT
+    * KEY on the build side of a shuffled join (one task receives the
+    * whole key-0 partition). A synthetic 70%-hot key
+    * (l_partkey%10<7 → key 0) reproduces the pathology; the plan
+    * salts the probe side with a deterministic 8-way hash and
+    * explodes the dim side 8×, so the join shuffles on (key, salt)
+    * and the hot key spreads over 8 tasks. The dim side takes a
+    * SHUFFLE_HASH hint — broadcast would hide the skew this operator
+    * exists to demonstrate; at 100 TB a dim too big to broadcast is
+    * exactly where manual salting earns its keep. The final per-key
+    * aggregate is two-phase automatically (partials per (key,salt)
+    * task, merge on key). Semantics = plain join+groupBy, which is
+    * the oracle. */
+  val j15 = QueryDef(
+    "j15_salted_skew_join", "J1/A1 + skew salting at scale",
+    "hot-key fact⋈dim via 8-way salt replication (AQE-independent)",
+    (s, dir) => {
+      val S = 8
+      val fact = t(s, dir, "lineitem")
+        .withColumn("skew_key",
+          when(pmod(col("l_partkey"), lit(10)) < 7, lit(0L))
+            .otherwise(col("l_partkey")))
+        .withColumn("salt",
+          pmod(pmod(xxhash64(col("l_orderkey"), col("l_linenumber")),
+            lit(S)) + S, lit(S)))
+      val dim = t(s, dir, "part")
+        .select(col("p_partkey").as("skew_key"), col("p_name"))
+        .withColumn("salt", explode(sequence(lit(0), lit(S - 1))))
+      fact.join(dim.hint("SHUFFLE_HASH"), Seq("skew_key", "salt"))
+        .groupBy("skew_key", "p_name")
+        .agg(count(lit(1)).as("n_items"),
+          (sum(cents(col("l_extendedprice"))) / 100.0).as("revenue"))
+        .orderBy("skew_key")
+    },
+    Some("""WITH f AS (
+        SELECT CASE WHEN l_partkey % 10 < 7 THEN 0 ELSE l_partkey END
+          AS skew_key, l_extendedprice
+        FROM lineitem)
+      SELECT f.skew_key, p.p_name, COUNT(*) AS n_items,
+        CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT))
+          AS BIGINT) / 100.0 AS revenue
+      FROM f JOIN part p ON p.p_partkey = f.skew_key
+      GROUP BY 1, 2 ORDER BY skew_key"""))
+
+  val defs: Seq[QueryDef] =
+    Seq(j1, j2, j3, j4, j7, j8, j9, j12, j13, j14, j15)
 }

@@ -1021,8 +1021,97 @@ object TextOps {
         array_to_string(ck, ' ') AS chunk_text
       FROM c ORDER BY doc_id, chunk_id"""))
 
+  /** Rarity-weighted keyword extraction — tf-idf with a LINEAR idf
+    * (tf·N/df) kept in exact integer micro-units
+    * (`(tf*N*1_000_000) div df`), so scores are bit-identical in any
+    * engine: no logarithm (libm last-ulp drift between engines) and
+    * no order-dependent float accumulation anywhere. One explode +
+    * two hash aggregations; the document-frequency frame broadcasts
+    * (vocabulary-sized), the scalar N rides a 1-row broadcast
+    * nested-loop join. */
+  val keywordExtract = QueryDef(
+    "t_keyword_extract", "LLM-pipeline retrieval: rarity-weighted keywords",
+    "top-5 keywords per document by exact-integer tf·N/df micro-units",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val tf = docs.select(col("doc_id"), explode(words).as("word"))
+        .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+      val dfF = tf.groupBy("word").agg(count(lit(1)).as("df"))
+      val n = docs.agg(count(lit(1)).as("n_docs"))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+        .orderBy(desc("score_u"), col("word"))
+      tf.join(broadcast(dfF), "word").crossJoin(broadcast(n))
+        .withColumn("score_u", expr("(tf * n_docs * 1000000) div df"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 5)
+        .select(col("doc_id"), col("rn").cast("long").as("rn"), col("word"),
+          col("tf"), col("df"), col("score_u"))
+        .orderBy("doc_id", "rn")
+    },
+    Some("""WITH dw AS (
+        SELECT doc_id,
+          unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS word
+        FROM documents),
+      tf AS (SELECT doc_id, word, COUNT(*) AS tf FROM dw GROUP BY 1, 2),
+      dfreq AS (SELECT word, COUNT(*) AS df FROM tf GROUP BY 1),
+      n AS (SELECT COUNT(*) AS n_docs FROM documents),
+      scored AS (
+        SELECT t.doc_id, t.word, t.tf, d.df,
+          (t.tf * n.n_docs * 1000000) // d.df AS score_u
+        FROM tf t JOIN dfreq d USING (word), n)
+      SELECT doc_id, rn, word, tf, df, score_u FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+          ORDER BY score_u DESC, word) AS rn FROM scored)
+      WHERE rn <= 5 ORDER BY doc_id, rn"""))
+
+  /** Ranked retrieval over the same integer scoring: the query is the
+    * corpus's three RAREST terms (derived, not hardcoded — the
+    * discriminating end of the df distribution), documents rank by
+    * the exact-integer sum of per-term scores. Top-20 is
+    * TakeOrderedAndProject (distributed sort-limit); the rank window
+    * runs over the 20 survivors only, never the corpus. */
+  val searchRank = QueryDef(
+    "t_search_rank", "LLM-pipeline retrieval: ranked term search (P5-adjacent)",
+    "top-20 documents for the 3 rarest corpus terms, exact-integer scores",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val tf = docs.select(col("doc_id"), explode(words).as("word"))
+        .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+      val dfF = tf.groupBy("word").agg(count(lit(1)).as("df"))
+      val n = docs.agg(count(lit(1)).as("n_docs"))
+      val q = dfF.orderBy(col("df"), col("word")).limit(3)
+      val hits = tf.join(broadcast(q), "word").crossJoin(broadcast(n))
+        .withColumn("term_score", expr("(tf * n_docs * 1000000) div df"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_terms"), sum("term_score").as("score_u"))
+      hits.orderBy(desc("score_u"), col("doc_id")).limit(20)
+        .withColumn("rank", row_number().over(org.apache.spark.sql.expressions
+          .Window.orderBy(desc("score_u"), col("doc_id"))))
+        .select(col("rank").cast("long").as("rank"), col("doc_id"),
+          col("n_terms"), col("score_u"))
+        .orderBy("rank")
+    },
+    Some("""WITH dw AS (
+        SELECT doc_id,
+          unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS word
+        FROM documents),
+      tf AS (SELECT doc_id, word, COUNT(*) AS tf FROM dw GROUP BY 1, 2),
+      dfreq AS (SELECT word, COUNT(*) AS df FROM tf GROUP BY 1),
+      n AS (SELECT COUNT(*) AS n_docs FROM documents),
+      q AS (SELECT word, df FROM dfreq ORDER BY df, word LIMIT 3),
+      hits AS (
+        SELECT t.doc_id, COUNT(*) AS n_terms,
+          CAST(SUM((t.tf * n.n_docs * 1000000) // q.df) AS BIGINT) AS score_u
+        FROM tf t JOIN q USING (word), n
+        GROUP BY t.doc_id)
+      SELECT rank, doc_id, n_terms, score_u FROM (
+        SELECT doc_id, n_terms, score_u,
+          ROW_NUMBER() OVER (ORDER BY score_u DESC, doc_id) AS rank
+        FROM hits) WHERE rank <= 20 ORDER BY rank"""))
+
   val defs: Seq[QueryDef] = Seq(htmlToText, piiScrub, stratifiedSample,
     vocabulary, tok, quality, langid, langidNgram, fingerprint,
     repetition, dupSegments, bpeMerges, bpeEncode, seqPack, shardManifest,
-    normalize, heavyHitters, lmScore, chunkWindows)
+    normalize, heavyHitters, lmScore, chunkWindows, keywordExtract,
+    searchRank)
 }

@@ -35,6 +35,17 @@ class PlanSpec extends SparkTestBase {
     }
   }
 
+  test("j15 salted join shuffles on (key, salt) — not broadcast") {
+    val p = plan("j15_salted_skew_join")
+    // the SHUFFLE_HASH hint must hold: a broadcast would bypass the
+    // very skew-spreading the salt exists for
+    assert(p.contains("ShuffledHashJoin") || p.contains("SortMergeJoin"),
+      s"salted join planned without a shuffle join:\n${p.take(2000)}")
+    assert(!p.contains("BroadcastHashJoin"),
+      "dim side broadcast — the salt is dead weight")
+    assert(p.contains("salt"), "salt column absent from the physical plan")
+  }
+
   test("q1 aggregation is a single shuffle with partial aggregation") {
     val p = plan("q1_pricing_summary")
     // partial (map-side) + final aggregate
