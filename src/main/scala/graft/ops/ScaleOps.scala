@@ -269,6 +269,49 @@ object ScaleOps {
       CROSS JOIN (SELECT unnest([CAST(0.5 AS DOUBLE), 0.9, 0.99]) AS p)
       GROUP BY event_type, p ORDER BY event_type, p"""))
 
+  /** Token-budget mixture cut — the OTHER half of dataset mixing
+    * (a_mix_sample fixes per-group document quotas; production
+    * mixing fixes per-source TOKEN budgets): within each source,
+    * documents are taken in priority order (longest first, doc_id
+    * tiebreak) while the running token total stays within B=800 —
+    * the greedy prefix fill used when a recipe says "at most N
+    * tokens from source X". One window cumsum per source
+    * (hash-partitioned on source, never global) + a filter: a single
+    * shuffle at any corpus size. Integer token counts end to end. */
+  val tokenBudget = QueryDef(
+    "a_token_budget", "LLM-pipeline sampling: per-source token budget",
+    "greedy prefix fill: longest-first docs per source until 800 tokens",
+    (s, dir) => {
+      val B = 800L
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          size(filter(split(col("text"), " "), w => w =!= ""))
+            .cast("long").as("n_tokens"))
+      val w = Window.partitionBy("source")
+        .orderBy(desc("n_tokens"), col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      docs.withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+        .filter(col("cum_tokens") <= B)
+        .select("source", "doc_id", "n_tokens", "cum_tokens")
+        .orderBy("source", "cum_tokens")
+    },
+    Some("""WITH d AS (
+        SELECT doc_id, source,
+          CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+            AS BIGINT) AS n_tokens
+        FROM documents),
+      c AS (
+        SELECT source, doc_id, n_tokens,
+          CAST(SUM(n_tokens) OVER (PARTITION BY source
+            ORDER BY n_tokens DESC, doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+            AS cum_tokens
+        FROM d)
+      SELECT source, doc_id, n_tokens, cum_tokens
+      FROM c WHERE cum_tokens <= 800
+      ORDER BY source, cum_tokens"""))
+
   val defs: Seq[QueryDef] =
-    Seq(saltedAgg, embedNearDup, mixSample, sketchDistinct, sketchQuantile)
+    Seq(saltedAgg, embedNearDup, mixSample, sketchDistinct, sketchQuantile,
+      tokenBudget)
 }
