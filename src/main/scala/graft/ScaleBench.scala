@@ -88,7 +88,15 @@ object ScaleBench {
     // windowed cardinality: the streaming shape of the distinct gate —
     // the exact branch shuffles (window, type, user) triples, the HLL
     // partials stay windows×types×tasks×sketch
-    "st_window_distinct")
+    "st_window_distinct",
+    // round-8 additions: stride chunking (pure explode — shuffle only
+    // the display sort), the integer-score retrieval pair (explode +
+    // two hash aggs; the query side of t_search_rank is 3 terms at
+    // every scale), and the per-source token-budget window (one
+    // hash-partitioned cumsum; kept rows FIXED per source as the
+    // corpus grows — the budget, not the data, bounds the output)
+    "t_chunk_windows", "t_keyword_extract", "t_search_rank",
+    "a_token_budget")
 
   /** Per-query scale-factor caps: queries whose OUTPUT is inherently
     * super-linear on the copy-suffix corpus (not an implementation
@@ -107,7 +115,11 @@ object ScaleBench {
     "j9_earliest_per_key",
     // two-phase exact quantiles: the rank shuffle must stay
     // range-partitioned (never one task per group) as facts grow
-    "a_percentiles")
+    "a_percentiles",
+    // the salted skew join: the hot key's rows spread over 8 salted
+    // partitions; max single-stage shuffle write must track total/8
+    // for the hot key, not total, as facts grow
+    "j15_salted_skew_join")
 
   /** Shuffle totals accumulated across the stages of one query run.
     * Listener events arrive asynchronously; callers drain with a short

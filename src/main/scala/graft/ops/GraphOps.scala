@@ -270,5 +270,72 @@ object GraphOps {
       |  END AS pinned
       |FROM d ORDER BY src, dst""".stripMargin))
 
-  val defs: Seq[QueryDef] = Seq(depClosure, revDeps, depPaths, resolvePins)
+  /** Parallel build schedule — topological layering of the dependency
+    * DAG: layer(n) = length of the longest dependency chain beneath n
+    * (sinks at 0), so every package in layer k can build concurrently
+    * once layers < k are done. The rebuild-the-world question
+    * (packagedb's PackageRelation/DependentPackage graph) asked as a
+    * whole-catalog plan instead of per-package walks.
+    *
+    * Iteration is Bellman-Ford max-propagation: each round joins the
+    * current layer frame to the reversed edge frame and takes the
+    * per-node MAX; layers only ever increase and are bounded by the
+    * DAG depth, so the exact (count, sum) signature is stable IFF the
+    * fixpoint is reached — monotonicity makes the cheap check exact,
+    * no hash screen needed. O(depth) rounds of one equi-join + one
+    * partial-aggregated groupBy; the edge frame partitions once. A
+    * cycle would keep layers climbing forever, so non-convergence
+    * within MaxRounds throws rather than emitting a bogus schedule. */
+  val topoOrder = QueryDef(
+    "g_topo_order",
+    "W1-iterative longest-chain layering over DependentPackage edges",
+    "parallel build layers: longest dependency chain beneath each package",
+    (s, dir) => {
+      val pk = packages(s, dir)
+      val ed = edges(s, dir)
+        .select(col("dst").as("node"), col("src").as("up"))
+        .repartition(col("node")).localCheckpoint(true)
+      var lay = pk.select(col("k").as("node"), lit(0L).as("layer"))
+        .localCheckpoint(true)
+      def sig(df: org.apache.spark.sql.DataFrame): (Long, Long) = {
+        val r = df.agg(count(lit(1)), sum(col("layer"))).head()
+        (r.getLong(0), r.getLong(1))
+      }
+      var prev = sig(lay)
+      var converged = false
+      var rounds = 0
+      while (!converged && rounds < MaxRounds) {
+        val bumped = ed.join(lay, "node")
+          .groupBy(col("up").as("node"))
+          .agg((max(col("layer")) + 1L).as("cand"))
+        lay = lay.join(bumped, Seq("node"), "left")
+          .select(col("node"),
+            greatest(col("layer"), coalesce(col("cand"), lit(0L)))
+              .as("layer"))
+          .localCheckpoint(true)
+        val cur = sig(lay)
+        converged = cur == prev
+        prev = cur
+        rounds += 1
+      }
+      if (!converged)
+        throw new IllegalStateException(
+          s"layering did not converge in $MaxRounds rounds — cycle in " +
+            "the dependency graph")
+      lay.select(col("node").as("pkg"), col("layer"))
+        .orderBy("layer", "pkg")
+    },
+    Some(s"""WITH RECURSIVE $EdgeSql,
+      |down(node, d) AS (
+      |  SELECT k, 0 FROM pk
+      |  WHERE k NOT IN (SELECT src FROM e)
+      |  UNION
+      |  SELECT e.src, dn.d + 1 FROM down dn JOIN e ON e.dst = dn.node
+      |)
+      |SELECT node AS pkg, CAST(MAX(d) AS BIGINT) AS layer
+      |FROM down GROUP BY node
+      |ORDER BY layer, pkg""".stripMargin))
+
+  val defs: Seq[QueryDef] =
+    Seq(depClosure, revDeps, depPaths, resolvePins, topoOrder)
 }

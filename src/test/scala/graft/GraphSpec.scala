@@ -107,4 +107,18 @@ class GraphSpec extends SparkTestBase {
     }
     assert(nNull > 0, "no unsatisfiable requirement in the corpus")
   }
+
+  test("g_topo_order layers equal the longest chain beneath each package") {
+    val got = GraphOps.topoOrder.run(spark, sf001).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val memo = mutable.Map[Long, Long]()
+    def depth(k: Long): Long = memo.getOrElseUpdate(k,
+      if (adj(k).isEmpty) 0L else adj(k).map(depth).max + 1L)
+    for (k <- 0L to maxKey)
+      assert(got(k) == depth(k), s"pkg $k: got ${got(k)}, want ${depth(k)}")
+    // schedule validity: every dependency sits in a strictly lower layer
+    for (k <- 0L to maxKey; d <- adj(k))
+      assert(got(k) > got(d), s"edge $k->$d violates layering")
+    assert(got.values.max >= 5, "DAG too shallow to exercise the iteration")
+  }
 }
