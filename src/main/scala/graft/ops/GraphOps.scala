@@ -336,6 +336,69 @@ object GraphOps {
       |FROM down GROUP BY node
       |ORDER BY layer, pkg""".stripMargin))
 
+  /** Dependency importance — PageRank over the dependency DAG, with
+    * importance flowing along declared edges (a package is important
+    * when important packages depend on it — the foundational-library
+    * signal rank_packages (A5) approximates with raw in-degree).
+    *
+    * Engine-exact by construction: scores live in integer micro-units
+    * (start 100_000), each contribution is `score div outdeg` and
+    * each update `15_000 + (17 * Σcontrib) div 20` — integer ops that
+    * DuckDB mirrors operator-for-operator, so three unrolled
+    * iterations stay bit-identical with no float accumulation. Each
+    * iteration is one equi-join against the once-partitioned edge
+    * frame + one partial-aggregated groupBy; iterations are fixed
+    * (3), not data-dependent, so the plan is a static 3-stage
+    * pipeline at any scale. */
+  val pageRank = QueryDef(
+    "g_pagerank",
+    "A5-iterative importance over DependentPackage edges",
+    "3-iteration integer-exact PageRank: importance flows to dependencies",
+    (s, dir) => {
+      val pk = packages(s, dir)
+      val e = edges(s, dir)
+      val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+      val ed = e.join(outdeg, "src")
+        .select(col("src"), col("dst"), col("outdeg"))
+        .repartition(col("src")).localCheckpoint(true)
+      var pr = pk.select(col("k").as("node"), lit(100000L).as("score"))
+      for (_ <- 1 to 3) {
+        val contrib = ed.join(pr, ed("src") === pr("node"))
+          .select(col("dst"), expr("score div outdeg").as("c"))
+          .groupBy("dst").agg(sum(col("c")).as("sc"))
+        val nodes = pk.select(col("k").as("node"))
+        pr = nodes.join(contrib, nodes("node") === contrib("dst"), "left")
+          .select(col("node"),
+            (lit(15000L) + expr("17L * coalesce(sc, 0L) div 20"))
+              .as("score"))
+          .localCheckpoint(true)
+      }
+      pr.select(col("node").as("pkg"), col("score").as("pr_u"))
+        .orderBy(desc("pr_u"), col("pkg"))
+    },
+    Some(s"""WITH $EdgeSql,
+      |od AS (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY src),
+      |ew AS (SELECT e.src, e.dst, od.outdeg FROM e JOIN od USING (src)),
+      |p0 AS (SELECT k AS node, CAST(100000 AS BIGINT) AS score FROM pk),
+      |c1 AS (SELECT ew.dst, SUM(p0.score // ew.outdeg) AS sc
+      |       FROM ew JOIN p0 ON p0.node = ew.src GROUP BY ew.dst),
+      |p1 AS (SELECT pk.k AS node,
+      |         15000 + (17 * COALESCE(c1.sc, 0)) // 20 AS score
+      |       FROM pk LEFT JOIN c1 ON c1.dst = pk.k),
+      |c2 AS (SELECT ew.dst, SUM(p1.score // ew.outdeg) AS sc
+      |       FROM ew JOIN p1 ON p1.node = ew.src GROUP BY ew.dst),
+      |p2 AS (SELECT pk.k AS node,
+      |         15000 + (17 * COALESCE(c2.sc, 0)) // 20 AS score
+      |       FROM pk LEFT JOIN c2 ON c2.dst = pk.k),
+      |c3 AS (SELECT ew.dst, SUM(p2.score // ew.outdeg) AS sc
+      |       FROM ew JOIN p2 ON p2.node = ew.src GROUP BY ew.dst),
+      |p3 AS (SELECT pk.k AS node,
+      |         CAST(15000 + (17 * COALESCE(c3.sc, 0)) // 20 AS BIGINT)
+      |           AS score
+      |       FROM pk LEFT JOIN c3 ON c3.dst = pk.k)
+      |SELECT node AS pkg, score AS pr_u FROM p3
+      |ORDER BY pr_u DESC, pkg""".stripMargin))
+
   val defs: Seq[QueryDef] =
-    Seq(depClosure, revDeps, depPaths, resolvePins, topoOrder)
+    Seq(depClosure, revDeps, depPaths, resolvePins, topoOrder, pageRank)
 }

@@ -121,4 +121,22 @@ class GraphSpec extends SparkTestBase {
       assert(got(k) > got(d), s"edge $k->$d violates layering")
     assert(got.values.max >= 5, "DAG too shallow to exercise the iteration")
   }
+
+  test("g_pagerank matches the integer-exact 3-iteration recurrence") {
+    val got = GraphOps.pageRank.run(spark, sf001).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    var score = (0L to maxKey).map(_ -> 100000L).toMap
+    for (_ <- 1 to 3) {
+      val contrib = mutable.Map[Long, Long]().withDefaultValue(0L)
+      for (k <- 0L to maxKey; d <- adj(k))
+        contrib(d) += score(k) / adj(k).size
+      score = (0L to maxKey)
+        .map(k => k -> (15000L + 17L * contrib(k) / 20L)).toMap
+    }
+    assert(got == score,
+      s"pagerank mismatch on ${got.count { case (k, v) => score(k) != v }} nodes")
+    // the deepest foundational package (node 1: transitively under
+    // almost everything) must out-rank every leaf
+    assert(got(1L) == got.values.max, "node 1 is not the top-ranked package")
+  }
 }
