@@ -168,5 +168,40 @@ object Windows {
         CAST(SUM(n_chars) AS BIGINT) AS chars
       FROM d GROUP BY decile ORDER BY decile"""))
 
-  val defs: Seq[QueryDef] = Seq(w2, w3, w4, w5, w6)
+  /** W2's top-n-per-group answered WITHOUT a rank window: the
+    * [[graft.functions.TopKAgg]] mergeable aggregate keeps ≤ k rows
+    * of state per partition and combines map-side, so the shuffle
+    * carries k·groups·tasks rows while the window formulation
+    * shuffles (and sorts) every row of every group — the shape that
+    * matters when one group holds a billion rows. Same answer as a
+    * ROW_NUMBER mirror, which is the oracle. */
+  val wTopkAgg = QueryDef(
+    "w_topk_agg", "W2 via mergeable UDAF (map-side top-k state)",
+    "top-3 lineitems per returnflag via bounded mergeable aggregate",
+    (s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(graft.functions.TopKAgg.top_k(cents(col("l_extendedprice")),
+          col("l_orderkey"), col("l_linenumber"), 3).as("top"))
+        .select(col("l_returnflag"), posexplode(col("top")))
+        .select(col("l_returnflag"), (col("pos") + 1).cast("long").as("rank"),
+          (col("col.c") / 100.0).as("price"),
+          col("col.ok").as("l_orderkey"), col("col.ln").as("l_linenumber"))
+        .orderBy("l_returnflag", "rank")
+    },
+    Some("""WITH c AS (
+        SELECT l_returnflag,
+          CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents,
+          l_orderkey, l_linenumber
+        FROM lineitem),
+      r AS (
+        SELECT l_returnflag, cents, l_orderkey, l_linenumber,
+          ROW_NUMBER() OVER (PARTITION BY l_returnflag
+            ORDER BY cents DESC, l_orderkey, l_linenumber) AS rank
+        FROM c)
+      SELECT l_returnflag, rank, cents / 100.0 AS price,
+        l_orderkey, l_linenumber
+      FROM r WHERE rank <= 3 ORDER BY l_returnflag, rank"""))
+
+  val defs: Seq[QueryDef] = Seq(w2, w3, w4, w5, w6, wTopkAgg)
 }

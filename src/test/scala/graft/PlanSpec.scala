@@ -268,6 +268,17 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("BroadcastNestedLoopJoin"), p.take(1500))
   }
 
+  test("w_topk_agg is a partial-aggregated UDAF, not a rank window") {
+    val p = plan("w_topk_agg")
+    assert(!p.contains("Window"),
+      s"top-k fell back to a rank window:\n${p.take(1500)}")
+    // mergeable state ⇒ partial + final aggregate pair over the udaf
+    val aggs = "ObjectHashAggregate|SortAggregate|HashAggregate"
+      .r.findAllIn(p).size
+    assert(aggs >= 2, s"no map-side partial for the top-k state:\n${p.take(2000)}")
+    assert(p.toLowerCase.contains("topkagg"), "TopKAgg missing from plan")
+  }
+
   test("sketch gates aggregate with map-side partials") {
     // the whole point of the HLL/GK branch: the sketch is mergeable,
     // so the plan must show partial + final HashAggregate/ObjectHash
