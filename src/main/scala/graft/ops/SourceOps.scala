@@ -2200,10 +2200,69 @@ FROM norm2 ORDER BY media_id"""))
       FROM old FULL OUTER JOIN neu ON old.doc_id = neu.doc_id
       ORDER BY doc_id"""))
 
+  /** Format interop — the corpus round-trips through every built-in
+    * columnar/row sink+source (ORC, header CSV with RFC-4180 quote
+    * escaping, JSON lines) and each path must reproduce the parquet
+    * path's per-source statistics EXACTLY, including a
+    * content-sensitive column (character length of every text) and
+    * the distinct-text count — a quoting/escaping/encoding bug in
+    * any writer-reader pair breaks the hash compare. The oracle
+    * reads only the parquet table and replicates its stats across
+    * the format labels: agreement is the assertion. Writes land
+    * under /tmp keyed by the input dir (overwrite — rerunnable). */
+  val formatRoundtrip = QueryDef(
+    "s_format_roundtrip", "S1/S16 + sink breadth: ORC/CSV/JSON interop",
+    "documents through orc/csv/json sinks+sources; stats must match parquet",
+    (s, dir) => {
+      // the synthetic text is benign (space-separated tokens), so a
+      // delimiter+quote tail is appended BEFORE writing: every row
+      // now forces RFC-4180 quoting in CSV and \" escaping in JSON —
+      // the oracle mirrors the 3-char append arithmetically
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), concat(col("text"), lit(",\"x")).as("text"),
+          col("lang"), col("source"), col("n_chars"))
+      val base = s"/tmp/graft_roundtrip_${math.abs(dir.hashCode.toLong)}"
+      docs.write.mode("overwrite").orc(s"$base/orc")
+      docs.write.mode("overwrite")
+        .option("header", "true").option("escape", "\"")
+        .csv(s"$base/csv")
+      docs.write.mode("overwrite").json(s"$base/json")
+      val schema = docs.schema
+      val back = Seq(
+        "parquet" -> docs,
+        "orc" -> s.read.orc(s"$base/orc"),
+        "csv" -> s.read.schema(schema)
+          .option("header", "true").option("escape", "\"")
+          .csv(s"$base/csv"),
+        "json" -> s.read.schema(schema).json(s"$base/json"))
+      back.map { case (f, df) =>
+        df.groupBy("source").agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"),
+          sum(length(col("text")).cast("long")).as("sum_text_len"),
+          countDistinct(col("text")).as("n_distinct_text"))
+          .withColumn("format", lit(f))
+      }.reduce(_ unionByName _)
+        .select("format", "source", "n_docs", "sum_chars",
+          "sum_text_len", "n_distinct_text")
+        .orderBy("format", "source")
+    },
+    Some("""WITH stats AS (
+        SELECT source, COUNT(*) AS n_docs,
+          CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+          CAST(SUM(len(text) + 3) AS BIGINT) AS sum_text_len,
+          COUNT(DISTINCT text) AS n_distinct_text
+        FROM documents GROUP BY source)
+      SELECT f.format, s.source, s.n_docs, s.sum_chars,
+        s.sum_text_len, s.n_distinct_text
+      FROM stats s
+      CROSS JOIN (SELECT unnest(['csv','json','orc','parquet']) AS format) f
+      ORDER BY format, source"""))
+
   val defs: Seq[QueryDef] =
     Seq(s4json, s8html, s10sync, cdHarvest, cdResources, mmFeatures,
       mmImageStats, mmAudioStats, mmVideoFrames, s9ls, s11apk,
       x1visitor, x2mapper, s7pom, s5nexus, s15publish, s11deb, s11ipk,
       s11json, s11json2, x2npm, x2registry, x2registry2, x2registry3,
-      snapshotDiff)
+      snapshotDiff, formatRoundtrip)
 }
