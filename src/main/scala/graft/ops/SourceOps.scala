@@ -2259,10 +2259,50 @@ FROM norm2 ORDER BY media_id"""))
       CROSS JOIN (SELECT unnest(['csv','json','orc','parquet']) AS format) f
       ORDER BY format, source"""))
 
+  /** Corrupt-tolerant JSON ingestion — the S4 robustness contract a
+    * registry miner actually needs (feeds are never 100% well-formed;
+    * the reference wraps every parse in try/except and skips). Every
+    * doc_id ≡ 0 (mod 7) row's JSON is truncated mid-string, so
+    * malformation is known BY CONSTRUCTION and Spark's null-on-error
+    * `from_json` behavior is audited against that ground truth: a
+    * parser that silently salvages (or silently drops) a row moves a
+    * count and fails the hash. Per-row parse, embarrassingly
+    * parallel; one aggregation shuffle. */
+  val jsonCorrupt = QueryDef(
+    "s4_json_corrupt", "S4/S6 tolerant decode (miners' try-except contract)",
+    "per-source parsed/corrupt split of a 1-in-7-malformed JSON feed",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val raw = docs.select(col("doc_id"), col("source"),
+          to_json(struct(col("doc_id").as("id"), col("lang"))).as("js"))
+        .withColumn("js",
+          when(col("doc_id") % 7 === 0,
+            expr("substring(js, 1, length(js) - 5)"))
+            .otherwise(col("js")))
+      // PERMISSIVE from_json yields a struct with NULL FIELDS (not a
+      // NULL struct) for malformed input; `id` is non-null in every
+      // well-formed row, so id-nullness IS the corruption flag
+      raw.withColumn("p", from_json(col("js"),
+          org.apache.spark.sql.types.StructType.fromDDL(
+            "id BIGINT, lang STRING")))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_rows"),
+          count(col("p.id")).as("n_parsed"),
+          sum(when(col("p.id").isNull, 1L).otherwise(0L)).as("n_corrupt"),
+          sum(coalesce(col("p.id"), lit(0L))).as("sum_parsed_ids"))
+        .orderBy("source")
+    },
+    Some("""SELECT source, COUNT(*) AS n_rows,
+        COUNT(*) FILTER (WHERE doc_id % 7 <> 0) AS n_parsed,
+        CAST(COUNT(*) FILTER (WHERE doc_id % 7 = 0) AS BIGINT) AS n_corrupt,
+        CAST(SUM(CASE WHEN doc_id % 7 <> 0 THEN doc_id ELSE 0 END)
+          AS BIGINT) AS sum_parsed_ids
+      FROM documents GROUP BY source ORDER BY source"""))
+
   val defs: Seq[QueryDef] =
     Seq(s4json, s8html, s10sync, cdHarvest, cdResources, mmFeatures,
       mmImageStats, mmAudioStats, mmVideoFrames, s9ls, s11apk,
       x1visitor, x2mapper, s7pom, s5nexus, s15publish, s11deb, s11ipk,
       s11json, s11json2, x2npm, x2registry, x2registry2, x2registry3,
-      snapshotDiff, formatRoundtrip)
+      snapshotDiff, formatRoundtrip, jsonCorrupt)
 }
