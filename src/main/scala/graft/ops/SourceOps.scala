@@ -2,7 +2,7 @@ package graft.ops
 
 import graft._
 import graft.core._
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Driver-surface queries for the source-side operators that are
@@ -2299,10 +2299,81 @@ FROM norm2 ORDER BY media_id"""))
           AS BIGINT) AS sum_parsed_ids
       FROM documents GROUP BY source ORDER BY source"""))
 
+  /** Hive-layout lineitem partitioned by l_returnflag, written once
+    * per input dir (the synthetic corpora are immutable within a
+    * session). At 100 TB this directory layout is what turns a
+    * predicate on the partition column into NOT READING the data at
+    * all — file listing, not row filtering. */
+  private def partitionedLineitem(s: SparkSession, dir: String): DataFrame = {
+    val path = s"/tmp/graft_part_${math.abs(dir.hashCode.toLong)}/lineitem"
+    if (!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(s"$path/_SUCCESS")))
+      t(s, dir, "lineitem").write.mode("overwrite")
+        .partitionBy("l_returnflag").parquet(path)
+    s.read.parquet(path)
+  }
+
+  /** Static partition pruning: a filter on the partition column must
+    * become a PartitionFilter (directory-level pruning — 1 of 3
+    * partitions listed, 2/3 of the table never opened), not a row
+    * predicate. PlanSpec pins the PartitionFilters entry. */
+  val partitionPrune = QueryDef(
+    "s_partition_prune", "S1 + hive-partitioned layout (partition pruning)",
+    "flag='R' revenue by linestatus off a returnflag-partitioned table",
+    (s, dir) => {
+      partitionedLineitem(s, dir)
+        .filter(col("l_returnflag") === "R")
+        .groupBy("l_linestatus")
+        .agg(count(lit(1)).as("n_items"),
+          (sum(cents(col("l_extendedprice"))) / 100.0).as("revenue"))
+        .orderBy("l_linestatus")
+    },
+    Some("""SELECT l_linestatus, COUNT(*) AS n_items,
+        CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT))
+          AS BIGINT) / 100.0 AS revenue
+      FROM lineitem WHERE l_returnflag = 'R'
+      GROUP BY l_linestatus ORDER BY l_linestatus"""))
+
+  /** Dynamic partition pruning: the filter lives on the DIM side, so
+    * no static partition predicate exists — Spark must inject the
+    * dim's surviving join keys as a runtime partition filter on the
+    * fact scan (the star-schema optimization that decides whether a
+    * 100 TB fact table is read once or one-third). PlanSpec pins the
+    * dynamicpruning subquery on the scan. */
+  val dppJoin = QueryDef(
+    "j16_dynamic_partition_prune",
+    "J1 + dynamic partition pruning (star-schema runtime prune)",
+    "fact partitioned on the join key, pruned by a filtered dim at runtime",
+    (s, dir) => {
+      // the dim must be a FILE-backed scan with its filter pushed
+      // into it for the pruning-benefit estimator to accept the
+      // subquery (a LocalRelation never qualifies); the helper
+      // writes the 3-row star dim next to the partitioned fact
+      val base = s"/tmp/graft_part_${math.abs(dir.hashCode.toLong)}"
+      if (!java.nio.file.Files.exists(
+          java.nio.file.Paths.get(s"$base/flag_dim/_SUCCESS")))
+        t(s, dir, "lineitem").select(col("l_returnflag").as("flag"))
+          .distinct()
+          .withColumn("flag_class",
+            when(col("flag") === "R", lit("returned")).otherwise(lit("kept")))
+          .write.mode("overwrite").parquet(s"$base/flag_dim")
+      val dim = s.read.parquet(s"$base/flag_dim")
+        .filter(col("flag_class") === "returned")
+      partitionedLineitem(s, dir)
+        .join(broadcast(dim), col("l_returnflag") === col("flag"))
+        .groupBy("flag_class")
+        .agg(count(lit(1)).as("n_items"),
+          sum(col("l_quantity").cast("long")).as("sum_qty"))
+        .orderBy("flag_class")
+    },
+    Some("""SELECT 'returned' AS flag_class, COUNT(*) AS n_items,
+        CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+      FROM lineitem WHERE l_returnflag = 'R'"""))
+
   val defs: Seq[QueryDef] =
     Seq(s4json, s8html, s10sync, cdHarvest, cdResources, mmFeatures,
       mmImageStats, mmAudioStats, mmVideoFrames, s9ls, s11apk,
       x1visitor, x2mapper, s7pom, s5nexus, s15publish, s11deb, s11ipk,
       s11json, s11json2, x2npm, x2registry, x2registry2, x2registry3,
-      snapshotDiff, formatRoundtrip, jsonCorrupt)
+      snapshotDiff, formatRoundtrip, jsonCorrupt, partitionPrune, dppJoin)
 }

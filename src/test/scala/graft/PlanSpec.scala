@@ -268,6 +268,20 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("BroadcastNestedLoopJoin"), p.take(1500))
   }
 
+  test("s_partition_prune prunes directories, not rows") {
+    val p = plan("s_partition_prune")
+    assert(p.contains("PartitionFilters"), s"no partition filter:\n${p.take(1500)}")
+    assert("PartitionFilters: \\[[^\\]]*l_returnflag[^\\]]*R".r
+      .findFirstIn(p).isDefined,
+      s"flag predicate not in PartitionFilters:\n${p.take(2000)}")
+  }
+
+  test("j16 injects a dynamic partition-pruning subquery on the fact scan") {
+    val p = plan("j16_dynamic_partition_prune")
+    assert(p.toLowerCase.contains("dynamicpruning"),
+      s"no runtime partition prune on the fact scan:\n${p.take(2500)}")
+  }
+
   test("w_topk_agg is a partial-aggregated UDAF, not a rank window") {
     val p = plan("w_topk_agg")
     assert(!p.contains("Window"),
