@@ -122,4 +122,26 @@ object EventStream {
       .outputMode("complete")
       .start()
   }
+
+  /** Stream-stream interval join — click attribution: every click is
+    * joined to the same user's impressions at most 30 minutes before
+    * it. Both sides are watermarked, so Spark bounds the join state:
+    * an impression can be dropped from state once the CLICK
+    * watermark passes its end of the interval, and a click older
+    * than the impression watermark minus the interval can never
+    * match — the state-cleanup contract that makes a stream-stream
+    * join runnable indefinitely at 100 TB/day. Inputs are any two
+    * STREAMING frames with (user, its) / (user, cts) columns;
+    * StreamingSpec drives it with MemoryStreams and checks the
+    * interval bounds both ways. */
+  def attributeClicks(imps: DataFrame, clicks: DataFrame): DataFrame = {
+    val i = imps.withWatermark("its", "1 hour")
+    val c = clicks.withWatermark("cts", "1 hour")
+    i.join(c,
+      expr("""iuser = cuser AND
+              cts >= its AND
+              cts <= its + interval 30 minutes"""))
+      .select(col("iuser").as("user"), col("imp_id"), col("click_id"),
+        col("its"), col("cts"))
+  }
 }

@@ -377,4 +377,47 @@ class StreamingSpec extends SparkTestBase {
       assert(streamRows.nonEmpty)
     } finally q.stop()
   }
+
+  test("stream-stream interval join attributes clicks within 30 minutes") {
+    implicit val sqlCtx = spark.sqlContext
+    val imps = MemoryStream[StreamingSpec.Imp]
+    val clicks = MemoryStream[StreamingSpec.Click]
+    val joined = EventStream.attributeClicks(
+      imps.toDS().toDF(), clicks.toDS().toDF())
+    val q = joined.writeStream.format("memory").queryName("attrib")
+      .outputMode("append").start()
+    try {
+      imps.addData(
+        StreamingSpec.Imp(1L, 10L, ts("2026-01-01 10:00:00")),
+        StreamingSpec.Imp(1L, 11L, ts("2026-01-01 12:00:00")),
+        StreamingSpec.Imp(2L, 20L, ts("2026-01-01 10:00:00")))
+      clicks.addData(
+        // in window for imp 10 (+10 min)
+        StreamingSpec.Click(1L, 100L, ts("2026-01-01 10:10:00")),
+        // out of window for imp 10 (+40 min), before imp 11
+        StreamingSpec.Click(1L, 101L, ts("2026-01-01 10:40:00")),
+        // BEFORE any impression of user 2 → no match
+        StreamingSpec.Click(2L, 200L, ts("2026-01-01 09:50:00")),
+        // exactly on the 30-minute boundary of imp 11 (inclusive)
+        StreamingSpec.Click(1L, 102L, ts("2026-01-01 12:30:00")))
+      q.processAllAvailable()
+      val got = spark.table("attrib")
+        .select("imp_id", "click_id").as[(Long, Long)].collect().toSet
+      assert(got == Set((10L, 100L), (11L, 102L)),
+        s"interval bounds violated: $got")
+      // watermark housekeeping: a much later pair still matches after
+      // old state ages out
+      imps.addData(StreamingSpec.Imp(3L, 30L, ts("2026-01-02 10:00:00")))
+      clicks.addData(StreamingSpec.Click(3L, 300L, ts("2026-01-02 10:05:00")))
+      q.processAllAvailable()
+      val got2 = spark.table("attrib")
+        .select("imp_id", "click_id").as[(Long, Long)].collect().toSet
+      assert(got2 == got + ((30L, 300L)))
+    } finally q.stop()
+  }
+}
+
+object StreamingSpec {
+  final case class Imp(iuser: Long, imp_id: Long, its: Timestamp)
+  final case class Click(cuser: Long, click_id: Long, cts: Timestamp)
 }
