@@ -58,6 +58,47 @@ object SortsSets {
         FROM orders) WHERE rn > 100 AND rn <= 120
       ORDER BY rn"""))
 
+  /** The SQL TEXT path end-to-end: temp view + `spark.sql` + the
+    * extension-registered custom expressions (`purl_parse`,
+    * `natver_key`, `vers_contains`) invoked BY NAME from SQL — the
+    * surface a BI tool or notebook user actually touches. Same
+    * Catalyst expressions as the Column API (codegen, no UDF), so
+    * the oracle is the usual arithmetic mirror. */
+  val sqlSurface = QueryDef(
+    "sql_api_surface", "spark.sql text path + registered custom functions",
+    "SQL-text query: purl_parse + natver_key + vers_contains over a temp view",
+    (s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      t(s, dir, "part").createOrReplaceTempView("part_v")
+      s.sql("""
+        WITH v AS (
+          SELECT p_partkey,
+            CAST(p_partkey % 3 AS STRING) || '.' ||
+              CAST(p_partkey % 12 AS STRING) AS version
+          FROM part_v)
+        SELECT p_partkey, version,
+          purl_parse('pkg:maven/org.demo/p' || CAST(p_partkey AS STRING)
+            || '@' || version).name AS pname,
+          coalesce(vers_contains('vers:generic/>=0.4|<2.2', version),
+            false) AS in_range
+        FROM v
+        ORDER BY natver_key(version), p_partkey
+        LIMIT 100""")
+    },
+    Some("""WITH v AS (
+        SELECT p_partkey,
+          CAST(p_partkey % 3 AS VARCHAR) || '.' ||
+            CAST(p_partkey % 12 AS VARCHAR) AS version
+        FROM part)
+      SELECT p_partkey, version,
+        'p' || CAST(p_partkey AS VARCHAR) AS pname,
+        ((p_partkey % 3 > 0) OR (p_partkey % 3 = 0 AND p_partkey % 12 >= 4))
+          AND ((p_partkey % 3 < 2) OR (p_partkey % 3 = 2 AND p_partkey % 12 < 2))
+          AS in_range
+      FROM v
+      ORDER BY p_partkey % 3, p_partkey % 12, p_partkey
+      LIMIT 100"""))
+
   val u1 = QueryDef(
     "u1_union_distinct", "U1",
     "UNION (distinct) of two branch queries (visit-candidates shape)",
@@ -124,5 +165,5 @@ object SortsSets {
         SELECT c_custkey FROM customer WHERE c_mktsegment = 'FURNITURE')
       ORDER BY c_custkey"""))
 
-  val defs: Seq[QueryDef] = Seq(o1, o3, o4, u1, u2, u3, u4)
+  val defs: Seq[QueryDef] = Seq(o1, o3, o4, u1, u2, u3, u4, sqlSurface)
 }
