@@ -472,7 +472,55 @@ object Aggregates {
         n_len_mismatch = 0 AS ok_len_consistent
       FROM p"""))
 
+  /** Incremental view maintenance — the 100 TB refresh pattern: a
+    * materialized per-source aggregate is brought from snapshot v1
+    * to v2 by merging ONLY the CDC delta (adds +m, removes −m,
+    * in-place modifications m₂−m₁) into the stored v1 aggregate,
+    * never rescanning the corpus. Snapshots reuse s_snapshot_diff's
+    * construction (17/19-modular membership, 13-modular content
+    * change — v1's changed rows carry +7 chars so modifications
+    * actually move the sum). The oracle is the FRESH v2 aggregate:
+    * hash equality proves the maintained view is exactly the
+    * recomputed one, which is the whole IVM correctness claim.
+    * Count and sum are self-maintainable aggregates; the merge is
+    * two tiny per-source frames full-outer joined. */
+  val incrementalAgg = QueryDef(
+    "a_incremental_agg", "A1/S10-CDC: incremental view maintenance",
+    "v1 aggregate + CDC delta merge == fresh v2 aggregate (per source)",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val v1 = docs.filter(col("doc_id") % 17 =!= 0)
+        .select(col("doc_id"), col("source"),
+          (col("n_chars") +
+            when(col("doc_id") % 13 === 0, 7L).otherwise(0L)).as("m"))
+      val v2 = docs.filter(col("doc_id") % 19 =!= 0)
+        .select(col("doc_id"), col("source"), col("n_chars").as("m"))
+      val aggV1 = v1.groupBy("source")
+        .agg(count(lit(1)).as("n"), sum("m").as("sm"))
+      val delta = v1.select(col("doc_id"), col("source").as("src1"),
+          col("m").as("m1"))
+        .join(v2.select(col("doc_id"), col("source").as("src2"),
+          col("m").as("m2")), Seq("doc_id"), "full_outer")
+        .select(coalesce(col("src2"), col("src1")).as("source"),
+          when(col("m1").isNull, 1L).when(col("m2").isNull, -1L)
+            .otherwise(0L).as("dn"),
+          (coalesce(col("m2"), lit(0L)) - coalesce(col("m1"), lit(0L)))
+            .as("dm"))
+        .groupBy("source").agg(sum("dn").as("dn"), sum("dm").as("dm"))
+      aggV1.join(delta, Seq("source"), "full_outer")
+        .select(col("source"),
+          (coalesce(col("n"), lit(0L)) + coalesce(col("dn"), lit(0L)))
+            .as("n_docs"),
+          (coalesce(col("sm"), lit(0L)) + coalesce(col("dm"), lit(0L)))
+            .as("sum_chars"))
+        .orderBy("source")
+    },
+    Some("""SELECT source, COUNT(*) AS n_docs,
+        CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+      FROM documents WHERE doc_id % 19 <> 0
+      GROUP BY source ORDER BY source"""))
+
   val defs: Seq[QueryDef] =
     Seq(a1, a2, a3, j6a4, a6, a7, a8, a9, rollup1, pivot1, percentiles,
-      funnel, retention, dataQuality)
+      funnel, retention, dataQuality, incrementalAgg)
 }
