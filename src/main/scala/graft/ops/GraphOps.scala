@@ -207,6 +207,34 @@ object GraphOps {
       |FROM paths WHERE depth > 0 GROUP BY root, node
       |ORDER BY root, dep""".stripMargin))
 
+  /** (src, dst, requirement, pinned) for every dependency edge —
+    * shared by the pin-resolution query and the conflict detector. */
+  private def pinnedEdges(s: SparkSession, dir: String): DataFrame = {
+    val pk = packages(s, dir)
+    val deps = edges(s, dir)
+      .withColumn("lo", pmod(col("src"), lit(5)))
+      .withColumn("hi", col("lo") + lit(1) + pmod(col("src"), lit(2)))
+      .withColumn("requirement",
+        concat(lit("vers:generic/>="), col("lo").cast("string"),
+          lit(".0|<"), col("hi").cast("string"), lit(".0")))
+      .select("src", "dst", "requirement")
+    val versions = pk
+      .select(col("k").as("dst"), explode(sequence(lit(0), lit(7))).as("j"))
+      .select(col("dst"),
+        concat(expr("j div 2").cast("string"), lit("."),
+          pmod(col("dst") + col("j"), lit(10)).cast("string"))
+          .as("version"))
+    val fns = graft.functions.GraftFunctions
+    val resolved = deps.join(versions, "dst")
+      .filter(coalesce(
+        fns.vers_contains(col("requirement"), col("version")), lit(false)))
+      .groupBy("src", "dst", "requirement")
+      .agg(max_by(col("version"), fns.natver_key(col("version")))
+        .as("pinned"))
+    deps.join(resolved, Seq("src", "dst", "requirement"), "left")
+      .select(col("src"), col("dst"), col("requirement"), col("pinned"))
+  }
+
   /** Dependency pinning — the resolution step the reference leaves to
     * clients: every `DependentPackage` row carries an
     * `extracted_requirement` vers range
@@ -231,32 +259,7 @@ object GraphOps {
     "F15/A7/O3 over DependentPackage.extracted_requirement " +
       "(packagedb/models.py:966-980)",
     "resolve each dependency's vers range to the latest satisfying version",
-    (s, dir) => {
-      val pk = packages(s, dir)
-      val deps = edges(s, dir)
-        .withColumn("lo", pmod(col("src"), lit(5)))
-        .withColumn("hi", col("lo") + lit(1) + pmod(col("src"), lit(2)))
-        .withColumn("requirement",
-          concat(lit("vers:generic/>="), col("lo").cast("string"),
-            lit(".0|<"), col("hi").cast("string"), lit(".0")))
-        .select("src", "dst", "requirement")
-      val versions = pk
-        .select(col("k").as("dst"), explode(sequence(lit(0), lit(7))).as("j"))
-        .select(col("dst"),
-          concat(expr("j div 2").cast("string"), lit("."),
-            pmod(col("dst") + col("j"), lit(10)).cast("string"))
-            .as("version"))
-      val fns = graft.functions.GraftFunctions
-      val resolved = deps.join(versions, "dst")
-        .filter(coalesce(
-          fns.vers_contains(col("requirement"), col("version")), lit(false)))
-        .groupBy("src", "dst", "requirement")
-        .agg(max_by(col("version"), fns.natver_key(col("version")))
-          .as("pinned"))
-      deps.join(resolved, Seq("src", "dst", "requirement"), "left")
-        .select(col("src"), col("dst"), col("requirement"), col("pinned"))
-        .orderBy("src", "dst")
-    },
+    (s, dir) => pinnedEdges(s, dir).orderBy("src", "dst"),
     Some(s"""WITH $EdgeSql,
       |d AS (SELECT src, dst, src % 5 AS lo, src % 5 + 1 + src % 2 AS hi
       |      FROM e)
@@ -399,6 +402,60 @@ object GraphOps {
       |SELECT node AS pkg, score AS pr_u FROM p3
       |ORDER BY pr_u DESC, pkg""".stripMargin))
 
+  /** Diamond version conflicts — the question dependency resolvers
+    * exist to answer: within one root's transitive closure, is any
+    * dependency pinned to TWO OR MORE different versions by
+    * different parents? (npm hoists, maven nearest-wins, cargo
+    * unifies — all of them need this set first.) Composition of the
+    * closure BFS and the pin frame: reach ⋈ pinned-edges on the
+    * parent, grouped per (root, dep), kept where the distinct
+    * non-null pin count exceeds one; unresolved (NULL-pin) edges
+    * are surfaced alongside. */
+  val versionConflicts = QueryDef(
+    "g_version_conflicts",
+    "J1-iterative + F15/A3 over the closure (diamond dependency conflicts)",
+    "deps pinned to ≥2 distinct versions inside a root's transitive closure",
+    (s, dir) => {
+      val pk = packages(s, dir)
+      val seeds = pk.filter(col("k") % 97 === 0)
+        .select(col("k").as("root"), col("k").as("node"))
+      val reach = bfs(seeds, edges(s, dir))
+      val pins = pinnedEdges(s, dir)
+      reach.join(pins, reach("node") === pins("src"))
+        .groupBy(col("root"), col("dst").as("dep"))
+        .agg(count(lit(1)).as("n_edges"),
+          countDistinct(col("pinned")).as("n_pins"),
+          sum(when(col("pinned").isNull, 1L).otherwise(0L))
+            .as("n_unresolved"))
+        .filter(col("n_pins") > 1)
+        .orderBy("root", "dep")
+    },
+    Some(s"""WITH RECURSIVE $EdgeSql,
+      |reach(root, node) AS (
+      |  SELECT k, k FROM pk WHERE k % 97 = 0
+      |  UNION
+      |  SELECT r.root, e.dst FROM reach r JOIN e ON e.src = r.node
+      |),
+      |d AS (SELECT src, dst, src % 5 AS lo, src % 5 + 1 + src % 2 AS hi
+      |      FROM e),
+      |pins AS (
+      |  SELECT src, dst,
+      |    CASE WHEN lo <= 3 THEN
+      |      CAST(LEAST(hi - 1, 3) AS VARCHAR) || '.' ||
+      |      CAST(GREATEST((dst + 2 * LEAST(hi - 1, 3)) % 10,
+      |                    (dst + 2 * LEAST(hi - 1, 3) + 1) % 10) AS VARCHAR)
+      |    END AS pinned
+      |  FROM d)
+      |SELECT r.root, p.dst AS dep, COUNT(*) AS n_edges,
+      |  COUNT(DISTINCT p.pinned) AS n_pins,
+      |  CAST(SUM(CASE WHEN p.pinned IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_unresolved
+      |FROM reach r JOIN pins p ON p.src = r.node
+      |GROUP BY r.root, p.dst
+      |HAVING COUNT(DISTINCT p.pinned) > 1
+      |ORDER BY root, dep""".stripMargin))
+
   val defs: Seq[QueryDef] =
-    Seq(depClosure, revDeps, depPaths, resolvePins, topoOrder, pageRank)
+    Seq(depClosure, revDeps, depPaths, resolvePins, topoOrder, pageRank,
+      versionConflicts)
 }
