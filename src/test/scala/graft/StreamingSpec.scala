@@ -415,6 +415,37 @@ class StreamingSpec extends SparkTestBase {
       assert(got2 == got + ((30L, 300L)))
     } finally q.stop()
   }
+
+  test("file-sink streaming restarts from its checkpoint exactly-once") {
+    // the operational contract a 100 TB ingest pipeline leans on: a
+    // stopped query restarted on the SAME checkpoint neither re-emits
+    // processed input (the sink's commit log skips batch re-writes)
+    // nor loses input that arrived while it was down
+    val src = java.nio.file.Files.createTempDirectory("gr-src").toString
+    val out = java.nio.file.Files.createTempDirectory("gr-out").toString
+    val chk = java.nio.file.Files.createTempDirectory("gr-chk").toString
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "id BIGINT, v STRING")
+    def start() = spark.readStream.schema(schema).parquet(src)
+      .withColumn("doubled", col("id") * 2)
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", chk)
+      .outputMode("append").start()
+
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+      .write.mode("append").parquet(src)
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop()
+    // input lands while the query is DOWN
+    Seq((3L, "c")).toDF("id", "v").write.mode("append").parquet(src)
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+
+    val got = spark.read.parquet(out)
+      .select("id", "doubled").as[(Long, Long)].collect().sorted.toSeq
+    assert(got == Seq((1L, 2L), (2L, 4L), (3L, 6L)),
+      s"exactly-once violated: $got")
+  }
 }
 
 object StreamingSpec {
