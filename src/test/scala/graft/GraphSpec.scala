@@ -139,4 +139,41 @@ class GraphSpec extends SparkTestBase {
     // almost everything) must out-rank every leaf
     assert(got(1L) == got.values.max, "node 1 is not the top-ranked package")
   }
+
+  test("g_version_conflicts flags exactly the multi-pin closure deps") {
+    val got = GraphOps.versionConflicts.run(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // brute force: closure (incl. the root), per-edge pin arithmetic
+    def pin(src: Long, dst: Long): Option[String] = {
+      val lo = src % 5
+      val hi = lo + 1 + src % 2
+      if (lo > 3) None
+      else {
+        val m = math.min(hi - 1, 3L)
+        val x = dst + 2 * m
+        Some(s"$m.${math.max(x % 10, (x + 1) % 10)}")
+      }
+    }
+    val roots = (0L to maxKey).filter(_ % 97 == 0)
+    val want = mutable.Map[(Long, Long), (Long, Long, Long)]()
+    for (r <- roots) {
+      val members = mutable.Set(r)
+      val q = mutable.Queue(r)
+      while (q.nonEmpty) adj(q.dequeue()).foreach { d =>
+        if (members.add(d)) q.enqueue(d)
+      }
+      val edges = members.toSeq.flatMap(m => adj(m).map(d => (m, d)))
+      for ((dep, es) <- edges.groupBy(_._2)) {
+        val pins = es.map { case (s0, d0) => pin(s0, d0) }
+        val distinctPins = pins.flatten.distinct.size.toLong
+        if (distinctPins > 1)
+          want((r, dep)) =
+            ((es.size.toLong, distinctPins, pins.count(_.isEmpty).toLong))
+      }
+    }
+    assert(got == want.toMap,
+      s"conflicts mismatch: got ${got.size}, want ${want.size}")
+    assert(want.nonEmpty, "corpus has no diamond conflicts — vacuous")
+  }
 }
