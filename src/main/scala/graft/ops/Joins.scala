@@ -308,6 +308,44 @@ object Joins {
       FROM f JOIN part p ON p.p_partkey = f.skew_key
       GROUP BY 1, 2 ORDER BY skew_key"""))
 
+  /** Batch twin of the streaming attribution join
+    * ([[graft.streaming.EventStream.attributeClicks]], spec-driven
+    * with MemoryStreams): every click joined to the same user's
+    * views at most 30 minutes before it. Equi-key on user plus a
+    * time-range predicate — the shape Spark executes as a
+    * hash-partitioned join with the range filter applied post-match,
+    * and at stream scale with watermark-bounded state. The oracle
+    * pins the interval semantics (inclusive both ends) the streaming
+    * spec asserts. */
+  val j17 = QueryDef(
+    "j17_attribution_join", "J13 + streaming-twin interval attribution",
+    "clicks joined to same-user views within the preceding 30 minutes",
+    (s, dir) => {
+      val ev = t(s, dir, "events")
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("event_id").as("view_id"), col("user_id"),
+          col("ts").as("vts"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"),
+          col("user_id").as("cuser"), col("ts").as("cts"))
+      views.join(clicks,
+          col("user_id") === col("cuser") &&
+            col("cts") >= col("vts") &&
+            col("cts") <= col("vts") + expr("interval 30 minutes"))
+        .select(col("user_id"), col("view_id"), col("click_id"),
+          (unix_timestamp(col("cts")) - unix_timestamp(col("vts")))
+            .as("secs_to_click"))
+        .orderBy("user_id", "view_id", "click_id")
+    },
+    Some("""SELECT v.user_id, v.event_id AS view_id,
+        c.event_id AS click_id,
+        CAST(date_diff('second', v.ts, c.ts) AS BIGINT) AS secs_to_click
+      FROM (SELECT * FROM events WHERE event_type = 'view') v
+      JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        ON c.user_id = v.user_id
+        AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 30 MINUTE
+      ORDER BY v.user_id, view_id, click_id"""))
+
   val defs: Seq[QueryDef] =
-    Seq(j1, j2, j3, j4, j7, j8, j9, j12, j13, j14, j15)
+    Seq(j1, j2, j3, j4, j7, j8, j9, j12, j13, j14, j15, j17)
 }
