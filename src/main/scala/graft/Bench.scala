@@ -94,11 +94,31 @@ object Bench {
     val total = results.map(_._2).sum
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
-    println(line)
-    // sbt appends its own "[success]" trailer to stdout, so a
-    // last-line parse misses the JSON; leave a file copy as well
+    // The driver records only the last ~2000 chars of stdout, so the
+    // full 186-query line (4.6 KB in r8) arrives truncated and
+    // unparseable. Emit (a) the complete map chunked into short
+    // BENCH_PART lines, then (b) one FINAL compact line guaranteed to
+    // fit the captured tail: total + the most expensive queries, which
+    // are the ones graded against BASELINE.md. The complete record is
+    // also written to BENCH_LOCAL.json.
+    val chunks = results.grouped(40).toSeq
+    chunks.zipWithIndex.foreach { case (grp, i) =>
+      val m = grp.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+        .mkString("{", ",", "}")
+      println(s"BENCH_PART ${i + 1}/${chunks.length} $m")
+    }
+    def compactLine(topN: Int): String = {
+      val top = results.sortBy(-_._2).take(topN)
+        .map { case (k, v) => "\"" + k + "\":" + f"$v%.2f" }
+        .mkString("{", ",", "}")
+      f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":$top,"n_queries":${results.length},"full":"BENCH_LOCAL.json","sf":"$sfDir"}"""
+    }
+    // shrink until the final line fits comfortably inside the tail
+    val finalLine = Iterator.from(0).map(i => compactLine(48 - 8 * i))
+      .find(_.length <= 1500).getOrElse(compactLine(8))
     java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LOCAL.json"),
       (line + "\n").getBytes("UTF-8"))
+    println(finalLine)
     spark.stop()
   }
 }

@@ -513,6 +513,10 @@ object Aggregates {
             .as("n_docs"),
           (coalesce(col("sm"), lit(0L)) + coalesce(col("dm"), lit(0L)))
             .as("sum_chars"))
+        // IVM delete-group rule: a source whose documents are ALL
+        // removed in v2 must drop out of the maintained view (the
+        // fresh recompute has no row for it), not linger as n_docs=0
+        .filter(col("n_docs") > 0)
         .orderBy("source")
     },
     Some("""SELECT source, COUNT(*) AS n_docs,

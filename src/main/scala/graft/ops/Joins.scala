@@ -108,7 +108,10 @@ object Joins {
           """transform(sequence(1, size(split(path, '/'))),
                i -> array_join(slice(split(path, '/'), i,
                                      size(split(path, '/')) - i + 1), '/'))""")))
-        .filter(col("suffix").isin("doc7", "src3/doc3"))
+        // every doc_id ending in 7 (10% of corpus) plus one two-level
+        // suffix: ~50 expected rows at sf0.01 instead of the vacuous 2
+        .filter(col("suffix").rlike("^doc[0-9]*7$") ||
+          col("suffix") === "src3/doc3")
         .select("doc_id", "path", "suffix")
         .orderBy("doc_id", "suffix")
     },
@@ -122,7 +125,7 @@ object Joins {
             i -> array_to_string(parts[i:], '/'))) AS suffix
         FROM p)
       SELECT doc_id, path, suffix FROM sfx
-      WHERE suffix IN ('doc7', 'src3/doc3')
+      WHERE regexp_matches(suffix, '^doc[0-9]*7$') OR suffix = 'src3/doc3'
       ORDER BY doc_id, suffix"""))
 
   val j8 = QueryDef(
@@ -170,13 +173,18 @@ object Joins {
     "insert-if-absent anti-join (frontier dedup shape)",
     (s, dir) => {
       val cust = t(s, dir, "customer")
-      val ord = t(s, dir, "orders")
+      // anti-join against high-value orders: every sf0.01 customer has
+      // SOME order, so the unfiltered form returns 0 rows and the gate
+      // is vacuous — the threshold makes the expected set non-empty
+      // (202 rows at sf0.01) so a wrong join type actually fails
+      val ord = t(s, dir, "orders").filter(col("o_totalprice") > 400000.0)
       cust.join(ord, col("c_custkey") === col("o_custkey"), "left_anti")
         .select("c_custkey", "c_name", "c_mktsegment")
         .orderBy("c_custkey")
     },
     Some("""SELECT c_custkey, c_name, c_mktsegment FROM customer
-      WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      WHERE NOT EXISTS (SELECT 1 FROM orders
+        WHERE o_custkey = c_custkey AND o_totalprice > 400000)
       ORDER BY c_custkey"""))
 
   val j13 = QueryDef(

@@ -47,13 +47,13 @@ object ScaleOps {
 
   /** Embedding-cosine near-duplicate pairs through the LSH buckets:
     * same sign-bit bucket, exact quantized cosine above threshold.
-    * The synthetic embeddings top out near cosine 0.5, so the 0.40
-    * threshold keeps a small non-empty survivor set (3 pairs of ~500
-    * candidates at sf0.01) — the oracle discriminates instead of
-    * agreeing on empty. */
+    * The synthetic embeddings top out near cosine 0.5, so the 0.25
+    * threshold keeps a meaningful survivor set (54 pairs of ~500
+    * candidates at sf0.01) — enough surface for an oracle mismatch to
+    * appear on, instead of two engines agreeing on a near-empty set. */
   val embedNearDup = QueryDef(
     "d_embed_neardup", "LLM-pipeline dedup: embedding-cosine",
-    "LSH-bucketed embedding near-dup pairs (cosine ≥ 0.4)",
+    "LSH-bucketed embedding near-dup pairs (cosine ≥ 0.25)",
     (s, dir) => {
       val qv = expr(
         "transform(embedding, x -> CAST(FLOOR(x * 1000000.0 + 0.5) AS BIGINT))")
@@ -74,7 +74,7 @@ object ScaleOps {
         .withColumn("cosine",
           asDouble(dot) / (sqrt(asDouble(col("n2a"))) *
             sqrt(asDouble(col("n2b")))))
-        .filter(col("cosine") >= 0.4)
+        .filter(col("cosine") >= 0.25)
         .select("id_a", "id_b", "cosine")
         .orderBy("id_a", "id_b")
     },
@@ -115,7 +115,7 @@ object ScaleOps {
       JOIN nrm na ON na.vec_id = id_a
       JOIN nrm nb ON nb.vec_id = id_b
       WHERE CAST(dp AS DOUBLE) /
-          (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))) >= 0.4
+          (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))) >= 0.25
       ORDER BY id_a, id_b"""))
 
   /** Temperature-weighted mixture sampling — the multilingual /
@@ -293,7 +293,9 @@ object ScaleOps {
       docs.withColumn("cum_tokens", sum(col("n_tokens")).over(w))
         .filter(col("cum_tokens") <= B)
         .select("source", "doc_id", "n_tokens", "cum_tokens")
-        .orderBy("source", "cum_tokens")
+        // doc_id as final key: cum_tokens ties when a doc has zero
+        // tokens, so (source, cum_tokens) alone is not a total order
+        .orderBy("source", "cum_tokens", "doc_id")
     },
     Some("""WITH d AS (
         SELECT doc_id, source,
@@ -309,7 +311,7 @@ object ScaleOps {
         FROM d)
       SELECT source, doc_id, n_tokens, cum_tokens
       FROM c WHERE cum_tokens <= 800
-      ORDER BY source, cum_tokens"""))
+      ORDER BY source, cum_tokens, doc_id"""))
 
   val defs: Seq[QueryDef] =
     Seq(saltedAgg, embedNearDup, mixSample, sketchDistinct, sketchQuantile,

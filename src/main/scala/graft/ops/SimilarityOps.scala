@@ -102,19 +102,24 @@ object SimilarityOps {
     "s_cosine_ann_lsh", "LLM-pipeline similarity: LSH-bucketed ANN",
     "16-bit sign LSH + flip-1 multiprobe ANN top-3 (cosine scale path)",
     (s, dir) => {
+      // bucket bits scale with log(n): target population n/2^bits of
+      // a few dozen vectors. 8 bits at the 500-row test corpus (≈2 per
+      // bucket, candidates actually exist — 16 bits here left 2 result
+      // rows, a vacuous gate); a 10^9-row deployment uses 24-25 bits,
+      // same plan.
       val bucketExpr = expr(
-        """aggregate(sequence(1, 16),
+        """aggregate(sequence(1, 8),
              0, (acc, i) -> acc * 2 +
                CASE WHEN element_at(embedding, i) >= 0.0 THEN 1 ELSE 0 END)""")
       val emb = t(s, dir, "embeddings")
         .select(col("vec_id"), qvec.as("v"), bucketExpr.as("bucket"))
         .withColumn("n2", dot("v", "v"))
-      val probes = emb.filter(col("vec_id") < 10)
+      val probes = emb.filter(col("vec_id") < 25)
         .select(col("vec_id").as("qid"), col("v").as("qv"),
           col("n2").as("qn2"),
           explode(expr(
             """array_union(array(bucket),
-                 transform(sequence(0, 15),
+                 transform(sequence(0, 7),
                    j -> CAST(bucket ^ shiftleft(1, j) AS INT)))"""))
             .as("pbucket"))
       val pairs = probes.join(emb,
@@ -133,17 +138,17 @@ object SimilarityOps {
     },
     Some("""WITH b AS (
         SELECT vec_id, embedding,
-          CAST(list_sum(list_transform(range(1, 17),
+          CAST(list_sum(list_transform(range(1, 9),
             j -> CASE WHEN embedding[j] >= 0.0
-                 THEN 1 << (16 - CAST(j AS INTEGER)) ELSE 0 END))
+                 THEN 1 << (8 - CAST(j AS INTEGER)) ELSE 0 END))
             AS INTEGER) AS bucket
         FROM embeddings),
       probes AS (
         SELECT vec_id AS qid,
           unnest(list_prepend(bucket,
-            list_transform(range(0, 16),
+            list_transform(range(0, 8),
               j -> xor(bucket, 1 << CAST(j AS INTEGER))))) AS pbucket
-        FROM b WHERE vec_id < 10),
+        FROM b WHERE vec_id < 25),
       u AS (
         SELECT vec_id, i,
           CAST(FLOOR(CAST(embedding[CAST(i AS INTEGER)] AS DOUBLE) * CAST(1000000 AS DOUBLE) + 0.5) AS BIGINT) AS x

@@ -12,6 +12,39 @@ import org.apache.spark.sql.functions._
   */
 object SourceOps {
 
+  /** Cache-path key for /tmp derived layouts: the FULL sanitized input
+    * dir (no hashCode — two dirs can collide) plus a content
+    * fingerprint of the source table's parquet files (name+size+mtime),
+    * so a corpus regenerated in place gets a fresh cache instead of
+    * silently serving stale partitioned data across sessions. */
+  private[ops] def cacheKey(dir: String, table: String): String = {
+    val sanitized = dir.replaceAll("[^A-Za-z0-9]+", "_")
+      .replaceAll("^_+|_+$", "")
+    val p = java.nio.file.Paths.get(dir, s"$table.parquet")
+    def stat(f: java.nio.file.Path): String =
+      s"${f.getFileName}:${java.nio.file.Files.size(f)}:" +
+        s"${java.nio.file.Files.getLastModifiedTime(f).toMillis};"
+    val sig =
+      if (!java.nio.file.Files.exists(p)) "nosrc"
+      else {
+        // a table may be a single parquet file or a directory of parts
+        val parts =
+          if (java.nio.file.Files.isDirectory(p)) {
+            val listing = java.nio.file.Files.list(p)
+            try {
+              val it = listing.iterator()
+              val sb = new StringBuilder
+              while (it.hasNext) sb.append(stat(it.next()))
+              sb.toString
+            } finally listing.close()
+          } else stat(p)
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(parts.getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString.take(16)
+      }
+    s"${sanitized}_$sig"
+  }
+
   val s4json = QueryDef(
     "s4_json_codec", "S4/F10/S16",
     "JSON payload extraction from the events props column",
@@ -2221,7 +2254,7 @@ FROM norm2 ORDER BY media_id"""))
       val docs = t(s, dir, "documents")
         .select(col("doc_id"), concat(col("text"), lit(",\"x")).as("text"),
           col("lang"), col("source"), col("n_chars"))
-      val base = s"/tmp/graft_roundtrip_${math.abs(dir.hashCode.toLong)}"
+      val base = s"/tmp/graft_roundtrip_${cacheKey(dir, "documents")}"
       docs.write.mode("overwrite").orc(s"$base/orc")
       docs.write.mode("overwrite")
         .option("header", "true").option("escape", "\"")
@@ -2279,17 +2312,24 @@ FROM norm2 ORDER BY media_id"""))
           when(col("doc_id") % 7 === 0,
             expr("substring(js, 1, length(js) - 5)"))
             .otherwise(col("js")))
-      // PERMISSIVE from_json yields a struct with NULL FIELDS (not a
-      // NULL struct) for malformed input; `id` is non-null in every
-      // well-formed row, so id-nullness IS the corruption flag
+      // corruption is flagged via an explicit columnNameOfCorruptRecord
+      // field, NOT id-nullness: under spark.sql.json.enablePartialResults
+      // PERMISSIVE from_json may populate fields parsed before the
+      // truncation point (id comes first in the payload), so id-nullness
+      // is config/version-dependent while the corrupt-record column is
+      // the documented contract
+      import scala.jdk.CollectionConverters._
       raw.withColumn("p", from_json(col("js"),
           org.apache.spark.sql.types.StructType.fromDDL(
-            "id BIGINT, lang STRING")))
+            "id BIGINT, lang STRING, _bad STRING"),
+          Map("mode" -> "PERMISSIVE",
+            "columnNameOfCorruptRecord" -> "_bad").asJava))
         .groupBy("source")
         .agg(count(lit(1)).as("n_rows"),
-          count(col("p.id")).as("n_parsed"),
-          sum(when(col("p.id").isNull, 1L).otherwise(0L)).as("n_corrupt"),
-          sum(coalesce(col("p.id"), lit(0L))).as("sum_parsed_ids"))
+          sum(when(col("p._bad").isNull, 1L).otherwise(0L)).as("n_parsed"),
+          sum(when(col("p._bad").isNotNull, 1L).otherwise(0L)).as("n_corrupt"),
+          sum(when(col("p._bad").isNull, col("p.id")).otherwise(lit(0L)))
+            .as("sum_parsed_ids"))
         .orderBy("source")
     },
     Some("""SELECT source, COUNT(*) AS n_rows,
@@ -2305,7 +2345,7 @@ FROM norm2 ORDER BY media_id"""))
     * predicate on the partition column into NOT READING the data at
     * all — file listing, not row filtering. */
   private def partitionedLineitem(s: SparkSession, dir: String): DataFrame = {
-    val path = s"/tmp/graft_part_${math.abs(dir.hashCode.toLong)}/lineitem"
+    val path = s"/tmp/graft_part_${cacheKey(dir, "lineitem")}/lineitem"
     if (!java.nio.file.Files.exists(
         java.nio.file.Paths.get(s"$path/_SUCCESS")))
       t(s, dir, "lineitem").write.mode("overwrite")
@@ -2349,7 +2389,7 @@ FROM norm2 ORDER BY media_id"""))
       // into it for the pruning-benefit estimator to accept the
       // subquery (a LocalRelation never qualifies); the helper
       // writes the 3-row star dim next to the partitioned fact
-      val base = s"/tmp/graft_part_${math.abs(dir.hashCode.toLong)}"
+      val base = s"/tmp/graft_part_${cacheKey(dir, "lineitem")}"
       if (!java.nio.file.Files.exists(
           java.nio.file.Paths.get(s"$base/flag_dim/_SUCCESS")))
         t(s, dir, "lineitem").select(col("l_returnflag").as("flag"))
@@ -2359,16 +2399,24 @@ FROM norm2 ORDER BY media_id"""))
           .write.mode("overwrite").parquet(s"$base/flag_dim")
       val dim = s.read.parquet(s"$base/flag_dim")
         .filter(col("flag_class") === "returned")
+      // group by ship month too: the single-flag_class row was a
+      // 1-row gate with no surface for an oracle mismatch; ~80
+      // month rows discriminate while the DPP plan shape (pinned in
+      // PlanSpec) is unchanged
       partitionedLineitem(s, dir)
         .join(broadcast(dim), col("l_returnflag") === col("flag"))
-        .groupBy("flag_class")
+        .groupBy(col("flag_class"),
+          date_format(col("l_shipdate"), "yyyy-MM").as("ship_month"))
         .agg(count(lit(1)).as("n_items"),
           sum(col("l_quantity").cast("long")).as("sum_qty"))
-        .orderBy("flag_class")
+        .orderBy("flag_class", "ship_month")
     },
-    Some("""SELECT 'returned' AS flag_class, COUNT(*) AS n_items,
+    Some("""SELECT 'returned' AS flag_class,
+        strftime(l_shipdate, '%Y-%m') AS ship_month,
+        COUNT(*) AS n_items,
         CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
-      FROM lineitem WHERE l_returnflag = 'R'"""))
+      FROM lineitem WHERE l_returnflag = 'R'
+      GROUP BY 1, 2 ORDER BY 1, 2"""))
 
   val defs: Seq[QueryDef] =
     Seq(s4json, s8html, s10sync, cdHarvest, cdResources, mmFeatures,

@@ -1,0 +1,149 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import graft.streaming.{Frontier, FrontierStream}
+import org.apache.spark.sql.streaming.StreamingQueryException
+
+/** ST1 as a REAL Structured Streaming job: the frontier visit loop
+  * running under readStream + foreachBatch with a checkpointed source
+  * WAL and an atomically-committed parquet state table — and the
+  * kill-mid-batch restart proof that the (canonical, last_visit_date)
+  * identity survives a crash between the state write and the commit
+  * pointer swap.
+  */
+class FrontierStreamSpec extends SparkTestBase {
+
+  // deterministic, serializable: an index page yields two children;
+  // routable shapes so insertSeedUris' flag computation sees real URIs
+  private val visitor: Frontier.Visitor = uri =>
+    if (uri.endsWith("/index"))
+      Seq(uri.stripSuffix("/index") + "/pkg-a", uri.stripSuffix("/index") + "/pkg-b")
+    else Seq.empty
+
+  private def tmp(p: String) = Files.createTempDirectory(p).toString
+
+  private def seedFile(dir: String, name: String, lines: Seq[String]): Unit = {
+    val t = java.nio.file.Paths.get(dir, s".$name.tmp")
+    Files.writeString(t, lines.mkString("\n"))
+    Files.move(t, java.nio.file.Paths.get(dir, name),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  private def frontierKey(stateRoot: String) =
+    FrontierStream.currentFrontier(spark, stateRoot)
+      .select("uri", "canonical", "priority", "last_visit_date")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2),
+        Option(r.getTimestamp(3)).map(_.getTime)))
+      .sortBy(t => (t._1, t._4))
+      .toSeq
+
+  test("frontier runs as a checkpointed readStream/foreachBatch job") {
+    val seedDir = tmp("fs-seed")
+    val stateRoot = tmp("fs-state")
+    val chk = tmp("fs-chk")
+    val seeds = Seq("https://registry.npmjs.org/index")
+
+    seedFile(seedDir, "seeds.txt", seeds)
+    val q = FrontierStream.start(spark, seedDir, stateRoot, chk, visitor)
+    try {
+      q.processAllAvailable()
+      // batch 0: seed inserted AND visited (claim picks it up in the
+      // same cycle), children pending
+      val s1 = FrontierStream.currentFrontier(spark, stateRoot)
+      val visited = s1.filter("last_visit_date IS NOT NULL")
+        .select("uri").collect().map(_.getString(0)).toSet
+      assert(visited == seeds.toSet, s"visited after batch 0: $visited")
+      val pending = s1.filter("last_visit_date IS NULL")
+        .select("uri").collect().map(_.getString(0)).toSet
+      assert(pending == Set("https://registry.npmjs.org/pkg-a",
+        "https://registry.npmjs.org/pkg-b"), s"pending: $pending")
+
+      // a tick file drives the NEXT cycle: children get visited
+      seedFile(seedDir, "tick1.txt", Seq("tick"))
+      q.processAllAvailable()
+      val s2 = FrontierStream.currentFrontier(spark, stateRoot)
+      assert(s2.filter("last_visit_date IS NULL").count() == 0,
+        "children still pending after second cycle")
+      // visit dates are batch-deterministic, not wall clock
+      val dates = s2.select("last_visit_date").collect()
+        .map(_.getTimestamp(0)).toSet
+      assert(dates == Set(FrontierStream.batchTime(0),
+        FrontierStream.batchTime(1)), s"dates: $dates")
+    } finally q.stop()
+
+    // input that lands while the job is DOWN is picked up on restart
+    // from the same checkpoint (source WAL), not lost
+    seedFile(seedDir, "seeds2.txt", Seq("https://pypi.org/index"))
+    val q2 = FrontierStream.start(spark, seedDir, stateRoot, chk, visitor)
+    try {
+      q2.processAllAvailable()
+      val s3 = FrontierStream.currentFrontier(spark, stateRoot)
+      assert(s3.filter("uri = 'https://pypi.org/index'")
+        .filter("last_visit_date IS NOT NULL").count() == 1,
+        "post-restart seed not visited")
+    } finally q2.stop()
+  }
+
+  test("kill between state write and commit: replay restores the exact " +
+      "(canonical, last_visit_date) identity of an uninterrupted run") {
+    val seeds = Seq("https://registry.npmjs.org/index",
+      "https://crates.io/index")
+
+    // twin A: uninterrupted
+    val (seedA, stateA, chkA) = (tmp("fsA-seed"), tmp("fsA-state"), tmp("fsA-chk"))
+    seedFile(seedA, "seeds.txt", seeds)
+    val qa = FrontierStream.start(spark, seedA, stateA, chkA, visitor)
+    try {
+      qa.processAllAvailable()
+      seedFile(seedA, "tick1.txt", Seq("tick"))
+      qa.processAllAvailable()
+    } finally qa.stop()
+
+    // twin B: crashes in batch 1 AFTER the state write, BEFORE the
+    // commit pointer swap — the worst crash window
+    val (seedB, stateB, chkB) = (tmp("fsB-seed"), tmp("fsB-state"), tmp("fsB-chk"))
+    seedFile(seedB, "seeds.txt", seeds)
+    FrontierStreamSpec.armed.set(true)
+    val crashHook: Long => Unit = { id =>
+      if (id == 1 && FrontierStreamSpec.armed.getAndSet(false))
+        throw new RuntimeException("injected crash before commit")
+    }
+    val qb1 = FrontierStream.start(spark, seedB, stateB, chkB, visitor,
+      preCommitHook = crashHook)
+    try {
+      qb1.processAllAvailable() // batch 0 commits
+      seedFile(seedB, "tick1.txt", Seq("tick"))
+      intercept[StreamingQueryException] {
+        qb1.processAllAvailable()
+        qb1.awaitTermination()
+      }
+    } finally qb1.stop()
+    // crash landed where intended: v=1 written, pointer still at 0
+    assert(FrontierStream.committedBatch(stateB) == 0L,
+      "crash did not land in the intended window")
+    assert(Files.exists(java.nio.file.Paths.get(stateB, "v=1")),
+      "state for batch 1 was not written before the crash")
+
+    // restart on the same checkpoint: batch 1 re-delivers from the WAL,
+    // overwrites v=1 deterministically, commits
+    val qb2 = FrontierStream.start(spark, seedB, stateB, chkB, visitor,
+      preCommitHook = crashHook)
+    try qb2.processAllAvailable() finally qb2.stop()
+    assert(FrontierStream.committedBatch(stateB) == 1L)
+
+    val a = frontierKey(stateA)
+    val b = frontierKey(stateB)
+    assert(a == b,
+      s"crash+replay diverged from uninterrupted run:\nA=$a\nB=$b")
+    assert(a.nonEmpty && a.forall(_._4.isDefined),
+      "twin run did not fully visit its frontier")
+  }
+}
+
+object FrontierStreamSpec {
+  // crash-once latch shared with executor-free driver-side hook
+  val armed = new java.util.concurrent.atomic.AtomicBoolean(false)
+}

@@ -36,7 +36,10 @@ class LayoutSpec extends SparkTestBase {
         to_date(col("l_shipdate").cast("timestamp")).as("ship_date"),
         col("l_extendedprice"))
     val total = li.count()
-    val base = "/tmp/graft_layout"
+    // per-run temp dir: a fixed path races with a concurrent test run
+    // on the same machine (overwrite vs read)
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_layout").toString
     // small row groups so the 6k-row table has many to skip
     li.repartitionByRange(4, col("ship_date"))
       .sortWithinPartitions("ship_date")
