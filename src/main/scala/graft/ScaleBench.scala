@@ -96,7 +96,17 @@ object ScaleBench {
     // hash-partitioned cumsum; kept rows FIXED per source as the
     // corpus grows — the budget, not the data, bounds the output)
     "t_chunk_windows", "t_keyword_extract", "t_search_rank",
-    "a_token_budget")
+    "a_token_budget",
+    // round-9 additions: the ANN-candidate mutual-kNN clusters — the
+    // 100 TB path of s_knn_clusters. Candidates must stay bounded by
+    // nprobe·n·cell_size (cells scale linearly under the id-offset
+    // corpus), never the n² of the exact variant; watch the candidate
+    // join's shuffle rows track n linearly. And the keeper-capped
+    // exact similarity join: linear OUTPUT (one witness edge per
+    // duplicate doc) where the uncapped d_jaccard_prefix_join is
+    // FactorCap'd to 10× by its answer cardinality — this one must
+    // hold a 100× point
+    "s_knn_clusters_ann", "d_jaccard_prefix_capped")
 
   /** Per-query scale-factor caps: queries whose OUTPUT is inherently
     * super-linear on the copy-suffix corpus (not an implementation

@@ -55,25 +55,36 @@ object Fnv {
   * Malformed input (no "pkg:" scheme or empty name) yields NULL.
   */
 case class PurlParse(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   override def dataType: DataType = PurlParse.schema
   override def nullable: Boolean = true
   override def prettyName: String = "purl_parse"
 
-  override protected def nullSafeEval(input: Any): Any = {
-    val s = input.asInstanceOf[UTF8String].toString
-    PurlParse.parse(s) match {
-      case null => null
-      case arr  => InternalRow.fromSeq(arr.map {
-        case null => null
-        case v    => UTF8String.fromString(v)
-      })
-    }
-  }
+  override protected def nullSafeEval(input: Any): Any =
+    PurlParse.evalUtf8(input.asInstanceOf[UTF8String])
+  // static-forwarder codegen (the CanonicalUrlExpr pattern): the parse
+  // stays a JVM call but the expression joins whole-stage codegen —
+  // no per-row eval(InternalRow) indirection or fallback boxing
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, u => s"""
+      ${ev.value} = graft.functions.PurlParse.evalUtf8($u);
+      if (${ev.value} == null) { ${ev.isNull} = true; }
+    """)
   override protected def withNewChildInternal(c: Expression): PurlParse = copy(c)
 }
 
 object PurlParse {
+
+  /** Static forwarder shared by interpreted eval and generated code. */
+  def evalUtf8(input: UTF8String): InternalRow =
+    parse(input.toString) match {
+      case null => null
+      case arr  => InternalRow.fromSeq(arr.toSeq.map {
+        case null => null
+        case v    => UTF8String.fromString(v)
+      })
+    }
   val schema: StructType = StructType(Seq(
     StructField("ptype", StringType),
     StructField("namespace", StringType),
@@ -458,14 +469,27 @@ object MinHashSig {
   */
 case class RollingFingerprints(
     first: Expression, second: Expression, third: Expression)
-    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression
-    with CodegenFallback {
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "rollhash_fps"
-  override protected def nullSafeEval(tok: Any, wAny: Any, kAny: Any): Any = {
-    val arr = tok.asInstanceOf[ArrayData]
-    val w = wAny.asInstanceOf[Int]
-    val keep = kAny.asInstanceOf[Int]
+  override protected def nullSafeEval(tok: Any, wAny: Any, kAny: Any): Any =
+    RollingFingerprints.compute(tok.asInstanceOf[ArrayData],
+      wAny.asInstanceOf[Int], kAny.asInstanceOf[Int])
+  // static-forwarder codegen: result is never null, only the inputs'
+  // null checks (handled by nullSafeCodeGen) gate it
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (t, w, k) => s"""
+      ${ev.value} = graft.functions.RollingFingerprints.compute($t, $w, $k);
+    """)
+  override protected def withNewChildrenInternal(
+      a: Expression, b: Expression, c: Expression): RollingFingerprints =
+    copy(a, b, c)
+}
+
+object RollingFingerprints {
+  /** Static forwarder shared by interpreted eval and generated code. */
+  def compute(arr: ArrayData, w: Int, keep: Int): ArrayData = {
     val n = arr.numElements()
     val hashes = new Array[Long](n)
     var i = 0
@@ -494,9 +518,6 @@ case class RollingFingerprints(
     val kept = fps.distinct.sorted.take(keep)
     new GenericArrayData(kept)
   }
-  override protected def withNewChildrenInternal(
-      a: Expression, b: Expression, c: Expression): RollingFingerprints =
-    copy(a, b, c)
 }
 
 /** F2 — canonical_url(url): lowercase scheme/host (IDN-encoded),

@@ -87,14 +87,30 @@ case class NameSimilarity(left: Expression, right: Expression)
   * (`matchcode/match.py:290-348`, max_dist=16 = snippet window, X4).
   */
 case class MergeSpans(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
   private val spanType = StructType(Seq(
     StructField("start", IntegerType), StructField("end", IntegerType)))
   override def dataType: DataType = ArrayType(spanType, containsNull = false)
   override def prettyName: String = "merge_spans"
-  override protected def nullSafeEval(spansAny: Any, distAny: Any): Any = {
-    val arr = spansAny.asInstanceOf[ArrayData]
-    val maxDist = distAny.asInstanceOf[Int]
+  override protected def nullSafeEval(spansAny: Any, distAny: Any): Any =
+    MergeSpans.compute(spansAny.asInstanceOf[ArrayData],
+      distAny.asInstanceOf[Int])
+  // static-forwarder codegen (CanonicalUrlExpr pattern): merge logic
+  // stays one JVM call, the expression joins whole-stage codegen
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, (s, d) => s"""
+      ${ev.value} = graft.matching.MergeSpans.compute($s, $d);
+    """)
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): MergeSpans = copy(l, r)
+}
+
+object MergeSpans {
+  /** Static forwarder shared by interpreted eval and generated code. */
+  def compute(arr: ArrayData, maxDist: Int): ArrayData = {
     val n = arr.numElements()
     val spans = (0 until n).flatMap { i =>
       if (arr.isNullAt(i)) None
@@ -114,8 +130,6 @@ case class MergeSpans(left: Expression, right: Expression)
       InternalRow(s, e)
     }.toArray[Any])
   }
-  override protected def withNewChildrenInternal(
-      l: Expression, r: Expression): MergeSpans = copy(l, r)
 }
 
 object MatchFunctions {

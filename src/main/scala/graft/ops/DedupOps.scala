@@ -307,6 +307,84 @@ object DedupOps {
           CAST(s1.n_sh + s2.n_sh - i.n_common AS DOUBLE) >= 0.5
       ORDER BY d1, d2"""))
 
+  /** The output-bounding policy the [[jaccardPrefixJoin]] cardinality
+    * note documents, as an executable query: same lossless prefix
+    * candidates, same exact ≥0.5 verify, but the ANSWER is one
+    * keeper-witness edge per duplicate document — its smallest-id
+    * exact partner — instead of the full Θ(Σ cohort²) pair clique.
+    * For clique-shaped near-dup cohorts (J ≥ 0.5 corpora are
+    * overwhelmingly transitive) every member's minimum partner IS the
+    * cohort keeper, so the witness star carries the same component
+    * structure into the CC fixpoint at linear output cost — this is
+    * the form whose 100× ScaleBench point exists while the uncapped
+    * join's cannot (the uncapped answer outgrows local spill space;
+    * see FactorCap). The per-pair aggregation still streams the
+    * verified pairs through one shuffle, but they reduce to ≤1 row
+    * per document before anything materializes them as a result. */
+  val jaccardPrefixCapped = QueryDef(
+    "d_jaccard_prefix_capped",
+    "LLM-pipeline dedup: keeper-capped exact similarity join",
+    "prefix-filtered exact ≥0.5 pairs reduced to per-doc keeper witness",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = shingleFrame(s, dir)
+      val grams = docs.select(col("doc_id"), explode(col("sh")).as("g"))
+      val sizes = docs.select(col("doc_id"), size(col("sh")).as("n_sh"))
+      val cand = prefixCandidates(docs).cache()
+      val candDocs = cand.select(col("d1").as("doc_id"))
+        .unionByName(cand.select(col("d2").as("doc_id")))
+        .distinct()
+      val vGrams = grams.join(candDocs, Seq("doc_id"), "left_semi")
+      val pairs = cand
+        .join(vGrams.select(col("doc_id").as("d1"), col("g")), "d1")
+        .join(vGrams.select(col("doc_id").as("d2"), col("g")), Seq("d2", "g"))
+        .groupBy("d1", "d2")
+        .agg(count(lit(1)).as("n_common"))
+        .join(sizes.select(col("doc_id").as("d1"), col("n_sh").as("n1")), "d1")
+        .join(sizes.select(col("doc_id").as("d2"), col("n_sh").as("n2")), "d2")
+        .withColumn("jaccard",
+          asDouble(col("n_common")) /
+            asDouble(col("n1") + col("n2") - col("n_common")))
+        .filter(col("jaccard") >= 0.5)
+      val w = Window.partitionBy(col("d2")).orderBy(col("d1"))
+      pairs
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("d2").as("doc_id"), col("d1").as("keeper_id"),
+          col("n_common"), col("jaccard"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH w AS (
+        SELECT doc_id,
+          list_filter(string_split(text, ' '), x -> x <> '') AS ws
+        FROM documents),
+      sh AS (
+        SELECT doc_id,
+          list_distinct(list_transform(
+            range(1, greatest(len(ws) - 2, 1) + 1),
+            i -> array_to_string(ws[i:i+2], ' '))) AS shs
+        FROM w),
+      grams AS (SELECT doc_id, unnest(shs) AS g FROM sh),
+      sizes AS (SELECT doc_id, len(shs) AS n_sh FROM sh),
+      inter AS (
+        SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS n_common
+        FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+        GROUP BY 1, 2),
+      pairs AS (
+        SELECT i.d1, i.d2, CAST(i.n_common AS BIGINT) AS n_common,
+          CAST(i.n_common AS DOUBLE) /
+            CAST(s1.n_sh + s2.n_sh - i.n_common AS DOUBLE) AS jaccard
+        FROM inter i
+        JOIN sizes s1 ON i.d1 = s1.doc_id
+        JOIN sizes s2 ON i.d2 = s2.doc_id
+        WHERE CAST(i.n_common AS DOUBLE) /
+            CAST(s1.n_sh + s2.n_sh - i.n_common AS DOUBLE) >= 0.5)
+      SELECT d2 AS doc_id, d1 AS keeper_id, n_common, jaccard FROM (
+        SELECT d1, d2, n_common, jaccard,
+          ROW_NUMBER() OVER (PARTITION BY d2 ORDER BY d1) AS rn
+        FROM pairs) WHERE rn = 1
+      ORDER BY doc_id"""))
+
   val minhash = QueryDef(
     "d_minhash_lsh", "LLM-pipeline dedup: MinHash+LSH",
     "shingle→minhash(32)→band(8×4)→bucket-join→exact-Jaccard verify≥0.5",
@@ -1525,5 +1603,5 @@ object DedupOps {
   val defs: Seq[QueryDef] = Seq(exact, minhash, simhash, ngram, clusters,
     lineDedup, clusterKeeper, decontaminate, lshRecall, lshRecallSampled,
     streamDedup, substringDedup, substringCut, substringDedupHashed,
-    pipelineE2e, clusterStats, jaccardPrefixJoin)
+    pipelineE2e, clusterStats, jaccardPrefixJoin, jaccardPrefixCapped)
 }
