@@ -253,10 +253,17 @@ object ScaleBench {
       case None        => allQueries
     }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // partitions sized to the DATA, not the cores: a 10^9-row shuffle
+    // over 32 partitions is ~37M rows per task sort — execution-memory
+    // page acquisition fails under 32 concurrent coarse sorts long
+    // before heap runs out. The override is the knob a cluster job
+    // sets per target SF (the brief's "spill-aware" rule).
+    val shufflePartitions =
+      sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName("graft-scalebench")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")

@@ -727,20 +727,60 @@ object SimilarityOps {
     * exactly why IVF is the right coarse quantizer here). */
   private def annKnn(s: org.apache.spark.sql.SparkSession,
       dir: String): org.apache.spark.sql.DataFrame = {
-    val emb = quantized(s, dir)
+    val emb = quantized(s, dir).cache()
     // k grows with the corpus (the d_semdedup lesson: fixed k makes
     // the cell join quadratic — 501 s at 100×); 32 at oracle scales
     val k = math.max(32L, emb.count() / 64L).toInt
     val cents1 = ivfCentroids(emb, k).cache()
     val cells = ivfCells(emb, cents1)
-    val w = Window.partitionBy("qid").orderBy(desc("cosine"), col("vec_id"))
-    ivfCandidates(emb, cells, cents1, nprobe = 8)
+    // IVF candidates, kept NARROW (qid, nid) — vectors re-attach only
+    // for scoring (the nearestCells width lesson)
+    val cand0 = ivfCandidates(emb, cells, cents1, nprobe = 8)
+      .select(col("qid"), col("vec_id").as("nid"))
+    def scored(cand: org.apache.spark.sql.DataFrame)
+        : org.apache.spark.sql.DataFrame = cand
+      .join(emb.select(col("vec_id").as("qid"), col("v").as("qv"),
+        col("n2").as("qn2")), "qid")
+      .join(emb.select(col("vec_id").as("nid"), col("v").as("nv"),
+        col("n2").as("nn2")), "nid")
       .withColumn("cosine",
-        asDouble(dot("qv", "v")) /
-          (sqrt(asDouble(col("qn2"))) * sqrt(asDouble(col("n2")))))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= 3)
-      .select(col("qid").as("a"), col("vec_id").as("b"), col("cosine"))
+        asDouble(dot("qv", "nv")) /
+          (sqrt(asDouble(col("qn2"))) * sqrt(asDouble(col("nn2")))))
+      .select("qid", "nid", "cosine")
+    // one NN-descent hop (Dong et al. 2011): my provisional top-8
+    // neighbors' neighbors — and vectors sharing a provisional
+    // neighbor with me — join the candidate set. Two equi-joins on an
+    // n×8-bounded frame (linear, scale-safe); measured recall on the
+    // sf0.01 mutual-edge gate: 0.59 without the hop → 0.81 with it,
+    // for a 1.4× candidate count.
+    val w8 = Window.partitionBy("qid").orderBy(desc("cosine"), col("nid"))
+    val k0 = scored(cand0)
+      .withColumn("rn", row_number().over(w8)).filter(col("rn") <= 8)
+      .select("qid", "nid").cache() // consumed by 3 hop sides
+    val hopFwd = k0.alias("a").join(k0.alias("b"),
+        col("a.nid") === col("b.qid") && col("b.nid") =!= col("a.qid"))
+      .select(col("a.qid").as("qid"), col("b.nid").as("nid"))
+    // reverse-neighbor sample (the NN-descent sample-rate knob): the
+    // shared-neighbor join's output is Σ in-degree² — quadratic under
+    // hub skew; capping each vector's reverse list at 16 (ordered by
+    // qid, deterministic) bounds it at n·16² with NO recall loss on
+    // the measured gate (0.8136 capped@16 == uncapped; 0.73 @8).
+    // An incremental-scoring variant (score only hop-new candidates,
+    // anti-join + union with the cand0 scores) MEASURED WORSE at every
+    // scale (x10 shuffle 148M vs 81M rows) — the anti-join and the
+    // extra window subtrees outweigh the saved re-score; one flat
+    // re-score of the distinct candidate set is the better plan.
+    val wr = Window.partitionBy("nid").orderBy("qid")
+    val k0r = k0.withColumn("rr", row_number().over(wr))
+      .filter(col("rr") <= 16).select("qid", "nid")
+    val hopShare = k0r.alias("a").join(k0r.alias("b"),
+        col("a.nid") === col("b.nid") && col("b.qid") =!= col("a.qid"))
+      .select(col("a.qid").as("qid"), col("b.qid").as("nid"))
+    val cand1 = cand0.unionByName(hopFwd).unionByName(hopShare).distinct()
+    val w3 = Window.partitionBy("qid").orderBy(desc("cosine"), col("nid"))
+    scored(cand1)
+      .withColumn("rn", row_number().over(w3)).filter(col("rn") <= 3)
+      .select(col("qid").as("a"), col("nid").as("b"), col("cosine"))
   }
 
   /** Mutual edges (u < v) from a top-k kNN frame: (a,b) kept iff the
@@ -893,10 +933,40 @@ object SimilarityOps {
         JOIN c1n cn ON cn.cid = a.cid),
       cells AS (SELECT vec_id, cid AS cell FROM ranked WHERE rn = 1),
       qprobe AS (SELECT vec_id AS qid, cid AS pcell FROM ranked WHERE rn <= 8),
-      cand AS (
+      cand0 AS (
         SELECT q.qid, c.vec_id AS nid
         FROM qprobe q JOIN cells c
           ON q.pcell = c.cell AND c.vec_id <> q.qid),
+      d0 AS (
+        SELECT c.qid, c.nid, CAST(SUM(a.x*b2.x) AS BIGINT) AS dp
+        FROM cand0 c
+        JOIN u a ON a.vec_id = c.qid
+        JOIN u b2 ON b2.vec_id = c.nid AND b2.i = a.i
+        GROUP BY c.qid, c.nid),
+      k0 AS (
+        SELECT qid, nid FROM (
+          SELECT qid, nid,
+            ROW_NUMBER() OVER (PARTITION BY qid ORDER BY
+              CAST(dp AS DOUBLE) /
+                (sqrt(CAST(qa.n2 AS DOUBLE)) * sqrt(CAST(qb.n2 AS DOUBLE)))
+              DESC, nid) AS rn
+          FROM d0
+          JOIN nrm qa ON qa.vec_id = qid JOIN nrm qb ON qb.vec_id = nid)
+        WHERE rn <= 8),
+      k0r AS (
+        SELECT qid, nid FROM (
+          SELECT qid, nid,
+            ROW_NUMBER() OVER (PARTITION BY nid ORDER BY qid) AS rr
+          FROM k0) WHERE rr <= 16),
+      cand AS (
+        SELECT DISTINCT qid, nid FROM (
+          SELECT qid, nid FROM cand0
+          UNION ALL
+          SELECT a.qid, b.nid FROM k0 a JOIN k0 b
+            ON a.nid = b.qid AND b.nid <> a.qid
+          UNION ALL
+          SELECT a.qid, b.qid AS nid FROM k0r a JOIN k0r b
+            ON a.nid = b.nid AND b.qid <> a.qid)),
       dots_a AS (
         SELECT c.qid, c.nid, CAST(SUM(a.x*b2.x) AS BIGINT) AS dp
         FROM cand c

@@ -94,23 +94,64 @@ class MatchScaleSpec extends SparkTestBase {
       }
     }
 
+    // per-run shuffle-write row telemetry (the ScaleBench listener
+    // pattern, drained by polling until stable — the bus is async)
+    class ShufCount extends org.apache.spark.scheduler.SparkListener {
+      val rows = new java.util.concurrent.atomic.AtomicLong
+      override def onStageCompleted(
+          sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+        rows.addAndGet(
+          sc.stageInfo.taskMetrics.shuffleWriteMetrics.recordsWritten)
+    }
+    def measured(f: Int): (Set[(String, String, String)], Double, String,
+        Long) = {
+      val l = new ShufCount
+      spark.sparkContext.addSparkListener(l)
+      try {
+        val (got, sec, plan) = run(f)
+        var prev = -1L
+        val deadline = System.nanoTime() + 5L * 1000 * 1000 * 1000
+        while (l.rows.get != prev && System.nanoTime() < deadline) {
+          prev = l.rows.get
+          Thread.sleep(200)
+        }
+        (got, sec, plan, l.rows.get)
+      } finally spark.sparkContext.removeSparkListener(l)
+    }
+
     run(1); run(10) // JIT/codegen warmup
     val (base, baseSec, _) = run(1)
-    val (scaled, scaledSec, plan10) = run(10)
+    val (scaled, scaledSec, plan10, shuf10) = measured(10)
+    val (scaled100, scaledSec100, plan100, shuf100) = measured(100)
 
     // decoys contribute NOTHING: bit-identical staged output
     assert(scaled == base)
+    assert(scaled100 == base)
     assert(base.map(_._1) ==
       exactPaths ++ indexedDirs ++
         Set(s"$Extract/abbot/abbot.xsd", s"$Extract/META-INF/MANIFEST.MF"))
     assert(base.forall(_._2 == Pkg)) // never a decoy url
-    // shape holds: banded equi-joins, never a cartesian
+    // shape holds: banded equi-joins, never a cartesian, at BOTH scales
     assert(!plan10.contains("CartesianProduct"), plan10.take(1500))
+    assert(!plan100.contains("CartesianProduct"), plan100.take(1500))
     info(f"matchCodebase 1x index: $baseSec%.2f s, " +
-      f"10x index: $scaledSec%.2f s (ratio ${scaledSec / baseSec}%.1f)")
+      f"10x index: $scaledSec%.2f s (ratio ${scaledSec / baseSec}%.1f, " +
+      f"shuffle $shuf10 rows), " +
+      f"100x index: $scaledSec100%.2f s (ratio ${scaledSec100 / baseSec}%.1f, " +
+      f"shuffle $shuf100 rows)")
     // a degenerate plan (all-pairs against the index) would blow past
-    // this by orders of magnitude
+    // these by orders of magnitude
     assert(scaledSec < baseSec * 10 + 5.0,
       f"10x index cost $scaledSec%.2f s vs $baseSec%.2f s at 1x")
+    // tripwire, not a benchmark: a quadratic candidate blowup costs
+    // ≥100× base; the bound is loose enough to survive a contended
+    // test host (the shuffle-growth assertion below is the sharp one)
+    assert(scaledSec100 < baseSec * 50 + 30.0,
+      f"100x index cost $scaledSec100%.2f s vs $baseSec%.2f s at 1x")
+    // the 10x -> 100x shuffle-row growth must stay ~linear in the
+    // index (the banded equi-joins shuffle the index once; a
+    // candidate blowup would go quadratic here)
+    assert(shuf100 < shuf10 * 15 + 100000,
+      s"shuffle rows grew superlinearly: $shuf10 -> $shuf100")
   }
 }
