@@ -74,12 +74,32 @@ object FrontierStream {
   def batchTime(batchId: Long): Timestamp =
     new Timestamp(1767225600000L + batchId * 3600L * 1000L) // 2026-01-01 UTC
 
-  /** Apply one micro-batch: seeds in, one visit cycle, state committed.
-    * `preCommitHook` runs between the state write and the pointer swap
-    * (test seam for the crash-mid-batch proof). */
+  /** Committed mapped-package rows (uri, package_data, b): the map
+    * loop's output, one hive partition per micro-batch, filtered to
+    * batches at or below the commit pointer so a crashed batch's
+    * half-written partition is invisible until its replay commits. */
+  def packages(spark: SparkSession, stateRoot: String): DataFrame = {
+    val p = Paths.get(stateRoot, "packages")
+    if (!Files.exists(p))
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "uri STRING, package_data STRING, b BIGINT"))
+    else spark.read.parquet(p.toString)
+      .filter(org.apache.spark.sql.functions.col("b") <=
+        committedBatch(stateRoot))
+  }
+
+  /** Apply one micro-batch: seeds in, one visit cycle — and, when a
+    * `mapper` is supplied, one map cycle over the post-visit frontier
+    * (the reference runs run_visit and run_map as a worker PAIR;
+    * riding both on one micro-batch keeps a single commit point) —
+    * state committed. `preCommitHook` runs between the state write
+    * and the pointer swap (test seam for the crash-mid-batch proof). */
   def processBatch(spark: SparkSession, seedBatch: DataFrame, batchId: Long,
       stateRoot: String, visitor: Frontier.Visitor, batchSize: Int,
-      preCommitHook: Long => Unit = _ => ()): Unit = {
+      preCommitHook: Long => Unit = _ => (),
+      mapper: Option[String => Seq[String]] = None): Unit = {
     val last = committedBatch(stateRoot)
     if (batchId <= last) return // replayed, already applied — skip
     val now = batchTime(batchId)
@@ -104,8 +124,19 @@ object FrontierStream {
     // it, or block-manager state grows without bound over thousands of
     // cycles. The before/after diff releases only THIS batch's blocks.
     val cachedBefore = spark.sparkContext.getPersistentRDDs.keySet
-    val next =
+    val afterVisit =
       Frontier.visitCycle(spark, seeded, visitor, now, batchSize)
+    val next = mapper match {
+      case Some(m) =>
+        val (mapped, pkgs) =
+          Frontier.mapCycle(spark, afterVisit, m, now, batchSize)
+        // batch-keyed overwrite = replay-idempotent; invisible to
+        // readers until the commit pointer covers this batch
+        pkgs.write.mode("overwrite")
+          .parquet(s"$stateRoot/packages/b=$batchId")
+        mapped
+      case None => afterVisit
+    }
 
     next.write.mode("overwrite").parquet(s"$stateRoot/v=$batchId")
     spark.sparkContext.getPersistentRDDs
@@ -143,7 +174,8 @@ object FrontierStream {
   def start(spark: SparkSession, seedDir: String, stateRoot: String,
       checkpointDir: String, visitor: Frontier.Visitor,
       batchSize: Int = 10,
-      preCommitHook: Long => Unit = _ => ()): StreamingQuery = {
+      preCommitHook: Long => Unit = _ => (),
+      mapper: Option[String => Seq[String]] = None): StreamingQuery = {
     Files.createDirectories(Paths.get(stateRoot))
     spark.readStream
       .option("maxFilesPerTrigger", 1) // one inbox file = one cycle
@@ -152,7 +184,7 @@ object FrontierStream {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         processBatch(spark, batch, batchId, stateRoot, visitor,
-          batchSize, preCommitHook)
+          batchSize, preCommitHook, mapper)
       }
       .start()
   }

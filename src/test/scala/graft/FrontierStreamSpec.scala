@@ -87,6 +87,52 @@ class FrontierStreamSpec extends SparkTestBase {
     } finally q2.stop()
   }
 
+  test("map loop rides the micro-batch; packages exactly-once across " +
+      "stop/restart") {
+    val seedDir = tmp("fm-seed")
+    val stateRoot = tmp("fm-state")
+    val chk = tmp("fm-chk")
+    val mapper: String => Seq[String] = uri => Seq("pkg::" + uri)
+
+    seedFile(seedDir, "seeds.txt", Seq("https://registry.npmjs.org/index"))
+    val q = FrontierStream.start(spark, seedDir, stateRoot, chk, visitor,
+      mapper = Some(mapper))
+    try {
+      q.processAllAvailable()
+      // batch 0: seed visited AND mapped in the same cycle
+      val p0 = FrontierStream.packages(spark, stateRoot)
+        .select("uri", "package_data").collect()
+        .map(r => (r.getString(0), r.getString(1))).toSet
+      assert(p0 == Set(("https://registry.npmjs.org/index",
+        "pkg::https://registry.npmjs.org/index")), s"packages: $p0")
+
+      seedFile(seedDir, "tick1.txt", Seq("tick"))
+      q.processAllAvailable()
+      val p1 = FrontierStream.packages(spark, stateRoot)
+        .select("uri").collect().map(_.getString(0)).toSeq
+      assert(p1.size == 3 && p1.distinct.size == 3,
+        s"expected 3 distinct mapped uris, got $p1")
+    } finally q.stop()
+
+    // restart: a new seed maps exactly once, old packages not re-emitted
+    seedFile(seedDir, "seeds2.txt", Seq("https://pypi.org/index"))
+    val q2 = FrontierStream.start(spark, seedDir, stateRoot, chk, visitor,
+      mapper = Some(mapper))
+    try {
+      q2.processAllAvailable()
+      val p2 = FrontierStream.packages(spark, stateRoot)
+        .select("uri").collect().map(_.getString(0)).toSeq
+      assert(p2.size == p2.distinct.size, s"duplicate packages: $p2")
+      assert(p2.count(_ == "https://pypi.org/index") == 1)
+      // frontier map-state agrees: every successfully visited row is
+      // mapped, none twice
+      val fr = FrontierStream.currentFrontier(spark, stateRoot)
+      assert(fr.filter("last_visit_date IS NOT NULL AND " +
+        "last_map_date IS NULL").count() == 0,
+        "visited-but-unmapped rows remain")
+    } finally q2.stop()
+  }
+
   test("kill between state write and commit: replay restores the exact " +
       "(canonical, last_visit_date) identity of an uninterrupted run") {
     val seeds = Seq("https://registry.npmjs.org/index",
