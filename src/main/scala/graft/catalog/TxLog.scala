@@ -129,6 +129,20 @@ object TxLog {
     throw new IllegalStateException("unreachable")
   }
 
+  /** The user-facing composition: merge one scanned-package batch into
+    * the catalog at `root` under the optimistic protocol — the
+    * Spark-side equivalent of the reference's run_map/priority workers
+    * concurrently upserting through Postgres. Any number of callers on
+    * any number of drivers sharing the filesystem serialize; each
+    * retry re-applies the SAME level-rule merge onto the winner's
+    * snapshot, so the final catalog is a serial application
+    * (CatalogTxSpec). Returns the committed version. */
+  def mergeCommit(spark: SparkSession, root: String, incoming: DataFrame,
+      now: String, empty: => DataFrame): Long =
+    transact(spark, root, empty) { snapshot =>
+      MergeEngine.mergePackages(snapshot, incoming, now).packages
+    }
+
   /** Retention: drop data dirs unreachable from the last `keep`
     * committed versions (superseded snapshots plus abandoned losers'
     * staging). Safe to run anytime — committed data is write-once. */

@@ -2361,18 +2361,23 @@ FROM norm2 ORDER BY media_id"""))
     "s_partition_prune", "S1 + hive-partitioned layout (partition pruning)",
     "flag='R' revenue by linestatus off a returnflag-partitioned table",
     (s, dir) => {
+      // per-month output (~80 rows at sf0.01) instead of the former
+      // 2-row linestatus split: same pruned scan, enough result
+      // surface for an oracle mismatch to appear on
       partitionedLineitem(s, dir)
         .filter(col("l_returnflag") === "R")
-        .groupBy("l_linestatus")
+        .groupBy(col("l_linestatus"),
+          date_format(col("l_shipdate"), "yyyy-MM").as("ship_month"))
         .agg(count(lit(1)).as("n_items"),
           (sum(cents(col("l_extendedprice"))) / 100.0).as("revenue"))
-        .orderBy("l_linestatus")
+        .orderBy("l_linestatus", "ship_month")
     },
-    Some("""SELECT l_linestatus, COUNT(*) AS n_items,
+    Some("""SELECT l_linestatus, strftime(l_shipdate, '%Y-%m') AS ship_month,
+        COUNT(*) AS n_items,
         CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT))
           AS BIGINT) / 100.0 AS revenue
       FROM lineitem WHERE l_returnflag = 'R'
-      GROUP BY l_linestatus ORDER BY l_linestatus"""))
+      GROUP BY 1, 2 ORDER BY 1, 2"""))
 
   /** Dynamic partition pruning: the filter lives on the DIM side, so
     * no static partition predicate exists — Spark must inject the

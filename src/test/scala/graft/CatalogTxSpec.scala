@@ -50,6 +50,23 @@ class CatalogTxSpec extends SparkTestBase {
     assert(TxLog.snapshot(root)._2.contains(s"$root/data/dirA"))
   }
 
+  test("mergeCommit composes the level-rule merge with the CAS log") {
+    val root = Files.createTempDirectory("txmc").toString
+    val v1 = TxLog.mergeCommit(spark, root, incoming(
+      PackageRow.minimal("http://x/a.jar", "maven", "a", Some("1.0")))(50),
+      NOW, emptyCatalog)
+    val v2 = TxLog.mergeCommit(spark, root, incoming(
+      PackageRow.minimal("http://x/a.jar", "maven", "a", Some("1.1"))
+        .copy(description = Some("newer")))(60),
+      NOW, emptyCatalog)
+    assert((v1, v2) == (1L, 2L))
+    val (_, cat) = TxLog.read(spark, root, emptyCatalog)
+    val row = cat.filter($"download_url" === "http://x/a.jar").collect().head
+    assert(row.getAs[String]("version") == "1.1")
+    assert(row.getAs[String]("description") == "newer")
+    assert(row.getAs[Int]("mining_level") == 60)
+  }
+
   test("two interleaved mergers serialize to a serial application") {
     val root = Files.createTempDirectory("txmerge").toString
     TxLog.transact(spark, root, emptyCatalog)(_ => seedDf)
