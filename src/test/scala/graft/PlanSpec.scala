@@ -350,4 +350,30 @@ class PlanSpec extends SparkTestBase {
     val exchanges = "Exchange".r.findAllIn(p).size
     assert(exchanges <= 3, s"too many shuffles ($exchanges):\n${p.take(2000)}")
   }
+
+  test("s_knn_clusters_ann is equi-join shaped: no cartesian, no " +
+      "nested-loop candidate generation") {
+    // the whole point of the ANN variant: candidates come from cell /
+    // neighbor EQUI-joins — an all-pairs plan here would silently
+    // reintroduce the n² the exact variant is bounded by
+    val df = Registry.byName("s_knn_clusters_ann").run(spark, sf001)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+    // the centroid assignment is the one sanctioned nested-loop (a
+    // broadcast of the tiny trained-centroid frame); anything joining
+    // two corpus-sized sides nested-loop is a defect
+    val bnl = "BroadcastNestedLoopJoin".r.findAllIn(p).size
+    assert(bnl <= 2, s"unexpected nested-loop joins ($bnl):\n${p.take(2000)}")
+  }
+
+  test("d_jaccard_prefix_capped keeps the prefix join's shape and caps " +
+      "output with one window") {
+    val df = Registry.byName("d_jaccard_prefix_capped").run(spark, sf001)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(1500))
+    assert(p.contains("Window"), s"keeper cap not a window:\n${p.take(1500)}")
+  }
 }
