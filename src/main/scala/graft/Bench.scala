@@ -116,8 +116,11 @@ object Bench {
     // shrink until the final line fits comfortably inside the tail
     val finalLine = Iterator.from(0).map(i => compactLine(48 - 8 * i))
       .find(_.length <= 1500).getOrElse(compactLine(8))
-    java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LOCAL.json"),
-      (line + "\n").getBytes("UTF-8"))
+    // a filtered local-iteration run must not clobber the full-suite
+    // record the final line points readers at
+    if (only.isEmpty)
+      java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LOCAL.json"),
+        (line + "\n").getBytes("UTF-8"))
     println(finalLine)
     spark.stop()
   }

@@ -696,12 +696,10 @@ object SimilarityOps {
 
   /** Exact top-3 kNN frame (a, b, cosine) via the broadcast-bounded
     * all-pairs baseline — the oracle-able side of the mutual-kNN
-    * family. */
-  private def exactKnn(s: org.apache.spark.sql.SparkSession,
-      dir: String): org.apache.spark.sql.DataFrame = {
-    val emb = t(s, dir, "embeddings")
-      .select(col("vec_id"), qvec.as("v"))
-      .withColumn("n2", dot("v", "v"))
+    * family. Takes the [[quantized]] frame so callers comparing exact
+    * vs ANN share one scan+quantize (s_knn_ann_recall runs both). */
+  private def exactKnn(emb: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
     val idx = broadcast(emb.select(col("vec_id").as("nid"),
       col("v").as("nv"), col("n2").as("nn2")))
     val w = Window.partitionBy("vec_id").orderBy(desc("cosine"), col("nid"))
@@ -725,9 +723,8 @@ object SimilarityOps {
     * same candidate budget — the corpus's near-dup band sits at
     * cosine ≈0.4-0.5 where single-table LSH collision rates collapse,
     * exactly why IVF is the right coarse quantizer here). */
-  private def annKnn(s: org.apache.spark.sql.SparkSession,
-      dir: String): org.apache.spark.sql.DataFrame = {
-    val emb = quantized(s, dir).cache()
+  private def annKnn(emb: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
     // k grows with the corpus (the d_semdedup lesson: fixed k makes
     // the cell join quadratic — 501 s at 100×); 32 at oracle scales
     val k = math.max(32L, emb.count() / 64L).toInt
@@ -831,7 +828,7 @@ object SimilarityOps {
   val knnClusters = QueryDef(
     "s_knn_clusters", "LLM-pipeline similarity: mutual-kNN clustering",
     "thresholded mutual 3-NN graph → connected components (semantic clusters)",
-    (s, dir) => clustersFromKnn(s, dir, exactKnn(s, dir)),
+    (s, dir) => clustersFromKnn(s, dir, exactKnn(quantized(s, dir))),
     Some("""WITH RECURSIVE u AS (
         SELECT vec_id, i,
           CAST(FLOOR(CAST(embedding[CAST(i AS INTEGER)] AS DOUBLE) * CAST(1000000 AS DOUBLE) + 0.5) AS BIGINT) AS x
@@ -1002,7 +999,8 @@ object SimilarityOps {
     "s_knn_clusters_ann",
     "LLM-pipeline similarity: mutual-kNN clustering (ANN candidates)",
     "LSH-multiprobe candidate 3-NN → mutual ≥0.4 → connected components",
-    (s, dir) => clustersFromKnn(s, dir, annKnn(s, dir)),
+    (s, dir) =>
+      clustersFromKnn(s, dir, annKnn(quantized(s, dir).cache())),
     Some(s"""WITH RECURSIVE $annKnnOracleCtes,
       edges AS MATERIALIZED (
         SELECT au AS u, av AS v FROM mut_a
@@ -1034,8 +1032,12 @@ object SimilarityOps {
     "LLM-pipeline similarity: ANN cluster-edge recall gate",
     "mutual-kNN edge recall of the LSH-candidate graph vs the exact graph",
     (s, dir) => {
-      val exactE = mutualEdges(exactKnn(s, dir))
-      val annE = mutualEdges(annKnn(s, dir))
+      // ONE scan+quantize for both graphs (this query runs the exact
+      // all-pairs oracle AND the full ANN pipeline — the shared frame
+      // is the difference between 2× and 1× corpus reads)
+      val emb = quantized(s, dir).cache()
+      val exactE = mutualEdges(exactKnn(emb))
+      val annE = mutualEdges(annKnn(emb))
       val nExact = exactE.agg(count(lit(1)).as("n_exact"))
       val nAnn = annE.agg(count(lit(1)).as("n_ann"))
       val nCommon = annE.join(exactE, Seq("u", "v"))
