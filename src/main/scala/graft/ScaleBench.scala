@@ -74,10 +74,12 @@ object ScaleBench {
     "a_data_quality", "d_cluster_stats",
     // exact set-similarity join: the prefix filter must keep the hot
     // grams OUT of the candidate join — compare its shuffle against
-    // d_lsh_recall's exact side (same answer, no pruning). 10× ONLY:
-    // the exact pair OUTPUT is Θ(Σ cohort²) and the copy-suffix
-    // corpus multiplies every cohort by the factor — at 100× the
-    // answer itself outgrows local spill space (see the QueryDef doc)
+    // d_lsh_recall's exact side (same answer, no pruning). Ran 10×
+    // ONLY until round 9: the old gram-explode verify materialized a
+    // pairs×grams intermediate (~1B shuffle rows at 100×) that was
+    // misattributed to answer cardinality — the copy-suffix harness
+    // multiplies cohort COUNT, so the answer is linear (25.6k rows at
+    // 100×); the array-intersect verify runs the full 100× point
     "d_jaccard_prefix_join",
     // heavy-hitters sketch gate: the Misra-Gries pass must stay O(k)
     // state per partition; the linear branch is the exact verify
@@ -112,7 +114,12 @@ object ScaleBench {
     * super-linear on the copy-suffix corpus (not an implementation
     * artifact) stop at the documented boundary instead of dying in
     * spill — see each QueryDef's scaladoc. */
-  val FactorCap: Map[String, Int] = Map("d_jaccard_prefix_join" -> 10)
+  // r9: the cap was lifted after the array-intersect verify replaced
+  // the gram-explode verify join — the 100× blocker was that join's
+  // pairs×grams intermediate (measured ~1B shuffle rows), NOT the
+  // answer set (25.6k rows at 100×, linear per-copy). Kept as the
+  // mechanism for genuinely output-bound queries.
+  val FactorCap: Map[String, Int] = Map.empty
 
   /** Relational-core scale set (SPARK_GRAFT_SCALE_MODE=rel): the
     * TPC-ish aggregation/join family, run against a corpus whose FACT

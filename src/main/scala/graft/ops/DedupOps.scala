@@ -190,21 +190,25 @@ object DedupOps {
     * from each document's RAREST grams, so exactly the hot grams are
     * excluded from the candidate join (they can only appear in
     * suffixes). A size filter (t·n1 ≤ n2 ≤ n1/t) prunes further.
-    * Verification then shuffles bounded-width gram rows for candidate
-    * docs only — the same shape as [[lshVerifiedPairs]]. Use LSH when
-    * approximate recall is acceptable and the corpus is adversarially
-    * skewed; use this join when the answer must be exact.
+    * Verification re-attaches each side's distinct shingle array and
+    * counts the overlap with `array_intersect` — shuffle rows are
+    * |candidate pairs|, not |pairs|×grams ([[verifyPairs]]; the
+    * gram-explode verify it replaced shuffled ~1B rows at the 100×
+    * point and was the real reason that point once failed). Use LSH
+    * when approximate recall is acceptable and the corpus is
+    * adversarially skewed; use this join when the answer must be
+    * exact.
     *
-    * Output-cardinality boundary (measured, BASELINE.md): the result
-    * of ANY exact all-pairs-≥t join is Θ(Σ cohort²) — on a corpus
-    * whose duplicate cohorts grow with the corpus (the copy-suffix
-    * scale harness multiplies every cohort by the factor) the ANSWER
-    * is quadratic, independent of algorithm; at 100× the verified
-    * pair set outgrows local spill space. Production pipelines bound
-    * the output instead of the candidates: feed the pair edges
-    * straight into the CC label fixpoint (linear output — what
-    * `d_dedup_clusters` does with LSH pairs) or cap cohort size via
-    * the keeper policy before pairing. */
+    * Output-cardinality boundary: the result of ANY exact
+    * all-pairs-≥t join is Θ(Σ cohort²) — quadratic when duplicate
+    * cohorts GROW with the corpus (the copy-suffix scale harness
+    * multiplies cohort COUNT instead, so its answer is linear and the
+    * 100× point runs; BASELINE.md records both the correction and the
+    * measurements). On cohort-growing corpora production bounds the
+    * output: feed the pair edges straight into the CC label fixpoint
+    * (linear output — what `d_dedup_clusters` does with LSH pairs) or
+    * cap cohort size via the keeper policy before pairing
+    * ([[jaccardPrefixCapped]]). */
   /** Prefix-filtered candidate pairs for a pre-shingled (doc_id, sh)
     * frame at t = 0.5 — corpus-agnostic so PrefixJoinSpec verifies
     * losslessness on seeded borderline corpora against the SAME code
@@ -254,31 +258,39 @@ object DedupOps {
       .select("d1", "d2").dropDuplicates("d1", "d2")
   }
 
+  /** Exact-Jaccard verify of candidate (d1 < d2) pairs by per-pair
+    * array intersection: two equi-joins re-attach each side's DISTINCT
+    * shingle array, `array_intersect` (hash-set per pair, O(|a|+|b|))
+    * counts the overlap. Shuffle rows are |pairs| — each row carries
+    * its ~60-element array — instead of the gram-explode join's
+    * |pairs|×grams (measured 750M-row sort-merge stage at the capped
+    * join's 100× point); same bytes order, far fewer row overheads,
+    * and the aggregation shuffle disappears entirely. */
+  private def verifyPairs(docs: org.apache.spark.sql.DataFrame,
+      cand: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val withSh = docs.select(col("doc_id"), col("sh"),
+      size(col("sh")).as("n_sh"))
+    cand
+      .join(withSh.select(col("doc_id").as("d1"), col("sh").as("sh1"),
+        col("n_sh").as("n1")), "d1")
+      .join(withSh.select(col("doc_id").as("d2"), col("sh").as("sh2"),
+        col("n_sh").as("n2")), "d2")
+      .withColumn("n_common",
+        size(array_intersect(col("sh1"), col("sh2"))).cast("long"))
+      .withColumn("jaccard",
+        asDouble(col("n_common")) /
+          asDouble(col("n1") + col("n2") - col("n_common")))
+      .filter(col("jaccard") >= 0.5)
+      .select(col("d1"), col("d2"), col("n_common"), col("jaccard"))
+  }
+
   val jaccardPrefixJoin = QueryDef(
     "d_jaccard_prefix_join", "LLM-pipeline dedup: exact similarity join",
     "df-ascending prefix filter → candidate equi-join → exact ≥0.5",
     (s, dir) => {
       val docs = shingleFrame(s, dir)
-      val grams = docs.select(col("doc_id"), explode(col("sh")).as("g"))
-      val sizes = docs.select(col("doc_id"), size(col("sh")).as("n_sh"))
-      val cand = prefixCandidates(docs)
-        .cache() // consumed twice: doc pruning + the intersection join
-      val candDocs = cand.select(col("d1").as("doc_id"))
-        .unionByName(cand.select(col("d2").as("doc_id")))
-        .distinct()
-      val vGrams = grams.join(candDocs, Seq("doc_id"), "left_semi")
-      cand
-        .join(vGrams.select(col("doc_id").as("d1"), col("g")), "d1")
-        .join(vGrams.select(col("doc_id").as("d2"), col("g")), Seq("d2", "g"))
-        .groupBy("d1", "d2")
-        .agg(count(lit(1)).as("n_common"))
-        .join(sizes.select(col("doc_id").as("d1"), col("n_sh").as("n1")), "d1")
-        .join(sizes.select(col("doc_id").as("d2"), col("n_sh").as("n2")), "d2")
-        .withColumn("jaccard",
-          asDouble(col("n_common")) /
-            asDouble(col("n1") + col("n2") - col("n_common")))
-        .filter(col("jaccard") >= 0.5)
-        .select(col("d1"), col("d2"), col("n_common"), col("jaccard"))
+      verifyPairs(docs, prefixCandidates(docs))
         .orderBy("d1", "d2")
     },
     Some("""WITH w AS (
@@ -315,12 +327,12 @@ object DedupOps {
     * For clique-shaped near-dup cohorts (J ≥ 0.5 corpora are
     * overwhelmingly transitive) every member's minimum partner IS the
     * cohort keeper, so the witness star carries the same component
-    * structure into the CC fixpoint at linear output cost — this is
-    * the form whose 100× ScaleBench point exists while the uncapped
-    * join's cannot (the uncapped answer outgrows local spill space;
-    * see FactorCap). The per-pair aggregation still streams the
-    * verified pairs through one shuffle, but they reduce to ≤1 row
-    * per document before anything materializes them as a result. */
+    * structure into the CC fixpoint at linear output cost. This is
+    * the form to run on corpora whose duplicate COHORTS grow with the
+    * corpus (crawl snapshots, mirrored trees), where the uncapped
+    * answer is genuinely quadratic; on the copy-suffix harness both
+    * forms hold 100× points (BASELINE.md) since that corpus grows
+    * cohort count, not cohort size. */
   val jaccardPrefixCapped = QueryDef(
     "d_jaccard_prefix_capped",
     "LLM-pipeline dedup: keeper-capped exact similarity join",
@@ -328,24 +340,7 @@ object DedupOps {
     (s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val docs = shingleFrame(s, dir)
-      val grams = docs.select(col("doc_id"), explode(col("sh")).as("g"))
-      val sizes = docs.select(col("doc_id"), size(col("sh")).as("n_sh"))
-      val cand = prefixCandidates(docs).cache()
-      val candDocs = cand.select(col("d1").as("doc_id"))
-        .unionByName(cand.select(col("d2").as("doc_id")))
-        .distinct()
-      val vGrams = grams.join(candDocs, Seq("doc_id"), "left_semi")
-      val pairs = cand
-        .join(vGrams.select(col("doc_id").as("d1"), col("g")), "d1")
-        .join(vGrams.select(col("doc_id").as("d2"), col("g")), Seq("d2", "g"))
-        .groupBy("d1", "d2")
-        .agg(count(lit(1)).as("n_common"))
-        .join(sizes.select(col("doc_id").as("d1"), col("n_sh").as("n1")), "d1")
-        .join(sizes.select(col("doc_id").as("d2"), col("n_sh").as("n2")), "d2")
-        .withColumn("jaccard",
-          asDouble(col("n_common")) /
-            asDouble(col("n1") + col("n2") - col("n_common")))
-        .filter(col("jaccard") >= 0.5)
+      val pairs = verifyPairs(docs, prefixCandidates(docs))
       val w = Window.partitionBy(col("d2")).orderBy(col("d1"))
       pairs
         .withColumn("rn", row_number().over(w))
