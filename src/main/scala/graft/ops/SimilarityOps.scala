@@ -729,11 +729,31 @@ object SimilarityOps {
     // the cell join quadratic — 501 s at 100×); 32 at oracle scales
     val k = math.max(32L, emb.count() / 64L).toInt
     val cents1 = ivfCentroids(emb, k).cache()
-    val cells = ivfCells(emb, cents1)
+    // ONE n×k scoring pass against the trained centroids serves both
+    // the cell assignment (rank 1) and the nprobe=8 probe set (rank
+    // ≤ 8) — ivfCells + ivfCandidates would score all n×k pairs
+    // twice, and that map-side assignment dominates the 100× wall.
+    // The oracle's `ranked` CTE makes the same sharing.
+    val wc = Window.partitionBy("vec_id").orderBy(desc("ccos"), col("cid"))
+    val ranked = emb.join(cents1)
+      .withColumn("cdp", dot("v", "cv"))
+      .select(col("vec_id"), col("cid"),
+        (asDouble(col("cdp")) /
+          (sqrt(asDouble(col("n2"))) * sqrt(asDouble(col("cn2")))))
+          .as("ccos"))
+      .withColumn("crn", row_number().over(wc))
+      .filter(col("crn") <= 8)
+      .select("vec_id", "cid", "crn")
+      .cache()
+    val cellsNarrow = ranked.filter(col("crn") === 1)
+      .select(col("vec_id").as("nid"), col("cid").as("cell"))
+    val qprobe = ranked
+      .select(col("vec_id").as("qid"), col("cid").as("pcell"))
     // IVF candidates, kept NARROW (qid, nid) — vectors re-attach only
     // for scoring (the nearestCells width lesson)
-    val cand0 = ivfCandidates(emb, cells, cents1, nprobe = 8)
-      .select(col("qid"), col("vec_id").as("nid"))
+    val cand0 = qprobe.join(cellsNarrow,
+        col("pcell") === col("cell") && col("nid") =!= col("qid"))
+      .select(col("qid"), col("nid"))
     def scored(cand: org.apache.spark.sql.DataFrame)
         : org.apache.spark.sql.DataFrame = cand
       .join(emb.select(col("vec_id").as("qid"), col("v").as("qv"),
