@@ -13,9 +13,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *
   * Layout under a catalog root:
   * {{{
-  *   data/<uuid>/        immutable parquet snapshots, write-once
+  *   data/<uuid>/        immutable parquet data, write-once
   *   _commits/v<NNNN>    one file per committed version; its content
-  *                       names the data dir of that version
+  *                       names the data of that version — either a
+  *                       single dir (whole-snapshot commits, transact)
+  *                       or a per-partition manifest of
+  *                       `pid<TAB>uuid/pid=N` lines (delta commits,
+  *                       mergeCommitDelta: only the partitions touched
+  *                       by a batch are rewritten, the rest re-link)
   * }}}
   *
   * The compare-and-swap primitive is POSIX `link(2)` via
@@ -53,31 +58,16 @@ object TxLog {
     Files.createDirectories(Paths.get(root, "data"))
   }
 
-  /** Highest committed version and its data dir (0 / None = empty). */
-  def snapshot(root: String): (Long, Option[String]) = {
-    val dir = commitsDir(root)
-    if (!Files.exists(dir)) return (0L, None)
-    val listing = Files.list(dir)
-    val latest =
-      try {
-        val it = listing.iterator()
-        var best = 0L
-        var bestName: Option[Path] = None
-        while (it.hasNext) {
-          val p = it.next()
-          val n = p.getFileName.toString
-          if (n.startsWith("v")) {
-            val v = n.drop(1).toLong
-            if (v > best) { best = v; bestName = Some(p) }
-          }
-        }
-        bestName.map(p => (best, Files.readString(p).trim))
-      } finally listing.close()
-    latest match {
-      case Some((v, d)) => (v, Some(s"$root/data/$d"))
+  /** Highest committed version and its data dir (0 / None = empty).
+    * Whole-snapshot roots only; a delta root (manifest commits) reads
+    * through [[readDelta]]. */
+  def snapshot(root: String): (Long, Option[String]) =
+    snapshotContent(root) match {
+      case Some((v, content)) if !content.contains('\t') =>
+        (v, Some(s"$root/data/$content"))
+      case Some((v, _)) => (v, None) // delta root: use readDelta
       case None         => (0L, None)
     }
-  }
 
   /** Read the committed table at the latest version; `empty` supplies
     * the version-0 frame (schema included). */
@@ -87,13 +77,13 @@ object TxLog {
     case (v, None)          => (v, empty)
   }
 
-  /** CAS-commit `dataDirName` (relative to root/data) as version
-    * `readVersion + 1`. Throws [[CommitConflict]] if someone else
-    * committed first. */
-  def commit(root: String, readVersion: Long, dataDirName: String): Long = {
+  /** CAS-commit `content` (a data dir name, or a partition manifest —
+    * see [[mergeCommitDelta]]) as version `readVersion + 1`. Throws
+    * [[CommitConflict]] if someone else committed first. */
+  def commit(root: String, readVersion: Long, content: String): Long = {
     val next = readVersion + 1
     val tmp = commitsDir(root).resolve(s".tmp-${UUID.randomUUID()}")
-    Files.writeString(tmp, dataDirName)
+    Files.writeString(tmp, content)
     try {
       Files.createLink(commitsDir(root).resolve(name(next)), tmp)
       next
@@ -103,10 +93,21 @@ object TxLog {
     } finally Files.deleteIfExists(tmp)
   }
 
+  /** Best-effort recursive delete of a staged-but-unclaimed data dir. */
+  private def gcStaged(root: String, dirName: String): Unit = {
+    val stale = Paths.get(root, "data", dirName)
+    if (Files.exists(stale))
+      Files.walk(stale).sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => Files.deleteIfExists(f))
+  }
+
   /** Optimistic transaction: read → merge → stage → CAS, rebasing on
     * conflict up to `maxRetries` times. `merge` must be a pure
     * function of the snapshot (it reruns on rebase). Returns the
-    * committed version. */
+    * committed version. The staged dir of every losing attempt is
+    * GC'd immediately — including the final one when retries exhaust
+    * and the [[CommitConflict]] propagates (ADVICE r9: the exhausted
+    * path used to leak its staging until a vacuum). */
   def transact(spark: SparkSession, root: String, empty: => DataFrame,
       maxRetries: Int = 10)(merge: DataFrame => DataFrame): Long = {
     init(root)
@@ -118,12 +119,11 @@ object TxLog {
       out.write.parquet(s"$root/data/$dirName")
       try return commit(root, v, dirName)
       catch {
-        case _: CommitConflict if attempt < maxRetries =>
-          attempt += 1
+        case e: CommitConflict =>
           // loser's staged snapshot is unreachable; best-effort GC now
-          val stale = Paths.get(root, "data", dirName)
-          Files.walk(stale).sorted(java.util.Comparator.reverseOrder())
-            .forEach(f => Files.deleteIfExists(f))
+          gcStaged(root, dirName)
+          if (attempt >= maxRetries) throw e
+          attempt += 1
       }
     }
     throw new IllegalStateException("unreachable")
@@ -136,17 +136,179 @@ object TxLog {
     * any number of drivers sharing the filesystem serialize; each
     * retry re-applies the SAME level-rule merge onto the winner's
     * snapshot, so the final catalog is a serial application
-    * (CatalogTxSpec). Returns the committed version. */
+    * (CatalogTxSpec). Returns the committed version.
+    *
+    * Rewrites the WHOLE catalog per commit — fine for a small catalog
+    * or a bulk rebuild; the incremental path a large deployment needs
+    * is [[mergeCommitDelta]]. */
   def mergeCommit(spark: SparkSession, root: String, incoming: DataFrame,
       now: String, empty: => DataFrame): Long =
     transact(spark, root, empty) { snapshot =>
       MergeEngine.mergePackages(snapshot, incoming, now).packages
     }
 
+  // ---- O(delta) partitioned commits -------------------------------
+
+  /** Fixed hash-partition count of a delta catalog. 64 here; a 100 TB
+    * catalog picks partitions ≈ table_bytes / target_file_bytes (e.g.
+    * 100 TB / 1 GB ≈ 10⁵) once at root creation — the count must
+    * never change, since manifests re-link old partition dirs. */
+  val DefaultPartitions = 64
+
+  /** The catalog's stable partition key: hash of the identity column
+    * `download_url` (the reference upserts row-by-row keyed on it,
+    * `minecode/model_utils.py:267-277`; Delta/Iceberg pay per-FILE
+    * add/remove for the same reason — a commit must not cost a table
+    * copy). */
+  private def pidCol(partitions: Int) =
+    org.apache.spark.sql.functions.pmod(
+      org.apache.spark.sql.functions.xxhash64(
+        org.apache.spark.sql.functions.col("download_url")),
+      org.apache.spark.sql.functions.lit(partitions.toLong)).cast("int")
+
+  /** Latest version + per-partition manifest (pid → data path relative
+    * to root/data). A manifest commit is one line per live partition,
+    * `pid<TAB>relPath`; absent pids hold no rows yet. (0, empty) on an
+    * empty root. */
+  def manifestSnapshot(root: String): (Long, Map[Int, String]) =
+    snapshotContent(root) match {
+      case None => (0L, Map.empty)
+      case Some((v, content)) =>
+        val entries = content.linesIterator.filter(_.contains('\t')).map {
+          line =>
+            val Array(pid, path) = line.split('\t')
+            pid.toInt -> path
+        }.toMap
+        (v, entries)
+    }
+
+  /** Raw content of the latest commit (None on an empty root). */
+  private def snapshotContent(root: String): Option[(Long, String)] = {
+    val dir = commitsDir(root)
+    if (!Files.exists(dir)) return None
+    val listing = Files.list(dir)
+    try {
+      val it = listing.iterator()
+      var best = 0L
+      var bestPath: Option[Path] = None
+      while (it.hasNext) {
+        val p = it.next()
+        val n = p.getFileName.toString
+        if (n.startsWith("v")) {
+          val v = n.drop(1).toLong
+          if (v > best) { best = v; bestPath = Some(p) }
+        }
+      }
+      bestPath.map(p => (best, Files.readString(p).trim))
+    } finally listing.close()
+  }
+
+  /** Highest numeric `#tag=` header across commit records, -1 with
+    * none — the applied-batch watermark of an idempotent streaming
+    * writer (FrontierStream tags each micro-batch's merge with its
+    * batchId; a replayed batch at or below the watermark skips the
+    * merge, which is what makes merge-then-crash-then-replay
+    * exactly-once). Scans every live commit record, so the watermark
+    * survives interleaved UNtagged writers committing after the
+    * stream (vacuum keeps the scan short). */
+  def maxTag(root: String): Long = {
+    val dir = commitsDir(root)
+    if (!Files.exists(dir)) return -1L
+    val listing = Files.list(dir)
+    try {
+      var best = -1L
+      val it = listing.iterator()
+      while (it.hasNext) {
+        val p = it.next()
+        if (p.getFileName.toString.startsWith("v"))
+          Files.readString(p).linesIterator
+            .filter(_.startsWith("#tag="))
+            .foreach(l => best = math.max(best, l.drop(5).trim.toLong))
+      }
+      best
+    } finally listing.close()
+  }
+
+  /** Read a delta catalog at its latest version: the union of every
+    * manifest partition. `empty` supplies the version-0 schema. */
+  def readDelta(spark: SparkSession, root: String, empty: => DataFrame)
+      : (Long, DataFrame) = {
+    val (v, m) = manifestSnapshot(root)
+    if (m.isEmpty) (v, empty)
+    else (v, spark.read.parquet(
+      m.values.toSeq.sorted.map(p => s"$root/data/$p"): _*))
+  }
+
+  /** O(delta) catalog commit: merge `incoming` into ONLY the hash
+    * partitions its keys land in, and re-link every other partition
+    * from the previous manifest — a 10-package priority merge into a
+    * 10⁸-row catalog reads and writes a handful of partition files,
+    * never the table (CatalogTxSpec asserts on the files written).
+    * Same optimistic protocol as [[transact]]: stage → CAS → rebase
+    * on conflict; concurrent mergers — even to disjoint partitions —
+    * serialize through the version counter, so the result is always a
+    * serial application of the merges. */
+  def mergeCommitDelta(spark: SparkSession, root: String,
+      incoming: DataFrame, now: String, empty: => DataFrame,
+      partitions: Int = DefaultPartitions, maxRetries: Int = 10,
+      preCommitHook: Long => Unit = _ => (),
+      tag: Option[Long] = None): Long = {
+    init(root)
+    val inc = incoming.cache() // reused across pid probe + retries
+    try {
+      // bounded by `partitions`, never corpus size
+      val touched = inc.select(pidCol(partitions).as("pid")).distinct()
+        .collect().map(_.getInt(0)).sorted
+      var attempt = 0
+      while (true) {
+        val (v, m) = manifestSnapshot(root)
+        val touchedPaths = touched.toSeq.flatMap(m.get)
+          .map(p => s"$root/data/$p")
+        val subset =
+          if (touchedPaths.isEmpty) empty
+          else spark.read.parquet(touchedPaths: _*)
+        val merged = MergeEngine.mergePackages(subset, inc, now).packages
+        val dirName = UUID.randomUUID().toString
+        merged.withColumn("pid", pidCol(partitions))
+          .write.partitionBy("pid").parquet(s"$root/data/$dirName")
+        val manifest =
+          (tag.map(t => s"#tag=$t").toSeq ++
+            (m ++ touched.map(p => p -> s"$dirName/pid=$p"))
+              .toSeq.sortBy(_._1)
+              .map { case (p, d) => s"$p\t$d" }).mkString("\n")
+        preCommitHook(v) // test seam: races injected between stage+CAS
+        try return commit(root, v, manifest)
+        catch {
+          case e: CommitConflict =>
+            gcStaged(root, dirName)
+            if (attempt >= maxRetries) throw e
+            attempt += 1
+        }
+      }
+      throw new IllegalStateException("unreachable")
+    } finally inc.unpersist(false)
+  }
+
   /** Retention: drop data dirs unreachable from the last `keep`
     * committed versions (superseded snapshots plus abandoned losers'
-    * staging). Safe to run anytime — committed data is write-once. */
-  def vacuum(root: String, keep: Int = 2): Unit = {
+    * staging). Handles both commit formats: a whole-snapshot commit
+    * references its single dir; a delta manifest references the
+    * top-level dir of every `pid → uuid/pid=N` entry — a dir stays
+    * live as long as ANY live manifest re-links ANY of its
+    * partitions.
+    *
+    * Concurrency contract (ADVICE r9): an in-flight writer's staged
+    * dir is unreferenced until its CAS lands, so an unguarded vacuum
+    * racing it could delete data whose commit then succeeds — a
+    * poisoned version. `graceMs` closes the window: only
+    * unreferenced dirs last modified more than `graceMs` ago are
+    * deleted, so vacuum is safe alongside writers whose
+    * stage-to-commit latency is below the grace (default 20 min; a
+    * Spark stage write updates the dir mtime at every file landing).
+    * Similarly, `keep` ≥ 2 leaves slow concurrent READERS a full
+    * version of margin; quiesce readers before `keep = 1`. */
+  def vacuum(root: String, keep: Int = 2,
+      graceMs: Long = 20L * 60 * 1000): Unit = {
     val dir = commitsDir(root)
     if (!Files.exists(dir)) return
     val commits = {
@@ -162,15 +324,23 @@ object TxLog {
         buf.sortBy(-_._1)
       } finally listing.close()
     }
-    val live = commits.take(keep)
-      .map { case (_, p) => Files.readString(p).trim }.toSet
+    val live = commits.take(keep).flatMap { case (_, p) =>
+      Files.readString(p).trim.linesIterator
+        .filterNot(_.startsWith("#")) // tag headers reference no dir
+        .map { line =>
+          val ref = line.split('\t').last // manifest line or bare dir
+          ref.split('/').head
+        }
+    }.toSet
+    val cutoff = System.currentTimeMillis() - graceMs
     val dataRoot = Paths.get(root, "data")
     val listing = Files.list(dataRoot)
     try {
       val it = listing.iterator()
       while (it.hasNext) {
         val p = it.next()
-        if (!live.contains(p.getFileName.toString))
+        if (!live.contains(p.getFileName.toString) &&
+            Files.getLastModifiedTime(p).toMillis <= cutoff)
           Files.walk(p).sorted(java.util.Comparator.reverseOrder())
             .forEach(f => Files.deleteIfExists(f))
       }

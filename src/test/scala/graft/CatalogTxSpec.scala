@@ -126,12 +126,130 @@ class CatalogTxSpec extends SparkTestBase {
     assert(finalDf.count() == 4)
 
     // retention drops the superseded snapshots and the loser's
-    // abandoned staging, keeps the live version readable
-    TxLog.vacuum(root, keep = 1)
+    // abandoned staging, keeps the live version readable (graceMs=0:
+    // writers are quiesced here, so no staging window to protect)
+    TxLog.vacuum(root, keep = 1, graceMs = 0L)
     val (v2, after) = TxLog.read(spark, root, emptyCatalog)
     assert(v2 == 3L && canon(after) == got)
     val dataDirs = Files.list(java.nio.file.Paths.get(root, "data"))
     try assert(dataDirs.count() == 1L)
     finally dataDirs.close()
+  }
+
+  // ---- O(delta) partitioned commits (round-10 verdict item 2) ----
+
+  test("delta commit rewrites ONLY the touched partitions") {
+    val root = Files.createTempDirectory("txdelta").toString
+    val seed = (0 until 200).map(i => PackageRow.minimal(
+      s"http://x/p$i.jar", "maven", s"p$i", Some("1.0")))
+    assert(TxLog.mergeCommitDelta(spark, root, incoming(seed: _*)(50),
+      NOW, emptyCatalog, partitions = 16) == 1L)
+    val (_, m1) = TxLog.manifestSnapshot(root)
+    // 200 keys over 16 hash partitions: every partition populated
+    assert(m1.size == 16)
+
+    // a 2-row priority merge into the 200-row catalog
+    val inc = incoming(
+      PackageRow.minimal("http://x/p3.jar", "maven", "p3", Some("1.1"))
+        .copy(description = Some("upd")),
+      PackageRow.minimal("http://x/new.jar", "maven", "new", Some("9.9")))(60)
+    assert(TxLog.mergeCommitDelta(spark, root, inc, NOW, emptyCatalog,
+      partitions = 16) == 2L)
+    val (_, m2) = TxLog.manifestSnapshot(root)
+
+    // the delta contract, asserted on the FILES: at most 2 partitions
+    // re-written (1 if both keys hash together); every other
+    // partition's manifest entry re-links v1's files verbatim
+    val changed = m2.filter { case (p, d) => !m1.get(p).contains(d) }
+    assert(changed.nonEmpty && changed.size <= 2,
+      s"expected <=2 rewritten partitions, got ${changed.size}")
+    assert((m2 -- changed.keys) == (m1 -- changed.keys))
+    // the v2 data dir holds ONLY the touched pid subdirs
+    val v2dirs = changed.values.map(_.split('/').head).toSet
+    assert(v2dirs.size == 1)
+    val pidSubdirs = Files.list(
+      java.nio.file.Paths.get(root, "data", v2dirs.head))
+    try assert(pidSubdirs
+      .filter(p => p.getFileName.toString.startsWith("pid="))
+      .count() == changed.size.toLong)
+    finally pidSubdirs.close()
+
+    // and the result equals the whole-table serial merge oracle
+    val oracle = MergeEngine.mergePackages(
+      MergeEngine.mergePackages(emptyCatalog, incoming(seed: _*)(50),
+        NOW).packages, inc, NOW).packages
+    val (_, cat) = TxLog.readDelta(spark, root, emptyCatalog)
+    assert(cat.count() == 201)
+    assert(canon(cat) == canon(oracle))
+  }
+
+  test("delta commit rebases on conflict (optimistic protocol)") {
+    val root = Files.createTempDirectory("txdeltarace").toString
+    val seed = (0 until 50).map(i => PackageRow.minimal(
+      s"http://x/s$i.jar", "maven", s"s$i", Some("1.0")))
+    TxLog.mergeCommitDelta(spark, root, incoming(seed: _*)(50), NOW,
+      emptyCatalog, partitions = 16)
+    val incA = incoming(
+      PackageRow.minimal("http://x/s0.jar", "maven", "s0", Some("1.1"))
+        .copy(description = Some("A-desc")))(60)
+    val incB = incoming(
+      PackageRow.minimal("http://x/s1.jar", "maven", "s1", Some("1.2"))
+        .copy(description = Some("B-desc")))(60)
+    // deterministic race: A stages against v1, then the hook commits
+    // B (v2) before A's CAS — A must conflict, GC its staging, rebase
+    // onto B's manifest, and land at v3 with BOTH effects live
+    val hooked = new AtomicBoolean(false)
+    val vA = TxLog.mergeCommitDelta(spark, root, incA, NOW, emptyCatalog,
+      partitions = 16, preCommitHook = _ =>
+        if (!hooked.getAndSet(true))
+          TxLog.mergeCommitDelta(spark, root, incB, NOW, emptyCatalog,
+            partitions = 16))
+    assert(vA == 3L)
+    val (v, cat) = TxLog.readDelta(spark, root, emptyCatalog)
+    assert(v == 3L && cat.count() == 50)
+    assert(cat.filter($"download_url" === "http://x/s0.jar" &&
+      $"description" === "A-desc").count() == 1)
+    assert(cat.filter($"download_url" === "http://x/s1.jar" &&
+      $"description" === "B-desc").count() == 1)
+    // the losing attempt's staged dir was GC'd: exactly 3 data dirs
+    // remain (seed, B's delta, A's rebased delta)
+    val dataDirs = Files.list(java.nio.file.Paths.get(root, "data"))
+    try assert(dataDirs.count() == 3L)
+    finally dataDirs.close()
+  }
+
+  test("exhausted retries GC the final staged dir before rethrowing") {
+    val root = Files.createTempDirectory("txgc").toString
+    TxLog.init(root)
+    intercept[TxLog.CommitConflict] {
+      TxLog.transact(spark, root, emptyCatalog, maxRetries = 0) { _ =>
+        TxLog.commit(root, 0L, "decoy") // steal v1 mid-transaction
+        seedDf
+      }
+    }
+    // ADVICE r9: the propagating-conflict path must not leak staging
+    val dirs = Files.list(java.nio.file.Paths.get(root, "data"))
+    try assert(dirs.count() == 0L)
+    finally dirs.close()
+  }
+
+  test("vacuum grace spares fresh unreferenced staging, drops old") {
+    val root = Files.createTempDirectory("txvac").toString
+    TxLog.init(root)
+    Files.createDirectories(java.nio.file.Paths.get(root, "data", "live"))
+    Files.writeString(
+      java.nio.file.Paths.get(root, "data", "live", "f.parquet"), "x")
+    TxLog.commit(root, 0L, "live")
+    val staged = java.nio.file.Paths.get(root, "data", "inflight")
+    Files.createDirectories(staged)
+    // default grace: a fresh unreferenced dir could be an in-flight
+    // writer's staging whose CAS is about to land — spared
+    TxLog.vacuum(root, keep = 1)
+    assert(Files.exists(staged))
+    // writers quiesced (grace waived): dropped, live data untouched
+    TxLog.vacuum(root, keep = 1, graceMs = 0L)
+    assert(!Files.exists(staged))
+    assert(Files.exists(
+      java.nio.file.Paths.get(root, "data", "live", "f.parquet")))
   }
 }
