@@ -42,6 +42,22 @@ import org.apache.spark.sql.streaming.StreamingQuery
   */
 object FrontierStream {
 
+  /** Where a streaming run lands its mapped packages: a TxLog delta
+    * catalog root plus the projection from the map loop's raw
+    * (uri, package_data) rows to mergePackages-shaped package rows.
+    * With a sink configured, visit → map → MERGE ride one micro-batch
+    * (the reference runs run_visit + run_map + the priority upsert
+    * worker as a trio, `run_map.py:106-182` feeding
+    * `model_utils.py:231-449`; here the merge is an O(delta)
+    * partitioned TxLog commit tagged with the batchId, so a crash
+    * between the merge and the frontier pointer swap replays WITHOUT
+    * double-merging — proven batch-for-batch in FrontierStreamSpec). */
+  final case class CatalogSink(
+      root: String,
+      toPackages: DataFrame => DataFrame,
+      empty: () => DataFrame,
+      partitions: Int = graft.catalog.TxLog.DefaultPartitions)
+
   /** Frontier schema (UriRow, flags derived not stored). */
   val stateDdl: String =
     "uri STRING, canonical STRING, host STRING, priority INT, " +
@@ -99,7 +115,8 @@ object FrontierStream {
   def processBatch(spark: SparkSession, seedBatch: DataFrame, batchId: Long,
       stateRoot: String, visitor: Frontier.Visitor, batchSize: Int,
       preCommitHook: Long => Unit = _ => (),
-      mapper: Option[String => Seq[String]] = None): Unit = {
+      mapper: Option[String => Seq[String]] = None,
+      catalog: Option[CatalogSink] = None): Unit = {
     val last = committedBatch(stateRoot)
     if (batchId <= last) return // replayed, already applied — skip
     val now = batchTime(batchId)
@@ -134,6 +151,24 @@ object FrontierStream {
         // readers until the commit pointer covers this batch
         pkgs.write.mode("overwrite")
           .parquet(s"$stateRoot/packages/b=$batchId")
+        // the merge leg: feed this batch's mapped packages through the
+        // O(delta) catalog commit, tagged with the batchId. Replay
+        // idempotence needs the tag, not the frontier pointer: a crash
+        // BETWEEN this merge and the pointer swap re-runs the whole
+        // batch, and the watermark check is what keeps the catalog at
+        // exactly one application (the uninterrupted twin's result,
+        // FrontierStreamSpec). Reading the just-written parquet (not
+        // re-running the pkgs plan) keeps the merged rows bit-
+        // identical to the committed map output.
+        catalog.foreach { sink =>
+          if (graft.catalog.TxLog.maxTag(sink.root) < batchId) {
+            val incoming = sink.toPackages(
+              spark.read.parquet(s"$stateRoot/packages/b=$batchId"))
+            graft.catalog.TxLog.mergeCommitDelta(spark, sink.root,
+              incoming, now.toInstant.toString, sink.empty(),
+              sink.partitions, tag = Some(batchId))
+          }
+        }
         mapped
       case None => afterVisit
     }
@@ -175,7 +210,8 @@ object FrontierStream {
       checkpointDir: String, visitor: Frontier.Visitor,
       batchSize: Int = 10,
       preCommitHook: Long => Unit = _ => (),
-      mapper: Option[String => Seq[String]] = None): StreamingQuery = {
+      mapper: Option[String => Seq[String]] = None,
+      catalog: Option[CatalogSink] = None): StreamingQuery = {
     Files.createDirectories(Paths.get(stateRoot))
     spark.readStream
       .option("maxFilesPerTrigger", 1) // one inbox file = one cycle
@@ -184,7 +220,42 @@ object FrontierStream {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         processBatch(spark, batch, batchId, stateRoot, visitor,
-          batchSize, preCommitHook, mapper)
+          batchSize, preCommitHook, mapper, catalog)
+      }
+      .start()
+  }
+
+  /** The ALWAYS-ON variant (round-9 "what's missing" #2): the seed
+    * inbox unioned with a rate source, so visit cycles run
+    * continuously WITHOUT an operator dropping tick files — the
+    * reference's forever-loop (`run_visit.py:143-227` re-polls the
+    * queue after every batch). Every rate row collapses to the same
+    * control-plane "tick" line and [[processBatch]] deduplicates the
+    * seed list, so a micro-batch carrying 40 rate rows still runs
+    * exactly one claim-visit-insert cycle; seeds dropped into the
+    * inbox ride whichever batch picks them up. State, commit pointer,
+    * replay skip, and the catalog merge leg are identical to
+    * [[start]] — the trigger is the only difference, which is the
+    * point: cadence is config, not architecture. */
+  def startContinuous(spark: SparkSession, seedDir: String,
+      stateRoot: String, checkpointDir: String,
+      visitor: Frontier.Visitor, batchSize: Int = 10,
+      ticksPerSecond: Int = 2,
+      mapper: Option[String => Seq[String]] = None,
+      catalog: Option[CatalogSink] = None): StreamingQuery = {
+    Files.createDirectories(Paths.get(stateRoot))
+    val seeds = spark.readStream
+      .option("maxFilesPerTrigger", 1)
+      .text(seedDir)
+    val ticks = spark.readStream.format("rate")
+      .option("rowsPerSecond", ticksPerSecond).load()
+      .select(org.apache.spark.sql.functions.lit("tick").as("value"))
+    seeds.unionByName(ticks)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processBatch(spark, batch, batchId, stateRoot, visitor,
+          batchSize, mapper = mapper, catalog = catalog)
       }
       .start()
   }
