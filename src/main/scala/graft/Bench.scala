@@ -28,6 +28,7 @@ object Bench {
     // the 150+ query executions (leftover blocks degrade the tail of
     // the run under memory pressure).
     def release(): Unit = {
+      graft.ops.SimilarityOps.releaseCaches() // ANN-family scoped caches
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
     }

@@ -298,6 +298,7 @@ object ScaleBench {
       }
 
     def release(): Unit = {
+      graft.ops.SimilarityOps.releaseCaches() // ANN-family scoped caches
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
     }

@@ -360,11 +360,15 @@ class PlanSpec extends SparkTestBase {
     df.collect()
     val p = df.queryExecution.executedPlan.toString
     assert(!p.contains("CartesianProduct"), p.take(1500))
-    // the centroid assignment is the one sanctioned nested-loop (a
-    // broadcast of the tiny trained-centroid frame); anything joining
-    // two corpus-sized sides nested-loop is a defect
+    // the sanctioned nested-loops are the two-level assignment's
+    // coarse scans — per pass, vectors × the Θ(n^¼) super-centroid
+    // frame and centroids × the same — twice (training + probe), so
+    // ≤ 4; every broadcast in them is bounded by the Θ(√n) trained
+    // centroid frame (r9's flat pass broadcast a Θ(n) frame — the
+    // round-9 perf-weak finding). Anything nested-looping two
+    // corpus-sized sides is a defect
     val bnl = "BroadcastNestedLoopJoin".r.findAllIn(p).size
-    assert(bnl <= 2, s"unexpected nested-loop joins ($bnl):\n${p.take(2000)}")
+    assert(bnl <= 4, s"unexpected nested-loop joins ($bnl):\n${p.take(2000)}")
   }
 
   test("d_jaccard_prefix_capped keeps the prefix join's shape and caps " +
