@@ -3,14 +3,14 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** ANN-kNN recall/cost sweep over the (nprobe, hops, cprobe) knobs of
-  * the √n two-level IVF + NN-descent candidate generator
+  * the constant-cell two-level IVF + NN-descent candidate generator
   * (graft.ops.SimilarityOps.annKnn) — the measurement behind the
-  * round-10 centroid-policy retune. The r9 k = n/64 policy held recall
-  * 0.81 by probing a CONSTANT fraction (nprobe/k = 8/32) of the
-  * corpus; with the scale-correct k = √n that fraction vanishes as n
-  * grows, so recall must come from NN-descent iterations (each hop is
-  * n·8²-bounded and n-independent) rather than probe width. This main
-  * prints the measured trade-off table recorded in BASELINE.md.
+  * round-10 centroid-policy retune. With k = n/64 cells the probed
+  * window is nprobe·64 vectors, a shrinking FRACTION of a growing
+  * corpus, so past the window recall must come from NN-descent
+  * iterations (each hop is n·8²-bounded and n-independent) rather
+  * than probe width. This main prints the measured trade-off table
+  * recorded in BASELINE.md.
   *
   * Usage: SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1
   *   sbt "runMain graft.KnnProbe [nprobe,hops,cprobe ...]"

@@ -355,18 +355,31 @@ class PlanSpec extends SparkTestBase {
       "nested-loop candidate generation") {
     // the whole point of the ANN variant: candidates come from cell /
     // neighbor EQUI-joins — an all-pairs plan here would silently
-    // reintroduce the n² the exact variant is bounded by
-    val df = Registry.byName("s_knn_clusters_ann").run(spark, sf001)
-    df.collect()
-    val p = df.queryExecution.executedPlan.toString
+    // reintroduce the n² the exact variant is bounded by. Checkpoint
+    // truncation OFF so the executed plan exposes the FULL pipeline
+    // (with it on, the assignment subtrees run eagerly at build time
+    // and the final plan only shows the tail — the pin would be
+    // vacuous)
+    val ckptKey = "spark.graft.ann.checkpoint"
+    spark.conf.set(ckptKey, "false")
+    val p =
+      try {
+        val df = Registry.byName("s_knn_clusters_ann").run(spark, sf001)
+        df.collect()
+        df.queryExecution.executedPlan.toString
+      } finally {
+        spark.conf.unset(ckptKey)
+        graft.ops.SimilarityOps.releaseCaches()
+      }
     assert(!p.contains("CartesianProduct"), p.take(1500))
     // the sanctioned nested-loops are the two-level assignment's
-    // coarse scans — per pass, vectors × the Θ(n^¼) super-centroid
+    // coarse scans — per pass, vectors × the Θ(√n) super-centroid
     // frame and centroids × the same — twice (training + probe), so
-    // ≤ 4; every broadcast in them is bounded by the Θ(√n) trained
-    // centroid frame (r9's flat pass broadcast a Θ(n) frame — the
-    // round-9 perf-weak finding). Anything nested-looping two
-    // corpus-sized sides is a defect
+    // ≤ 4; every broadcast in them is bounded by that √(cprobe·k)
+    // super frame, while the k = n/64 centroid frame moves only
+    // through hash equi-joins (r9's flat pass broadcast the Θ(n)
+    // centroid frame — the round-9 perf-weak finding). Anything
+    // nested-looping two corpus-sized sides is a defect
     val bnl = "BroadcastNestedLoopJoin".r.findAllIn(p).size
     assert(bnl <= 4, s"unexpected nested-loop joins ($bnl):\n${p.take(2000)}")
   }
