@@ -42,40 +42,45 @@ class MatchScaleSpec extends SparkTestBase {
         .withColumn(keyCol, perturb(col(keyCol), k))
     }.reduce(_ unionByName _)
 
-  test("staged pipeline: identical matches and shape at 10x index") {
-    assume(AbbotFixture.available)
-    val rows = AbbotFixture.rows
-    val resources = rows.toDF("path", "name", "is_file", "size",
-      "sha1", "dir_fingerprint", "file_fingerprint")
-    val indexedDirs = Set(
+  private lazy val rows = AbbotFixture.rows
+  private lazy val resources = rows.toDF("path", "name", "is_file", "size",
+    "sha1", "dir_fingerprint", "file_fingerprint")
+  private lazy val indexedDirs = Set(
       s"$Extract/junit", s"$Extract/junit/extensions",
       s"$Extract/junit/extensions/abbot",
       s"$Extract/abbot/finder", s"$Extract/abbot/finder/matchers",
       s"$Extract/abbot/script", s"$Extract/abbot/script/parsers",
       s"$Extract/abbot/tester", s"$Extract/abbot/util",
       s"$Extract/abbot/i18n")
-    val exactPaths = rows.collect {
+  private lazy val exactPaths = rows.collect {
       case (p, _, true, _, Some(_), _, _)
         if p == "abbot-0.12.3.jar" ||
           p.startsWith(s"$Extract/abbot/editor/") => p
     }.toSet
-    val exactIndex = rows.collect {
+  private lazy val exactIndex = rows.collect {
       case (p, _, true, _, Some(sha1), _, _) if exactPaths(p) =>
         (sha1, Pkg, p)
     }.toDF("sha1", "download_url", "path")
-    val dirIndex = rows.collect {
+  private lazy val dirIndex = rows.collect {
       case (p, n, false, sz, _, Some(fp), _) if indexedDirs(p) =>
         (Pkg, p, n, sz, false, fp)
     }.toDF("download_url", "path", "name", "size", "is_file", "fingerprint")
-    val fileIndex = rows.collect {
+  private lazy val fileIndex = rows.collect {
       case (p, n, true, sz, _, _, Some(fp)) => (Pkg, p, n, sz, true, fp)
     }.toDF("download_url", "path", "name", "size", "is_file", "fingerprint")
-    val noSnippets = Seq.empty[(String, Array[Byte], Long)]
-      .toDF("q_path", "fingerprint", "position")
-    val noSnippetIndex = Seq.empty[(Array[Byte], String, String, Long)]
-      .toDF("fingerprint", "download_url", "path", "position")
+  private lazy val noSnippets = Seq.empty[(String, Array[Byte], Long)]
+    .toDF("q_path", "fingerprint", "position")
+  private lazy val noSnippetIndex = Seq.empty[(Array[Byte], String, String, Long)]
+    .toDF("fingerprint", "download_url", "path", "position")
 
-    def run(f: Int): (Set[(String, String, String)], Double, String) = {
+  /** The staged-match expectation: every exact path, every indexed
+    * dir, and the two approx-file-matched leaves, all to the one
+    * real package. */
+  private def expectedPaths: Set[String] =
+    exactPaths ++ indexedDirs ++
+      Set(s"$Extract/abbot/abbot.xsd", s"$Extract/META-INF/MANIFEST.MF")
+
+  private def run(f: Int): (Set[(String, String, String)], Double, String) = {
       val (e, d, fi) =
         if (f == 1) (exactIndex, dirIndex, fileIndex)
         else (replicate(exactIndex, "sha1", f, perturbSha1),
@@ -94,31 +99,34 @@ class MatchScaleSpec extends SparkTestBase {
       }
     }
 
-    // per-run shuffle-write row telemetry (the ScaleBench listener
-    // pattern, drained by polling until stable — the bus is async)
-    class ShufCount extends org.apache.spark.scheduler.SparkListener {
-      val rows = new java.util.concurrent.atomic.AtomicLong
-      override def onStageCompleted(
-          sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
-        rows.addAndGet(
-          sc.stageInfo.taskMetrics.shuffleWriteMetrics.recordsWritten)
-    }
-    def measured(f: Int): (Set[(String, String, String)], Double, String,
-        Long) = {
-      val l = new ShufCount
-      spark.sparkContext.addSparkListener(l)
-      try {
-        val (got, sec, plan) = run(f)
-        var prev = -1L
-        val deadline = System.nanoTime() + 5L * 1000 * 1000 * 1000
-        while (l.rows.get != prev && System.nanoTime() < deadline) {
-          prev = l.rows.get
-          Thread.sleep(200)
-        }
-        (got, sec, plan, l.rows.get)
-      } finally spark.sparkContext.removeSparkListener(l)
-    }
+  // per-run shuffle-write row telemetry (the ScaleBench listener
+  // pattern, drained by polling until stable — the bus is async)
+  private class ShufCount extends org.apache.spark.scheduler.SparkListener {
+    val rows = new java.util.concurrent.atomic.AtomicLong
+    override def onStageCompleted(
+        sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+      rows.addAndGet(
+        sc.stageInfo.taskMetrics.shuffleWriteMetrics.recordsWritten)
+  }
 
+  private def measured(f: Int): (Set[(String, String, String)], Double,
+      String, Long) = {
+    val l = new ShufCount
+    spark.sparkContext.addSparkListener(l)
+    try {
+      val (got, sec, plan) = run(f)
+      var prev = -1L
+      val deadline = System.nanoTime() + 5L * 1000 * 1000 * 1000
+      while (l.rows.get != prev && System.nanoTime() < deadline) {
+        prev = l.rows.get
+        Thread.sleep(200)
+      }
+      (got, sec, plan, l.rows.get)
+    } finally spark.sparkContext.removeSparkListener(l)
+  }
+
+  test("staged pipeline: identical matches and shape at 10x index") {
+    assume(AbbotFixture.available)
     run(1); run(10) // JIT/codegen warmup
     val (base, baseSec, _) = run(1)
     val (scaled, scaledSec, plan10, shuf10) = measured(10)
@@ -127,9 +135,7 @@ class MatchScaleSpec extends SparkTestBase {
     // decoys contribute NOTHING: bit-identical staged output
     assert(scaled == base)
     assert(scaled100 == base)
-    assert(base.map(_._1) ==
-      exactPaths ++ indexedDirs ++
-        Set(s"$Extract/abbot/abbot.xsd", s"$Extract/META-INF/MANIFEST.MF"))
+    assert(base.map(_._1) == expectedPaths)
     assert(base.forall(_._2 == Pkg)) // never a decoy url
     // shape holds: banded equi-joins, never a cartesian, at BOTH scales
     assert(!plan10.contains("CartesianProduct"), plan10.take(1500))
@@ -153,5 +159,37 @@ class MatchScaleSpec extends SparkTestBase {
     // candidate blowup would go quadratic here)
     assert(shuf100 < shuf10 * 15 + 100000,
       s"shuffle rows grew superlinearly: $shuf10 -> $shuf100")
+  }
+
+  test("composite pipeline past the broadcast threshold: band probes " +
+      "cross to shuffled joins, matches bit-identical") {
+    assume(AbbotFixture.available)
+    // r9 carried this as unproven: at every measured decoy scale the
+    // index sides still fit autoBroadcast, so the COMPOSITE pipeline
+    // had only ever run its broadcast band. On a cluster the index is
+    // the 100 TB side; force that regime by dropping the threshold
+    // below the 100× index size (the isolated ApproxHammingJoin
+    // proved the bucketed band join at 60M⋈15M — this pins the same
+    // crossing inside the full gated pipeline).
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val saved = spark.conf.get(key)
+    val (base, _, _) = run(1)
+    try {
+      spark.conf.set(key, "1024")
+      val (got, sec, plan, shuf) = measured(100)
+      assert(got == base,
+        "matches must be identical under the shuffled band joins")
+      assert(got.map(_._1) == expectedPaths)
+      assert(!plan.contains("CartesianProduct"), plan.take(1500))
+      // the band probes actually crossed: at least one non-broadcast
+      // join executed (SMJ or shuffled-hash), and the hamming verify
+      // still bounds every probe (no all-pairs fallback)
+      val smj = "SortMergeJoin".r.findAllIn(plan).size +
+        "ShuffledHashJoin".r.findAllIn(plan).size
+      assert(smj > 0, s"no shuffled join in the past-broadcast plan:\n" +
+        plan.take(2000))
+      info(f"past-broadcast 100x index: $sec%.2f s, $smj shuffled " +
+        f"joins, shuffle $shuf rows")
+    } finally spark.conf.set(key, saved)
   }
 }
