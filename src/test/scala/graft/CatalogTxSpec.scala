@@ -233,6 +233,31 @@ class CatalogTxSpec extends SparkTestBase {
     finally dirs.close()
   }
 
+  test("a reader pinned on the previous version survives a keep=2 " +
+      "vacuum (the documented min-reader margin)") {
+    val root = Files.createTempDirectory("txreader").toString
+    TxLog.mergeCommit(spark, root, incoming(
+      PackageRow.minimal("http://x/r1.jar", "maven", "r1",
+        Some("1.0")))(50), NOW, emptyCatalog)
+    // reader pins version 1 LAZILY (plan built, not yet executed —
+    // the slow-concurrent-reader shape)
+    val pinned = TxLog.read(spark, root, emptyCatalog)._2
+    // a writer commits version 2, superseding the pinned snapshot
+    TxLog.mergeCommit(spark, root, incoming(
+      PackageRow.minimal("http://x/r2.jar", "maven", "r2",
+        Some("2.0")))(50), NOW, emptyCatalog)
+    // vacuum with the default keep=2 margin: v1's data dir stays
+    TxLog.vacuum(root, keep = 2, graceMs = 0L)
+    assert(pinned.count() == 1L,
+      "keep=2 must leave the previous version readable mid-scan")
+    // the margin is the contract: keep=1 reclaims it (readers must
+    // be quiesced first, per the vacuum scaladoc)
+    TxLog.vacuum(root, keep = 1, graceMs = 0L)
+    val dirs = Files.list(java.nio.file.Paths.get(root, "data"))
+    try assert(dirs.count() == 1L)
+    finally dirs.close()
+  }
+
   test("vacuum grace spares fresh unreferenced staging, drops old") {
     val root = Files.createTempDirectory("txvac").toString
     TxLog.init(root)
