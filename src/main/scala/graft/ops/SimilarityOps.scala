@@ -729,9 +729,15 @@ object SimilarityOps {
     * nodes and the DRIVER spent tens of seconds canonicalizing it;
     * `localCheckpoint` collapses the subtree to a LogicalRDD leaf, so
     * downstream plans stay constant-size while the blocks live in the
-    * block manager exactly like a cache). Disable via
-    * `spark.graft.ann.checkpoint=false` to expose the full logical
-    * tree (PlanSpec pins the join shapes that way). */
+    * block manager exactly like a cache). Cluster tradeoff:
+    * localCheckpoint truncates LINEAGE, so a lost executor fails the
+    * job instead of recomputing — acceptable here because every
+    * checkpointed frame is a per-query intermediate a retry rebuilds
+    * from parquet in one pass; an always-on 100 TB deployment swaps in
+    * reliable `checkpoint()` against its checkpoint dir at the same
+    * call sites. Disable via `spark.graft.ann.checkpoint=false` to
+    * expose the full logical tree (PlanSpec pins the join shapes that
+    * way). */
   private val scopedCkpts =
     new java.util.concurrent.ConcurrentLinkedQueue[org.apache.spark.sql.DataFrame]()
   private def scopedCkpt(df: org.apache.spark.sql.DataFrame)
