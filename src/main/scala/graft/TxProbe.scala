@@ -106,6 +106,26 @@ object TxProbe {
       val afterD = dirBytesFiles(rootD.resolve("data"))
       println(f"$n%9d ${"delta"}%9s $bulkD%8.1f $wallD%9.2f " +
         f"${(afterD._1 - beforeD._1) / 1e6}%10.1f ${afterD._2 - beforeD._2}%13d")
+
+      // delta with partitions sized to the table (the deployment
+      // policy the scaladoc prescribes: partitions ≈ table_bytes /
+      // target_file_bytes, fixed at root creation) — constant
+      // rows-per-partition, so a 10-key commit stages ~constant bytes
+      // REGARDLESS of catalog size
+      val parts = math.max(64, n / 15625)
+      val rootS = Files.createTempDirectory("txprobe_sized")
+      val (_, bulkS) = time {
+        TxLog.mergeCommitDelta(spark, rootS.toString, bulk(n), NOW,
+          emptyCatalog, partitions = parts)
+      }
+      val beforeS = dirBytesFiles(rootS.resolve("data"))
+      val (_, wallS) = time {
+        TxLog.mergeCommitDelta(spark, rootS.toString, delta(n), NOW,
+          emptyCatalog, partitions = parts)
+      }
+      val afterS = dirBytesFiles(rootS.resolve("data"))
+      println(f"$n%9d ${s"delta/$parts"}%9s $bulkS%8.1f $wallS%9.2f " +
+        f"${(afterS._1 - beforeS._1) / 1e6}%10.1f ${afterS._2 - beforeS._2}%13d")
     }
     spark.stop()
   }
