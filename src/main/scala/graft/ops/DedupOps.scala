@@ -127,7 +127,7 @@ object DedupOps {
       .withColumn("n_common", col("n_common").cast("int"))
   }
 
-  private def verifiedMinhashPairs(s: org.apache.spark.sql.SparkSession,
+  private[ops] def verifiedMinhashPairs(s: org.apache.spark.sql.SparkSession,
       dir: String): org.apache.spark.sql.DataFrame =
     lshVerifiedPairs(shingleFrame(s, dir))
 
@@ -976,6 +976,78 @@ object DedupOps {
         cluster_size * CAST(COUNT(*) AS BIGINT) AS n_docs
       FROM csizes GROUP BY cluster_size ORDER BY cluster_size"""))
 
+  /** Leakage-safe train/val/test split: the split key is the dedup
+    * CLUSTER, not the document, so near-duplicates can never straddle
+    * splits (the contamination mode document-level random splits
+    * suffer — a val doc's near-twin in train leaks the answer).
+    * Deterministic 80/10/10 via Knuth multiplicative hashing of the
+    * cluster id, exact-integer in both engines (a production corpus
+    * whose ids approach 2⁶³/2654435761 swaps the multiply for
+    * xxhash64 — same shape, not oracle-mirrorable).
+    *
+    * Scale notes: rides the SAME memoized label frame as the other
+    * cluster queries (one CC fixpoint for the family), then the split
+    * is a per-row projection — no additional shuffle, no new join.
+    * The cluster-atomicity invariant is structural: split is a pure
+    * function of cluster_id. DedupSpec additionally re-derives the
+    * verified near-dup pairs and asserts zero straddling edges. */
+  val leakageSplit = QueryDef(
+    "d_leakage_split", "LLM-pipeline dedup: leakage-safe corpus split",
+    "CC labels → per-cluster Knuth hash → 80/10/10 train/val/test",
+    (s, dir) => {
+      val h = pmod(pmod(col("cluster_id") * lit(2654435761L),
+        lit(4294967296L)), lit(10L))
+      componentLabels(s, dir)
+        .withColumn("split",
+          when(h < 8, lit("train"))
+            .when(h === 8, lit("val"))
+            .otherwise(lit("test")))
+        .select(col("doc_id"), col("cluster_id"), col("split"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH RECURSIVE w AS (
+        SELECT doc_id,
+          list_filter(string_split(text, ' '), x -> x <> '') AS ws
+        FROM documents),
+      sh AS (
+        SELECT doc_id,
+          list_distinct(list_transform(
+            range(1, greatest(len(ws) - 2, 1) + 1),
+            i -> array_to_string(ws[i:i+2], ' '))) AS shs
+        FROM w),
+      grams AS (SELECT doc_id, unnest(shs) AS g FROM sh),
+      sizes AS (SELECT doc_id, len(shs) AS n_sh FROM sh),
+      inter AS (
+        SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS n_common
+        FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+        GROUP BY 1, 2),
+      pairs AS (
+        SELECT i.d1, i.d2
+        FROM inter i
+        JOIN sizes s1 ON i.d1 = s1.doc_id
+        JOIN sizes s2 ON i.d2 = s2.doc_id
+        WHERE CAST(i.n_common AS DOUBLE) /
+            CAST(s1.n_sh + s2.n_sh - i.n_common AS DOUBLE) >= 0.5),
+      edges AS (
+        SELECT d1 AS u, d2 AS v FROM pairs
+        UNION SELECT d2, d1 FROM pairs),
+      walk(node, reach) AS (
+        SELECT u, v FROM edges
+        UNION
+        SELECT wk.node, e.v FROM walk wk JOIN edges e ON wk.reach = e.u),
+      labels AS (
+        SELECT d.doc_id,
+          LEAST(d.doc_id, COALESCE(MIN(wk.reach), d.doc_id)) AS cluster_id
+        FROM documents d LEFT JOIN walk wk ON wk.node = d.doc_id
+        GROUP BY d.doc_id)
+      SELECT doc_id, cluster_id,
+        CASE WHEN (cluster_id * 2654435761) % 4294967296 % 10 < 8
+               THEN 'train'
+             WHEN (cluster_id * 2654435761) % 4294967296 % 10 = 8
+               THEN 'val'
+             ELSE 'test' END AS split
+      FROM labels ORDER BY doc_id"""))
+
   /** Corpus-wide line/segment dedup (the CCNet/RefinedWeb pipeline
     * stage): segments that repeat across more than `keepMax`
     * documents are boilerplate and are dropped from every document;
@@ -1579,5 +1651,6 @@ object DedupOps {
   val defs: Seq[QueryDef] = Seq(exact, minhash, simhash, ngram, clusters,
     lineDedup, clusterKeeper, decontaminate, lshRecall, lshRecallSampled,
     streamDedup, substringDedup, substringCut, substringDedupHashed,
-    pipelineE2e, clusterStats, jaccardPrefixJoin, jaccardPrefixCapped)
+    pipelineE2e, clusterStats, leakageSplit, jaccardPrefixJoin,
+    jaccardPrefixCapped)
 }
