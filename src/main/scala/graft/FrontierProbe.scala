@@ -63,11 +63,25 @@ object FrontierProbe {
             pd.stripPrefix("pkg::"), Some("1.0"), miningLevel = 50)
         }
         .toDF().withColumn("visit_level", lit(50)),
-      () => emptyCatalog)
+      () => emptyCatalog,
+      // always-on retention: vacuum rides the loop (probe owns the
+      // root exclusively, so the grace window is waived)
+      vacuumEvery = 8, vacuumGraceMs = 0L)
     val mapper: String => Seq[String] = uri => Seq("pkg::" + uri)
 
+    def countIn(dir: String, pred: String => Boolean): Long = {
+      val p = java.nio.file.Paths.get(dir)
+      if (!Files.exists(p)) return 0L
+      val l = Files.list(p)
+      try {
+        var n = 0L
+        l.forEach(f => if (pred(f.getFileName.toString)) n += 1)
+        n
+      } finally l.close()
+    }
     println(f"${"batch"}%6s ${"wall_s"}%7s ${"frontier"}%9s " +
-      f"${"catalog"}%8s ${"state_write_s"}%14s")
+      f"${"catalog"}%8s ${"commits"}%8s ${"data_dirs"}%10s " +
+      f"${"state_write_s"}%14s")
     var b = 0L
     while (b < nBatches) {
       val seedBatch =
@@ -89,7 +103,10 @@ object FrontierProbe {
         frontier.write.mode("overwrite")
           .parquet(s"$stateRoot/probe-rewrite")
         val sw = (System.nanoTime() - t1) / 1e9
-        println(f"$b%6d $wall%7.2f $nF%9d $nC%8d $sw%14.2f")
+        val nCommits = countIn(s"$catRoot/_commits", _.startsWith("v"))
+        val nDirs = countIn(s"$catRoot/data", _ => true)
+        println(f"$b%6d $wall%7.2f $nF%9d $nC%8d $nCommits%8d " +
+          f"$nDirs%10d $sw%14.2f")
       }
       b += 1
     }

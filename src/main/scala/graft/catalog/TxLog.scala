@@ -208,15 +208,17 @@ object TxLog {
     * writer (FrontierStream tags each micro-batch's merge with its
     * batchId; a replayed batch at or below the watermark skips the
     * merge, which is what makes merge-then-crash-then-replay
-    * exactly-once). Scans every live commit record, so the watermark
+    * exactly-once). Scans every live commit record — so the watermark
     * survives interleaved UNtagged writers committing after the
-    * stream (vacuum keeps the scan short). */
+    * stream — floored by the TAGFLOOR sidecar that [[vacuum]] leaves
+    * behind when it prunes old commit records: the scan stays bounded
+    * by the retention window, not the stream's lifetime. */
   def maxTag(root: String): Long = {
     val dir = commitsDir(root)
     if (!Files.exists(dir)) return -1L
     val listing = Files.list(dir)
     try {
-      var best = -1L
+      var best = tagFloor(root)
       val it = listing.iterator()
       while (it.hasNext) {
         val p = it.next()
@@ -227,6 +229,26 @@ object TxLog {
       }
       best
     } finally listing.close()
+  }
+
+  /** The monotonic watermark carried forward from pruned commit
+    * records (-1 before any prune). */
+  private def tagFloor(root: String): Long = {
+    val f = commitsDir(root).resolve("TAGFLOOR")
+    if (Files.exists(f)) Files.readString(f).trim.toLong else -1L
+  }
+
+  /** Raise the TAGFLOOR sidecar to `tag` (atomic replace). The
+    * read-check-move is not atomic across raisers — vacuum is the
+    * single raiser and vacuums must not run concurrently (the same
+    * single-vacuumer contract the data sweep already assumes). */
+  private def raiseTagFloor(root: String, tag: Long): Unit = {
+    if (tag <= tagFloor(root)) return
+    val tmp = commitsDir(root).resolve(s".floor-${UUID.randomUUID()}")
+    Files.writeString(tmp, tag.toString)
+    Files.move(tmp, commitsDir(root).resolve("TAGFLOOR"),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
   }
 
   /** Read a delta catalog at its latest version: the union of every
@@ -345,5 +367,28 @@ object TxLog {
             .forEach(f => Files.deleteIfExists(f))
       }
     } finally listing.close()
+
+    // bounded METADATA for always-on streams: prune commit records
+    // beyond the keep window too (one per micro-batch, forever,
+    // otherwise — making every maxTag/readDelta dir scan O(stream
+    // lifetime)). Their `#tag=` watermark is folded into the TAGFLOOR
+    // sidecar FIRST, so a replayed batch still skips its merge after
+    // the record that carried its tag is gone. Only the newest commit
+    // is ever read by snapshot/readDelta, so pruning older records
+    // cannot change what any reader resolves; liveness above was
+    // computed from the kept records only.
+    val stale = commits.drop(keep)
+      .filter { case (_, p) =>
+        Files.getLastModifiedTime(p).toMillis <= cutoff }
+    if (stale.nonEmpty) {
+      var floor = -1L
+      stale.foreach { case (_, p) =>
+        Files.readString(p).linesIterator
+          .filter(_.startsWith("#tag="))
+          .foreach(l => floor = math.max(floor, l.drop(5).trim.toLong))
+      }
+      if (floor >= 0) raiseTagFloor(root, floor)
+      stale.foreach { case (_, p) => Files.deleteIfExists(p) }
+    }
   }
 }

@@ -56,7 +56,16 @@ object FrontierStream {
       root: String,
       toPackages: DataFrame => DataFrame,
       empty: () => DataFrame,
-      partitions: Int = graft.catalog.TxLog.DefaultPartitions)
+      partitions: Int = graft.catalog.TxLog.DefaultPartitions,
+      // Retention cadence for an ALWAYS-ON stream: every N batches,
+      // vacuum the sink (superseded data dirs AND old commit records
+      // — one lands per micro-batch, so an unvacuumed stream's
+      // maxTag/readDelta scans grow with its lifetime). 0 = off
+      // (operator-scheduled vacuum). The stream owns its sink root,
+      // so the single-vacuumer contract holds by construction;
+      // vacuumGraceMs > 0 still protects interleaved ad-hoc writers.
+      vacuumEvery: Int = 0,
+      vacuumGraceMs: Long = 20L * 60 * 1000)
 
   /** Frontier schema (UriRow, flags derived not stored). */
   val stateDdl: String =
@@ -168,6 +177,9 @@ object FrontierStream {
               incoming, now.toInstant.toString, sink.empty(),
               sink.partitions, tag = Some(batchId))
           }
+          if (sink.vacuumEvery > 0 && batchId % sink.vacuumEvery == 0)
+            graft.catalog.TxLog.vacuum(sink.root, keep = 2,
+              graceMs = sink.vacuumGraceMs)
         }
         mapped
       case None => afterVisit

@@ -277,4 +277,41 @@ class CatalogTxSpec extends SparkTestBase {
     assert(Files.exists(
       java.nio.file.Paths.get(root, "data", "live", "f.parquet")))
   }
+
+  test("vacuum prunes old commit records into the TAGFLOOR sidecar: " +
+      "metadata stays bounded, the replay watermark survives") {
+    val root = Files.createTempDirectory("txtags").toString
+    // an always-on stream's shape: one tagged delta commit per batch
+    (0 until 12).foreach { b =>
+      TxLog.mergeCommitDelta(spark, root, incoming(
+        PackageRow.minimal(s"http://x/b$b.jar", "maven", s"b$b",
+          Some("1.0")))(50), NOW, emptyCatalog, tag = Some(b.toLong))
+    }
+    assert(TxLog.maxTag(root) == 11L)
+    def commitFiles(): Seq[String] = {
+      val l = Files.list(java.nio.file.Paths.get(root, "_commits"))
+      try {
+        val b = scala.collection.mutable.ArrayBuffer.empty[String]
+        l.forEach(p => b += p.getFileName.toString)
+        b.toSeq
+      } finally l.close()
+    }
+    assert(commitFiles().count(_.startsWith("v")) == 12)
+
+    TxLog.vacuum(root, keep = 2, graceMs = 0L)
+    // bounded: keep-window records only (+ the sidecar)
+    assert(commitFiles().count(_.startsWith("v")) == 2)
+    // the watermark folded forward — a replayed batch ≤ 11 still skips
+    assert(TxLog.maxTag(root) == 11L)
+    // the table is intact at its latest version
+    val (v, cat) = TxLog.readDelta(spark, root, emptyCatalog)
+    assert(v == 12L && cat.count() == 12L)
+
+    // monotonic across further commits + vacuums
+    TxLog.mergeCommitDelta(spark, root, incoming(
+      PackageRow.minimal("http://x/b12.jar", "maven", "b12",
+        Some("1.0")))(50), NOW, emptyCatalog, tag = Some(12L))
+    TxLog.vacuum(root, keep = 2, graceMs = 0L)
+    assert(TxLog.maxTag(root) == 12L)
+  }
 }
