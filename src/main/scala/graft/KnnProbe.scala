@@ -14,10 +14,48 @@ import org.apache.spark.sql.SparkSession
   *
   * Usage: SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1
   *   sbt "runMain graft.KnnProbe [nprobe,hops,cprobe ...]"
+  *
+  * SPARK_GRAFT_KNN_SCALE=f measures recall at an f×-scaled corpus
+  * where the constant-cell policy is ENGAGED (k = n/64 past the
+  * 32-cell floor the sf gates sit on): copies carry a deterministic
+  * ±2% multiplicative per-component jitter, so vectors are distinct
+  * (unlike ScaleBench's exact id-offset copies, which would make
+  * recall trivially 1.0 — identical vectors share a cell) and the
+  * near-twin structure stresses exactly the IVF failure mode, nearest
+  * neighbors straddling a cell boundary. The exact all-pairs side
+  * makes this a measurement main, never a bench query.
   */
 object KnnProbe {
+
+  /** Materialize (once) the jittered f× corpus; returns its dir. */
+  private def scaledDir(spark: SparkSession, base: String, f: Int)
+      : String = {
+    import org.apache.spark.sql.functions._
+    val out = s"/tmp/graft_knn_scale${f}x"
+    if (!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(out, "embeddings.parquet", "_SUCCESS"))) {
+      val emb = spark.read.parquet(s"$base/embeddings.parquet")
+      val nVec = emb.agg(max("vec_id")).head().getLong(0) + 1
+      (0 until f).map { k =>
+        if (k == 0) emb
+        else emb.select(
+          (col("vec_id") + lit(k.toLong * nVec)).as("vec_id"),
+          transform(col("embedding"), (x, i) =>
+            (x * (lit(1.0) +
+              (pmod(xxhash64(col("vec_id"), i, lit(k)), lit(41L)) -
+                lit(20L)).cast("double") / lit(1000.0))).cast("float"))
+            .as("embedding"),
+          col("label"))
+      }.reduce(_ unionByName _)
+        .repartition(32)
+        .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+    }
+    out
+  }
+
   def main(args: Array[String]): Unit = {
-    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val baseDir =
+      sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -28,6 +66,10 @@ object KnnProbe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val dir = sys.env.get("SPARK_GRAFT_KNN_SCALE") match {
+      case Some(f) => scaledDir(spark, baseDir, f.toInt)
+      case None    => baseDir
+    }
     val configs: Seq[(Int, Int, Int)] =
       if (args.nonEmpty) args.toSeq.map { a =>
         val Array(np, h, cp) = a.split(",").map(_.trim.toInt)
