@@ -53,6 +53,34 @@ object KnnProbe {
     out
   }
 
+  /** Materialize (once) a fully synthetic label-structured corpus of
+    * n vectors: 64 hash-derived latent centroids, each vector its
+    * label's centroid plus deterministic per-component noise at ~30%
+    * of the centroid scale — so a vector's true neighbors are
+    * same-label STRANGERS (~n/64 candidates each), not jittered
+    * twins. The diverse-structure complement to [[scaledDir]]:
+    * co-assignment can't carry recall here, the probe set and the
+    * hop have to. */
+  private def synthDir(spark: SparkSession, n: Long, noise: Double)
+      : String = {
+    import org.apache.spark.sql.functions._
+    val out = s"/tmp/graft_knn_synth${n}_n$noise"
+    if (!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(out, "embeddings.parquet", "_SUCCESS"))) {
+      def h01(cols: org.apache.spark.sql.Column*) =
+        pmod(xxhash64(cols: _*), lit(2001L)).cast("double") / 1000.0 - 1.0
+      spark.range(n).toDF("vec_id")
+        .repartition(32)
+        .withColumn("label", (col("vec_id") % 64).cast("int"))
+        .withColumn("embedding", transform(sequence(lit(0), lit(63)),
+          i => (h01(lit("c"), col("label"), i) +
+            h01(lit("n"), col("vec_id"), i) * noise).cast("float")))
+        .select("vec_id", "embedding", "label")
+        .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+    }
+    out
+  }
+
   def main(args: Array[String]): Unit = {
     val baseDir =
       sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -66,9 +94,17 @@ object KnnProbe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val dir = sys.env.get("SPARK_GRAFT_KNN_SCALE") match {
-      case Some(f) => scaledDir(spark, baseDir, f.toInt)
-      case None    => baseDir
+    // SPARK_GRAFT_KNN_SYNTH=n[:noise] — noise is the per-component
+    // amplitude relative to the centroid scale (0.3 = tight clusters,
+    // 1.5 = structure mostly dissolved into the noise floor)
+    val dir = (sys.env.get("SPARK_GRAFT_KNN_SYNTH"),
+        sys.env.get("SPARK_GRAFT_KNN_SCALE")) match {
+      case (Some(spec), _) =>
+        val parts = spec.split(":")
+        synthDir(spark, parts(0).toLong,
+          parts.lift(1).map(_.toDouble).getOrElse(0.3))
+      case (_, Some(f)) => scaledDir(spark, baseDir, f.toInt)
+      case _            => baseDir
     }
     val configs: Seq[(Int, Int, Int)] =
       if (args.nonEmpty) args.toSeq.map { a =>
