@@ -25,22 +25,24 @@ import graft.streaming.{Frontier, FrontierStream}
   * Usage: sbt "runMain graft.FrontierProbe [nBatches] [fanout]"
   */
 object FrontierProbe {
-  private val visitor: Frontier.Visitor = uri => {
+  /** The visitor captures `fanout` BY VALUE — closure-serializable to
+    * real executors, no driver-local mutable state. */
+  private def mkVisitor(fanout: Int): Frontier.Visitor = uri => {
     val m = "page-(\\d+)/index$".r.findFirstMatchIn(uri)
     m match {
       case Some(g) =>
         val n = g.group(1).toInt
         val base = uri.stripSuffix(s"page-$n/index")
         (s"${base}page-${n + 1}/index") +:
-          (0 until FanOut).map(i => s"${base}page-$n/art-$i")
+          (0 until fanout).map(i => s"${base}page-$n/art-$i")
       case None => Seq.empty
     }
   }
-  @volatile private var FanOut = 100
 
   def main(args: Array[String]): Unit = {
     val nBatches = args.headOption.map(_.toInt).getOrElse(60)
-    FanOut = args.lift(1).map(_.toInt).getOrElse(100)
+    val fanout = args.lift(1).map(_.toInt).getOrElse(100)
+    val visitor = mkVisitor(fanout)
     val spark = SparkSession.builder()
       .master("local[32]")
       .appName("graft-frontierprobe")
@@ -89,7 +91,7 @@ object FrontierProbe {
          else Seq("tick")).toDF("value")
       val t0 = System.nanoTime()
       FrontierStream.processBatch(spark, seedBatch, b, stateRoot,
-        visitor, batchSize = FanOut + 20, mapper = Some(mapper),
+        visitor, batchSize = fanout + 20, mapper = Some(mapper),
         catalog = Some(sink))
       val wall = (System.nanoTime() - t0) / 1e9
       if (b % 10 == 0 || b == nBatches - 1) {

@@ -27,11 +27,19 @@ import org.apache.spark.sql.SparkSession
   */
 object KnnProbe {
 
-  /** Materialize (once) the jittered f× corpus; returns its dir. */
+  /** Materialize (once) the jittered f× corpus; returns its dir. The
+    * cache key carries the base table's size+mtime fingerprint so a
+    * regenerated testdata corpus never serves a stale scaled copy
+    * (the SourceOps.cacheKey lesson, ADVICE r9). */
   private def scaledDir(spark: SparkSession, base: String, f: Int)
       : String = {
     import org.apache.spark.sql.functions._
-    val out = s"/tmp/graft_knn_scale${f}x"
+    val src = java.nio.file.Paths.get(base, "embeddings.parquet")
+    val fp = java.lang.Long.toHexString(
+      java.nio.file.Files.getLastModifiedTime(src).toMillis ^
+        31L * (if (java.nio.file.Files.isRegularFile(src))
+          java.nio.file.Files.size(src) else 0L))
+    val out = s"/tmp/graft_knn_scale${f}x_$fp"
     if (!java.nio.file.Files.exists(
         java.nio.file.Paths.get(out, "embeddings.parquet", "_SUCCESS"))) {
       val emb = spark.read.parquet(s"$base/embeddings.parquet")
