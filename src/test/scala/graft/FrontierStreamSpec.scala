@@ -277,6 +277,57 @@ class FrontierStreamSpec extends SparkTestBase {
     assert(a == b, s"crash+replay catalog diverged:\nA=$a\nB=$b")
   }
 
+  test("in-loop vacuum keeps sink metadata bounded without changing " +
+      "the merged catalog or the replay watermark") {
+    val mapper: String => Seq[String] = uri => Seq("pkg::" + uri)
+    val seeds = Seq("https://registry.npmjs.org/index")
+
+    // twin A: no in-loop vacuum (the reference catalog)
+    val (seedA, stateA, chkA, catA) =
+      (tmp("fvA-seed"), tmp("fvA-state"), tmp("fvA-chk"), tmp("fvA-cat"))
+    seedFile(seedA, "seeds.txt", seeds)
+    val qa = FrontierStream.start(spark, seedA, stateA, chkA, visitor,
+      mapper = Some(mapper), catalog = Some(catalogSink(catA)))
+    try {
+      qa.processAllAvailable()
+      (1 to 3).foreach { i =>
+        seedFile(seedA, s"tick$i.txt", Seq("tick"))
+        qa.processAllAvailable()
+      }
+    } finally qa.stop()
+
+    // twin B: vacuum rides every batch (exclusive owner → grace 0)
+    val (seedB, stateB, chkB, catB) =
+      (tmp("fvB-seed"), tmp("fvB-state"), tmp("fvB-chk"), tmp("fvB-cat"))
+    seedFile(seedB, "seeds.txt", seeds)
+    val qb = FrontierStream.start(spark, seedB, stateB, chkB, visitor,
+      mapper = Some(mapper),
+      catalog = Some(catalogSink(catB).copy(
+        vacuumEvery = 1, vacuumGraceMs = 0L)))
+    try {
+      qb.processAllAvailable()
+      (1 to 3).foreach { i =>
+        seedFile(seedB, s"tick$i.txt", Seq("tick"))
+        qb.processAllAvailable()
+      }
+    } finally qb.stop()
+
+    // same catalog bit-for-bit, same watermark
+    assert(catalogRows(catB) == catalogRows(catA))
+    assert(graft.catalog.TxLog.maxTag(catB) ==
+      graft.catalog.TxLog.maxTag(catA))
+    // but B's metadata is bounded by the keep window while A grew
+    // one commit record per batch
+    def commitCount(root: String): Long = {
+      val l = java.nio.file.Files.list(
+        java.nio.file.Paths.get(root, "_commits"))
+      try l.filter(_.getFileName.toString.startsWith("v")).count()
+      finally l.close()
+    }
+    assert(commitCount(catA) == 4L, s"A: ${commitCount(catA)}")
+    assert(commitCount(catB) == 2L, s"B: ${commitCount(catB)}")
+  }
+
   test("continuous trigger: rate-source ticks drive autonomous cycles " +
       "with no operator tick files") {
     val (seedDir, stateRoot, chk) =
