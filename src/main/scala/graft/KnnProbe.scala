@@ -102,6 +102,9 @@ object KnnProbe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // SPARK_GRAFT_KNN_LEVELS=3 engages the L-level hierRanked pass
+    sys.env.get("SPARK_GRAFT_KNN_LEVELS")
+      .foreach(v => spark.conf.set("spark.graft.ann.levels", v))
     // SPARK_GRAFT_KNN_SYNTH=n[:noise] — noise is the per-component
     // amplitude relative to the centroid scale (0.3 = tight clusters,
     // 1.5 = structure mostly dissolved into the noise floor)

@@ -827,6 +827,68 @@ object SimilarityOps {
       .select("vec_id", "cid", "crn")
   }
 
+  /** L-level generalization of [[twoLevelRanked]], engaged when
+    * `spark.graft.ann.levels` > 2 (the default depth-2 path keeps the
+    * oracle-pinned [[twoLevelRanked]] verbatim — depth, like
+    * nprobe/cprobe, is a recall-vs-cost KNOB measured by KnnProbe,
+    * not an oracle-pinned semantic). Each level over a k-sized table
+    * picks kc = ⌈(cprobe·k)^((ℓ-1)/ℓ)⌉ supers — the balance point of
+    * the recursive cost — and ranks BOTH vectors→supers and
+    * centroids→supers through the (ℓ−1)-level pass, so per-vector
+    * assignment work is Θ(ℓ·(cprobe^(ℓ−1)·k)^(1/ℓ)) (≈ n^(1/3) at
+    * ℓ=3 under constant cells, vs √n at ℓ=2 and log n at
+    * ℓ = log k) and no stage nested-loops a corpus-sized side: the
+    * only broadcasts are the ≤64-row base tables and the per-level
+    * super frames, every one strictly smaller than the level above.
+    * Returns narrow (vec_id, cid, crn ≤ nprobe) rows like the
+    * two-level pass. */
+  private def hierRanked(emb: org.apache.spark.sql.DataFrame,
+      cents: org.apache.spark.sql.DataFrame, k: Long, cprobe: Int,
+      nprobe: Int, levels: Int): org.apache.spark.sql.DataFrame = {
+    val wc = Window.partitionBy("vec_id").orderBy(desc("ccos"), col("cid"))
+    def cosine = asDouble(col("cdp")) /
+      (sqrt(asDouble(col("n2"))) * sqrt(asDouble(col("cn2"))))
+    if (levels <= 1 || k <= 64) {
+      // flat base: the table is depth-exhausted or tiny — a bounded
+      // broadcast, never a corpus-sized side
+      emb.join(broadcast(cents))
+        .withColumn("cdp", dot("v", "cv"))
+        .select(col("vec_id"), col("cid"), cosine.as("ccos"))
+        .withColumn("crn", row_number().over(wc))
+        .filter(col("crn") <= nprobe)
+        .select("vec_id", "cid", "crn")
+    } else {
+      val kc = math.max(4L, math.min(k - 1, math.ceil(math.pow(
+        cprobe.toDouble * k, (levels - 1).toDouble / levels)).toLong))
+      val supers = cents.orderBy("cid").limit(kc.toInt)
+      // centroid → nearest super, itself through the shallower pass
+      val cmap = hierRanked(
+        cents.select(col("cid").as("vec_id"), col("cv").as("v"),
+          col("cn2").as("n2")),
+        supers, kc, cprobe, 1, levels - 1)
+        .select(col("cid").as("sid"), col("vec_id").as("cid0"))
+        .join(cents.select(col("cid").as("cid0"), col("cv"),
+          col("cn2")), "cid0")
+        .select(col("sid"), col("cid0").as("cid"), col("cv"), col("cn2"))
+      // vector → top-cprobe supers through the shallower pass
+      val vsup = hierRanked(emb, supers, kc, cprobe, cprobe, levels - 1)
+        .select(col("vec_id"), col("cid").as("sid"))
+      // fine ranking over the probed supers' members (hash equi-joins)
+      emb.join(vsup, "vec_id")
+        .join(cmap, "sid")
+        .withColumn("cdp", dot("v", "cv"))
+        .select(col("vec_id"), col("cid"), cosine.as("ccos"))
+        .withColumn("crn", row_number().over(wc))
+        .filter(col("crn") <= nprobe)
+        .select("vec_id", "cid", "crn")
+    }
+  }
+
+  /** Depth knob shared by training and probing: 2 = the oracle-pinned
+    * [[twoLevelRanked]]; >2 = [[hierRanked]]. */
+  private def rankLevels(s: org.apache.spark.sql.SparkSession): Int =
+    s.conf.get("spark.graft.ann.levels", "2").toInt
+
   /** Seed-and-one-Lloyd-iteration centroid training with the
     * TWO-LEVEL assignment (vs [[ivfCentroids]]'s flat n×k pass, which
     * is the right shape only while k is a constant): seeds are the
@@ -842,7 +904,9 @@ object SimilarityOps {
     val seeds = emb.filter(col("vec_id") < k)
       .select(col("vec_id").as("cid"), col("v").as("cv"),
         col("n2").as("cn2"))
-    val assign = twoLevelRanked(emb, seeds, kc, cprobe, 1)
+    val lv = rankLevels(emb.sparkSession)
+    val assign = (if (lv <= 2) twoLevelRanked(emb, seeds, kc, cprobe, 1)
+      else hierRanked(emb, seeds, k.toLong, cprobe, 1, lv))
       .select(col("vec_id"), col("cid").as("cell"))
     (emb.join(assign, "vec_id")
       .select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
@@ -908,8 +972,10 @@ object SimilarityOps {
     // ONE ranked pass serves both the cell assignment (rank 1) and
     // the nprobe probe set (rank ≤ nprobe); the oracle's `ranked`
     // CTE makes the same sharing.
-    val ranked =
-      scopedCkpt(twoLevelRanked(emb, cents1, kc, cprobe, nprobe))
+    val lv = rankLevels(emb.sparkSession)
+    val ranked = scopedCkpt(
+      if (lv <= 2) twoLevelRanked(emb, cents1, kc, cprobe, nprobe)
+      else hierRanked(emb, cents1, k.toLong, cprobe, nprobe, lv))
     val cellsNarrow = ranked.filter(col("crn") === 1)
       .select(col("vec_id").as("nid"), col("cid").as("cell"))
     val qprobe = ranked
