@@ -19,11 +19,32 @@ import graft.catalog.{PackageRow, TxLog}
   * reference pays per-row Postgres upserts for the same reason
   * (minecode/model_utils.py:231-449); table recorded in BASELINE.md.
   *
+  * Round 11 adds the commit-RECORD bytes (`rec_B`): a delta commit
+  * writes a `#delta` record naming only its touched partitions —
+  * O(touched), constant in both catalog size AND partition count —
+  * where the pre-r11 format wrote the full per-partition manifest
+  * every commit (O(partitions): multi-MB per 10-key commit at the
+  * 10⁵-partition 100 TB sizing in the TxLog scaladoc).
+  *
   * Usage: sbt "runMain graft.TxProbe [n1,n2,...]"  (default
   * 100000,1000000)
   */
 object TxProbe {
   private val NOW = "2026-08-15T00:00:00Z"
+
+  /** Size of the newest commit record under `root/_commits`. */
+  private def newestRecordBytes(root: String): Long = {
+    val l = Files.list(java.nio.file.Paths.get(root, "_commits"))
+    try {
+      var best = ""
+      var bytes = 0L
+      l.forEach { p =>
+        val n = p.getFileName.toString
+        if (n.startsWith("v") && n > best) { best = n; bytes = Files.size(p) }
+      }
+      bytes
+    } finally l.close()
+  }
 
   private def dirBytesFiles(p: Path): (Long, Long) = {
     if (!Files.exists(p)) return (0L, 0L)
@@ -77,7 +98,7 @@ object TxProbe {
     }
 
     println(f"${"n"}%9s ${"strategy"}%9s ${"bulk_s"}%8s ${"commit_s"}%9s " +
-      f"${"staged_MB"}%10s ${"staged_files"}%13s")
+      f"${"staged_MB"}%10s ${"staged_files"}%13s ${"rec_B"}%7s")
     sizes.foreach { n =>
       // full-rewrite strategy
       val rootF = Files.createTempDirectory("txprobe_full")
@@ -90,7 +111,8 @@ object TxProbe {
       }
       val after = dirBytesFiles(rootF.resolve("data"))
       println(f"$n%9d ${"full"}%9s $bulkF%8.1f $wallF%9.2f " +
-        f"${(after._1 - before._1) / 1e6}%10.1f ${after._2 - before._2}%13d")
+        f"${(after._1 - before._1) / 1e6}%10.1f ${after._2 - before._2}%13d " +
+        f"${newestRecordBytes(rootF.toString)}%7d")
 
       // O(delta) partitioned strategy
       val rootD = Files.createTempDirectory("txprobe_delta")
@@ -105,7 +127,8 @@ object TxProbe {
       }
       val afterD = dirBytesFiles(rootD.resolve("data"))
       println(f"$n%9d ${"delta"}%9s $bulkD%8.1f $wallD%9.2f " +
-        f"${(afterD._1 - beforeD._1) / 1e6}%10.1f ${afterD._2 - beforeD._2}%13d")
+        f"${(afterD._1 - beforeD._1) / 1e6}%10.1f ${afterD._2 - beforeD._2}%13d " +
+        f"${newestRecordBytes(rootD.toString)}%7d")
 
       // delta with partitions sized to the table (the deployment
       // policy the scaladoc prescribes: partitions ≈ table_bytes /
@@ -125,7 +148,8 @@ object TxProbe {
       }
       val afterS = dirBytesFiles(rootS.resolve("data"))
       println(f"$n%9d ${s"delta/$parts"}%9s $bulkS%8.1f $wallS%9.2f " +
-        f"${(afterS._1 - beforeS._1) / 1e6}%10.1f ${afterS._2 - beforeS._2}%13d")
+        f"${(afterS._1 - beforeS._1) / 1e6}%10.1f ${afterS._2 - beforeS._2}%13d " +
+        f"${newestRecordBytes(rootS.toString)}%7d")
     }
     spark.stop()
   }

@@ -1,6 +1,6 @@
 package graft.catalog
 
-import java.nio.file.{Files, Path, Paths}
+import java.nio.file.{Files, NoSuchFileException, Path, Paths}
 import java.util.UUID
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -17,11 +17,44 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *   _commits/v<NNNN>    one file per committed version; its content
   *                       names the data of that version — either a
   *                       single dir (whole-snapshot commits, transact)
-  *                       or a per-partition manifest of
-  *                       `pid<TAB>uuid/pid=N` lines (delta commits,
-  *                       mergeCommitDelta: only the partitions touched
-  *                       by a batch are rewritten, the rest re-link)
+  *                       or a manifest record (delta commits,
+  *                       mergeCommitDelta)
+  *   _commits/PARTITIONS the fixed hash-partition count of a delta
+  *                       root, written at the first delta commit and
+  *                       asserted by every later one
+  *   _commits/TAGFLOOR   monotonic replay watermark folded forward
+  *                       from pruned commit records (vacuum)
   * }}}
+  *
+  * Manifest records come in two self-describing forms (the Delta-log
+  * shape: delta records + periodic checkpoints, so commit METADATA is
+  * O(touched partitions), not O(partitions) — at the 100 TB sizing in
+  * [[DefaultPartitions]]' scaladoc, ~10⁵ live partitions, a full
+  * manifest per 10-key commit would be a multi-MB driver-side write
+  * per micro-batch):
+  * {{{
+  *   #manifest            checkpoint: the COMPLETE pid → path map
+  *   [#tag=N]
+  *   pid<TAB>uuid/pid=N   one line per live partition
+  *
+  *   #delta               delta record: ONLY the touched partitions
+  *   [#tag=N]
+  *   pid<TAB>uuid/pid=N   one line per partition this commit rewrote
+  * }}}
+  * A reader reconstructs the manifest at version v by overlaying
+  * records downward from v until the first checkpoint (or the root of
+  * the log — a delta onto an empty table is self-complete).
+  * [[mergeCommitDelta]] writes a checkpoint every `checkpointEvery`
+  * versions; [[vacuum]] additionally compacts the oldest record it
+  * keeps into a checkpoint before pruning older records, so the
+  * overlay chain is always resolvable from the retained window.
+  *
+  * A root is ONE format for its whole life: whole-snapshot
+  * ([[transact]]/[[mergeCommit]]/[[read]]) or partitioned manifest
+  * ([[mergeCommitDelta]]/[[readDelta]]). Mixing them used to fail
+  * SILENTLY (a snapshot() on a manifest root read an empty table and
+  * the next commit orphaned the manifests); both read paths now
+  * detect the other format and throw (ADVICE r10).
   *
   * The compare-and-swap primitive is POSIX `link(2)` via
   * `Files.createLink`: a prepared meta file (already carrying the data
@@ -58,15 +91,54 @@ object TxLog {
     Files.createDirectories(Paths.get(root, "data"))
   }
 
+  /** Manifest-format records are self-describing: a `#`-headed line
+    * or a tabbed pid→path line. A whole-snapshot record is a single
+    * bare data-dir name (never `#`-prefixed, never tabbed). */
+  private def isManifest(content: String): Boolean =
+    content.contains('\t') ||
+      content.linesIterator.exists(_.startsWith("#"))
+
+  private def isDeltaRecord(content: String): Boolean =
+    content.linesIterator.exists(_.trim == "#delta")
+
+  /** All commit records, newest first. */
+  private def listRecords(root: String): Seq[(Long, Path)] = {
+    val dir = commitsDir(root)
+    if (!Files.exists(dir)) return Seq.empty
+    val listing = Files.list(dir)
+    try {
+      val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Path)]
+      val it = listing.iterator()
+      while (it.hasNext) {
+        val p = it.next()
+        val n = p.getFileName.toString
+        if (n.startsWith("v")) buf += ((n.drop(1).toLong, p))
+      }
+      buf.sortBy(-_._1).toSeq
+    } finally listing.close()
+  }
+
+  /** Raw content of the latest commit (None on an empty root). The
+    * newest record is never pruned by vacuum, so no read race. */
+  private def snapshotContent(root: String): Option[(Long, String)] =
+    listRecords(root).headOption.map { case (v, p) =>
+      (v, Files.readString(p).trim)
+    }
+
   /** Highest committed version and its data dir (0 / None = empty).
-    * Whole-snapshot roots only; a delta root (manifest commits) reads
-    * through [[readDelta]]. */
+    * Whole-snapshot roots ONLY — throws on a manifest (delta) root
+    * instead of silently reading an empty table (ADVICE r10: a
+    * transact() over that empty read would commit a whole-snapshot
+    * record on top of the manifests and the next vacuum would drop
+    * every delta data dir). */
   def snapshot(root: String): (Long, Option[String]) =
     snapshotContent(root) match {
-      case Some((v, content)) if !content.contains('\t') =>
-        (v, Some(s"$root/data/$content"))
-      case Some((v, _)) => (v, None) // delta root: use readDelta
-      case None         => (0L, None)
+      case Some((_, content)) if isManifest(content) =>
+        throw new IllegalStateException(
+          s"$root is a partitioned (manifest) root: " +
+            "use readDelta/mergeCommitDelta, not read/transact/mergeCommit")
+      case Some((v, content)) => (v, Some(s"$root/data/$content"))
+      case None               => (0L, None)
     }
 
   /** Read the committed table at the latest version; `empty` supplies
@@ -77,7 +149,7 @@ object TxLog {
     case (v, None)          => (v, empty)
   }
 
-  /** CAS-commit `content` (a data dir name, or a partition manifest —
+  /** CAS-commit `content` (a data dir name, or a manifest record —
     * see [[mergeCommitDelta]]) as version `readVersion + 1`. Throws
     * [[CommitConflict]] if someone else committed first. */
   def commit(root: String, readVersion: Long, content: String): Long = {
@@ -152,8 +224,31 @@ object TxLog {
   /** Fixed hash-partition count of a delta catalog. 64 here; a 100 TB
     * catalog picks partitions ≈ table_bytes / target_file_bytes (e.g.
     * 100 TB / 1 GB ≈ 10⁵) once at root creation — the count must
-    * never change, since manifests re-link old partition dirs. */
+    * never change, since manifests re-link old partition dirs. The
+    * count is persisted in `_commits/PARTITIONS` at the first delta
+    * commit and asserted by every later one (ADVICE r10: a caller
+    * passing a different count would read the wrong merge subset and
+    * commit duplicate keys). */
   val DefaultPartitions = 64
+
+  /** Persist-or-assert the root's fixed partition count. First writer
+    * claims the sidecar through the same link(2) CAS as commits; a
+    * racing second writer re-reads and asserts. */
+  private def assertPartitions(root: String, partitions: Int): Unit = {
+    val f = commitsDir(root).resolve("PARTITIONS")
+    if (!Files.exists(f)) {
+      val tmp = commitsDir(root).resolve(s".parts-${UUID.randomUUID()}")
+      Files.writeString(tmp, partitions.toString)
+      try Files.createLink(f, tmp)
+      catch { case _: java.nio.file.FileAlreadyExistsException => () }
+      finally Files.deleteIfExists(tmp)
+    }
+    val fixed = Files.readString(f).trim.toInt
+    require(fixed == partitions,
+      s"delta root $root was created with $fixed partitions; " +
+        s"got $partitions — the count is fixed at root creation " +
+        "(manifests re-link old partition dirs)")
+  }
 
   /** The catalog's stable partition key: hash of the identity column
     * `download_url` (the reference upserts row-by-row keyed on it,
@@ -166,41 +261,58 @@ object TxLog {
         org.apache.spark.sql.functions.col("download_url")),
       org.apache.spark.sql.functions.lit(partitions.toLong)).cast("int")
 
-  /** Latest version + per-partition manifest (pid → data path relative
-    * to root/data). A manifest commit is one line per live partition,
-    * `pid<TAB>relPath`; absent pids hold no rows yet. (0, empty) on an
-    * empty root. */
-  def manifestSnapshot(root: String): (Long, Map[Int, String]) =
-    snapshotContent(root) match {
-      case None => (0L, Map.empty)
-      case Some((v, content)) =>
-        val entries = content.linesIterator.filter(_.contains('\t')).map {
-          line =>
-            val Array(pid, path) = line.split('\t')
-            pid.toInt -> path
-        }.toMap
-        (v, entries)
-    }
+  private def parseEntries(content: String): Map[Int, String] =
+    content.linesIterator
+      .filterNot(_.startsWith("#"))
+      .filter(_.contains('\t'))
+      .map { line =>
+        val Array(pid, path) = line.split('\t')
+        pid.toInt -> path
+      }.toMap
 
-  /** Raw content of the latest commit (None on an empty root). */
-  private def snapshotContent(root: String): Option[(Long, String)] = {
-    val dir = commitsDir(root)
-    if (!Files.exists(dir)) return None
-    val listing = Files.list(dir)
-    try {
-      val it = listing.iterator()
-      var best = 0L
-      var bestPath: Option[Path] = None
-      while (it.hasNext) {
-        val p = it.next()
-        val n = p.getFileName.toString
-        if (n.startsWith("v")) {
-          val v = n.drop(1).toLong
-          if (v > best) { best = v; bestPath = Some(p) }
-        }
+  /** Reconstruct the pid → path manifest at version `atV` by
+    * overlaying records downward from `atV` to the first checkpoint
+    * (newer entries win). `recs` is a newest-first record listing
+    * that covers `atV`. Throws on a whole-snapshot record in the
+    * chain (mixed-format root, ADVICE r10); throws
+    * [[NoSuchFileException]] if a record was compacted away
+    * mid-scan — callers re-list and retry. */
+  private def manifestAt(recs: Seq[(Long, Path)], atV: Long)
+      : Map[Int, String] = {
+    var overlay = Map.empty[Int, String]
+    val it = recs.iterator.dropWhile(_._1 > atV)
+    var done = false
+    while (it.hasNext && !done) {
+      val (_, p) = it.next()
+      val content = Files.readString(p).trim
+      if (!isManifest(content))
+        throw new IllegalStateException(
+          "whole-snapshot record in a manifest chain: " +
+            s"$p — use read/transact on this root, not readDelta")
+      overlay = parseEntries(content) ++ overlay
+      if (!isDeltaRecord(content)) done = true // checkpoint reached
+    }
+    overlay
+  }
+
+  /** Latest version + reconstructed per-partition manifest (pid →
+    * data path relative to root/data). Absent pids hold no rows yet.
+    * (0, empty) on an empty root. Retries when a concurrent vacuum
+    * compacts a record out from under the overlay scan — the re-listed
+    * chain resolves through the checkpoint the vacuum just wrote. */
+  def manifestSnapshot(root: String): (Long, Map[Int, String]) = {
+    var attempt = 0
+    while (true) {
+      val recs = listRecords(root)
+      if (recs.isEmpty) return (0L, Map.empty)
+      try return (recs.head._1, manifestAt(recs, recs.head._1))
+      catch {
+        case e: NoSuchFileException =>
+          if (attempt >= 5) throw e
+          attempt += 1
       }
-      bestPath.map(p => (best, Files.readString(p).trim))
-    } finally listing.close()
+    }
+    throw new IllegalStateException("unreachable")
   }
 
   /** Highest numeric `#tag=` header across commit records, -1 with
@@ -212,23 +324,18 @@ object TxLog {
     * survives interleaved UNtagged writers committing after the
     * stream — floored by the TAGFLOOR sidecar that [[vacuum]] leaves
     * behind when it prunes old commit records: the scan stays bounded
-    * by the retention window, not the stream's lifetime. */
+    * by the retention window, not the stream's lifetime. A record
+    * pruned between the listing and the read is skipped — its tag was
+    * folded into TAGFLOOR before deletion (ADVICE r10). */
   def maxTag(root: String): Long = {
-    val dir = commitsDir(root)
-    if (!Files.exists(dir)) return -1L
-    val listing = Files.list(dir)
-    try {
-      var best = tagFloor(root)
-      val it = listing.iterator()
-      while (it.hasNext) {
-        val p = it.next()
-        if (p.getFileName.toString.startsWith("v"))
-          Files.readString(p).linesIterator
-            .filter(_.startsWith("#tag="))
-            .foreach(l => best = math.max(best, l.drop(5).trim.toLong))
-      }
-      best
-    } finally listing.close()
+    var best = tagFloor(root)
+    listRecords(root).foreach { case (_, p) =>
+      try Files.readString(p).linesIterator
+        .filter(_.startsWith("#tag="))
+        .foreach(l => best = math.max(best, l.drop(5).trim.toLong))
+      catch { case _: NoSuchFileException => () }
+    }
+    best
   }
 
   /** The monotonic watermark carried forward from pruned commit
@@ -266,16 +373,22 @@ object TxLog {
     * from the previous manifest — a 10-package priority merge into a
     * 10⁸-row catalog reads and writes a handful of partition files,
     * never the table (CatalogTxSpec asserts on the files written).
-    * Same optimistic protocol as [[transact]]: stage → CAS → rebase
-    * on conflict; concurrent mergers — even to disjoint partitions —
-    * serialize through the version counter, so the result is always a
-    * serial application of the merges. */
+    * The commit RECORD is O(touched) too: a `#delta` record naming
+    * only the rewritten partitions, with a full `#manifest`
+    * checkpoint every `checkpointEvery` versions bounding the
+    * reader's overlay chain (TxProbe's manifest-bytes column measures
+    * both constant in catalog size). Same optimistic protocol as
+    * [[transact]]: stage → CAS → rebase on conflict; concurrent
+    * mergers — even to disjoint partitions — serialize through the
+    * version counter, so the result is always a serial application
+    * of the merges. */
   def mergeCommitDelta(spark: SparkSession, root: String,
       incoming: DataFrame, now: String, empty: => DataFrame,
       partitions: Int = DefaultPartitions, maxRetries: Int = 10,
       preCommitHook: Long => Unit = _ => (),
-      tag: Option[Long] = None): Long = {
+      tag: Option[Long] = None, checkpointEvery: Int = 16): Long = {
     init(root)
+    assertPartitions(root, partitions)
     val inc = incoming.cache() // reused across pid probe + retries
     try {
       // bounded by `partitions`, never corpus size
@@ -293,13 +406,19 @@ object TxLog {
         val dirName = UUID.randomUUID().toString
         merged.withColumn("pid", pidCol(partitions))
           .write.partitionBy("pid").parquet(s"$root/data/$dirName")
-        val manifest =
-          (tag.map(t => s"#tag=$t").toSeq ++
-            (m ++ touched.map(p => p -> s"$dirName/pid=$p"))
-              .toSeq.sortBy(_._1)
-              .map { case (p, d) => s"$p\t$d" }).mkString("\n")
+        val touchedEntries =
+          touched.toSeq.map(p => p -> s"$dirName/pid=$p")
+        val ckpt = checkpointEvery > 0 && (v + 1) % checkpointEvery == 0
+        val header =
+          (if (ckpt) Seq("#manifest") else Seq("#delta")) ++
+            tag.map(t => s"#tag=$t")
+        val body =
+          (if (ckpt) (m ++ touchedEntries).toSeq.sortBy(_._1)
+           else touchedEntries)
+            .map { case (p, d) => s"$p\t$d" }
+        val record = (header ++ body).mkString("\n")
         preCommitHook(v) // test seam: races injected between stage+CAS
-        try return commit(root, v, manifest)
+        try return commit(root, v, record)
         catch {
           case e: CommitConflict =>
             gcStaged(root, dirName)
@@ -311,81 +430,122 @@ object TxLog {
     } finally inc.unpersist(false)
   }
 
+  /** Newest last-modified time across a dir tree. A partitionBy
+    * parquet job lands task files under `_temporary/` and `pid=N/`
+    * subdirs WITHOUT bumping the top-level dir's mtime (ADVICE r10 —
+    * the old top-level check could sweep a slow in-flight writer's
+    * staging mid-job); the grace cutoff must see the deepest write. */
+  private def treeMtime(p: Path): Long = {
+    val s = Files.walk(p)
+    try {
+      var best = 0L
+      val it = s.iterator()
+      while (it.hasNext) {
+        try {
+          val t = Files.getLastModifiedTime(it.next()).toMillis
+          if (t > best) best = t
+        } catch { case _: NoSuchFileException => () }
+      }
+      best
+    } finally s.close()
+  }
+
   /** Retention: drop data dirs unreachable from the last `keep`
     * committed versions (superseded snapshots plus abandoned losers'
     * staging). Handles both commit formats: a whole-snapshot commit
-    * references its single dir; a delta manifest references the
-    * top-level dir of every `pid → uuid/pid=N` entry — a dir stays
-    * live as long as ANY live manifest re-links ANY of its
-    * partitions.
+    * references its single dir; a manifest version references the
+    * top-level dir of every `pid → uuid/pid=N` entry in its
+    * RECONSTRUCTED manifest — a dir stays live as long as ANY kept
+    * version re-links ANY of its partitions.
+    *
+    * Metadata retention for always-on streams: commit records beyond
+    * the keep window are pruned (one lands per micro-batch — an
+    * unvacuumed stream's record scans grow with its lifetime). On a
+    * manifest root the oldest KEPT record is first compacted into a
+    * full `#manifest` checkpoint (atomic replace, same logical
+    * content), so the kept delta records above it stay resolvable;
+    * pruned records' `#tag=` watermarks are folded into the TAGFLOOR
+    * sidecar FIRST, so a replayed batch still skips its merge after
+    * the record that carried its tag is gone.
     *
     * Concurrency contract (ADVICE r9): an in-flight writer's staged
     * dir is unreferenced until its CAS lands, so an unguarded vacuum
     * racing it could delete data whose commit then succeeds — a
     * poisoned version. `graceMs` closes the window: only
-    * unreferenced dirs last modified more than `graceMs` ago are
-    * deleted, so vacuum is safe alongside writers whose
-    * stage-to-commit latency is below the grace (default 20 min; a
-    * Spark stage write updates the dir mtime at every file landing).
-    * Similarly, `keep` ≥ 2 leaves slow concurrent READERS a full
-    * version of margin; quiesce readers before `keep = 1`. */
+    * unreferenced dirs whose newest file (deep tree mtime — ADVICE
+    * r10) is older than `graceMs` are deleted, so vacuum is safe
+    * alongside writers whose stage-to-commit latency is below the
+    * grace (default 20 min). Similarly, `keep` ≥ 2 leaves slow
+    * concurrent READERS a full version of margin; quiesce readers
+    * before `keep = 1`. */
   def vacuum(root: String, keep: Int = 2,
       graceMs: Long = 20L * 60 * 1000): Unit = {
-    val dir = commitsDir(root)
-    if (!Files.exists(dir)) return
-    val commits = {
-      val listing = Files.list(dir)
-      try {
-        val it = listing.iterator()
-        val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Path)]
-        while (it.hasNext) {
-          val p = it.next()
-          val n = p.getFileName.toString
-          if (n.startsWith("v")) buf += ((n.drop(1).toLong, p))
-        }
-        buf.sortBy(-_._1)
-      } finally listing.close()
-    }
-    val live = commits.take(keep).flatMap { case (_, p) =>
-      Files.readString(p).trim.linesIterator
-        .filterNot(_.startsWith("#")) // tag headers reference no dir
-        .map { line =>
-          val ref = line.split('\t').last // manifest line or bare dir
-          ref.split('/').head
-        }
-    }.toSet
+    val commits = listRecords(root)
+    if (commits.isEmpty) return
+    val kept = commits.take(keep)
+    val newestContent = Files.readString(kept.head._2).trim
+    val manifestRoot = isManifest(newestContent)
+    val live: Set[String] =
+      if (manifestRoot)
+        kept.map(_._1).flatMap(v =>
+          manifestAt(commits, v).values.map(_.split('/').head)).toSet
+      else
+        kept.map { case (_, p) => Files.readString(p).trim }.toSet
     val cutoff = System.currentTimeMillis() - graceMs
     val dataRoot = Paths.get(root, "data")
-    val listing = Files.list(dataRoot)
-    try {
-      val it = listing.iterator()
-      while (it.hasNext) {
-        val p = it.next()
-        if (!live.contains(p.getFileName.toString) &&
-            Files.getLastModifiedTime(p).toMillis <= cutoff)
-          Files.walk(p).sorted(java.util.Comparator.reverseOrder())
-            .forEach(f => Files.deleteIfExists(f))
-      }
-    } finally listing.close()
+    if (Files.exists(dataRoot)) {
+      val listing = Files.list(dataRoot)
+      try {
+        val it = listing.iterator()
+        while (it.hasNext) {
+          val p = it.next()
+          if (!live.contains(p.getFileName.toString) &&
+              treeMtime(p) <= cutoff)
+            Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+              .forEach(f => Files.deleteIfExists(f))
+        }
+      } finally listing.close()
+    }
 
-    // bounded METADATA for always-on streams: prune commit records
-    // beyond the keep window too (one per micro-batch, forever,
-    // otherwise — making every maxTag/readDelta dir scan O(stream
-    // lifetime)). Their `#tag=` watermark is folded into the TAGFLOOR
-    // sidecar FIRST, so a replayed batch still skips its merge after
-    // the record that carried its tag is gone. Only the newest commit
-    // is ever read by snapshot/readDelta, so pruning older records
-    // cannot change what any reader resolves; liveness above was
-    // computed from the kept records only.
+    // bounded METADATA: prune commit records beyond the keep window.
+    // Only the kept records are ever resolved by snapshot/readDelta
+    // (the oldest kept one compacted to a checkpoint first on
+    // manifest roots), so pruning older records cannot change what
+    // any reader resolves; liveness above was computed from the kept
+    // records only.
     val stale = commits.drop(keep)
       .filter { case (_, p) =>
         Files.getLastModifiedTime(p).toMillis <= cutoff }
     if (stale.nonEmpty) {
+      if (manifestRoot) {
+        // compact the oldest kept record into a checkpoint so the
+        // kept window resolves without the records about to go. A
+        // reader racing this sees either the old delta (chain still
+        // present: deletes happen after) or the checkpoint — both
+        // reconstruct the same map; a reader that catches a record
+        // mid-delete retries through manifestSnapshot.
+        val (vK, pK) = kept.last
+        val contentK = Files.readString(pK).trim
+        if (isDeltaRecord(contentK)) {
+          val full = manifestAt(commits, vK)
+          val tagLines = contentK.linesIterator
+            .filter(_.startsWith("#tag=")).toSeq
+          val rec = (Seq("#manifest") ++ tagLines ++
+            full.toSeq.sortBy(_._1).map { case (p, d) => s"$p\t$d" })
+            .mkString("\n")
+          val tmp = commitsDir(root).resolve(s".ckpt-${UUID.randomUUID()}")
+          Files.writeString(tmp, rec)
+          Files.move(tmp, pK,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        }
+      }
       var floor = -1L
       stale.foreach { case (_, p) =>
-        Files.readString(p).linesIterator
+        try Files.readString(p).linesIterator
           .filter(_.startsWith("#tag="))
           .foreach(l => floor = math.max(floor, l.drop(5).trim.toLong))
+        catch { case _: NoSuchFileException => () }
       }
       if (floor >= 0) raiseTagFloor(root, floor)
       stale.foreach { case (_, p) => Files.deleteIfExists(p) }

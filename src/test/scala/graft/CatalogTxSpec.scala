@@ -314,4 +314,182 @@ class CatalogTxSpec extends SparkTestBase {
     TxLog.vacuum(root, keep = 2, graceMs = 0L)
     assert(TxLog.maxTag(root) == 12L)
   }
+
+  // ---- round-11: O(touched) commit RECORDS (delta log +
+  // checkpoints) and the round-10 ADVICE pins --------------------
+
+  private def recordFiles(root: String): Seq[(Long, java.nio.file.Path)] = {
+    val l = Files.list(java.nio.file.Paths.get(root, "_commits"))
+    try {
+      val b = scala.collection.mutable.ArrayBuffer
+        .empty[(Long, java.nio.file.Path)]
+      l.forEach { p =>
+        val n = p.getFileName.toString
+        if (n.startsWith("v")) b += ((n.drop(1).toLong, p))
+      }
+      b.sortBy(_._1).toSeq
+    } finally l.close()
+  }
+
+  test("commit records are O(touched): #delta records between periodic " +
+      "#manifest checkpoints, and the overlay chain resolves at every " +
+      "version") {
+    val root = Files.createTempDirectory("txreclog").toString
+    val seed = (0 until 200).map(i => PackageRow.minimal(
+      s"http://x/r$i.jar", "maven", s"r$i", Some("1.0")))
+    // v1: bulk (touches all 16 pids); v2..v7: one-key deltas;
+    // checkpointEvery=4 → v4 is a full checkpoint
+    TxLog.mergeCommitDelta(spark, root, incoming(seed: _*)(50), NOW,
+      emptyCatalog, partitions = 16, checkpointEvery = 4)
+    (1 to 6).foreach { j =>
+      TxLog.mergeCommitDelta(spark, root, incoming(
+        PackageRow.minimal(s"http://x/extra$j.jar", "maven", s"extra$j",
+          Some("1.0")))(50), NOW, emptyCatalog, partitions = 16,
+        checkpointEvery = 4)
+      // the reconstructed manifest stays full-width after every commit
+      assert(TxLog.manifestSnapshot(root)._2.size == 16)
+      assert(TxLog.readDelta(spark, root, emptyCatalog)._2.count()
+        == 200L + j)
+    }
+    val recs = recordFiles(root).toMap
+    def lines(v: Long): Seq[String] =
+      Files.readString(recs(v)).trim.linesIterator.toSeq
+    // a one-key commit's record is one header + ONE pid line — not
+    // one line per live partition (the O(partitions) metadata the
+    // round-10 verdict flagged at the 10⁵-partition sizing)
+    Seq(2L, 3L, 5L, 6L, 7L).foreach { v =>
+      assert(lines(v).head == "#delta", s"v$v: ${lines(v).head}")
+      assert(lines(v).count(_.contains('\t')) == 1,
+        s"v$v should name only its touched partition: ${lines(v)}")
+    }
+    // v4 is the periodic checkpoint: complete manifest, self-contained
+    assert(lines(4L).head == "#manifest")
+    assert(lines(4L).count(_.contains('\t')) == 16)
+  }
+
+  test("two interleaved delta writers resolve checkpoint+tail " +
+      "correctly across a checkpoint boundary") {
+    val root = Files.createTempDirectory("txinter").toString
+    val seed = (0 until 60).map(i => PackageRow.minimal(
+      s"http://x/w$i.jar", "maven", s"w$i", Some("1.0")))
+    TxLog.mergeCommitDelta(spark, root, incoming(seed: _*)(50), NOW,
+      emptyCatalog, partitions = 16, checkpointEvery = 3)
+    // writers A and B alternate one-key commits; versions cross two
+    // checkpoint boundaries (v3, v6); each read must overlay the
+    // delta tail onto the newest checkpoint at or below it
+    (0 until 6).foreach { j =>
+      val who = if (j % 2 == 0) "A" else "B"
+      TxLog.mergeCommitDelta(spark, root, incoming(
+        PackageRow.minimal(s"http://x/w$j.jar", "maven", s"w$j",
+          Some("2.0")).copy(description = Some(s"by-$who")))(60),
+        NOW, emptyCatalog, partitions = 16, checkpointEvery = 3)
+    }
+    val (v, cat) = TxLog.readDelta(spark, root, emptyCatalog)
+    assert(v == 7L && cat.count() == 60L)
+    // every writer's update is live at its final value
+    (0 until 6).foreach { j =>
+      val who = if (j % 2 == 0) "A" else "B"
+      assert(cat.filter($"download_url" === s"http://x/w$j.jar" &&
+        $"version" === "2.0" && $"description" === s"by-$who")
+        .count() == 1, s"w$j lost")
+    }
+    // and equals the serial whole-table oracle
+    val oracle = (0 until 6).foldLeft(
+      MergeEngine.mergePackages(emptyCatalog, incoming(seed: _*)(50),
+        NOW).packages) { (acc, j) =>
+      val who = if (j % 2 == 0) "A" else "B"
+      MergeEngine.mergePackages(acc, incoming(
+        PackageRow.minimal(s"http://x/w$j.jar", "maven", s"w$j",
+          Some("2.0")).copy(description = Some(s"by-$who")))(60),
+        NOW).packages
+    }
+    assert(canon(cat) == canon(oracle))
+  }
+
+  test("vacuum compacts the oldest kept delta record into a " +
+      "checkpoint before pruning the chain below it") {
+    val root = Files.createTempDirectory("txcompact").toString
+    (0 until 9).foreach { j =>
+      TxLog.mergeCommitDelta(spark, root, incoming(
+        PackageRow.minimal(s"http://x/c$j.jar", "maven", s"c$j",
+          Some("1.0")))(50), NOW, emptyCatalog, partitions = 16,
+        checkpointEvery = 0) // no periodic checkpoints: all #delta
+    }
+    assert(recordFiles(root).forall { case (_, p) =>
+      Files.readString(p).linesIterator.next() == "#delta" })
+    TxLog.vacuum(root, keep = 2, graceMs = 0L)
+    val kept = recordFiles(root)
+    assert(kept.map(_._1) == Seq(8L, 9L))
+    // v8 was rewritten in place as a self-contained checkpoint
+    assert(Files.readString(kept.head._2).linesIterator.next()
+      == "#manifest")
+    val (v, cat) = TxLog.readDelta(spark, root, emptyCatalog)
+    assert(v == 9L && cat.count() == 9L)
+  }
+
+  test("ADVICE r10: mixed commit formats throw instead of silently " +
+      "reading an empty table") {
+    // a delta (manifest) root refuses the whole-snapshot read path
+    val rootD = Files.createTempDirectory("txmixd").toString
+    TxLog.mergeCommitDelta(spark, rootD, incoming(
+      PackageRow.minimal("http://x/m1.jar", "maven", "m1",
+        Some("1.0")))(50), NOW, emptyCatalog)
+    intercept[IllegalStateException] { TxLog.snapshot(rootD) }
+    intercept[IllegalStateException] {
+      TxLog.mergeCommit(spark, rootD, incoming(
+        PackageRow.minimal("http://x/m2.jar", "maven", "m2",
+          Some("1.0")))(50), NOW, emptyCatalog)
+    }
+    // and a whole-snapshot root refuses the delta read path
+    val rootS = Files.createTempDirectory("txmixs").toString
+    TxLog.mergeCommit(spark, rootS, incoming(
+      PackageRow.minimal("http://x/m3.jar", "maven", "m3",
+        Some("1.0")))(50), NOW, emptyCatalog)
+    intercept[IllegalStateException] { TxLog.manifestSnapshot(rootS) }
+    intercept[IllegalStateException] {
+      TxLog.mergeCommitDelta(spark, rootS, incoming(
+        PackageRow.minimal("http://x/m4.jar", "maven", "m4",
+          Some("1.0")))(50), NOW, emptyCatalog)
+    }
+  }
+
+  test("ADVICE r10: the partition count is persisted at root creation " +
+      "and a mismatched later call throws") {
+    val root = Files.createTempDirectory("txparts").toString
+    TxLog.mergeCommitDelta(spark, root, incoming(
+      PackageRow.minimal("http://x/p1.jar", "maven", "p1",
+        Some("1.0")))(50), NOW, emptyCatalog, partitions = 16)
+    assert(Files.readString(java.nio.file.Paths.get(root, "_commits",
+      "PARTITIONS")).trim == "16")
+    intercept[IllegalArgumentException] {
+      TxLog.mergeCommitDelta(spark, root, incoming(
+        PackageRow.minimal("http://x/p2.jar", "maven", "p2",
+          Some("1.0")))(50), NOW, emptyCatalog, partitions = 32)
+    }
+    // the matching count still commits
+    assert(TxLog.mergeCommitDelta(spark, root, incoming(
+      PackageRow.minimal("http://x/p2.jar", "maven", "p2",
+        Some("1.0")))(50), NOW, emptyCatalog, partitions = 16) == 2L)
+  }
+
+  test("ADVICE r10: vacuum's grace keys off the DEEP tree mtime, not " +
+      "the top-level dir (partitionBy writes don't bump the parent)") {
+    val root = Files.createTempDirectory("txdeep").toString
+    TxLog.init(root)
+    TxLog.commit(root, 0L, "live")
+    Files.createDirectories(java.nio.file.Paths.get(root, "data", "live"))
+    // a staged partitioned write: top-level dir mtime is OLD (set
+    // before the task files land), but a task file deep under pid=0
+    // is FRESH — the in-flight writer the grace window must spare
+    val staged = java.nio.file.Paths.get(root, "data", "inflight")
+    Files.createDirectories(staged.resolve("pid=0"))
+    Files.writeString(staged.resolve("pid=0").resolve("part-0.parquet"),
+      "fresh-task-file")
+    val old = java.nio.file.attribute.FileTime.fromMillis(
+      System.currentTimeMillis() - 60L * 60 * 1000)
+    Files.setLastModifiedTime(staged, old)
+    TxLog.vacuum(root, keep = 1) // default 20-min grace
+    assert(Files.exists(staged),
+      "grace must see the newest file in the tree, not the dir mtime")
+  }
 }
