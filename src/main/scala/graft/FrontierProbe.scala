@@ -1,6 +1,6 @@
 package graft
 
-import java.nio.file.Files
+import java.nio.file.{Files, Path}
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions.lit
@@ -16,13 +16,28 @@ import graft.streaming.{Frontier, FrontierStream}
   * next index plus `fanout` leaf artifacts, so the frontier and the
   * delta catalog grow every cycle while the per-cycle work stays
   * batch-bounded. Reports per-batch wall with the growing state/
-  * catalog sizes; the O(delta) TxLog merge and the claim-bounded
-  * visit keep the trend flat, and the one O(state) term — the
-  * frontier state rewrite, the piece a 100 TB deployment hands to a
-  * transactional table format per the FrontierStream scaladoc — is
-  * measured separately so its share is on the record.
+  * catalog sizes, the BYTES the batch actually staged for the
+  * frontier state (`staged_MB`: the touched partitions only — the
+  * round-10 layout rewrote the whole frontier per batch, the loop's
+  * one O(state) term, closed by the round-11 partitioned manifests;
+  * flat staged bytes while the frontier grows is the contract), and
+  * the mapped-packages inbox directory count (`pkg_dirs`: bounded by
+  * the compaction cadence, not the stream lifetime).
   *
-  * Usage: sbt "runMain graft.FrontierProbe [nBatches] [fanout]"
+  * Usage: sbt "runMain graft.FrontierProbe [nBatches] [fanout]
+  * [statePartitions] [seedRows]" — statePartitions defaults to 2048,
+  * the deployment shape (partition count >> batch key spread; at the
+  * library default 64 a ~340-key batch touches every partition and
+  * the write degenerates to a partitioned full rewrite). A batch's
+  * staged bytes are touched_partitions × partition_size, so FLAT
+  * staged bytes against a GROWING frontier additionally need the
+  * sized-partition policy (partitions ≈ state_rows / target_rows,
+  * fixed at root creation — the same rule TxProbe demonstrates for
+  * the catalog): pass seedRows > 0 to bulk-seed an N-row frontier in
+  * batch 0 and measure steady-state tick batches; running the pair
+  * (seedRows=20000, P=640) vs (seedRows=200000, P=6400) shows
+  * per-batch staged bytes CONSTANT across a 10× frontier (table in
+  * BASELINE.md) where the round-10 full rewrite paid 10×.
   */
 object FrontierProbe {
   /** The visitor captures `fanout` BY VALUE — closure-serializable to
@@ -39,9 +54,31 @@ object FrontierProbe {
     }
   }
 
+  private def dirBytes(p: Path): Long = {
+    if (!Files.exists(p)) return 0L
+    val s = Files.walk(p)
+    try {
+      var bytes = 0L
+      s.forEach(f => if (Files.isRegularFile(f)) bytes += Files.size(f))
+      bytes
+    } finally s.close()
+  }
+
+  private def subdirs(p: Path): Set[String] = {
+    if (!Files.exists(p)) return Set.empty
+    val l = Files.list(p)
+    try {
+      val b = scala.collection.mutable.Set.empty[String]
+      l.forEach(f => b += f.getFileName.toString)
+      b.toSet
+    } finally l.close()
+  }
+
   def main(args: Array[String]): Unit = {
     val nBatches = args.headOption.map(_.toInt).getOrElse(60)
     val fanout = args.lift(1).map(_.toInt).getOrElse(100)
+    val stateParts = args.lift(2).map(_.toInt).getOrElse(2048)
+    val seedRows = args.lift(3).map(_.toInt).getOrElse(0)
     val visitor = mkVisitor(fanout)
     val spark = SparkSession.builder()
       .master("local[32]")
@@ -66,8 +103,8 @@ object FrontierProbe {
         }
         .toDF().withColumn("visit_level", lit(50)),
       () => emptyCatalog,
-      // always-on retention: vacuum rides the loop (probe owns the
-      // root exclusively, so the grace window is waived)
+      // always-on retention: vacuum + inbox compaction ride the loop
+      // (probe owns the root exclusively, so the grace is waived)
       vacuumEvery = 8, vacuumGraceMs = 0L)
     val mapper: String => Seq[String] = uri => Seq("pkg::" + uri)
 
@@ -81,34 +118,38 @@ object FrontierProbe {
         n
       } finally l.close()
     }
+    val sdata = java.nio.file.Paths.get(stateRoot, "sdata")
     println(f"${"batch"}%6s ${"wall_s"}%7s ${"frontier"}%9s " +
       f"${"catalog"}%8s ${"commits"}%8s ${"data_dirs"}%10s " +
-      f"${"state_write_s"}%14s")
+      f"${"staged_MB"}%10s ${"pkg_dirs"}%9s")
     var b = 0L
     while (b < nBatches) {
       val seedBatch =
-        (if (b == 0L) Seq("https://reg.example/page-0/index")
+        (if (b == 0L)
+          ("https://reg.example/page-0/index" +:
+            (0 until seedRows).map(i => s"https://bulk.example/art-$i"))
          else Seq("tick")).toDF("value")
+      val before = subdirs(sdata)
       val t0 = System.nanoTime()
       FrontierStream.processBatch(spark, seedBatch, b, stateRoot,
         visitor, batchSize = fanout + 20, mapper = Some(mapper),
-        catalog = Some(sink))
+        catalog = Some(sink), statePartitions = stateParts)
       val wall = (System.nanoTime() - t0) / 1e9
       if (b % 10 == 0 || b == nBatches - 1) {
+        // the batch's staged state bytes: its newly-written sdata dirs
+        // (retention leaves only live dirs; the new one is live)
+        val staged = (subdirs(sdata) -- before)
+          .map(d => dirBytes(sdata.resolve(d))).sum
         val frontier = FrontierStream.currentFrontier(spark, stateRoot)
         val nF = frontier.count()
         val nC = graft.catalog.TxLog
           .readDelta(spark, catRoot, emptyCatalog)._2.count()
-        // isolate the O(state) term: one extra write of the current
-        // frontier, the piece a table format absorbs at 100 TB
-        val t1 = System.nanoTime()
-        frontier.write.mode("overwrite")
-          .parquet(s"$stateRoot/probe-rewrite")
-        val sw = (System.nanoTime() - t1) / 1e9
         val nCommits = countIn(s"$catRoot/_commits", _.startsWith("v"))
         val nDirs = countIn(s"$catRoot/data", _ => true)
+        val nPkg = countIn(s"$stateRoot/packages", _ => true) +
+          countIn(s"$stateRoot/pkgdata", _ => true)
         println(f"$b%6d $wall%7.2f $nF%9d $nC%8d $nCommits%8d " +
-          f"$nDirs%10d $sw%14.2f")
+          f"$nDirs%10d ${staged / 1e6}%10.2f $nPkg%9d")
       }
       b += 1
     }

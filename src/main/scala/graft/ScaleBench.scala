@@ -276,6 +276,11 @@ object ScaleBench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // SPARK_GRAFT_KNN_LEVELS=3 engages the depth-L ANN hierarchy for
+    // the scale points (same knob as KnnProbe; the auto default picks
+    // depth from the centroid count — k=781 at 100x stays L=2)
+    sys.env.get("SPARK_GRAFT_KNN_LEVELS")
+      .foreach(v => spark.conf.set("spark.graft.ann.levels", v))
     val listener = new ShuffleListener
     spark.sparkContext.addSparkListener(listener)
 

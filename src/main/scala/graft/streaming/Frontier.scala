@@ -174,35 +174,53 @@ object Frontier {
       .orderBy(desc("priority"), desc("uri"))
       .limit(batchSize)
 
-  /** One visit micro-cycle: claim → visit (executor-side, politeness
-    * per host) → insert yielded URIs absent from the frontier (J12
-    * anti-join on canonical among never-visited rows) → mark visited.
-    * Returns the next frontier state.
-    */
-  def visitCycle(spark: SparkSession, frontier: DataFrame, visitor: Visitor,
-      now: Timestamp, batchSize: Int = 10,
-      hostDelayMs: Long = 0L): DataFrame = {
+  /** Executor-JVM-global last-hit clock per host, so the politeness
+    * delay holds ACROSS micro-batches and across co-resident streams —
+    * not just within one batch's partition (the reference sleeps
+    * ≥1 s per host in its forever-loop process,
+    * `run_visit.py:385-405`, which likewise persists across queue
+    * polls). [[expandClaims]]' repartition(host) keeps a host on one
+    * partition per batch, so within a batch the delay is exact; on a
+    * multi-executor cluster each executor JVM throttles independently
+    * — the same worst-case as the reference scaling out its visit
+    * workers. */
+  private[graft] val hostLastHit =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
+  /** Visitor expansion of a claimed batch: fetch/expand on executors,
+    * per-host politeness inside the partition AND across batches via
+    * [[hostLastHit]]. Returns (parent, uri) child rows. */
+  def expandClaims(spark: SparkSession, claimed: DataFrame,
+      visitor: Visitor, hostDelayMs: Long = 0L): DataFrame = {
     import spark.implicits._
-
-    val claimed = claim(frontier, now, batchSize).cache()
-
-    // fetch/expand on executors; per-host politeness inside the partition
     val yielded: Dataset[(String, String)] = claimed
       .select("uri", "host").as[(String, String)]
       .repartition(col("host")) // one host never spans partitions → delay holds
       .mapPartitions { it =>
-        val lastHit = scala.collection.mutable.Map.empty[String, Long]
         it.flatMap { case (uri, host) =>
           if (hostDelayMs > 0) {
-            val since = System.currentTimeMillis() - lastHit.getOrElse(host, 0L)
+            val last = Option(hostLastHit.get(host))
+              .map(_.longValue()).getOrElse(0L)
+            val since = System.currentTimeMillis() - last
             if (since < hostDelayMs) Thread.sleep(hostDelayMs - since)
-            lastHit(host) = System.currentTimeMillis()
+            hostLastHit.put(host, System.currentTimeMillis())
           }
           visitor(uri).map(child => (uri, child))
         }
       }
+    yielded.toDF("parent", "uri")
+  }
 
-    val newUris = yielded.toDF("parent", "uri")
+  /** Insert-if-absent of visitor-yielded children: shape (parent, uri)
+    * rows into frontier rows and anti-join on canonical among the
+    * PENDING rows of `frontier` — unique (canonical,
+    * last_visit_date=NULL), minecode/models.py:182-191,450. The
+    * anti-join side only needs the partitions the candidates hash
+    * into (canonical is the state partition key), which is what lets
+    * [[FrontierStream.processBatch]] run this against the touched
+    * subset instead of the whole frontier. */
+  def insertNewUris(frontier: DataFrame, yielded: DataFrame): DataFrame =
+    yielded
       .select(col("uri"))
       .distinct()
       .withColumn("canonical", lower(col("uri")))
@@ -212,15 +230,17 @@ object Frontier {
       .withColumn("last_map_date", lit(null).cast("timestamp"))
       .withColumn("wip_date", lit(null).cast("timestamp"))
       .withColumn("visit_error", lit(null).cast("string"))
-      // insert-if-absent among pending rows: unique (canonical,
-      // last_visit_date=NULL) — minecode/models.py:182-191,450
       .join(frontier.filter(col("last_visit_date").isNull)
           .select(col("canonical").as("existing_canonical")),
         col("canonical") === col("existing_canonical"), "left_anti")
 
-    // mark claimed rows visited via a broadcast join, not a collected
-    // IN-list — batch sizes are small but the plan must stay fully
-    // distributed regardless
+  /** Mark the claimed rows visited via a broadcast join, not a
+    * collected IN-list — batch sizes are small but the plan must stay
+    * fully distributed regardless. Join key is uri; rows sharing a
+    * uri share canonical = lower(uri), so the update touches only the
+    * claimed rows' state partitions. */
+  def markVisited(frontier: DataFrame, claimed: DataFrame,
+      now: Timestamp): DataFrame =
     frontier
       .join(broadcast(claimed.select(col("uri").as("claimed_uri"))),
         col("uri") === col("claimed_uri"), "left")
@@ -228,7 +248,19 @@ object Frontier {
         when(col("claimed_uri").isNotNull, lit(now))
           .otherwise(col("last_visit_date")))
       .drop("claimed_uri")
-      .unionByName(newUris)
+
+  /** One visit micro-cycle: claim → visit (executor-side, politeness
+    * per host) → insert yielded URIs absent from the frontier (J12
+    * anti-join on canonical among never-visited rows) → mark visited.
+    * Returns the next frontier state.
+    */
+  def visitCycle(spark: SparkSession, frontier: DataFrame, visitor: Visitor,
+      now: Timestamp, batchSize: Int = 10,
+      hostDelayMs: Long = 0L): DataFrame = {
+    val claimed = claim(frontier, now, batchSize).cache()
+    val yielded = expandClaims(spark, claimed, visitor, hostDelayMs)
+    markVisited(frontier, claimed, now)
+      .unionByName(insertNewUris(frontier, yielded))
   }
 
   /** `get_status` (`minecode/management/commands/get_status.py`):
@@ -381,26 +413,39 @@ object Frontier {
           lit(null).cast("timestamp")).otherwise(col("last_map_date")))
   }
 
-  /** Map micro-cycle: top-N mappables by -priority → mapper flatMap
-    * (X2) → mark mapped. Returns (next frontier, mapped package rows).
-    */
-  def mapCycle(spark: SparkSession, frontier: DataFrame,
-      mapper: String => Seq[String], now: Timestamp,
-      batchSize: Int = 10): (DataFrame, DataFrame) = {
-    import spark.implicits._
-    val batch = mappables(frontier)
+  /** The map loop's claim: top-N mappables by (-priority, -uri). */
+  def selectMapBatch(frontier: DataFrame, batchSize: Int): DataFrame =
+    mappables(frontier)
       .orderBy(desc("priority"), desc("uri"))
-      .limit(batchSize).cache()
-    val packages = batch.select("uri").as[String]
+      .limit(batchSize)
+
+  /** Run the mapper over a claimed map batch (X2 flatMap shape). */
+  def mapPackages(spark: SparkSession, batch: DataFrame,
+      mapper: String => Seq[String]): DataFrame = {
+    import spark.implicits._
+    batch.select("uri").as[String]
       .flatMap(u => mapper(u).map(p => (u, p)))
       .toDF("uri", "package_data")
-    val next = frontier
+  }
+
+  /** Mark the map batch's rows mapped (broadcast join on uri). */
+  def markMapped(frontier: DataFrame, batch: DataFrame,
+      now: Timestamp): DataFrame =
+    frontier
       .join(broadcast(batch.select(col("uri").as("mapped_uri"))),
         col("uri") === col("mapped_uri"), "left")
       .withColumn("last_map_date",
         when(col("mapped_uri").isNotNull, lit(now))
           .otherwise(col("last_map_date")))
       .drop("mapped_uri")
-    (next, packages)
+
+  /** Map micro-cycle: top-N mappables by -priority → mapper flatMap
+    * (X2) → mark mapped. Returns (next frontier, mapped package rows).
+    */
+  def mapCycle(spark: SparkSession, frontier: DataFrame,
+      mapper: String => Seq[String], now: Timestamp,
+      batchSize: Int = 10): (DataFrame, DataFrame) = {
+    val batch = selectMapBatch(frontier, batchSize).cache()
+    (markMapped(frontier, batch, now), mapPackages(spark, batch, mapper))
   }
 }

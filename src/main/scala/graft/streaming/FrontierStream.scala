@@ -2,28 +2,37 @@ package graft.streaming
 
 import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 import java.sql.Timestamp
+import java.util.UUID
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
 
 /** ST1 as an actual Structured Streaming job — the reference's
   * always-on visit loop (`run_visit.py:143-227`: poll queue → claim →
   * visit → insert children → mark visited, forever) expressed as
-  * `readStream` over a seed/tick inbox driving [[Frontier.visitCycle]]
-  * through `foreachBatch`, with the frontier state table versioned in
-  * parquet behind an atomically-swapped commit pointer.
+  * `readStream` over a seed/tick inbox driving the claim/visit/map
+  * cycle through `foreachBatch`, with the frontier state as a
+  * HASH-PARTITIONED parquet table behind per-batch manifests and an
+  * atomically-swapped commit pointer.
   *
   * Exactly-once across crash/restart WITHOUT a transactional table
   * format, from three ingredients:
   *
-  *  1. **Versioned state + commit pointer.** Each micro-batch writes
-  *     the next frontier to `state/v=<batchId>` and only then
-  *     atomically moves `COMMIT.tmp` → `COMMIT` (the pointer). A crash
-  *     after the state write but before the pointer swap leaves the
-  *     previous version live; the replayed batch overwrites
-  *     `v=<batchId>` and swaps again. Readers only ever see a
-  *     committed version.
+  *  1. **Partitioned state + manifests + commit pointer.** The
+  *     frontier is hash-partitioned on `canonical` into
+  *     [[StatePartitions]] fixed partitions under immutable
+  *     `sdata/<uuid>/spid=N` dirs. Each micro-batch rewrites ONLY the
+  *     partitions its claims/inserts/marks touch — a batch's staged
+  *     bytes are O(delta), never O(state); the round-10 layout
+  *     rewrote the ENTIRE frontier per batch, the loop's one O(state)
+  *     term (FrontierProbe measures the difference) — writes the
+  *     batch's full pid → path manifest to `sv=<batchId>`, and only
+  *     then atomically moves `COMMIT.tmp` → `COMMIT` (the pointer).
+  *     A crash after the state write but before the pointer swap
+  *     leaves the previous version live; the replayed batch stages a
+  *     fresh dir, overwrites `sv=<batchId>`, and swaps again. Readers
+  *     only ever resolve a committed manifest.
   *  2. **Replay skip.** Structured Streaming re-delivers the failed
   *     batch from its WAL on restart; a batchId at or below the commit
   *     pointer has already been fully applied, so the batch is a
@@ -35,12 +44,59 @@ import org.apache.spark.sql.streaming.StreamingQuery
   *     holds bit-for-bit across a mid-batch kill (proven in
   *     FrontierStreamSpec against an uninterrupted twin run).
   *
-  * At 100 TB the state table is a partitioned parquet (or Delta)
-  * table and the pointer swap is the table-format commit; the
-  * micro-batch body is unchanged — claim/visit/insert are the same
-  * distributed plans audited in st_frontier_sim.
+  * Why the touched-partition recompute is exact: every per-batch
+  * mutation is keyed by `canonical = lower(uri)` — the state
+  * partition key — so a row's update and every row it can collide
+  * with (the insert-if-absent anti-join, the seed revisit checks, the
+  * visited/mapped marks on duplicate-uri rows) live in the SAME
+  * partition. Re-running the cycle against only the touched
+  * partitions therefore yields exactly `nextState.filter(pid ∈
+  * touched)`, and the untouched partitions re-link verbatim — the
+  * same per-partition manifest shape proven for the catalog in
+  * `TxLog.mergeCommitDelta`. The batch's claim/map-batch SELECTION
+  * still reads the full frontier (a global priority queue is a global
+  * read — the reference pays an indexed ORDER BY over the whole queue
+  * table per poll, `minecode/models.py:272`); at 100 TB that read is
+  * a columnar scan of three small columns, and the write — the part
+  * that multiplies per micro-batch — stays O(delta).
   */
 object FrontierStream {
+
+  /** Default hash-partition count of the frontier state. The write
+    * is O(delta) only while a batch's key spread stays well BELOW the
+    * partition count (touched ≈ distinct keys; at or above it every
+    * partition is rewritten and the commit degenerates to a
+    * partitioned full rewrite) — so a deployment sizes it like
+    * `TxLog.DefaultPartitions`: partitions ≈ max(state_bytes /
+    * target_file_bytes, ~10 × batch key spread), fixed once at root
+    * creation (manifests re-link old partition dirs; the count is
+    * persisted in a `SPARTS` sidecar and asserted per batch). At 10⁹
+    * frontier URIs and 120-key batches that is ~10⁴-10⁵ partitions;
+    * FrontierProbe demonstrates flat staged bytes at 2048. */
+  val StatePartitions = 64
+
+  /** The state partition key: hash of `canonical` (= lower(uri) —
+    * the frontier's dedup identity). */
+  private def spidOf(canonical: Column, partitions: Int): Column =
+    pmod(xxhash64(canonical), lit(partitions.toLong)).cast("int")
+
+  /** Persist-or-assert the state root's fixed partition count (same
+    * contract as TxLog's PARTITIONS sidecar). */
+  private def assertStateParts(stateRoot: String, partitions: Int): Unit = {
+    val f = Paths.get(stateRoot, "SPARTS")
+    if (!Files.exists(f)) {
+      val tmp = Paths.get(stateRoot, s".sparts-${UUID.randomUUID()}")
+      Files.writeString(tmp, partitions.toString)
+      try Files.createLink(f, tmp)
+      catch { case _: java.nio.file.FileAlreadyExistsException => () }
+      finally Files.deleteIfExists(tmp)
+    }
+    val fixed = Files.readString(f).trim.toInt
+    require(fixed == partitions,
+      s"frontier state root $stateRoot was created with $fixed " +
+        s"partitions; got $partitions — the count is fixed at root " +
+        "creation (manifests re-link old partition dirs)")
+  }
 
   /** Where a streaming run lands its mapped packages: a TxLog delta
     * catalog root plus the projection from the map loop's raw
@@ -60,10 +116,13 @@ object FrontierStream {
       // Retention cadence for an ALWAYS-ON stream: every N batches,
       // vacuum the sink (superseded data dirs AND old commit records
       // — one lands per micro-batch, so an unvacuumed stream's
-      // maxTag/readDelta scans grow with its lifetime). 0 = off
-      // (operator-scheduled vacuum). The stream owns its sink root,
-      // so the single-vacuumer contract holds by construction;
-      // vacuumGraceMs > 0 still protects interleaved ad-hoc writers.
+      // maxTag/readDelta scans grow with its lifetime) and compact
+      // the mapped-packages inbox (one hive partition lands per
+      // batch; unpruned, packages() lists one directory per batch
+      // forever). 0 = off (operator-scheduled vacuum). The stream
+      // owns its sink root, so the single-vacuumer contract holds by
+      // construction; vacuumGraceMs > 0 still protects interleaved
+      // ad-hoc writers.
       vacuumEvery: Int = 0,
       vacuumGraceMs: Long = 20L * 60 * 1000)
 
@@ -82,14 +141,54 @@ object FrontierStream {
     if (Files.exists(f)) Files.readString(f).trim.toLong else -1L
   }
 
+  private def emptyState(spark: SparkSession): DataFrame =
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType.fromDDL(stateDdl))
+
+  /** The per-batch state manifest: `pid<TAB>uuid/spid=N` lines (full
+    * map — the frontier's partition count is the small fixed
+    * [[StatePartitions]]; a 10⁵-partition deployment applies the
+    * delta-record + checkpoint shape TxLog uses for the catalog). */
+  private def manifestFile(stateRoot: String, batchId: Long): Path =
+    Paths.get(stateRoot, s"sv=$batchId")
+
+  private def readManifest(stateRoot: String, batchId: Long)
+      : Map[Int, String] = {
+    val f = manifestFile(stateRoot, batchId)
+    if (!Files.exists(f)) Map.empty
+    else Files.readString(f).linesIterator.filter(_.contains('\t'))
+      .map { line =>
+        val Array(pid, path) = line.split('\t')
+        pid.toInt -> path
+      }.toMap
+  }
+
+  private def writeManifest(stateRoot: String, batchId: Long,
+      m: Map[Int, String]): Unit = {
+    val tmp = Paths.get(stateRoot, s".sv-${UUID.randomUUID()}")
+    Files.writeString(tmp,
+      m.toSeq.sortBy(_._1).map { case (p, d) => s"$p\t$d" }
+        .mkString("\n"))
+    Files.move(tmp, manifestFile(stateRoot, batchId),
+      StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  private def partitionPaths(stateRoot: String, m: Map[Int, String],
+      pids: Seq[Int]): Seq[String] =
+    pids.flatMap(m.get).sorted.map(p => s"$stateRoot/sdata/$p")
+
   /** The committed frontier state (empty frame before first commit). */
   def currentFrontier(spark: SparkSession, stateRoot: String): DataFrame = {
     val v = committedBatch(stateRoot)
-    if (v < 0)
-      spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        org.apache.spark.sql.types.StructType.fromDDL(stateDdl))
-    else spark.read.parquet(s"$stateRoot/v=$v")
+    if (v < 0) emptyState(spark)
+    else {
+      val m = readManifest(stateRoot, v)
+      if (m.isEmpty) emptyState(spark)
+      else spark.read.schema(
+          org.apache.spark.sql.types.StructType.fromDDL(stateDdl))
+        .parquet(m.values.toSeq.sorted.map(p => s"$stateRoot/sdata/$p"): _*)
+    }
   }
 
   /** Deterministic micro-batch timestamp: a fixed epoch plus one hour
@@ -99,35 +198,127 @@ object FrontierStream {
   def batchTime(batchId: Long): Timestamp =
     new Timestamp(1767225600000L + batchId * 3600L * 1000L) // 2026-01-01 UTC
 
-  /** Committed mapped-package rows (uri, package_data, b): the map
-    * loop's output, one hive partition per micro-batch, filtered to
-    * batches at or below the commit pointer so a crashed batch's
-    * half-written partition is invisible until its replay commits. */
-  def packages(spark: SparkSession, stateRoot: String): DataFrame = {
+  // ---- mapped-packages inbox -------------------------------------
+
+  /** Compaction pointer for the mapped-packages inbox:
+    * `<uuid>\t<uptoBatch>` — rows of batches ≤ upto live consolidated
+    * in `pkgdata/<uuid>`, batches > upto in their per-batch
+    * `packages/b=N` hive partitions. */
+  private def pkgBase(stateRoot: String): Option[(String, Long)] = {
+    val f = Paths.get(stateRoot, "PKGBASE")
+    if (!Files.exists(f)) None
+    else {
+      val Array(u, b) = Files.readString(f).trim.split('\t')
+      Some((u, b.toLong))
+    }
+  }
+
+  private def livePkgDirs(stateRoot: String, above: Long): Seq[(Long, Path)] = {
     val p = Paths.get(stateRoot, "packages")
-    if (!Files.exists(p))
+    if (!Files.exists(p)) return Seq.empty
+    val l = Files.list(p)
+    try {
+      val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Path)]
+      l.forEach { d =>
+        val n = d.getFileName.toString
+        if (n.startsWith("b=")) {
+          val b = n.drop(2).toLong
+          if (b > above) buf += ((b, d))
+        }
+      }
+      buf.sortBy(_._1).toSeq
+    } finally l.close()
+  }
+
+  /** Committed mapped-package rows (uri, package_data, b): the map
+    * loop's output — the compacted base (batches ≤ the PKGBASE
+    * watermark) plus one hive partition per later micro-batch,
+    * filtered to batches at or below the commit pointer so a crashed
+    * batch's half-written partition is invisible until its replay
+    * commits. */
+  def packages(spark: SparkSession, stateRoot: String): DataFrame = {
+    val committed = committedBatch(stateRoot)
+    val base = pkgBase(stateRoot)
+    val upto = base.map(_._2).getOrElse(-1L)
+    val live = livePkgDirs(stateRoot, upto)
+    val legs = base.map { case (u, _) =>
+      spark.read.parquet(s"$stateRoot/pkgdata/$u")
+    }.toSeq ++ (
+      if (live.isEmpty) Seq.empty
+      // explicit schema: an all-empty partition set (a batch that
+      // mapped nothing) must not fail inference
+      else Seq(spark.read
+        .schema(org.apache.spark.sql.types.StructType.fromDDL(
+          "uri STRING, package_data STRING, b BIGINT"))
+        .option("basePath", s"$stateRoot/packages")
+        .parquet(live.map(_._2.toString): _*)))
+    val all = legs.map(_.select(col("uri"), col("package_data"),
+      col("b").cast("long").as("b")))
+    if (all.isEmpty)
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         org.apache.spark.sql.types.StructType.fromDDL(
           "uri STRING, package_data STRING, b BIGINT"))
-    else spark.read.parquet(p.toString)
-      .filter(org.apache.spark.sql.functions.col("b") <=
-        committedBatch(stateRoot))
+    else all.reduce(_.unionByName(_)).filter(col("b") <= committed)
   }
 
-  /** Apply one micro-batch: seeds in, one visit cycle — and, when a
-    * `mapper` is supplied, one map cycle over the post-visit frontier
-    * (the reference runs run_visit and run_map as a worker PAIR;
-    * riding both on one micro-batch keeps a single commit point) —
-    * state committed. `preCommitHook` runs between the state write
+  /** Bound the inbox: consolidate every COMMITTED `packages/b=N`
+    * partition into one `pkgdata/<uuid>` dir, atomically swap the
+    * PKGBASE pointer, then drop the folded partitions and superseded
+    * bases — [[packages]] returns the identical rows before and after
+    * (FrontierStreamSpec), and an always-on stream holds a BOUNDED
+    * directory count instead of one per batch forever (round-10
+    * verdict item 2; the TAGFLOOR treatment for inbox data). A crash
+    * anywhere here is safe: before the pointer swap the new base is
+    * an unreferenced orphan (reaped by the next compaction); after
+    * it, the stale partitions are invisible (`b > upto` filter) until
+    * the next compaction deletes them. */
+  def compactPackages(spark: SparkSession, stateRoot: String): Unit = {
+    val upTo = committedBatch(stateRoot)
+    if (upTo < 0) return
+    val base = pkgBase(stateRoot)
+    val prevUpto = base.map(_._2).getOrElse(-1L)
+    val toFold = livePkgDirs(stateRoot, prevUpto).filter(_._1 <= upTo)
+    if (toFold.isEmpty) return // nothing new below the pointer
+    val rows = packages(spark, stateRoot) // committed view, b ≤ upTo
+    val uuid = UUID.randomUUID().toString
+    rows.write.parquet(s"$stateRoot/pkgdata/$uuid")
+    val tmp = Paths.get(stateRoot, s".pkgbase-${UUID.randomUUID()}")
+    Files.writeString(tmp, s"$uuid\t$upTo")
+    Files.move(tmp, Paths.get(stateRoot, "PKGBASE"),
+      StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
+    // folded partitions and superseded/orphaned bases are now
+    // unreferenced — drop them
+    toFold.foreach { case (_, d) => deleteTree(d) }
+    val pkgRoot = Paths.get(stateRoot, "pkgdata")
+    val l = Files.list(pkgRoot)
+    try l.forEach { d =>
+      if (d.getFileName.toString != uuid) deleteTree(d)
+    } finally l.close()
+  }
+
+  private def deleteTree(p: Path): Unit =
+    if (Files.exists(p))
+      Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => Files.deleteIfExists(f))
+
+  /** Apply one micro-batch: seeds in, one claim → visit → insert
+    * cycle — and, when a `mapper` is supplied, one map cycle (the
+    * reference runs run_visit and run_map as a worker PAIR; riding
+    * both on one micro-batch keeps a single commit point) — state
+    * committed O(delta). `preCommitHook` runs between the state write
     * and the pointer swap (test seam for the crash-mid-batch proof). */
   def processBatch(spark: SparkSession, seedBatch: DataFrame, batchId: Long,
       stateRoot: String, visitor: Frontier.Visitor, batchSize: Int,
       preCommitHook: Long => Unit = _ => (),
       mapper: Option[String => Seq[String]] = None,
-      catalog: Option[CatalogSink] = None): Unit = {
+      catalog: Option[CatalogSink] = None,
+      hostDelayMs: Long = 0L,
+      statePartitions: Int = StatePartitions): Unit = {
     val last = committedBatch(stateRoot)
     if (batchId <= last) return // replayed, already applied — skip
+    Files.createDirectories(Paths.get(stateRoot))
+    assertStateParts(stateRoot, statePartitions)
     val now = batchTime(batchId)
 
     // the seed inbox is control-plane, not data-plane: a micro-batch
@@ -139,23 +330,62 @@ object FrontierStream {
       .map(_.getString(0).trim).filter(u => u.nonEmpty && u != "tick")
       .toSeq.distinct
 
+    val manifest = if (last < 0) Map.empty[Int, String]
+      else readManifest(stateRoot, last)
     val frontier = currentFrontier(spark, stateRoot)
-    val seeded =
-      if (seeds.isEmpty) frontier
+
+    def seedInto(f: DataFrame): DataFrame =
+      if (seeds.isEmpty) f
       else Frontier
-        .insertSeedUris(Frontier.withRoutability(frontier), seeds, now)
+        .insertSeedUris(Frontier.withRoutability(f), seeds, now)
         .drop("is_visitable", "is_mappable")
-    // visitCycle caches its claimed batch; an always-on job must
-    // release that per-batch cache once the state write materializes
-    // it, or block-manager state grows without bound over thousands of
-    // cycles. The before/after diff releases only THIS batch's blocks.
+
+    // SELECTION over the full frontier (the global priority queue);
+    // the claimed/yielded/map-batch frames are all batch-bounded.
+    // visitCycle-equivalent pieces run explicitly so the same small
+    // claimed/yielded frames drive both the touched-partition probe
+    // and the restricted recompute below.
     val cachedBefore = spark.sparkContext.getPersistentRDDs.keySet
-    val afterVisit =
-      Frontier.visitCycle(spark, seeded, visitor, now, batchSize)
-    val next = mapper match {
-      case Some(m) =>
-        val (mapped, pkgs) =
-          Frontier.mapCycle(spark, afterVisit, m, now, batchSize)
+    val seededFull = seedInto(frontier)
+    val claimed = Frontier.claim(seededFull, now, batchSize).cache()
+    val yielded =
+      Frontier.expandClaims(spark, claimed, visitor, hostDelayMs).cache()
+    val mapBatch = mapper.map { _ =>
+      // mappables excludes never-visited rows, so the selection over
+      // the marked frontier equals the old full-cycle selection
+      Frontier.selectMapBatch(
+        Frontier.markVisited(seededFull, claimed, now), batchSize).cache()
+    }
+
+    // touched partitions: every canonical this batch writes —
+    // seeds (insert/revisit), claimed rows (visited mark), visitor
+    // children (insert-if-absent), map batch (mapped mark). Bounded
+    // by batchSize × fanout, never corpus size.
+    val spark2 = spark
+    import spark2.implicits._
+    val touchedCanon = seeds.toDF("uri").select(lower(col("uri")).as("c"))
+      .unionByName(claimed.select(col("canonical").as("c")))
+      .unionByName(yielded.select(lower(col("uri")).as("c")))
+      .unionByName(mapBatch.map(_.select(col("canonical").as("c")))
+        .getOrElse(spark.emptyDataset[String].toDF("c")))
+    val touched = touchedCanon
+      .select(spidOf(col("c"), statePartitions).as("p"))
+      .distinct().collect().map(_.getInt(0)).sorted.toSeq
+
+    // restricted recompute: the SAME cycle against only the touched
+    // partitions (exactness argued in the object scaladoc)
+    val touchedPaths = partitionPaths(stateRoot, manifest, touched)
+    val oldTouched =
+      if (touchedPaths.isEmpty) emptyState(spark)
+      else spark.read.schema(
+          org.apache.spark.sql.types.StructType.fromDDL(stateDdl))
+        .parquet(touchedPaths: _*)
+    val subSeeded = seedInto(oldTouched)
+    val afterVisit = Frontier.markVisited(subSeeded, claimed, now)
+      .unionByName(Frontier.insertNewUris(subSeeded, yielded))
+    val next = (mapper, mapBatch) match {
+      case (Some(m), Some(batch)) =>
+        val pkgs = Frontier.mapPackages(spark, batch, m)
         // batch-keyed overwrite = replay-idempotent; invisible to
         // readers until the commit pointer covers this batch
         pkgs.write.mode("overwrite")
@@ -177,15 +407,26 @@ object FrontierStream {
               incoming, now.toInstant.toString, sink.empty(),
               sink.partitions, tag = Some(batchId))
           }
-          if (sink.vacuumEvery > 0 && batchId % sink.vacuumEvery == 0)
+          if (sink.vacuumEvery > 0 && batchId % sink.vacuumEvery == 0) {
             graft.catalog.TxLog.vacuum(sink.root, keep = 2,
               graceMs = sink.vacuumGraceMs)
+            compactPackages(spark, stateRoot)
+          }
         }
-        mapped
-      case None => afterVisit
+        Frontier.markMapped(afterVisit, batch, now)
+      case _ => afterVisit
     }
 
-    next.write.mode("overwrite").parquet(s"$stateRoot/v=$batchId")
+    // stage ONLY the touched partitions to an immutable dir; the
+    // manifest re-links every untouched partition from the previous
+    // batch's manifest — the O(delta) write
+    val dirName = UUID.randomUUID().toString
+    next.withColumn("spid", spidOf(col("canonical"), statePartitions))
+      .write.partitionBy("spid").parquet(s"$stateRoot/sdata/$dirName")
+    val nextManifest =
+      manifest ++ touched.map(p => p -> s"$dirName/spid=$p")
+    writeManifest(stateRoot, batchId, nextManifest)
+
     spark.sparkContext.getPersistentRDDs
       .filter { case (id, _) => !cachedBefore.contains(id) }
       .values.foreach(_.unpersist(false))
@@ -194,22 +435,36 @@ object FrontierStream {
     Files.writeString(tmp, batchId.toString)
     Files.move(tmp, commitFile(stateRoot),
       StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
-    // retention: the newly-superseded version is no longer readable
-    // through the pointer; keep only the committed one plus its
-    // predecessor (crash-window safety margin)
-    val stale = Files.list(Paths.get(stateRoot))
+
+    // retention: keep the committed manifest plus its predecessor
+    // (crash-window safety margin), drop older manifests and any
+    // sdata dir referenced by neither — superseded partition files
+    // and crashed replays' orphaned staging
+    val keepManifests = Set(batchId, last).filter(_ >= 0)
+    val liveDirs = keepManifests
+      .flatMap(v => readManifest(stateRoot, v).values)
+      .map(_.split('/').head)
+    val listing = Files.list(Paths.get(stateRoot))
     try {
-      val it = stale.iterator()
+      val it = listing.iterator()
       while (it.hasNext) {
         val p = it.next()
         val n = p.getFileName.toString
-        if (n.startsWith("v=") && n.drop(2).toLong < last) {
-          // best-effort recursive delete
-          Files.walk(p).sorted(java.util.Comparator.reverseOrder())
-            .forEach(f => Files.deleteIfExists(f))
-        }
+        if (n.startsWith("sv=") && !keepManifests.contains(n.drop(3).toLong))
+          Files.deleteIfExists(p)
       }
-    } finally stale.close()
+    } finally listing.close()
+    val sdata = Paths.get(stateRoot, "sdata")
+    if (Files.exists(sdata)) {
+      val dl = Files.list(sdata)
+      try {
+        val it = dl.iterator()
+        while (it.hasNext) {
+          val p = it.next()
+          if (!liveDirs.contains(p.getFileName.toString)) deleteTree(p)
+        }
+      } finally dl.close()
+    }
   }
 
   /** Start the always-on frontier job: text files dropped into
@@ -223,7 +478,9 @@ object FrontierStream {
       batchSize: Int = 10,
       preCommitHook: Long => Unit = _ => (),
       mapper: Option[String => Seq[String]] = None,
-      catalog: Option[CatalogSink] = None): StreamingQuery = {
+      catalog: Option[CatalogSink] = None,
+      hostDelayMs: Long = 0L,
+      statePartitions: Int = StatePartitions): StreamingQuery = {
     Files.createDirectories(Paths.get(stateRoot))
     spark.readStream
       .option("maxFilesPerTrigger", 1) // one inbox file = one cycle
@@ -232,7 +489,8 @@ object FrontierStream {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         processBatch(spark, batch, batchId, stateRoot, visitor,
-          batchSize, preCommitHook, mapper, catalog)
+          batchSize, preCommitHook, mapper, catalog, hostDelayMs,
+          statePartitions)
       }
       .start()
   }
@@ -254,7 +512,8 @@ object FrontierStream {
       visitor: Frontier.Visitor, batchSize: Int = 10,
       ticksPerSecond: Int = 2,
       mapper: Option[String => Seq[String]] = None,
-      catalog: Option[CatalogSink] = None): StreamingQuery = {
+      catalog: Option[CatalogSink] = None,
+      hostDelayMs: Long = 0L): StreamingQuery = {
     Files.createDirectories(Paths.get(stateRoot))
     val seeds = spark.readStream
       .option("maxFilesPerTrigger", 1)
@@ -267,7 +526,8 @@ object FrontierStream {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         processBatch(spark, batch, batchId, stateRoot, visitor,
-          batchSize, mapper = mapper, catalog = catalog)
+          batchSize, mapper = mapper, catalog = catalog,
+          hostDelayMs = hostDelayMs)
       }
       .start()
   }

@@ -60,7 +60,8 @@ object ScanQueue {
     emitted.result()
   }
 
-  def applyEvents(withTimeouts: Boolean)(uuid: String,
+  def applyEvents(withTimeouts: Boolean,
+      timeoutMs: Long = TimeoutMs)(uuid: String,
       events: Iterator[ScanEvent],
       state: GroupState[ScanState]): Iterator[ScanState] = {
     if (state.hasTimedOut) {
@@ -77,7 +78,7 @@ object ScanQueue {
     if (terminal.contains(cur.status)) state.remove()
     else {
       state.update(cur)
-      if (withTimeouts) state.setTimeoutDuration(TimeoutMs)
+      if (withTimeouts) state.setTimeoutDuration(timeoutMs)
     }
     emitted.iterator
   }
@@ -87,13 +88,14 @@ object ScanQueue {
     * production setting); `false` runs without the timeout clock so
     * bounded test streams drain and stop. */
   def run(spark: SparkSession, events: Dataset[ScanEvent],
-      withTimeouts: Boolean = true): Dataset[ScanState] = {
+      withTimeouts: Boolean = true,
+      timeoutMs: Long = TimeoutMs): Dataset[ScanState] = {
     import spark.implicits._
     val timeoutConf =
       if (withTimeouts) GroupStateTimeout.ProcessingTimeTimeout
       else GroupStateTimeout.NoTimeout
     events.groupByKey(_.uuid)
       .flatMapGroupsWithState(OutputMode.Append, timeoutConf)(
-        applyEvents(withTimeouts))
+        applyEvents(withTimeouts, timeoutMs))
   }
 }

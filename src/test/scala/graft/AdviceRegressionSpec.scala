@@ -141,4 +141,23 @@ class AdviceRegressionSpec extends SparkTestBase {
     assert(counts == Seq(expected, expected),
       s"concurrent runs interfered: $counts vs $expected")
   }
+
+  test("ADVICE r10: a releaseCaches() from another thread must not " +
+      "unpersist this thread's in-flight ANN frames (per-thread " +
+      "registries)") {
+    // build the ANN clustering plan on THIS thread — it registers
+    // localCheckpointed intermediates whose lineage is truncated, so
+    // an unpersist from anywhere makes the consuming action throw
+    // (BlockNotFound) instead of recomputing
+    val df = graft.Registry.byName("s_knn_clusters_ann")
+      .run(spark, "/root/testdata/sf0.001")
+    // a concurrent caller (an always-on stream's own query release)
+    // finishing ITS query must release only its own registrations
+    val t = new Thread(() => graft.ops.SimilarityOps.releaseCaches())
+    t.start(); t.join()
+    // the in-flight query still completes (old code: the global
+    // registry let the other thread drop these blocks)
+    assert(df.count() > 0)
+    graft.ops.SimilarityOps.releaseCaches() // this thread's own release
+  }
 }

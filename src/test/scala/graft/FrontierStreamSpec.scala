@@ -167,11 +167,12 @@ class FrontierStreamSpec extends SparkTestBase {
         qb1.awaitTermination()
       }
     } finally qb1.stop()
-    // crash landed where intended: v=1 written, pointer still at 0
+    // crash landed where intended: batch 1's state manifest written,
+    // pointer still at 0
     assert(FrontierStream.committedBatch(stateB) == 0L,
       "crash did not land in the intended window")
-    assert(Files.exists(java.nio.file.Paths.get(stateB, "v=1")),
-      "state for batch 1 was not written before the crash")
+    assert(Files.exists(java.nio.file.Paths.get(stateB, "sv=1")),
+      "state manifest for batch 1 was not written before the crash")
 
     // restart on the same checkpoint: batch 1 re-delivers from the WAL,
     // overwrites v=1 deterministically, commits
@@ -328,6 +329,115 @@ class FrontierStreamSpec extends SparkTestBase {
     assert(commitCount(catB) == 2L, s"B: ${commitCount(catB)}")
   }
 
+  // round-11: O(delta) frontier state — a micro-batch stages only the
+  // partitions its claims/inserts/marks touch, and re-links the rest
+
+  test("a micro-batch stages only its touched state partitions and " +
+      "re-links the rest (O(delta) frontier commits)") {
+    val stateRoot = tmp("fd-state")
+    def manifest(b: Long): Map[Int, String] =
+      Files.readString(java.nio.file.Paths.get(stateRoot, s"sv=$b"))
+        .linesIterator.filter(_.contains('\t'))
+        .map { l => val Array(p, d) = l.split('\t'); p.toInt -> d }.toMap
+    import spark.implicits._
+    // batch 0: a wide seed load populates many partitions
+    val seeds = (0 until 300).map(i => s"https://registry.npmjs.org/seed-$i")
+    FrontierStream.processBatch(spark, seeds.toDF("value"), 0L, stateRoot,
+      _ => Seq.empty, batchSize = 4)
+    val m0 = manifest(0L)
+    assert(m0.size > 32, s"seed load should span partitions: ${m0.size}")
+
+    // batch 1: a 4-row claim — only the claimed rows' partitions (and
+    // nothing else: no children, no seeds) may be rewritten
+    FrontierStream.processBatch(spark, Seq("tick").toDF("value"), 1L,
+      stateRoot, _ => Seq.empty, batchSize = 4)
+    val m1 = manifest(1L)
+    val changed = m1.filter { case (p, d) => !m0.get(p).contains(d) }
+    assert(changed.nonEmpty && changed.size <= 4,
+      s"expected <=4 rewritten partitions, got ${changed.size}")
+    assert((m1 -- changed.keys) == (m0 -- changed.keys),
+      "untouched partitions must re-link the previous batch's files")
+    // and the re-linked + rewritten union is the correct next state
+    val s1 = FrontierStream.currentFrontier(spark, stateRoot)
+    assert(s1.count() == 300)
+    assert(s1.filter("last_visit_date IS NOT NULL").count() == 8,
+      "4 claims per batch over 2 batches")
+  }
+
+  test("politeness: consecutive micro-batches respect the per-host " +
+      "delay budget across the batch boundary") {
+    val stateRoot = tmp("fp-state")
+    Frontier.hostLastHit.clear()
+    FrontierStreamSpec.hits.clear()
+    val recordingVisitor: Frontier.Visitor = uri => {
+      FrontierStreamSpec.hits.add(
+        (uri, System.currentTimeMillis()))
+      Seq.empty
+    }
+    import spark.implicits._
+    // two same-host uris, claimed one per batch (batchSize = 1). The
+    // budget must EXCEED the natural inter-batch latency (~1-3 s of
+    // Spark job overhead) or the pin would pass without any
+    // cross-batch state — 6 s is comfortably above it.
+    val seeds = Seq("https://registry.npmjs.org/pkg-a",
+      "https://registry.npmjs.org/pkg-b")
+    FrontierStream.processBatch(spark, seeds.toDF("value"), 0L, stateRoot,
+      recordingVisitor, batchSize = 1, hostDelayMs = 6000L)
+    FrontierStream.processBatch(spark, Seq("tick").toDF("value"), 1L,
+      stateRoot, recordingVisitor, batchSize = 1, hostDelayMs = 6000L)
+    val times = FrontierStreamSpec.hits.toArray(
+      Array.empty[(String, Long)]).sortBy(_._2)
+    assert(times.length == 2, s"expected 2 visits, got ${times.toSeq}")
+    val gap = times(1)._2 - times(0)._2
+    assert(gap >= 5500L, // scheduling slack on the 6 s budget
+      s"same-host visits in consecutive batches ${gap}ms apart " +
+        "(politeness must survive the micro-batch boundary)")
+  }
+
+  test("inbox compaction bounds the mapped-packages directories " +
+      "without changing what packages() returns") {
+    val mapper: String => Seq[String] = uri => Seq("pkg::" + uri)
+    val (seedDir, stateRoot, chk, cat) =
+      (tmp("fcmp-seed"), tmp("fcmp-state"), tmp("fcmp-chk"), tmp("fcmp-cat"))
+    seedFile(seedDir, "seeds.txt",
+      (0 until 6).map(i => s"https://registry.npmjs.org/solo-$i"))
+    val q = FrontierStream.start(spark, seedDir, stateRoot, chk, visitor,
+      batchSize = 2, mapper = Some(mapper),
+      catalog = Some(catalogSink(cat).copy(
+        vacuumEvery = 2, vacuumGraceMs = 0L)))
+    try {
+      q.processAllAvailable()
+      (1 to 4).foreach { i =>
+        seedFile(seedDir, s"tick$i.txt", Seq("tick"))
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    // 5 batches ran; compaction folded the committed partitions into
+    // ONE base dir + at most vacuumEvery live partitions
+    def dirCount(sub: String): Long = {
+      val p = java.nio.file.Paths.get(stateRoot, sub)
+      if (!Files.exists(p)) return 0L
+      val l = Files.list(p)
+      try l.count() finally l.close()
+    }
+    assert(dirCount("pkgdata") == 1L,
+      "superseded compaction bases must be dropped")
+    assert(dirCount("packages") <= 2L,
+      s"live per-batch partitions should be bounded by the compaction " +
+        s"cadence, got ${dirCount("packages")}")
+    // content proof: packages() equals the per-frontier map state —
+    // every successfully visited row mapped exactly once
+    val got = FrontierStream.packages(spark, stateRoot)
+      .select("uri").collect().map(_.getString(0)).toSeq
+    assert(got.size == got.distinct.size, s"duplicates after compaction: $got")
+    val mappedRows = FrontierStream.currentFrontier(spark, stateRoot)
+      .filter("last_map_date IS NOT NULL")
+      .select("uri").collect().map(_.getString(0)).toSet
+    assert(got.toSet == mappedRows,
+      s"packages() diverged from the frontier map state:\n" +
+        s"packages=$got\nfrontier=$mappedRows")
+  }
+
   test("continuous trigger: rate-source ticks drive autonomous cycles " +
       "with no operator tick files") {
     val (seedDir, stateRoot, chk) =
@@ -354,4 +464,9 @@ class FrontierStreamSpec extends SparkTestBase {
 object FrontierStreamSpec {
   // crash-once latch shared with executor-free driver-side hook
   val armed = new java.util.concurrent.atomic.AtomicBoolean(false)
+  // (uri, wall-clock ms) per visitor invocation — static so the
+  // executor-side closure and the driver-side assertions share it
+  // (local master = one JVM)
+  val hits =
+    new java.util.concurrent.ConcurrentLinkedQueue[(String, Long)]()
 }

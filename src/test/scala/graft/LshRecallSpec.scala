@@ -59,4 +59,24 @@ class LshRecallSpec extends SparkTestBase {
     assert(math.abs(recall - analytic) < 0.25,
       s"measured recall=$recall vs analytic=$analytic")
   }
+
+  test("ANN auto-depth picks L from the centroid count: L=2 through " +
+      "every oracle/ScaleBench scale, deeper only past the per-level " +
+      "budget (round-10 verdict: a 100 TB corpus must raise its own " +
+      "depth)") {
+    import graft.ops.SimilarityOps.autoLevels
+    // oracle scales: sf0.01 → k=32, sf0.1 → k=78; 100× ScaleBench →
+    // k=781 — all L=2, so the pinned plans and recall gates are
+    // untouched by the auto rule
+    assert(autoLevels(32) == 2)
+    assert(autoLevels(78) == 2)
+    assert(autoLevels(781) == 2)
+    assert(autoLevels(4096) == 2)
+    // 10⁹ vectors → k ≈ 1.6e7 centroids: one more level caps the
+    // per-level frame at ~(cprobe·k)^(1/3) rows/vector
+    assert(autoLevels(4097) == 3)
+    assert(autoLevels(16L * 1000 * 1000) == 3)
+    // 4096² < k: depth 4
+    assert(autoLevels(20L * 1000 * 1000 * 1000) == 4)
+  }
 }
