@@ -102,6 +102,23 @@ object Bench {
     // fit the captured tail: total + the most expensive queries, which
     // are the ones graded against BASELINE.md. The complete record is
     // also written to BENCH_LOCAL.json.
+    // Round-stamped FULL per-query record, meant to be COMMITTED (the
+    // r10 verdict: BENCH_LOCAL.json is gitignored and the driver tail
+    // keeps only ~75 queries, so per-query non-regression was
+    // undecidable from history). The round number comes from
+    // SPARK_GRAFT_ROUND when the caller knows it, else max(N)+1 over
+    // the committed BENCH_r<N>.json files — at a round-N close,
+    // BENCH_rN.json does not exist yet, so the scan yields N-1 and the
+    // stamp lands on N.
+    val round: Int = sys.env.get("SPARK_GRAFT_ROUND").flatMap(_.toIntOption)
+      .getOrElse {
+        val rx = """BENCH_r(\d+)\.json""".r
+        val files = Option(new java.io.File(".").list()).getOrElse(Array.empty)
+        val ns = files.collect { case rx(n) => n.toInt }
+        if (ns.isEmpty) 0 else ns.max + 1
+      }
+    val fullName = f"BENCH_FULL_r$round%02d.json"
+
     val chunks = results.grouped(40).toSeq
     chunks.zipWithIndex.foreach { case (grp, i) =>
       val m = grp.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
@@ -112,16 +129,19 @@ object Bench {
       val top = results.sortBy(-_._2).take(topN)
         .map { case (k, v) => "\"" + k + "\":" + f"$v%.2f" }
         .mkString("{", ",", "}")
-      f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":$top,"n_queries":${results.length},"full":"BENCH_LOCAL.json","sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":$top,"n_queries":${results.length},"full":"$fullName","sf":"$sfDir"}"""
     }
     // shrink until the final line fits comfortably inside the tail
     val finalLine = Iterator.from(0).map(i => compactLine(48 - 8 * i))
       .find(_.length <= 1500).getOrElse(compactLine(8))
     // a filtered local-iteration run must not clobber the full-suite
     // record the final line points readers at
-    if (only.isEmpty)
+    if (only.isEmpty) {
       java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LOCAL.json"),
         (line + "\n").getBytes("UTF-8"))
+      java.nio.file.Files.write(java.nio.file.Paths.get(fullName),
+        (line + "\n").getBytes("UTF-8"))
+    }
     println(finalLine)
     spark.stop()
   }

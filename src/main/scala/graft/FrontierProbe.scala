@@ -121,7 +121,7 @@ object FrontierProbe {
     val sdata = java.nio.file.Paths.get(stateRoot, "sdata")
     println(f"${"batch"}%6s ${"wall_s"}%7s ${"frontier"}%9s " +
       f"${"catalog"}%8s ${"commits"}%8s ${"data_dirs"}%10s " +
-      f"${"staged_MB"}%10s ${"pkg_dirs"}%9s")
+      f"${"staged_MB"}%10s ${"man_B"}%7s ${"sv_recs"}%8s ${"pkg_dirs"}%9s")
     var b = 0L
     while (b < nBatches) {
       val seedBatch =
@@ -148,8 +148,13 @@ object FrontierProbe {
         val nDirs = countIn(s"$catRoot/data", _ => true)
         val nPkg = countIn(s"$stateRoot/packages", _ => true) +
           countIn(s"$stateRoot/pkgdata", _ => true)
+        // the batch's manifest RECORD bytes (O(touched) deltas with
+        // periodic checkpoints) and the retained chain length
+        // (bounded by the checkpoint cadence, not stream lifetime)
+        val manB = Files.size(java.nio.file.Paths.get(stateRoot, s"sv=$b"))
+        val nSv = countIn(stateRoot, _.startsWith("sv="))
         println(f"$b%6d $wall%7.2f $nF%9d $nC%8d $nCommits%8d " +
-          f"$nDirs%10d ${staged / 1e6}%10.2f $nPkg%9d")
+          f"$nDirs%10d ${staged / 1e6}%10.2f $manB%7d $nSv%8d $nPkg%9d")
       }
       b += 1
     }

@@ -278,7 +278,8 @@ object ScaleBench {
     spark.sparkContext.setLogLevel("WARN")
     // SPARK_GRAFT_KNN_LEVELS=3 engages the depth-L ANN hierarchy for
     // the scale points (same knob as KnnProbe; the auto default picks
-    // depth from the centroid count — k=781 at 100x stays L=2)
+    // depth from the centroid count — k=3,125 at 100x stays L=2, and
+    // the forced-L=3 100x point measured x3.8 WORSE, see BASELINE.md)
     sys.env.get("SPARK_GRAFT_KNN_LEVELS")
       .foreach(v => spark.conf.set("spark.graft.ann.levels", v))
     val listener = new ShuffleListener

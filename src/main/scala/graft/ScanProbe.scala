@@ -1,7 +1,10 @@
 package graft
 
+import java.util.concurrent.atomic.AtomicLong
+
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.StreamingQueryListener
 
 import graft.streaming.ScanQueue
 
@@ -38,6 +41,31 @@ object ScanProbe {
     import spark.implicits._
     implicit val sq = spark.sqlContext
 
+    // With ProcessingTimeTimeout armed the query constructs batches
+    // CONTINUOUSLY (each batch re-arms timers, so the engine always
+    // "requires another batch") — `processAllAvailable` never returns
+    // on such a stream (measured: the probe's input was fully
+    // processed while the call parked forever). The probe instead
+    // counts consumed rows through a listener and waits for each
+    // wave's events to be absorbed.
+    val consumed = new AtomicLong(0)
+    spark.streams.addListener(new StreamingQueryListener {
+      override def onQueryStarted(
+          e: StreamingQueryListener.QueryStartedEvent): Unit = ()
+      override def onQueryProgress(
+          e: StreamingQueryListener.QueryProgressEvent): Unit =
+        consumed.addAndGet(e.progress.numInputRows)
+      override def onQueryTerminated(
+          e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+    })
+    def awaitConsumed(target: Long): Unit = {
+      val deadline = System.nanoTime() + 300L * 1000 * 1000 * 1000
+      while (consumed.get < target && System.nanoTime() < deadline)
+        Thread.sleep(100)
+      require(consumed.get >= target,
+        s"stream consumed ${consumed.get} of $target events within 300 s")
+    }
+
     val in = MemoryStream[ScanQueue.ScanEvent]
     val q = ScanQueue.run(spark, in.toDS(), withTimeouts = true,
       timeoutMs = timeoutMs)
@@ -59,10 +87,15 @@ object ScanProbe {
       else Seq(ev("submit"), ev("start"), ev("scan_done"), ev("index_done"))
     }
 
+    def stateRows(): Long = Option(q.lastProgress)
+      .flatMap(p => p.stateOperators.headOption)
+      .map(_.numRowsTotal).getOrElse(-1L)
+
     println(f"${"wave"}%5s ${"scans_in"}%9s ${"events_in"}%10s " +
-      f"${"state_rows"}%11s ${"wall_s"}%7s")
+      f"${"state_peak"}%11s ${"state_after"}%12s ${"wall_s"}%7s")
     var totalScans = 0L
     var totalEvents = 0L
+    var expected = 0L // includes the per-wave heartbeat events
     (0 until waves).foreach { w =>
       val t0 = System.nanoTime()
       val batch = (0 until perWave).flatMap { i =>
@@ -70,22 +103,24 @@ object ScanProbe {
         eventsFor(uuid, (uuid.hashCode & 0x7fffffff) % 100)
       }
       in.addData(batch)
-      q.processAllAvailable()
-      // let the stalled keys' timeout expire, then run an empty-ish
-      // trigger so the store evicts them (timeouts fire on the NEXT
-      // batch after expiry — the production stream always has one)
+      expected += batch.size
+      awaitConsumed(expected)
+      // in-flight window: the stalled keys awaiting their timeout
+      // (terminal lifecycles already removed their state in-batch)
+      val peak = stateRows()
+      // let the stalled keys' timeout expire, then feed a heartbeat
+      // so the store evicts them (timeouts fire on the NEXT batch
+      // after expiry — the production stream always has one)
       Thread.sleep(timeoutMs + 200)
       in.addData(Seq(ScanQueue.ScanEvent(s"heartbeat-$w", "submit", ""),
         ScanQueue.ScanEvent(s"heartbeat-$w", "fail", "")))
-      q.processAllAvailable()
+      expected += 2
+      awaitConsumed(expected)
       val wall = (System.nanoTime() - t0) / 1e9
       totalScans += perWave
       totalEvents += batch.size
-      val stateRows = Option(q.lastProgress)
-        .flatMap(p => p.stateOperators.headOption)
-        .map(_.numRowsTotal).getOrElse(-1L)
       println(f"$w%5d $totalScans%9d $totalEvents%10d " +
-        f"$stateRows%11d $wall%7.2f")
+        f"$peak%11d ${stateRows()}%12d $wall%7.2f")
     }
     q.stop()
     spark.stop()

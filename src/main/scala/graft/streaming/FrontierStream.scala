@@ -26,9 +26,12 @@ import org.apache.spark.sql.streaming.StreamingQuery
   *     partitions its claims/inserts/marks touch — a batch's staged
   *     bytes are O(delta), never O(state); the round-10 layout
   *     rewrote the ENTIRE frontier per batch, the loop's one O(state)
-  *     term (FrontierProbe measures the difference) — writes the
-  *     batch's full pid → path manifest to `sv=<batchId>`, and only
-  *     then atomically moves `COMMIT.tmp` → `COMMIT` (the pointer).
+  *     term (FrontierProbe measures the difference) — writes an
+  *     O(touched) `#delta` manifest record to `sv=<batchId>` (full
+  *     `#manifest` checkpoints at the [[ManifestCheckpointEvery]]
+  *     cadence bound the reader's overlay chain — metadata follows
+  *     the same Delta-log shape as the data), and only then
+  *     atomically moves `COMMIT.tmp` → `COMMIT` (the pointer).
   *     A crash after the state write but before the pointer swap
   *     leaves the previous version live; the replayed batch stages a
   *     fresh dir, overwrites `sv=<batchId>`, and swaps again. Readers
@@ -146,30 +149,83 @@ object FrontierStream {
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
       org.apache.spark.sql.types.StructType.fromDDL(stateDdl))
 
-  /** The per-batch state manifest: `pid<TAB>uuid/spid=N` lines (full
-    * map — the frontier's partition count is the small fixed
-    * [[StatePartitions]]; a 10⁵-partition deployment applies the
-    * delta-record + checkpoint shape TxLog uses for the catalog). */
+  /** The per-batch state manifest `sv=<batchId>`, in the same two
+    * self-describing forms as TxLog's commit records (the Delta-log
+    * shape — per-batch manifest METADATA must be O(touched), not
+    * O(partitions): at the deployment sizing in [[StatePartitions]]'
+    * scaladoc, ~10⁴-10⁵ partitions, a full pid → path map per
+    * micro-batch is a multi-MB driver-side write multiplying forever):
+    * {{{
+    *   #delta               only the partitions this batch rewrote
+    *   pid<TAB>uuid/spid=N
+    *
+    *   #manifest            checkpoint: the COMPLETE map, every
+    *   pid<TAB>uuid/spid=N  [[ManifestCheckpointEvery]] batches
+    * }}}
+    * A reader overlays records downward from the requested batch to
+    * the first checkpoint (newer entries win). A HEADERLESS record is
+    * a pre-round-11 full map — read as a checkpoint, so existing
+    * roots resolve unchanged. */
+  val ManifestCheckpointEvery = 16
+
   private def manifestFile(stateRoot: String, batchId: Long): Path =
     Paths.get(stateRoot, s"sv=$batchId")
 
-  private def readManifest(stateRoot: String, batchId: Long)
-      : Map[Int, String] = {
-    val f = manifestFile(stateRoot, batchId)
-    if (!Files.exists(f)) Map.empty
-    else Files.readString(f).linesIterator.filter(_.contains('\t'))
+  /** All state manifests, newest first. */
+  private def listManifests(stateRoot: String): Seq[(Long, Path)] = {
+    val dir = Paths.get(stateRoot)
+    if (!Files.exists(dir)) return Seq.empty
+    val l = Files.list(dir)
+    try {
+      val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Path)]
+      l.forEach { p =>
+        val n = p.getFileName.toString
+        if (n.startsWith("sv=")) buf += ((n.drop(3).toLong, p))
+      }
+      buf.sortBy(-_._1).toSeq
+    } finally l.close()
+  }
+
+  private def parseEntries(content: String): Map[Int, String] =
+    content.linesIterator
+      .filterNot(_.startsWith("#"))
+      .filter(_.contains('\t'))
       .map { line =>
         val Array(pid, path) = line.split('\t')
         pid.toInt -> path
       }.toMap
+
+  private def isDeltaRecord(content: String): Boolean =
+    content.linesIterator.nextOption().exists(_.trim == "#delta")
+
+  /** Resolve the full pid → path map at `batchId` by overlaying
+    * records downward to the first checkpoint. Test-visible: the
+    * O(delta) spec asserts on per-batch touched sets through it. */
+  private[graft] def readManifest(stateRoot: String, batchId: Long)
+      : Map[Int, String] = {
+    var overlay = Map.empty[Int, String]
+    val it = listManifests(stateRoot).iterator.dropWhile(_._1 > batchId)
+    var done = false
+    while (it.hasNext && !done) {
+      val (_, p) = it.next()
+      val content = Files.readString(p)
+      overlay = parseEntries(content) ++ overlay
+      if (!isDeltaRecord(content)) done = true // checkpoint reached
+    }
+    overlay
   }
 
+  /** The entries a batch's sv record carries: its touched partitions
+    * (`#delta`), or the complete map at the checkpoint cadence. */
   private def writeManifest(stateRoot: String, batchId: Long,
-      m: Map[Int, String]): Unit = {
+      touched: Seq[(Int, String)], full: Map[Int, String]): Unit = {
+    val ckpt = batchId % ManifestCheckpointEvery == 0
+    val header = if (ckpt) "#manifest" else "#delta"
+    val body =
+      (if (ckpt) full.toSeq.sortBy(_._1) else touched.sortBy(_._1))
+        .map { case (p, d) => s"$p\t$d" }
     val tmp = Paths.get(stateRoot, s".sv-${UUID.randomUUID()}")
-    Files.writeString(tmp,
-      m.toSeq.sortBy(_._1).map { case (p, d) => s"$p\t$d" }
-        .mkString("\n"))
+    Files.writeString(tmp, (header +: body).mkString("\n"))
     Files.move(tmp, manifestFile(stateRoot, batchId),
       StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
   }
@@ -423,9 +479,9 @@ object FrontierStream {
     val dirName = UUID.randomUUID().toString
     next.withColumn("spid", spidOf(col("canonical"), statePartitions))
       .write.partitionBy("spid").parquet(s"$stateRoot/sdata/$dirName")
-    val nextManifest =
-      manifest ++ touched.map(p => p -> s"$dirName/spid=$p")
-    writeManifest(stateRoot, batchId, nextManifest)
+    val touchedEntries = touched.map(p => p -> s"$dirName/spid=$p")
+    val nextManifest = manifest ++ touchedEntries
+    writeManifest(stateRoot, batchId, touchedEntries, nextManifest)
 
     spark.sparkContext.getPersistentRDDs
       .filter { case (id, _) => !cachedBefore.contains(id) }
@@ -436,24 +492,31 @@ object FrontierStream {
     Files.move(tmp, commitFile(stateRoot),
       StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
 
-    // retention: keep the committed manifest plus its predecessor
-    // (crash-window safety margin), drop older manifests and any
-    // sdata dir referenced by neither — superseded partition files
-    // and crashed replays' orphaned staging
+    // retention: the committed manifest plus its predecessor stay
+    // resolvable (crash-window safety margin) — with delta records
+    // that means keeping the overlay CHAIN down to the newest
+    // checkpoint at or below the older kept batch (≤ checkpoint
+    // cadence files, bounded); older records, and any sdata dir
+    // referenced by neither kept RESOLUTION (superseded partition
+    // files, crashed replays' orphaned staging), are dropped. The
+    // liveness maps are the two already in memory — entries of
+    // intermediate chain deltas superseded in both resolutions are
+    // never served as data paths, so their dirs are safe to drop
+    // even while the chain records survive.
     val keepManifests = Set(batchId, last).filter(_ >= 0)
-    val liveDirs = keepManifests
-      .flatMap(v => readManifest(stateRoot, v).values)
-      .map(_.split('/').head)
-    val listing = Files.list(Paths.get(stateRoot))
-    try {
-      val it = listing.iterator()
-      while (it.hasNext) {
-        val p = it.next()
-        val n = p.getFileName.toString
-        if (n.startsWith("sv=") && !keepManifests.contains(n.drop(3).toLong))
-          Files.deleteIfExists(p)
-      }
-    } finally listing.close()
+    val liveDirs = (manifest.values ++ nextManifest.values)
+      .map(_.split('/').head).toSet
+    val manifests = listManifests(stateRoot)
+    // newest checkpoint at or below the OLDER kept batch: both kept
+    // resolutions overlay only records at or above it, so everything
+    // below is dead; the retained suffix is ≤ the checkpoint cadence
+    val chainFloor = manifests
+      .filter { case (v, p) =>
+        v <= keepManifests.min && !isDeltaRecord(Files.readString(p)) }
+      .map(_._1).headOption.getOrElse(Long.MinValue)
+    manifests.foreach { case (v, p) =>
+      if (v < chainFloor) Files.deleteIfExists(p)
+    }
     val sdata = Paths.get(stateRoot, "sdata")
     if (Files.exists(sdata)) {
       val dl = Files.list(sdata)

@@ -335,10 +335,9 @@ class FrontierStreamSpec extends SparkTestBase {
   test("a micro-batch stages only its touched state partitions and " +
       "re-links the rest (O(delta) frontier commits)") {
     val stateRoot = tmp("fd-state")
+    // resolved view (overlay chain) — the record itself is O(touched)
     def manifest(b: Long): Map[Int, String] =
-      Files.readString(java.nio.file.Paths.get(stateRoot, s"sv=$b"))
-        .linesIterator.filter(_.contains('\t'))
-        .map { l => val Array(p, d) = l.split('\t'); p.toInt -> d }.toMap
+      FrontierStream.readManifest(stateRoot, b)
     import spark.implicits._
     // batch 0: a wide seed load populates many partitions
     val seeds = (0 until 300).map(i => s"https://registry.npmjs.org/seed-$i")
@@ -357,11 +356,61 @@ class FrontierStreamSpec extends SparkTestBase {
       s"expected <=4 rewritten partitions, got ${changed.size}")
     assert((m1 -- changed.keys) == (m0 -- changed.keys),
       "untouched partitions must re-link the previous batch's files")
+    // ... and the manifest RECORD is O(touched) too: a #delta naming
+    // only the rewritten partitions, not the full pid → path map (at
+    // the 100 TB sizing, ~1e5 partitions, a full map per micro-batch
+    // is a multi-MB driver-side write — the TxLog Delta-log shape)
+    val rec1 = Files.readString(
+      java.nio.file.Paths.get(stateRoot, "sv=1"))
+    assert(rec1.linesIterator.next() == "#delta",
+      s"batch 1's record must be a delta, got: ${rec1.take(40)}")
+    assert(rec1.linesIterator.count(_.contains('\t')) == changed.size,
+      "delta record must carry exactly the touched partitions")
     // and the re-linked + rewritten union is the correct next state
     val s1 = FrontierStream.currentFrontier(spark, stateRoot)
     assert(s1.count() == 300)
     assert(s1.filter("last_visit_date IS NOT NULL").count() == 8,
       "4 claims per batch over 2 batches")
+  }
+
+  test("manifest chain retention: an always-on stream holds a bounded " +
+      "sv-record count and resolves correctly across checkpoints") {
+    val stateRoot = tmp("fc-state")
+    import spark.implicits._
+    val seeds = (0 until 40).map(i => s"https://registry.npmjs.org/c-$i")
+    FrontierStream.processBatch(spark, seeds.toDF("value"), 0L, stateRoot,
+      _ => Seq.empty, batchSize = 2)
+    // drive past one checkpoint boundary (cadence 16) plus margin
+    (1L to 20L).foreach { b =>
+      FrontierStream.processBatch(spark, Seq("tick").toDF("value"), b,
+        stateRoot, _ => Seq.empty, batchSize = 2)
+    }
+    def svIds(): Seq[Long] = {
+      val l = Files.list(java.nio.file.Paths.get(stateRoot))
+      try {
+        val b = scala.collection.mutable.ArrayBuffer.empty[Long]
+        l.forEach { p =>
+          val n = p.getFileName.toString
+          if (n.startsWith("sv=")) b += n.drop(3).toLong
+        }
+        b.sorted.toSeq
+      } finally l.close()
+    }
+    val ids = svIds()
+    // the retained suffix reaches down exactly to the newest
+    // checkpoint at or below batch 19 (= 16), never further — the
+    // chain is bounded by the cadence, not the stream's lifetime
+    assert(ids.head == 16L && ids.last == 20L,
+      s"expected chain [16..20], got $ids")
+    // batch 16's record is the checkpoint the chain resolves through
+    val rec16 = Files.readString(
+      java.nio.file.Paths.get(stateRoot, "sv=16"))
+    assert(rec16.linesIterator.next() == "#manifest")
+    // resolution across the checkpoint is still the correct state
+    val s = FrontierStream.currentFrontier(spark, stateRoot)
+    assert(s.count() == 40)
+    assert(s.filter("last_visit_date IS NOT NULL").count() == 40,
+      "2 claims x 21 batches covers all 40 rows")
   }
 
   test("politeness: consecutive micro-batches respect the per-host " +

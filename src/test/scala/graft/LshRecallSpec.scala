@@ -65,12 +65,13 @@ class LshRecallSpec extends SparkTestBase {
       "budget (round-10 verdict: a 100 TB corpus must raise its own " +
       "depth)") {
     import graft.ops.SimilarityOps.autoLevels
-    // oracle scales: sf0.01 → k=32, sf0.1 → k=78; 100× ScaleBench →
-    // k=781 — all L=2, so the pinned plans and recall gates are
-    // untouched by the auto rule
+    // oracle scales: sf0.01 → k=32, sf0.1 → k=32 (n=2000 sits at the
+    // cell floor); 100× ScaleBench → n=200,000 → k=3,125 — all L=2,
+    // so the pinned plans and recall gates are untouched by the auto
+    // rule
     assert(autoLevels(32) == 2)
     assert(autoLevels(78) == 2)
-    assert(autoLevels(781) == 2)
+    assert(autoLevels(3125) == 2)
     assert(autoLevels(4096) == 2)
     // 10⁹ vectors → k ≈ 1.6e7 centroids: one more level caps the
     // per-level frame at ~(cprobe·k)^(1/3) rows/vector
