@@ -108,7 +108,13 @@ object ScaleBench {
     // duplicate doc) where the uncapped d_jaccard_prefix_join is
     // FactorCap'd to 10× by its answer cardinality — this one must
     // hold a 100× point
-    "s_knn_clusters_ann", "d_jaccard_prefix_capped")
+    "s_knn_clusters_ann", "d_jaccard_prefix_capped",
+    // round-11: incremental shard ingest — the candidate join is
+    // restricted to increment-side bands, so its shuffle must track
+    // the INCREMENT (20% of docs, linear per copy), never
+    // corpus×corpus; within-copy cohorts keep verdicts linear under
+    // the copy-suffix harness
+    "d_incremental_dedup")
 
   /** Per-query scale-factor caps: queries whose OUTPUT is inherently
     * super-linear on the copy-suffix corpus (not an implementation

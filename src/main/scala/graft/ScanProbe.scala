@@ -30,11 +30,28 @@ object ScanProbe {
     val perWave = args.lift(1).map(_.toInt).getOrElse(10000)
     val stallPct = args.lift(2).map(_.toInt).getOrElse(20)
     val timeoutMs = args.lift(3).map(_.toLong).getOrElse(2000L)
+    // The 100 TB state lever: the default HDFS-backed store keeps
+    // every partition's state map ON HEAP (fine for the bounded
+    // in-flight window this probe demonstrates; fatal when a
+    // deployment's window outgrows executor memory); RocksDB spills
+    // to local disk with the same exactly-once contract. Both are
+    // probed and recorded in BASELINE.md.
+    val provider = sys.env.getOrElse("SPARK_GRAFT_STATE_PROVIDER", "hdfs")
+    val providerClass = provider match {
+      case "rocksdb" =>
+        "org.apache.spark.sql.execution.streaming.state." +
+          "RocksDBStateStoreProvider"
+      case _ =>
+        "org.apache.spark.sql.execution.streaming.state." +
+          "HDFSBackedStateStoreProvider"
+    }
     val spark = SparkSession.builder()
       .master("local[32]")
       .appName("graft-scanprobe")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.streaming.stateStore.providerClass",
+        providerClass)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
@@ -91,6 +108,7 @@ object ScanProbe {
       .flatMap(p => p.stateOperators.headOption)
       .map(_.numRowsTotal).getOrElse(-1L)
 
+    println(s"state store: $provider ($providerClass)")
     println(f"${"wave"}%5s ${"scans_in"}%9s ${"events_in"}%10s " +
       f"${"state_peak"}%11s ${"state_after"}%12s ${"wall_s"}%7s")
     var totalScans = 0L

@@ -368,6 +368,28 @@ object TxLog {
       m.values.toSeq.sorted.map(p => s"$root/data/$p"): _*))
   }
 
+  /** Time travel: read a delta catalog at a HISTORICAL version — the
+    * Delta/Iceberg `VERSION AS OF` read, free once commits are overlay
+    * records (the reference keeps the same audit trail as in-row
+    * history, `packagedb/models.py` history field / F17). Only
+    * versions inside the retention window are readable: [[vacuum]]
+    * computes data-dir liveness from the kept records ONLY, so a
+    * pruned version's record and the dirs it alone referenced are
+    * gone — pass `keep` ≥ the audit horizon you need. Throws on a
+    * version with no retained commit record. */
+  def readDeltaAt(spark: SparkSession, root: String, empty: => DataFrame,
+      version: Long): DataFrame = {
+    val recs = listRecords(root)
+    require(recs.exists(_._1 == version),
+      s"version $version is not in $root's retained window " +
+        s"(have ${recs.map(_._1).sorted.mkString(",")}); vacuum(keep) " +
+        "bounds how far back time travel reaches")
+    val m = manifestAt(recs, version)
+    if (m.isEmpty) empty
+    else spark.read.parquet(
+      m.values.toSeq.sorted.map(p => s"$root/data/$p"): _*)
+  }
+
   /** O(delta) catalog commit: merge `incoming` into ONLY the hash
     * partitions its keys land in, and re-link every other partition
     * from the previous manifest — a 10-package priority merge into a

@@ -391,6 +391,108 @@ object DedupOps {
           CAST(s1.n_sh + s2.n_sh - i.n_common AS DOUBLE) >= 0.5
       ORDER BY d1, d2"""))
 
+  /** Incremental corpus ingestion — the workflow a 100 TB pipeline
+    * actually runs daily: dedup a NEW shard against the EXISTING
+    * corpus (and within itself, first-seen-wins by doc_id) through
+    * the banded MinHash index, never corpus×corpus. The split is
+    * deterministic (doc_id % 5 == 0 → the increment, 20%); the
+    * candidate join restricts one side to increment bands, so its
+    * cost is O(increment × bucket collisions) — the corpus side of
+    * the band frame is exactly the persisted index a deployment
+    * maintains between ingests (the streaming analog keeps it as
+    * flatMapGroupsWithState state, [[graft.streaming.StreamDedup]]),
+    * and corpus-corpus collisions never enter the join. Each
+    * increment doc gets a verdict: `dup_corpus` / `dup_increment`
+    * (witness = highest verified Jaccard, ties to the smallest
+    * witness id — deterministic in both engines: the division is a
+    * single double op on exact integers) or `admitted`. The oracle
+    * mirrors the verdict from the EXACT ≥0.5 pair set (gram
+    * equi-join), so a band-missed witness hash-mismatches instead of
+    * passing silently — the same gate-validity argument as
+    * `d_minhash_lsh` (the synthetic cohorts sit at J ≈ 0.8-1.0 where
+    * the 8×4 band-hit probability is ≥ 0.99). */
+  /** The incremental-ingest verdict over a pre-shingled (doc_id, sh)
+    * frame (corpus-agnostic so specs can seed exact cohorts): docs
+    * with doc_id % 5 == 0 are the increment; everything else is the
+    * standing corpus/index side. */
+  def incrementalVerdicts(shingled: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val bands = bandFrame(shingled)
+    val a = bands.alias("a")
+    val b = bands.alias("b")
+    // d2 = an increment doc; d1 = a corpus doc (any id) or an
+    // EARLIER increment doc (first-seen-wins within the shard)
+    val cand = a.join(b,
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_hash") === col("b.band_hash") &&
+          col("b.doc_id") % 5 === 0 &&
+          col("a.doc_id") =!= col("b.doc_id") &&
+          (col("a.doc_id") % 5 =!= 0 ||
+            col("a.doc_id") < col("b.doc_id")))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .dropDuplicates("d1", "d2")
+    val wBest = Window.partitionBy("d2")
+      .orderBy(desc("jaccard"), col("d1"))
+    val best = verifyPairs(shingled, cand)
+      .withColumn("rn", row_number().over(wBest))
+      .filter(col("rn") === 1)
+      .select(col("d2").as("doc_id"), col("d1").as("dup_of"),
+        col("jaccard"))
+    shingled.filter(col("doc_id") % 5 === 0).select("doc_id")
+      .join(best, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("dup_of").isNull, lit("admitted"))
+          .when(col("dup_of") % 5 === 0, lit("dup_increment"))
+          .otherwise(lit("dup_corpus")).as("verdict"),
+        col("dup_of"), col("jaccard"))
+      .orderBy("doc_id")
+  }
+
+  val incrementalDedup = QueryDef(
+    "d_incremental_dedup", "LLM-pipeline dedup: incremental shard ingest",
+    "new-shard bands vs corpus band index + first-seen within shard → verdict",
+    (s, dir) => incrementalVerdicts(shingleFrame(s, dir)),
+    Some("""WITH w AS (
+        SELECT doc_id,
+          list_filter(string_split(text, ' '), x -> x <> '') AS ws
+        FROM documents),
+      sh AS (
+        SELECT doc_id,
+          list_distinct(list_transform(
+            range(1, greatest(len(ws) - 2, 1) + 1),
+            i -> array_to_string(ws[i:i+2], ' '))) AS shs
+        FROM w),
+      grams AS (SELECT doc_id, unnest(shs) AS g FROM sh),
+      sizes AS (SELECT doc_id, len(shs) AS n_sh FROM sh),
+      inter AS (
+        SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS n_common
+        FROM grams a JOIN grams b ON a.g = b.g
+          AND b.doc_id % 5 = 0 AND a.doc_id <> b.doc_id
+          AND (a.doc_id % 5 <> 0 OR a.doc_id < b.doc_id)
+        GROUP BY 1, 2),
+      ver AS (
+        SELECT i.d1, i.d2,
+          CAST(i.n_common AS DOUBLE) /
+            CAST(s1.n_sh + s2.n_sh - i.n_common AS DOUBLE) AS jaccard
+        FROM inter i
+        JOIN sizes s1 ON i.d1 = s1.doc_id
+        JOIN sizes s2 ON i.d2 = s2.doc_id
+        WHERE CAST(i.n_common AS DOUBLE) /
+            CAST(s1.n_sh + s2.n_sh - i.n_common AS DOUBLE) >= 0.5),
+      best AS (
+        SELECT d2, d1, jaccard,
+          ROW_NUMBER() OVER (PARTITION BY d2
+            ORDER BY jaccard DESC, d1) AS rn
+        FROM ver)
+      SELECT s.doc_id,
+        CASE WHEN b.d1 IS NULL THEN 'admitted'
+             WHEN b.d1 % 5 = 0 THEN 'dup_increment'
+             ELSE 'dup_corpus' END AS verdict,
+        b.d1 AS dup_of, b.jaccard
+      FROM (SELECT doc_id FROM sh WHERE doc_id % 5 = 0) s
+      LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON s.doc_id = b.d2
+      ORDER BY s.doc_id"""))
+
   /** Measured LSH recall gate. The verified MinHash pairs are, by
     * construction, the intersection of the 8×4-band candidate set with
     * the exact ≥0.5-Jaccard pair set (the verify recomputes exact
@@ -1648,7 +1750,8 @@ object DedupOps {
       GROUP BY d.source
       ORDER BY d.source"""))
 
-  val defs: Seq[QueryDef] = Seq(exact, minhash, simhash, ngram, clusters,
+  val defs: Seq[QueryDef] = Seq(exact, minhash, incrementalDedup, simhash,
+    ngram, clusters,
     lineDedup, clusterKeeper, decontaminate, lshRecall, lshRecallSampled,
     streamDedup, substringDedup, substringCut, substringDedupHashed,
     pipelineE2e, clusterStats, leakageSplit, jaccardPrefixJoin,

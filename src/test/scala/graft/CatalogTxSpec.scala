@@ -492,4 +492,31 @@ class CatalogTxSpec extends SparkTestBase {
     assert(Files.exists(staged),
       "grace must see the newest file in the tree, not the dir mtime")
   }
+
+  test("time travel: readDeltaAt reads any retained version, and " +
+      "vacuum bounds how far back it reaches") {
+    val root = Files.createTempDirectory("txtravel").toString
+    // v1: {a}; v2: {a,b}; v3: {a,b,c} — three delta commits
+    Seq("a", "b", "c").foreach { n =>
+      TxLog.mergeCommitDelta(spark, root, incoming(
+        PackageRow.minimal(s"http://x/$n.jar", "maven", n,
+          Some("1.0")))(50), NOW, emptyCatalog, partitions = 8)
+    }
+    def namesAt(v: Long): Set[String] =
+      TxLog.readDeltaAt(spark, root, emptyCatalog, v)
+        .select("name").as[String].collect().toSet
+    assert(namesAt(1L) == Set("a"))
+    assert(namesAt(2L) == Set("a", "b"))
+    assert(namesAt(3L) == Set("a", "b", "c"))
+    // latest read agrees with the time-travel read at the head
+    assert(TxLog.readDelta(spark, root, emptyCatalog)._1 == 3L)
+
+    // retention bounds the horizon: keep=2 prunes v1's record (and
+    // any dirs only it referenced), so v2/v3 stay readable, v1 throws
+    TxLog.vacuum(root, keep = 2, graceMs = 0L)
+    assert(namesAt(2L) == Set("a", "b"))
+    assert(namesAt(3L) == Set("a", "b", "c"))
+    val e = intercept[IllegalArgumentException](namesAt(1L))
+    assert(e.getMessage.contains("retained window"))
+  }
 }
