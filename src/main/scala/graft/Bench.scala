@@ -29,6 +29,7 @@ object Bench {
     // the run under memory pressure).
     def release(): Unit = {
       graft.ops.SimilarityOps.releaseCaches() // ANN-family scoped caches
+      graft.ops.DedupOps.releaseCaches() // dedup-family scoped caches
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
     }
@@ -107,15 +108,17 @@ object Bench {
     // keeps only ~75 queries, so per-query non-regression was
     // undecidable from history). The round number comes from
     // SPARK_GRAFT_ROUND when the caller knows it, else max(N)+1 over
-    // the committed BENCH_r<N>.json files — at a round-N close,
-    // BENCH_rN.json does not exist yet, so the scan yields N-1 and the
-    // stamp lands on N.
+    // the BENCH_FULL_r<N>.json files THIS code owns (ADVICE r11: the
+    // old scan keyed on the driver's BENCH_r<N>.json, which lands in
+    // the tree mid-round — a round-12 rerun with BENCH_r11.json
+    // present would stamp r12 during round 11; and an empty scan
+    // yielded round 0). An empty scan now yields 1 (first round).
     val round: Int = sys.env.get("SPARK_GRAFT_ROUND").flatMap(_.toIntOption)
       .getOrElse {
-        val rx = """BENCH_r(\d+)\.json""".r
+        val rx = """BENCH_FULL_r0*(\d+)\.json""".r
         val files = Option(new java.io.File(".").list()).getOrElse(Array.empty)
         val ns = files.collect { case rx(n) => n.toInt }
-        if (ns.isEmpty) 0 else ns.max + 1
+        if (ns.isEmpty) 1 else ns.max + 1
       }
     val fullName = f"BENCH_FULL_r$round%02d.json"
 

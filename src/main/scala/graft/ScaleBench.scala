@@ -311,6 +311,7 @@ object ScaleBench {
 
     def release(): Unit = {
       graft.ops.SimilarityOps.releaseCaches() // ANN-family scoped caches
+      graft.ops.DedupOps.releaseCaches() // dedup-family scoped caches
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
     }

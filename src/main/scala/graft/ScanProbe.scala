@@ -66,12 +66,22 @@ object ScanProbe {
     // counts consumed rows through a listener and waits for each
     // wave's events to be absorbed.
     val consumed = new AtomicLong(0)
+    // max numRowsTotal seen across ALL progress events, not a point
+    // read of lastProgress (ADVICE r11: the continuous empty batches
+    // race a point read — a wave whose processing outruns timeoutMs
+    // can have its stalled keys evicted by an empty batch before the
+    // probe samples, underreporting the in-flight peak)
+    val peakRows = new AtomicLong(0)
     spark.streams.addListener(new StreamingQueryListener {
       override def onQueryStarted(
           e: StreamingQueryListener.QueryStartedEvent): Unit = ()
       override def onQueryProgress(
-          e: StreamingQueryListener.QueryProgressEvent): Unit =
+          e: StreamingQueryListener.QueryProgressEvent): Unit = {
         consumed.addAndGet(e.progress.numInputRows)
+        e.progress.stateOperators.headOption.foreach { s =>
+          peakRows.getAndAccumulate(s.numRowsTotal, Math.max(_, _))
+        }
+      }
       override def onQueryTerminated(
           e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
     })
@@ -116,6 +126,7 @@ object ScanProbe {
     var expected = 0L // includes the per-wave heartbeat events
     (0 until waves).foreach { w =>
       val t0 = System.nanoTime()
+      peakRows.set(math.max(stateRows(), 0L)) // per-wave peak baseline
       val batch = (0 until perWave).flatMap { i =>
         val uuid = s"scan-$w-$i"
         eventsFor(uuid, (uuid.hashCode & 0x7fffffff) % 100)
@@ -124,8 +135,10 @@ object ScanProbe {
       expected += batch.size
       awaitConsumed(expected)
       // in-flight window: the stalled keys awaiting their timeout
-      // (terminal lifecycles already removed their state in-batch)
-      val peak = stateRows()
+      // (terminal lifecycles already removed their state in-batch);
+      // listener-tracked max, immune to an early eviction racing
+      // this sample
+      val peak = peakRows.get
       // let the stalled keys' timeout expire, then feed a heartbeat
       // so the store evicts them (timeouts fire on the NEXT batch
       // after expiry — the production stream always has one)

@@ -28,7 +28,10 @@ object Verify {
         catch { case e: Throwable =>
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
         }
-        finally graft.ops.SimilarityOps.releaseCaches()
+        finally {
+          graft.ops.SimilarityOps.releaseCaches()
+          graft.ops.DedupOps.releaseCaches()
+        }
       }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

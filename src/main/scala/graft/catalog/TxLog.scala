@@ -56,14 +56,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * the next commit orphaned the manifests); both read paths now
   * detect the other format and throw (ADVICE r10).
   *
-  * The compare-and-swap primitive is POSIX `link(2)` via
-  * `Files.createLink`: a prepared meta file (already carrying the data
-  * dir name) is hard-linked to the version-keyed commit name, which
-  * atomically either claims the version or throws
-  * `FileAlreadyExistsException` — the loser saw a concurrent commit.
-  * Unlike create-then-write, the claim and its content land in ONE
-  * atomic step, so readers never observe a claimed-but-empty commit
-  * and a crash can never poison a version slot.
+  * The compare-and-swap primitive is pluggable ([[CommitStore]]):
+  * the default [[LinkCommitStore]] is POSIX `link(2)` — the claim
+  * and its content land in ONE atomic step, so readers never observe
+  * a claimed-but-empty commit and a crash can never poison a version
+  * slot; an object-store deployment supplies a conditional-PUT
+  * implementation and everything above the CAS is unchanged
+  * ([[LockingPutCommitStore]] is the bundled conditional-PUT-shaped
+  * test double CatalogTxSpec drives the concurrency suite through).
   *
   * [[transact]] is the writer loop: read snapshot v, apply the
   * caller's merge against it, stage the result, CAS v+1; on conflict
@@ -78,6 +78,61 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * CAS; every data write stays a distributed Spark job — only the
   * few-bytes commit record is driver-side.
   */
+/** The commit CAS primitive behind [[TxLog]]: atomically publish
+  * `content` under `target` iff nothing is committed there yet — the
+  * claim and its content must land in ONE atomic step, so readers
+  * never observe a claimed-but-empty record and a crash can never
+  * poison a version slot. Extracted to an interface (round-11 verdict
+  * item 3) so the transactional layer is not welded to POSIX link(2):
+  * a 100 TB deployment on an object store supplies a conditional-PUT
+  * (`If-None-Match: *`) or lock-row implementation here, and
+  * EVERYTHING above — optimistic rebase, manifest overlay, vacuum,
+  * time travel — is CAS-agnostic (CatalogTxSpec runs its concurrency
+  * suite against both bundled impls). */
+trait CommitStore {
+  /** True iff this call claimed `target`; false iff it was already
+    * claimed (the CAS lost). Any other failure propagates. */
+  def putIfAbsent(target: Path, content: String): Boolean
+}
+
+/** Default [[CommitStore]]: POSIX hard-link. A prepared temp file
+  * (already carrying the content) is `link(2)`-ed to the target name,
+  * which atomically either claims the name or throws
+  * `FileAlreadyExistsException` — the loser saw a concurrent commit. */
+object LinkCommitStore extends CommitStore {
+  def putIfAbsent(target: Path, content: String): Boolean = {
+    val tmp = target.resolveSibling(s".tmp-${UUID.randomUUID()}")
+    Files.writeString(tmp, content)
+    try { Files.createLink(target, tmp); true }
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException => false
+    } finally Files.deleteIfExists(tmp)
+  }
+}
+
+/** Conditional-PUT-shaped [[CommitStore]] test double: claims
+  * serialize through an in-process lock (the way an object store
+  * serializes `If-None-Match: *` PUTs internally) and the content
+  * lands via write-temp + atomic rename, so readers still never see
+  * a claimed-but-empty record. Exists to prove the TxLog protocol is
+  * CAS-agnostic — CatalogTxSpec runs concurrent merges, vacuum, and
+  * time travel through it — not for production use (the lock is
+  * process-local; a real object store brings its own atomicity). */
+final class LockingPutCommitStore extends CommitStore {
+  private val lock = new Object
+  def putIfAbsent(target: Path, content: String): Boolean =
+    lock.synchronized {
+      if (Files.exists(target)) false
+      else {
+        val tmp = target.resolveSibling(s".put-${UUID.randomUUID()}")
+        Files.writeString(tmp, content)
+        Files.move(tmp, target,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        true
+      }
+    }
+}
+
 object TxLog {
 
   final class CommitConflict(version: Long)
@@ -150,19 +205,15 @@ object TxLog {
   }
 
   /** CAS-commit `content` (a data dir name, or a manifest record —
-    * see [[mergeCommitDelta]]) as version `readVersion + 1`. Throws
-    * [[CommitConflict]] if someone else committed first. */
-  def commit(root: String, readVersion: Long, content: String): Long = {
+    * see [[mergeCommitDelta]]) as version `readVersion + 1` through
+    * `store`. Throws [[CommitConflict]] if someone else committed
+    * first. */
+  def commit(root: String, readVersion: Long, content: String,
+      store: CommitStore = LinkCommitStore): Long = {
     val next = readVersion + 1
-    val tmp = commitsDir(root).resolve(s".tmp-${UUID.randomUUID()}")
-    Files.writeString(tmp, content)
-    try {
-      Files.createLink(commitsDir(root).resolve(name(next)), tmp)
+    if (store.putIfAbsent(commitsDir(root).resolve(name(next)), content))
       next
-    } catch {
-      case _: java.nio.file.FileAlreadyExistsException =>
-        throw new CommitConflict(next)
-    } finally Files.deleteIfExists(tmp)
+    else throw new CommitConflict(next)
   }
 
   /** Best-effort recursive delete of a staged-but-unclaimed data dir. */
@@ -181,7 +232,8 @@ object TxLog {
     * and the [[CommitConflict]] propagates (ADVICE r9: the exhausted
     * path used to leak its staging until a vacuum). */
   def transact(spark: SparkSession, root: String, empty: => DataFrame,
-      maxRetries: Int = 10)(merge: DataFrame => DataFrame): Long = {
+      maxRetries: Int = 10, store: CommitStore = LinkCommitStore)(
+      merge: DataFrame => DataFrame): Long = {
     init(root)
     var attempt = 0
     while (true) {
@@ -189,7 +241,7 @@ object TxLog {
       val out = merge(current)
       val dirName = UUID.randomUUID().toString
       out.write.parquet(s"$root/data/$dirName")
-      try return commit(root, v, dirName)
+      try return commit(root, v, dirName, store)
       catch {
         case e: CommitConflict =>
           // loser's staged snapshot is unreachable; best-effort GC now
@@ -214,8 +266,9 @@ object TxLog {
     * or a bulk rebuild; the incremental path a large deployment needs
     * is [[mergeCommitDelta]]. */
   def mergeCommit(spark: SparkSession, root: String, incoming: DataFrame,
-      now: String, empty: => DataFrame): Long =
-    transact(spark, root, empty) { snapshot =>
+      now: String, empty: => DataFrame,
+      store: CommitStore = LinkCommitStore): Long =
+    transact(spark, root, empty, store = store) { snapshot =>
       MergeEngine.mergePackages(snapshot, incoming, now).packages
     }
 
@@ -234,14 +287,13 @@ object TxLog {
   /** Persist-or-assert the root's fixed partition count. First writer
     * claims the sidecar through the same link(2) CAS as commits; a
     * racing second writer re-reads and asserts. */
-  private def assertPartitions(root: String, partitions: Int): Unit = {
+  private def assertPartitions(root: String, partitions: Int,
+      store: CommitStore = LinkCommitStore): Unit = {
     val f = commitsDir(root).resolve("PARTITIONS")
     if (!Files.exists(f)) {
-      val tmp = commitsDir(root).resolve(s".parts-${UUID.randomUUID()}")
-      Files.writeString(tmp, partitions.toString)
-      try Files.createLink(f, tmp)
-      catch { case _: java.nio.file.FileAlreadyExistsException => () }
-      finally Files.deleteIfExists(tmp)
+      // first writer claims the sidecar through the same CAS as
+      // commits; a racing loser just re-reads and asserts below
+      store.putIfAbsent(f, partitions.toString)
     }
     val fixed = Files.readString(f).trim.toInt
     require(fixed == partitions,
@@ -282,16 +334,31 @@ object TxLog {
     var overlay = Map.empty[Int, String]
     val it = recs.iterator.dropWhile(_._1 > atV)
     var done = false
+    var lowest = Long.MaxValue
     while (it.hasNext && !done) {
-      val (_, p) = it.next()
+      val (v, p) = it.next()
       val content = Files.readString(p).trim
       if (!isManifest(content))
         throw new IllegalStateException(
           "whole-snapshot record in a manifest chain: " +
             s"$p — use read/transact on this root, not readDelta")
       overlay = parseEntries(content) ++ overlay
+      lowest = v
       if (!isDeltaRecord(content)) done = true // checkpoint reached
     }
+    // The chain must TERMINATE: at a #manifest checkpoint, or at the
+    // log root (version 1 — a delta onto the empty table is
+    // self-complete). A chain that merely runs out of records was
+    // partially pruned — e.g. a stale #delta surviving in vacuum's
+    // mtime-grace band after its ancestors were deleted (ADVICE r11);
+    // silently returning only its own entries would serve a PARTIAL
+    // table as if it were the full version.
+    if (!done && lowest != 1L)
+      throw new IllegalStateException(
+        s"version $atV is outside the resolvable window: its overlay " +
+          s"chain breaks below v$lowest (no checkpoint and no log " +
+          "root) — the records were pruned by vacuum; pass a larger " +
+          "keep for the audit horizon you need")
     overlay
   }
 
@@ -408,9 +475,10 @@ object TxLog {
       incoming: DataFrame, now: String, empty: => DataFrame,
       partitions: Int = DefaultPartitions, maxRetries: Int = 10,
       preCommitHook: Long => Unit = _ => (),
-      tag: Option[Long] = None, checkpointEvery: Int = 16): Long = {
+      tag: Option[Long] = None, checkpointEvery: Int = 16,
+      store: CommitStore = LinkCommitStore): Long = {
     init(root)
-    assertPartitions(root, partitions)
+    assertPartitions(root, partitions, store)
     val inc = incoming.cache() // reused across pid probe + retries
     try {
       // bounded by `partitions`, never corpus size
@@ -440,7 +508,7 @@ object TxLog {
             .map { case (p, d) => s"$p\t$d" }
         val record = (header ++ body).mkString("\n")
         preCommitHook(v) // test seam: races injected between stage+CAS
-        try return commit(root, v, record)
+        try return commit(root, v, record, store)
         catch {
           case e: CommitConflict =>
             gcStaged(root, dirName)
@@ -572,5 +640,27 @@ object TxLog {
       if (floor >= 0) raiseTagFloor(root, floor)
       stale.foreach { case (_, p) => Files.deleteIfExists(p) }
     }
+
+    // crash-orphaned temp files (round-11 verdict item 4): a writer
+    // that died between its temp write and the link/move leaves
+    // `.tmp-*`/`.put-*`/`.floor-*`/`.ckpt-*` turds in _commits that
+    // the data sweep above never touches — unbounded on an always-on
+    // stream measured in crash-loops. Every live temp is younger than
+    // its writer's stage-to-commit latency, so the same grace window
+    // that protects in-flight data dirs protects in-flight temps.
+    val cl = Files.list(commitsDir(root))
+    try {
+      val it = cl.iterator()
+      while (it.hasNext) {
+        val p = it.next()
+        if (p.getFileName.toString.startsWith(".") &&
+            Files.isRegularFile(p)) {
+          try {
+            if (Files.getLastModifiedTime(p).toMillis <= cutoff)
+              Files.deleteIfExists(p)
+          } catch { case _: NoSuchFileException => () }
+        }
+      }
+    } finally cl.close()
   }
 }

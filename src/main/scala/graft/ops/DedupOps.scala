@@ -22,6 +22,31 @@ import org.apache.spark.sql.expressions.Window
   */
 object DedupOps {
 
+  /** Caches registered by the dedup family, releasable by the caller
+    * once the final action has run — the same PER-THREAD registry
+    * treatment the ANN family got in
+    * [[graft.ops.SimilarityOps.releaseCaches]] (ADVICE r11 flagged
+    * [[prefixCandidates]]' unpaired `cache()` as the one remaining
+    * library-side leak for long-lived sessions; Bench/Verify release
+    * per query, but a caller composing these ops into an always-on
+    * session needs a scoped release, not session-wide cleanup). */
+  private val scopedCaches = ThreadLocal.withInitial(() =>
+    new java.util.ArrayDeque[org.apache.spark.sql.DataFrame]())
+
+  private def scopedCache(df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val c = df.cache(); scopedCaches.get().add(c); c
+  }
+
+  /** Unpersist every frame cached by the dedup family ON THIS THREAD
+    * since the last release. Call after the consuming action
+    * completes, from the thread that built the query. */
+  def releaseCaches(): Unit = {
+    val caches = scopedCaches.get()
+    var df = caches.poll()
+    while (df != null) { df.unpersist(false); df = caches.poll() }
+  }
+
   private def words = filter(split(col("text"), " "), w => w =!= "")
 
   val exact = QueryDef(
@@ -74,11 +99,10 @@ object DedupOps {
 
   private def shingleFrame(s: org.apache.spark.sql.SparkSession,
       dir: String): org.apache.spark.sql.DataFrame =
-    shingleDocs(par(t(s, dir, "documents")))
-      // the shingle frame feeds three branches (signatures, exploded
-      // grams, sizes); tokenize+shingle once, not three times.
-      // MEMORY_AND_DISK default: spills rather than OOMs at scale.
-      .cache()
+    // the shingle frame feeds three branches (signatures, exploded
+    // grams, sizes); tokenize+shingle once, not three times.
+    // MEMORY_AND_DISK default: spills rather than OOMs at scale.
+    scopedCache(shingleDocs(par(t(s, dir, "documents"))))
 
   /** Banded-LSH verified pairs over a pre-shingled (doc_id, sh) frame.
     * 3-token shingles: single tokens are too coarse on small
@@ -222,12 +246,11 @@ object DedupOps {
     val freq = grams.groupBy("gh").agg(count(lit(1)).as("df"))
     val w = Window.partitionBy("doc_id")
       .orderBy(col("df"), col("gh"), col("g"))
-    val pre = grams.join(freq, "gh")
+    val pre = scopedCache(grams.join(freq, "gh")
       .withColumn("rn", row_number().over(w))
       .join(sizes, "doc_id")
       .filter(col("rn") <= expr("n_sh - (n_sh + 1) div 2 + 1"))
-      .select("doc_id", "gh", "n_sh", "rn")
-      .cache()
+      .select("doc_id", "gh", "n_sh", "rn"))
     pre.select(col("doc_id").as("d1"), col("gh"),
         col("n_sh").as("na"), col("rn").as("ra"))
       .join(pre.select(col("doc_id").as("d2"), col("gh"),
@@ -583,9 +606,8 @@ object DedupOps {
       // point of the sampled audit is to NOT pay corpus-sized work
       // (filtering the shared cached shingle frame would tokenize
       // everything first)
-      val sample = shingleDocs(
-        par(t(s, dir, "documents").filter(col("doc_id") % 2 === 0)))
-        .cache()
+      val sample = scopedCache(shingleDocs(
+        par(t(s, dir, "documents").filter(col("doc_id") % 2 === 0))))
       val nExact = exactJaccardPairs(sample)
         .agg(count(lit(1)).as("n_exact"))
       val nLsh = lshVerifiedPairs(sample)

@@ -160,4 +160,20 @@ class AdviceRegressionSpec extends SparkTestBase {
     assert(df.count() > 0)
     graft.ops.SimilarityOps.releaseCaches() // this thread's own release
   }
+
+  test("ADVICE r11: the prefix-join family's caches are scoped — a " +
+      "caller's releaseCaches() leaves no persistent RDDs behind") {
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val df = graft.Registry.byName("d_jaccard_prefix_capped")
+      .run(spark, "/root/testdata/sf0.001")
+    assert(df.count() > 0)
+    // the query registered its shingle-frame and prefix-frame caches
+    // on this thread; the scoped release must drop exactly them (the
+    // old code's bare cache() had no paired unpersist — a leak for
+    // any long-lived session composing these ops)
+    graft.ops.DedupOps.releaseCaches()
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty,
+      s"prefix-join caches survived releaseCaches(): $leaked")
+  }
 }
