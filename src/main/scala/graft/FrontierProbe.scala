@@ -91,6 +91,22 @@ object FrontierProbe {
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
 
+    // per-batch INPUT bytes (parquet scans) — the round-11 verdict's
+    // claim-read metric: with the visitable/map heads, a steady-state
+    // tick batch reads the heads + its touched partitions, never the
+    // whole frontier, so this column stays flat while the frontier
+    // grows (rebuild batches at the head horizon are the amortized
+    // exception). Listener events are async; the probe drains with a
+    // short settle sleep before sampling on reporting batches.
+    val readBytes = new java.util.concurrent.atomic.AtomicLong(0)
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+          if (t.taskMetrics != null)
+            readBytes.addAndGet(t.taskMetrics.inputMetrics.bytesRead)
+      })
+
     val stateRoot = Files.createTempDirectory("fprobe_state").toString
     val catRoot = Files.createTempDirectory("fprobe_cat").toString
     def emptyCatalog = Seq.empty[graft.catalog.PackageRow].toDF()
@@ -121,7 +137,8 @@ object FrontierProbe {
     val sdata = java.nio.file.Paths.get(stateRoot, "sdata")
     println(f"${"batch"}%6s ${"wall_s"}%7s ${"frontier"}%9s " +
       f"${"catalog"}%8s ${"commits"}%8s ${"data_dirs"}%10s " +
-      f"${"staged_MB"}%10s ${"man_B"}%7s ${"sv_recs"}%8s ${"pkg_dirs"}%9s")
+      f"${"staged_MB"}%10s ${"read_MB"}%8s ${"man_B"}%7s " +
+      f"${"sv_recs"}%8s ${"pkg_dirs"}%9s")
     var b = 0L
     while (b < nBatches) {
       val seedBatch =
@@ -130,12 +147,17 @@ object FrontierProbe {
             (0 until seedRows).map(i => s"https://bulk.example/art-$i"))
          else Seq("tick")).toDF("value")
       val before = subdirs(sdata)
+      readBytes.set(0L)
       val t0 = System.nanoTime()
       FrontierStream.processBatch(spark, seedBatch, b, stateRoot,
         visitor, batchSize = fanout + 20, mapper = Some(mapper),
         catalog = Some(sink), statePartitions = stateParts)
       val wall = (System.nanoTime() - t0) / 1e9
-      if (b % 10 == 0 || b == nBatches - 1) {
+      val reporting = b % 10 == 0 || b == nBatches - 1
+      // listener settle before sampling read bytes (reporting only)
+      val batchRead =
+        if (reporting) { Thread.sleep(150); readBytes.get } else 0L
+      if (reporting) {
         // the batch's staged state bytes: its newly-written sdata dirs
         // (retention leaves only live dirs; the new one is live)
         val staged = (subdirs(sdata) -- before)
@@ -154,7 +176,8 @@ object FrontierProbe {
         val manB = Files.size(java.nio.file.Paths.get(stateRoot, s"sv=$b"))
         val nSv = countIn(stateRoot, _.startsWith("sv="))
         println(f"$b%6d $wall%7.2f $nF%9d $nC%8d $nCommits%8d " +
-          f"$nDirs%10d ${staged / 1e6}%10.2f $manB%7d $nSv%8d $nPkg%9d")
+          f"$nDirs%10d ${staged / 1e6}%10.2f ${batchRead / 1e6}%8.2f " +
+          f"$manB%7d $nSv%8d $nPkg%9d")
       }
       b += 1
     }

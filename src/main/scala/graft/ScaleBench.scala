@@ -114,7 +114,13 @@ object ScaleBench {
     // the INCREMENT (20% of docs, linear per copy), never
     // corpus×corpus; within-copy cohorts keep verdicts linear under
     // the copy-suffix harness
-    "d_incremental_dedup")
+    "d_incremental_dedup",
+    // round-12: the embedding-side incremental ingest — assignment is
+    // increment × k map-side dots against broadcast centroids, and
+    // k ∝ corpus keeps probed cells ~64 vectors, so scoring tracks
+    // the increment (20% of vectors, id-offset corpus) linearly;
+    // watch the candidate join's shuffle rows, never corpus×corpus
+    "s_ann_increment")
 
   /** Per-query scale-factor caps: queries whose OUTPUT is inherently
     * super-linear on the copy-suffix corpus (not an implementation

@@ -381,6 +381,140 @@ object SimilarityOps {
         FROM cos) WHERE rn <= 3
       ORDER BY qid, rn"""))
 
+  /** Incremental ANN shard ingest (round-11 verdict item 6) — the
+    * embedding-side mirror of
+    * [[graft.ops.DedupOps.incrementalVerdicts]]: vectors with
+    * vec_id % 5 == 0 are the DAILY INCREMENT; the rest are the
+    * standing corpus whose trained centroids + cell assignments form
+    * the PERSISTED IVF index a deployment keeps on disk (recomputed
+    * here only because a bench query owns no cross-run artifacts —
+    * the increment path itself never retrains centroids or reassigns
+    * corpus vectors). Each increment vector is assigned to its
+    * nprobe=4 nearest PERSISTED cells (map-side dots against the
+    * broadcast centroids) and shortlisted against those cells' corpus
+    * members only — the ingest cost is O(increment × k) assignment
+    * plus O(increment × probed-cell population) scoring, never
+    * corpus × corpus and never a corpus re-train (ScaleBench's
+    * s_ann_increment points measure the increment scaling). The
+    * oracle replays the exact integer arithmetic end-to-end, so a
+    * drifted centroid or a mis-probed cell hash-fails rather than
+    * passing approximately. */
+  val ivfIncrement = QueryDef(
+    "s_ann_increment",
+    "LLM-pipeline similarity: incremental ANN shard ingest",
+    "assign only the increment against the persisted corpus IVF index",
+    (s, dir) => {
+      val emb = scopedCache(quantized(s, dir))
+      val corpus = emb.filter(col("vec_id") % 5 =!= 0)
+      val inc = emb.filter(col("vec_id") % 5 === 0)
+      // k grows with the corpus (~64-vector target cells, the
+      // semDedup rule) so the probed-cell population — and with it
+      // the per-increment-vector scoring cost — stays CONSTANT as
+      // the corpus scales; below 2048 corpus vectors this is the
+      // literal 32 the oracle mirrors (every verify SF qualifies)
+      val kC = math.max(32L, corpus.count() / 64L).toInt
+      // the persisted index: corpus-trained centroids + corpus cells
+      val cents = scopedCache(ivfCentroids(corpus, kC))
+      val cells = ivfCells(corpus, cents)
+      val pairs = ivfCandidates(inc, cells, cents, nprobe = 4)
+        .withColumn("dp", dot("qv", "v"))
+        .withColumn("cosine",
+          asDouble(col("dp")) /
+            (sqrt(asDouble(col("qn2"))) * sqrt(asDouble(col("n2")))))
+      val w = Window.partitionBy(col("qid"))
+        .orderBy(desc("cosine"), col("vec_id"))
+      pairs
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("qid"), col("vec_id").as("nid"), col("cosine"),
+          col("rn"))
+        .orderBy("qid", "rn")
+    },
+    Some("""WITH u AS (
+        SELECT vec_id, i,
+          CAST(FLOOR(CAST(embedding[CAST(i AS INTEGER)] AS DOUBLE) * CAST(1000000 AS DOUBLE) + 0.5) AS BIGINT) AS x
+        FROM (SELECT vec_id, embedding,
+                unnest(range(1, len(embedding) + 1)) AS i
+              FROM embeddings)),
+      nrm AS (
+        SELECT vec_id, CAST(SUM(x*x) AS BIGINT) AS n2 FROM u GROUP BY vec_id),
+      c0 AS (SELECT vec_id AS cid, i, x FROM u
+             WHERE vec_id < 32 AND vec_id % 5 <> 0),
+      c0n AS (SELECT cid, CAST(SUM(x*x) AS BIGINT) AS cn2 FROM c0 GROUP BY cid),
+      a0dot AS (
+        SELECT u.vec_id, c0.cid, CAST(SUM(u.x * c0.x) AS BIGINT) AS dp
+        FROM u JOIN c0 ON u.i = c0.i
+        WHERE u.vec_id % 5 <> 0
+        GROUP BY u.vec_id, c0.cid),
+      a0 AS (
+        SELECT vec_id, cid AS cell FROM (
+          SELECT a.vec_id, a.cid,
+            ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY
+              CAST(a.dp AS DOUBLE) /
+                (sqrt(CAST(n.n2 AS DOUBLE)) * sqrt(CAST(cn.cn2 AS DOUBLE)))
+              DESC, a.cid) AS rn
+          FROM a0dot a
+          JOIN nrm n ON n.vec_id = a.vec_id
+          JOIN c0n cn ON cn.cid = a.cid)
+        WHERE rn = 1),
+      c1 AS (
+        SELECT a0.cell AS cid, u.i,
+          CAST(FLOOR(CAST(SUM(u.x) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)) AS BIGINT) AS x
+        FROM u JOIN a0 ON u.vec_id = a0.vec_id
+        GROUP BY a0.cell, u.i),
+      c1n AS (SELECT cid, CAST(SUM(x*x) AS BIGINT) AS cn2 FROM c1 GROUP BY cid),
+      a1dot AS (
+        SELECT u.vec_id, c1.cid, CAST(SUM(u.x * c1.x) AS BIGINT) AS dp
+        FROM u JOIN c1 ON u.i = c1.i
+        GROUP BY u.vec_id, c1.cid),
+      cells AS (
+        SELECT vec_id, cid AS cell FROM (
+          SELECT a.vec_id, a.cid,
+            ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY
+              CAST(a.dp AS DOUBLE) /
+                (sqrt(CAST(n.n2 AS DOUBLE)) * sqrt(CAST(cn.cn2 AS DOUBLE)))
+              DESC, a.cid) AS rn
+          FROM a1dot a
+          JOIN nrm n ON n.vec_id = a.vec_id
+          JOIN c1n cn ON cn.cid = a.cid
+          WHERE a.vec_id % 5 <> 0)
+        WHERE rn = 1),
+      qprobe AS (
+        SELECT vec_id AS qid, cid AS pcell FROM (
+          SELECT a.vec_id, a.cid,
+            ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY
+              CAST(a.dp AS DOUBLE) /
+                (sqrt(CAST(n.n2 AS DOUBLE)) * sqrt(CAST(cn.cn2 AS DOUBLE)))
+              DESC, a.cid) AS rn
+          FROM a1dot a
+          JOIN nrm n ON n.vec_id = a.vec_id
+          JOIN c1n cn ON cn.cid = a.cid
+          WHERE a.vec_id % 5 = 0)
+        WHERE rn <= 4),
+      cand AS (
+        SELECT q.qid, c.vec_id AS nid
+        FROM qprobe q JOIN cells c
+          ON q.pcell = c.cell AND c.vec_id <> q.qid),
+      dots AS (
+        SELECT c.qid, c.nid, CAST(SUM(a.x*b.x) AS BIGINT) AS dp
+        FROM cand c
+        JOIN u a ON a.vec_id = c.qid
+        JOIN u b ON b.vec_id = c.nid AND a.i = b.i
+        GROUP BY c.qid, c.nid),
+      cos AS (
+        SELECT qid, nid,
+          CAST(dp AS DOUBLE) /
+            (sqrt(CAST(qa.n2 AS DOUBLE)) * sqrt(CAST(qb.n2 AS DOUBLE))) AS cosine
+        FROM dots
+        JOIN nrm qa ON qa.vec_id = qid
+        JOIN nrm qb ON qb.vec_id = nid)
+      SELECT qid, nid, cosine, rn FROM (
+        SELECT qid, nid, cosine,
+          ROW_NUMBER() OVER (PARTITION BY qid
+            ORDER BY cosine DESC, nid) AS rn
+        FROM cos) WHERE rn <= 3
+      ORDER BY qid, rn"""))
+
   /** Semantic dedup in the SemDeDup shape (Abbas et al. 2023,
     * arXiv:2303.09540): cluster the embedding space with the trained
     * IVF coarse quantizer, then WITHIN each cluster drop every vector
@@ -1503,6 +1637,6 @@ object SimilarityOps {
       FROM ne, na, nc"""))
 
   val defs: Seq[QueryDef] =
-    Seq(bruteTopK, lshAnn, ivfAnn, semDedup, pqAnn, knnClusters,
-      knnClustersAnn, knnAnnRecall)
+    Seq(bruteTopK, lshAnn, ivfAnn, ivfIncrement, semDedup, pqAnn,
+      knnClusters, knnClustersAnn, knnAnnRecall)
 }

@@ -180,18 +180,31 @@ object Frontier {
     * ≥1 s per host in its forever-loop process,
     * `run_visit.py:385-405`, which likewise persists across queue
     * polls). [[expandClaims]]' repartition(host) keeps a host on one
-    * partition per batch, so within a batch the delay is exact; on a
-    * multi-executor cluster each executor JVM throttles independently
-    * — the same worst-case as the reference scaling out its visit
-    * workers. */
+    * partition per batch, so within a batch the delay is exact on ANY
+    * cluster (one host = one task = one JVM); ACROSS batches a host's
+    * task can land on a different executor, which is where the
+    * per-JVM clock alone under-throttles — callers that need the
+    * budget cluster-global thread the previous batch's hit times back
+    * in via `prevHostHits` (FrontierStream persists them per batch in
+    * a HOSTS sidecar, round-11 verdict item 7; the map is
+    * batch-bounded, ≤ one entry per claimed host). */
   private[graft] val hostLastHit =
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
 
   /** Visitor expansion of a claimed batch: fetch/expand on executors,
     * per-host politeness inside the partition AND across batches via
-    * [[hostLastHit]]. Returns (parent, uri) child rows. */
+    * [[hostLastHit]] floored by `prevHostHits` (hit times persisted
+    * by the driver from earlier batches — executor-agnostic). Each
+    * hit's wall time is reported through `hitRecorder` when supplied,
+    * so the driver can persist the batch's last-hit-per-host for the
+    * NEXT batch regardless of which executor runs it. Returns
+    * (parent, uri) child rows. */
   def expandClaims(spark: SparkSession, claimed: DataFrame,
-      visitor: Visitor, hostDelayMs: Long = 0L): DataFrame = {
+      visitor: Visitor, hostDelayMs: Long = 0L,
+      prevHostHits: Map[String, Long] = Map.empty,
+      hitRecorder: Option[
+        org.apache.spark.util.CollectionAccumulator[(String, Long)]] = None)
+      : DataFrame = {
     import spark.implicits._
     val yielded: Dataset[(String, String)] = claimed
       .select("uri", "host").as[(String, String)]
@@ -199,11 +212,15 @@ object Frontier {
       .mapPartitions { it =>
         it.flatMap { case (uri, host) =>
           if (hostDelayMs > 0) {
-            val last = Option(hostLastHit.get(host))
-              .map(_.longValue()).getOrElse(0L)
+            val last = math.max(
+              Option(hostLastHit.get(host))
+                .map(_.longValue()).getOrElse(0L),
+              prevHostHits.getOrElse(host, 0L))
             val since = System.currentTimeMillis() - last
             if (since < hostDelayMs) Thread.sleep(hostDelayMs - since)
-            hostLastHit.put(host, System.currentTimeMillis())
+            val now = System.currentTimeMillis()
+            hostLastHit.put(host, now)
+            hitRecorder.foreach(_.add((host, now)))
           }
           visitor(uri).map(child => (uri, child))
         }

@@ -487,6 +487,138 @@ class FrontierStreamSpec extends SparkTestBase {
         s"packages=$got\nfrontier=$mappedRows")
   }
 
+  // ---- bounded claim heads (round-11 verdict item 1) --------------
+
+  test("head-served steady-state claims equal the full-scan fold " +
+      "exactly, with the floor path exercised") {
+    val stateRoot = tmp("fh-state")
+    import spark.implicits._
+    // 400 seeds > the 256-row head minimum at batchSize 5, so the
+    // rebuilt head carries a FLOOR and every tick batch claims from
+    // the bounded head, not a complete copy
+    val seeds = (0 until 400).map(i => f"https://registry.npmjs.org/h$i%03d")
+    FrontierStream.processBatch(spark, seeds.toDF("value"), 0L, stateRoot,
+      visitor, batchSize = 5)
+    (1L to 6L).foreach { b =>
+      FrontierStream.processBatch(spark, Seq("tick").toDF("value"), b,
+        stateRoot, visitor, batchSize = 5)
+    }
+    // the head is live (maintained through batch 6) and bounded (has
+    // a floor — the claims above came from the head, not a full copy)
+    val ptr = FrontierStream.readHeadPtr(stateRoot, "VHEAD")
+    assert(ptr.exists(_.forBatch == 6L), s"VHEAD not maintained: $ptr")
+    assert(ptr.exists(_.floor.isDefined),
+      "400 candidates over a 256-row head must carry a floor")
+
+    // pure-batch oracle: the same seed + 6 tick cycles folded through
+    // the Frontier API with the full frontier in memory every step
+    def key(df: org.apache.spark.sql.DataFrame) = df
+      .select("uri", "canonical", "priority", "last_visit_date")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2),
+        Option(r.getTimestamp(3)).map(_.getTime)))
+      .sortBy(t => (t._1, t._4)).toSeq
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType.fromDDL(
+        FrontierStream.stateDdl))
+    var oracle = Frontier.insertSeedUris(
+      Frontier.withRoutability(empty), seeds,
+      FrontierStream.batchTime(0L))
+      .drop("is_visitable", "is_mappable")
+    oracle = Frontier.visitCycle(spark, oracle, visitor,
+      FrontierStream.batchTime(0L), batchSize = 5).localCheckpoint()
+    (1L to 6L).foreach { b =>
+      oracle = Frontier.visitCycle(spark, oracle, visitor,
+        FrontierStream.batchTime(b), batchSize = 5).localCheckpoint()
+    }
+    assert(key(FrontierStream.currentFrontier(spark, stateRoot)) ==
+      key(oracle),
+      "head-served claims diverged from the full-scan fold")
+  }
+
+  test("frontierAt reads historical batches inside retainBatches and " +
+      "throws the retention error past it") {
+    val stateRoot = tmp("ft-state")
+    import spark.implicits._
+    val seeds = (0 until 30).map(i => s"https://registry.npmjs.org/t-$i")
+    FrontierStream.processBatch(spark, seeds.toDF("value"), 0L, stateRoot,
+      _ => Seq.empty, batchSize = 2, retainBatches = 4)
+    var captured = Map.empty[Long, Seq[String]]
+    def visitedKey(df: org.apache.spark.sql.DataFrame): Seq[String] = df
+      .filter("last_visit_date IS NOT NULL")
+      .select("canonical").collect().map(_.getString(0)).sorted.toSeq
+    (1L to 20L).foreach { b =>
+      FrontierStream.processBatch(spark, Seq("tick").toDF("value"), b,
+        stateRoot, _ => Seq.empty, batchSize = 2, retainBatches = 4)
+      if (b >= 17L) captured += b ->
+        visitedKey(FrontierStream.currentFrontier(spark, stateRoot))
+    }
+    // the kept window (17..20) reads back exactly
+    (17L to 20L).foreach { b =>
+      assert(visitedKey(FrontierStream.frontierAt(spark, stateRoot, b))
+        == captured(b), s"frontierAt($b) diverged from the capture")
+    }
+    // a pruned batch throws the retention error, like the catalog
+    val e = intercept[IllegalArgumentException] {
+      FrontierStream.frontierAt(spark, stateRoot, 10L)
+    }
+    assert(e.getMessage.contains("retained window"), e.getMessage)
+  }
+
+  test("politeness holds when the next batch's host lands on a " +
+      "DIFFERENT executor (per-JVM clock cleared; HOSTS sidecar " +
+      "carries the budget)") {
+    val stateRoot = tmp("fg-state")
+    Frontier.hostLastHit.clear()
+    FrontierStreamSpec.hits.clear()
+    val recordingVisitor: Frontier.Visitor = uri => {
+      FrontierStreamSpec.hits.add((uri, System.currentTimeMillis()))
+      Seq.empty
+    }
+    import spark.implicits._
+    val seeds = Seq("https://registry.npmjs.org/pkg-a",
+      "https://registry.npmjs.org/pkg-b")
+    FrontierStream.processBatch(spark, seeds.toDF("value"), 0L, stateRoot,
+      recordingVisitor, batchSize = 1, hostDelayMs = 6000L)
+    // simulate the host's next task landing on a fresh executor JVM:
+    // the in-memory clock is gone; only the persisted HOSTS sidecar
+    // can enforce the budget
+    Frontier.hostLastHit.clear()
+    FrontierStream.processBatch(spark, Seq("tick").toDF("value"), 1L,
+      stateRoot, recordingVisitor, batchSize = 1, hostDelayMs = 6000L)
+    val times = FrontierStreamSpec.hits.toArray(
+      Array.empty[(String, Long)]).sortBy(_._2)
+    assert(times.length == 2, s"expected 2 visits, got ${times.toSeq}")
+    val gap = times(1)._2 - times(0)._2
+    assert(gap >= 5500L,
+      s"same-host visits ${gap}ms apart across a simulated executor " +
+        "change (the HOSTS sidecar must make the budget cluster-global)")
+  }
+
+  test("the in-loop retention sweeps crash-orphaned dot-files past " +
+      "the grace and spares fresh in-flight temps") {
+    val stateRoot = tmp("fo-state")
+    import spark.implicits._
+    FrontierStream.processBatch(spark,
+      Seq("https://registry.npmjs.org/index").toDF("value"), 0L,
+      stateRoot, visitor, batchSize = 2)
+    val p = java.nio.file.Paths.get(stateRoot)
+    val oldSv = p.resolve(".sv-dead-writer")
+    val oldHosts = p.resolve(".hosts-dead-writer")
+    val freshSv = p.resolve(".sv-in-flight")
+    Seq(oldSv, oldHosts, freshSv).foreach(Files.writeString(_, "x"))
+    val past = java.nio.file.attribute.FileTime.fromMillis(
+      System.currentTimeMillis() - FrontierStream.OrphanGraceMs - 60000)
+    Seq(oldSv, oldHosts).foreach(Files.setLastModifiedTime(_, past))
+    FrontierStream.processBatch(spark, Seq("tick").toDF("value"), 1L,
+      stateRoot, visitor, batchSize = 2)
+    assert(!Files.exists(oldSv) && !Files.exists(oldHosts),
+      "orphaned temps older than the grace must be swept by the loop")
+    assert(Files.exists(freshSv),
+      "a temp inside the grace window must survive")
+  }
+
   test("continuous trigger: rate-source ticks drive autonomous cycles " +
       "with no operator tick files") {
     val (seedDir, stateRoot, chk) =
