@@ -296,6 +296,23 @@ object FrontierStream {
 
   private val HeadMinRows = 256
 
+  /** Head capacity: K claims' worth of lookahead before a drain
+    * forces the full-scan rebuild (16 batches at the default — tune
+    * with `headSize` on [[processBatch]]).
+    *
+    * Regime boundary, stated honestly: the head serves the
+    * BACKLOGGED steady state — many pending/revisitable URIs, the
+    * 10⁹-URI deployment the sizing targets — where every batch fills
+    * from the top-K cache and the full scan amortizes to the rebuild
+    * cadence. A DRAINED frontier (fewer currently-visitable rows than
+    * a batch wants, with more than K potential candidates) falls back
+    * to the full scan per batch: a top-K cache cannot prove "nothing
+    * below my floor is visitable" without looking. That is
+    * reference-parity in COST SHAPE (its indexed poll also pays per
+    * poll; cheaper per unit, but a drained crawl is an idle crawl) —
+    * and when the whole candidate set fits in K the head is COMPLETE
+    * (no floor) and stays exact at any claim size with no fallbacks,
+    * which is the small/trickle-frontier case. */
   private def headK(batchSize: Int): Int =
     math.max(batchSize * 16, HeadMinRows)
 
@@ -583,7 +600,8 @@ object FrontierStream {
       catalog: Option[CatalogSink] = None,
       hostDelayMs: Long = 0L,
       statePartitions: Int = StatePartitions,
-      retainBatches: Int = 2): Unit = {
+      retainBatches: Int = 2,
+      headSize: Int = 0): Unit = {
     val last = committedBatch(stateRoot)
     if (batchId <= last) return // replayed, already applied — skip
     Files.createDirectories(Paths.get(stateRoot))
@@ -771,7 +789,7 @@ object FrontierStream {
 
     // ---- head maintenance (post-commit: a crash here skips the
     // batch on replay and the stale pointer forces a rebuild) -------
-    val k = headK(batchSize)
+    val k = if (headSize > 0) headSize else headK(batchSize)
     def postState(): DataFrame =
       if (nextManifest.isEmpty) emptyState(spark)
       else spark.read.schema(

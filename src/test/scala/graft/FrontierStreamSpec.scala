@@ -537,6 +537,36 @@ class FrontierStreamSpec extends SparkTestBase {
       "head-served claims diverged from the full-scan fold")
   }
 
+  test("a drained head falls back to the full scan, rebuilds, and " +
+      "keeps claims exact through the transition") {
+    val stateRoot = tmp("fdr-state")
+    import spark.implicits._
+    // headSize=16 with batchSize=8: two head-served batches exhaust
+    // the head's visitables, the third DRAINS (0 < 8 with a floor),
+    // full-scans, rebuilds, and the fourth serves from the new head
+    val seeds = (0 until 400).map(i => f"https://registry.npmjs.org/r$i%03d")
+    FrontierStream.processBatch(spark, seeds.toDF("value"), 0L, stateRoot,
+      _ => Seq.empty, batchSize = 8, headSize = 16)
+    (1L to 4L).foreach { b =>
+      FrontierStream.processBatch(spark, Seq("tick").toDF("value"), b,
+        stateRoot, _ => Seq.empty, batchSize = 8, headSize = 16)
+    }
+    // the drain at batch 3 rebuilt the head: its horizon restarts
+    // from 3, not from the batch-0 rebuild
+    val ptr = FrontierStream.readHeadPtr(stateRoot, "VHEAD")
+    assert(ptr.exists(_.horizonBatch ==
+      3L + FrontierStream.HeadHorizonBatches),
+      s"expected a drain-rebuild at batch 3, got $ptr")
+    // claims stayed exact through drain + rebuild: 8 × 5 batches of
+    // the 400 seeds are visited, and they are exactly the top-40 by
+    // the (-priority, -uri) queue order (all seeds share priority)
+    val visited = FrontierStream.currentFrontier(spark, stateRoot)
+      .filter("last_visit_date IS NOT NULL")
+      .select("uri").collect().map(_.getString(0)).sorted.toSeq
+    assert(visited == seeds.sorted.takeRight(40),
+      s"drain transition mis-claimed: got ${visited.take(5)}...")
+  }
+
   test("frontierAt reads historical batches inside retainBatches and " +
       "throws the retention error past it") {
     val stateRoot = tmp("ft-state")
