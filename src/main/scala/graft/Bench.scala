@@ -108,14 +108,18 @@ object Bench {
     // keeps only ~75 queries, so per-query non-regression was
     // undecidable from history). The round number comes from
     // SPARK_GRAFT_ROUND when the caller knows it, else max(N)+1 over
-    // the BENCH_FULL_r<N>.json files THIS code owns (ADVICE r11: the
-    // old scan keyed on the driver's BENCH_r<N>.json, which lands in
-    // the tree mid-round — a round-12 rerun with BENCH_r11.json
-    // present would stamp r12 during round 11; and an empty scan
-    // yielded round 0). An empty scan now yields 1 (first round).
+    // the DRIVER-committed BENCH_r<N>.json files — a file another
+    // program writes exactly once per round, so the inference is
+    // stable across ANY number of reruns within a round (ADVICE r11:
+    // treating an existing BENCH_r<N> as naming the CURRENT round —
+    // max, not max+1 — was the fix; keying on this code's own
+    // BENCH_FULL output would self-collide, each rerun stamping
+    // round+1 off the previous rerun's artifact). BENCH_r11 present
+    // during round 12 → stamps 12; a round-12 rerun still stamps 12
+    // and overwrites. An empty scan yields 1 (first round).
     val round: Int = sys.env.get("SPARK_GRAFT_ROUND").flatMap(_.toIntOption)
       .getOrElse {
-        val rx = """BENCH_FULL_r0*(\d+)\.json""".r
+        val rx = """BENCH_r0*(\d+)\.json""".r
         val files = Option(new java.io.File(".").list()).getOrElse(Array.empty)
         val ns = files.collect { case rx(n) => n.toInt }
         if (ns.isEmpty) 1 else ns.max + 1

@@ -648,9 +648,20 @@ object TxLog {
     // stream measured in crash-loops. Every live temp is younger than
     // its writer's stage-to-commit latency, so the same grace window
     // that protects in-flight data dirs protects in-flight temps.
-    val cl = Files.list(commitsDir(root))
+    sweepDotOrphans(commitsDir(root), cutoff)
+  }
+
+  /** Delete dot-prefixed regular files in `dir` not modified since
+    * `cutoff` — the crash-orphaned-temp sweep shared by [[vacuum]]
+    * and FrontierStream's in-loop retention (one implementation, so
+    * a tightening applies to both). Live temps are younger than
+    * their writer's stage-to-swap latency; the caller's grace window
+    * protects them. */
+  private[graft] def sweepDotOrphans(dir: Path, cutoff: Long): Unit = {
+    if (!Files.exists(dir)) return
+    val l = Files.list(dir)
     try {
-      val it = cl.iterator()
+      val it = l.iterator()
       while (it.hasNext) {
         val p = it.next()
         if (p.getFileName.toString.startsWith(".") &&
@@ -661,6 +672,6 @@ object TxLog {
           } catch { case _: NoSuchFileException => () }
         }
       }
-    } finally cl.close()
+    } finally l.close()
   }
 }

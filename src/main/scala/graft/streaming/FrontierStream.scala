@@ -378,23 +378,32 @@ object FrontierStream {
   private def buildHead(stateRoot: String, dataDir: String,
       candidates: DataFrame, k: Int, forBatch: Long,
       horizonBatch: Long): Unit = {
-    val topK = candidates
-      .orderBy(desc("priority"), desc("uri")).limit(k)
-    // the floor is the LOWEST-ranked of the top K: ascending order
-    val floorRow = topK.orderBy(col("priority"), col("uri")).limit(1)
-      .select("priority", "uri").collect().headOption
-    val n = topK.count()
-    val floor: Option[(Int, String)] =
-      if (n < k) None
-      else floorRow.map(r => (r.getInt(0), r.getString(1)))
-    val rows = floor match {
-      case Some((fp, fu)) => candidates.filter(atOrAbove(fp, fu))
-      case None           => candidates
-    }
-    val uuid = UUID.randomUUID().toString
-    rows.coalesce(1).write.parquet(s"$stateRoot/$dataDir/$uuid")
-    writeHeadPtr(stateRoot, dataDir.toUpperCase, dataDir, // VHEAD/MHEAD
-      HeadPtr(uuid, forBatch, horizonBatch, floor))
+    // ONE scan of the candidate plan (a full-frontier read on rebuild
+    // batches): cache it, derive the floor from a single ≤k-row
+    // driver collect of the ranked top, write the filtered rows from
+    // the cache, release. Without the cache this ran three jobs over
+    // the full frontier per rebuild.
+    val cand = candidates.cache()
+    try {
+      val top = cand.orderBy(desc("priority"), desc("uri")).limit(k)
+        .select("priority", "uri").collect()
+      // the floor is the LOWEST-ranked of the top K (the collect is
+      // rank-ordered descending, so that is the last element)
+      val floor: Option[(Int, String)] =
+        if (top.length < k) None
+        else top.lastOption.map(r => (r.getInt(0), r.getString(1)))
+      val rows = floor match {
+        case Some((fp, fu)) => cand.filter(atOrAbove(fp, fu))
+        case None           => cand
+      }
+      val uuid = UUID.randomUUID().toString
+      // repartition(1), not coalesce(1): a shuffle barrier keeps the
+      // upstream frontier scan parallel — coalesce(1) would collapse
+      // the very read the head exists to amortize into one task
+      rows.repartition(1).write.parquet(s"$stateRoot/$dataDir/$uuid")
+      writeHeadPtr(stateRoot, dataDir.toUpperCase, dataDir, // VHEAD/MHEAD
+        HeadPtr(uuid, forBatch, horizonBatch, floor))
+    } finally cand.unpersist(false)
   }
 
   /** O(delta) head carry-forward: drop the touched partitions' rows,
@@ -413,7 +422,9 @@ object FrontierStream {
       case None           => newTouchedCandidates
     }
     val uuid = UUID.randomUUID().toString
-    old.unionByName(adds).coalesce(1)
+    // repartition(1) for the same reason as buildHead: keep the
+    // touched-partition read parallel, shuffle only the head rows
+    old.unionByName(adds).repartition(1)
       .write.parquet(s"$stateRoot/$dataDir/$uuid")
     writeHeadPtr(stateRoot, dataDir.toUpperCase, dataDir,
       ptr.copy(uuid = uuid, forBatch = forBatch))
@@ -890,25 +901,10 @@ object FrontierStream {
       } finally dl.close()
     }
     // crash-orphaned dot-file temps (`.sv-*`, `.hosts-*`, pointer
-    // swaps) older than the grace — same sweep TxLog.vacuum grew this
-    // round; an always-on stream in a crash loop must not accrete them
-    val cutoff = System.currentTimeMillis() - OrphanGraceMs
-    val rl = Files.list(Paths.get(stateRoot))
-    try {
-      val it = rl.iterator()
-      while (it.hasNext) {
-        val p = it.next()
-        if (p.getFileName.toString.startsWith(".") &&
-            Files.isRegularFile(p)) {
-          try {
-            if (Files.getLastModifiedTime(p).toMillis <= cutoff)
-              Files.deleteIfExists(p)
-          } catch {
-            case _: java.nio.file.NoSuchFileException => ()
-          }
-        }
-      }
-    } finally rl.close()
+    // swaps) older than the grace — the shared TxLog sweep; an
+    // always-on stream in a crash loop must not accrete them
+    graft.catalog.TxLog.sweepDotOrphans(Paths.get(stateRoot),
+      System.currentTimeMillis() - OrphanGraceMs)
   }
 
   /** Grace for the dot-file orphan sweep: a live temp is younger than
@@ -919,7 +915,15 @@ object FrontierStream {
     * catalog's `readDeltaAt` mirrored): the committed frontier at a
     * HISTORICAL batch. Only batches inside the retention window are
     * readable — `retainBatches` on [[processBatch]] is the audit
-    * horizon knob (default 2: the crash-safety margin). */
+    * horizon knob (default 2: the crash-safety margin).
+    *
+    * Reader-margin contract (same as TxLog.vacuum's): the dir check
+    * below closes the common failure cleanly, but the returned
+    * DataFrame is LAZY — an audit read racing the live stream's
+    * retention can still lose its files mid-scan if it reads at the
+    * very edge of the window. Size `retainBatches` so audit reads
+    * target batches with at least one batch of margin, or quiesce
+    * the stream for edge reads. */
   def frontierAt(spark: SparkSession, stateRoot: String, batchId: Long)
       : DataFrame = {
     val ids = listManifests(stateRoot).map(_._1)
@@ -957,7 +961,9 @@ object FrontierStream {
       mapper: Option[String => Seq[String]] = None,
       catalog: Option[CatalogSink] = None,
       hostDelayMs: Long = 0L,
-      statePartitions: Int = StatePartitions): StreamingQuery = {
+      statePartitions: Int = StatePartitions,
+      retainBatches: Int = 2,
+      headSize: Int = 0): StreamingQuery = {
     Files.createDirectories(Paths.get(stateRoot))
     spark.readStream
       .option("maxFilesPerTrigger", 1) // one inbox file = one cycle
@@ -967,7 +973,7 @@ object FrontierStream {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         processBatch(spark, batch, batchId, stateRoot, visitor,
           batchSize, preCommitHook, mapper, catalog, hostDelayMs,
-          statePartitions)
+          statePartitions, retainBatches, headSize)
       }
       .start()
   }
@@ -990,7 +996,9 @@ object FrontierStream {
       ticksPerSecond: Int = 2,
       mapper: Option[String => Seq[String]] = None,
       catalog: Option[CatalogSink] = None,
-      hostDelayMs: Long = 0L): StreamingQuery = {
+      hostDelayMs: Long = 0L,
+      retainBatches: Int = 2,
+      headSize: Int = 0): StreamingQuery = {
     Files.createDirectories(Paths.get(stateRoot))
     val seeds = spark.readStream
       .option("maxFilesPerTrigger", 1)
@@ -1004,7 +1012,8 @@ object FrontierStream {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         processBatch(spark, batch, batchId, stateRoot, visitor,
           batchSize, mapper = mapper, catalog = catalog,
-          hostDelayMs = hostDelayMs)
+          hostDelayMs = hostDelayMs, retainBatches = retainBatches,
+          headSize = headSize)
       }
       .start()
   }
