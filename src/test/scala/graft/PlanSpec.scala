@@ -176,6 +176,28 @@ class PlanSpec extends SparkTestBase {
     assert(cand > 0, "IVF probing returned no candidates at all")
   }
 
+  test("incremental ANN ingest: centroids broadcast, candidates track " +
+      "the increment — never corpus x corpus") {
+    import org.apache.spark.sql.functions._
+    val p = plan("s_ann_increment")
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastHashJoin"),
+      s"persisted centroids not broadcast:\n${p.take(1500)}")
+    // the ingest's candidate set is increment-side bounded: each
+    // increment vector probes nprobe=4 of the ~64-vector target
+    // cells, so candidates stay well under increment × corpus
+    val emb = ops.SimilarityOps.quantized(spark, sf001)
+    val corpus = emb.filter(col("vec_id") % 5 =!= 0)
+    val inc = emb.filter(col("vec_id") % 5 === 0)
+    val (nC, nI) = (corpus.count(), inc.count())
+    val cents = ops.SimilarityOps.ivfCentroids(corpus, 32)
+    val cells = ops.SimilarityOps.ivfCells(corpus, cents)
+    val cand = ops.SimilarityOps.ivfCandidates(inc, cells, cents, 4)
+      .count()
+    assert(cand > 0, "increment probing returned no candidates")
+    assert(cand < nI * nC / 2,
+      s"candidate set $cand not far below increment×corpus ${nI * nC}")
+  }
+
   test("16-bit LSH: bucket population scales as n/2^bits, probes bounded") {
     import org.apache.spark.sql.functions._
     val emb = core.t(spark, "/root/testdata/sf0.01", "embeddings")
