@@ -260,6 +260,15 @@ object SimilarityOps {
       cents: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = nearestCells(emb, cents, 1)
 
+  /** Ranked cell probes (vec_id, v, n2, cell) with one row per
+    * (vector, probed cell) — [[nearestCells]] for callers outside
+    * this object ([[IvfIndexStore.shortlist]] intercepts the probe
+    * frame to collect the probed BUCKETS before the candidate join,
+    * which [[ivfCandidates]]'s fused shape can't express). */
+  private[ops] def probeCells(vecs: org.apache.spark.sql.DataFrame,
+      cents: org.apache.spark.sql.DataFrame, nprobe: Int)
+      : org.apache.spark.sql.DataFrame = nearestCells(vecs, cents, nprobe)
+
   /** IVF candidate pairs for the query set: each query probes its
     * `nprobe` nearest cells; candidates are an equi-join on cell. */
   def ivfCandidates(queries: org.apache.spark.sql.DataFrame,
@@ -514,6 +523,126 @@ object SimilarityOps {
             ORDER BY cosine DESC, nid) AS rn
         FROM cos) WHERE rn <= 3
       ORDER BY qid, rn"""))
+
+  /** Per-query-thread scratch root for the persisted-index queries: a
+    * registered query owns no cross-run artifacts, so each run
+    * rebuilds the artifact from the corpus in a deterministic
+    * location and the PREVIOUS run's root is cleared on entry (the
+    * returned frame is lazy — deleting at the END of run() would
+    * race the caller's action; clearing on the NEXT entry bounds the
+    * leak to one root per thread without that race). Deployments call
+    * [[IvfIndexStore]] against a durable root instead. */
+  private def scratchRoot(tag: String): String = {
+    val p = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"),
+      s"graft_ivf_${tag}_t${Thread.currentThread().getId}")
+    if (java.nio.file.Files.exists(p))
+      java.nio.file.Files.walk(p)
+        .sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => java.nio.file.Files.deleteIfExists(f))
+    p.toString
+  }
+
+  /** The persisted-index lifecycle, end-to-end through disk: train on
+    * the corpus, [[IvfIndexStore.save]] the index, LOAD it back, and
+    * run the increment shortlist against the loaded artifact with the
+    * bucket-pruned probe. Output is row-identical to
+    * [[ivfIncrement]] (same oracle) — so a drifted byte anywhere in
+    * the save → load → prune → score path hash-fails the gate rather
+    * than passing approximately. This closes the `s_ann_increment`
+    * caveat: the index a deployment amortizes across shards is now an
+    * actual on-disk artifact, not an in-plan recomputation. */
+  val ivfLifecycle = QueryDef(
+    "s_ann_index_lifecycle",
+    "LLM-pipeline similarity: persisted IVF index lifecycle",
+    "build → save → load → bucket-pruned shortlist ≡ in-memory increment",
+    (s, dir) => {
+      val emb = scopedCache(quantized(s, dir))
+      val corpus = emb.filter(col("vec_id") % 5 =!= 0)
+      val inc = emb.filter(col("vec_id") % 5 === 0)
+      val kC = math.max(32L, corpus.count() / 64L).toInt
+      val root = scratchRoot("lifecycle")
+      IvfIndexStore.save(root, corpus, kC)
+      val idx = IvfIndexStore.load(s, root)
+      IvfIndexStore.shortlist(idx, inc, nprobe = 4, topK = 3)
+        .orderBy("qid", "rn")
+    },
+    ivfIncrement.oracle)
+
+  /** O(increment) shard append, gated through disk: save the corpus
+    * index, [[IvfIndexStore.append]] the daily shard (assigned on the
+    * FROZEN persisted centroids — no retrain, no corpus reassignment,
+    * no corpus read), and return the loaded inverted lists. The
+    * oracle recomputes every vector's assignment on the corpus-
+    * trained centroids — which equals corpus-assignment ∪ frozen-
+    * centroid shard assignment precisely BECAUSE training never saw
+    * the shard; a centroid that drifted during append would move some
+    * corpus vector's argmax and hash-fail. */
+  val ivfAppend = QueryDef(
+    "s_ann_index_append",
+    "LLM-pipeline similarity: O(increment) index shard append",
+    "append assigns the shard on frozen centroids; loaded cells = corpus ∪ shard",
+    (s, dir) => {
+      val emb = scopedCache(quantized(s, dir))
+      val corpus = emb.filter(col("vec_id") % 5 =!= 0)
+      val inc = emb.filter(col("vec_id") % 5 === 0)
+      val kC = math.max(32L, corpus.count() / 64L).toInt
+      val root = scratchRoot("append")
+      IvfIndexStore.save(root, corpus, kC)
+      IvfIndexStore.append(s, root, inc)
+      IvfIndexStore.load(s, root).cells
+        .select(col("vec_id"), col("cell"))
+        .orderBy("vec_id")
+    },
+    Some("""WITH u AS (
+        SELECT vec_id, i,
+          CAST(FLOOR(CAST(embedding[CAST(i AS INTEGER)] AS DOUBLE) * CAST(1000000 AS DOUBLE) + 0.5) AS BIGINT) AS x
+        FROM (SELECT vec_id, embedding,
+                unnest(range(1, len(embedding) + 1)) AS i
+              FROM embeddings)),
+      nrm AS (
+        SELECT vec_id, CAST(SUM(x*x) AS BIGINT) AS n2 FROM u GROUP BY vec_id),
+      c0 AS (SELECT vec_id AS cid, i, x FROM u
+             WHERE vec_id < 32 AND vec_id % 5 <> 0),
+      c0n AS (SELECT cid, CAST(SUM(x*x) AS BIGINT) AS cn2 FROM c0 GROUP BY cid),
+      a0dot AS (
+        SELECT u.vec_id, c0.cid, CAST(SUM(u.x * c0.x) AS BIGINT) AS dp
+        FROM u JOIN c0 ON u.i = c0.i
+        WHERE u.vec_id % 5 <> 0
+        GROUP BY u.vec_id, c0.cid),
+      a0 AS (
+        SELECT vec_id, cid AS cell FROM (
+          SELECT a.vec_id, a.cid,
+            ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY
+              CAST(a.dp AS DOUBLE) /
+                (sqrt(CAST(n.n2 AS DOUBLE)) * sqrt(CAST(cn.cn2 AS DOUBLE)))
+              DESC, a.cid) AS rn
+          FROM a0dot a
+          JOIN nrm n ON n.vec_id = a.vec_id
+          JOIN c0n cn ON cn.cid = a.cid)
+        WHERE rn = 1),
+      c1 AS (
+        SELECT a0.cell AS cid, u.i,
+          CAST(FLOOR(CAST(SUM(u.x) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)) AS BIGINT) AS x
+        FROM u JOIN a0 ON u.vec_id = a0.vec_id
+        GROUP BY a0.cell, u.i),
+      c1n AS (SELECT cid, CAST(SUM(x*x) AS BIGINT) AS cn2 FROM c1 GROUP BY cid),
+      a1dot AS (
+        SELECT u.vec_id, c1.cid, CAST(SUM(u.x * c1.x) AS BIGINT) AS dp
+        FROM u JOIN c1 ON u.i = c1.i
+        GROUP BY u.vec_id, c1.cid),
+      asg AS (
+        SELECT vec_id, cid AS cell FROM (
+          SELECT a.vec_id, a.cid,
+            ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY
+              CAST(a.dp AS DOUBLE) /
+                (sqrt(CAST(n.n2 AS DOUBLE)) * sqrt(CAST(cn.cn2 AS DOUBLE)))
+              DESC, a.cid) AS rn
+          FROM a1dot a
+          JOIN nrm n ON n.vec_id = a.vec_id
+          JOIN c1n cn ON cn.cid = a.cid)
+        WHERE rn = 1)
+      SELECT vec_id, cell FROM asg ORDER BY vec_id"""))
 
   /** Semantic dedup in the SemDeDup shape (Abbas et al. 2023,
     * arXiv:2303.09540): cluster the embedding space with the trained
@@ -858,7 +987,7 @@ object SimilarityOps {
     * each release exactly what they registered. */
   private val scopedCaches = ThreadLocal.withInitial(() =>
     new java.util.ArrayDeque[org.apache.spark.sql.DataFrame]())
-  private def scopedCache(df: org.apache.spark.sql.DataFrame)
+  private[ops] def scopedCache(df: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = { val c = df.cache(); scopedCaches.get().add(c); c }
 
   /** Lineage-truncating variant of [[scopedCache]] for the ANN
@@ -1637,6 +1766,7 @@ object SimilarityOps {
       FROM ne, na, nc"""))
 
   val defs: Seq[QueryDef] =
-    Seq(bruteTopK, lshAnn, ivfAnn, ivfIncrement, semDedup, pqAnn,
-      knnClusters, knnClustersAnn, knnAnnRecall)
+    Seq(bruteTopK, lshAnn, ivfAnn, ivfIncrement, ivfLifecycle,
+      ivfAppend, semDedup, pqAnn, knnClusters, knnClustersAnn,
+      knnAnnRecall)
 }

@@ -1,0 +1,238 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.catalog.{LockingPutCommitStore, TxLog}
+import graft.ops.{IvfIndexStore, SimilarityOps}
+
+/** The persisted IVF index artifact ([[graft.ops.IvfIndexStore]]):
+  * save/load exactness, O(increment) append on frozen centroids,
+  * bucket-pruned shortlist equivalence, time travel + retention,
+  * compaction, CAS serialization of concurrent appenders, and the
+  * orphan sweep. Uses the sf0.001 embeddings so the arithmetic is the
+  * same integer-exact path the DuckDB oracle replays. */
+class IvfIndexSpec extends SparkTestBase {
+
+  private def freshRoot(tag: String): String =
+    Files.createTempDirectory(s"ivfspec_$tag").toString
+
+  private def emb: DataFrame = SimilarityOps.quantized(spark, sf001)
+  private def corpus: DataFrame = emb.filter(col("vec_id") % 5 =!= 0)
+  private def inc: DataFrame = emb.filter(col("vec_id") % 5 === 0)
+
+  private def cellRows(df: DataFrame): Set[(Long, Long)] =
+    df.select("vec_id", "cell").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("save → load roundtrips the index bit-for-bit") {
+    val root = freshRoot("roundtrip")
+    val v = IvfIndexStore.save(root, corpus, 32)
+    assert(v == 1L)
+    val idx = IvfIndexStore.load(spark, root)
+    assert(idx.k == 32 && idx.version == 1L)
+
+    val cents = SimilarityOps.ivfCentroids(corpus, 32)
+    val memCents = cents.collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toVector, r.getLong(2)))
+      .toSet
+    val gotCents = idx.centroids.select("cid", "cv", "cn2").collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toVector, r.getLong(2)))
+      .toSet
+    assert(gotCents == memCents)
+
+    val memCells = cellRows(SimilarityOps.ivfCells(corpus, cents))
+    assert(cellRows(idx.cells) == memCells)
+    // member vectors persist too (IVF-Flat: the inverted lists ARE
+    // the storage) — spot-check one vector roundtrips exactly
+    val m = idx.cells.orderBy("vec_id")
+      .select("vec_id", "v").head()
+    val orig = corpus.filter(col("vec_id") === m.getLong(0))
+      .select("v").head().getSeq[Long](0)
+    assert(m.getSeq[Long](1) == orig)
+  }
+
+  test("shortlist on the LOADED index equals the in-memory " +
+      "increment plan (the s_ann_increment twin)") {
+    val root = freshRoot("shortlist")
+    val kC = math.max(32L, corpus.count() / 64L).toInt
+    IvfIndexStore.save(root, corpus, kC)
+    val idx = IvfIndexStore.load(spark, root)
+    val got = IvfIndexStore.shortlist(idx, inc, nprobe = 4, topK = 3)
+      .select("qid", "nid", "cosine", "rn").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .toSet
+
+    val mem = Registry.byName("s_ann_increment").run(spark, sf001)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .toSet
+    assert(got == mem)
+    SimilarityOps.releaseCaches()
+  }
+
+  test("append is O(increment): frozen centroids, corpus rows " +
+      "untouched, shard dir carries only the increment") {
+    val root = freshRoot("append")
+    IvfIndexStore.save(root, corpus, 32)
+    val v1 = IvfIndexStore.load(spark, root)
+    val v2 = IvfIndexStore.append(spark, root, inc)
+    assert(v2 == 2L)
+    val idx2 = IvfIndexStore.loadAt(spark, root, v2)
+
+    // centroids untouched (same frame, byte-for-byte)
+    val c1 = v1.centroids.select("cid", "cv").collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toVector)).toSet
+    val c2 = idx2.centroids.select("cid", "cv").collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toVector)).toSet
+    assert(c1 == c2)
+
+    // cells = corpus assignment ∪ frozen-centroid shard assignment
+    val expected = cellRows(v1.cells) ++
+      cellRows(SimilarityOps.ivfCells(inc, v1.centroids))
+    assert(cellRows(idx2.cells) == expected)
+
+    // the append staged exactly one new data dir, and it holds only
+    // increment rows — the O(increment) write claim, on the files
+    val dirs = Files.list(Paths.get(root, "data")).iterator()
+    val names = scala.collection.mutable.ArrayBuffer.empty[String]
+    while (dirs.hasNext) names += dirs.next().getFileName.toString
+    assert(names.size == 2, s"data dirs: $names")
+    val shardDir = names.filterNot(n =>
+      Files.exists(Paths.get(root, "data", n, "centroids"))).head
+    val shard = spark.read.parquet(s"$root/data/$shardDir/cells")
+    assert(shard.count() == inc.count())
+    assert(shard.filter(col("vec_id") % 5 =!= 0).count() == 0)
+  }
+
+  test("time travel reads v1 without the shard; vacuum prunes it " +
+      "and the pruned version throws") {
+    val root = freshRoot("travel")
+    IvfIndexStore.save(root, corpus, 32)
+    IvfIndexStore.append(spark, root, inc)
+    val at1 = IvfIndexStore.loadAt(spark, root, 1L)
+    assert(at1.cells.filter(col("vec_id") % 5 === 0).count() == 0)
+
+    IvfIndexStore.vacuum(root, keep = 1, graceMs = 0L)
+    val e = intercept[IllegalArgumentException](
+      IvfIndexStore.loadAt(spark, root, 1L))
+    assert(e.getMessage.contains("retained window"))
+    // the latest version still reads: its dirs survived the sweep
+    assert(cellRows(IvfIndexStore.load(spark, root).cells)
+      .size == emb.count())
+  }
+
+  test("vacuum sweeps unreferenced data dirs and aged dot-orphans; " +
+      "a fresh temp inside the grace survives") {
+    val root = freshRoot("sweep")
+    IvfIndexStore.save(root, corpus, 32)
+    IvfIndexStore.append(spark, root, inc)
+    val beforeCompact = {
+      val l = Files.list(Paths.get(root, "data")).iterator()
+      val b = scala.collection.mutable.Set.empty[String]
+      while (l.hasNext) b += l.next().getFileName.toString
+      b.toSet
+    }
+    IvfIndexStore.compact(spark, root) // v3: dir1's cells + dir2 go dead
+    // age the pre-compact dirs past the grace (treeMtime takes the
+    // NEWEST file in the tree, so every file must age)
+    val old = java.nio.file.attribute.FileTime.fromMillis(
+      System.currentTimeMillis() - 3600 * 1000L)
+    beforeCompact.foreach { d =>
+      Files.walk(Paths.get(root, "data", d))
+        .forEach(p => Files.setLastModifiedTime(p, old))
+    }
+    val aged = Paths.get(root, "_commits", ".tmp-aged")
+    val fresh = Paths.get(root, "_commits", ".tmp-fresh")
+    Files.writeString(aged, "orphan")
+    Files.writeString(fresh, "in-flight")
+    Files.setLastModifiedTime(aged, old)
+    IvfIndexStore.vacuum(root, keep = 1, graceMs = 60 * 1000L)
+    assert(!Files.exists(aged), "aged orphan must be swept")
+    assert(Files.exists(fresh), "in-grace temp must survive")
+    // the dead pre-compact dir (cells-only) is gone; the centroid
+    // dir's family survives because v3 still references it
+    val after = {
+      val l = Files.list(Paths.get(root, "data")).iterator()
+      val b = scala.collection.mutable.Set.empty[String]
+      while (l.hasNext) b += l.next().getFileName.toString
+      b.toSet
+    }
+    val centroidDir = beforeCompact.find(d =>
+      Files.exists(Paths.get(root, "data", d, "centroids"))).get
+    assert(after.contains(centroidDir),
+      "still-referenced centroid dir must survive")
+    assert((beforeCompact - centroidDir).forall(!after.contains(_)),
+      s"dead shard dirs must be swept: before=$beforeCompact after=$after")
+    // compacted index intact
+    assert(cellRows(IvfIndexStore.load(spark, root).cells)
+      .size == emb.count())
+  }
+
+  test("the shortlist's cells scan is PARTITION-PRUNED to the " +
+      "probed buckets (the pushed filter is the scale claim)") {
+    val root = freshRoot("prune")
+    IvfIndexStore.save(root, corpus, 32)
+    val idx = IvfIndexStore.load(spark, root)
+    // 2 query vectors × nprobe 4 → ≤ 8 probed cells → ≤ 8 of the 8
+    // buckets... shrink to 1 query so pruning is strict (≤ 4 cells)
+    val q = inc.filter(col("vec_id") === 5L)
+    val out = IvfIndexStore.shortlist(idx, q, nprobe = 4, topK = 3)
+    val plan = out.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*pb[^\\]]*\\]".r
+        .findFirstIn(plan).isDefined,
+      s"cells scan must carry a pb partition filter:\n$plan")
+    // and the pruned shortlist is still exactly the exact answer
+    assert(out.count() == 3)
+    SimilarityOps.releaseCaches()
+  }
+
+  test("compact folds the shard list to one dir with identical " +
+      "content") {
+    val root = freshRoot("compact")
+    IvfIndexStore.save(root, corpus, 32)
+    IvfIndexStore.append(spark, root, inc)
+    val before = cellRows(IvfIndexStore.load(spark, root).cells)
+    val v3 = IvfIndexStore.compact(spark, root)
+    assert(v3 == 3L)
+    val after = IvfIndexStore.load(spark, root)
+    assert(cellRows(after.cells) == before)
+    val rec = Files.readString(
+      Paths.get(root, "_commits", f"v$v3%020d")).trim
+    assert(rec.linesIterator.count(_.startsWith("D\t")) == 1)
+  }
+
+  test("concurrent appenders serialize through the CAS: both shards " +
+      "present, versions distinct (conditional-PUT double)") {
+    val root = freshRoot("cas")
+    val store = new LockingPutCommitStore
+    IvfIndexStore.save(root, corpus, 32, store)
+    val shardA = inc.filter(col("vec_id") % 10 === 0)
+    val shardB = inc.filter(col("vec_id") % 10 =!= 0)
+    val vs = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val threads = Seq(shardA, shardB).map { sh =>
+      new Thread(() =>
+        vs.add(IvfIndexStore.append(spark, root, sh, store)))
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(vs.size == 2)
+    val sorted = {
+      val it = vs.iterator(); Seq(it.next(), it.next()).sorted
+    }
+    assert(sorted == Seq(2L, 3L), s"got $sorted")
+    val expected = cellRows(SimilarityOps.ivfCells(emb,
+      IvfIndexStore.load(spark, root).centroids))
+    assert(cellRows(IvfIndexStore.load(spark, root).cells) == expected)
+  }
+
+  test("a catalog reader pointed at an index root fails loudly " +
+      "(record formats are disjoint)") {
+    val root = freshRoot("disjoint")
+    IvfIndexStore.save(root, corpus, 32)
+    val e = intercept[IllegalStateException](
+      TxLog.snapshot(root))
+    assert(e.getMessage.contains("manifest"))
+  }
+}
