@@ -1,6 +1,5 @@
 package graft.ops
 
-import java.nio.file.{Files, Path, Paths}
 import java.util.UUID
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -8,6 +7,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
 import graft.catalog.{CommitStore, LinkCommitStore, TxLog}
+import graft.ops.ArtifactLog.Rec
 
 /** The persisted IVF index as a first-class, versioned on-disk
   * artifact — the piece the `s_ann_increment` query could only
@@ -26,17 +26,13 @@ import graft.catalog.{CommitStore, LinkCommitStore, TxLog}
   *   root/data/<uuid>/cells/        (vec_id, v, n2, cell, pb)
   * }}}
   *
-  * Every record is a SELF-CONTAINED manifest (header `#ivf k=.. p=..`
-  * plus one `C` line and one `D` line per cells shard) — an index
-  * accretes a handful of shard dirs per day, not a partition map per
-  * micro-batch, so full-manifest records stay small and every version
-  * is its own checkpoint (no overlay chain, no partial-table read in
-  * vacuum's grace band by construction). [[compact]] folds the shard
-  * list back to one dir when it grows. Commits go through the same
-  * [[graft.catalog.CommitStore]] CAS primitive as the catalog
-  * ([[TxLog.commit]]), so link(2) and conditional-PUT deployments use
-  * the identical protocol, and concurrent appenders serialize through
-  * the version counter with stage → CAS → rebase-on-conflict.
+  * Records are the [[ArtifactLog]] shape (header `#ivf k=.. p=..`, one
+  * `C` line, one `D` line per cells shard): every version is a
+  * self-contained manifest CAS-committed through the same
+  * [[graft.catalog.CommitStore]] primitive as the catalog, so link(2)
+  * and conditional-PUT deployments use the identical protocol and
+  * concurrent appenders serialize with stage → CAS → rebase.
+  * [[compact]] folds the shard list back to one dir when it grows.
   *
   * Inverted lists are hash-bucketed on disk: `pb = cell % P` is a
   * Hive partition column with P ∝ k/16 (so ~16 cells per bucket and
@@ -67,65 +63,22 @@ object IvfIndexStore {
   final case class IvfIndex(version: Long, k: Int, buckets: Int,
       centroids: DataFrame, cells: DataFrame)
 
-  private def commitsDir(root: String): Path = Paths.get(root, "_commits")
-  private def vname(v: Long): String = f"v$v%020d"
+  private val Kind = "ivf"
 
   /** ~16 cells per on-disk bucket; floor of 8 keeps tiny test
-    * indexes multi-bucket so the pruning path is always ENGAGED. */
-  def defaultBuckets(k: Int): Int = math.max(8, k / 16)
+    * indexes multi-bucket so the pruning path is always ENGAGED, and
+    * the 65536 cap bounds the dir count at object-store scale (same
+    * rationale as [[MinhashIndexStore.defaultBuckets]]). */
+  def defaultBuckets(k: Int): Int =
+    math.min(65536, math.max(8, k / 16))
 
   private def dot(a: String, b: String) =
     graft.functions.GraftFunctions.dot_long(col(a), col(b))
 
-  /** All commit records, newest first. (The store's records carry an
-    * `#ivf` header, which [[TxLog.snapshot]] would reject as a
-    * manifest root — the formats are deliberately disjoint so a
-    * catalog reader pointed at an index root fails loudly.) */
-  private def listRecords(root: String): Seq[(Long, Path)] = {
-    val dir = commitsDir(root)
-    if (!Files.exists(dir)) return Seq.empty
-    val l = Files.list(dir)
-    try {
-      val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Path)]
-      val it = l.iterator()
-      while (it.hasNext) {
-        val p = it.next()
-        val n = p.getFileName.toString
-        if (n.startsWith("v")) buf += ((n.drop(1).toLong, p))
-      }
-      buf.sortBy(-_._1).toSeq
-    } finally l.close()
-  }
-
-  private final case class Record(k: Int, buckets: Int,
-      centroidDir: String, cellDirs: Seq[String])
-
-  private def render(r: Record): String =
-    (Seq(s"#ivf k=${r.k} p=${r.buckets}", s"C\t${r.centroidDir}") ++
-      r.cellDirs.map(d => s"D\t$d")).mkString("\n")
-
-  private def parse(content: String): Record = {
-    val lines = content.linesIterator.map(_.trim).filter(_.nonEmpty).toSeq
-    val header = lines.headOption.getOrElse("")
-    require(header.startsWith("#ivf "),
-      s"not an IVF index record: '$header'")
-    val kv = header.drop(5).split("\\s+")
-      .map(_.split("=", 2)).collect { case Array(a, b) => a -> b }.toMap
-    val cents = lines.collect { case l if l.startsWith("C\t") => l.drop(2) }
-    require(cents.size == 1, s"record has ${cents.size} centroid dirs")
-    Record(kv("k").toInt, kv("p").toInt, cents.head,
-      lines.collect { case l if l.startsWith("D\t") => l.drop(2) })
-  }
-
-  private def recordAt(root: String, version: Long): Record = {
-    val recs = listRecords(root)
-    val p = recs.collectFirst { case (v, path) if v == version => path }
-    require(p.isDefined,
-      s"version $version is not in $root's retained window " +
-        s"(have ${recs.map(_._1).sorted.mkString(",")}); vacuum(keep) " +
-        "bounds how far back index reads reach")
-    parse(Files.readString(p.get).trim)
-  }
+  private def mkRec(k: Int, buckets: Int, centroidDir: String,
+      cellDirs: Seq[String]): Rec =
+    Rec(Seq("k" -> k.toString, "p" -> buckets.toString),
+      ("C" -> centroidDir) +: cellDirs.map("D" -> _))
 
   /** Shard dirs are each a partitioned (pb=N) table root; Spark's
     * partition discovery refuses a multi-root scan without a common
@@ -158,14 +111,14 @@ object IvfIndexStore {
     val dirName = UUID.randomUUID().toString
     cents.write.parquet(s"$root/data/$dirName/centroids")
     writeCells(cells, defaultBuckets(k), s"$root/data/$dirName/cells")
-    val rec = Record(k, defaultBuckets(k), s"$dirName/centroids",
+    val rec = mkRec(k, defaultBuckets(k), s"$dirName/centroids",
       Seq(s"$dirName/cells"))
-    val v = listRecords(root).headOption.map(_._1).getOrElse(0L)
-    TxLog.commit(root, v, render(rec), store)
+    val v = ArtifactLog.list(root).headOption.map(_._1).getOrElse(0L)
+    ArtifactLog.commit(root, Kind, v, rec, store)
   }
 
   def load(spark: SparkSession, root: String): IvfIndex = {
-    val recs = listRecords(root)
+    val recs = ArtifactLog.list(root)
     require(recs.nonEmpty, s"$root has no committed index")
     loadAt(spark, root, recs.head._1)
   }
@@ -173,11 +126,11 @@ object IvfIndexStore {
   /** Time travel: the index as of `version` — every record is a full
     * manifest, so any retained version reads directly. */
   def loadAt(spark: SparkSession, root: String, version: Long): IvfIndex = {
-    val r = recordAt(root, version)
+    val r = ArtifactLog.recordAt(root, Kind, version)
     val cents = broadcast(
-      spark.read.parquet(s"$root/data/${r.centroidDir}"))
-    IvfIndex(version, r.k, r.buckets, cents,
-      readCellDirs(spark, root, r.cellDirs))
+      spark.read.parquet(s"$root/data/${r.dirsOf("C").head}"))
+    IvfIndex(version, r.kvMap("k").toInt, r.kvMap("p").toInt, cents,
+      readCellDirs(spark, root, r.dirsOf("D")))
   }
 
   /** O(increment) shard ingest: assign `inc` (quantized frame) on the
@@ -188,26 +141,23 @@ object IvfIndexStore {
     * valid; only the record re-renders). Returns the new version. */
   def append(spark: SparkSession, root: String, inc: DataFrame,
       store: CommitStore = LinkCommitStore, maxRetries: Int = 10): Long = {
-    val recs = listRecords(root)
-    require(recs.nonEmpty, s"$root has no committed index to append to")
-    val head = parse(Files.readString(recs.head._2).trim)
+    val (_, head) = ArtifactLog.latest(root, Kind)
     val cents = broadcast(
-      spark.read.parquet(s"$root/data/${head.centroidDir}"))
+      spark.read.parquet(s"$root/data/${head.dirsOf("C").head}"))
     val assigned = SimilarityOps.ivfCells(inc, cents)
     val dirName = UUID.randomUUID().toString
-    writeCells(assigned, head.buckets, s"$root/data/$dirName/cells")
+    writeCells(assigned, head.kvMap("p").toInt,
+      s"$root/data/$dirName/cells")
     var attempt = 0
     while (true) {
-      val (v, latest) = {
-        val rs = listRecords(root)
-        (rs.head._1, parse(Files.readString(rs.head._2).trim))
-      }
-      require(latest.k == head.k && latest.buckets == head.buckets &&
-        latest.centroidDir == head.centroidDir,
+      val (v, latest) = ArtifactLog.latest(root, Kind)
+      require(latest.kv == head.kv &&
+        latest.dirsOf("C") == head.dirsOf("C"),
         "concurrent commit replaced the index structure (compact/save " +
           "raced this append); re-run against the new index")
-      val rec = latest.copy(cellDirs = latest.cellDirs :+ s"$dirName/cells")
-      try return TxLog.commit(root, v, render(rec), store)
+      val rec = Rec(latest.kv,
+        latest.dirs :+ ("D" -> s"$dirName/cells"))
+      try return ArtifactLog.commit(root, Kind, v, rec, store)
       catch {
         case e: TxLog.CommitConflict =>
           if (attempt >= maxRetries) throw e
@@ -222,17 +172,16 @@ object IvfIndexStore {
     * exactly like the catalog's checkpoint records. */
   def compact(spark: SparkSession, root: String,
       store: CommitStore = LinkCommitStore): Long = {
-    val recs = listRecords(root)
-    require(recs.nonEmpty, s"$root has no committed index")
-    val (v, r) = (recs.head._1, parse(Files.readString(recs.head._2).trim))
-    val cells = readCellDirs(spark, root, r.cellDirs)
+    val (v, r) = ArtifactLog.latest(root, Kind)
+    val cells = readCellDirs(spark, root, r.dirsOf("D"))
     val dirName = UUID.randomUUID().toString
     // already carries pb; keep the layout by re-partitioning on it
     cells.select(col("vec_id"), col("v"), col("n2"), col("cell"),
         col("pb"))
       .write.partitionBy("pb").parquet(s"$root/data/$dirName/cells")
-    TxLog.commit(root, v,
-      render(r.copy(cellDirs = Seq(s"$dirName/cells"))), store)
+    ArtifactLog.commit(root, Kind, v,
+      Rec(r.kv, r.dirs.filter(_._1 != "D") :+
+        ("D" -> s"$dirName/cells")), store)
   }
 
   /** Candidate shortlist for `queries` (quantized frame) against a
@@ -242,7 +191,7 @@ object IvfIndexStore {
     * bucket set is collected as a ≤ `index.buckets`-element distinct
     * (bounded by P, never by |queries|) and pushed as a partition
     * filter, so a point-lookup ingest reads O(touched buckets), not
-    * O(corpus) (PlanSpec pins the partition-filter shape;
+    * O(corpus) (IvfIndexSpec pins the partition-filter shape;
     * graft.IvfProbe measures it). */
   def shortlist(index: IvfIndex, queries: DataFrame, nprobe: Int,
       topK: Int): DataFrame = {
@@ -276,40 +225,6 @@ object IvfIndexStore {
     * older than `graceMs`, protecting an in-flight appender's staged
     * shard) and sweep crash-orphaned dot-files in `_commits`. */
   def vacuum(root: String, keep: Int = 2,
-      graceMs: Long = 15 * 60 * 1000L): Unit = {
-    val recs = listRecords(root)
-    if (recs.isEmpty) return
-    val (kept, pruned) = recs.splitAt(math.max(1, keep))
-    pruned.foreach { case (_, p) => Files.deleteIfExists(p) }
-    val live: Set[String] = kept
-      .flatMap { case (_, p) =>
-        val r = parse(Files.readString(p).trim)
-        (r.centroidDir +: r.cellDirs).map(_.split("/", 2).head)
-      }.toSet
-    val cutoff = System.currentTimeMillis() - graceMs
-    val dataDir = Paths.get(root, "data")
-    if (Files.exists(dataDir)) {
-      val l = Files.list(dataDir)
-      try {
-        val it = l.iterator()
-        while (it.hasNext) {
-          val d = it.next()
-          val n = d.getFileName.toString
-          if (!live.contains(n) && !n.startsWith(".") &&
-              Files.isDirectory(d) && treeMtime(d) <= cutoff)
-            Files.walk(d).sorted(java.util.Comparator.reverseOrder())
-              .forEach(f => Files.deleteIfExists(f))
-        }
-      } finally l.close()
-    }
-    TxLog.sweepDotOrphans(commitsDir(root), cutoff)
-    TxLog.sweepDotOrphans(dataDir, cutoff)
-  }
-
-  private def treeMtime(p: Path): Long = {
-    val s = Files.walk(p)
-    try s.mapToLong(f => Files.getLastModifiedTime(f).toMillis)
-      .max.orElse(0L)
-    finally s.close()
-  }
+      graceMs: Long = 15 * 60 * 1000L): Unit =
+    ArtifactLog.vacuum(root, Kind, keep, graceMs)
 }

@@ -532,7 +532,7 @@ object SimilarityOps {
     * race the caller's action; clearing on the NEXT entry bounds the
     * leak to one root per thread without that race). Deployments call
     * [[IvfIndexStore]] against a durable root instead. */
-  private def scratchRoot(tag: String): String = {
+  private[ops] def scratchRoot(tag: String): String = {
     val p = java.nio.file.Paths.get(
       System.getProperty("java.io.tmpdir"),
       s"graft_ivf_${tag}_t${Thread.currentThread().getId}")

@@ -1,0 +1,148 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.ops.{DedupOps, MinhashIndexStore}
+
+/** The persisted MinHash/LSH dedup index
+  * ([[graft.ops.MinhashIndexStore]]): loaded-verdict equivalence with
+  * the in-memory incremental plan, provenance-tagged classification
+  * (no doc_id%5 reliance), O(shard) append, time travel + retention,
+  * pruned-scan plan pins for BOTH tables, and compact equivalence.
+  * CAS serialization and the orphan sweep are the shared
+  * [[graft.ops.ArtifactLog]] machinery, proven in IvfIndexSpec. */
+class MinhashIndexSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def freshRoot(tag: String): String =
+    Files.createTempDirectory(s"mhspec_$tag").toString
+
+  private val tA = "alpha beta gamma delta epsilon zeta eta theta"
+  private val tB = "one two three four five six seven eight"
+  private val tC = "red orange yellow green blue indigo violet ultra"
+
+  private def shingled(rows: Seq[(Long, String)]): DataFrame =
+    DedupOps.shingleDocs(rows.toDF("doc_id", "text"))
+
+  test("verdicts on the LOADED index equal incrementalVerdicts on " +
+      "the same corpus∪shard frame (seeded cohorts, all 3 verdicts)") {
+    // corpus: 1=tA, 2=tB; shard: 5=tA (dup of corpus 1), 10=tC
+    // (admitted), 15=tC (dup of earlier shard 10), 20=tA (jaccard tie
+    // corpus 1 vs shard 5 → min witness id wins → corpus 1)
+    val all = Seq((1L, tA), (2L, tB),
+      (5L, tA), (10L, tC), (15L, tC), (20L, tA))
+    val docs = shingled(all)
+    val root = freshRoot("verdicts")
+    MinhashIndexStore.save(root, docs.filter(col("doc_id") % 5 =!= 0))
+    val idx = MinhashIndexStore.load(spark, root)
+    val got = MinhashIndexStore
+      .verdicts(idx, docs.filter(col("doc_id") % 5 === 0))
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).toSeq
+    val mem = DedupOps.incrementalVerdicts(docs)
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).toSeq
+    assert(got == mem, s"store $got vs in-memory $mem")
+    assert(got == Seq(
+      (5L, "dup_corpus", 1L),
+      (10L, "admitted", -1L),
+      (15L, "dup_increment", 10L),
+      (20L, "dup_corpus", 1L)))
+    DedupOps.releaseCaches()
+  }
+
+  test("verdicts on the sf0.001 documents equal the registered " +
+      "d_incremental_dedup output row-for-row") {
+    val got = Registry.byName("d_dedup_index_lifecycle")
+      .run(spark, sf001).collect().map(_.toString).toSeq
+    val mem = Registry.byName("d_incremental_dedup")
+      .run(spark, sf001).collect().map(_.toString).toSeq
+    assert(got == mem)
+    DedupOps.releaseCaches()
+  }
+
+  test("classification uses candidate provenance, not doc_id % 5: " +
+      "an id scheme where %5 lies still classifies correctly") {
+    // corpus ids 100, 105 (105 % 5 == 0 — would look like an
+    // 'increment' doc to the %5 convention); shard ids 7, 13
+    val docs = shingled(Seq((100L, tA), (105L, tB), (7L, tA), (13L, tB)))
+    val root = freshRoot("prov")
+    MinhashIndexStore.save(root,
+      docs.filter(col("doc_id") >= 100L))
+    val idx = MinhashIndexStore.load(spark, root)
+    val got = MinhashIndexStore
+      .verdicts(idx, docs.filter(col("doc_id") < 100L))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .toSeq
+    assert(got == Seq((7L, "dup_corpus", 100L),
+      (13L, "dup_corpus", 105L)), s"got $got")
+    DedupOps.releaseCaches()
+  }
+
+  test("append stages O(shard) — one new dir pair holding only the " +
+      "shard's rows — and the loaded index sees the union") {
+    val corpus = shingled(Seq((1L, tA), (2L, tB)))
+    val shard = shingled(Seq((7L, tC)))
+    val root = freshRoot("append")
+    MinhashIndexStore.save(root, corpus)
+    val v2 = MinhashIndexStore.append(spark, root, shard)
+    assert(v2 == 2L)
+    val dirs = Files.list(Paths.get(root, "data")).iterator()
+    val names = scala.collection.mutable.ArrayBuffer.empty[String]
+    while (dirs.hasNext) names += dirs.next().getFileName.toString
+    assert(names.size == 2, s"data dirs: $names")
+    val idx = MinhashIndexStore.load(spark, root)
+    assert(idx.bands.select("doc_id").distinct().count() == 3)
+    assert(idx.shingles.count() == 3)
+    // a second shard now collides with the FIRST shard's appended
+    // bands — the index accretes
+    val got = MinhashIndexStore.verdicts(idx, shingled(Seq((9L, tC))))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .toSeq
+    assert(got == Seq((9L, "dup_corpus", 7L)), s"got $got")
+    DedupOps.releaseCaches()
+  }
+
+  test("time travel + retention: v1 lacks the shard; vacuum(keep=1) " +
+      "makes it unreadable; compact preserves content") {
+    val corpus = shingled(Seq((1L, tA), (2L, tB)))
+    val root = freshRoot("travel")
+    MinhashIndexStore.save(root, corpus)
+    MinhashIndexStore.append(spark, root, shingled(Seq((7L, tC))))
+    assert(MinhashIndexStore.loadAt(spark, root, 1L)
+      .shingles.count() == 2)
+    val v3 = MinhashIndexStore.compact(spark, root)
+    val rec = Files.readString(
+      Paths.get(root, "_commits", f"v$v3%020d")).trim
+    assert(rec.linesIterator.count(_.startsWith("B\t")) == 1)
+    assert(rec.linesIterator.count(_.startsWith("S\t")) == 1)
+    assert(MinhashIndexStore.load(spark, root).shingles.count() == 3)
+    MinhashIndexStore.vacuum(root, keep = 1, graceMs = 0L)
+    val e = intercept[IllegalArgumentException](
+      MinhashIndexStore.loadAt(spark, root, 1L))
+    assert(e.getMessage.contains("retained window"))
+    assert(MinhashIndexStore.load(spark, root).shingles.count() == 3)
+  }
+
+  test("both artifact scans are PARTITION-PRUNED in the verdict " +
+      "plan: pb on bands, qb on shingles") {
+    val docs = shingled(Seq((1L, tA), (2L, tB), (5L, tA)))
+    val root = freshRoot("prune")
+    MinhashIndexStore.save(root, docs.filter(col("doc_id") % 5 =!= 0))
+    val idx = MinhashIndexStore.load(spark, root)
+    val out = MinhashIndexStore
+      .verdicts(idx, docs.filter(col("doc_id") % 5 === 0))
+    val plan = out.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*pb[^\\]]*\\]".r
+        .findFirstIn(plan).isDefined,
+      s"bands scan must carry a pb partition filter:\n$plan")
+    assert("PartitionFilters: \\[[^\\]]*qb[^\\]]*\\]".r
+        .findFirstIn(plan).isDefined,
+      s"shingles scan must carry a qb partition filter:\n$plan")
+    assert(out.count() == 1)
+    DedupOps.releaseCaches()
+  }
+}
