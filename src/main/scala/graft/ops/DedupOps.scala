@@ -422,9 +422,12 @@ object DedupOps {
     * candidate join restricts one side to increment bands, so its
     * cost is O(increment × bucket collisions) — the corpus side of
     * the band frame is exactly the persisted index a deployment
-    * maintains between ingests (the streaming analog keeps it as
-    * flatMapGroupsWithState state, [[graft.streaming.StreamDedup]]),
-    * and corpus-corpus collisions never enter the join. Each
+    * maintains between ingests, now an actual artifact
+    * ([[MinhashIndexStore]]; the [[dedupIndexLifecycle]] twin runs
+    * these same verdicts THROUGH the saved/loaded artifact, and the
+    * streaming analog keeps it as flatMapGroupsWithState state,
+    * [[graft.streaming.StreamDedup]]), and corpus-corpus collisions
+    * never enter the join. Each
     * increment doc gets a verdict: `dup_corpus` / `dup_increment`
     * (witness = highest verified Jaccard, ties to the smallest
     * witness id — deterministic in both engines: the division is a
@@ -1061,6 +1064,40 @@ object DedupOps {
       FROM documents d LEFT JOIN walk wk ON wk.node = d.doc_id
       GROUP BY d.doc_id
       ORDER BY doc_id"""))
+
+  /** Incremental connected components through the persisted dedup
+    * index: corpus labels are computed once and saved with the
+    * artifact ([[MinhashIndexStore.save]]'s `labels` arg), the shard
+    * lands via [[MinhashIndexStore.ingestLabeled]] — a subgraph CC
+    * over O(shard + witness clusters) CONTRACTED nodes, with cluster
+    * merges absorbed by the persisted union-find forwarding map
+    * instead of a corpus relabel — and the output is every doc's
+    * resolved label. Gated against [[clusters]]' from-scratch
+    * recursive-CC oracle: contraction preserves connectivity and
+    * each cluster id is its component's min doc_id, so the
+    * incremental labels must equal the full recomputation EXACTLY —
+    * a missed bridge pair, a stale forwarding hop, or a drifted
+    * label-at-write all hash-fail. */
+  val clusterIndexIncremental = QueryDef(
+    "d_cluster_index_incremental",
+    "LLM-pipeline dedup: incremental CC via the persisted index",
+    "save corpus labels → labeled shard ingest → resolved ≡ full CC",
+    (s, dir) => {
+      val docs = shingleFrame(s, dir)
+      val corpus = docs.filter(col("doc_id") % 5 =!= 0)
+      val shard = docs.filter(col("doc_id") % 5 === 0)
+      val corpusLabels = ConnectedComponents.labels(
+        corpus.select("doc_id"),
+        lshVerifiedPairs(corpus)
+          .select(col("d1").as("u"), col("d2").as("v")))
+      val root = SimilarityOps.scratchRoot("cluster_idx")
+      MinhashIndexStore.save(root, corpus, Some(corpusLabels))
+      MinhashIndexStore.ingestLabeled(s, root, shard)
+      MinhashIndexStore
+        .resolvedLabels(MinhashIndexStore.load(s, root))
+        .orderBy("doc_id")
+    },
+    clusters.oracle)
 
   /** Cluster-size histogram — the standard dedup diagnostic read
     * before choosing keeper policy (how much of the corpus sits in
@@ -1801,7 +1838,7 @@ object DedupOps {
       ORDER BY d.source"""))
 
   val defs: Seq[QueryDef] = Seq(exact, minhash, incrementalDedup,
-    dedupIndexLifecycle, simhash,
+    dedupIndexLifecycle, clusterIndexIncremental, simhash,
     ngram, clusters,
     lineDedup, clusterKeeper, decontaminate, lshRecall, lshRecallSampled,
     streamDedup, substringDedup, substringCut, substringDedupHashed,

@@ -45,9 +45,18 @@ import graft.ops.ArtifactLog.Rec
   */
 object MinhashIndexStore {
 
-  /** A loaded index version. Both frames carry their bucket column. */
+  /** A loaded index version. Band/shingle frames carry their bucket
+    * columns; `labels0`/`forward` are present iff the index was
+    * saved with cluster labels ([[save]]'s `labels` arg): `labels0`
+    * is each doc's cluster id AT WRITE TIME (immutable, doc-bucketed
+    * like shingles), `forward` the tiny canonical old→new cluster
+    * forwarding map that absorbs every later merge — persisted
+    * union-find with path compression, so a merge never rewrites a
+    * corpus row (see [[ingestLabeled]]). */
   final case class MinhashIndex(version: Long, bandBuckets: Int,
-      shingleBuckets: Int, bands: DataFrame, shingles: DataFrame)
+      shingleBuckets: Int, bands: DataFrame, shingles: DataFrame,
+      labels0: Option[DataFrame] = None,
+      forward: Option[DataFrame] = None)
 
   private val Kind = "mh"
 
@@ -86,19 +95,42 @@ object MinhashIndexStore {
   }
 
   /** Index `corpus` (a [[DedupOps.shingleDocs]]-shaped frame:
-    * doc_id, sh) and commit version 1. */
+    * doc_id, sh) and commit version 1. Pass the corpus's component
+    * labels (doc_id, cluster_id — e.g. from
+    * [[graft.ops.ConnectedComponents.labels]] over the verified pair
+    * set) to enable [[ingestLabeled]]/[[resolvedLabels]]: the labels
+    * persist doc-bucketed next to the shingles, plus an empty
+    * forwarding map. */
   def save(root: String, corpus: DataFrame,
+      labels: Option[DataFrame] = None,
       store: CommitStore = LinkCommitStore): Long = {
     TxLog.init(root)
     val n = corpus.count()
     val (p, q) = (defaultBuckets(n), defaultBuckets(n))
     val dirName = UUID.randomUUID().toString
     writeShard(corpus, p, q, s"$root/data/$dirName")
-    val rec = mkRec(p, q,
-      Seq("B" -> s"$dirName/bands", "S" -> s"$dirName/shingles"))
+    val labDirs = labels.toSeq.flatMap { lab =>
+      writeLabels(lab.select(col("doc_id"),
+        col("cluster_id").as("cid0")), q,
+        s"$root/data/$dirName/labels")
+      lab.limit(0).select(col("doc_id").as("cid_from"),
+          col("doc_id").as("cid_to"))
+        .write.parquet(s"$root/data/$dirName/forward")
+      Seq("L" -> s"$dirName/labels", "F" -> s"$dirName/forward")
+    }
+    val rec = Rec(
+      mkRec(p, q, Nil).kv ++
+        (if (labels.isDefined) Seq("lab" -> "1") else Nil),
+      Seq("B" -> s"$dirName/bands", "S" -> s"$dirName/shingles") ++
+        labDirs)
     val v = ArtifactLog.list(root).headOption.map(_._1).getOrElse(0L)
     ArtifactLog.commit(root, Kind, v, rec, store)
   }
+
+  private def writeLabels(lab0: DataFrame, q: Int, dir: String): Unit =
+    lab0.select(col("doc_id"), col("cid0"),
+        pmod(col("doc_id"), lit(q.toLong)).cast("int").as("qb"))
+      .write.partitionBy("qb").parquet(dir)
 
   def load(spark: SparkSession, root: String): MinhashIndex = {
     val recs = ArtifactLog.list(root)
@@ -111,9 +143,13 @@ object MinhashIndexStore {
   def loadAt(spark: SparkSession, root: String, version: Long)
       : MinhashIndex = {
     val r = ArtifactLog.recordAt(root, Kind, version)
+    val labeled = r.kvMap.get("lab").contains("1")
     MinhashIndex(version, r.kvMap("p").toInt, r.kvMap("q").toInt,
       readDirs(spark, root, r.dirsOf("B")),
-      readDirs(spark, root, r.dirsOf("S")))
+      readDirs(spark, root, r.dirsOf("S")),
+      if (labeled) Some(readDirs(spark, root, r.dirsOf("L"))) else None,
+      if (labeled) Some(spark.read.parquet(
+        s"$root/data/${r.dirsOf("F").head}")) else None)
   }
 
   /** O(shard) ingest commit: band + shingle rows for the ADMITTED
@@ -124,6 +160,9 @@ object MinhashIndexStore {
   def append(spark: SparkSession, root: String, shard: DataFrame,
       store: CommitStore = LinkCommitStore, maxRetries: Int = 10): Long = {
     val (_, head) = ArtifactLog.latest(root, Kind)
+    require(!head.kvMap.get("lab").contains("1"),
+      "labeled index: use ingestLabeled (a bare append would leave " +
+        "the shard's docs unlabeled)")
     val (p, q) = (head.kvMap("p").toInt, head.kvMap("q").toInt)
     val dirName = UUID.randomUUID().toString
     writeShard(shard, p, q, s"$root/data/$dirName")
@@ -145,17 +184,34 @@ object MinhashIndexStore {
     throw new IllegalStateException("unreachable")
   }
 
-  /** Fold the accreted shard dirs into one pair (same content). */
+  /** Fold the accreted shard dirs into one family (same content).
+    * On a labeled index the label dirs fold too, with each doc's
+    * CURRENT resolved label baked in and the forwarding map reset to
+    * empty — compaction is exactly the union-find path-compression
+    * flush. */
   def compact(spark: SparkSession, root: String,
       store: CommitStore = LinkCommitStore): Long = {
     val (v, r) = ArtifactLog.latest(root, Kind)
+    val labeled = r.kvMap.get("lab").contains("1")
     val dirName = UUID.randomUUID().toString
     readDirs(spark, root, r.dirsOf("B"))
       .write.partitionBy("pb").parquet(s"$root/data/$dirName/bands")
     readDirs(spark, root, r.dirsOf("S"))
       .write.partitionBy("qb").parquet(s"$root/data/$dirName/shingles")
+    val labDirs =
+      if (!labeled) Nil
+      else {
+        val idx = loadAt(spark, root, v)
+        writeLabels(resolvedLabels(idx)
+            .select(col("doc_id"), col("cluster_id").as("cid0")),
+          idx.shingleBuckets, s"$root/data/$dirName/labels")
+        idx.forward.get.limit(0)
+          .write.parquet(s"$root/data/$dirName/forward")
+        Seq("L" -> s"$dirName/labels", "F" -> s"$dirName/forward")
+      }
     ArtifactLog.commit(root, Kind, v, Rec(r.kv,
-      Seq("B" -> s"$dirName/bands", "S" -> s"$dirName/shingles")), store)
+      Seq("B" -> s"$dirName/bands", "S" -> s"$dirName/shingles") ++
+        labDirs), store)
   }
 
   /** Incremental dedup verdicts for a shingled `shard` against a
@@ -176,6 +232,30 @@ object MinhashIndexStore {
     *      convention, so the store works for any id scheme.
     */
   def verdicts(index: MinhashIndex, shard: DataFrame,
+      prune: Boolean = true): DataFrame = {
+    val wBest = Window.partitionBy("d2")
+      .orderBy(desc("jaccard"), col("d1"))
+    val best = verifiedShardPairs(index, shard, prune)
+      .withColumn("rn", row_number().over(wBest))
+      .filter(col("rn") === 1)
+      .select(col("d2").as("doc_id"), col("d1").as("dup_of"),
+        col("jaccard"), col("src"))
+    shard.select("doc_id")
+      .join(best, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("dup_of").isNull, lit("admitted"))
+          .when(col("src") === "increment", lit("dup_increment"))
+          .otherwise(lit("dup_corpus")).as("verdict"),
+        col("dup_of"), col("jaccard"))
+      .orderBy("doc_id")
+  }
+
+  /** ALL verified shard pairs (d1, d2, src, n_common, jaccard) —
+    * [[verdicts]] keeps only each shard doc's best witness;
+    * [[ingestLabeled]] needs the full pair set (a shard doc BRIDGING
+    * two corpus clusters contributes two pairs, and dropping either
+    * would miss the merge). Same pruned probes. */
+  def verifiedShardPairs(index: MinhashIndex, shard: DataFrame,
       prune: Boolean = true): DataFrame = {
     val incB = DedupOps.scopedCache(DedupOps.bandFrame(shard))
     val probed =
@@ -213,22 +293,109 @@ object MinhashIndexStore {
       else index.shingles)
       .select(col("doc_id"), col("sh"))
     val allSh = witnessSh.unionByName(shard.select("doc_id", "sh"))
-    val wBest = Window.partitionBy("d2")
-      .orderBy(desc("jaccard"), col("d1"))
-    val best = DedupOps.verifyPairs(allSh, cand.select("d1", "d2"))
+    DedupOps.verifyPairs(allSh, cand.select("d1", "d2"))
       .join(cand, Seq("d1", "d2"))
-      .withColumn("rn", row_number().over(wBest))
-      .filter(col("rn") === 1)
-      .select(col("d2").as("doc_id"), col("d1").as("dup_of"),
-        col("jaccard"), col("src"))
-    shard.select("doc_id")
-      .join(best, Seq("doc_id"), "left")
+  }
+
+  /** Labeled shard ingest — incremental connected components against
+    * the persisted index, O(shard + touched clusters) and never a
+    * corpus relabel:
+    *
+    *   1. [[verifiedShardPairs]] (pruned probes) gives every
+    *      shard↔corpus and shard↔shard near-dup edge;
+    *   2. corpus witnesses CONTRACT to their current cluster ids
+    *      (label-at-write from the doc-bucketed `labels0` rows —
+    *      pruned to the witnesses' ≤Q buckets — resolved through the
+    *      broadcast forwarding map), so the subgraph CC runs on
+    *      O(shard + witness clusters) nodes, not the corpus;
+    *      contraction preserves connectivity, and because each
+    *      cluster id IS its component's min doc_id, the subgraph
+    *      minimum equals the full-graph minimum — the incremental
+    *      labels are EXACTLY the from-scratch CC labels
+    *      (`d_cluster_index_incremental` gates this against the full
+    *      recursive-CC oracle);
+    *   3. a corpus cluster whose component gained a smaller minimum
+    *      is never rewritten: its old id maps to the new one in the
+    *      FORWARDING table (persisted union-find with path
+    *      compression — the map stays canonical single-hop by
+    *      re-pointing old entries through this ingest's moves), which
+    *      is O(total merges), read whole, broadcast;
+    *   4. the shard's bands/shingles/labels land as one new dir
+    *      family; the forwarding dir is replaced.
+    *
+    * Concurrency: the CAS detects any interleaved commit, but a lost
+    * race is NOT rebased here (unlike [[append]] — a concurrent
+    * labeled ingest changes the very labels this one resolved
+    * against); the conflict propagates and the caller re-runs the
+    * ingest against the new version, exactly like a catalog
+    * `transact` whose merge function re-executes on rebase. */
+  def ingestLabeled(spark: SparkSession, root: String, shard: DataFrame,
+      store: CommitStore = LinkCommitStore): Long = {
+    val (v, head) = ArtifactLog.latest(root, Kind)
+    require(head.kvMap.get("lab").contains("1"),
+      s"$root was saved without labels; pass labels to save() first")
+    val idx = loadAt(spark, root, v)
+    val (p, q) = (idx.bandBuckets, idx.shingleBuckets)
+    val shardC = DedupOps.scopedCache(shard)
+    val pairs = DedupOps.scopedCache(
+      verifiedShardPairs(idx, shardC).select("d1", "d2", "src"))
+    val fwd = broadcast(idx.forward.get)
+    // witness cluster ids: labels0 rows pruned to the witnesses'
+    // buckets, then forwarded to the CURRENT canonical label
+    val corpusPairs = pairs.filter(col("src") === "corpus")
+    val d1Buckets = corpusPairs
+      .select(pmod(col("d1"), lit(q.toLong)).cast("int").as("qb"))
+      .distinct().collect().map(_.getInt(0)) // ≤ Q by pigeonhole
+    val lab0 = idx.labels0.get
+      .filter(col("qb").isin(d1Buckets.toSeq: _*))
+      .select(col("doc_id").as("d1"), col("cid0"))
+    val corpusEdges = corpusPairs.join(lab0, "d1")
+      .join(fwd, col("cid0") === col("cid_from"), "left")
+      .select(coalesce(col("cid_to"), col("cid0")).as("u"),
+        col("d2").as("v"))
+    val shardEdges = pairs.filter(col("src") === "increment")
+      .select(col("d1").as("u"), col("d2").as("v"))
+    val cidNodes = DedupOps.scopedCache(
+      corpusEdges.select(col("u").as("doc_id")).distinct())
+    val nodes = shardC.select("doc_id").unionByName(cidNodes)
+    val sub = DedupOps.scopedCache(ConnectedComponents.labels(
+      nodes, corpusEdges.unionByName(shardEdges)))
+    // moved clusters → new forwarding entries; old entries re-point
+    // through this ingest's moves so the map stays single-hop
+    val moved = sub.join(cidNodes, Seq("doc_id"))
+      .filter(col("cluster_id") =!= col("doc_id"))
+      .select(col("doc_id").as("cid_from"),
+        col("cluster_id").as("cid_to"))
+    val movedB = broadcast(moved)
+    val newFwd = idx.forward.get.alias("f")
+      .join(movedB.alias("m"), col("f.cid_to") === col("m.cid_from"),
+        "left")
+      .select(col("f.cid_from"),
+        coalesce(col("m.cid_to"), col("f.cid_to")).as("cid_to"))
+      .unionByName(moved)
+    val shardLabels = sub.join(shardC.select("doc_id"), Seq("doc_id"))
+      .select(col("doc_id"), col("cluster_id").as("cid0"))
+    val dirName = UUID.randomUUID().toString
+    writeShard(shardC, p, q, s"$root/data/$dirName")
+    writeLabels(shardLabels, q, s"$root/data/$dirName/labels")
+    newFwd.write.parquet(s"$root/data/$dirName/forward")
+    val rec = Rec(head.kv,
+      head.dirs.filter(_._1 != "F") ++ Seq(
+        "B" -> s"$dirName/bands", "S" -> s"$dirName/shingles",
+        "L" -> s"$dirName/labels", "F" -> s"$dirName/forward"))
+    ArtifactLog.commit(root, Kind, v, rec, store)
+  }
+
+  /** Every indexed doc's CURRENT cluster id: label-at-write resolved
+    * through the broadcast forwarding map. Row-identical to a
+    * from-scratch CC over the same corpus (see [[ingestLabeled]]). */
+  def resolvedLabels(index: MinhashIndex): DataFrame = {
+    val fwd = broadcast(index.forward.getOrElse(throw
+      new IllegalArgumentException("index was saved without labels")))
+    index.labels0.get
+      .join(fwd, col("cid0") === col("cid_from"), "left")
       .select(col("doc_id"),
-        when(col("dup_of").isNull, lit("admitted"))
-          .when(col("src") === "increment", lit("dup_increment"))
-          .otherwise(lit("dup_corpus")).as("verdict"),
-        col("dup_of"), col("jaccard"))
-      .orderBy("doc_id")
+        coalesce(col("cid_to"), col("cid0")).as("cluster_id"))
   }
 
   /** Prune history (shared [[ArtifactLog]] sweep: kept records pin

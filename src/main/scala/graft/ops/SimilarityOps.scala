@@ -395,10 +395,12 @@ object SimilarityOps {
     * [[graft.ops.DedupOps.incrementalVerdicts]]: vectors with
     * vec_id % 5 == 0 are the DAILY INCREMENT; the rest are the
     * standing corpus whose trained centroids + cell assignments form
-    * the PERSISTED IVF index a deployment keeps on disk (recomputed
-    * here only because a bench query owns no cross-run artifacts —
-    * the increment path itself never retrains centroids or reassigns
-    * corpus vectors). Each increment vector is assigned to its
+    * the PERSISTED IVF index a deployment keeps on disk — now an
+    * actual artifact, [[IvfIndexStore]] (recomputed in-plan here only
+    * because a bench query owns no cross-run artifacts; the
+    * [[ivfLifecycle]] twin runs this same shortlist THROUGH the
+    * saved/loaded artifact, and the increment path itself never
+    * retrains centroids or reassigns corpus vectors). Each increment vector is assigned to its
     * nprobe=4 nearest PERSISTED cells (map-side dots against the
     * broadcast centroids) and shortlisted against those cells' corpus
     * members only — the ingest cost is O(increment × k) assignment

@@ -127,6 +127,103 @@ class MinhashIndexSpec extends SparkTestBase {
     assert(MinhashIndexStore.load(spark, root).shingles.count() == 3)
   }
 
+  // Sliding windows over v0t1..v0t36 (24 shingles each): A=1-26,
+  // B=11-36 share 14 shingles (J=0.41 — below threshold, separate
+  // clusters); bridge C=6-31 shares 19 with EACH (J≈0.66 ≥ 0.5 —
+  // verified edge to both). Jaccard is a metric, so a bridge can't
+  // sit much closer to two <0.5-apart docs — J≈0.66 is inside the
+  // borderline band-hit regime (~80%/pair), and the first test PINS
+  // that the fixed minhash collides both bridge pairs and not A-B
+  // for exactly these tokens (empirically selected; deterministic —
+  // if it passes once, it passes forever).
+  private val w = (1 to 36).map(i => s"v0t$i")
+  private val dA = w.slice(0, 26).mkString(" ")
+  private val dB = w.slice(10, 36).mkString(" ")
+  private val dC = w.slice(5, 31).mkString(" ")
+
+  test("labeled ingest: a bridge shard doc merges two corpus " +
+      "clusters through the forwarding map, never a corpus rewrite") {
+    val fixture = shingled(Seq((2L, dA), (3L, dB), (5L, dC)))
+    // the construction only works if the banded LSH surfaces both
+    // bridge pairs and not the A-B pair — pin it before relying on it
+    val pairs = DedupOps.lshVerifiedPairs(fixture)
+      .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    assert(pairs == Set((2L, 5L), (3L, 5L)),
+      s"LSH pair set drifted: $pairs — adjust the w-token construction")
+
+    val corpus = fixture.filter(col("doc_id") < 5L)
+    val corpusLabels = graft.ops.ConnectedComponents.labels(
+      corpus.select("doc_id"),
+      DedupOps.lshVerifiedPairs(corpus)
+        .select(col("d1").as("u"), col("d2").as("v")))
+    val root = freshRoot("bridge")
+    MinhashIndexStore.save(root, corpus, Some(corpusLabels))
+    MinhashIndexStore.ingestLabeled(spark, root,
+      fixture.filter(col("doc_id") === 5L))
+    val idx = MinhashIndexStore.load(spark, root)
+    val got = MinhashIndexStore.resolvedLabels(idx)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((2L, 2L), (3L, 2L), (5L, 2L)), s"got $got")
+    // the merge is a forwarding entry, not a relabel: cluster 3's
+    // label-at-write row still says 3
+    assert(idx.labels0.get.filter(col("doc_id") === 3L)
+      .head().getAs[Long]("cid0") == 3L)
+    assert(idx.forward.get.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet == Set((3L, 2L)))
+    DedupOps.releaseCaches()
+  }
+
+  test("chained merges keep the forwarding map single-hop (path " +
+      "compression), and compact flushes it into the labels") {
+    val fixture = shingled(Seq((2L, dA), (3L, dB), (5L, dC), (1L, dA)))
+    val corpus = fixture.filter(col("doc_id").isin(2L, 3L))
+    val corpusLabels = graft.ops.ConnectedComponents.labels(
+      corpus.select("doc_id"),
+      DedupOps.lshVerifiedPairs(corpus)
+        .select(col("d1").as("u"), col("d2").as("v")))
+    val root = freshRoot("chain")
+    MinhashIndexStore.save(root, corpus, Some(corpusLabels))
+    // ingest 1: bridge 5 merges {2} and {3} → forward 3→2
+    MinhashIndexStore.ingestLabeled(spark, root,
+      fixture.filter(col("doc_id") === 5L))
+    // ingest 2: doc 1 (= A, smaller id) lowers the merged cluster's
+    // minimum → 2→1, and the OLD entry must re-point 3→1 directly
+    MinhashIndexStore.ingestLabeled(spark, root,
+      fixture.filter(col("doc_id") === 1L))
+    val idx = MinhashIndexStore.load(spark, root)
+    val fwd = idx.forward.get.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(fwd == Set((3L, 1L), (2L, 1L)), s"forward not single-hop: $fwd")
+    val got = MinhashIndexStore.resolvedLabels(idx)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 1L), (2L, 1L), (3L, 1L), (5L, 1L)))
+    // compact = path-compression flush: labels carry the resolved
+    // ids, forward resets to empty, resolution unchanged
+    MinhashIndexStore.compact(spark, root)
+    val cIdx = MinhashIndexStore.load(spark, root)
+    assert(cIdx.forward.get.count() == 0)
+    assert(MinhashIndexStore.resolvedLabels(cIdx)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet == got)
+    // a bare append on a labeled index is refused
+    val e = intercept[IllegalArgumentException](
+      MinhashIndexStore.append(spark, root, shingled(Seq((9L, tC)))))
+    assert(e.getMessage.contains("ingestLabeled"))
+    DedupOps.releaseCaches()
+  }
+
+  test("incremental labels equal the registered full-CC query on " +
+      "the sf0.001 documents row-for-row") {
+    val got = Registry.byName("d_cluster_index_incremental")
+      .run(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val full = Registry.byName("d_dedup_clusters")
+      .run(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == full)
+    DedupOps.releaseCaches()
+  }
+
   test("both artifact scans are PARTITION-PRUNED in the verdict " +
       "plan: pb on bands, qb on shingles") {
     val docs = shingled(Seq((1L, tA), (2L, tB), (5L, tA)))
