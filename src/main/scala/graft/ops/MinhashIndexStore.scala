@@ -83,15 +83,26 @@ object MinhashIndexStore {
         .parquet(s"$root/data/$d"))
       .reduce(_ unionByName _)
 
+  /** `partitioned = false` is the EMPTY-frame path (a from-scratch
+    * streaming index saves over an empty corpus): a partitionBy write
+    * of zero rows emits no schema-bearing file at all, so the empty
+    * tables write plain — the pb/qb columns are ordinary data columns
+    * there, union cleanly with partition-discovered dirs, and still
+    * satisfy the pruning filters. */
   private def writeShard(shingled: DataFrame, p: Int, q: Int,
-      dir: String): Unit = {
-    DedupOps.bandFrame(shingled)
+      dir: String, partitioned: Boolean = true): Unit = {
+    val bands = DedupOps.bandFrame(shingled)
       .withColumn("pb",
         pmod(col("band_hash").cast("long"), lit(p.toLong)).cast("int"))
-      .write.partitionBy("pb").parquet(s"$dir/bands")
-    shingled.select(col("doc_id"), col("sh"),
-        pmod(col("doc_id"), lit(q.toLong)).cast("int").as("qb"))
-      .write.partitionBy("qb").parquet(s"$dir/shingles")
+    val sh = shingled.select(col("doc_id"), col("sh"),
+      pmod(col("doc_id"), lit(q.toLong)).cast("int").as("qb"))
+    if (partitioned) {
+      bands.write.partitionBy("pb").parquet(s"$dir/bands")
+      sh.write.partitionBy("qb").parquet(s"$dir/shingles")
+    } else {
+      bands.write.parquet(s"$dir/bands")
+      sh.write.parquet(s"$dir/shingles")
+    }
   }
 
   /** Index `corpus` (a [[DedupOps.shingleDocs]]-shaped frame:
@@ -108,11 +119,12 @@ object MinhashIndexStore {
     val n = corpus.count()
     val (p, q) = (defaultBuckets(n), defaultBuckets(n))
     val dirName = UUID.randomUUID().toString
-    writeShard(corpus, p, q, s"$root/data/$dirName")
+    writeShard(corpus, p, q, s"$root/data/$dirName",
+      partitioned = n > 0)
     val labDirs = labels.toSeq.flatMap { lab =>
       writeLabels(lab.select(col("doc_id"),
         col("cluster_id").as("cid0")), q,
-        s"$root/data/$dirName/labels")
+        s"$root/data/$dirName/labels", partitioned = n > 0)
       lab.limit(0).select(col("doc_id").as("cid_from"),
           col("doc_id").as("cid_to"))
         .write.parquet(s"$root/data/$dirName/forward")
@@ -127,15 +139,26 @@ object MinhashIndexStore {
     ArtifactLog.commit(root, Kind, v, rec, store)
   }
 
-  private def writeLabels(lab0: DataFrame, q: Int, dir: String): Unit =
-    lab0.select(col("doc_id"), col("cid0"),
-        pmod(col("doc_id"), lit(q.toLong)).cast("int").as("qb"))
-      .write.partitionBy("qb").parquet(dir)
+  private def writeLabels(lab0: DataFrame, q: Int, dir: String,
+      partitioned: Boolean = true): Unit = {
+    val rows = lab0.select(col("doc_id"), col("cid0"),
+      pmod(col("doc_id"), lit(q.toLong)).cast("int").as("qb"))
+    if (partitioned) rows.write.partitionBy("qb").parquet(dir)
+    else rows.write.parquet(dir)
+  }
 
   def load(spark: SparkSession, root: String): MinhashIndex = {
     val recs = ArtifactLog.list(root)
     require(recs.nonEmpty, s"$root has no committed index")
     loadAt(spark, root, recs.head._1)
+  }
+
+  /** Latest committed (version, labeled?) without loading any frame
+    * — the cheap existence/position probe streaming callers need
+    * ([[graft.streaming.DedupIngestStream]]'s empty-batch path). */
+  def latestVersion(root: String): (Long, Boolean) = {
+    val (v, r) = ArtifactLog.latest(root, Kind)
+    (v, r.kvMap.get("lab").contains("1"))
   }
 
   /** Time travel: the index as of `version` (full-manifest records —
@@ -328,12 +351,23 @@ object MinhashIndexStore {
     * labeled ingest changes the very labels this one resolved
     * against); the conflict propagates and the caller re-runs the
     * ingest against the new version, exactly like a catalog
-    * `transact` whose merge function re-executes on rebase. */
+    * `transact` whose merge function re-executes on rebase.
+    *
+    * Replay idempotence: pass `tag` (a Structured Streaming batchId)
+    * and the commit record carries it; a later call whose tag is AT
+    * OR BELOW the committed tag is a no-op returning the current
+    * version — the foreachBatch contract, same as the frontier's
+    * TxLog tags ([[graft.streaming.DedupIngestStream]] drives this). */
   def ingestLabeled(spark: SparkSession, root: String, shard: DataFrame,
-      store: CommitStore = LinkCommitStore): Long = {
+      store: CommitStore = LinkCommitStore,
+      tag: Option[Long] = None): Long = {
     val (v, head) = ArtifactLog.latest(root, Kind)
     require(head.kvMap.get("lab").contains("1"),
       s"$root was saved without labels; pass labels to save() first")
+    tag.foreach { t =>
+      val committed = head.kvMap.get("tag").map(_.toLong)
+      if (committed.exists(_ >= t)) return v // replayed batch: no-op
+    }
     val idx = loadAt(spark, root, v)
     val (p, q) = (idx.bandBuckets, idx.shingleBuckets)
     val shardC = DedupOps.scopedCache(shard)
@@ -379,7 +413,9 @@ object MinhashIndexStore {
     writeShard(shardC, p, q, s"$root/data/$dirName")
     writeLabels(shardLabels, q, s"$root/data/$dirName/labels")
     newFwd.write.parquet(s"$root/data/$dirName/forward")
-    val rec = Rec(head.kv,
+    val rec = Rec(
+      head.kv.filterNot(_._1 == "tag") ++
+        tag.map(t => "tag" -> t.toString),
       head.dirs.filter(_._1 != "F") ++ Seq(
         "B" -> s"$dirName/bands", "S" -> s"$dirName/shingles",
         "L" -> s"$dirName/labels", "F" -> s"$dirName/forward"))

@@ -1,0 +1,58 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.ops.{DedupOps, MinhashIndexStore}
+
+/** Always-on dedup ingest: a document stream drives
+  * [[graft.ops.MinhashIndexStore.ingestLabeled]] through
+  * `foreachBatch`, so the persisted band/shingle/label index IS the
+  * stream's state — the same artifact an ad-hoc batch job or the
+  * `d_cluster_index_incremental` query reads, not a private state
+  * store (the [[StreamDedup]] candidate machine is the
+  * state-store-native alternative for candidate EMISSION; this
+  * wrapper is the artifact-maintaining one a training-data pipeline
+  * runs daily).
+  *
+  * Replay contract (the [[FrontierStream]] shape): Structured
+  * Streaming re-runs the last uncommitted batch from its WAL on
+  * restart, with the same batchId and — for replayable sources — the
+  * same rows. The batchId rides the ingest commit as the record's
+  * `tag`; a replayed batch at or below the committed tag is a no-op,
+  * so a crash between the index commit and the checkpoint advance
+  * cannot double-ingest a shard (DedupIngestStreamSpec's replay
+  * twin). Batches arrive ordered per query, so the single monotone
+  * tag suffices — the CAS rejects any interleaved writer outright. */
+object DedupIngestStream {
+
+  /** One micro-batch: shingle the (doc_id, text) rows and ingest them
+    * as a labeled shard. Empty batches are skipped (naturally
+    * idempotent — no version burned). Returns the committed (or
+    * already-committed, on replay) version. */
+  def processBatch(root: String, batch: DataFrame, batchId: Long): Long = {
+    val spark = batch.sparkSession
+    if (batch.isEmpty) {
+      val (v, _) = MinhashIndexStore.latestVersion(root)
+      v
+    } else {
+      val shard = DedupOps.shingleDocs(batch.select("doc_id", "text"))
+      try MinhashIndexStore.ingestLabeled(spark, root, shard,
+        tag = Some(batchId))
+      finally DedupOps.releaseCaches()
+    }
+  }
+
+  /** Wire a streaming (doc_id, text) frame into the index at `root`
+    * (which must have been [[graft.ops.MinhashIndexStore.save]]d with
+    * labels — possibly over an empty corpus for a from-scratch
+    * stream). */
+  def run(docs: DataFrame, root: String, checkpointDir: String)
+      : StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processBatch(root, batch, batchId); ()
+      }
+      .start()
+}
