@@ -64,8 +64,9 @@ object DedupIndexProbe {
     }
 
     println("| factor | corpus_docs | P=Q | build_s | " +
-      "ingest50 pruned s/MB | ingest50 full s/MB |")
-    println("|---|---|---|---|---|---|")
+      "ingest50 pruned s/MB | ingest50 full s/MB | " +
+      "labeled_build_s | labeled_ingest50 s/MB |")
+    println("|---|---|---|---|---|---|---|---|")
 
     factors.foreach { f =>
       val dir =
@@ -118,8 +119,27 @@ object DedupIndexProbe {
         MinhashIndexStore.verdicts(idx, shard, prune = false).count())
       DedupOps.releaseCaches()
       require(nP == nF, s"pruned/unpruned verdict drift: $nP vs $nF")
+
+      // the labeled twin: corpus CC computed once at save (the
+      // amortized generation cost), then the shard's incremental CC
+      // runs on the CONTRACTED subgraph — its cost should track the
+      // shard and its witnesses, not the corpus
+      val rootL = Files.createTempDirectory(s"dedupprobeL_${f}x").toString
+      val (_, labBuildS) = timed {
+        val corpusLabels = graft.ops.ConnectedComponents.labels(
+          corpus.select("doc_id"),
+          DedupOps.lshVerifiedPairs(corpus)
+            .select(col("d1").as("u"), col("d2").as("v")))
+        MinhashIndexStore.save(rootL, corpus, Some(corpusLabels))
+      }
+      DedupOps.releaseCaches()
+      val (_, labIngestS, labIngestMB) = measure(
+        MinhashIndexStore.ingestLabeled(spark, rootL, shard))
+      DedupOps.releaseCaches()
+
       println(f"| ${f}x | $n | ${idx.bandBuckets} | $buildS%.1f | " +
-        f"$prunedS%.1f/$prunedMB%.2f | $fullS%.1f/$fullMB%.2f |")
+        f"$prunedS%.1f/$prunedMB%.2f | $fullS%.1f/$fullMB%.2f | " +
+        f"$labBuildS%.1f | $labIngestS%.1f/$labIngestMB%.2f |")
       spark.catalog.clearCache()
     }
     spark.stop()

@@ -140,8 +140,16 @@ object IvfIndexStore {
     * a conflict rebases by re-listing (the staged shard dir stays
     * valid; only the record re-renders). Returns the new version. */
   def append(spark: SparkSession, root: String, inc: DataFrame,
-      store: CommitStore = LinkCommitStore, maxRetries: Int = 10): Long = {
-    val (_, head) = ArtifactLog.latest(root, Kind)
+      store: CommitStore = LinkCommitStore, maxRetries: Int = 10,
+      tag: Option[Long] = None): Long = {
+    val (v0, head) = ArtifactLog.latest(root, Kind)
+    tag.foreach { t =>
+      // replay idempotence (the foreachBatch contract — see
+      // graft.streaming.EmbeddingIngestStream): a batchId at or below
+      // the committed tag already landed; do not double-append
+      val committed = head.kvMap.get("tag").map(_.toLong)
+      if (committed.exists(_ >= t)) return v0
+    }
     val cents = broadcast(
       spark.read.parquet(s"$root/data/${head.dirsOf("C").head}"))
     val assigned = SimilarityOps.ivfCells(inc, cents)
@@ -151,11 +159,14 @@ object IvfIndexStore {
     var attempt = 0
     while (true) {
       val (v, latest) = ArtifactLog.latest(root, Kind)
-      require(latest.kv == head.kv &&
+      require(latest.kvMap.filterNot(_._1 == "tag") ==
+          head.kvMap.filterNot(_._1 == "tag") &&
         latest.dirsOf("C") == head.dirsOf("C"),
         "concurrent commit replaced the index structure (compact/save " +
           "raced this append); re-run against the new index")
-      val rec = Rec(latest.kv,
+      val rec = Rec(
+        latest.kv.filterNot(_._1 == "tag") ++
+          tag.map(t => "tag" -> t.toString),
         latest.dirs :+ ("D" -> s"$dirName/cells"))
       try return ArtifactLog.commit(root, Kind, v, rec, store)
       catch {
@@ -166,6 +177,11 @@ object IvfIndexStore {
     }
     throw new IllegalStateException("unreachable")
   }
+
+  /** Latest committed version without loading any frame (streaming
+    * callers' empty-batch probe). */
+  def latestVersion(root: String): Long =
+    ArtifactLog.latest(root, Kind)._1
 
   /** Fold the accreted shard dirs into one (same content, one `D`
     * line) — run when the shard list outgrows a comfortable manifest,

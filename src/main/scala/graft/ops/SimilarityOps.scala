@@ -201,8 +201,16 @@ object SimilarityOps {
   def quantized(s: org.apache.spark.sql.SparkSession, dir: String)
       : org.apache.spark.sql.DataFrame =
     // single-row-group scan: spread before the per-row vector math
-    par(t(s, dir, "embeddings"))
-      .select(col("vec_id"), qvec.as("v"))
+    quantizeEmbeddings(par(t(s, dir, "embeddings")))
+
+  /** [[quantized]] for callers that already hold a
+    * (vec_id, embedding: array<float>) frame — streaming
+    * micro-batches ([[graft.streaming.EmbeddingIngestStream]]) and
+    * tests. Same integer quantization, so downstream arithmetic stays
+    * oracle-exact. */
+  def quantizeEmbeddings(df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    df.select(col("vec_id"), qvec.as("v"))
       .withColumn("n2", dot("v", "v"))
 
   /** Rank every (vector, centroid) pair by cosine per vector; keep

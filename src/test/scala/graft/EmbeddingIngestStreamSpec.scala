@@ -1,0 +1,77 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.ops.{IvfIndexStore, SimilarityOps}
+import graft.streaming.EmbeddingIngestStream
+
+/** One (vec_id, embedding) arrival for the embedding ingest stream. */
+case class IngestVec(vec_id: Long, embedding: Array[Float])
+
+/** The always-on embedding ingest
+  * ([[graft.streaming.EmbeddingIngestStream]]): streamed shards
+  * append to the persisted IVF index on frozen centroids, the
+  * resulting cells equal the batch assignment of the same vectors,
+  * and a replayed batch is a no-op through the record tag. */
+class EmbeddingIngestStreamSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def emb = SimilarityOps.quantized(spark, sf001)
+
+  private def rawVecs(pred: org.apache.spark.sql.Column): Seq[IngestVec] =
+    core.t(spark, sf001, "embeddings").filter(pred)
+      .select("vec_id", "embedding").collect()
+      .map(r => IngestVec(r.getLong(0),
+        r.getSeq[Float](1).toArray)).toSeq
+
+  test("streamed appends equal the batch assignment across waves, " +
+      "and the stream survives a replay") {
+    val corpus = emb.filter(col("vec_id") % 5 =!= 0)
+    val root = Files.createTempDirectory("emb_stream").toString
+    IvfIndexStore.save(root, corpus, 32)
+
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[IngestVec]
+    val q = EmbeddingIngestStream.run(input.toDF(), root,
+      Files.createTempDirectory("emb_chk").toString)
+    try {
+      input.addData(rawVecs(col("vec_id") % 10 === 0))
+      q.processAllAvailable()
+      input.addData(rawVecs(col("vec_id") % 5 === 0 &&
+        col("vec_id") % 10 =!= 0))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val idx = IvfIndexStore.load(spark, root)
+    val expected = SimilarityOps
+      .ivfCells(emb, idx.centroids)
+      .select("vec_id", "cell").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = idx.cells.select("vec_id", "cell").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == expected)
+
+    // replay twin: re-running the LAST batch (id 1) through the
+    // foreachBatch body is a no-op on the version
+    val vNow = IvfIndexStore.latestVersion(root)
+    val vReplay = EmbeddingIngestStream.processBatch(root,
+      rawVecs(col("vec_id") % 5 === 0 && col("vec_id") % 10 =!= 0)
+        .toDF(), 1L)
+    assert(vReplay == vNow, "replayed batch must not commit")
+    assert(IvfIndexStore.load(spark, root).cells.count() ==
+      emb.count())
+    SimilarityOps.releaseCaches()
+  }
+
+  test("an empty batch burns no version") {
+    val root = Files.createTempDirectory("emb_empty").toString
+    IvfIndexStore.save(root, emb.filter(col("vec_id") % 5 =!= 0), 32)
+    val v1 = IvfIndexStore.latestVersion(root)
+    val v = EmbeddingIngestStream.processBatch(root,
+      Seq.empty[IngestVec].toDF(), 0L)
+    assert(v == v1 && IvfIndexStore.latestVersion(root) == v1)
+  }
+}
