@@ -360,7 +360,8 @@ object MinhashIndexStore {
     * TxLog tags ([[graft.streaming.DedupIngestStream]] drives this). */
   def ingestLabeled(spark: SparkSession, root: String, shard: DataFrame,
       store: CommitStore = LinkCommitStore,
-      tag: Option[Long] = None): Long = {
+      tag: Option[Long] = None,
+      preCommitHook: Long => Unit = _ => ()): Long = {
     val (v, head) = ArtifactLog.latest(root, Kind)
     require(head.kvMap.get("lab").contains("1"),
       s"$root was saved without labels; pass labels to save() first")
@@ -419,6 +420,7 @@ object MinhashIndexStore {
       head.dirs.filter(_._1 != "F") ++ Seq(
         "B" -> s"$dirName/bands", "S" -> s"$dirName/shingles",
         "L" -> s"$dirName/labels", "F" -> s"$dirName/forward"))
+    preCommitHook(v) // test seam: races injected between stage + CAS
     ArtifactLog.commit(root, Kind, v, rec, store)
   }
 

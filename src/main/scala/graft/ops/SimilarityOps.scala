@@ -1444,7 +1444,21 @@ object SimilarityOps {
     * the ANN family (`s_cosine_ann_lsh`/`_ivf`/`_pq` produce the
     * same (a,b,cosine) frame from bucketed equi-joins) and the
     * mutual filter + CC stages are unchanged — they only ever see
-    * the sparse edge list. */
+    * the sparse edge list.
+    *
+    * Why there is NO incremental variant (unlike the dedup side's
+    * [[graft.ops.MinhashIndexStore.ingestLabeled]]): mutual-kNN
+    * edges are NOT monotone under insertion — a new vector that
+    * enters some existing vector's top-3 EVICTS that vector's old
+    * third neighbor, which can DELETE an existing edge and SPLIT a
+    * cluster, so a shard's effect is not confined to its own
+    * components and exact incremental maintenance needs per-vector
+    * inverse-neighbor state with cascading re-evaluation (the
+    * threshold-graph dedup edge set, by contrast, only ever GROWS,
+    * which is what makes the persisted union-find exact). The
+    * deployment path is the periodic re-cluster over the persisted
+    * IVF candidates ([[IvfIndexStore]] amortizes the candidate side;
+    * the CC is O(edges) per generation). */
   val knnClusters = QueryDef(
     "s_knn_clusters", "LLM-pipeline similarity: mutual-kNN clustering",
     "thresholded mutual 3-NN graph → connected components (semantic clusters)",

@@ -212,6 +212,58 @@ class MinhashIndexSpec extends SparkTestBase {
     DedupOps.releaseCaches()
   }
 
+  test("a labeled ingest losing the CAS throws CommitConflict with " +
+      "the index unchanged, and vacuum sweeps its staged dirs") {
+    val fixture = shingled(Seq((2L, dA), (3L, dB), (5L, dC)))
+    val corpus = fixture.filter(col("doc_id").isin(2L, 3L))
+    val corpusLabels = graft.ops.ConnectedComponents.labels(
+      corpus.select("doc_id"),
+      DedupOps.lshVerifiedPairs(corpus)
+        .select(col("d1").as("u"), col("d2").as("v")))
+    val root = freshRoot("conflict")
+    MinhashIndexStore.save(root, corpus, Some(corpusLabels))
+    val before = MinhashIndexStore
+      .resolvedLabels(MinhashIndexStore.load(spark, root))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // interleave a competing commit between this ingest's staging
+    // and its CAS — the labeled path must FAIL, not rebase (it
+    // resolved witnesses against a now-stale version)
+    intercept[graft.catalog.TxLog.CommitConflict] {
+      MinhashIndexStore.ingestLabeled(spark, root,
+        fixture.filter(col("doc_id") === 5L),
+        preCommitHook = v => graft.catalog.TxLog.commit(root, v,
+          "#mh interloper — any content claims the slot"))
+    }
+    // the index still reads at the interloper-free content: version
+    // advanced by the interloper only, labels unchanged via v2-1
+    val after = MinhashIndexStore
+      .resolvedLabels(MinhashIndexStore.loadAt(spark, root, 1L))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(after == before)
+    // the loser's staged dir family (bands/shingles/labels/forward
+    // under one uuid) is unreferenced — an aged vacuum sweeps it.
+    // Drop the interloper's record first (the operator's recovery
+    // step for a poisoned slot), then vacuum against v1.
+    val dataDir = Paths.get(root, "data")
+    val old = java.nio.file.attribute.FileTime.fromMillis(
+      System.currentTimeMillis() - 3600 * 1000L)
+    Files.list(dataDir).forEach(d =>
+      Files.walk(d).forEach(p => Files.setLastModifiedTime(p, old)))
+    Files.delete(Paths.get(root, "_commits", f"v${2L}%020d"))
+    MinhashIndexStore.vacuum(root, keep = 1, graceMs = 60 * 1000L)
+    val left = {
+      val l = Files.list(dataDir).iterator()
+      val b = scala.collection.mutable.Set.empty[String]
+      while (l.hasNext) b += l.next().getFileName.toString
+      b.toSet
+    }
+    assert(left.size == 1, s"loser's staged dirs must be swept: $left")
+    assert(MinhashIndexStore
+      .resolvedLabels(MinhashIndexStore.load(spark, root))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet == before)
+    DedupOps.releaseCaches()
+  }
+
   test("incremental labels equal the registered full-CC query on " +
       "the sf0.001 documents row-for-row") {
     val got = Registry.byName("d_cluster_index_incremental")
