@@ -97,6 +97,9 @@ object IvfIndexStore {
     cells
       .select(col("vec_id"), col("v"), col("n2"), col("cell"),
         pmod(col("cell"), lit(buckets.toLong)).cast("int").as("pb"))
+      // one file per bucket per shard (see MinhashIndexStore
+      // .writeShard — same object-store layout rationale)
+      .repartition(col("pb"))
       .write.partitionBy("pb").parquet(dir)
 
   /** Train on `corpus` (a [[SimilarityOps.quantized]]-shaped frame:
