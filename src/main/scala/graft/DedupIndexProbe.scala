@@ -102,11 +102,14 @@ object DedupIndexProbe {
       val n = corpus.count()
       // fixed-size shard regardless of corpus: base docs 0..49
       // re-keyed past the corpus max (new arrivals, same content
-      // distribution — some are near-dups of corpus docs, some not)
+      // distribution — some are near-dups of corpus docs, some not;
+      // max+1, not count: a sparse id space would otherwise collide
+      // shard ids with live corpus ids and corrupt the measurement)
+      val off = corpus.agg(max("doc_id")).head().getLong(0) + 1
       def shard: DataFrame = DedupOps.shingleDocs(
         graft.core.t(spark, base, "documents")
           .filter(col("doc_id") < 50)
-          .withColumn("doc_id", col("doc_id") + lit(n)))
+          .withColumn("doc_id", col("doc_id") + lit(off)))
 
       val root = Files.createTempDirectory(s"dedupprobe_${f}x").toString
       val (_, buildS) = timed(MinhashIndexStore.save(root, corpus))

@@ -98,11 +98,14 @@ object IvfProbe {
       val k = math.max(32L, n / 64L).toInt
       val buckets = IvfIndexStore.defaultBuckets(k)
       // fixed-size shard regardless of corpus: base vectors 0..99
-      // re-keyed past the corpus max (new arrivals, same geometry)
+      // re-keyed past the corpus max (new arrivals, same geometry —
+      // max+1, not count: a sparse id space would otherwise collide
+      // shard ids with live corpus ids and corrupt the measurement)
+      val off = emb.agg(max("vec_id")).head().getLong(0) + 1
       val baseEmb = SimilarityOps.quantized(spark, base)
       def shard(sz: Int): DataFrame = baseEmb
         .filter(col("vec_id") < sz)
-        .select((col("vec_id") + lit(n)).as("vec_id"),
+        .select((col("vec_id") + lit(off)).as("vec_id"),
           col("v"), col("n2"))
 
       val root = Files.createTempDirectory(s"ivfprobe_${f}x").toString

@@ -109,15 +109,26 @@ object IvfIndexStore {
   def save(root: String, corpus: DataFrame, k: Int,
       store: CommitStore = LinkCommitStore): Long = {
     TxLog.init(root)
-    val cents = SimilarityOps.ivfCentroids(corpus, k)
-    val cells = SimilarityOps.ivfCells(corpus, cents)
-    val dirName = UUID.randomUUID().toString
-    cents.write.parquet(s"$root/data/$dirName/centroids")
-    writeCells(cells, defaultBuckets(k), s"$root/data/$dirName/cells")
-    val rec = mkRec(k, defaultBuckets(k), s"$dirName/centroids",
-      Seq(s"$dirName/cells"))
-    val v = ArtifactLog.list(root).headOption.map(_._1).getOrElse(0L)
-    ArtifactLog.commit(root, Kind, v, rec, store)
+    // the Lloyd-iteration subplan behind the centroids feeds THREE
+    // actions (empty check, centroid write, cell assignment) — cache
+    // locally so it runs once (terminal scope, like
+    // MinhashIndexStore.save's corpus cache)
+    val cents = SimilarityOps.ivfCentroids(corpus, k).cache()
+    try {
+      require(!cents.isEmpty,
+        "IVF save needs a non-empty training corpus (the coarse " +
+          "quantizer cannot train on nothing — unlike the dedup " +
+          "index, there is no empty-index bootstrap; re-save when " +
+          "data exists)")
+      val cells = SimilarityOps.ivfCells(corpus, cents)
+      val dirName = UUID.randomUUID().toString
+      cents.write.parquet(s"$root/data/$dirName/centroids")
+      writeCells(cells, defaultBuckets(k), s"$root/data/$dirName/cells")
+      val rec = mkRec(k, defaultBuckets(k), s"$dirName/centroids",
+        Seq(s"$dirName/cells"))
+      val v = ArtifactLog.list(root).headOption.map(_._1).getOrElse(0L)
+      ArtifactLog.commit(root, Kind, v, rec, store)
+    } finally cents.unpersist(false)
   }
 
   def load(spark: SparkSession, root: String): IvfIndex = {
@@ -167,9 +178,14 @@ object IvfIndexStore {
         latest.dirsOf("C") == head.dirsOf("C"),
         "concurrent commit replaced the index structure (compact/save " +
           "raced this append); re-run against the new index")
+      // an UNTAGGED append must PRESERVE the committed streaming tag
+      // — erasing it would let a crash-replayed stream batch
+      // double-append after any interleaved ad-hoc append
       val rec = Rec(
-        latest.kv.filterNot(_._1 == "tag") ++
-          tag.map(t => "tag" -> t.toString),
+        if (tag.isDefined)
+          latest.kv.filterNot(_._1 == "tag") ++
+            tag.map(t => "tag" -> t.toString)
+        else latest.kv,
         latest.dirs :+ ("D" -> s"$dirName/cells"))
       try return ArtifactLog.commit(root, Kind, v, rec, store)
       catch {
@@ -194,9 +210,11 @@ object IvfIndexStore {
     val (v, r) = ArtifactLog.latest(root, Kind)
     val cells = readCellDirs(spark, root, r.dirsOf("D"))
     val dirName = UUID.randomUUID().toString
-    // already carries pb; keep the layout by re-partitioning on it
+    // re-bucket on write: one file per bucket in the compacted (the
+    // long-lived) form, same as writeCells
     cells.select(col("vec_id"), col("v"), col("n2"), col("cell"),
         col("pb"))
+      .repartition(col("pb"))
       .write.partitionBy("pb").parquet(s"$root/data/$dirName/cells")
     ArtifactLog.commit(root, Kind, v,
       Rec(r.kv, r.dirs.filter(_._1 != "D") :+

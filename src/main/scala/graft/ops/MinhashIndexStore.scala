@@ -124,27 +124,38 @@ object MinhashIndexStore {
       labels: Option[DataFrame] = None,
       store: CommitStore = LinkCommitStore): Long = {
     TxLog.init(root)
-    val n = corpus.count()
-    val (p, q) = (defaultBuckets(n), defaultBuckets(n))
-    val dirName = UUID.randomUUID().toString
-    writeShard(corpus, p, q, s"$root/data/$dirName",
-      partitioned = n > 0)
-    val labDirs = labels.toSeq.flatMap { lab =>
-      writeLabels(lab.select(col("doc_id"),
-        col("cluster_id").as("cid0")), q,
-        s"$root/data/$dirName/labels", partitioned = n > 0)
-      lab.limit(0).select(col("doc_id").as("cid_from"),
-          col("doc_id").as("cid_to"))
-        .write.parquet(s"$root/data/$dirName/forward")
-      Seq("L" -> s"$dirName/labels", "F" -> s"$dirName/forward")
-    }
-    val rec = Rec(
-      mkRec(p, q, Nil).kv ++
-        (if (labels.isDefined) Seq("lab" -> "1") else Nil),
-      Seq("B" -> s"$dirName/bands", "S" -> s"$dirName/shingles") ++
-        labDirs)
-    val v = ArtifactLog.list(root).headOption.map(_._1).getOrElse(0L)
-    ArtifactLog.commit(root, Kind, v, rec, store)
+    // the shingle pipeline behind `corpus` feeds THREE actions
+    // (count, bands write, shingles write) — cache locally so the
+    // tokenize+shingle subplan runs once, not three times (save is
+    // terminal, so the cache scope is this call, not the caller's
+    // release discipline)
+    val c = corpus.cache()
+    try {
+      val n = c.count()
+      val (p, q) = (defaultBuckets(n), defaultBuckets(n))
+      val dirName = UUID.randomUUID().toString
+      writeShard(c, p, q, s"$root/data/$dirName",
+        partitioned = n > 0)
+      val labDirs = labels.toSeq.flatMap { lab =>
+        writeLabels(lab.select(col("doc_id"),
+          col("cluster_id").as("cid0")), q,
+          s"$root/data/$dirName/labels", partitioned = n > 0)
+        // own top-level uuid: the F line is replaced on every labeled
+        // ingest, and a replaced dir must become vacuum-sweepable
+        val fwdDirName = UUID.randomUUID().toString
+        lab.limit(0).select(col("doc_id").as("cid_from"),
+            col("doc_id").as("cid_to"))
+          .write.parquet(s"$root/data/$fwdDirName/forward")
+        Seq("L" -> s"$dirName/labels", "F" -> s"$fwdDirName/forward")
+      }
+      val rec = Rec(
+        mkRec(p, q, Nil).kv ++
+          (if (labels.isDefined) Seq("lab" -> "1") else Nil),
+        Seq("B" -> s"$dirName/bands", "S" -> s"$dirName/shingles") ++
+          labDirs)
+      val v = ArtifactLog.list(root).headOption.map(_._1).getOrElse(0L)
+      ArtifactLog.commit(root, Kind, v, rec, store)
+    } finally c.unpersist(false)
   }
 
   private def writeLabels(lab0: DataFrame, q: Int, dir: String,
@@ -226,25 +237,40 @@ object MinhashIndexStore {
     val (v, r) = ArtifactLog.latest(root, Kind)
     val labeled = r.kvMap.get("lab").contains("1")
     val dirName = UUID.randomUUID().toString
-    readDirs(spark, root, r.dirsOf("B"))
-      .write.partitionBy("pb").parquet(s"$root/data/$dirName/bands")
-    readDirs(spark, root, r.dirsOf("S"))
-      .write.partitionBy("qb").parquet(s"$root/data/$dirName/shingles")
+    // an EMPTY index (from-scratch stream compacted before its first
+    // batch) must write plain, like save()'s empty path — a
+    // partitionBy of zero rows emits no schema-bearing file and a
+    // committed record pointing at it bricks the root; and the
+    // non-empty path re-buckets to keep one file per bucket (the
+    // whole point of compaction's long-lived form)
+    val empty = readDirs(spark, root, r.dirsOf("B")).isEmpty
+    writeBucketed(readDirs(spark, root, r.dirsOf("B")), "pb",
+      s"$root/data/$dirName/bands", empty)
+    writeBucketed(readDirs(spark, root, r.dirsOf("S")), "qb",
+      s"$root/data/$dirName/shingles", empty)
     val labDirs =
       if (!labeled) Nil
       else {
         val idx = loadAt(spark, root, v)
         writeLabels(resolvedLabels(idx)
             .select(col("doc_id"), col("cluster_id").as("cid0")),
-          idx.shingleBuckets, s"$root/data/$dirName/labels")
+          idx.shingleBuckets, s"$root/data/$dirName/labels",
+          partitioned = !empty)
+        val fwdDirName = UUID.randomUUID().toString
         idx.forward.get.limit(0)
-          .write.parquet(s"$root/data/$dirName/forward")
-        Seq("L" -> s"$dirName/labels", "F" -> s"$dirName/forward")
+          .write.parquet(s"$root/data/$fwdDirName/forward")
+        Seq("L" -> s"$dirName/labels", "F" -> s"$fwdDirName/forward")
       }
     ArtifactLog.commit(root, Kind, v, Rec(r.kv,
       Seq("B" -> s"$dirName/bands", "S" -> s"$dirName/shingles") ++
         labDirs), store)
   }
+
+  private def writeBucketed(df: DataFrame, bucketCol: String,
+      dir: String, empty: Boolean): Unit =
+    if (empty) df.write.parquet(dir)
+    else df.repartition(col(bucketCol))
+      .write.partitionBy(bucketCol).parquet(dir)
 
   /** Incremental dedup verdicts for a shingled `shard` against a
     * loaded index — [[DedupOps.incrementalVerdicts]] with the corpus
@@ -301,7 +327,12 @@ object MinhashIndexStore {
           col("pb").isin(probed.toSeq: _*))
         else index.bands).alias("a"),
         col("a.band_idx") === col("b.band_idx") &&
-          col("a.band_hash") === col("b.band_hash"))
+          col("a.band_hash") === col("b.band_hash") &&
+          // a shard doc ALREADY IN the index (an at-least-once
+          // replay after append, before the consumer recorded the
+          // verdicts) must not witness ITSELF at jaccard 1.0 —
+          // incrementalVerdicts carries the same guard
+          col("a.doc_id") =!= col("b.doc_id"))
       .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
         lit("corpus").as("src"))
     val withinShard = incB.alias("a").join(incB.alias("b"),
@@ -420,15 +451,26 @@ object MinhashIndexStore {
     val shardLabels = sub.join(shardC.select("doc_id"), Seq("doc_id"))
       .select(col("doc_id"), col("cluster_id").as("cid0"))
     val dirName = UUID.randomUUID().toString
+    // the forwarding map is REPLACED (not accreted) every ingest, so
+    // it stages under its OWN top-level uuid: when the next ingest
+    // drops this F line, the whole dir goes unreferenced and vacuum
+    // can sweep it — under the shard's uuid it would hide forever
+    // behind the still-live bands/shingles/labels
+    val fwdDirName = UUID.randomUUID().toString
     writeShard(shardC, p, q, s"$root/data/$dirName")
     writeLabels(shardLabels, q, s"$root/data/$dirName/labels")
-    newFwd.write.parquet(s"$root/data/$dirName/forward")
+    newFwd.write.parquet(s"$root/data/$fwdDirName/forward")
+    // an UNTAGGED ingest must PRESERVE the committed streaming tag —
+    // erasing it would let a crash-replayed stream batch re-ingest
+    // after any interleaved ad-hoc ingest
     val rec = Rec(
-      head.kv.filterNot(_._1 == "tag") ++
-        tag.map(t => "tag" -> t.toString),
+      if (tag.isDefined)
+        head.kv.filterNot(_._1 == "tag") ++
+          tag.map(t => "tag" -> t.toString)
+      else head.kv,
       head.dirs.filter(_._1 != "F") ++ Seq(
         "B" -> s"$dirName/bands", "S" -> s"$dirName/shingles",
-        "L" -> s"$dirName/labels", "F" -> s"$dirName/forward"))
+        "L" -> s"$dirName/labels", "F" -> s"$fwdDirName/forward"))
     preCommitHook(v) // test seam: races injected between stage + CAS
     ArtifactLog.commit(root, Kind, v, rec, store)
   }

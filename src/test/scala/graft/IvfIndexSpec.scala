@@ -227,6 +227,22 @@ class IvfIndexSpec extends SparkTestBase {
     assert(cellRows(IvfIndexStore.load(spark, root).cells) == expected)
   }
 
+  test("an untagged append preserves the streaming replay tag") {
+    val root = freshRoot("tagkeep")
+    IvfIndexStore.save(root, corpus, 32)
+    val shardA = inc.filter(col("vec_id") % 10 === 0)
+    val shardB = inc.filter(col("vec_id") % 10 =!= 0)
+    IvfIndexStore.append(spark, root, shardA, tag = Some(4L))
+    // interleaved ad-hoc append without a tag
+    IvfIndexStore.append(spark, root, shardB)
+    val v = IvfIndexStore.latestVersion(root)
+    // crash-replay of batch 4 must still no-op
+    assert(IvfIndexStore.append(spark, root, shardA,
+      tag = Some(4L)) == v)
+    assert(IvfIndexStore.load(spark, root).cells.count() ==
+      emb.count())
+  }
+
   test("a catalog reader pointed at an index root fails loudly " +
       "(record formats are disjoint)") {
     val root = freshRoot("disjoint")

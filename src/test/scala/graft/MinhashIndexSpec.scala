@@ -257,10 +257,66 @@ class MinhashIndexSpec extends SparkTestBase {
       while (l.hasNext) b += l.next().getFileName.toString
       b.toSet
     }
-    assert(left.size == 1, s"loser's staged dirs must be swept: $left")
+    // v1 references TWO top-level dirs (the corpus family + the
+    // forwarding map's own uuid); the loser's two staged dirs are gone
+    assert(left.size == 2, s"loser's staged dirs must be swept: $left")
     assert(MinhashIndexStore
       .resolvedLabels(MinhashIndexStore.load(spark, root))
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet == before)
+    DedupOps.releaseCaches()
+  }
+
+  test("an untagged labeled ingest PRESERVES the streaming replay " +
+      "tag, and a shard doc already in the index never witnesses " +
+      "itself (the at-least-once replay pair)") {
+    val fixture = shingled(Seq((2L, dA), (3L, dB), (5L, dC)))
+    val corpus = fixture.filter(col("doc_id").isin(2L, 3L))
+    val corpusLabels = graft.ops.ConnectedComponents.labels(
+      corpus.select("doc_id"),
+      DedupOps.lshVerifiedPairs(corpus)
+        .select(col("d1").as("u"), col("d2").as("v")))
+    val root = freshRoot("replaytag")
+    MinhashIndexStore.save(root, corpus, Some(corpusLabels))
+    val shard = fixture.filter(col("doc_id") === 5L)
+    // a streaming batch commits tag=7
+    MinhashIndexStore.ingestLabeled(spark, root, shard,
+      tag = Some(7L))
+    // an interleaved AD-HOC ingest (no tag) must not erase tag=7 —
+    // otherwise the stream's crash-replay of batch 7 re-ingests
+    MinhashIndexStore.ingestLabeled(spark, root,
+      shingled(Seq((9L, tC))))
+    val v = MinhashIndexStore.latestVersion(root)._1
+    val replay = MinhashIndexStore.ingestLabeled(spark, root, shard,
+      tag = Some(7L))
+    assert(replay == v, "replayed batch 7 must still no-op")
+    // the verdict path after an append-then-replay: doc 5 is IN the
+    // index now, and a re-run of its verdicts must not report it as
+    // a jaccard-1.0 duplicate of itself
+    val idx = MinhashIndexStore.load(spark, root)
+    val again = MinhashIndexStore.verdicts(idx, shard)
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).toSeq
+    assert(again.forall { case (d, _, w) => w != d },
+      s"self-witness leaked: $again")
+    DedupOps.releaseCaches()
+  }
+
+  test("compact on an EMPTY labeled index (from-scratch stream, " +
+      "compacted before its first batch) keeps the root readable") {
+    val root = freshRoot("emptycompact")
+    val empty = shingled(Seq.empty)
+    MinhashIndexStore.save(root, empty,
+      Some(empty.select(col("doc_id"), col("doc_id").as("cluster_id"))))
+    MinhashIndexStore.compact(spark, root)
+    val idx = MinhashIndexStore.load(spark, root)
+    assert(idx.shingles.count() == 0 && idx.bands.count() == 0)
+    // and the index still bootstraps after the premature compact
+    MinhashIndexStore.ingestLabeled(spark, root,
+      shingled(Seq((2L, dA))))
+    assert(MinhashIndexStore
+      .resolvedLabels(MinhashIndexStore.load(spark, root))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      Set((2L, 2L)))
     DedupOps.releaseCaches()
   }
 
