@@ -107,13 +107,13 @@ object IvfIndexStore {
     * integer-exact Lloyd pass, cells = corpus assignment on the
     * trained centroids. Returns the committed version. */
   def save(root: String, corpus: DataFrame, k: Int,
-      store: CommitStore = LinkCommitStore): Long = {
+      store: CommitStore = LinkCommitStore, iters: Int = 1): Long = {
     TxLog.init(root)
     // the Lloyd-iteration subplan behind the centroids feeds THREE
     // actions (empty check, centroid write, cell assignment) — cache
     // locally so it runs once (terminal scope, like
     // MinhashIndexStore.save's corpus cache)
-    val cents = SimilarityOps.ivfCentroids(corpus, k).cache()
+    val cents = SimilarityOps.ivfCentroids(corpus, k, iters).cache()
     try {
       require(!cents.isEmpty,
         "IVF save needs a non-empty training corpus (the coarse " +
@@ -202,6 +202,63 @@ object IvfIndexStore {
   def latestVersion(root: String): Long =
     ArtifactLog.latest(root, Kind)._1
 
+  /** Per-cell occupancy — the drift monitor's read. One row per
+    * TRAINED cell, `(cell, n_members)`, exact bigints; cells the
+    * final assignment left EMPTY appear with 0 (an emptying cell is
+    * itself a drift signal, so the left join from the centroid frame
+    * is load-bearing, not cosmetic). The cells scan is column-pruned
+    * to the `cell` column (counting members never deserializes the
+    * vectors — Catalyst prunes `v`/`n2` out of the parquet read,
+    * IvfIndexSpec pins it), so the monitor costs a metadata-sized
+    * scan plus one map-side-combined count shuffle of (cell, n)
+    * pairs — cheap enough to run after every append. */
+  def cellStats(index: IvfIndex): DataFrame =
+    index.centroids.select(col("cid").as("cell"))
+      .join(broadcast(index.cells.groupBy("cell")
+          .agg(count(lit(1)).as("n_members"))),
+        Seq("cell"), "left")
+      .select(col("cell"),
+        coalesce(col("n_members"), lit(0L)).as("n_members"))
+
+  /** One-struct drift summary over [[cellStats]]: trained cell count,
+    * indexed vectors, empty cells, max/mean cell size and their ratio
+    * (the imbalance factor). Appends assign on FROZEN centroids, so a
+    * shifting distribution crowds its mass into the few cells nearest
+    * the new region: imbalance is the direct monitor for "this
+    * index's probe cost is degenerating toward brute force"
+    * (graft.DriftProbe measures the whole arc). */
+  final case class DriftStats(cells: Long, vectors: Long,
+      emptyCells: Long, maxCell: Long, meanCell: Double) {
+    def imbalance: Double =
+      if (meanCell == 0.0) 0.0 else maxCell / meanCell
+  }
+
+  def driftStats(index: IvfIndex): DriftStats = {
+    val r = cellStats(index).agg(
+      count(lit(1)).as("cells"),
+      sum("n_members").as("vectors"),
+      sum(when(col("n_members") === 0L, 1L).otherwise(0L))
+        .as("empty_cells"),
+      max("n_members").as("max_cell")).head()
+    val cells = r.getLong(0)
+    val vecs = if (r.isNullAt(1)) 0L else r.getLong(1)
+    DriftStats(cells, vecs, r.getLong(2), r.getLong(3),
+      if (cells == 0) 0.0 else vecs.toDouble / cells)
+  }
+
+  /** The retrain trigger a deployment wires between ingest and
+    * [[retrain]]: fire when the biggest cell holds `maxImbalance`×
+    * the mean (frozen centroids no longer partition the live
+    * distribution — probe cost on the crowded region approaches a
+    * corpus scan), or when the corpus has outgrown the trained cell
+    * budget by `maxMeanCell` (k was sized k ≈ n/64 at TRAIN time and
+    * appends froze it while n grew). Thresholds are policy, not
+    * truth — the defaults mark a probe-cost degradation of roughly
+    * an order of magnitude. */
+  def needsRetrain(stats: DriftStats, maxImbalance: Double = 8.0,
+      maxMeanCell: Double = 512.0): Boolean =
+    stats.imbalance > maxImbalance || stats.meanCell > maxMeanCell
+
   /** Fold the accreted shard dirs into one (same content, one `D`
     * line) — run when the shard list outgrows a comfortable manifest,
     * exactly like the catalog's checkpoint records. */
@@ -219,6 +276,84 @@ object IvfIndexStore {
     ArtifactLog.commit(root, Kind, v,
       Rec(r.kv, r.dirs.filter(_._1 != "D") :+
         ("D" -> s"$dirName/cells")), store)
+  }
+
+  /** Retrain the coarse quantizer on the CURRENT corpus and commit a
+    * structure-replacing version — the answer to [[needsRetrain]].
+    * Appends assign on frozen centroids (that is what makes them
+    * O(increment)); the price is that a drifting distribution crowds
+    * into the cells nearest its new region and a growing corpus
+    * outruns the trained k. Retrain re-reads the member vectors from
+    * the persisted inverted lists (IVF-Flat: the lists ARE the
+    * storage — no external corpus needed), re-runs the same
+    * integer-exact training as [[save]] with k re-sized to the
+    * CURRENT corpus (k ≈ n/64 again, unless pinned via `k`), and
+    * commits fresh centroid + cell dirs in one record. History is
+    * ordinary [[ArtifactLog]] time travel: the pre-retrain version
+    * stays readable until vacuumed.
+    *
+    * Loaded-index equivalence: the committed index is row-identical
+    * to the in-memory `ivfCentroids(currentCorpus, kNew, iters,
+    * seeds) → ivfCells` recompute (IvfIndexSpec pins it) — retrain
+    * is training with the corpus served by the artifact.
+    *
+    * Seeding: retrain hash-samples its k seeds from the CURRENT
+    * corpus (`ORDER BY xxhash64(vec_id) LIMIT k` — a deterministic,
+    * RNG-free uniform sample, executed as a distributed top-k, no
+    * global sort). [[save]]'s low-id seeding is oracle-mirrorable
+    * and unbiased when ids are arrival-ordered within one regime,
+    * but the whole REASON to retrain is that later appends came
+    * from a shifted regime — and low-id seeding can never place a
+    * centroid inside a newly-arrived cluster, so no iteration count
+    * ever splits it; k-means only divides a region a seed lands in.
+    * graft.DriftProbe measures both: low-id retrain leaves the
+    * drifted cluster's cell intact, hash-seeded retrain splits it
+    * proportionally. `reseed = false` selects the low-id path (the
+    * A/B leg; also what a caller wanting bit-compatibility with a
+    * fresh [[save]] picks).
+    *
+    * Concurrency: CAS at the version read on entry, and a lost race
+    * PROPAGATES (no rebase) — an interleaved append's vectors are in
+    * the new record's lists but not in this retrain's, so rebasing
+    * would silently drop them; the caller re-runs against the new
+    * version, like a catalog `transact` whose merge re-executes.
+    * A replay tag on the head record survives (same preservation rule
+    * as untagged [[append]]). */
+  def retrain(spark: SparkSession, root: String, k: Option[Int] = None,
+      store: CommitStore = LinkCommitStore,
+      preCommitHook: Long => Unit = _ => (), iters: Int = 1,
+      reseed: Boolean = true): Long = {
+    val (v, head) = ArtifactLog.latest(root, Kind)
+    // the corpus feeds count + train + assignment — cache for the
+    // call's scope, like save()
+    val corpus = readCellDirs(spark, root, head.dirsOf("D"))
+      .select(col("vec_id"), col("v"), col("n2")).cache()
+    try {
+      val kNew = k.getOrElse(
+        math.max(32L, corpus.count() / 64L).toInt)
+      val seeds =
+        if (reseed) Some(corpus.orderBy(xxhash64(col("vec_id")))
+          .limit(kNew).select("vec_id", "v", "n2"))
+        else None
+      val cents =
+        SimilarityOps.ivfCentroids(corpus, kNew, iters, seeds).cache()
+      try {
+        require(!cents.isEmpty,
+          "retrain found no trainable seeds (the index is empty, or " +
+            s"reseed=false with no vec_id < $kNew in the corpus)")
+        val cells = SimilarityOps.ivfCells(corpus, cents)
+        val dirName = UUID.randomUUID().toString
+        val buckets = defaultBuckets(kNew)
+        cents.write.parquet(s"$root/data/$dirName/centroids")
+        writeCells(cells, buckets, s"$root/data/$dirName/cells")
+        val rec = Rec(
+          Seq("k" -> kNew.toString, "p" -> buckets.toString) ++
+            head.kvMap.get("tag").map("tag" -> _),
+          Seq("C" -> s"$dirName/centroids", "D" -> s"$dirName/cells"))
+        preCommitHook(v) // test seam: races injected between stage + CAS
+        ArtifactLog.commit(root, Kind, v, rec, store)
+      } finally cents.unpersist(false)
+    } finally corpus.unpersist(false)
   }
 
   /** Candidate shortlist for `queries` (quantized frame) against a

@@ -239,27 +239,61 @@ object SimilarityOps {
       .select(col("vec_id"), col("v"), col("n2"), col("cell"))
   }
 
-  /** Trained IVF centroids: k seed centroids (first k vectors), one
-    * Lloyd iteration in exact integer arithmetic (assign by max
-    * cosine, update by floor-averaged components). Returns
-    * (cid, cv: array<bigint>, cn2), broadcast-hinted. */
-  def ivfCentroids(emb: org.apache.spark.sql.DataFrame, k: Int)
+  /** Trained IVF centroids: k seed centroids (first k vectors), then
+    * `iters` Lloyd iterations in exact integer arithmetic (assign by
+    * max cosine, update by floor-averaged components). Every
+    * oracle-gated query trains with the default single iteration (the
+    * DuckDB oracle replays exactly one); more iterations are the
+    * RETRAIN knob — re-partitioning a drifted distribution usually
+    * needs the centroids to walk, not hop once
+    * ([[IvfIndexStore.retrain]] threads it, graft.DriftProbe measures
+    * the difference). Each iteration's k-row centroid frame is
+    * collected and re-broadcast (k ≤ 65 536 rows — driver-trivial),
+    * so the emb-wide assignment subplan does not STACK across
+    * iterations: iteration i scans emb against a literal centroid
+    * table, the same shape every k-means-on-Spark implementation
+    * uses. `seeds` overrides the default low-id seed frame (same
+    * (vec_id, v, n2) shape): the default is oracle-mirrorable and
+    * unbiased when ids are arrival-ordered within ONE regime, but on
+    * a multi-regime corpus (base + drifted appends) arrival order IS
+    * the bias — low-id seeding can never place a centroid inside a
+    * newly-arrived cluster, so no iteration count can split it
+    * (graft.DriftProbe measures exactly that;
+    * [[IvfIndexStore.retrain]] passes hash-sampled seeds instead).
+    * Returns (cid, cv: array<bigint>, cn2), broadcast-hinted. */
+  def ivfCentroids(emb: org.apache.spark.sql.DataFrame, k: Int,
+      iters: Int = 1,
+      seeds: Option[org.apache.spark.sql.DataFrame] = None)
       : org.apache.spark.sql.DataFrame = {
-    val cents0 = broadcast(emb.filter(col("vec_id") < k)
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val spark = emb.sparkSession
+    var cents = broadcast(seeds.getOrElse(emb.filter(col("vec_id") < k))
       .select(col("vec_id").as("cid"), col("v").as("cv"),
         col("n2").as("cn2")))
-    val assign0 = nearestCells(emb, cents0, 1)
-    broadcast(assign0
-      .select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
-      .groupBy("cell", "pos")
-      .agg(sum("x").as("sx"), count(lit(1)).as("cnt"))
-      .withColumn("cx", expr(
-        "CAST(FLOOR(CAST(sx AS DOUBLE) / CAST(cnt AS DOUBLE)) AS BIGINT)"))
-      .groupBy("cell")
-      .agg(expr("transform(array_sort(collect_list(struct(pos, cx)))," +
-        " s -> s.cx)").as("cv"))
-      .select(col("cell").as("cid"), col("cv"))
-      .withColumn("cn2", dot("cv", "cv")))
+    (0 until iters).foreach { i =>
+      val assigned = nearestCells(emb, cents, 1)
+      val updated = assigned
+        .select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy("cell", "pos")
+        .agg(sum("x").as("sx"), count(lit(1)).as("cnt"))
+        .withColumn("cx", expr(
+          "CAST(FLOOR(CAST(sx AS DOUBLE) / CAST(cnt AS DOUBLE)) AS BIGINT)"))
+        .groupBy("cell")
+        .agg(expr("transform(array_sort(collect_list(struct(pos, cx)))," +
+          " s -> s.cx)").as("cv"))
+        .select(col("cell").as("cid"), col("cv"))
+        .withColumn("cn2", dot("cv", "cv"))
+      cents =
+        if (i == iters - 1) broadcast(updated)
+        else {
+          // materialize between iterations so the next assignment
+          // joins a k-row literal, not a stacked re-derivation
+          import scala.jdk.CollectionConverters._
+          broadcast(spark.createDataFrame(
+            updated.collect().toSeq.asJava, updated.schema))
+        }
+    }
+    cents
   }
 
   /** IVF cell assignment on trained centroids:
@@ -653,6 +687,41 @@ object SimilarityOps {
           JOIN c1n cn ON cn.cid = a.cid)
         WHERE rn = 1)
       SELECT vec_id, cell FROM asg ORDER BY vec_id"""))
+
+  /** The drift monitor's read, gated end-to-end through the persisted
+    * artifact: per-cell occupancy after an append on FROZEN centroids
+    * ([[IvfIndexStore.cellStats]] — empty cells included, exact
+    * bigint counts). This is the observable a deployment polls to
+    * decide [[IvfIndexStore.retrain]]: appends crowd a drifting
+    * distribution into the cells nearest its new region, and this
+    * frame is where that crowding shows (graft.DriftProbe measures
+    * the full degrade→retrain→restored arc). The oracle is the
+    * append oracle's frozen-centroid assignment replay aggregated
+    * per cell — composed from [[ivfAppend]]'s SQL so the twins
+    * cannot drift — and a LEFT join from the trained-centroid CTE so
+    * an emptied cell hash-fails if the Spark side drops it. */
+  val ivfCellStats = QueryDef(
+    "s_ann_cell_stats",
+    "LLM-pipeline similarity: IVF cell-occupancy drift monitor",
+    "save → frozen-centroid append → per-cell counts incl. empty cells",
+    (s, dir) => {
+      val emb = scopedCache(quantized(s, dir))
+      val corpus = emb.filter(col("vec_id") % 5 =!= 0)
+      val inc = emb.filter(col("vec_id") % 5 === 0)
+      val kC = math.max(32L, corpus.count() / 64L).toInt
+      val root = scratchRoot("cellstats")
+      IvfIndexStore.save(root, corpus, kC)
+      IvfIndexStore.append(s, root, inc)
+      IvfIndexStore.cellStats(IvfIndexStore.load(s, root))
+        .orderBy("cell")
+    },
+    ivfAppend.oracle.map(_.replace(
+      "SELECT vec_id, cell FROM asg ORDER BY vec_id",
+      """SELECT c.cid AS cell,
+        CAST(COUNT(a.vec_id) AS BIGINT) AS n_members
+      FROM c1n c LEFT JOIN asg a ON a.cell = c.cid
+      GROUP BY c.cid
+      ORDER BY cell""")))
 
   /** Semantic dedup in the SemDeDup shape (Abbas et al. 2023,
     * arXiv:2303.09540): cluster the embedding space with the trained
@@ -1791,6 +1860,6 @@ object SimilarityOps {
 
   val defs: Seq[QueryDef] =
     Seq(bruteTopK, lshAnn, ivfAnn, ivfIncrement, ivfLifecycle,
-      ivfAppend, semDedup, pqAnn, knnClusters, knnClustersAnn,
-      knnAnnRecall)
+      ivfAppend, ivfCellStats, semDedup, pqAnn, knnClusters,
+      knnClustersAnn, knnAnnRecall)
 }

@@ -37,13 +37,36 @@ object EmbeddingIngestStream {
     }
 
   /** Wire a streaming (vec_id, embedding) frame into the saved index
-    * at `root`. */
-  def run(embeddings: DataFrame, root: String, checkpointDir: String)
+    * at `root`.
+    *
+    * `monitorEvery > 0` arms the drift monitor: every that-many
+    * batches (after the batch's commit), [[IvfIndexStore.driftStats]]
+    * runs against the live index and `onDrift` fires when
+    * [[IvfIndexStore.needsRetrain]] trips — the deployment's cue to
+    * schedule [[IvfIndexStore.retrain]] OUT OF BAND (retraining is a
+    * generation change, never a stream-side mutation; an in-loop
+    * retrain would stall every batch behind a corpus-sized job and
+    * race the very appends it serializes with). The monitor's cells
+    * scan is column-pruned to the `cell` column but still O(corpus)
+    * rows per look — which is why it runs on a CADENCE, not per
+    * batch: drift develops over many batches, and the stream's
+    * per-batch work must stay O(batch)
+    * (EmbeddingIngestStreamSpec pins both the firing and the
+    * cadence). */
+  def run(embeddings: DataFrame, root: String, checkpointDir: String,
+      monitorEvery: Int = 0,
+      onDrift: IvfIndexStore.DriftStats => Unit = _ => ())
       : StreamingQuery =
     embeddings.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        processBatch(root, batch, batchId); ()
+        processBatch(root, batch, batchId)
+        if (monitorEvery > 0 && batchId % monitorEvery == 0) {
+          val stats = IvfIndexStore.driftStats(
+            IvfIndexStore.load(batch.sparkSession, root))
+          if (IvfIndexStore.needsRetrain(stats)) onDrift(stats)
+        }
+        ()
       }
       .start()
 }

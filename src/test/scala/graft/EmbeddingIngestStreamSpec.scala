@@ -66,6 +66,58 @@ class EmbeddingIngestStreamSpec extends SparkTestBase {
     SimilarityOps.releaseCaches()
   }
 
+  test("the armed drift monitor fires on its cadence when a " +
+      "concentrated regime crowds the frozen cells — and stays " +
+      "quiet for in-distribution ingest") {
+    val corpus = emb.filter(col("vec_id") % 5 =!= 0)
+    val root = Files.createTempDirectory("emb_drift").toString
+    IvfIndexStore.save(root, corpus, 32)
+
+    // drifted arrivals: every component shifted by a large constant
+    // (the DriftProbe regime) — all of them land in one frozen cell
+    def driftedBatch(off: Long): Seq[IngestVec] =
+      rawVecs(col("vec_id") >= 0).map(v => IngestVec(
+        v.vec_id + off, v.embedding.map(_ + 1.5f)))
+
+    implicit val sqlCtx = spark.sqlContext
+    val fired = new java.util.concurrent.atomic.AtomicInteger(0)
+    var lastStats: Option[IvfIndexStore.DriftStats] = None
+    val input = MemoryStream[IngestVec]
+    val q = EmbeddingIngestStream.run(input.toDF(), root,
+      Files.createTempDirectory("emb_drift_chk").toString,
+      monitorEvery = 2,
+      onDrift = s => { fired.incrementAndGet(); lastStats = Some(s) })
+    try {
+      input.addData(driftedBatch(10000L)) // batch 0: monitored
+      q.processAllAvailable()
+      input.addData(driftedBatch(20000L)) // batch 1: cadence skips
+      q.processAllAvailable()
+    } finally q.stop()
+
+    assert(fired.get() == 1,
+      "batch 0 (on cadence, drifted) must fire; batch 1 (off " +
+        s"cadence) must not — fired ${fired.get()} times")
+    assert(lastStats.exists(_.imbalance > 8.0), s"stats: $lastStats")
+
+    // quiet twin: in-distribution ingest monitored EVERY batch never
+    // fires
+    val root2 = Files.createTempDirectory("emb_quiet").toString
+    IvfIndexStore.save(root2, corpus, 32)
+    val fired2 = new java.util.concurrent.atomic.AtomicInteger(0)
+    val input2 = MemoryStream[IngestVec]
+    val q2 = EmbeddingIngestStream.run(input2.toDF(), root2,
+      Files.createTempDirectory("emb_quiet_chk").toString,
+      monitorEvery = 1,
+      onDrift = _ => { fired2.incrementAndGet(); () })
+    try {
+      input2.addData(rawVecs(col("vec_id") % 5 === 0))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    assert(fired2.get() == 0,
+      "in-distribution ingest must not trip the drift trigger")
+    SimilarityOps.releaseCaches()
+  }
+
   test("an empty batch burns no version") {
     val root = Files.createTempDirectory("emb_empty").toString
     IvfIndexStore.save(root, emb.filter(col("vec_id") % 5 =!= 0), 32)

@@ -243,6 +243,114 @@ class IvfIndexSpec extends SparkTestBase {
       emb.count())
   }
 
+  test("cellStats counts every trained cell — empties included — " +
+      "and prunes the vector columns out of the cells scan") {
+    val root = freshRoot("stats")
+    IvfIndexStore.save(root, corpus, 32)
+    IvfIndexStore.append(spark, root, inc)
+    val idx = IvfIndexStore.load(spark, root)
+    val stats = IvfIndexStore.cellStats(idx)
+    assert(stats.count() == idx.centroids.count())
+    assert(stats.agg(sum("n_members")).head().getLong(0) == emb.count())
+    val direct = idx.cells.groupBy("cell").count().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val got = stats.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got.filter(_._2 > 0) == direct)
+    // empty-cell visibility: restrict the lists to one cell — every
+    // other trained cell must surface with an explicit 0
+    val one = direct.keys.min
+    val restricted = idx.copy(
+      cells = idx.cells.filter(col("cell") === one))
+    assert(IvfIndexStore.cellStats(restricted)
+      .filter(col("n_members") === 0L).count() ==
+      idx.centroids.count() - 1)
+    // the monitor never deserializes vectors: the cells scans read
+    // only the cell column
+    val plan = stats.queryExecution.executedPlan.toString
+    assert(plan.contains("ReadSchema: struct<cell:bigint>"),
+      s"cells scan must prune to the cell column:\n$plan")
+  }
+
+  test("driftStats arithmetic and the needsRetrain trigger") {
+    import spark.implicits._
+    val cents = Seq(0L, 1L, 2L, 3L)
+      .map(c => (c, Seq(1L), 1L)).toDF("cid", "cv", "cn2")
+    val cells = (Seq.fill(9)(0L) ++ Seq(1L, 2L)).zipWithIndex
+      .map { case (c, i) =>
+        (i.toLong, Seq(1L), 1L, c, (c % 8).toInt) }
+      .toDF("vec_id", "v", "n2", "cell", "pb")
+    val idx = IvfIndexStore.IvfIndex(1L, 4, 8, cents, cells)
+    val s = IvfIndexStore.driftStats(idx)
+    assert(s.cells == 4 && s.vectors == 11 &&
+      s.emptyCells == 1 && s.maxCell == 9)
+    assert(math.abs(s.meanCell - 2.75) < 1e-9)
+    assert(math.abs(s.imbalance - 9 / 2.75) < 1e-9)
+    assert(!IvfIndexStore.needsRetrain(s))
+    assert(IvfIndexStore.needsRetrain(s, maxImbalance = 3.0))
+    assert(IvfIndexStore.needsRetrain(s, maxMeanCell = 2.0))
+  }
+
+  test("retrain re-sizes k to the current corpus, equals the " +
+      "in-memory recompute on hash-sampled seeds, keeps history and " +
+      "the replay tag, and later appends assign on the NEW centroids") {
+    val root = freshRoot("retrain")
+    IvfIndexStore.save(root, corpus, 32)
+    IvfIndexStore.append(spark, root, inc, tag = Some(7L))
+    val v3 = IvfIndexStore.retrain(spark, root)
+    assert(v3 == 3L)
+    val idx = IvfIndexStore.loadAt(spark, root, v3)
+    val kNew = math.max(32L, emb.count() / 64L).toInt
+    assert(idx.k == kNew)
+    // retrain ≡ training with the corpus served by the artifact:
+    // same hash-sampled seed rule, same single iteration
+    val seeds = emb.orderBy(xxhash64(col("vec_id"))).limit(kNew)
+      .select("vec_id", "v", "n2")
+    val cents = SimilarityOps.ivfCentroids(emb, kNew, 1, Some(seeds))
+    assert(cellRows(idx.cells) ==
+      cellRows(SimilarityOps.ivfCells(emb, cents)))
+    def cset(d: DataFrame) = d.select("cid", "cv").collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toVector)).toSet
+    assert(cset(idx.centroids) == cset(cents))
+    // reseed=false is the save-compatible A/B leg: bit-identical to a
+    // fresh save over the same vectors
+    val root2 = freshRoot("retrain_lowid")
+    IvfIndexStore.save(root2, corpus, 32)
+    IvfIndexStore.append(spark, root2, inc)
+    IvfIndexStore.retrain(spark, root2, reseed = false)
+    val fresh = freshRoot("retrain_fresh")
+    IvfIndexStore.save(fresh, emb, kNew)
+    val f = IvfIndexStore.load(spark, fresh)
+    val lowid = IvfIndexStore.load(spark, root2)
+    assert(cellRows(lowid.cells) == cellRows(f.cells))
+    assert(cset(lowid.centroids) == cset(f.centroids))
+    // the streaming replay tag survived: batch 7's replay still no-ops
+    assert(IvfIndexStore.append(spark, root, inc, tag = Some(7L)) == v3)
+    // pre-retrain history still time-travels
+    assert(IvfIndexStore.loadAt(spark, root, 2L).cells.count() ==
+      emb.count())
+    // a post-retrain append assigns on the retrained centroids
+    val off = emb.agg(max("vec_id")).head().getLong(0) + 1
+    val shard = inc.select((col("vec_id") + lit(off)).as("vec_id"),
+      col("v"), col("n2"))
+    val v4 = IvfIndexStore.append(spark, root, shard)
+    val expected = cellRows(SimilarityOps.ivfCells(shard, idx.centroids))
+    assert(cellRows(IvfIndexStore.loadAt(spark, root, v4).cells
+      .filter(col("vec_id") >= off)) == expected)
+  }
+
+  test("a retrain losing the CAS to an interleaved append propagates " +
+      "— rebasing would silently drop the append's vectors") {
+    val root = freshRoot("retrainrace")
+    IvfIndexStore.save(root, corpus, 32)
+    intercept[TxLog.CommitConflict] {
+      IvfIndexStore.retrain(spark, root,
+        preCommitHook = _ => { IvfIndexStore.append(spark, root, inc); () })
+    }
+    // the interleaved append won; nothing was lost or overwritten
+    assert(IvfIndexStore.load(spark, root).cells.count() == emb.count())
+  }
+
   test("a catalog reader pointed at an index root fails loudly " +
       "(record formats are disjoint)") {
     val root = freshRoot("disjoint")
