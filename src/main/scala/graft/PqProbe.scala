@@ -1,0 +1,179 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ops.{IvfIndexStore, SimilarityOps}
+
+/** Read-byte measurement for the persisted IVF-PQ layer
+  * ([[graft.ops.IvfIndexStore.savePq]]): the reason PQ is the
+  * billion-vector standard is that candidate scoring reads the packed
+  * CODE table (m small ints + a cell id per vector) instead of the
+  * raw-vector inverted lists (dim × 8 B per vector) — ~30× fewer
+  * candidate bytes at m=4 × 64 dims, 64× at FAISS-typical
+  * m=16 × 768 float dims — and the raw vectors are touched only by
+  * the ≤ L×|queries| re-rank point fetch (IVFADC+R). This probe puts
+  * that claim on the record: per corpus size (base/10×/100×
+  * replicated embeddings),
+  *
+  *   - `build_s`      — coarse + PQ train + encode + save, paid once
+  *     per index generation;
+  *   - `append`       — a FIXED 100-vector shard through
+  *     [[IvfIndexStore.appendPq]] (frozen centroids + frozen
+  *     codebooks): wall + read bytes, expected FLAT across corpus
+  *     size (reads = k centroids + m×ksub book rows);
+  *   - `adc10`        — a 10-query IVFADC probe
+  *     ([[IvfIndexStore.adcShortlist]], nprobe=4, L=10, top-3):
+  *     bucket-pruned CODE scan + id-pushed re-rank fetch;
+  *   - `flat10`       — the same 10 queries through the IVF-Flat
+  *     [[IvfIndexStore.shortlist]] (bucket-pruned VECTOR scan) — the
+  *     bytes-per-candidate twin the PQ layer displaces.
+  *
+  * Usage: sbt "runMain graft.PqProbe [factors]" (default 1,10,100;
+  * scaled embedding dirs cache under /tmp/ivfprobe_emb<f>x — shared
+  * with graft.IvfProbe).
+  */
+object PqProbe {
+
+  private def timed[A](f: => A): (A, Double) = {
+    val t0 = System.nanoTime()
+    val a = f
+    (a, (System.nanoTime() - t0) / 1e9)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val factors = args.headOption.getOrElse("1,10,100")
+      .split(",").map(_.trim.toInt).toSeq
+    val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR",
+      "/root/testdata/sf0.1")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .appName("graft-pqprobe")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    // IO accounting: /proc/self/io `rchar` — bytes REQUESTED via read
+    // syscalls by this JVM (driver + local executor threads), i.e.
+    // what an object store would be asked to serve, page-cache hits
+    // included. The SparkListener inputMetrics counter is NOT usable
+    // for cross-table byte claims: it under-reports parquet scans by
+    // a per-table factor (measured 1/78 on the cells table vs 1/12 on
+    // the codes table for FULL scans of known on-disk size), so it
+    // only ever supported same-table ratio claims. rchar includes
+    // shuffle files — small at probe sizes — so it is an honest upper
+    // bound on the data read.
+    def rchar(): Long = {
+      val s = java.nio.file.Files.readString(
+        java.nio.file.Paths.get("/proc/self/io"))
+      "rchar:\\s*(\\d+)".r.findFirstMatchIn(s).get.group(1).toLong
+    }
+    def measure[A](f: => A): (A, Double, Double) = {
+      val r0 = rchar()
+      val (a, s) = timed(f)
+      (a, s, (rchar() - r0) / 1e6)
+    }
+    def dirMB(p: String): Double = {
+      val d = java.nio.file.Paths.get(p)
+      if (!Files.exists(d)) return 0.0
+      val st = java.nio.file.Files.walk(d)
+      try st.filter(java.nio.file.Files.isRegularFile(_))
+        .mapToLong(java.nio.file.Files.size(_)).sum() / 1e6
+      finally st.close()
+    }
+
+    println("| factor | corpus | k | P | build_s | cells_MB | " +
+      "codes_MB | append_s/MB | adcscan10 s/MB | flatscan10 s/MB | " +
+      "adcR10 s/MB |")
+    println("|---|---|---|---|---|---|---|---|---|---|---|")
+
+    factors.foreach { f =>
+      // disjoint-CONTENT replicas (each shifted by a per-replica
+      // constant): verbatim replication dictionary-compresses the
+      // raw-vector column ~f× and the byte comparison measures
+      // compression, not scan width — the DedupIndexProbe lesson
+      // (BASELINE.md round-12 addendum 4) applied to vectors
+      val dir =
+        if (f == 1) base
+        else {
+          val out = s"/tmp/pqprobe_emb${f}x"
+          if (!Files.exists(java.nio.file.Paths.get(
+              s"$out/embeddings.parquet"))) {
+            val emb = spark.read.parquet(s"$base/embeddings.parquet")
+            val nVec = emb.agg(max("vec_id")).head().getLong(0) + 1
+            (0 until f).map { i =>
+              if (i == 0) emb
+              else emb.select((col("vec_id") + i * nVec).as("vec_id"),
+                expr(s"transform(embedding, " +
+                  s"x -> x + CAST($i AS FLOAT) * CAST(0.001 AS FLOAT))")
+                  .as("embedding"),
+                col("label"))
+            }.reduce(_ unionByName _)
+              .write.mode("overwrite")
+              .parquet(s"$out/embeddings.parquet")
+          }
+          out
+        }
+      val emb = SimilarityOps.quantized(spark, dir)
+      val n = emb.count()
+      val k = math.max(32L, n / 64L).toInt
+      val buckets = IvfIndexStore.defaultBuckets(k)
+      // fixed-size shard re-keyed past the corpus max (new arrivals,
+      // same geometry — see graft.IvfProbe's sparse-id note)
+      val off = emb.agg(max("vec_id")).head().getLong(0) + 1
+      val baseEmb = SimilarityOps.quantized(spark, base)
+      def shard(sz: Int): DataFrame = baseEmb
+        .filter(col("vec_id") < sz)
+        .select((col("vec_id") + lit(off)).as("vec_id"),
+          col("v"), col("n2"))
+
+      val root = Files.createTempDirectory(s"pqprobe_${f}x").toString
+      val (_, buildS) = timed(
+        IvfIndexStore.savePq(root, emb, k, m = 4, ksub = 16))
+      val v1dir = {
+        val l = Files.list(java.nio.file.Paths.get(root, "data"))
+        try { val it = l.iterator(); it.next().getFileName.toString }
+        finally l.close()
+      }
+      val cellsMB = dirMB(s"$root/data/$v1dir/cells")
+      val codesMB = dirMB(s"$root/data/$v1dir/codes")
+      val (_, appendS, appendMB) =
+        measure(IvfIndexStore.appendPq(spark, root, shard(100)))
+
+      val idx = IvfIndexStore.loadPqAt(spark, root, 1L) // corpus-only
+      val q10 = shard(10)
+      // candidate SCORING in isolation — the scan PQ displaces:
+      // ADC reads the probed buckets' packed codes; the flat twin
+      // reads the same probed buckets' raw vectors (its rank window
+      // adds no IO). The e2e adcR run adds the exact re-rank's
+      // vector fetch, which is bounded by the TOUCHED BUCKET FILES
+      // (each ~one row group here), not by L — the +R point fetch
+      // only beats a bucket sweep once files carry multiple
+      // row groups / pages (a storage knob, noted in BASELINE.md).
+      val (nScan, scanS, scanMB) = measure(
+        IvfIndexStore.adcCandidates(idx, q10, nprobe = 4)._1.count())
+      SimilarityOps.releaseCaches()
+      val (nFlat, flatS, flatMB) = measure(
+        IvfIndexStore.shortlist(idx.flat, q10, nprobe = 4,
+          topK = 3).count())
+      SimilarityOps.releaseCaches()
+      val (nAdc, adcS, adcMB) = measure(
+        IvfIndexStore.adcShortlist(idx, q10, nprobe = 4,
+          shortlistL = 10, topK = 3).count())
+      SimilarityOps.releaseCaches()
+      require(nAdc == 30 && nFlat == 30 && nScan > 0,
+        s"probe cardinality drift: adc=$nAdc flat=$nFlat scan=$nScan")
+      println(f"| ${f}x | $n | $k | $buckets | $buildS%.1f | " +
+        f"$cellsMB%.1f | $codesMB%.1f | " +
+        f"$appendS%.1f/$appendMB%.2f | $scanS%.1f/$scanMB%.2f | " +
+        f"$flatS%.1f/$flatMB%.2f | $adcS%.1f/$adcMB%.2f |")
+      spark.catalog.clearCache()
+    }
+    spark.stop()
+  }
+}

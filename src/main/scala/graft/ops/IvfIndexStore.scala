@@ -63,6 +63,21 @@ object IvfIndexStore {
   final case class IvfIndex(version: Long, k: Int, buckets: Int,
       centroids: DataFrame, cells: DataFrame)
 
+  /** A loaded IVF-PQ version: the flat index (centroids + raw-vector
+    * inverted lists, still the re-rank / retrain / drift-monitor
+    * substrate) plus the PQ layer — broadcast-hinted dense codebooks
+    * (sub, cid, cv, cvn2) and the packed code table
+    * (vec_id, code: array<int>, cell, pb). The codes table is the
+    * one ADC scans: m ints + a cell id per vector vs the flat lists'
+    * dim × 8 B arrays (~30× fewer bytes at m=4 × 64 dims; 64× at the
+    * FAISS-typical m=16 × 768 float dims) — the raw vectors are read
+    * only for the ≤ L×|queries| shortlist re-rank. */
+  final case class IvfPqIndex(flat: IvfIndex, m: Int, subDim: Int,
+      books: DataFrame, codes: DataFrame) {
+    def version: Long = flat.version
+    def buckets: Int = flat.buckets
+  }
+
   private val Kind = "ivf"
 
   /** ~16 cells per on-disk bucket; floor of 8 keeps tiny test
@@ -98,7 +113,22 @@ object IvfIndexStore {
       .select(col("vec_id"), col("v"), col("n2"), col("cell"),
         pmod(col("cell"), lit(buckets.toLong)).cast("int").as("pb"))
       // one file per bucket per shard (see MinhashIndexStore
-      // .writeShard — same object-store layout rationale)
+      // .writeShard — same object-store layout rationale); rows
+      // vec_id-sorted within each file so parquet row-group/page
+      // stats serve the ADC re-rank's id point-lookups (a task-local
+      // sort — no extra shuffle)
+      .repartition(col("pb"))
+      .sortWithinPartitions(col("pb"), col("vec_id"))
+      .write.partitionBy("pb").parquet(dir)
+
+  /** One file per bucket per shard, like [[writeCells]]; the packed
+    * code rows bucket on the SAME `pb = cell % P` as the raw-vector
+    * lists, so a probe's bucket pruning applies identically to the
+    * ADC code scan and the re-rank vector read. */
+  private def writeCodes(codes: DataFrame, buckets: Int, dir: String): Unit =
+    codes
+      .select(col("vec_id"), col("code"), col("cell"),
+        pmod(col("cell"), lit(buckets.toLong)).cast("int").as("pb"))
       .repartition(col("pb"))
       .write.partitionBy("pb").parquet(dir)
 
@@ -147,6 +177,80 @@ object IvfIndexStore {
       readCellDirs(spark, root, r.dirsOf("D")))
   }
 
+  /** Train and commit an IVF-PQ index: the flat layer ([[save]]'s
+    * centroids + raw-vector inverted lists — still the re-rank,
+    * retrain, and drift-monitor substrate) PLUS per-subspace PQ
+    * codebooks (`m` subspaces, ≤ `ksub` centroids each, dense ids)
+    * and the packed code table. The record carries the PQ params
+    * (`m=`, `sd=`, `ks=`) and two extra dir kinds — `B` (books), `Q`
+    * (one codes shard per ingest, parallel to the `D` cells shards) —
+    * so a flat reader's [[load]] still works on a PQ record (it
+    * ignores the extra lines) while [[loadPq]] requires them. */
+  def savePq(root: String, corpus: DataFrame, k: Int, m: Int,
+      ksub: Int, store: CommitStore = LinkCommitStore,
+      iters: Int = 1): Long = {
+    TxLog.init(root)
+    val corp = corpus.cache() // feeds coarse train + assign + PQ train + encode
+    try {
+      require(!corp.isEmpty,
+        "IVF-PQ save needs a non-empty training corpus (same " +
+          "no-empty-bootstrap rule as save)")
+      val dim = corp.select(size(col("v"))).head().getInt(0)
+      require(dim % m == 0,
+        s"vector dim $dim is not divisible by m=$m subspaces")
+      val subDim = dim / m
+      val cents = SimilarityOps.ivfCentroids(corp, k, iters).cache()
+      val books = SimilarityOps.pqCodebooks(corp, m, subDim, ksub, iters)
+        .cache()
+      try {
+        require(!cents.isEmpty && !books.isEmpty,
+          "IVF-PQ training produced no centroids/codebooks (the " +
+            "default low-id seeding needs corpus ids below k/ksub; " +
+            "pass explicit seeds otherwise)")
+        val cells = SimilarityOps.ivfCells(corp, cents)
+        // encode carries the coarse cell through the argmin, so the
+        // code table buckets like the lists WITHOUT an n×n re-join
+        // of codes to assignment
+        val codes = SimilarityOps.pqEncode(
+          cells, books, m, subDim, carry = Seq("cell"))
+        val dirName = UUID.randomUUID().toString
+        val buckets = defaultBuckets(k)
+        cents.write.parquet(s"$root/data/$dirName/centroids")
+        books.write.parquet(s"$root/data/$dirName/books")
+        writeCells(cells, buckets, s"$root/data/$dirName/cells")
+        writeCodes(codes, buckets, s"$root/data/$dirName/codes")
+        val rec = Rec(
+          Seq("k" -> k.toString, "p" -> buckets.toString,
+            "m" -> m.toString, "sd" -> subDim.toString,
+            "ks" -> ksub.toString),
+          Seq("C" -> s"$dirName/centroids", "B" -> s"$dirName/books",
+            "D" -> s"$dirName/cells", "Q" -> s"$dirName/codes"))
+        val v = ArtifactLog.list(root).headOption.map(_._1).getOrElse(0L)
+        ArtifactLog.commit(root, Kind, v, rec, store)
+      } finally { cents.unpersist(false); books.unpersist(false) }
+    } finally corp.unpersist(false)
+  }
+
+  def loadPq(spark: SparkSession, root: String): IvfPqIndex = {
+    val recs = ArtifactLog.list(root)
+    require(recs.nonEmpty, s"$root has no committed index")
+    loadPqAt(spark, root, recs.head._1)
+  }
+
+  /** Time travel for the PQ layer — mirrors [[loadAt]]. */
+  def loadPqAt(spark: SparkSession, root: String, version: Long)
+      : IvfPqIndex = {
+    val r = ArtifactLog.recordAt(root, Kind, version)
+    require(r.dirsOf("B").nonEmpty,
+      s"version $version of $root is a flat IVF record (no PQ " +
+        "layer); save with savePq, or load with load")
+    val books = broadcast(
+      spark.read.parquet(s"$root/data/${r.dirsOf("B").head}"))
+    IvfPqIndex(loadAt(spark, root, version),
+      r.kvMap("m").toInt, r.kvMap("sd").toInt, books,
+      readCellDirs(spark, root, r.dirsOf("Q")))
+  }
+
   /** O(increment) shard ingest: assign `inc` (quantized frame) on the
     * FROZEN persisted centroids, stage only the increment's inverted-
     * list rows as a new shard dir, and CAS a record appending that
@@ -157,6 +261,10 @@ object IvfIndexStore {
       store: CommitStore = LinkCommitStore, maxRetries: Int = 10,
       tag: Option[Long] = None): Long = {
     val (v0, head) = ArtifactLog.latest(root, Kind)
+    require(head.dirsOf("B").isEmpty,
+      s"$root carries a PQ layer: a flat append would leave the new " +
+        "shard without code rows and ADC probes would silently miss " +
+        "it; use appendPq")
     tag.foreach { t =>
       // replay idempotence (the foreachBatch contract — see
       // graft.streaming.EmbeddingIngestStream): a batchId at or below
@@ -195,6 +303,143 @@ object IvfIndexStore {
       }
     }
     throw new IllegalStateException("unreachable")
+  }
+
+  /** [[append]] for an IVF-PQ index: assign the increment on the
+    * frozen persisted centroids AND encode it on the frozen persisted
+    * codebooks, stage both as one shard (a `D` cells dir + a `Q`
+    * codes dir under one uuid), CAS-append. Still O(increment): the
+    * reads are the k-row centroid frame and the m×ksub-row books;
+    * corpus lists and corpus codes are never opened. Replay-tag
+    * semantics identical to [[append]]. */
+  def appendPq(spark: SparkSession, root: String, inc: DataFrame,
+      store: CommitStore = LinkCommitStore, maxRetries: Int = 10,
+      tag: Option[Long] = None): Long = {
+    val (v0, head) = ArtifactLog.latest(root, Kind)
+    require(head.dirsOf("B").nonEmpty,
+      s"$root is a flat IVF index (no PQ layer); use append")
+    tag.foreach { t =>
+      val committed = head.kvMap.get("tag").map(_.toLong)
+      if (committed.exists(_ >= t)) return v0
+    }
+    val cents = broadcast(
+      spark.read.parquet(s"$root/data/${head.dirsOf("C").head}"))
+    val books = broadcast(
+      spark.read.parquet(s"$root/data/${head.dirsOf("B").head}"))
+    val m = head.kvMap("m").toInt
+    val subDim = head.kvMap("sd").toInt
+    val assigned = SimilarityOps.ivfCells(inc, cents)
+    val codes = SimilarityOps.pqEncode(
+      assigned, books, m, subDim, carry = Seq("cell"))
+    val dirName = UUID.randomUUID().toString
+    val buckets = head.kvMap("p").toInt
+    writeCells(assigned, buckets, s"$root/data/$dirName/cells")
+    writeCodes(codes, buckets, s"$root/data/$dirName/codes")
+    var attempt = 0
+    while (true) {
+      val (v, latest) = ArtifactLog.latest(root, Kind)
+      require(latest.kvMap.filterNot(_._1 == "tag") ==
+          head.kvMap.filterNot(_._1 == "tag") &&
+        latest.dirsOf("C") == head.dirsOf("C") &&
+        latest.dirsOf("B") == head.dirsOf("B"),
+        "concurrent commit replaced the index structure (compact/save " +
+          "raced this append); re-run against the new index")
+      val rec = Rec(
+        if (tag.isDefined)
+          latest.kv.filterNot(_._1 == "tag") ++
+            tag.map(t => "tag" -> t.toString)
+        else latest.kv,
+        latest.dirs :+ ("D" -> s"$dirName/cells") :+
+          ("Q" -> s"$dirName/codes"))
+      try return ArtifactLog.commit(root, Kind, v, rec, store)
+      catch {
+        case e: TxLog.CommitConflict =>
+          if (attempt >= maxRetries) throw e
+          attempt += 1
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  /** IVFADC probe (Jégou et al. §V): coarse-probe the `nprobe`
+    * nearest cells per query, ADC-score ONLY the probed cells' packed
+    * codes (the scan is partition-pruned to the probed buckets and
+    * reads the m-int code column — never the raw vectors), keep the
+    * top `shortlistL` per query by exact integer ADC, then re-rank
+    * that shortlist with exact integer squared-L2 against the raw
+    * vectors (also bucket-pruned: shortlist members live in probed
+    * cells by construction) and return the top `topK`.
+    *
+    * 100 TB shape: the per-query lookup tables are a broadcast
+    * (m × ksub bigints per query), scoring is one codegen'd
+    * zip_with/aggregate per candidate row — no join, no shuffle of
+    * vectors — and the only raw-vector read is the ≤ L×|queries|
+    * re-rank. Candidate read bytes scale with probed-cell CODE bytes
+    * (~m ints/vector), not member-vector bytes (dim × 8 B/vector):
+    * graft.PqProbe measures the ratio. Integer-exact end to end, so
+    * the DuckDB oracle gates the whole save → load → ADC → re-rank
+    * path bit-for-bit (`s_ann_index_pq`). */
+  /** The ADC candidate frame — (qid, nid, adc) over the probed
+    * cells' packed codes, bucket-pruned — plus the probed bucket
+    * set (package-private so the spec can pin the pruned code-scan
+    * plan in isolation; [[adcShortlist]] composes it). */
+  private[graft] def adcCandidates(index: IvfPqIndex, queries: DataFrame,
+      nprobe: Int): (DataFrame, Array[Int]) = {
+    val qp = SimilarityOps.scopedCache(
+      SimilarityOps.probeCells(queries, index.flat.centroids, nprobe)
+        .select(col("vec_id").as("qid"), col("cell").as("pcell")))
+    val probedBuckets = qp
+      .select(pmod(col("pcell"), lit(index.buckets.toLong)).cast("int")
+        .as("pb"))
+      .distinct().collect().map(_.getInt(0)) // ≤ P values by pigeonhole
+    val dtab = broadcast(SimilarityOps.pqDistTables(
+      queries, index.books, index.m, index.subDim))
+    val cand = qp
+      .join(index.codes.filter(col("pb").isin(probedBuckets.toSeq: _*)),
+        col("pcell") === col("cell") && col("vec_id") =!= col("qid"))
+      .join(dtab, Seq("qid"))
+      .select(col("qid"), col("vec_id").as("nid"),
+        SimilarityOps.adcScore.as("adc"))
+    (cand, probedBuckets)
+  }
+
+  def adcShortlist(index: IvfPqIndex, queries: DataFrame, nprobe: Int,
+      shortlistL: Int, topK: Int): DataFrame = {
+    val (cand, probedBuckets) = adcCandidates(index, queries, nprobe)
+    val wA = Window.partitionBy(col("qid"))
+      .orderBy(col("adc"), col("nid"))
+    // the shortlist is ≤ L×|queries| (qid, nid) pairs — materialize
+    // it (bounded collect, same discipline as probedBuckets) so the
+    // re-rank's raw-vector read is an ID POINT-LOOKUP pushed into the
+    // scan, not a probed-bucket vector sweep: with bucket files
+    // vec_id-sorted (writeCells), row-group stats skip everything but
+    // the looked-up rows — the "+R" fetch of IVFADC+R
+    val shortPairs = cand.withColumn("arn", row_number().over(wA))
+      .filter(col("arn") <= shortlistL)
+      .select(col("qid"), col("nid"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val short = broadcast(
+      spark.createDataset(shortPairs.toSeq).toDF("qid", "nid"))
+    val nids = shortPairs.map(_._2).distinct.toSeq
+    // exact re-rank: |q|² + |n|² − 2⟨q,n⟩, all integers — the
+    // quantizer bounds the SHORTLIST, never the answer
+    val nvecs = index.flat.cells
+      .filter(col("pb").isin(probedBuckets.toSeq: _*) &&
+        col("vec_id").isin(nids: _*))
+      .select(col("vec_id").as("nid"), col("v").as("nv"),
+        col("n2").as("nn2"))
+    val qvecs = broadcast(queries.select(col("vec_id").as("qid"),
+      col("v").as("qv"), col("n2").as("qn2")))
+    val rer = short.join(nvecs, Seq("nid")).join(qvecs, Seq("qid"))
+      .withColumn("dp", dot("qv", "nv"))
+      .withColumn("d2", col("qn2") + col("nn2") - lit(2L) * col("dp"))
+    val w2 = Window.partitionBy(col("qid"))
+      .orderBy(col("d2"), col("nid"))
+    rer.withColumn("rn", row_number().over(w2))
+      .filter(col("rn") <= topK)
+      .select(col("qid"), col("nid"), col("d2"), col("rn"))
   }
 
   /** Latest committed version without loading any frame (streaming
@@ -273,9 +518,19 @@ object IvfIndexStore {
         col("pb"))
       .repartition(col("pb"))
       .write.partitionBy("pb").parquet(s"$root/data/$dirName/cells")
+    // a PQ record's code shards fold alongside the cells shards
+    val qDir =
+      if (r.dirsOf("Q").isEmpty) Nil
+      else {
+        readCellDirs(spark, root, r.dirsOf("Q"))
+          .select(col("vec_id"), col("code"), col("cell"), col("pb"))
+          .repartition(col("pb"))
+          .write.partitionBy("pb").parquet(s"$root/data/$dirName/codes")
+        Seq("Q" -> s"$dirName/codes")
+      }
     ArtifactLog.commit(root, Kind, v,
-      Rec(r.kv, r.dirs.filter(_._1 != "D") :+
-        ("D" -> s"$dirName/cells")), store)
+      Rec(r.kv, r.dirs.filterNot(d => d._1 == "D" || d._1 == "Q") :+
+        ("D" -> s"$dirName/cells") :++ qDir), store)
   }
 
   /** Retrain the coarse quantizer on the CURRENT corpus and commit a
@@ -346,10 +601,35 @@ object IvfIndexStore {
         val buckets = defaultBuckets(kNew)
         cents.write.parquet(s"$root/data/$dirName/centroids")
         writeCells(cells, buckets, s"$root/data/$dirName/cells")
+        // a PQ head retrains its codebooks from the same corpus (and
+        // the same hash-sampled seeds — codebooks freeze exactly like
+        // the coarse centroids, so they drift exactly like them) and
+        // re-encodes; dropping the layer here would silently degrade
+        // the index to flat
+        val pqDirs =
+          if (head.dirsOf("B").isEmpty) Nil
+          else {
+            val m = head.kvMap("m").toInt
+            val subDim = head.kvMap("sd").toInt
+            val ksub = head.kvMap("ks").toInt
+            val books = SimilarityOps.pqCodebooks(
+              corpus, m, subDim, ksub, iters,
+              seeds.map(_.limit(ksub))).cache()
+            try {
+              books.write.parquet(s"$root/data/$dirName/books")
+              writeCodes(
+                SimilarityOps.pqEncode(cells, books, m, subDim,
+                  carry = Seq("cell")),
+                buckets, s"$root/data/$dirName/codes")
+            } finally books.unpersist(false)
+            Seq("B" -> s"$dirName/books", "Q" -> s"$dirName/codes")
+          }
         val rec = Rec(
           Seq("k" -> kNew.toString, "p" -> buckets.toString) ++
+            head.kvMap.filter(kv => Set("m", "sd", "ks")(kv._1)) ++
             head.kvMap.get("tag").map("tag" -> _),
-          Seq("C" -> s"$dirName/centroids", "D" -> s"$dirName/cells"))
+          Seq("C" -> s"$dirName/centroids") ++ pqDirs.take(1) ++
+            Seq("D" -> s"$dirName/cells") ++ pqDirs.drop(1))
         preCommitHook(v) // test seam: races injected between stage + CAS
         ArtifactLog.commit(root, Kind, v, rec, store)
       } finally cents.unpersist(false)

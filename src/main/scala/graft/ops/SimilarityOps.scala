@@ -230,11 +230,26 @@ object SimilarityOps {
         (asDouble(col("cdp")) /
           (sqrt(asDouble(col("n2"))) * sqrt(asDouble(col("cn2")))))
           .as("ccos"))
-    val w = Window.partitionBy(col("vec_id"))
-      .orderBy(desc("ccos"), col("cid"))
-    val best = scored.withColumn("crn", row_number().over(w))
-      .filter(col("crn") <= nprobe)
-      .select(col("vec_id"), col("cid").as("cell"))
+    // nprobe=1 (the assignment path every save/append/retrain runs)
+    // is an ARGMAX, not a rank: max_by with the (ccos, −cid) struct
+    // ordering gets map-side partial aggregation, so only the n
+    // per-vector states shuffle — the window form shuffled and
+    // sorted all n×k scored rows (625M at the 100× probe point, vs
+    // 200k states). Identical tie semantics to the rank form
+    // (ccos DESC, cid ASC) and identical values, so every
+    // oracle-gated plan through here stays hash-equal.
+    val best =
+      if (nprobe == 1)
+        scored.groupBy(col("vec_id"))
+          .agg(max_by(col("cid"),
+            struct(col("ccos"), (-col("cid")).as("tb"))).as("cell"))
+      else {
+        val w = Window.partitionBy(col("vec_id"))
+          .orderBy(desc("ccos"), col("cid"))
+        scored.withColumn("crn", row_number().over(w))
+          .filter(col("crn") <= nprobe)
+          .select(col("vec_id"), col("cid").as("cell"))
+      }
     vecs.join(best, Seq("vec_id"))
       .select(col("vec_id"), col("v"), col("n2"), col("cell"))
   }
@@ -310,6 +325,146 @@ object SimilarityOps {
   private[ops] def probeCells(vecs: org.apache.spark.sql.DataFrame,
       cents: org.apache.spark.sql.DataFrame, nprobe: Int)
       : org.apache.spark.sql.DataFrame = nearestCells(vecs, cents, nprobe)
+
+  // ---- product-quantization building blocks (FAISS PQ shape, ------
+  // ---- Jégou et al. 2011) — reused by the in-memory s_cosine_ann_pq
+  // ---- recipe's persisted twin, IvfIndexStore's IVF-PQ layer ------
+
+  /** (vec_id, sub, sv: array<bigint>, svn2[, carry...]): the vector
+    * split into `m` contiguous `subDim`-dim subspaces. Extra columns
+    * named in `carry` ride along (e.g. the coarse `cell` so the
+    * encode path never re-joins the assignment — at corpus scale
+    * that join is an n×n shuffle the carry avoids). */
+  def pqSubvectors(emb: org.apache.spark.sql.DataFrame, m: Int,
+      subDim: Int, carry: Seq[String] = Nil)
+      : org.apache.spark.sql.DataFrame =
+    emb.select(col("vec_id") +: carry.map(col) :+ explode(expr(
+        s"""transform(sequence(0, ${m - 1}),
+              s -> struct(CAST(s AS INT) AS sub,
+                          slice(v, s*$subDim + 1, $subDim) AS sv))"""))
+        .as("e"): _*)
+      .select(col("vec_id") +: carry.map(col) :+
+        col("e.sub").as("sub") :+ col("e.sv").as("sv"): _*)
+      .withColumn("svn2", dot("sv", "sv"))
+
+  /** Argmin code per (vector, subspace) against a broadcast codebook
+    * frame (sub, cid, cv, cvn2): exact integer squared-L2 via the
+    * identity Σ(x−c)² = |x|² + |c|² − 2⟨x,c⟩ — one codegen'd dot per
+    * (vector, subspace, centroid), never a per-component explode.
+    * Ties break on cid ascending (dense renumbering is monotone in
+    * the training cid, so the tie order is seed-order in both the
+    * raw and the densified book — the DuckDB oracle mirrors it). */
+  private def pqArgmin(subv: org.apache.spark.sql.DataFrame,
+      books: org.apache.spark.sql.DataFrame, carry: Seq[String] = Nil)
+      : org.apache.spark.sql.DataFrame = {
+    val d = subv.join(books, Seq("sub"))
+      .select(col("vec_id") +: carry.map(col) :+ col("sub") :+
+        col("cid") :+
+        (col("svn2") + col("cvn2") -
+          lit(2L) * dot("sv", "cv")).as("d2"): _*)
+    // argmin via min_by (map-side combine — only n×m states shuffle,
+    // never the n×m×ksub scored rows; same rationale and identical
+    // tie semantics as nearestCells' nprobe=1 path)
+    d.groupBy((col("vec_id") +: carry.map(col) :+ col("sub")): _*)
+      .agg(min_by(col("cid"), struct(col("d2"), col("cid"))).as("cid"))
+  }
+
+  /** Trained PQ codebooks with DENSE per-subspace ids: per subspace,
+    * `ksub` low-id seed subvectors (or hash-sampled `seeds` — same
+    * retrain rationale as [[ivfCentroids]]), `iters` Lloyd
+    * iterations in exact integer arithmetic (assign by min squared
+    * L2, update by floor-averaged components), then cids renumbered
+    * 0..k'−1 per subspace in training-cid order (empty cells drop
+    * out of the Lloyd update, so the raw ids are sparse; dense ids
+    * make the persisted code an ARRAY INDEX — ADC is then a pure
+    * table lookup, no join on the code path). Returns
+    * (sub, cid, cv, cvn2), broadcast-hinted — m × ksub rows, tiny at
+    * any corpus scale (m=16 × ksub=256 × 48 dims × 8 B ≈ 1.6 MB). */
+  def pqCodebooks(emb: org.apache.spark.sql.DataFrame, m: Int,
+      subDim: Int, ksub: Int, iters: Int = 1,
+      seeds: Option[org.apache.spark.sql.DataFrame] = None)
+      : org.apache.spark.sql.DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val spark = emb.sparkSession
+    val subv = pqSubvectors(emb, m, subDim)
+    var books = broadcast(
+      pqSubvectors(seeds.getOrElse(emb.filter(col("vec_id") < ksub)),
+        m, subDim)
+        .select(col("sub"), col("vec_id").as("cid"),
+          col("sv").as("cv"), col("svn2").as("cvn2")))
+    (0 until iters).foreach { i =>
+      val assigned = pqArgmin(subv, books)
+      // Lloyd update: the one place components must explode — the
+      // per-position floor-mean; rebuilt into centroid arrays
+      val updated = subv.join(assigned, Seq("vec_id", "sub"))
+        .select(col("sub"), col("cid").as("cell"),
+          posexplode(col("sv")).as(Seq("j", "x")))
+        .groupBy(col("sub"), col("cell"), col("j"))
+        .agg(expr("CAST(FLOOR(CAST(SUM(x) AS DOUBLE) / " +
+          "CAST(COUNT(*) AS DOUBLE)) AS BIGINT)").as("cx"))
+        .groupBy(col("sub"), col("cell"))
+        .agg(expr("transform(array_sort(collect_list(struct(j, cx)))," +
+          " s -> s.cx)").as("cv"))
+        .select(col("sub"), col("cell").as("cid"), col("cv"))
+        .withColumn("cvn2", dot("cv", "cv"))
+      books =
+        if (i == iters - 1) broadcast(updated)
+        else {
+          // materialize between iterations so the next assignment
+          // joins an m×ksub-row literal, not a stacked re-derivation
+          // (same discipline as ivfCentroids)
+          import scala.jdk.CollectionConverters._
+          broadcast(spark.createDataFrame(
+            updated.collect().toSeq.asJava, updated.schema))
+        }
+    }
+    // densify: monotone renumber per subspace (row_number over an
+    // m×ksub broadcast-sized frame — driver-trivial at any scale)
+    val wD = Window.partitionBy(col("sub")).orderBy(col("cid"))
+    broadcast(books
+      .withColumn("dcid", (row_number().over(wD) - 1).cast("long"))
+      .select(col("sub"), col("dcid").as("cid"), col("cv"), col("cvn2")))
+  }
+
+  /** Encode each vector to its packed PQ code — (vec_id[, carry...],
+    * code: array<int>) with code(s) = the dense cid of the nearest
+    * codebook entry in subspace s. The m-entry int array is the 64×
+    * compression that makes PQ the billion-vector standard; with
+    * dense book ids it doubles as the ADC lookup index. */
+  def pqEncode(emb: org.apache.spark.sql.DataFrame,
+      books: org.apache.spark.sql.DataFrame, m: Int, subDim: Int,
+      carry: Seq[String] = Nil): org.apache.spark.sql.DataFrame =
+    pqArgmin(pqSubvectors(emb, m, subDim, carry), books, carry)
+      .groupBy((col("vec_id") +: carry.map(col)): _*)
+      .agg(expr("transform(array_sort(collect_list(struct(sub, cid)))," +
+        " s -> CAST(s.cid AS INT))").as("code"))
+
+  /** Per-query ADC distance tables — (qid, dt: array<array<bigint>>)
+    * with dt(s)(c) = exact integer ‖q_s − book(s)(c)‖²: the classic
+    * IVFADC query-side lookup table (m × ksub entries per query,
+    * built once, broadcast). Scoring a candidate is then
+    * Σ_s dt(s)(code(s)) — a single codegen'd zip_with/aggregate over
+    * the packed code, no join and no shuffle on the code-scan path. */
+  def pqDistTables(queries: org.apache.spark.sql.DataFrame,
+      books: org.apache.spark.sql.DataFrame, m: Int, subDim: Int)
+      : org.apache.spark.sql.DataFrame = {
+    val d = pqSubvectors(queries, m, subDim).join(books, Seq("sub"))
+      .select(col("vec_id").as("qid"), col("sub"), col("cid"),
+        (col("svn2") + col("cvn2") -
+          lit(2L) * dot("sv", "cv")).as("d2"))
+    d.groupBy(col("qid"), col("sub"))
+      .agg(expr("transform(array_sort(collect_list(struct(cid, d2)))," +
+        " s -> s.d2)").as("row"))
+      .groupBy(col("qid"))
+      .agg(expr("transform(array_sort(collect_list(struct(sub, row)))," +
+        " s -> s.row)").as("dt"))
+  }
+
+  /** The ADC score column over a packed `code` and a per-query `dt`
+    * table: Σ_s dt(s)(code(s)), all bigint. */
+  def adcScore: org.apache.spark.sql.Column = expr(
+    """aggregate(zip_with(code, dt, (c, a) -> element_at(a, c + 1)),
+         CAST(0 AS BIGINT), (acc, x) -> acc + x)""")
 
   /** IVF candidate pairs for the query set: each query probes its
     * `nprobe` nearest cells; candidates are an equi-join on cell. */
@@ -722,6 +877,246 @@ object SimilarityOps {
       FROM c1n c LEFT JOIN asg a ON a.cell = c.cid
       GROUP BY c.cid
       ORDER BY cell""")))
+
+  /** The persisted IVF-PQ index, gated end-to-end through disk:
+    * train coarse centroids + per-subspace PQ codebooks on the
+    * corpus, [[IvfIndexStore.savePq]] (centroids + books + raw-vector
+    * lists + packed codes, all bucketed), LOAD it back, and run the
+    * increment queries through [[IvfIndexStore.adcShortlist]] — the
+    * IVFADC recipe (coarse probe → bucket-pruned ADC over the ~30×
+    * smaller code table → exact re-rank of the top-L against the raw
+    * lists). Integer-exact end to end (squared-L2 in quantized
+    * micro-units), so the oracle replays coarse training, PQ
+    * training, encoding, the per-query lookup tables, the ADC sums,
+    * and both rank windows bit-for-bit: a drifted byte anywhere in
+    * save → load → prune → score → re-rank hash-fails the gate. */
+  val pqLifecycle = QueryDef(
+    "s_ann_index_pq",
+    "LLM-pipeline similarity: persisted IVF-PQ index (IVFADC probe)",
+    "savePq → load → coarse probe → ADC top-10 on packed codes → exact re-rank top-3",
+    (s, dir) => {
+      val emb = scopedCache(quantized(s, dir))
+      val corpus = emb.filter(col("vec_id") % 5 =!= 0)
+      val inc = emb.filter(col("vec_id") % 5 === 0)
+      val kC = math.max(32L, corpus.count() / 64L).toInt
+      val root = scratchRoot("pq")
+      IvfIndexStore.savePq(root, corpus, kC, m = 4, ksub = 16)
+      val idx = IvfIndexStore.loadPq(s, root)
+      IvfIndexStore.adcShortlist(idx, inc, nprobe = 4,
+          shortlistL = 10, topK = 3)
+        .orderBy("qid", "rn")
+    },
+    Some("""WITH u AS (
+        SELECT vec_id, i,
+          CAST(FLOOR(CAST(embedding[CAST(i AS INTEGER)] AS DOUBLE) * CAST(1000000 AS DOUBLE) + 0.5) AS BIGINT) AS x
+        FROM (SELECT vec_id, embedding,
+                unnest(range(1, len(embedding) + 1)) AS i
+              FROM embeddings)),
+      nrm AS (
+        SELECT vec_id, CAST(SUM(x*x) AS BIGINT) AS n2 FROM u GROUP BY vec_id),
+      c0 AS (SELECT vec_id AS cid, i, x FROM u
+             WHERE vec_id < 32 AND vec_id % 5 <> 0),
+      c0n AS (SELECT cid, CAST(SUM(x*x) AS BIGINT) AS cn2 FROM c0 GROUP BY cid),
+      a0dot AS (
+        SELECT u.vec_id, c0.cid, CAST(SUM(u.x * c0.x) AS BIGINT) AS dp
+        FROM u JOIN c0 ON u.i = c0.i
+        WHERE u.vec_id % 5 <> 0
+        GROUP BY u.vec_id, c0.cid),
+      a0 AS (
+        SELECT vec_id, cid AS cell FROM (
+          SELECT a.vec_id, a.cid,
+            ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY
+              CAST(a.dp AS DOUBLE) /
+                (sqrt(CAST(n.n2 AS DOUBLE)) * sqrt(CAST(cn.cn2 AS DOUBLE)))
+              DESC, a.cid) AS rn
+          FROM a0dot a
+          JOIN nrm n ON n.vec_id = a.vec_id
+          JOIN c0n cn ON cn.cid = a.cid)
+        WHERE rn = 1),
+      c1 AS (
+        SELECT a0.cell AS cid, u.i,
+          CAST(FLOOR(CAST(SUM(u.x) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)) AS BIGINT) AS x
+        FROM u JOIN a0 ON u.vec_id = a0.vec_id
+        GROUP BY a0.cell, u.i),
+      c1n AS (SELECT cid, CAST(SUM(x*x) AS BIGINT) AS cn2 FROM c1 GROUP BY cid),
+      acd AS (
+        SELECT u.vec_id, c1.cid, CAST(SUM(u.x * c1.x) AS BIGINT) AS dp
+        FROM u JOIN c1 ON u.i = c1.i
+        WHERE u.vec_id % 5 <> 0
+        GROUP BY u.vec_id, c1.cid),
+      cells AS (
+        SELECT vec_id, cid AS cell FROM (
+          SELECT a.vec_id, a.cid,
+            ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY
+              CAST(a.dp AS DOUBLE) /
+                (sqrt(CAST(n.n2 AS DOUBLE)) * sqrt(CAST(cn.cn2 AS DOUBLE)))
+              DESC, a.cid) AS rn
+          FROM acd a
+          JOIN nrm n ON n.vec_id = a.vec_id
+          JOIN c1n cn ON cn.cid = a.cid)
+        WHERE rn = 1),
+      qcd AS (
+        SELECT u.vec_id, c1.cid, CAST(SUM(u.x * c1.x) AS BIGINT) AS dp
+        FROM u JOIN c1 ON u.i = c1.i
+        WHERE u.vec_id % 5 = 0
+        GROUP BY u.vec_id, c1.cid),
+      qprobe AS (
+        SELECT vec_id AS qid, cid AS pcell FROM (
+          SELECT a.vec_id, a.cid,
+            ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY
+              CAST(a.dp AS DOUBLE) /
+                (sqrt(CAST(n.n2 AS DOUBLE)) * sqrt(CAST(cn.cn2 AS DOUBLE)))
+              DESC, a.cid) AS rn
+          FROM qcd a
+          JOIN nrm n ON n.vec_id = a.vec_id
+          JOIN c1n cn ON cn.cid = a.cid)
+        WHERE rn <= 4),
+      sv AS (
+        SELECT vec_id, CAST((i-1)//16 AS INTEGER) AS sub,
+          (i-1)%16 AS j, x FROM u),
+      p0 AS (SELECT sub, vec_id AS cid, j, x AS cx FROM sv
+             WHERE vec_id < 16 AND vec_id % 5 <> 0),
+      pa0d AS (
+        SELECT s.vec_id, s.sub, c.cid,
+          CAST(SUM((s.x-c.cx)*(s.x-c.cx)) AS BIGINT) AS d2
+        FROM sv s JOIN p0 c ON c.sub = s.sub AND c.j = s.j
+        WHERE s.vec_id % 5 <> 0
+        GROUP BY s.vec_id, s.sub, c.cid),
+      pa0 AS (
+        SELECT vec_id, sub, cid AS cell FROM (
+          SELECT vec_id, sub, cid,
+            ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+              ORDER BY d2, cid) AS rn
+          FROM pa0d) WHERE rn = 1),
+      pb1 AS (
+        SELECT a.sub, a.cell AS cid, s.j,
+          CAST(FLOOR(CAST(SUM(s.x) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)) AS BIGINT) AS cx
+        FROM sv s JOIN pa0 a ON a.vec_id = s.vec_id AND a.sub = s.sub
+        GROUP BY a.sub, a.cell, s.j),
+      ped AS (
+        SELECT s.vec_id, s.sub, c.cid,
+          CAST(SUM((s.x-c.cx)*(s.x-c.cx)) AS BIGINT) AS d2
+        FROM sv s JOIN pb1 c ON c.sub = s.sub AND c.j = s.j
+        WHERE s.vec_id % 5 <> 0
+        GROUP BY s.vec_id, s.sub, c.cid),
+      codes AS (
+        SELECT vec_id, sub, cid FROM (
+          SELECT vec_id, sub, cid,
+            ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+              ORDER BY d2, cid) AS rn
+          FROM ped) WHERE rn = 1),
+      qdt AS (
+        SELECT s.vec_id AS qid, s.sub, c.cid,
+          CAST(SUM((s.x-c.cx)*(s.x-c.cx)) AS BIGINT) AS d2
+        FROM sv s JOIN pb1 c ON c.sub = s.sub AND c.j = s.j
+        WHERE s.vec_id % 5 = 0
+        GROUP BY s.vec_id, s.sub, c.cid),
+      adc AS (
+        SELECT q.qid, c.vec_id AS nid, CAST(SUM(t.d2) AS BIGINT) AS adc
+        FROM qprobe q
+        JOIN cells c ON c.cell = q.pcell AND c.vec_id <> q.qid
+        JOIN codes k ON k.vec_id = c.vec_id
+        JOIN qdt t ON t.qid = q.qid AND t.sub = k.sub AND t.cid = k.cid
+        GROUP BY q.qid, c.vec_id),
+      short AS (
+        SELECT qid, nid FROM (
+          SELECT qid, nid,
+            ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adc, nid) AS arn
+          FROM adc) WHERE arn <= 10),
+      dots AS (
+        SELECT s.qid, s.nid, CAST(SUM(qa.x * qb.x) AS BIGINT) AS dp
+        FROM short s
+        JOIN u qa ON qa.vec_id = s.qid
+        JOIN u qb ON qb.vec_id = s.nid AND qb.i = qa.i
+        GROUP BY s.qid, s.nid),
+      rer AS (
+        SELECT d.qid, d.nid,
+          CAST(na.n2 + nb.n2 - 2*d.dp AS BIGINT) AS d2
+        FROM dots d
+        JOIN nrm na ON na.vec_id = d.qid
+        JOIN nrm nb ON nb.vec_id = d.nid)
+      SELECT qid, nid, d2, rn FROM (
+        SELECT qid, nid, d2,
+          ROW_NUMBER() OVER (PARTITION BY qid ORDER BY d2, nid) AS rn
+        FROM rer) WHERE rn <= 3
+      ORDER BY qid, rn"""))
+
+  /** The PQ layer's O(increment) append, gated through disk on the
+    * CODE path: savePq the corpus, [[IvfIndexStore.appendPq]] the
+    * shard (encoded on the FROZEN persisted codebooks + assigned on
+    * the frozen coarse centroids — no retrain, no corpus read), and
+    * return the loaded packed codes unpacked to (vec_id, sub, cid).
+    * The oracle recomputes every vector's encode on the
+    * corpus-trained codebooks — which equals corpus-encode ∪
+    * frozen-book shard encode precisely BECAUSE training never saw
+    * the shard — with the same dense per-subspace renumbering the
+    * store persists (DENSE_RANK over training cids), so a codebook
+    * that drifted during append, a dropped code row, or a
+    * mis-renumbered id all hash-fail. */
+  val pqCodes = QueryDef(
+    "s_ann_index_pq_codes",
+    "LLM-pipeline similarity: frozen-codebook PQ shard encode",
+    "appendPq encodes the shard on frozen books; loaded codes = corpus ∪ shard",
+    (s, dir) => {
+      val emb = scopedCache(quantized(s, dir))
+      val corpus = emb.filter(col("vec_id") % 5 =!= 0)
+      val inc = emb.filter(col("vec_id") % 5 === 0)
+      val kC = math.max(32L, corpus.count() / 64L).toInt
+      val root = scratchRoot("pqcodes")
+      IvfIndexStore.savePq(root, corpus, kC, m = 4, ksub = 16)
+      IvfIndexStore.appendPq(s, root, inc)
+      IvfIndexStore.loadPq(s, root).codes
+        .select(col("vec_id"), posexplode(col("code")).as(Seq("sub", "c")))
+        .select(col("vec_id"), col("sub"), col("c").cast("long").as("cid"))
+        .orderBy("vec_id", "sub")
+    },
+    Some("""WITH u AS (
+        SELECT vec_id, i,
+          CAST(FLOOR(CAST(embedding[CAST(i AS INTEGER)] AS DOUBLE) * CAST(1000000 AS DOUBLE) + 0.5) AS BIGINT) AS x
+        FROM (SELECT vec_id, embedding,
+                unnest(range(1, len(embedding) + 1)) AS i
+              FROM embeddings)),
+      sv AS (
+        SELECT vec_id, CAST((i-1)//16 AS INTEGER) AS sub,
+          (i-1)%16 AS j, x FROM u),
+      p0 AS (SELECT sub, vec_id AS cid, j, x AS cx FROM sv
+             WHERE vec_id < 16 AND vec_id % 5 <> 0),
+      pa0d AS (
+        SELECT s.vec_id, s.sub, c.cid,
+          CAST(SUM((s.x-c.cx)*(s.x-c.cx)) AS BIGINT) AS d2
+        FROM sv s JOIN p0 c ON c.sub = s.sub AND c.j = s.j
+        WHERE s.vec_id % 5 <> 0
+        GROUP BY s.vec_id, s.sub, c.cid),
+      pa0 AS (
+        SELECT vec_id, sub, cid AS cell FROM (
+          SELECT vec_id, sub, cid,
+            ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+              ORDER BY d2, cid) AS rn
+          FROM pa0d) WHERE rn = 1),
+      pb1 AS (
+        SELECT a.sub, a.cell AS cid, s.j,
+          CAST(FLOOR(CAST(SUM(s.x) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)) AS BIGINT) AS cx
+        FROM sv s JOIN pa0 a ON a.vec_id = s.vec_id AND a.sub = s.sub
+        GROUP BY a.sub, a.cell, s.j),
+      pdense AS (
+        SELECT sub, cid,
+          CAST(DENSE_RANK() OVER (PARTITION BY sub ORDER BY cid) - 1
+            AS BIGINT) AS dcid
+        FROM (SELECT DISTINCT sub, cid FROM pb1)),
+      ped AS (
+        SELECT s.vec_id, s.sub, c.cid,
+          CAST(SUM((s.x-c.cx)*(s.x-c.cx)) AS BIGINT) AS d2
+        FROM sv s JOIN pb1 c ON c.sub = s.sub AND c.j = s.j
+        GROUP BY s.vec_id, s.sub, c.cid),
+      codes AS (
+        SELECT vec_id, sub, cid FROM (
+          SELECT vec_id, sub, cid,
+            ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+              ORDER BY d2, cid) AS rn
+          FROM ped) WHERE rn = 1)
+      SELECT c.vec_id, c.sub, d.dcid AS cid
+      FROM codes c JOIN pdense d ON d.sub = c.sub AND d.cid = c.cid
+      ORDER BY c.vec_id, c.sub"""))
 
   /** Semantic dedup in the SemDeDup shape (Abbas et al. 2023,
     * arXiv:2303.09540): cluster the embedding space with the trained
@@ -1860,6 +2255,6 @@ object SimilarityOps {
 
   val defs: Seq[QueryDef] =
     Seq(bruteTopK, lshAnn, ivfAnn, ivfIncrement, ivfLifecycle,
-      ivfAppend, ivfCellStats, semDedup, pqAnn, knnClusters,
-      knnClustersAnn, knnAnnRecall)
+      ivfAppend, ivfCellStats, pqLifecycle, pqCodes, semDedup, pqAnn,
+      knnClusters, knnClustersAnn, knnAnnRecall)
 }
