@@ -55,6 +55,12 @@ object PqProbe {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // the re-rank pushes In(vec_id, ≤L×q ids); above this threshold
+      // Spark collapses an In pushdown to a min/max RANGE, which the
+      // shortlist's id spread makes vacuous — raise it so row-group
+      // stats see the actual id set (deployment knob, documented on
+      // adcShortlist)
+      .config("spark.sql.parquet.pushdown.inFilterThreshold", "4096")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -89,8 +95,8 @@ object PqProbe {
 
     println("| factor | corpus | k | P | build_s | cells_MB | " +
       "codes_MB | append_s/MB | adcscan10 s/MB | flatscan10 s/MB | " +
-      "adcR10 s/MB |")
-    println("|---|---|---|---|---|---|---|---|---|---|---|")
+      "adcR10 s/MB | adcR10_rg64k s/MB |")
+    println("|---|---|---|---|---|---|---|---|---|---|---|---|")
 
     factors.foreach { f =>
       // disjoint-CONTENT replicas (each shifted by a per-replica
@@ -168,10 +174,23 @@ object PqProbe {
       SimilarityOps.releaseCaches()
       require(nAdc == 30 && nFlat == 30 && nScan > 0,
         s"probe cardinality drift: adc=$nAdc flat=$nFlat scan=$nScan")
+      // rg A/B: the same index written with 64 KB row groups — the
+      // re-rank's In(vec_id) pushdown gets row-group stats to skip
+      // against instead of one whole-file group per bucket
+      val rootRg = Files.createTempDirectory(s"pqprobe_rg_${f}x").toString
+      IvfIndexStore.savePq(rootRg, emb, k, m = 4, ksub = 16,
+        rowGroupBytes = 64 * 1024)
+      val idxRg = IvfIndexStore.loadPqAt(spark, rootRg, 1L)
+      val (nRg, rgS, rgMB) = measure(
+        IvfIndexStore.adcShortlist(idxRg, q10, nprobe = 4,
+          shortlistL = 10, topK = 3).count())
+      SimilarityOps.releaseCaches()
+      require(nRg == 30, s"rg-leg cardinality drift: $nRg")
       println(f"| ${f}x | $n | $k | $buckets | $buildS%.1f | " +
         f"$cellsMB%.1f | $codesMB%.1f | " +
         f"$appendS%.1f/$appendMB%.2f | $scanS%.1f/$scanMB%.2f | " +
-        f"$flatS%.1f/$flatMB%.2f | $adcS%.1f/$adcMB%.2f |")
+        f"$flatS%.1f/$flatMB%.2f | $adcS%.1f/$adcMB%.2f | " +
+        f"$rgS%.1f/$rgMB%.2f |")
       spark.catalog.clearCache()
     }
     spark.stop()

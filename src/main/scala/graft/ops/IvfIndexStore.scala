@@ -108,8 +108,9 @@ object IvfIndexStore {
         .parquet(s"$root/data/$d"))
       .reduce(_ unionByName _)
 
-  private def writeCells(cells: DataFrame, buckets: Int, dir: String): Unit =
-    cells
+  private def writeCells(cells: DataFrame, buckets: Int, dir: String,
+      rowGroup: Int = 0): Unit = {
+    val w = cells
       .select(col("vec_id"), col("v"), col("n2"), col("cell"),
         pmod(col("cell"), lit(buckets.toLong)).cast("int").as("pb"))
       // one file per bucket per shard (see MinhashIndexStore
@@ -119,12 +120,22 @@ object IvfIndexStore {
       // sort — no extra shuffle)
       .repartition(col("pb"))
       .sortWithinPartitions(col("pb"), col("vec_id"))
-      .write.partitionBy("pb").parquet(dir)
+      .write
+    // rg is the persisted layout policy (record kv): bucket files
+    // default to one row group, which makes an id point-lookup read
+    // the whole file — a small parquet.block.size gives the In
+    // pushdown row-group stats to skip against (graft.PqProbe
+    // measures the re-rank read drop)
+    (if (rowGroup > 0) w.option("parquet.block.size", rowGroup) else w)
+      .partitionBy("pb").parquet(dir)
+  }
 
   /** One file per bucket per shard, like [[writeCells]]; the packed
     * code rows bucket on the SAME `pb = cell % P` as the raw-vector
     * lists, so a probe's bucket pruning applies identically to the
-    * ADC code scan and the re-rank vector read. */
+    * ADC code scan and the re-rank vector read. The codes table is
+    * always scanned wholesale per bucket (never point-fetched), so
+    * it keeps the default row-group size regardless of `rg`. */
   private def writeCodes(codes: DataFrame, buckets: Int, dir: String): Unit =
     codes
       .select(col("vec_id"), col("code"), col("cell"),
@@ -188,7 +199,7 @@ object IvfIndexStore {
     * ignores the extra lines) while [[loadPq]] requires them. */
   def savePq(root: String, corpus: DataFrame, k: Int, m: Int,
       ksub: Int, store: CommitStore = LinkCommitStore,
-      iters: Int = 1): Long = {
+      iters: Int = 1, rowGroupBytes: Int = 0): Long = {
     TxLog.init(root)
     val corp = corpus.cache() // feeds coarse train + assign + PQ train + encode
     try {
@@ -217,12 +228,15 @@ object IvfIndexStore {
         val buckets = defaultBuckets(k)
         cents.write.parquet(s"$root/data/$dirName/centroids")
         books.write.parquet(s"$root/data/$dirName/books")
-        writeCells(cells, buckets, s"$root/data/$dirName/cells")
+        writeCells(cells, buckets, s"$root/data/$dirName/cells",
+          rowGroupBytes)
         writeCodes(codes, buckets, s"$root/data/$dirName/codes")
         val rec = Rec(
           Seq("k" -> k.toString, "p" -> buckets.toString,
             "m" -> m.toString, "sd" -> subDim.toString,
-            "ks" -> ksub.toString),
+            "ks" -> ksub.toString) ++
+            (if (rowGroupBytes > 0)
+              Seq("rg" -> rowGroupBytes.toString) else Nil),
           Seq("C" -> s"$dirName/centroids", "B" -> s"$dirName/books",
             "D" -> s"$dirName/cells", "Q" -> s"$dirName/codes"))
         val v = ArtifactLog.list(root).headOption.map(_._1).getOrElse(0L)
@@ -333,7 +347,8 @@ object IvfIndexStore {
       assigned, books, m, subDim, carry = Seq("cell"))
     val dirName = UUID.randomUUID().toString
     val buckets = head.kvMap("p").toInt
-    writeCells(assigned, buckets, s"$root/data/$dirName/cells")
+    writeCells(assigned, buckets, s"$root/data/$dirName/cells",
+      head.kvMap.get("rg").map(_.toInt).getOrElse(0))
     writeCodes(codes, buckets, s"$root/data/$dirName/codes")
     var attempt = 0
     while (true) {
@@ -378,7 +393,16 @@ object IvfIndexStore {
     * (~m ints/vector), not member-vector bytes (dim × 8 B/vector):
     * graft.PqProbe measures the ratio. Integer-exact end to end, so
     * the DuckDB oracle gates the whole save → load → ADC → re-rank
-    * path bit-for-bit (`s_ann_index_pq`). */
+    * path bit-for-bit (`s_ann_index_pq`).
+    *
+    * Re-rank IO knobs: the In(vec_id) point fetch can only skip
+    * what the storage exposes — default bucket files are one row
+    * group, so a touched bucket reads whole ([[savePq]]'s
+    * `rowGroupBytes` writes small row groups over the vec_id-sorted
+    * layout for the stats to skip against), and Spark collapses an
+    * In pushdown above `spark.sql.parquet.pushdown.inFilterThreshold`
+    * (default 10) to a vacuous min/max range — deployments raise it
+    * past L×|queries| (graft.PqProbe measures the pair). */
   /** The ADC candidate frame — (qid, nid, adc) over the probed
     * cells' packed codes, bucket-pruned — plus the probed bucket
     * set (package-private so the spec can pin the pruned code-scan
@@ -447,6 +471,12 @@ object IvfIndexStore {
   def latestVersion(root: String): Long =
     ArtifactLog.latest(root, Kind)._1
 
+  /** Whether the live index carries the PQ layer — one record read,
+    * no frames; the ingest stream dispatches append vs appendPq on
+    * this so one stream definition serves both index shapes. */
+  def hasPqLayer(root: String): Boolean =
+    ArtifactLog.latest(root, Kind)._2.dirsOf("B").nonEmpty
+
   /** Per-cell occupancy — the drift monitor's read. One row per
     * TRAINED cell, `(cell, n_members)`, exact bigints; cells the
     * final assignment left EMPTY appear with 0 (an emptying cell is
@@ -513,11 +543,11 @@ object IvfIndexStore {
     val cells = readCellDirs(spark, root, r.dirsOf("D"))
     val dirName = UUID.randomUUID().toString
     // re-bucket on write: one file per bucket in the compacted (the
-    // long-lived) form, same as writeCells
-    cells.select(col("vec_id"), col("v"), col("n2"), col("cell"),
-        col("pb"))
-      .repartition(col("pb"))
-      .write.partitionBy("pb").parquet(s"$root/data/$dirName/cells")
+    // long-lived) form, preserving the record's rg layout policy
+    writeCells(cells.select(col("vec_id"), col("v"), col("n2"),
+        col("cell")),
+      r.kvMap("p").toInt, s"$root/data/$dirName/cells",
+      r.kvMap.get("rg").map(_.toInt).getOrElse(0))
     // a PQ record's code shards fold alongside the cells shards
     val qDir =
       if (r.dirsOf("Q").isEmpty) Nil
@@ -600,7 +630,8 @@ object IvfIndexStore {
         val dirName = UUID.randomUUID().toString
         val buckets = defaultBuckets(kNew)
         cents.write.parquet(s"$root/data/$dirName/centroids")
-        writeCells(cells, buckets, s"$root/data/$dirName/cells")
+        writeCells(cells, buckets, s"$root/data/$dirName/cells",
+          head.kvMap.get("rg").map(_.toInt).getOrElse(0))
         // a PQ head retrains its codebooks from the same corpus (and
         // the same hash-sampled seeds — codebooks freeze exactly like
         // the coarse centroids, so they drift exactly like them) and
@@ -626,7 +657,7 @@ object IvfIndexStore {
           }
         val rec = Rec(
           Seq("k" -> kNew.toString, "p" -> buckets.toString) ++
-            head.kvMap.filter(kv => Set("m", "sd", "ks")(kv._1)) ++
+            head.kvMap.filter(kv => Set("m", "sd", "ks", "rg")(kv._1)) ++
             head.kvMap.get("tag").map("tag" -> _),
           Seq("C" -> s"$dirName/centroids") ++ pqDirs.take(1) ++
             Seq("D" -> s"$dirName/cells") ++ pqDirs.drop(1))

@@ -118,6 +118,45 @@ class EmbeddingIngestStreamSpec extends SparkTestBase {
     SimilarityOps.releaseCaches()
   }
 
+  test("a PQ head routes streamed shards through appendPq: codes " +
+      "land with the cells, equal the frozen-book batch encode, and " +
+      "a replay is still a no-op") {
+    val corpus = emb.filter(col("vec_id") % 5 =!= 0)
+    val root = Files.createTempDirectory("emb_pq_stream").toString
+    IvfIndexStore.savePq(root, corpus, 32, m = 4, ksub = 16)
+
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[IngestVec]
+    val q = EmbeddingIngestStream.run(input.toDF(), root,
+      Files.createTempDirectory("emb_pq_chk").toString)
+    try {
+      input.addData(rawVecs(col("vec_id") % 10 === 0))
+      q.processAllAvailable()
+      input.addData(rawVecs(col("vec_id") % 5 === 0 &&
+        col("vec_id") % 10 =!= 0))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val idx = IvfIndexStore.loadPq(spark, root)
+    // every ingested vector carries a code — the shards were NOT
+    // stranded flat — and the codes equal the frozen-book encode
+    assert(idx.codes.count() == emb.count())
+    val expected = SimilarityOps
+      .pqEncode(emb, idx.books, 4, 16)
+      .select("vec_id", "code").collect()
+      .map(r => (r.getLong(0), r.getSeq[Int](1).toVector)).toSet
+    val got = idx.codes.select("vec_id", "code").collect()
+      .map(r => (r.getLong(0), r.getSeq[Int](1).toVector)).toSet
+    assert(got == expected)
+
+    val vNow = IvfIndexStore.latestVersion(root)
+    val vReplay = EmbeddingIngestStream.processBatch(root,
+      rawVecs(col("vec_id") % 5 === 0 && col("vec_id") % 10 =!= 0)
+        .toDF(), 1L)
+    assert(vReplay == vNow, "replayed PQ batch must not commit")
+    SimilarityOps.releaseCaches()
+  }
+
   test("an empty batch burns no version") {
     val root = Files.createTempDirectory("emb_empty").toString
     IvfIndexStore.save(root, emb.filter(col("vec_id") % 5 =!= 0), 32)
