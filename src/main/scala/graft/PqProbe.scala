@@ -32,8 +32,10 @@ import graft.ops.{IvfIndexStore, SimilarityOps}
   *     bytes-per-candidate twin the PQ layer displaces.
   *
   * Usage: sbt "runMain graft.PqProbe [factors]" (default 1,10,100;
-  * scaled embedding dirs cache under /tmp/ivfprobe_emb<f>x — shared
-  * with graft.IvfProbe).
+  * scaled embedding dirs cache under /tmp/pqprobe_emb<f>x — NOT
+  * shared with graft.IvfProbe's verbatim replicas: this probe's
+  * replicas are content-shifted so vector bytes measure scan width,
+  * not dictionary compression).
   */
 object PqProbe {
 

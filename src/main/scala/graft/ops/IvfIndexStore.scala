@@ -265,6 +265,50 @@ object IvfIndexStore {
       readCellDirs(spark, root, r.dirsOf("Q")))
   }
 
+  /** The shared stage→CAS→rebase tail of [[append]]/[[appendPq]]:
+    * commit `newDirs` onto the live record, preserving or advancing
+    * the replay tag, retrying through conflicts. The replay tag is
+    * RE-CHECKED inside the loop against each freshly-read head — the
+    * entry-time check alone loses the zombie-driver race (two
+    * drivers replay the same stream batch concurrently, both pass
+    * the entry check, one commits, and the loser's rebase would
+    * otherwise commit the same tag's shard AGAIN, duplicating every
+    * vector of the batch). An UNTAGGED append must PRESERVE the
+    * committed streaming tag — erasing it would let a crash-replayed
+    * stream batch double-append after any interleaved ad-hoc
+    * append. */
+  private def casAppend(root: String, head: Rec,
+      newDirs: Seq[(String, String)], tag: Option[Long],
+      store: CommitStore, maxRetries: Int): Long = {
+    var attempt = 0
+    while (true) {
+      val (v, latest) = ArtifactLog.latest(root, Kind)
+      tag.foreach { t =>
+        val committed = latest.kvMap.get("tag").map(_.toLong)
+        if (committed.exists(_ >= t)) return v
+      }
+      require(latest.kvMap.filterNot(_._1 == "tag") ==
+          head.kvMap.filterNot(_._1 == "tag") &&
+        latest.dirsOf("C") == head.dirsOf("C") &&
+        latest.dirsOf("B") == head.dirsOf("B"),
+        "concurrent commit replaced the index structure (compact/save " +
+          "raced this append); re-run against the new index")
+      val rec = Rec(
+        if (tag.isDefined)
+          latest.kv.filterNot(_._1 == "tag") ++
+            tag.map(t => "tag" -> t.toString)
+        else latest.kv,
+        latest.dirs ++ newDirs)
+      try return ArtifactLog.commit(root, Kind, v, rec, store)
+      catch {
+        case e: TxLog.CommitConflict =>
+          if (attempt >= maxRetries) throw e
+          attempt += 1
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
   /** O(increment) shard ingest: assign `inc` (quantized frame) on the
     * FROZEN persisted centroids, stage only the increment's inverted-
     * list rows as a new shard dir, and CAS a record appending that
@@ -282,7 +326,9 @@ object IvfIndexStore {
     tag.foreach { t =>
       // replay idempotence (the foreachBatch contract — see
       // graft.streaming.EmbeddingIngestStream): a batchId at or below
-      // the committed tag already landed; do not double-append
+      // the committed tag already landed; do not double-append. This
+      // entry check avoids staging work on replay; the authoritative
+      // re-check is inside casAppend's loop.
       val committed = head.kvMap.get("tag").map(_.toLong)
       if (committed.exists(_ >= t)) return v0
     }
@@ -291,32 +337,10 @@ object IvfIndexStore {
     val assigned = SimilarityOps.ivfCells(inc, cents)
     val dirName = UUID.randomUUID().toString
     writeCells(assigned, head.kvMap("p").toInt,
-      s"$root/data/$dirName/cells")
-    var attempt = 0
-    while (true) {
-      val (v, latest) = ArtifactLog.latest(root, Kind)
-      require(latest.kvMap.filterNot(_._1 == "tag") ==
-          head.kvMap.filterNot(_._1 == "tag") &&
-        latest.dirsOf("C") == head.dirsOf("C"),
-        "concurrent commit replaced the index structure (compact/save " +
-          "raced this append); re-run against the new index")
-      // an UNTAGGED append must PRESERVE the committed streaming tag
-      // — erasing it would let a crash-replayed stream batch
-      // double-append after any interleaved ad-hoc append
-      val rec = Rec(
-        if (tag.isDefined)
-          latest.kv.filterNot(_._1 == "tag") ++
-            tag.map(t => "tag" -> t.toString)
-        else latest.kv,
-        latest.dirs :+ ("D" -> s"$dirName/cells"))
-      try return ArtifactLog.commit(root, Kind, v, rec, store)
-      catch {
-        case e: TxLog.CommitConflict =>
-          if (attempt >= maxRetries) throw e
-          attempt += 1
-      }
-    }
-    throw new IllegalStateException("unreachable")
+      s"$root/data/$dirName/cells",
+      head.kvMap.get("rg").map(_.toInt).getOrElse(0))
+    casAppend(root, head, Seq("D" -> s"$dirName/cells"), tag, store,
+      maxRetries)
   }
 
   /** [[append]] for an IVF-PQ index: assign the increment on the
@@ -333,6 +357,7 @@ object IvfIndexStore {
     require(head.dirsOf("B").nonEmpty,
       s"$root is a flat IVF index (no PQ layer); use append")
     tag.foreach { t =>
+      // entry fast-path; the authoritative re-check is in casAppend
       val committed = head.kvMap.get("tag").map(_.toLong)
       if (committed.exists(_ >= t)) return v0
     }
@@ -350,30 +375,9 @@ object IvfIndexStore {
     writeCells(assigned, buckets, s"$root/data/$dirName/cells",
       head.kvMap.get("rg").map(_.toInt).getOrElse(0))
     writeCodes(codes, buckets, s"$root/data/$dirName/codes")
-    var attempt = 0
-    while (true) {
-      val (v, latest) = ArtifactLog.latest(root, Kind)
-      require(latest.kvMap.filterNot(_._1 == "tag") ==
-          head.kvMap.filterNot(_._1 == "tag") &&
-        latest.dirsOf("C") == head.dirsOf("C") &&
-        latest.dirsOf("B") == head.dirsOf("B"),
-        "concurrent commit replaced the index structure (compact/save " +
-          "raced this append); re-run against the new index")
-      val rec = Rec(
-        if (tag.isDefined)
-          latest.kv.filterNot(_._1 == "tag") ++
-            tag.map(t => "tag" -> t.toString)
-        else latest.kv,
-        latest.dirs :+ ("D" -> s"$dirName/cells") :+
-          ("Q" -> s"$dirName/codes"))
-      try return ArtifactLog.commit(root, Kind, v, rec, store)
-      catch {
-        case e: TxLog.CommitConflict =>
-          if (attempt >= maxRetries) throw e
-          attempt += 1
-      }
-    }
-    throw new IllegalStateException("unreachable")
+    casAppend(root, head,
+      Seq("D" -> s"$dirName/cells", "Q" -> s"$dirName/codes"),
+      tag, store, maxRetries)
   }
 
   /** IVFADC probe (Jégou et al. §V): coarse-probe the `nprobe`
@@ -549,13 +553,14 @@ object IvfIndexStore {
       r.kvMap("p").toInt, s"$root/data/$dirName/cells",
       r.kvMap.get("rg").map(_.toInt).getOrElse(0))
     // a PQ record's code shards fold alongside the cells shards
+    // (through writeCodes, so the compacted layout can never diverge
+    // from the appended one)
     val qDir =
       if (r.dirsOf("Q").isEmpty) Nil
       else {
-        readCellDirs(spark, root, r.dirsOf("Q"))
-          .select(col("vec_id"), col("code"), col("cell"), col("pb"))
-          .repartition(col("pb"))
-          .write.partitionBy("pb").parquet(s"$root/data/$dirName/codes")
+        writeCodes(readCellDirs(spark, root, r.dirsOf("Q"))
+            .select(col("vec_id"), col("code"), col("cell")),
+          r.kvMap("p").toInt, s"$root/data/$dirName/codes")
         Seq("Q" -> s"$dirName/codes")
       }
     ArtifactLog.commit(root, Kind, v,
@@ -614,8 +619,15 @@ object IvfIndexStore {
     val corpus = readCellDirs(spark, root, head.dirsOf("D"))
       .select(col("vec_id"), col("v"), col("n2")).cache()
     try {
+      // the n/64 target-cell rule, CAPPED at the k ≤ 65 536 budget
+      // ivfCentroids' collect/re-broadcast cycle and the broadcast-
+      // hinted centroid frame are built on (≈34 MB at 64 dims; an
+      // uncapped 10⁹-vector retrain would try to collect ~1.6e7
+      // centroid rows to the driver) — past the cap, cells grow past
+      // 64 vectors and the probe pays in cell size, not memory, the
+      // same trade defaultBuckets makes on dir count
       val kNew = k.getOrElse(
-        math.max(32L, corpus.count() / 64L).toInt)
+        math.min(65536L, math.max(32L, corpus.count() / 64L)).toInt)
       val seeds =
         if (reseed) Some(corpus.orderBy(xxhash64(col("vec_id")))
           .limit(kNew).select("vec_id", "v", "n2"))
@@ -643,9 +655,19 @@ object IvfIndexStore {
             val m = head.kvMap("m").toInt
             val subDim = head.kvMap("sd").toInt
             val ksub = head.kvMap("ks").toInt
+            // the books need their OWN ksub-sized hash sample: a
+            // subset of the kNew coarse seeds silently shrinks the
+            // codebooks whenever kNew < ksub (k is n/64 but ksub is
+            // a fixed quantization budget — at small corpora kNew
+            // can be far below it). Same ordering, so when
+            // kNew ≥ ksub this is exactly the old first-ksub subset.
+            val bookSeeds =
+              if (seeds.isDefined)
+                Some(corpus.orderBy(xxhash64(col("vec_id")))
+                  .limit(ksub).select("vec_id", "v", "n2"))
+              else None
             val books = SimilarityOps.pqCodebooks(
-              corpus, m, subDim, ksub, iters,
-              seeds.map(_.limit(ksub))).cache()
+              corpus, m, subDim, ksub, iters, bookSeeds).cache()
             try {
               books.write.parquet(s"$root/data/$dirName/books")
               writeCodes(
@@ -675,7 +697,14 @@ object IvfIndexStore {
     * (bounded by P, never by |queries|) and pushed as a partition
     * filter, so a point-lookup ingest reads O(touched buckets), not
     * O(corpus) (IvfIndexSpec pins the partition-filter shape;
-    * graft.IvfProbe measures it). */
+    * graft.IvfProbe measures it).
+    *
+    * Cache scope (also [[adcShortlist]]): the probe frame is cached
+    * through [[SimilarityOps]]' per-thread scoped registry — a
+    * long-lived caller must call `SimilarityOps.releaseCaches()`
+    * after materializing each call's result, or the cached probe
+    * frames accumulate for the thread's lifetime (Bench/Verify do
+    * this between queries; graft.PqProbe after every call). */
   def shortlist(index: IvfIndex, queries: DataFrame, nprobe: Int,
       topK: Int): DataFrame = {
     val qp = SimilarityOps.scopedCache(

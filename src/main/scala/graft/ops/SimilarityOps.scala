@@ -735,10 +735,12 @@ object SimilarityOps {
     val p = java.nio.file.Paths.get(
       System.getProperty("java.io.tmpdir"),
       s"graft_ivf_${tag}_t${Thread.currentThread().getId}")
-    if (java.nio.file.Files.exists(p))
-      java.nio.file.Files.walk(p)
-        .sorted(java.util.Comparator.reverseOrder())
+    if (java.nio.file.Files.exists(p)) {
+      val s = java.nio.file.Files.walk(p)
+      try s.sorted(java.util.Comparator.reverseOrder())
         .forEach(f => java.nio.file.Files.deleteIfExists(f))
+      finally s.close() // walk holds directory fds until closed
+    }
     p.toString
   }
 

@@ -224,6 +224,57 @@ class IvfPqIndexSpec extends SparkTestBase {
     SimilarityOps.releaseCaches()
   }
 
+  test("a same-tag commit race is caught INSIDE the rebase loop: " +
+      "the loser returns the winner's version instead of " +
+      "double-appending the batch's shard") {
+    val root = freshRoot("tagrace")
+    IvfIndexStore.savePq(root, corpus, 32, M, Ksub)
+    val shardA = inc.filter(col("vec_id") % 10 === 0)
+    val shardB = inc.filter(col("vec_id") % 10 =!= 0)
+    // zombie-driver shape: both writers replay STREAM BATCH 7; the
+    // interleaved one commits between the outer's entry check and
+    // its CAS, so the outer's rebase must see tag=7 and yield
+    val fired = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val racing = new graft.catalog.CommitStore {
+      def putIfAbsent(target: java.nio.file.Path,
+          content: String): Boolean = {
+        if (fired.compareAndSet(false, true))
+          IvfIndexStore.appendPq(spark, root, shardB, tag = Some(7L))
+        graft.catalog.LinkCommitStore.putIfAbsent(target, content)
+      }
+    }
+    val v = IvfIndexStore.appendPq(spark, root, shardA, racing,
+      tag = Some(7L))
+    assert(v == 2L, s"loser must return the winner's version, got $v")
+    assert(IvfIndexStore.latestVersion(root) == 2L,
+      "the same tag must commit exactly once")
+    // only the winner's shard landed; the loser's batch is NOT
+    // duplicated (its vectors arrive when the stream re-runs the
+    // NEXT batch — exactly the crash-replay contract)
+    val idx = IvfIndexStore.loadPq(spark, root)
+    assert(idx.codes.count() == corpus.count() + shardB.count())
+    SimilarityOps.releaseCaches()
+  }
+
+  test("retrain keeps the ksub codebook budget when the re-sized " +
+      "coarse k falls below it (books get their own hash sample)") {
+    val root = freshRoot("ksmall")
+    IvfIndexStore.savePq(root, corpus, 32, M, Ksub)
+    IvfIndexStore.appendPq(spark, root, inc)
+    // force kNew=8 < ksub=16: the books must still train from a
+    // 16-seed sample, not a truncated 8-seed one
+    val v3 = IvfIndexStore.retrain(spark, root, k = Some(8))
+    val idx = IvfIndexStore.loadPqAt(spark, root, v3)
+    val bookSeeds = emb.orderBy(xxhash64(col("vec_id"))).limit(Ksub)
+      .select("vec_id", "v", "n2")
+    val memBooks = SimilarityOps.pqCodebooks(emb, M, SubDim, Ksub, 1,
+      Some(bookSeeds))
+    assert(bookRows(idx.books) == bookRows(memBooks))
+    // and the budget is visibly wider than the coarse k
+    assert(idx.books.select("sub", "cid").distinct().count() >
+      8L * M / 2, "books collapsed toward the coarse k")
+  }
+
   test("retrain on a PQ head retrains the codebooks from the same " +
       "hash-sampled seeds and re-encodes — the layer survives, " +
       "params and replay tag intact") {
