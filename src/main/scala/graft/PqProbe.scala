@@ -97,8 +97,8 @@ object PqProbe {
 
     println("| factor | corpus | k | P | build_s | cells_MB | " +
       "codes_MB | append_s/MB | adcscan10 s/MB | flatscan10 s/MB | " +
-      "adcR10 s/MB | adcR10_rg64k s/MB |")
-    println("|---|---|---|---|---|---|---|---|---|---|---|---|")
+      "adcR10 s/MB | adcR10_rg64k s/MB | recall@3 |")
+    println("|---|---|---|---|---|---|---|---|---|---|---|---|---|")
 
     factors.foreach { f =>
       // disjoint-CONTENT replicas (each shifted by a per-replica
@@ -170,10 +170,33 @@ object PqProbe {
         IvfIndexStore.shortlist(idx.flat, q10, nprobe = 4,
           topK = 3).count())
       SimilarityOps.releaseCaches()
-      val (nAdc, adcS, adcMB) = measure(
+      val (adcRows, adcS, adcMB) = measure(
         IvfIndexStore.adcShortlist(idx, q10, nprobe = 4,
-          shortlistL = 10, topK = 3).count())
+          shortlistL = 10, topK = 3)
+          .select("qid", "nid").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet)
+      val nAdc = adcRows.size
       SimilarityOps.releaseCaches()
+      // answer quality: recall@3 of the IVFADC+R probe against the
+      // exact integer-L2 top-3 over the whole corpus (same metric +
+      // tie order, so the gap is purely coarse-probe + shortlist
+      // truncation, never arithmetic)
+      val exact = {
+        val qv = broadcast(q10.select(col("vec_id").as("qid"),
+          col("v").as("qv"), col("n2").as("qn2")))
+        val d = qv.join(emb, col("vec_id") =!= col("qid"))
+          .withColumn("dp", graft.functions.GraftFunctions
+            .dot_long(col("qv"), col("v")))
+          .select(col("qid"), col("vec_id").as("nid"),
+            (col("qn2") + col("n2") - lit(2L) * col("dp")).as("d2"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("qid")).orderBy(col("d2"), col("nid"))
+        d.withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 3)
+          .select("qid", "nid").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+      }
+      val recall = adcRows.intersect(exact).size.toDouble / exact.size
       require(nAdc == 30 && nFlat == 30 && nScan > 0,
         s"probe cardinality drift: adc=$nAdc flat=$nFlat scan=$nScan")
       // rg A/B: the same index written with 64 KB row groups — the
@@ -192,7 +215,7 @@ object PqProbe {
         f"$cellsMB%.1f | $codesMB%.1f | " +
         f"$appendS%.1f/$appendMB%.2f | $scanS%.1f/$scanMB%.2f | " +
         f"$flatS%.1f/$flatMB%.2f | $adcS%.1f/$adcMB%.2f | " +
-        f"$rgS%.1f/$rgMB%.2f |")
+        f"$rgS%.1f/$rgMB%.2f | $recall%.2f |")
       spark.catalog.clearCache()
     }
     spark.stop()
