@@ -7,6 +7,52 @@ import org.apache.spark.sql.SparkSession
   * count(), and prints one JSON line with per-query seconds.
   */
 object Bench {
+
+  /** Canary protocol, in-harness (r13) — the codified form of the
+    * drift forensics BASELINE.md rounds 10-12 narrated by hand: the
+    * shared build host enters multi-hour slow windows where EVERY
+    * query inflates 1.3-2× with unchanged code, and a stamp taken
+    * inside one poisons round-over-round comparison. Four pinned
+    * trivial queries (none touched since r9; sub-second; spanning
+    * scan/window, set-op, text-agg, and the TPC-H headline) run
+    * before and after the suite; their medians divide by the
+    * committed clean-stamp records below and the suite stamp carries
+    * the ratio — or is QUARANTINED (written as
+    * `.contaminated.json`) when the window factor exceeds
+    * [[canaryThreshold]] and a clean stamp for the round already
+    * exists. Records are from the r12 builder clean stamp
+    * (git 07ae2f2:BENCH_FULL_r12.json, 3-pass medians at sf0.1,
+    * canary-verified quiet window); they move only when a clean
+    * re-stamp moves them. */
+  val canaryRecords: Seq[(String, Double)] = Seq(
+    "o4_pagination" -> 0.171,
+    "u3_except" -> 0.323,
+    "t_shard_manifest" -> 0.290,
+    "q1_pricing_summary" -> 0.410)
+
+  val canaryThreshold = 1.25
+
+  /** Median of per-query measured/record ratios; 0.0 when nothing
+    * measured (canary disabled or no query resolved). */
+  def canaryRatio(medians: Map[String, Double]): Double = {
+    val rs = canaryRecords
+      .flatMap { case (n, rec) => medians.get(n).map(_ / rec) }
+      .sorted
+    if (rs.isEmpty) 0.0 else rs(rs.length / 2)
+  }
+
+  /** Where the full per-query record lands. A measured slow window
+    * (ratio > threshold) REFUSES to replace an existing stamp unless
+    * forced — the contaminated map goes to a quarantine name the
+    * continuity tooling never reads. A first stamp of the round
+    * writes regardless (a self-describing contaminated stamp beats
+    * no stamp; the ratio rides the JSON), as does an unmeasured run
+    * (ratio 0.0 — no evidence to refuse on). */
+  def stampTarget(fullName: String, ratio: Double, forced: Boolean,
+      cleanStampExists: Boolean): String =
+    if (ratio <= canaryThreshold || forced || !cleanStampExists) fullName
+    else fullName.stripSuffix(".json") + ".contaminated.json"
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -63,6 +109,39 @@ object Bench {
       release()
     }
 
+    // Canary legs: 3 runs of each pinned query, per-query median vs
+    // record. Only meaningful against the records' scale factor
+    // (sf0.1) and skippable for local iteration via
+    // SPARK_GRAFT_CANARY=0.
+    val canaryOn = sfDir.contains("sf0.1") &&
+      !sys.env.get("SPARK_GRAFT_CANARY").contains("0")
+    def canaryLeg(): Double =
+      if (!canaryOn) 0.0
+      else {
+        val runs = (1 to 3).map { _ =>
+          canaryRecords.map(_._1).flatMap { n =>
+            Registry.byName.get(n).map { q =>
+              val t0 = System.nanoTime()
+              try force(q.run(spark, sfDir))
+              catch { case _: Throwable => () }
+              val dt = (System.nanoTime() - t0) / 1e9
+              release()
+              n -> dt
+            }
+          }.toMap
+        }
+        val medians = canaryRecords.map(_._1).flatMap { n =>
+          val ts = runs.flatMap(_.get(n)).sorted
+          if (ts.isEmpty) None else Some(n -> ts(ts.length / 2))
+        }.toMap
+        canaryRatio(medians)
+      }
+
+    val canaryPre = canaryLeg()
+    if (canaryOn) println(f"CANARY pre=$canaryPre%.2f " +
+      f"(threshold $canaryThreshold; >1 means the host is inflating " +
+      "pinned trivial queries vs the committed clean records)")
+
     // Three full passes over the suite, per-query MEDIAN across
     // passes. The round-2 driver run regressed byte-identical queries
     // 10-25x in one positionally-contiguous stretch — transient host
@@ -90,12 +169,22 @@ object Bench {
       val ts = samples.map(_.find(_._1 == name).map(_._2).getOrElse(0.0)).sorted
       name -> ts(ts.length / 2)
     }
+
+    val canaryPost = canaryLeg()
+    if (canaryOn) println(f"CANARY post=$canaryPost%.2f")
+    // the window factor for the WHOLE run is the worse leg — a window
+    // opening mid-suite shows in post, one closing mid-suite in pre
+    val canary = math.max(canaryPre, canaryPost)
+    val canaryJson =
+      if (!canaryOn) ""
+      else f""","canary_ratio":$canary%.2f,"canary_pre":$canaryPre%.2f,"canary_post":$canaryPost%.2f"""
+
     val qs = results
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$canaryJson,"sf":"$sfDir"}"""
     // The driver records only the last ~2000 chars of stdout, so the
     // full 186-query line (4.6 KB in r8) arrives truncated and
     // unparseable. Emit (a) the complete map chunked into short
@@ -136,7 +225,7 @@ object Bench {
       val top = results.sortBy(-_._2).take(topN)
         .map { case (k, v) => "\"" + k + "\":" + f"$v%.2f" }
         .mkString("{", ",", "}")
-      f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":$top,"n_queries":${results.length},"full":"$fullName","sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":$top,"n_queries":${results.length}$canaryJson,"full":"$fullName","sf":"$sfDir"}"""
     }
     // shrink until the final line fits comfortably inside the tail
     val finalLine = Iterator.from(0).map(i => compactLine(48 - 8 * i))
@@ -146,7 +235,17 @@ object Bench {
     if (only.isEmpty) {
       java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LOCAL.json"),
         (line + "\n").getBytes("UTF-8"))
-      java.nio.file.Files.write(java.nio.file.Paths.get(fullName),
+      // slow-window stamps QUARANTINE rather than replacing a clean
+      // one (see stampTarget) — ends the re-stamp forensics cycle
+      val target = stampTarget(fullName, canary,
+        forced = sys.env.get("SPARK_GRAFT_FORCE_STAMP").contains("1"),
+        cleanStampExists =
+          java.nio.file.Files.exists(java.nio.file.Paths.get(fullName)))
+      if (target != fullName)
+        println(f"CANARY ratio $canary%.2f > $canaryThreshold: " +
+          s"refusing to replace $fullName; writing $target " +
+          "(SPARK_GRAFT_FORCE_STAMP=1 overrides)")
+      java.nio.file.Files.write(java.nio.file.Paths.get(target),
         (line + "\n").getBytes("UTF-8"))
     }
     println(finalLine)

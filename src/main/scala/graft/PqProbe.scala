@@ -199,6 +199,17 @@ object PqProbe {
       val recall = adcRows.intersect(exact).size.toDouble / exact.size
       require(nAdc == 30 && nFlat == 30 && nScan > 0,
         s"probe cardinality drift: adc=$nAdc flat=$nFlat scan=$nScan")
+      // recall GATE, not just a report (ADVICE r12): cardinality
+      // alone passes a probe returning 30 WRONG neighbors. The floor
+      // binds where the committed record is 1.00 (10×/100×); the 1×
+      // geometry legitimately dips (~0.70 — non-residual PQ over
+      // wide cells, see IvfIndexStore.adcShortlist's scaladoc) so it
+      // gets a looser floor that still catches a broken shortlist
+      // (a random 10-of-64-per-cell shortlist lands near 0.15).
+      val floor = if (f >= 10) 0.9 else 0.5
+      require(recall >= floor,
+        f"IVFADC recall@3 regression at ${f}x: $recall%.2f < $floor " +
+          "(committed records: 0.70 at 1x, 1.00 at 10x/100x)")
       // rg A/B: the same index written with 64 KB row groups — the
       // re-rank's In(vec_id) pushdown gets row-group stats to skip
       // against instead of one whole-file group per bucket

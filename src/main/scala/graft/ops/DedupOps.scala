@@ -1099,6 +1099,49 @@ object DedupOps {
     },
     clusters.oracle)
 
+  /** Takedown delete through the persisted labeled index — the
+    * INVERSE of [[clusterIndexIncremental]]'s merge path: corpus
+    * saved with labels, shard ingested (exercising merges and the
+    * forwarding map), then every doc_id ≡ 0 (mod 7) is
+    * [[MinhashIndexStore.delete]]d — an O(touched clusters) tombstone
+    * commit that re-runs CC only on the deleted docs' cluster
+    * survivors (a deleted BRIDGE doc splits its component; no
+    * forwarding entry can express a split). Output is every surviving
+    * doc's resolved label, gated against the from-scratch
+    * recursive-CC oracle over `documents` MINUS the deleted rows:
+    * a missed split, a stale forwarding hop surviving the delete, a
+    * tombstone leaking into the label read, or a survivor dropped by
+    * the anti-join all hash-fail. The mod-7 set intersects corpus and
+    * shard, deletes cluster minima (forcing re-minted cluster ids)
+    * and ordinary members, and crosses the mod-5 ingest split. */
+  val dedupIndexDelete = QueryDef(
+    "d_dedup_index_delete",
+    "LLM-pipeline dedup: takedown delete via the persisted index",
+    "save labels → ingest → delete doc_id%7=0 → resolved ≡ CC w/o deleted",
+    (s, dir) => {
+      val docs = shingleFrame(s, dir)
+      val corpus = docs.filter(col("doc_id") % 5 =!= 0)
+      val shard = docs.filter(col("doc_id") % 5 === 0)
+      val corpusLabels = ConnectedComponents.labels(
+        corpus.select("doc_id"),
+        lshVerifiedPairs(corpus)
+          .select(col("d1").as("u"), col("d2").as("v")))
+      val root = SimilarityOps.scratchRoot("dedup_delete")
+      MinhashIndexStore.save(root, corpus, Some(corpusLabels))
+      MinhashIndexStore.ingestLabeled(s, root, shard)
+      MinhashIndexStore.delete(s, root,
+        docs.filter(col("doc_id") % 7 === 0).select("doc_id"))
+      MinhashIndexStore
+        .resolvedLabels(MinhashIndexStore.load(s, root))
+        .orderBy("doc_id")
+    },
+    clusters.oracle.map(_
+      .replace("FROM documents)",
+        "FROM documents WHERE doc_id % 7 <> 0)")
+      .replace("FROM documents d LEFT JOIN",
+        "FROM (SELECT doc_id FROM documents WHERE doc_id % 7 <> 0) " +
+          "d LEFT JOIN")))
+
   /** Cluster-size histogram — the standard dedup diagnostic read
     * before choosing keeper policy (how much of the corpus sits in
     * big near-dup families vs singletons?). Rides the SAME memoized
@@ -1838,7 +1881,8 @@ object DedupOps {
       ORDER BY d.source"""))
 
   val defs: Seq[QueryDef] = Seq(exact, minhash, incrementalDedup,
-    dedupIndexLifecycle, clusterIndexIncremental, simhash,
+    dedupIndexLifecycle, clusterIndexIncremental, dedupIndexDelete,
+    simhash,
     ngram, clusters,
     lineDedup, clusterKeeper, decontaminate, lshRecall, lshRecallSampled,
     streamDedup, substringDedup, substringCut, substringDedupHashed,

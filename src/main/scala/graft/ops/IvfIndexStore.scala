@@ -95,6 +95,21 @@ object IvfIndexStore {
     Rec(Seq("k" -> k.toString, "p" -> buckets.toString),
       ("C" -> centroidDir) +: cellDirs.map("D" -> _))
 
+  /** Tombstone dirs are tiny unpartitioned (vec_id) tables — read
+    * whole, broadcast, anti-joined. None → no filter in any plan. */
+  private def readTombs(spark: SparkSession, root: String,
+      dirs: Seq[String]): Option[DataFrame] =
+    if (dirs.isEmpty) None
+    else Some(dirs.sorted
+      .map(d => spark.read.parquet(s"$root/data/$d"))
+      .reduce(_ unionByName _))
+
+  private def dropTombs(df: DataFrame, tombs: Option[DataFrame])
+      : DataFrame = tombs match {
+    case Some(t) => df.join(broadcast(t), Seq("vec_id"), "left_anti")
+    case None => df
+  }
+
   /** Shard dirs are each a partitioned (pb=N) table root; Spark's
     * partition discovery refuses a multi-root scan without a common
     * basePath, so each dir reads under its own basePath and the
@@ -179,13 +194,19 @@ object IvfIndexStore {
   }
 
   /** Time travel: the index as of `version` — every record is a full
-    * manifest, so any retained version reads directly. */
+    * manifest, so any retained version reads directly. Tombstoned
+    * vectors ([[delete]]) are filtered here, at the load seam, so
+    * EVERY downstream read — shortlist, ADC, cellStats/drift, retrain
+    * corpus — sees the post-delete index without per-path handling
+    * (a broadcast anti-join against the tiny tombstone set; zero plan
+    * change when no deletes are committed). */
   def loadAt(spark: SparkSession, root: String, version: Long): IvfIndex = {
     val r = ArtifactLog.recordAt(root, Kind, version)
     val cents = broadcast(
       spark.read.parquet(s"$root/data/${r.dirsOf("C").head}"))
+    val tombs = readTombs(spark, root, r.dirsOf("T"))
     IvfIndex(version, r.kvMap("k").toInt, r.kvMap("p").toInt, cents,
-      readCellDirs(spark, root, r.dirsOf("D")))
+      dropTombs(readCellDirs(spark, root, r.dirsOf("D")), tombs))
   }
 
   /** Train and commit an IVF-PQ index: the flat layer ([[save]]'s
@@ -262,7 +283,8 @@ object IvfIndexStore {
       spark.read.parquet(s"$root/data/${r.dirsOf("B").head}"))
     IvfPqIndex(loadAt(spark, root, version),
       r.kvMap("m").toInt, r.kvMap("sd").toInt, books,
-      readCellDirs(spark, root, r.dirsOf("Q")))
+      dropTombs(readCellDirs(spark, root, r.dirsOf("Q")),
+        readTombs(spark, root, r.dirsOf("T"))))
   }
 
   /** The shared stage→CAS→rebase tail of [[append]]/[[appendPq]]:
@@ -332,8 +354,10 @@ object IvfIndexStore {
       val committed = head.kvMap.get("tag").map(_.toLong)
       if (committed.exists(_ >= t)) return v0
     }
+    val d = incDim(inc).getOrElse(return v0) // empty: nothing to stage
     val cents = broadcast(
       spark.read.parquet(s"$root/data/${head.dirsOf("C").head}"))
+    requireDim(d, cents.select(size(col("cv"))).head().getInt(0))
     val assigned = SimilarityOps.ivfCells(inc, cents)
     val dirName = UUID.randomUUID().toString
     writeCells(assigned, head.kvMap("p").toInt,
@@ -342,6 +366,26 @@ object IvfIndexStore {
     casAppend(root, head, Seq("D" -> s"$dirName/cells"), tag, store,
       maxRetries)
   }
+
+  /** The increment's vector dimension, or None when it is empty. One
+    * limit(1) job. Callers (a) no-op on None — a zero-row partitionBy
+    * write emits no schema-bearing file, so staging an empty shard
+    * would brick every later read of the dir — and (b) fail a
+    * schema-drifted shard BEFORE it stages: `DotLong.compute`
+    * truncates to min(len), so a wrong-dimension increment would
+    * otherwise commit silently-corrupt cells (and PQ codes) — the
+    * dimension check [[savePq]] makes at train time, made on every
+    * ingest. */
+  private def incDim(inc: DataFrame): Option[Int] =
+    inc.select(size(col("v"))).limit(1).collect().headOption
+      .map(_.getInt(0))
+
+  private def requireDim(d: Int, indexDim: Int): Unit =
+    require(d == indexDim,
+      s"increment vector dim $d != index dim $indexDim: this " +
+        "shard came from a different embedding schema; appending " +
+        "it would corrupt the index (dot products truncate to " +
+        "the shorter vector) — re-embed or re-train")
 
   /** [[append]] for an IVF-PQ index: assign the increment on the
     * frozen persisted centroids AND encode it on the frozen persisted
@@ -361,12 +405,14 @@ object IvfIndexStore {
       val committed = head.kvMap.get("tag").map(_.toLong)
       if (committed.exists(_ >= t)) return v0
     }
+    val d = incDim(inc).getOrElse(return v0) // empty: nothing to stage
     val cents = broadcast(
       spark.read.parquet(s"$root/data/${head.dirsOf("C").head}"))
     val books = broadcast(
       spark.read.parquet(s"$root/data/${head.dirsOf("B").head}"))
     val m = head.kvMap("m").toInt
     val subDim = head.kvMap("sd").toInt
+    requireDim(d, m * subDim)
     val assigned = SimilarityOps.ivfCells(inc, cents)
     val codes = SimilarityOps.pqEncode(
       assigned, books, m, subDim, carry = Seq("cell"))
@@ -380,14 +426,72 @@ object IvfIndexStore {
       tag, store, maxRetries)
   }
 
-  /** IVFADC probe (Jégou et al. §V): coarse-probe the `nprobe`
-    * nearest cells per query, ADC-score ONLY the probed cells' packed
-    * codes (the scan is partition-pruned to the probed buckets and
-    * reads the m-int code column — never the raw vectors), keep the
-    * top `shortlistL` per query by exact integer ADC, then re-rank
-    * that shortlist with exact integer squared-L2 against the raw
-    * vectors (also bucket-pruned: shortlist members live in probed
-    * cells by construction) and return the top `topK`.
+  /** Tombstone-delete vectors from the index — the takedown path a
+    * 100 TB training-data index needs (the reference's package
+    * deletion cascades to its matchcode index rows the same way:
+    * packagedb/models.py FK on_delete). O(ids), never O(corpus): the
+    * id set stages as a tiny `T` dir and CAS-appends exactly like a
+    * shard — the inverted lists and code tables are never read or
+    * rewritten. Deleted ids are filtered at the LOAD seam (every
+    * probe, drift read, and retrain sees the post-delete index) and
+    * physically folded out at [[compact]], which also drops the `T`
+    * lines. Works identically on flat and PQ indexes (the filter
+    * applies to cells and codes alike).
+    *
+    * Concurrency mirrors [[append]]: rebase-on-conflict (the staged
+    * tombstone dir stays valid under any interleaved append — its
+    * filter applies to the union of all shards), and a racing
+    * compact folds CONCURRENT tombstones correctly because the T
+    * line lands after the fold and still filters the folded dirs. A
+    * racing retrain replaces the index structure, so the rebase
+    * check throws and the delete re-runs against the new version —
+    * the retrain trained ON the to-be-deleted vectors, which is
+    * exactly the state the caller must decide about. Replay-tag
+    * semantics identical to [[append]] for streaming takedown feeds.
+    *
+    * Time travel is the flip side: a pre-delete version still reads
+    * complete until [[vacuum]] prunes it — a takedown that must also
+    * erase HISTORY is vacuum-with-keep=1 after the delete commit. */
+  def delete(spark: SparkSession, root: String, ids: DataFrame,
+      store: CommitStore = LinkCommitStore, maxRetries: Int = 10,
+      tag: Option[Long] = None): Long = {
+    val (v0, head) = ArtifactLog.latest(root, Kind)
+    tag.foreach { t =>
+      // entry fast-path; the authoritative re-check is in casAppend
+      val committed = head.kvMap.get("tag").map(_.toLong)
+      if (committed.exists(_ >= t)) return v0
+    }
+    val dirName = UUID.randomUUID().toString
+    ids.select(col("vec_id")).distinct()
+      .write.parquet(s"$root/data/$dirName/tombs")
+    casAppend(root, head, Seq("T" -> s"$dirName/tombs"), tag, store,
+      maxRetries)
+  }
+
+  /** IVFADC probe (the shape of Jégou et al. §V, with one stated
+    * deviation): coarse-probe the `nprobe` nearest cells per query,
+    * ADC-score ONLY the probed cells' packed codes (the scan is
+    * partition-pruned to the probed buckets and reads the m-int code
+    * column — never the raw vectors), keep the top `shortlistL` per
+    * query by exact integer ADC, then re-rank that shortlist with
+    * exact integer squared-L2 against the raw vectors (also
+    * bucket-pruned: shortlist members live in probed cells by
+    * construction) and return the top `topK`.
+    *
+    * NON-RESIDUAL PQ (FAISS `by_residual=false`): vectors PQ-encode
+    * RAW, not as residuals to their assigned coarse centroid as in
+    * the paper's IVFADC. Residual encoding buys shortlist recall when
+    * coarse cells are wide (at the 1× probe geometry, where mean cell
+    * ≈ 64 vectors over 4 subspaces, graft.PqProbe measures the cost:
+    * recall@3 = 0.70; at 10×/100×, where cells are tighter relative
+    * to the PQ grid, 1.00 — the nprobe×recall operating grid in
+    * BASELINE.md maps the tradeoff). It is skipped deliberately:
+    * residuals make the encode input a JOIN of vector × assigned
+    * centroid (raw encoding streams the vector frame alone), and —
+    * decisive here — the exact integer arithmetic would need the
+    * residual subtraction replayed inside the DuckDB oracle's already
+    * 100-line training CTE. The exact re-rank bounds the damage to
+    * shortlist membership, never final distances.
     *
     * 100 TB shape: the per-query lookup tables are a broadcast
     * (m × ksub bigints per query), scoring is one codegen'd
@@ -544,7 +648,12 @@ object IvfIndexStore {
   def compact(spark: SparkSession, root: String,
       store: CommitStore = LinkCommitStore): Long = {
     val (v, r) = ArtifactLog.latest(root, Kind)
-    val cells = readCellDirs(spark, root, r.dirsOf("D"))
+    val tombs = readTombs(spark, root, r.dirsOf("T"))
+    // tombstones fold PHYSICALLY here: the compacted lists exclude
+    // deleted rows and the record drops its T lines — compact is the
+    // point where a takedown stops costing a probe-time anti-join
+    val cells = dropTombs(readCellDirs(spark, root, r.dirsOf("D")),
+      tombs)
     val dirName = UUID.randomUUID().toString
     // re-bucket on write: one file per bucket in the compacted (the
     // long-lived) form, preserving the record's rg layout policy
@@ -558,13 +667,15 @@ object IvfIndexStore {
     val qDir =
       if (r.dirsOf("Q").isEmpty) Nil
       else {
-        writeCodes(readCellDirs(spark, root, r.dirsOf("Q"))
+        writeCodes(
+          dropTombs(readCellDirs(spark, root, r.dirsOf("Q")), tombs)
             .select(col("vec_id"), col("code"), col("cell")),
           r.kvMap("p").toInt, s"$root/data/$dirName/codes")
         Seq("Q" -> s"$dirName/codes")
       }
     ArtifactLog.commit(root, Kind, v,
-      Rec(r.kv, r.dirs.filterNot(d => d._1 == "D" || d._1 == "Q") :+
+      Rec(r.kv,
+        r.dirs.filterNot(d => Set("D", "Q", "T")(d._1)) :+
         ("D" -> s"$dirName/cells") :++ qDir), store)
   }
 
@@ -615,8 +726,13 @@ object IvfIndexStore {
       reseed: Boolean = true): Long = {
     val (v, head) = ArtifactLog.latest(root, Kind)
     // the corpus feeds count + train + assignment — cache for the
-    // call's scope, like save()
-    val corpus = readCellDirs(spark, root, head.dirsOf("D"))
+    // call's scope, like save(). Tombstoned vectors are excluded
+    // (retraining ON deleted vectors would resurrect their influence
+    // as centroid mass); the fresh record carries no T lines — the
+    // retrain IS the physical fold for its generation.
+    val corpus = dropTombs(
+        readCellDirs(spark, root, head.dirsOf("D")),
+        readTombs(spark, root, head.dirsOf("T")))
       .select(col("vec_id"), col("v"), col("n2")).cache()
     try {
       // the n/64 target-cell rule, CAPPED at the k ≤ 65 536 budget

@@ -137,16 +137,20 @@ object MinhashIndexStore {
       writeShard(c, p, q, s"$root/data/$dirName",
         partitioned = n > 0)
       val labDirs = labels.toSeq.flatMap { lab =>
-        writeLabels(lab.select(col("doc_id"),
-          col("cluster_id").as("cid0")), q,
+        val lab0 = lab.select(col("doc_id"),
+          col("cluster_id").as("cid0"))
+        writeLabels(lab0, q, gen = 1L,
           s"$root/data/$dirName/labels", partitioned = n > 0)
+        writeMembers(lab0, q, gen = 1L,
+          s"$root/data/$dirName/members", partitioned = n > 0)
         // own top-level uuid: the F line is replaced on every labeled
         // ingest, and a replaced dir must become vacuum-sweepable
         val fwdDirName = UUID.randomUUID().toString
         lab.limit(0).select(col("doc_id").as("cid_from"),
             col("doc_id").as("cid_to"))
           .write.parquet(s"$root/data/$fwdDirName/forward")
-        Seq("L" -> s"$dirName/labels", "F" -> s"$fwdDirName/forward")
+        Seq("L" -> s"$dirName/labels", "M" -> s"$dirName/members",
+          "F" -> s"$fwdDirName/forward")
       }
       val rec = Rec(
         mkRec(p, q, Nil).kv ++
@@ -158,12 +162,38 @@ object MinhashIndexStore {
     } finally c.unpersist(false)
   }
 
-  private def writeLabels(lab0: DataFrame, q: Int, dir: String,
-      partitioned: Boolean = true): Unit = {
+  /** Label rows persist with a `gen` column (the commit version that
+    * wrote them): ingests write each doc's label once, but a DELETE
+    * that splits a cluster re-labels the touched survivors with fresh
+    * higher-gen rows — the newest row per doc is the truth, resolved
+    * at load ([[loadAt]]'s max_by, active only while tombstones are
+    * outstanding). */
+  private def writeLabels(lab0: DataFrame, q: Int, gen: Long,
+      dir: String, partitioned: Boolean = true): Unit = {
     val rows = lab0.select(col("doc_id"), col("cid0"),
+      lit(gen).as("gen"),
       pmod(col("doc_id"), lit(q.toLong)).cast("int").as("qb"))
     if (partitioned) rows.repartition(col("qb"))
       .write.partitionBy("qb").parquet(dir)
+    else rows.write.parquet(dir)
+  }
+
+  /** The cluster-bucketed MEMBERS mirror of the label rows
+    * (`mb = cid0 % q`): labels answer "what cluster is this doc in"
+    * pruned by doc bucket; a takedown needs the INVERSE — "which docs
+    * are in this cluster" — and without this mirror that lookup is a
+    * corpus-label scan per delete. Stale rows (a doc later re-labeled
+    * by a split) stay in their old cluster's bucket; [[delete]]
+    * treats the mirror as a candidate SUPERSET and re-checks every
+    * candidate's newest label, so staleness costs a few extra probe
+    * rows, never correctness. */
+  private def writeMembers(lab0: DataFrame, q: Int, gen: Long,
+      dir: String, partitioned: Boolean = true): Unit = {
+    val rows = lab0.select(col("doc_id"), col("cid0"),
+      lit(gen).as("gen"),
+      pmod(col("cid0"), lit(q.toLong)).cast("int").as("mb"))
+    if (partitioned) rows.repartition(col("mb"))
+      .write.partitionBy("mb").parquet(dir)
     else rows.write.parquet(dir)
   }
 
@@ -181,16 +211,51 @@ object MinhashIndexStore {
     (v, r.kvMap.get("lab").contains("1"))
   }
 
+  /** Tombstone dirs: tiny unpartitioned (doc_id) tables, broadcast,
+    * anti-joined. None → no plan change anywhere. */
+  private def readTombs(spark: SparkSession, root: String,
+      dirs: Seq[String]): Option[DataFrame] =
+    if (dirs.isEmpty) None
+    else Some(dirs.sorted
+      .map(d => spark.read.parquet(s"$root/data/$d"))
+      .reduce(_ unionByName _))
+
+  private def dropTombs(df: DataFrame, tombs: Option[DataFrame])
+      : DataFrame = tombs match {
+    case Some(t) => df.join(broadcast(t), Seq("doc_id"), "left_anti")
+    case None => df
+  }
+
   /** Time travel: the index as of `version` (full-manifest records —
-    * any retained version reads directly). */
+    * any retained version reads directly). Tombstoned docs
+    * ([[delete]]) filter at this seam, so every downstream read —
+    * candidate probes, witness fetches, labels — sees the post-delete
+    * index without per-path handling. While tombstones are
+    * OUTSTANDING (T lines present; [[compact]] folds them away) the
+    * label read also resolves each doc to its newest-gen row: a
+    * delete that split a cluster re-labels the touched survivors with
+    * fresh rows rather than rewriting corpus label files, and the
+    * max_by collapses to one row per doc. Both costs vanish exactly
+    * when no delete is outstanding. */
   def loadAt(spark: SparkSession, root: String, version: Long)
       : MinhashIndex = {
     val r = ArtifactLog.recordAt(root, Kind, version)
     val labeled = r.kvMap.get("lab").contains("1")
+    val tombs = readTombs(spark, root, r.dirsOf("T"))
+    val labels0 =
+      if (!labeled) None
+      else {
+        val raw = dropTombs(readDirs(spark, root, r.dirsOf("L")), tombs)
+        Some(
+          if (tombs.isEmpty) raw.select("doc_id", "cid0", "qb")
+          else raw.groupBy("doc_id", "qb")
+            .agg(max_by(col("cid0"), col("gen")).as("cid0"))
+            .select("doc_id", "cid0", "qb"))
+      }
     MinhashIndex(version, r.kvMap("p").toInt, r.kvMap("q").toInt,
-      readDirs(spark, root, r.dirsOf("B")),
-      readDirs(spark, root, r.dirsOf("S")),
-      if (labeled) Some(readDirs(spark, root, r.dirsOf("L"))) else None,
+      dropTombs(readDirs(spark, root, r.dirsOf("B")), tombs),
+      dropTombs(readDirs(spark, root, r.dirsOf("S")), tombs),
+      labels0,
       if (labeled) Some(spark.read.parquet(
         s"$root/data/${r.dirsOf("F").head}")) else None)
   }
@@ -206,6 +271,9 @@ object MinhashIndexStore {
     require(!head.kvMap.get("lab").contains("1"),
       "labeled index: use ingestLabeled (a bare append would leave " +
         "the shard's docs unlabeled)")
+    // empty shard: NO-OP (same partitionBy-of-zero-rows brick hazard
+    // as ingestLabeled)
+    if (shard.isEmpty) return ArtifactLog.latest(root, Kind)._1
     val (p, q) = (head.kvMap("p").toInt, head.kvMap("q").toInt)
     val dirName = UUID.randomUUID().toString
     writeShard(shard, p, q, s"$root/data/$dirName")
@@ -229,37 +297,45 @@ object MinhashIndexStore {
 
   /** Fold the accreted shard dirs into one family (same content).
     * On a labeled index the label dirs fold too, with each doc's
-    * CURRENT resolved label baked in and the forwarding map reset to
-    * empty — compaction is exactly the union-find path-compression
-    * flush. */
+    * CURRENT resolved label baked in (gen reset to 0) and the
+    * forwarding map reset to empty — compaction is exactly the
+    * union-find path-compression flush. Outstanding tombstones fold
+    * PHYSICALLY: deleted rows are excluded from the folded files and
+    * the T lines are dropped, so a takedown stops costing the
+    * probe-time anti-join here. */
   def compact(spark: SparkSession, root: String,
       store: CommitStore = LinkCommitStore): Long = {
     val (v, r) = ArtifactLog.latest(root, Kind)
     val labeled = r.kvMap.get("lab").contains("1")
+    val tombs = readTombs(spark, root, r.dirsOf("T"))
     val dirName = UUID.randomUUID().toString
     // an EMPTY index (from-scratch stream compacted before its first
-    // batch) must write plain, like save()'s empty path — a
-    // partitionBy of zero rows emits no schema-bearing file and a
-    // committed record pointing at it bricks the root; and the
-    // non-empty path re-buckets to keep one file per bucket (the
-    // whole point of compaction's long-lived form)
-    val empty = readDirs(spark, root, r.dirsOf("B")).isEmpty
-    writeBucketed(readDirs(spark, root, r.dirsOf("B")), "pb",
-      s"$root/data/$dirName/bands", empty)
-    writeBucketed(readDirs(spark, root, r.dirsOf("S")), "qb",
-      s"$root/data/$dirName/shingles", empty)
+    // batch, or a corpus deleted whole) must write plain, like
+    // save()'s empty path — a partitionBy of zero rows emits no
+    // schema-bearing file and a committed record pointing at it
+    // bricks the root; and the non-empty path re-buckets to keep one
+    // file per bucket (the whole point of compaction's long-lived
+    // form)
+    def bands = dropTombs(readDirs(spark, root, r.dirsOf("B")), tombs)
+    val empty = bands.isEmpty
+    writeBucketed(bands, "pb", s"$root/data/$dirName/bands", empty)
+    writeBucketed(dropTombs(readDirs(spark, root, r.dirsOf("S")), tombs),
+      "qb", s"$root/data/$dirName/shingles", empty)
     val labDirs =
       if (!labeled) Nil
       else {
-        val idx = loadAt(spark, root, v)
-        writeLabels(resolvedLabels(idx)
-            .select(col("doc_id"), col("cluster_id").as("cid0")),
-          idx.shingleBuckets, s"$root/data/$dirName/labels",
-          partitioned = !empty)
+        val idx = loadAt(spark, root, v) // tomb-filtered, newest-gen
+        val lab0 = resolvedLabels(idx)
+          .select(col("doc_id"), col("cluster_id").as("cid0"))
+        writeLabels(lab0, idx.shingleBuckets, gen = 0L,
+          s"$root/data/$dirName/labels", partitioned = !empty)
+        writeMembers(lab0, idx.shingleBuckets, gen = 0L,
+          s"$root/data/$dirName/members", partitioned = !empty)
         val fwdDirName = UUID.randomUUID().toString
         idx.forward.get.limit(0)
           .write.parquet(s"$root/data/$fwdDirName/forward")
-        Seq("L" -> s"$dirName/labels", "F" -> s"$fwdDirName/forward")
+        Seq("L" -> s"$dirName/labels", "M" -> s"$dirName/members",
+          "F" -> s"$fwdDirName/forward")
       }
     ArtifactLog.commit(root, Kind, v, Rec(r.kv,
       Seq("B" -> s"$dirName/bands", "S" -> s"$dirName/shingles") ++
@@ -409,6 +485,9 @@ object MinhashIndexStore {
       val committed = head.kvMap.get("tag").map(_.toLong)
       if (committed.exists(_ >= t)) return v // replayed batch: no-op
     }
+    // empty shard: NO-OP — staging it would partitionBy-write zero
+    // rows (no schema-bearing file) and brick every later read
+    if (shard.isEmpty) return v
     val idx = loadAt(spark, root, v)
     val (p, q) = (idx.bandBuckets, idx.shingleBuckets)
     val shardC = DedupOps.scopedCache(shard)
@@ -458,7 +537,8 @@ object MinhashIndexStore {
     // behind the still-live bands/shingles/labels
     val fwdDirName = UUID.randomUUID().toString
     writeShard(shardC, p, q, s"$root/data/$dirName")
-    writeLabels(shardLabels, q, s"$root/data/$dirName/labels")
+    writeLabels(shardLabels, q, v + 1, s"$root/data/$dirName/labels")
+    writeMembers(shardLabels, q, v + 1, s"$root/data/$dirName/members")
     newFwd.write.parquet(s"$root/data/$fwdDirName/forward")
     // an UNTAGGED ingest must PRESERVE the committed streaming tag —
     // erasing it would let a crash-replayed stream batch re-ingest
@@ -470,7 +550,153 @@ object MinhashIndexStore {
       else head.kv,
       head.dirs.filter(_._1 != "F") ++ Seq(
         "B" -> s"$dirName/bands", "S" -> s"$dirName/shingles",
-        "L" -> s"$dirName/labels", "F" -> s"$fwdDirName/forward"))
+        "L" -> s"$dirName/labels", "M" -> s"$dirName/members",
+        "F" -> s"$fwdDirName/forward"))
+    preCommitHook(v) // test seam: races injected between stage + CAS
+    ArtifactLog.commit(root, Kind, v, rec, store)
+  }
+
+  /** Tombstone-delete docs from the index — the takedown path
+    * (reference mirror: deleting a package cascades to its resource
+    * and matchcode index rows, packagedb/models.py FK on_delete).
+    * The band/shingle side is O(ids): the id set stages as a tiny
+    * `T` dir, filtered at the load seam and physically folded at
+    * [[compact]] — corpus band/shingle files are never read or
+    * rewritten.
+    *
+    * On a LABELED index the cluster structure needs the inverse of
+    * [[ingestLabeled]]'s merge handling: a deleted doc can be the
+    * BRIDGE holding a component together, so its removal can SPLIT
+    * the cluster — which no forwarding entry can express (one id
+    * cannot forward to many). The contraction argument runs in
+    * reverse, O(touched clusters), never a corpus relabel:
+    *
+    *   1. the deleted docs' current labels (label rows pruned to the
+    *      deleted ids' ≤Q doc-buckets, forwarded) give the TOUCHED
+    *      cluster set;
+    *   2. the members MIRROR ([[writeMembers]], cluster-bucketed)
+    *      pruned to the touched ids' buckets — plus the forwarding
+    *      entries that point INTO them — gives a candidate member
+    *      superset; each candidate's newest label row confirms
+    *      current membership (stale mirror rows cost probe rows,
+    *      never correctness);
+    *   3. the surviving members' shingles (pruned to their ≤Q
+    *      buckets) re-run band → collide → exact-verify → CC, an
+    *      O(touched) subgraph recompute; every touched survivor gets
+    *      a fresh higher-gen label row — component pieces get their
+    *      new min-ids, and untouched clusters are untouched because
+    *      a component's edges never leave it;
+    *   4. forwarding entries into touched clusters drop (their merges
+    *      were just recomputed from content); the rest survive.
+    *
+    * Resolved labels afterward equal a from-scratch CC over the
+    * corpus minus the deleted docs EXACTLY — `d_dedup_index_delete`
+    * gates it against the recursive-CC oracle, splits included.
+    *
+    * Concurrency follows [[ingestLabeled]]: a lost CAS PROPAGATES
+    * (the recompute resolved against this version's labels; rebasing
+    * could commit stale structure) and the caller re-runs. Replay
+    * `tag` semantics as in ingest, for streaming takedown feeds. An
+    * UNLABELED index skips steps 1-4 (nothing but the tombstone to
+    * maintain). Pre-delete versions still time-travel complete until
+    * [[vacuum]]; a takedown that must erase history too is
+    * vacuum(keep = 1) after the delete commit. */
+  def delete(spark: SparkSession, root: String, ids: DataFrame,
+      store: CommitStore = LinkCommitStore,
+      tag: Option[Long] = None,
+      preCommitHook: Long => Unit = _ => ()): Long = {
+    val (v, head) = ArtifactLog.latest(root, Kind)
+    tag.foreach { t =>
+      val committed = head.kvMap.get("tag").map(_.toLong)
+      if (committed.exists(_ >= t)) return v // replayed batch: no-op
+    }
+    val del = DedupOps.scopedCache(ids.select("doc_id").distinct())
+    if (del.isEmpty) return v // nothing to tombstone, no version burn
+    val labeled = head.kvMap.get("lab").contains("1")
+    val dirName = UUID.randomUUID().toString
+    del.write.parquet(s"$root/data/$dirName/tombs")
+
+    val labDirs =
+      if (!labeled) Nil
+      else {
+        val idx = loadAt(spark, root, v) // prior tombs already filtered
+        val q = idx.shingleBuckets
+        val fwd = DedupOps.scopedCache(idx.forward.get)
+        // 1. touched clusters: the deleted docs' current labels
+        val delQb = del
+          .select(pmod(col("doc_id"), lit(q.toLong)).cast("int").as("qb"))
+          .distinct().collect().map(_.getInt(0)) // ≤ Q by pigeonhole
+        val touched = idx.labels0.get
+          .filter(col("qb").isin(delQb.toSeq: _*))
+          .join(del, Seq("doc_id"))
+          .join(broadcast(fwd), col("cid0") === col("cid_from"), "left")
+          .select(coalesce(col("cid_to"), col("cid0")).as("cid"))
+          .distinct().collect().map(_.getLong(0)) // ≤ |deleted ids|
+        // 2. candidate members via the cluster-bucketed mirror: rows
+        // whose written cluster id is touched OR forwards into a
+        // touched cluster
+        val intoTouched = fwd
+          .filter(col("cid_to").isin(touched.toSeq: _*))
+          .select("cid_from").collect().map(_.getLong(0))
+        val affected = (touched ++ intoTouched).distinct
+        val affectedMb = affected.map(c => (c % q).toInt).distinct
+        val candDocs = DedupOps.scopedCache(
+          readDirs(spark, root, head.dirsOf("M"))
+            .filter(col("mb").isin(affectedMb.toSeq: _*) &&
+              col("cid0").isin(affected.toSeq: _*))
+            .select("doc_id").distinct())
+        // 3. confirm membership on the NEWEST label row, drop the
+        // deleted, and re-run CC on the survivors' actual content
+        val candQb = candDocs
+          .select(pmod(col("doc_id"), lit(q.toLong)).cast("int").as("qb"))
+          .distinct().collect().map(_.getInt(0)) // ≤ Q
+        val survivors = DedupOps.scopedCache(idx.labels0.get
+          .filter(col("qb").isin(candQb.toSeq: _*))
+          .join(candDocs, Seq("doc_id"))
+          .join(broadcast(fwd), col("cid0") === col("cid_from"), "left")
+          .filter(coalesce(col("cid_to"), col("cid0"))
+            .isin(touched.toSeq: _*))
+          .join(broadcast(del), Seq("doc_id"), "left_anti")
+          .select("doc_id"))
+        val survQb = survivors
+          .select(pmod(col("doc_id"), lit(q.toLong)).cast("int").as("qb"))
+          .distinct().collect().map(_.getInt(0)) // ≤ Q
+        val ssh = DedupOps.scopedCache(idx.shingles
+          .filter(col("qb").isin(survQb.toSeq: _*))
+          .join(survivors, Seq("doc_id"))
+          .select("doc_id", "sh"))
+        val bb = DedupOps.scopedCache(DedupOps.bandFrame(ssh))
+        val cand = bb.alias("a").join(bb.alias("b"),
+            col("a.band_idx") === col("b.band_idx") &&
+              col("a.band_hash") === col("b.band_hash") &&
+              col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+          .dropDuplicates("d1", "d2")
+        val edges = DedupOps.verifyPairs(ssh, cand)
+          .select(col("d1").as("u"), col("d2").as("v"))
+        val relabeled = ConnectedComponents.labels(survivors, edges)
+          .select(col("doc_id"), col("cluster_id").as("cid0"))
+        val hasSurvivors = !survivors.isEmpty
+        writeLabels(relabeled, q, v + 1, s"$root/data/$dirName/labels",
+          partitioned = hasSurvivors)
+        writeMembers(relabeled, q, v + 1, s"$root/data/$dirName/members",
+          partitioned = hasSurvivors)
+        // 4. forwarding entries into touched clusters die with the
+        // recompute; the map is REPLACED, like ingest (own uuid so
+        // the dropped dir becomes vacuum-sweepable)
+        val fwdDirName = UUID.randomUUID().toString
+        fwd.filter(!col("cid_to").isin(touched.toSeq: _*))
+          .write.parquet(s"$root/data/$fwdDirName/forward")
+        Seq("L" -> s"$dirName/labels", "M" -> s"$dirName/members",
+          "F" -> s"$fwdDirName/forward")
+      }
+    val rec = Rec(
+      if (tag.isDefined)
+        head.kv.filterNot(_._1 == "tag") ++
+          tag.map(t => "tag" -> t.toString)
+      else head.kv,
+      (if (labeled) head.dirs.filter(_._1 != "F") else head.dirs) ++
+        (("T" -> s"$dirName/tombs") +: labDirs))
     preCommitHook(v) // test seam: races injected between stage + CAS
     ArtifactLog.commit(root, Kind, v, rec, store)
   }

@@ -880,6 +880,44 @@ object SimilarityOps {
       GROUP BY c.cid
       ORDER BY cell""")))
 
+  /** Tombstone delete through the persisted artifact — the takedown
+    * path (reference mirror: a package delete cascades to its index
+    * rows, packagedb/models.py FK on_delete): save the corpus index,
+    * append the shard on frozen centroids, then
+    * [[IvfIndexStore.delete]] every vec_id ≡ 0 (mod 7) — an O(ids)
+    * tombstone commit that never reads or rewrites the lists — and
+    * return the loaded inverted lists. The oracle is the append
+    * oracle's frozen-centroid assignment replay MINUS the deleted
+    * ids: a tombstone that leaked into a surviving row's cell, or a
+    * survivor dropped by the anti-join, hash-fails. The mod-7 set
+    * intersects both the corpus (mod-5 ≠ 0) and the appended shard
+    * (mod-5 = 0), so the filter is exercised across shard dirs, and
+    * id 0 — a trained CENTROID seed — is deleted while its centroid
+    * survives (deletes never mutate the trained structure;
+    * IvfIndexSpec pins the probe-side equivalence and the compact
+    * fold). */
+  val ivfDelete = QueryDef(
+    "s_ann_index_delete",
+    "LLM-pipeline similarity: index tombstone delete (takedown)",
+    "save → append → delete vec_id%7=0 → loaded cells exclude tombstones",
+    (s, dir) => {
+      val emb = scopedCache(quantized(s, dir))
+      val corpus = emb.filter(col("vec_id") % 5 =!= 0)
+      val inc = emb.filter(col("vec_id") % 5 === 0)
+      val kC = math.max(32L, corpus.count() / 64L).toInt
+      val root = scratchRoot("delete")
+      IvfIndexStore.save(root, corpus, kC)
+      IvfIndexStore.append(s, root, inc)
+      IvfIndexStore.delete(s, root,
+        emb.filter(col("vec_id") % 7 === 0).select("vec_id"))
+      IvfIndexStore.load(s, root).cells
+        .select(col("vec_id"), col("cell"))
+        .orderBy("vec_id")
+    },
+    ivfAppend.oracle.map(_.replace(
+      "SELECT vec_id, cell FROM asg ORDER BY vec_id",
+      "SELECT vec_id, cell FROM asg WHERE vec_id % 7 <> 0 ORDER BY vec_id")))
+
   /** The persisted IVF-PQ index, gated end-to-end through disk:
     * train coarse centroids + per-subspace PQ codebooks on the
     * corpus, [[IvfIndexStore.savePq]] (centroids + books + raw-vector
@@ -2257,6 +2295,6 @@ object SimilarityOps {
 
   val defs: Seq[QueryDef] =
     Seq(bruteTopK, lshAnn, ivfAnn, ivfIncrement, ivfLifecycle,
-      ivfAppend, ivfCellStats, pqLifecycle, pqCodes, semDedup, pqAnn,
-      knnClusters, knnClustersAnn, knnAnnRecall)
+      ivfAppend, ivfCellStats, ivfDelete, pqLifecycle, pqCodes,
+      semDedup, pqAnn, knnClusters, knnClustersAnn, knnAnnRecall)
 }

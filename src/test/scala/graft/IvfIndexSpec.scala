@@ -351,6 +351,154 @@ class IvfIndexSpec extends SparkTestBase {
     assert(IvfIndexStore.load(spark, root).cells.count() == emb.count())
   }
 
+  test("delete tombstones are O(ids), filter every read path, fold " +
+      "physically at compact, and never mutate trained structure") {
+    val root = freshRoot("delete")
+    IvfIndexStore.save(root, corpus, 32)
+    IvfIndexStore.append(spark, root, inc)
+    val before = IvfIndexStore.load(spark, root)
+    val preCents = before.centroids.select("cid", "cv").collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toVector)).toSet
+    val preCells = cellRows(before.cells)
+    val delIds = emb.filter(col("vec_id") % 7 === 0).select("vec_id")
+    val nDel = delIds.count()
+    val v3 = IvfIndexStore.delete(spark, root, delIds)
+    assert(v3 == 3L)
+
+    // the delete staged ONLY a tombstone dir — no list dir was read
+    // or rewritten (the O(ids) claim, on the files)
+    val dirs = Files.list(Paths.get(root, "data")).iterator()
+    val names = scala.collection.mutable.ArrayBuffer.empty[String]
+    while (dirs.hasNext) names += dirs.next().getFileName.toString
+    val tombDirs = names.filter(n =>
+      Files.exists(Paths.get(root, "data", n, "tombs")))
+    assert(tombDirs.size == 1, s"data dirs: $names")
+    assert(spark.read.parquet(s"$root/data/${tombDirs.head}/tombs")
+      .count() == nDel)
+
+    // loaded cells = pre-delete cells minus the tombstoned ids;
+    // centroids untouched (a takedown never retrains)
+    val after = IvfIndexStore.load(spark, root)
+    assert(cellRows(after.cells) ==
+      preCells.filterNot(_._1 % 7 == 0))
+    assert(after.centroids.select("cid", "cv").collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toVector)).toSet ==
+      preCents)
+
+    // probe-side equivalence: shortlist on the post-delete index ==
+    // shortlist over an index whose lists never held the deleted ids
+    // (surviving queries only — deleted ids are not queryable state)
+    val q = inc.filter(col("vec_id") % 7 =!= 0)
+    def pairs(d: DataFrame) = d.select("qid", "nid", "rn").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val got = pairs(IvfIndexStore.shortlist(after, q, 4, 3))
+    val twin = after.copy(
+      cells = before.cells.filter(col("vec_id") % 7 =!= 0))
+    assert(got == pairs(IvfIndexStore.shortlist(twin, q, 4, 3)))
+    assert(!got.exists(_._2 % 7 == 0),
+      "a deleted id must never surface as a neighbor")
+    SimilarityOps.releaseCaches()
+
+    // drift monitor sees the post-delete occupancy
+    assert(IvfIndexStore.cellStats(after)
+      .agg(sum("n_members")).head().getLong(0) ==
+      emb.count() - nDel)
+
+    // compact folds physically: same content, T lines dropped, and
+    // the folded files no longer carry the deleted rows
+    val v4 = IvfIndexStore.compact(spark, root)
+    val rec = Files.readString(
+      Paths.get(root, "_commits", f"v$v4%020d")).trim
+    assert(!rec.linesIterator.exists(_.startsWith("T\t")),
+      s"compact must drop tombstone lines:\n$rec")
+    val folded = IvfIndexStore.load(spark, root)
+    assert(cellRows(folded.cells) == cellRows(after.cells))
+    val foldedDir = rec.linesIterator
+      .find(_.startsWith("D\t")).get.drop(2)
+    assert(spark.read.parquet(s"$root/data/$foldedDir")
+      .filter(col("vec_id") % 7 === 0).count() == 0,
+      "folded files must physically exclude deleted rows")
+
+    // pre-delete history still time-travels complete
+    assert(IvfIndexStore.loadAt(spark, root, 2L).cells.count() ==
+      emb.count())
+  }
+
+  test("delete on a PQ index filters codes and cells alike; replay " +
+      "tag and rebase-through-append hold") {
+    val root = freshRoot("deletepq")
+    IvfIndexStore.savePq(root, corpus, 32, m = 4, ksub = 16)
+    IvfIndexStore.appendPq(spark, root, inc)
+    val v3 = IvfIndexStore.delete(spark, root,
+      emb.filter(col("vec_id") % 7 === 0).select("vec_id"),
+      tag = Some(9L))
+    // replayed takedown batch no-ops
+    assert(IvfIndexStore.delete(spark, root,
+      emb.filter(col("vec_id") % 7 === 0).select("vec_id"),
+      tag = Some(9L)) == v3)
+    val idx = IvfIndexStore.loadPq(spark, root)
+    assert(idx.codes.filter(col("vec_id") % 7 === 0).count() == 0)
+    assert(idx.flat.cells.filter(col("vec_id") % 7 === 0).count() == 0)
+    assert(idx.codes.count() == idx.flat.cells.count())
+    // ADC probe over the post-delete index never surfaces deleted ids
+    // (deterministic id filter — a limit() here evaluates per-branch
+    // inside adcShortlist and can pick disjoint rows, emptying joins)
+    val q = inc.filter(col("vec_id").isin(5L, 10L, 15L))
+    val out = IvfIndexStore.adcShortlist(idx, q, nprobe = 4,
+      shortlistL = 10, topK = 3)
+      .select("nid").collect().map(_.getLong(0))
+    assert(out.nonEmpty && !out.exists(_ % 7 == 0))
+    SimilarityOps.releaseCaches()
+  }
+
+  test("retrain excludes tombstoned vectors from its training corpus " +
+      "and the fresh record carries no T lines") {
+    val root = freshRoot("deleteretrain")
+    IvfIndexStore.save(root, corpus, 32)
+    IvfIndexStore.append(spark, root, inc)
+    IvfIndexStore.delete(spark, root,
+      emb.filter(col("vec_id") % 7 === 0).select("vec_id"))
+    val v4 = IvfIndexStore.retrain(spark, root)
+    val idx = IvfIndexStore.loadAt(spark, root, v4)
+    val live = emb.filter(col("vec_id") % 7 =!= 0)
+    val kNew = math.max(32L, live.count() / 64L).toInt
+    assert(idx.k == kNew)
+    val seeds = live.orderBy(xxhash64(col("vec_id"))).limit(kNew)
+      .select("vec_id", "v", "n2")
+    val cents = SimilarityOps.ivfCentroids(live, kNew, 1, Some(seeds))
+    assert(cellRows(idx.cells) ==
+      cellRows(SimilarityOps.ivfCells(live, cents)))
+    val rec = Files.readString(Paths.get(root, "_commits",
+      f"v$v4%020d")).trim
+    assert(!rec.linesIterator.exists(_.startsWith("T\t")))
+  }
+
+  test("appends validate the increment's vector dimension against " +
+      "the index (a schema-drifted shard fails before staging)") {
+    import spark.implicits._
+    val root = freshRoot("dimcheck")
+    IvfIndexStore.save(root, corpus, 32)
+    val drifted = Seq((100000L, Seq(1L, 2L, 3L), 14L))
+      .toDF("vec_id", "v", "n2")
+    val e = intercept[IllegalArgumentException](
+      IvfIndexStore.append(spark, root, drifted))
+    assert(e.getMessage.contains("dim"))
+    // nothing staged, nothing committed
+    assert(IvfIndexStore.latestVersion(root) == 1L)
+    // same guard on the PQ path (m × subDim from the record)
+    val rootPq = freshRoot("dimcheckpq")
+    IvfIndexStore.savePq(rootPq, corpus, 32, m = 4, ksub = 16)
+    val e2 = intercept[IllegalArgumentException](
+      IvfIndexStore.appendPq(spark, rootPq, drifted))
+    assert(e2.getMessage.contains("dim"))
+    // an empty increment is a NO-OP on both paths (staging it would
+    // write a schema-less partitionBy dir and brick later loads)
+    assert(IvfIndexStore.append(spark, root, corpus.limit(0)) == 1L)
+    assert(IvfIndexStore.appendPq(spark, rootPq, corpus.limit(0)) == 1L)
+    assert(IvfIndexStore.load(spark, root).cells.count() ==
+      corpus.count())
+  }
+
   test("a catalog reader pointed at an index root fails loudly " +
       "(record formats are disjoint)") {
     val root = freshRoot("disjoint")

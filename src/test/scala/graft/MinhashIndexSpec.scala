@@ -332,6 +332,157 @@ class MinhashIndexSpec extends SparkTestBase {
     DedupOps.releaseCaches()
   }
 
+  private def labeledRoot(tag: String, docs: DataFrame): String = {
+    val labels = graft.ops.ConnectedComponents.labels(
+      docs.select("doc_id"),
+      DedupOps.lshVerifiedPairs(docs)
+        .select(col("d1").as("u"), col("d2").as("v")))
+    val root = freshRoot(tag)
+    MinhashIndexStore.save(root, docs, Some(labels))
+    root
+  }
+
+  private def resolved(root: String): Set[(Long, Long)] =
+    MinhashIndexStore
+      .resolvedLabels(MinhashIndexStore.load(spark, root))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("deleting a BRIDGE doc splits its cluster: touched survivors " +
+      "re-label via subgraph CC, O(touched) staged, splits exact") {
+    // {2=dA, 3=dB, 5=dC}: 5 bridges 2 and 3 (pinned fixture above) →
+    // one cluster with min id 2. Deleting 5 must split it into the
+    // singletons {2} and {3} — the case no forwarding entry can
+    // express.
+    val fixture = shingled(Seq((2L, dA), (3L, dB), (5L, dC)))
+    val root = labeledRoot("split", fixture)
+    assert(resolved(root) == Set((2L, 2L), (3L, 2L), (5L, 2L)))
+    val v2 = MinhashIndexStore.delete(spark, root,
+      Seq(5L).toDF("doc_id"))
+    assert(v2 == 2L)
+    assert(resolved(root) == Set((2L, 2L), (3L, 3L)),
+      "bridge delete must SPLIT the component")
+    val idx = MinhashIndexStore.load(spark, root)
+    // band/shingle rows of the deleted doc are invisible
+    assert(idx.bands.filter(col("doc_id") === 5L).count() == 0)
+    assert(idx.shingles.filter(col("doc_id") === 5L).count() == 0)
+    // a re-submission of the deleted CONTENT is admitted against the
+    // post-delete index only where content still matches: dC is a
+    // near-dup of BOTH surviving docs, so it witnesses the smaller id
+    // — but never the deleted doc 5
+    val got = MinhashIndexStore.verdicts(idx, shingled(Seq((9L, dC))))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .toSeq
+    assert(got == Seq((9L, "dup_corpus", 2L)), s"got $got")
+    // O(touched) on the files: the delete staged tombs + fresh
+    // labels/members + replaced forward — never a bands/shingles
+    // rewrite (the save dir plus one delete dir family)
+    val dirs = Files.list(Paths.get(root, "data")).iterator()
+    var nBands = 0
+    while (dirs.hasNext) {
+      val d = dirs.next()
+      if (Files.exists(d.resolve("bands"))) nBands += 1
+    }
+    assert(nBands == 1, "delete must not stage band/shingle dirs")
+    // pre-delete version still time-travels complete
+    assert(MinhashIndexStore.loadAt(spark, root, 1L)
+      .shingles.count() == 3)
+    DedupOps.releaseCaches()
+  }
+
+  test("delete after a forwarded merge drops the stale forwarding " +
+      "entry; deleting a NON-bridge member keeps the rest together") {
+    // merge first: corpus {2,3}, bridge 5 ingested → fwd 3→2
+    val fixture = shingled(Seq((2L, dA), (3L, dB), (5L, dC)))
+    val root = labeledRoot("fwdclean",
+      fixture.filter(col("doc_id").isin(2L, 3L)))
+    MinhashIndexStore.ingestLabeled(spark, root,
+      fixture.filter(col("doc_id") === 5L))
+    assert(resolved(root) == Set((2L, 2L), (3L, 2L), (5L, 2L)))
+    // deleting the bridge again splits — and the 3→2 forwarding entry
+    // must die with the recompute (a surviving hop would resolve 3
+    // back into the dead merge)
+    MinhashIndexStore.delete(spark, root, Seq(5L).toDF("doc_id"))
+    assert(resolved(root) == Set((2L, 2L), (3L, 3L)))
+    assert(MinhashIndexStore.load(spark, root).forward.get.count() == 0)
+
+    // inverse case: delete an ORDINARY member (3 — connected only to
+    // the bridge); 2 and 5 stay connected (J(dA,dC)≈0.66)
+    val root2 = labeledRoot("member", fixture)
+    MinhashIndexStore.delete(spark, root2, Seq(3L).toDF("doc_id"))
+    assert(resolved(root2) == Set((2L, 2L), (5L, 2L)),
+      "non-bridge delete must keep the remaining cluster intact")
+
+    // deleting the cluster MINIMUM re-mints the cluster id
+    val root3 = labeledRoot("minup", fixture)
+    MinhashIndexStore.delete(spark, root3, Seq(2L).toDF("doc_id"))
+    assert(resolved(root3) == Set((3L, 3L), (5L, 3L)),
+      "deleting the min doc must re-mint the cluster id")
+    DedupOps.releaseCaches()
+  }
+
+  test("delete: replay tag no-ops, empty id set is a no-op, compact " +
+      "folds tombstones physically, and unlabeled indexes just " +
+      "tombstone") {
+    val fixture = shingled(Seq((2L, dA), (3L, dB), (5L, dC)))
+    val root = labeledRoot("dreplay", fixture)
+    val v2 = MinhashIndexStore.delete(spark, root,
+      Seq(5L).toDF("doc_id"), tag = Some(3L))
+    // crash-replay of the takedown batch no-ops
+    assert(MinhashIndexStore.delete(spark, root,
+      Seq(5L).toDF("doc_id"), tag = Some(3L)) == v2)
+    // an empty id set burns no version
+    assert(MinhashIndexStore.delete(spark, root,
+      Seq.empty[Long].toDF("doc_id")) == v2)
+    // compact: T lines dropped, deleted rows physically gone, labels
+    // fold to the resolved post-split state, resolution unchanged
+    val before = resolved(root)
+    val v3 = MinhashIndexStore.compact(spark, root)
+    val rec = Files.readString(
+      Paths.get(root, "_commits", f"v$v3%020d")).trim
+    assert(!rec.linesIterator.exists(_.startsWith("T\t")))
+    assert(resolved(root) == before)
+    val idx = MinhashIndexStore.load(spark, root)
+    assert(idx.shingles.count() == 2)
+    val bandsDir = rec.linesIterator
+      .find(_.startsWith("B\t")).get.drop(2)
+    assert(spark.read.parquet(s"$root/data/$bandsDir")
+      .filter(col("doc_id") === 5L).count() == 0,
+      "folded band files must physically exclude the deleted doc")
+
+    // unlabeled index: delete is just the tombstone (filters verdicts)
+    val root2 = freshRoot("unlab")
+    MinhashIndexStore.save(root2, fixture)
+    MinhashIndexStore.delete(spark, root2, Seq(2L).toDF("doc_id"))
+    val got = MinhashIndexStore.verdicts(
+      MinhashIndexStore.load(spark, root2), shingled(Seq((9L, dA))))
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).toSeq
+    // dA's only surviving near-dup is the bridge 5 (dC, J≈0.66)
+    assert(got == Seq((9L, "dup_corpus", 5L)), s"got $got")
+    DedupOps.releaseCaches()
+  }
+
+  test("resolved labels after delete equal the registered " +
+      "from-scratch CC over the surviving sf0.001 documents") {
+    val got = Registry.byName("d_dedup_index_delete")
+      .run(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // from-scratch twin on the surviving docs only — recompute, not
+    // the memoized full-corpus frame
+    val docs = DedupOps.shingleDocs(
+      graft.core.t(spark, sf001, "documents")
+        .filter(col("doc_id") % 7 =!= 0)
+        .select("doc_id", "text"))
+    val full = graft.ops.ConnectedComponents.labels(
+      docs.select("doc_id"),
+      DedupOps.lshVerifiedPairs(docs)
+        .select(col("d1").as("u"), col("d2").as("v")))
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == full)
+    DedupOps.releaseCaches()
+  }
+
   test("both artifact scans are PARTITION-PRUNED in the verdict " +
       "plan: pb on bands, qb on shingles") {
     val docs = shingled(Seq((1L, tA), (2L, tB), (5L, tA)))
