@@ -143,6 +143,45 @@ object DedupIndexProbe {
       println(f"| ${f}x | $n | ${idx.bandBuckets} | $buildS%.1f | " +
         f"$prunedS%.1f/$prunedMB%.2f | $fullS%.1f/$fullMB%.2f | " +
         f"$labBuildS%.1f | $labIngestS%.1f/$labIngestMB%.2f |")
+
+      // takedown cost on the LABELED index (VERDICT r12 #2): delete
+      // 10 of the just-ingested shard docs — the touched-cluster
+      // member lookup, witness-shingle fetch, and subgraph CC are all
+      // bucket-pruned, so the read should track the touched clusters
+      // across corpus factors, never the corpus
+      val delIds = spark.range(10)
+        .select((col("id") + lit(off)).as("doc_id"))
+      val (_, delS, delMB) = measure(
+        MinhashIndexStore.delete(spark, rootL, delIds))
+      DedupOps.releaseCaches()
+      println(f"DELETE ${f}x: labeled delete10 $delS%.1f s/$delMB%.2f MB")
+
+      // forwarding-map resolve-cost curve (VERDICT r12 #8): resolve
+      // wall vs forwarding-map depth. Entries accrete one per merge
+      // until compact flushes them; the resolve is one broadcast hash
+      // join either way, so the curve should be FLAT in map size
+      // until the map outgrows a broadcast — the compaction policy is
+      // therefore manifest hygiene (dir-list length), not resolve
+      // speed (see MinhashIndexStore.compact's scaladoc).
+      val fwdSizes = Seq(0, 1000, 100000)
+      val curve = fwdSizes.map { fs =>
+        val idxL = MinhashIndexStore.load(spark, rootL)
+        val fwd =
+          if (fs == 0) idxL.forward.get
+          else idxL.forward.get.unionByName(
+            // synthetic single-hop entries on ids OUTSIDE the corpus
+            // id space: same join width, no semantic interference
+            spark.range(fs)
+              .select((col("id") + lit(10L * off)).as("cid_from"),
+                (col("id") + lit(11L * off)).as("cid_to")))
+        val padded = idxL.copy(forward = Some(fwd))
+        val (nR, rs) = timed(
+          MinhashIndexStore.resolvedLabels(padded).count())
+        require(nR > 0)
+        fs -> rs
+      }
+      println(curve.map { case (fs, s) => f"fwd=$fs resolve=$s%.1fs" }
+        .mkString(s"FWD_CURVE ${f}x: ", ", ", ""))
       spark.catalog.clearCache()
     }
     spark.stop()

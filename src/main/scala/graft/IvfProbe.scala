@@ -137,6 +137,24 @@ object IvfProbe {
       println(f"| ${f}x | $n | $k | $buckets | $buildS%.1f | " +
         f"$appendS%.1f | $appendMB%.2f | $prunedS%.1f/$prunedMB%.2f | " +
         f"$fullS%.1f/$fullMB%.2f |")
+
+      // takedown cost (VERDICT r12 #2): tombstone a fixed 100-id set
+      // — expected FLAT across corpus size (the delete writes the id
+      // set and reads nothing but the head record; the lists are
+      // never opened), with the post-delete pruned probe unchanged in
+      // read shape and the deleted ids gone from its candidates
+      val delIds = emb.filter(col("vec_id") < 100)
+        .select("vec_id")
+      val (_, delS, delMB) = measure(
+        IvfIndexStore.delete(spark, root, delIds))
+      val postIdx = IvfIndexStore.load(spark, root)
+      val (nPost, postS, postMB) = measure(
+        IvfIndexStore.shortlist(postIdx, q10, nprobe = 4, topK = 3)
+          .filter(col("nid") < 100).count())
+      SimilarityOps.releaseCaches()
+      require(nPost == 0, s"deleted ids leaked into the probe: $nPost")
+      println(f"DELETE ${f}x: delete100 $delS%.1f s/$delMB%.2f MB, " +
+        f"post-delete probe10 $postS%.1f s/$postMB%.2f MB")
       spark.catalog.clearCache()
     }
     spark.stop()

@@ -227,6 +227,23 @@ object PqProbe {
         f"$appendS%.1f/$appendMB%.2f | $scanS%.1f/$scanMB%.2f | " +
         f"$flatS%.1f/$flatMB%.2f | $adcS%.1f/$adcMB%.2f | " +
         f"$rgS%.1f/$rgMB%.2f | $recall%.2f |")
+
+      // nprobe → recall operating curve (VERDICT r12 #6): the grid a
+      // deployment picks its point from. Same exact top-3 ground
+      // truth; only the coarse probe width varies — so the curve
+      // isolates coarse-probe truncation (cells the query's true
+      // neighbors live in but the probe never opens) from PQ
+      // shortlist error (fixed at L=10 here).
+      val grid = Seq(1, 2, 4, 8).map { np =>
+        val got = IvfIndexStore.adcShortlist(idx, q10, nprobe = np,
+            shortlistL = 10, topK = 3)
+          .select("qid", "nid").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        SimilarityOps.releaseCaches()
+        np -> got.intersect(exact).size.toDouble / exact.size
+      }
+      println(grid.map { case (np, r) => f"nprobe=$np r@3=$r%.2f" }
+        .mkString(s"NPROBE_GRID ${f}x: ", ", ", ""))
       spark.catalog.clearCache()
     }
     spark.stop()

@@ -18,7 +18,7 @@ import graft.catalog.{CommitStore, TxLog}
   * parse, and the formats are disjoint from [[TxLog]]'s (whose
   * `snapshot` throws on a `#`-headed record), so a reader pointed at
   * the wrong root fails loudly in both directions. */
-private[ops] object ArtifactLog {
+private[graft] object ArtifactLog {
 
   /** One record: header key=values (ordered) + tagged dir lines
     * (ordered; tags may repeat — one `D` per cells shard, etc.). */

@@ -299,7 +299,19 @@ object MinhashIndexStore {
     * On a labeled index the label dirs fold too, with each doc's
     * CURRENT resolved label baked in (gen reset to 0) and the
     * forwarding map reset to empty — compaction is exactly the
-    * union-find path-compression flush. Outstanding tombstones fold
+    * union-find path-compression flush.
+    *
+    * Cadence policy: the forwarding map grows one entry per merge
+    * until this flush, but resolution is a single broadcast hash join
+    * either way — graft.DedupIndexProbe's FWD_CURVE measures resolve
+    * wall FLAT from 0 to 10⁵ entries — so compaction cadence is set
+    * by MANIFEST hygiene (dir-list length: one dir family per ingest;
+    * fold when it approaches the ~10²-line point where record parse
+    * and multi-dir unions start to show) and by outstanding
+    * tombstones (each delete leaves a probe-time anti-join and
+    * duplicate label generations until folded), not by forwarding
+    * depth. Only a map outgrowing a comfortable broadcast (~10⁷
+    * entries, ≈160 MB) forces the flush on its own. Outstanding tombstones fold
     * PHYSICALLY: deleted rows are excluded from the folded files and
     * the T lines are dropped, so a takedown stops costing the
     * probe-time anti-join here. */

@@ -46,13 +46,24 @@ object DedupIngestStream {
   /** Wire a streaming (doc_id, text) frame into the index at `root`
     * (which must have been [[graft.ops.MinhashIndexStore.save]]d with
     * labels — possibly over an empty corpus for a from-scratch
-    * stream). */
-  def run(docs: DataFrame, root: String, checkpointDir: String)
+    * stream).
+    *
+    * `vacuumEvery > 0` prunes index history on a batch cadence
+    * (keeping `vacuumKeep` versions after the batch's commit) — an
+    * always-on stream accretes one version per micro-batch, and
+    * without in-loop retention `_commits/` and dead forwarding dirs
+    * grow unboundedly (the frontier's r10 lesson, applied here; the
+    * mirror of [[EmbeddingIngestStream.run]]'s knob). */
+  def run(docs: DataFrame, root: String, checkpointDir: String,
+      vacuumEvery: Int = 0, vacuumKeep: Int = 2)
       : StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        processBatch(root, batch, batchId); ()
+        processBatch(root, batch, batchId)
+        if (vacuumEvery > 0 && batchId % vacuumEvery == 0)
+          MinhashIndexStore.vacuum(root, keep = vacuumKeep)
+        ()
       }
       .start()
 }

@@ -61,10 +61,21 @@ object EmbeddingIngestStream {
     * batch: drift develops over many batches, and the stream's
     * per-batch work must stay O(batch)
     * (EmbeddingIngestStreamSpec pins both the firing and the
-    * cadence). */
+    * cadence).
+    *
+    * `vacuumEvery > 0` prunes index history on the same kind of
+    * cadence (after the batch's commit, keeping `vacuumKeep`
+    * versions): an always-on stream accretes one version per
+    * micro-batch, so without in-loop retention `_commits/` and the
+    * dead shard dirs grow unboundedly — the lesson the frontier's
+    * TxLog learned in r10, applied to the artifact stores. The
+    * default grace window protects a concurrent appender's staged
+    * dirs; time travel reaches back `vacuumKeep` versions and no
+    * further. */
   def run(embeddings: DataFrame, root: String, checkpointDir: String,
       monitorEvery: Int = 0,
-      onDrift: IvfIndexStore.DriftStats => Unit = _ => ())
+      onDrift: IvfIndexStore.DriftStats => Unit = _ => (),
+      vacuumEvery: Int = 0, vacuumKeep: Int = 2)
       : StreamingQuery =
     embeddings.writeStream
       .option("checkpointLocation", checkpointDir)
@@ -75,6 +86,8 @@ object EmbeddingIngestStream {
             IvfIndexStore.load(batch.sparkSession, root))
           if (IvfIndexStore.needsRetrain(stats)) onDrift(stats)
         }
+        if (vacuumEvery > 0 && batchId % vacuumEvery == 0)
+          IvfIndexStore.vacuum(root, keep = vacuumKeep)
         ()
       }
       .start()

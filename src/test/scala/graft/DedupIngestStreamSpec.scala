@@ -116,4 +116,42 @@ class DedupIngestStreamSpec extends SparkTestBase {
       s"got $got")
     DedupOps.releaseCaches()
   }
+
+  test("vacuumEvery keeps a long-running dedup stream's history " +
+      "bounded (and the live labels exact)") {
+    val corpus = Seq((2L, dA), (3L, dB))
+    val root = Files.createTempDirectory("ingest_vac").toString
+    val corpusSh = shingled(corpus)
+    MinhashIndexStore.save(root, corpusSh,
+      Some(ConnectedComponents.labels(corpusSh.select("doc_id"),
+        DedupOps.lshVerifiedPairs(corpusSh)
+          .select(col("d1").as("u"), col("d2").as("v")))))
+
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[IngestDoc]
+    val q = DedupIngestStream.run(input.toDF(), root,
+      Files.createTempDirectory("ingest_vac_chk").toString,
+      vacuumEvery = 1, vacuumKeep = 2)
+    try {
+      Seq(IngestDoc(5L, dC), IngestDoc(1L, dA), IngestDoc(9L, dX))
+        .foreach { d =>
+          input.addData(d)
+          q.processAllAvailable()
+        }
+    } finally q.stop()
+
+    // three ingests = three commits past the save, but retention
+    // holds at vacuumKeep
+    val recs = Files.list(
+      java.nio.file.Paths.get(root, "_commits")).iterator()
+    var n = 0
+    while (recs.hasNext) {
+      if (recs.next().getFileName.toString.startsWith("v")) n += 1
+    }
+    assert(n == 2, s"retention must hold at vacuumKeep: $n records")
+    // the live version's labels are still the exact from-scratch CC
+    val all = corpus ++ Seq(5L -> dC, 1L -> dA, 9L -> dX)
+    assert(labelsAt(root) == fullCc(all))
+    DedupOps.releaseCaches()
+  }
 }

@@ -157,6 +157,101 @@ class EmbeddingIngestStreamSpec extends SparkTestBase {
     SimilarityOps.releaseCaches()
   }
 
+  test("drift-triggered retrain racing an in-flight stream batch: " +
+      "the conflict PROPAGATES, the retry succeeds, no vector lost") {
+    val corpus = emb.filter(col("vec_id") % 5 =!= 0)
+    val root = Files.createTempDirectory("emb_race").toString
+    IvfIndexStore.savePq(root, corpus, 32, m = 4, ksub = 16)
+
+    // the drifted regime from the monitor test — drives needsRetrain
+    def driftedBatch(off: Long): Seq[IngestVec] =
+      rawVecs(col("vec_id") >= 0).map(v => IngestVec(
+        v.vec_id + off, v.embedding.map(_ + 1.5f)))
+
+    implicit val sqlCtx = spark.sqlContext
+    var drifted: Option[IvfIndexStore.DriftStats] = None
+    val input = MemoryStream[IngestVec]
+    val q = EmbeddingIngestStream.run(input.toDF(), root,
+      Files.createTempDirectory("emb_race_chk").toString,
+      monitorEvery = 1, onDrift = s => { drifted = Some(s) })
+    try {
+      input.addData(driftedBatch(10000L)) // batch 0: trips the monitor
+      q.processAllAvailable()
+      assert(drifted.isDefined, "the drift monitor must have fired")
+
+      // the deployment schedules retrain OUT OF BAND — here it races
+      // the stream: batch 1 lands between retrain's staging and its
+      // CAS (the preCommitHook seam pushes it through the SAME
+      // foreachBatch body the live stream runs)
+      val late = driftedBatch(20000L)
+      val e = intercept[graft.catalog.TxLog.CommitConflict] {
+        IvfIndexStore.retrain(spark, root,
+          preCommitHook = _ => {
+            EmbeddingIngestStream.processBatch(root, late.toDF(), 1L)
+            ()
+          })
+      }
+      assert(e != null)
+      // nothing lost: the interleaved batch's vectors are committed
+      val between = IvfIndexStore.loadPq(spark, root)
+      assert(between.codes.filter(col("vec_id") >= 20000L).count() ==
+        late.size)
+
+      // the retry trains on the post-append corpus and succeeds
+      IvfIndexStore.retrain(spark, root)
+      val idx = IvfIndexStore.loadPq(spark, root)
+      val total = corpus.count() + 2 * late.size
+      assert(idx.flat.cells.count() == total,
+        "no vector may be lost across the raced retrain")
+      assert(idx.codes.count() == total,
+        "the PQ layer must survive the retrain with every code")
+      assert(idx.flat.k ==
+        math.max(32L, total / 64L).toInt)
+
+      // the stream's OWN batch 1 now replays as a no-op (the injected
+      // call committed tag 1 — at-least-once semantics held across
+      // the race), and later batches ingest on the NEW generation
+      assert(EmbeddingIngestStream.processBatch(root,
+        late.toDF(), 1L) == IvfIndexStore.latestVersion(root))
+      EmbeddingIngestStream.processBatch(root,
+        driftedBatch(30000L).toDF(), 2L)
+      assert(IvfIndexStore.loadPq(spark, root).flat.cells.count() ==
+        total + late.size)
+    } finally q.stop()
+    SimilarityOps.releaseCaches()
+  }
+
+  test("vacuumEvery keeps a long-running stream's history bounded " +
+      "(and the live index complete)") {
+    val corpus = emb.filter(col("vec_id") % 5 =!= 0)
+    val root = Files.createTempDirectory("emb_vac").toString
+    IvfIndexStore.save(root, corpus, 32)
+
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[IngestVec]
+    val q = EmbeddingIngestStream.run(input.toDF(), root,
+      Files.createTempDirectory("emb_vac_chk").toString,
+      vacuumEvery = 1, vacuumKeep = 2)
+    try {
+      Seq(0L, 1L, 2L, 3L).foreach { i =>
+        input.addData(rawVecs(col("vec_id") % 20 === i * 5L))
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+
+    // four batches = four commits, but retention holds at vacuumKeep
+    val recs = Files.list(
+      java.nio.file.Paths.get(root, "_commits")).iterator()
+    var n = 0
+    while (recs.hasNext) {
+      if (recs.next().getFileName.toString.startsWith("v")) n += 1
+    }
+    assert(n == 2, s"retention must hold at vacuumKeep: $n records")
+    // the live version still reads the full corpus ∪ all shards
+    assert(IvfIndexStore.load(spark, root).cells.count() == emb.count())
+    SimilarityOps.releaseCaches()
+  }
+
   test("an empty batch burns no version") {
     val root = Files.createTempDirectory("emb_empty").toString
     IvfIndexStore.save(root, emb.filter(col("vec_id") % 5 =!= 0), 32)
