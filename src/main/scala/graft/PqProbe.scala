@@ -244,6 +244,27 @@ object PqProbe {
       }
       println(grid.map { case (np, r) => f"nprobe=$np r@3=$r%.2f" }
         .mkString(s"NPROBE_GRID ${f}x: ", ", ", ""))
+
+      // residual-PQ leg (by_residual=true): same geometry, codebooks
+      // trained on x − c(cell) — the published IVFADC fix for the
+      // wide-cell recall dip the non-residual 1× row shows. Recall
+      // only (the IO story is identical: same code-table shape, same
+      // bucket pruning).
+      val rootRes = Files.createTempDirectory(s"pqprobe_res_${f}x")
+        .toString
+      val (_, resBuildS) = timed(IvfIndexStore.savePq(
+        rootRes, emb, k, m = 4, ksub = 16, residual = true))
+      val idxRes = IvfIndexStore.loadPqAt(spark, rootRes, 1L)
+      val resGrid = Seq(1, 4).map { np =>
+        val got = IvfIndexStore.adcShortlist(idxRes, q10, nprobe = np,
+            shortlistL = 10, topK = 3)
+          .select("qid", "nid").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        SimilarityOps.releaseCaches()
+        np -> got.intersect(exact).size.toDouble / exact.size
+      }
+      println(resGrid.map { case (np, r) => f"nprobe=$np r@3=$r%.2f" }
+        .mkString(f"RESIDUAL ${f}x (build $resBuildS%.1f s): ", ", ", ""))
       spark.catalog.clearCache()
     }
     spark.stop()

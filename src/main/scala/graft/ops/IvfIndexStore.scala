@@ -73,7 +73,7 @@ object IvfIndexStore {
     * FAISS-typical m=16 × 768 float dims) — the raw vectors are read
     * only for the ≤ L×|queries| shortlist re-rank. */
   final case class IvfPqIndex(flat: IvfIndex, m: Int, subDim: Int,
-      books: DataFrame, codes: DataFrame) {
+      books: DataFrame, codes: DataFrame, residual: Boolean = false) {
     def version: Long = flat.version
     def buckets: Int = flat.buckets
   }
@@ -218,9 +218,21 @@ object IvfIndexStore {
     * (one codes shard per ingest, parallel to the `D` cells shards) —
     * so a flat reader's [[load]] still works on a PQ record (it
     * ignores the extra lines) while [[loadPq]] requires them. */
+  /** `residual = true` selects RESIDUAL PQ (Jégou et al.'s IVFADC
+    * proper, FAISS `by_residual=true`): codebooks train on and codes
+    * encode x − c(cell) rather than raw x. Residuals concentrate the
+    * quantizer's budget on within-cell variation, which is what
+    * recall at wide-cell geometries is made of — graft.PqProbe
+    * measures the 1× recall@3 lift over the non-residual default —
+    * at the cost of per-(query, probed-cell) ADC tables
+    * (nprobe× more table rows, still a broadcast) and a centroid
+    * join on the encode path (broadcast, no shuffle). The flag
+    * persists in the record (`res=1`); appends, retrain, and the ADC
+    * probe all dispatch on it. */
   def savePq(root: String, corpus: DataFrame, k: Int, m: Int,
       ksub: Int, store: CommitStore = LinkCommitStore,
-      iters: Int = 1, rowGroupBytes: Int = 0): Long = {
+      iters: Int = 1, rowGroupBytes: Int = 0,
+      residual: Boolean = false): Long = {
     TxLog.init(root)
     val corp = corpus.cache() // feeds coarse train + assign + PQ train + encode
     try {
@@ -232,37 +244,55 @@ object IvfIndexStore {
         s"vector dim $dim is not divisible by m=$m subspaces")
       val subDim = dim / m
       val cents = SimilarityOps.ivfCentroids(corp, k, iters).cache()
-      val books = SimilarityOps.pqCodebooks(corp, m, subDim, ksub, iters)
-        .cache()
       try {
-        require(!cents.isEmpty && !books.isEmpty,
-          "IVF-PQ training produced no centroids/codebooks (the " +
-            "default low-id seeding needs corpus ids below k/ksub; " +
-            "pass explicit seeds otherwise)")
+        require(!cents.isEmpty,
+          "IVF-PQ training produced no centroids (the default low-id " +
+            "seeding needs corpus ids below k; pass explicit seeds " +
+            "otherwise)")
         val cells = SimilarityOps.ivfCells(corp, cents)
-        // encode carries the coarse cell through the argmin, so the
-        // code table buckets like the lists WITHOUT an n×n re-join
-        // of codes to assignment
-        val codes = SimilarityOps.pqEncode(
-          cells, books, m, subDim, carry = Seq("cell"))
-        val dirName = UUID.randomUUID().toString
-        val buckets = defaultBuckets(k)
-        cents.write.parquet(s"$root/data/$dirName/centroids")
-        books.write.parquet(s"$root/data/$dirName/books")
-        writeCells(cells, buckets, s"$root/data/$dirName/cells",
-          rowGroupBytes)
-        writeCodes(codes, buckets, s"$root/data/$dirName/codes")
-        val rec = Rec(
-          Seq("k" -> k.toString, "p" -> buckets.toString,
-            "m" -> m.toString, "sd" -> subDim.toString,
-            "ks" -> ksub.toString) ++
-            (if (rowGroupBytes > 0)
-              Seq("rg" -> rowGroupBytes.toString) else Nil),
-          Seq("C" -> s"$dirName/centroids", "B" -> s"$dirName/books",
-            "D" -> s"$dirName/cells", "Q" -> s"$dirName/codes"))
-        val v = ArtifactLog.list(root).headOption.map(_._1).getOrElse(0L)
-        ArtifactLog.commit(root, Kind, v, rec, store)
-      } finally { cents.unpersist(false); books.unpersist(false) }
+        // residual PQ trains and encodes on x − c(cell); the residual
+        // frame feeds book training AND the encode, so it caches for
+        // the call's scope
+        val resid =
+          if (residual)
+            Some(SimilarityOps.residuals(cells, cents).cache())
+          else None
+        try {
+          val books = SimilarityOps.pqCodebooks(
+            resid.getOrElse(corp), m, subDim, ksub, iters).cache()
+          try {
+            require(!books.isEmpty,
+              "IVF-PQ training produced no codebooks (the default " +
+                "low-id seeding needs corpus ids below ksub; pass " +
+                "explicit seeds otherwise)")
+            // encode carries the coarse cell through the argmin, so
+            // the code table buckets like the lists WITHOUT an n×n
+            // re-join of codes to assignment
+            val codes = SimilarityOps.pqEncode(
+              resid.getOrElse(cells), books, m, subDim,
+              carry = Seq("cell"))
+            val dirName = UUID.randomUUID().toString
+            val buckets = defaultBuckets(k)
+            cents.write.parquet(s"$root/data/$dirName/centroids")
+            books.write.parquet(s"$root/data/$dirName/books")
+            writeCells(cells, buckets, s"$root/data/$dirName/cells",
+              rowGroupBytes)
+            writeCodes(codes, buckets, s"$root/data/$dirName/codes")
+            val rec = Rec(
+              Seq("k" -> k.toString, "p" -> buckets.toString,
+                "m" -> m.toString, "sd" -> subDim.toString,
+                "ks" -> ksub.toString) ++
+                (if (rowGroupBytes > 0)
+                  Seq("rg" -> rowGroupBytes.toString) else Nil) ++
+                (if (residual) Seq("res" -> "1") else Nil),
+              Seq("C" -> s"$dirName/centroids", "B" -> s"$dirName/books",
+                "D" -> s"$dirName/cells", "Q" -> s"$dirName/codes"))
+            val v =
+              ArtifactLog.list(root).headOption.map(_._1).getOrElse(0L)
+            ArtifactLog.commit(root, Kind, v, rec, store)
+          } finally books.unpersist(false)
+        } finally resid.foreach(_.unpersist(false))
+      } finally cents.unpersist(false)
     } finally corp.unpersist(false)
   }
 
@@ -284,7 +314,8 @@ object IvfIndexStore {
     IvfPqIndex(loadAt(spark, root, version),
       r.kvMap("m").toInt, r.kvMap("sd").toInt, books,
       dropTombs(readCellDirs(spark, root, r.dirsOf("Q")),
-        readTombs(spark, root, r.dirsOf("T"))))
+        readTombs(spark, root, r.dirsOf("T"))),
+      residual = r.kvMap.get("res").contains("1"))
   }
 
   /** The shared stage→CAS→rebase tail of [[append]]/[[appendPq]]:
@@ -414,8 +445,15 @@ object IvfIndexStore {
     val subDim = head.kvMap("sd").toInt
     requireDim(d, m * subDim)
     val assigned = SimilarityOps.ivfCells(inc, cents)
+    // a residual head (res=1) encodes the increment's RESIDUALS on
+    // the frozen books — the same frozen-structure rule as the raw
+    // path, with the broadcast centroid join supplying c(cell)
+    val encIn =
+      if (head.kvMap.get("res").contains("1"))
+        SimilarityOps.residuals(assigned, cents)
+      else assigned
     val codes = SimilarityOps.pqEncode(
-      assigned, books, m, subDim, carry = Seq("cell"))
+      encIn, books, m, subDim, carry = Seq("cell"))
     val dirName = UUID.randomUUID().toString
     val buckets = head.kvMap("p").toInt
     writeCells(assigned, buckets, s"$root/data/$dirName/cells",
@@ -517,21 +555,35 @@ object IvfIndexStore {
     * plan in isolation; [[adcShortlist]] composes it). */
   private[graft] def adcCandidates(index: IvfPqIndex, queries: DataFrame,
       nprobe: Int): (DataFrame, Array[Int]) = {
-    val qp = SimilarityOps.scopedCache(
-      SimilarityOps.probeCells(queries, index.flat.centroids, nprobe)
-        .select(col("vec_id").as("qid"), col("cell").as("pcell")))
+    val qprobe = SimilarityOps.scopedCache(
+      SimilarityOps.probeCells(queries, index.flat.centroids, nprobe))
+    val qp = qprobe.select(col("vec_id").as("qid"),
+      col("cell").as("pcell"))
     val probedBuckets = qp
       .select(pmod(col("pcell"), lit(index.buckets.toLong)).cast("int")
         .as("pb"))
       .distinct().collect().map(_.getInt(0)) // ≤ P values by pigeonhole
-    val dtab = broadcast(SimilarityOps.pqDistTables(
-      queries, index.books, index.m, index.subDim))
-    val cand = qp
+    // non-residual: one m×ksub table per query. Residual: one table
+    // per (query, probed cell) — the query's residual to the cell's
+    // centroid is what the cell's codes quantized against — still a
+    // broadcast (nprobe× the rows, bounded by |queries|×nprobe).
+    val dtab = broadcast(
+      if (!index.residual)
+        SimilarityOps.pqDistTables(
+          queries, index.books, index.m, index.subDim)
+      else
+        SimilarityOps.pqDistTables(
+          SimilarityOps.residuals(qprobe, index.flat.centroids),
+          index.books, index.m, index.subDim, carry = Seq("cell"))
+          .withColumnRenamed("cell", "pcell"))
+    val base = qp
       .join(index.codes.filter(col("pb").isin(probedBuckets.toSeq: _*)),
         col("pcell") === col("cell") && col("vec_id") =!= col("qid"))
-      .join(dtab, Seq("qid"))
-      .select(col("qid"), col("vec_id").as("nid"),
-        SimilarityOps.adcScore.as("adc"))
+    val cand =
+      (if (index.residual) base.join(dtab, Seq("qid", "pcell"))
+       else base.join(dtab, Seq("qid")))
+        .select(col("qid"), col("vec_id").as("nid"),
+          SimilarityOps.adcScore.as("adc"))
     (cand, probedBuckets)
   }
 
@@ -771,6 +823,12 @@ object IvfIndexStore {
             val m = head.kvMap("m").toInt
             val subDim = head.kvMap("sd").toInt
             val ksub = head.kvMap("ks").toInt
+            val res = head.kvMap.get("res").contains("1")
+            // a residual head retrains its books on residuals to the
+            // NEW centroids (books quantize within-cell variation, so
+            // they must follow the cells they are relative to)
+            val encBase =
+              if (res) SimilarityOps.residuals(cells, cents) else corpus
             // the books need their OWN ksub-sized hash sample: a
             // subset of the kNew coarse seeds silently shrinks the
             // codebooks whenever kNew < ksub (k is n/64 but ksub is
@@ -779,15 +837,16 @@ object IvfIndexStore {
             // kNew ≥ ksub this is exactly the old first-ksub subset.
             val bookSeeds =
               if (seeds.isDefined)
-                Some(corpus.orderBy(xxhash64(col("vec_id")))
+                Some(encBase.orderBy(xxhash64(col("vec_id")))
                   .limit(ksub).select("vec_id", "v", "n2"))
               else None
             val books = SimilarityOps.pqCodebooks(
-              corpus, m, subDim, ksub, iters, bookSeeds).cache()
+              encBase, m, subDim, ksub, iters, bookSeeds).cache()
             try {
               books.write.parquet(s"$root/data/$dirName/books")
               writeCodes(
-                SimilarityOps.pqEncode(cells, books, m, subDim,
+                SimilarityOps.pqEncode(
+                  if (res) encBase else cells, books, m, subDim,
                   carry = Seq("cell")),
                 buckets, s"$root/data/$dirName/codes")
             } finally books.unpersist(false)
@@ -795,7 +854,8 @@ object IvfIndexStore {
           }
         val rec = Rec(
           Seq("k" -> kNew.toString, "p" -> buckets.toString) ++
-            head.kvMap.filter(kv => Set("m", "sd", "ks", "rg")(kv._1)) ++
+            head.kvMap.filter(kv =>
+              Set("m", "sd", "ks", "rg", "res")(kv._1)) ++
             head.kvMap.get("tag").map("tag" -> _),
           Seq("C" -> s"$dirName/centroids") ++ pqDirs.take(1) ++
             Seq("D" -> s"$dirName/cells") ++ pqDirs.drop(1))

@@ -439,23 +439,46 @@ object SimilarityOps {
       .agg(expr("transform(array_sort(collect_list(struct(sub, cid)))," +
         " s -> CAST(s.cid AS INT))").as("code"))
 
-  /** Per-query ADC distance tables — (qid, dt: array<array<bigint>>)
-    * with dt(s)(c) = exact integer ‖q_s − book(s)(c)‖²: the classic
-    * IVFADC query-side lookup table (m × ksub entries per query,
-    * built once, broadcast). Scoring a candidate is then
-    * Σ_s dt(s)(code(s)) — a single codegen'd zip_with/aggregate over
-    * the packed code, no join and no shuffle on the code-scan path. */
+  /** Residual frame for residual PQ (Jégou et al.'s IVFADC proper,
+    * FAISS `by_residual=true`): each assigned vector minus its coarse
+    * centroid — (vec_id, v = x − c(cell), n2 = ‖v‖², cell[,
+    * carry...]). Exact bigint throughout (quantized vectors and
+    * floor-averaged centroids are both bigint arrays), so the
+    * residual path stays oracle-mirrorable. Input must carry `cell`
+    * (an [[ivfCells]]/[[probeCells]]-shaped frame); the centroid
+    * frame is broadcast — the join adds no shuffle. */
+  def residuals(cells: org.apache.spark.sql.DataFrame,
+      cents: org.apache.spark.sql.DataFrame, carry: Seq[String] = Nil)
+      : org.apache.spark.sql.DataFrame =
+    cells.join(
+        org.apache.spark.sql.functions.broadcast(
+          cents.select(col("cid").as("cell"), col("cv"))),
+        Seq("cell"))
+      .select(col("vec_id") +: col("cell") +: carry.map(col) :+
+        expr("zip_with(v, cv, (a, b) -> a - b)").as("v"): _*)
+      .withColumn("n2", dot("v", "v"))
+
+  /** Per-query ADC distance tables — (qid[, carry...],
+    * dt: array<array<bigint>>) with dt(s)(c) = exact integer
+    * ‖q_s − book(s)(c)‖²: the classic IVFADC query-side lookup table
+    * (m × ksub entries per query, built once, broadcast). Scoring a
+    * candidate is then Σ_s dt(s)(code(s)) — a single codegen'd
+    * zip_with/aggregate over the packed code, no join and no shuffle
+    * on the code-scan path. `carry` keys the tables per (query,
+    * extra) — the residual path needs one table per (query, probed
+    * cell), since the query's residual differs per cell. */
   def pqDistTables(queries: org.apache.spark.sql.DataFrame,
-      books: org.apache.spark.sql.DataFrame, m: Int, subDim: Int)
-      : org.apache.spark.sql.DataFrame = {
-    val d = pqSubvectors(queries, m, subDim).join(books, Seq("sub"))
-      .select(col("vec_id").as("qid"), col("sub"), col("cid"),
+      books: org.apache.spark.sql.DataFrame, m: Int, subDim: Int,
+      carry: Seq[String] = Nil): org.apache.spark.sql.DataFrame = {
+    val d = pqSubvectors(queries, m, subDim, carry).join(books, Seq("sub"))
+      .select(col("vec_id").as("qid") +: carry.map(col) :+ col("sub") :+
+        col("cid") :+
         (col("svn2") + col("cvn2") -
-          lit(2L) * dot("sv", "cv")).as("d2"))
-    d.groupBy(col("qid"), col("sub"))
+          lit(2L) * dot("sv", "cv")).as("d2"): _*)
+    d.groupBy(col("qid") +: carry.map(col) :+ col("sub"): _*)
       .agg(expr("transform(array_sort(collect_list(struct(cid, d2)))," +
         " s -> s.d2)").as("row"))
-      .groupBy(col("qid"))
+      .groupBy(col("qid") +: carry.map(col): _*)
       .agg(expr("transform(array_sort(collect_list(struct(sub, row)))," +
         " s -> s.row)").as("dt"))
   }
@@ -1080,6 +1103,92 @@ object SimilarityOps {
           ROW_NUMBER() OVER (PARTITION BY qid ORDER BY d2, nid) AS rn
         FROM rer) WHERE rn <= 3
       ORDER BY qid, rn"""))
+
+  /** Loud oracle surgery: derive a variant oracle from a base one by
+    * exact-anchor replacement — a missing anchor THROWS at registry
+    * construction instead of silently shipping the base arithmetic
+    * under the variant's name. */
+  private def mustReplace(s: String, from: String, to: String): String = {
+    require(s.contains(from),
+      s"oracle surgery anchor missing:\n$from")
+    s.replace(from, to)
+  }
+
+  /** RESIDUAL IVF-PQ (IVFADC as published — Jégou et al. §V's
+    * by-residual encoding, FAISS `by_residual=true`), gated
+    * end-to-end through disk: savePq with `residual = true` trains
+    * the codebooks on x − c(cell) and encodes residuals; the ADC
+    * probe builds one lookup table per (query, probed cell) — the
+    * query's residual to THAT cell's centroid is what the cell's
+    * codes quantized against — and the exact re-rank is unchanged.
+    * Residuals concentrate the m×ksub quantization budget on
+    * within-cell variation, buying shortlist recall exactly where the
+    * non-residual default dips (wide cells — graft.PqProbe measures
+    * recall@3 0.70 → with residuals at the same 1× geometry). All
+    * arithmetic stays exact bigint (residual subtraction of two
+    * bigint arrays), so the oracle replays the WHOLE path —
+    * training-on-residuals, residual encode, per-(query,cell) tables,
+    * ADC sums, both rank windows — bit-for-bit. The oracle is the
+    * non-residual twin's SQL with three anchored edits (corpus
+    * subvectors read residuals; query tables key on the probed cell;
+    * the ADC join carries that key), applied loudly so the twins
+    * cannot drift apart silently. */
+  val pqResidual = QueryDef(
+    "s_ann_index_pq_residual",
+    "LLM-pipeline similarity: residual IVF-PQ (by-residual IVFADC)",
+    "savePq(residual) → per-(query,cell) ADC tables → exact re-rank top-3",
+    (s, dir) => {
+      val emb = scopedCache(quantized(s, dir))
+      val corpus = emb.filter(col("vec_id") % 5 =!= 0)
+      val inc = emb.filter(col("vec_id") % 5 === 0)
+      val kC = math.max(32L, corpus.count() / 64L).toInt
+      val root = scratchRoot("pqres")
+      IvfIndexStore.savePq(root, corpus, kC, m = 4, ksub = 16,
+        residual = true)
+      val idx = IvfIndexStore.loadPq(s, root)
+      IvfIndexStore.adcShortlist(idx, inc, nprobe = 4,
+          shortlistL = 10, topK = 3)
+        .orderBy("qid", "rn")
+    },
+    pqLifecycle.oracle.map { base =>
+      val withResidualSv = mustReplace(base,
+        """      sv AS (
+        SELECT vec_id, CAST((i-1)//16 AS INTEGER) AS sub,
+          (i-1)%16 AS j, x FROM u),""",
+        """      rsv AS (
+        SELECT u.vec_id, u.i, u.x - c.x AS x
+        FROM u
+        JOIN cells a ON a.vec_id = u.vec_id
+        JOIN c1 c ON c.cid = a.cell AND c.i = u.i),
+      sv AS (
+        SELECT vec_id, CAST((i-1)//16 AS INTEGER) AS sub,
+          (i-1)%16 AS j, x FROM rsv),""")
+      val withResidualQdt = mustReplace(withResidualSv,
+        """      qdt AS (
+        SELECT s.vec_id AS qid, s.sub, c.cid,
+          CAST(SUM((s.x-c.cx)*(s.x-c.cx)) AS BIGINT) AS d2
+        FROM sv s JOIN pb1 c ON c.sub = s.sub AND c.j = s.j
+        WHERE s.vec_id % 5 = 0
+        GROUP BY s.vec_id, s.sub, c.cid),""",
+        """      qrsv AS (
+        SELECT q.qid, q.pcell, u.i, u.x - c.x AS x
+        FROM qprobe q
+        JOIN u ON u.vec_id = q.qid
+        JOIN c1 c ON c.cid = q.pcell AND c.i = u.i),
+      qsv AS (
+        SELECT qid, pcell, CAST((i-1)//16 AS INTEGER) AS sub,
+          (i-1)%16 AS j, x FROM qrsv),
+      qdt AS (
+        SELECT s.qid, s.pcell, s.sub, c.cid,
+          CAST(SUM((s.x-c.cx)*(s.x-c.cx)) AS BIGINT) AS d2
+        FROM qsv s JOIN pb1 c ON c.sub = s.sub AND c.j = s.j
+        GROUP BY s.qid, s.pcell, s.sub, c.cid),""")
+      mustReplace(withResidualQdt,
+        "JOIN qdt t ON t.qid = q.qid AND t.sub = k.sub " +
+          "AND t.cid = k.cid",
+        "JOIN qdt t ON t.qid = q.qid AND t.pcell = q.pcell " +
+          "AND t.sub = k.sub AND t.cid = k.cid")
+    })
 
   /** The PQ layer's O(increment) append, gated through disk on the
     * CODE path: savePq the corpus, [[IvfIndexStore.appendPq]] the
@@ -2295,6 +2404,7 @@ object SimilarityOps {
 
   val defs: Seq[QueryDef] =
     Seq(bruteTopK, lshAnn, ivfAnn, ivfIncrement, ivfLifecycle,
-      ivfAppend, ivfCellStats, ivfDelete, pqLifecycle, pqCodes,
-      semDedup, pqAnn, knnClusters, knnClustersAnn, knnAnnRecall)
+      ivfAppend, ivfCellStats, ivfDelete, pqLifecycle, pqResidual,
+      pqCodes, semDedup, pqAnn, knnClusters, knnClustersAnn,
+      knnAnnRecall)
 }

@@ -305,4 +305,65 @@ class IvfPqIndexSpec extends SparkTestBase {
     assert(codeRows(IvfIndexStore.loadPqAt(spark, root, v4).codes
       .filter(col("vec_id") >= off)) == expected)
   }
+
+  test("residual PQ: the flag persists, books/codes equal the " +
+      "in-memory residual recompute, appends encode increment " +
+      "residuals on frozen books, retrain re-anchors to new centroids") {
+    val root = freshRoot("residual")
+    IvfIndexStore.savePq(root, corpus, 32, M, Ksub, residual = true)
+    val idx = IvfIndexStore.loadPq(spark, root)
+    assert(idx.residual, "res flag must roundtrip the record")
+
+    // books/codes = the recompute over residuals to the trained
+    // centroids (the whole difference from the raw path)
+    val cents = SimilarityOps.ivfCentroids(corpus, 32)
+    val resid = SimilarityOps.residuals(
+      SimilarityOps.ivfCells(corpus, cents), cents)
+    val memBooks = SimilarityOps.pqCodebooks(resid, M, SubDim, Ksub)
+    assert(bookRows(idx.books) == bookRows(memBooks))
+    assert(codeRows(idx.codes) ==
+      codeRows(SimilarityOps.pqEncode(resid, memBooks, M, SubDim)))
+    // residual codes genuinely differ from raw codes on this corpus
+    // (otherwise the flag tests nothing)
+    val rawBooks = SimilarityOps.pqCodebooks(corpus, M, SubDim, Ksub)
+    assert(codeRows(idx.codes) !=
+      codeRows(SimilarityOps.pqEncode(corpus, rawBooks, M, SubDim)))
+
+    // frozen-book increment append encodes the increment's residuals
+    val v2 = IvfIndexStore.appendPq(spark, root, inc)
+    val incResid = SimilarityOps.residuals(
+      SimilarityOps.ivfCells(inc, cents), cents)
+    assert(codeRows(IvfIndexStore.loadPqAt(spark, root, v2).codes
+        .filter(col("vec_id") % 5 === 0)) ==
+      codeRows(SimilarityOps.pqEncode(incResid, memBooks, M, SubDim)))
+
+    // the ADC probe on the loaded residual index returns exactly
+    // topK rows per query and never a query itself
+    val q = inc.filter(col("vec_id").isin(5L, 10L, 15L))
+    val out = IvfIndexStore.adcShortlist(idx, q, nprobe = 4,
+        shortlistL = 10, topK = 3)
+      .select("qid", "nid").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.length == 9 && !out.exists(p => p._1 == p._2))
+    SimilarityOps.releaseCaches()
+
+    // retrain keeps the residual layer and re-anchors books + codes
+    // to the NEW centroids
+    val v3 = IvfIndexStore.retrain(spark, root)
+    val after = IvfIndexStore.loadPqAt(spark, root, v3)
+    assert(after.residual, "res flag must survive retrain")
+    val kNew = math.max(32L, emb.count() / 64L).toInt
+    val seeds = emb.orderBy(xxhash64(col("vec_id"))).limit(kNew)
+      .select("vec_id", "v", "n2")
+    val newCents = SimilarityOps.ivfCentroids(emb, kNew, 1, Some(seeds))
+    val newResid = SimilarityOps.residuals(
+      SimilarityOps.ivfCells(emb, newCents), newCents)
+    val bookSeeds = newResid.orderBy(xxhash64(col("vec_id")))
+      .limit(Ksub).select("vec_id", "v", "n2")
+    val newBooks = SimilarityOps.pqCodebooks(newResid, M, SubDim, Ksub,
+      1, Some(bookSeeds))
+    assert(bookRows(after.books) == bookRows(newBooks))
+    assert(codeRows(after.codes) ==
+      codeRows(SimilarityOps.pqEncode(newResid, newBooks, M, SubDim)))
+  }
 }
