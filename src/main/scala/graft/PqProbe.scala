@@ -265,6 +265,23 @@ object PqProbe {
       }
       println(resGrid.map { case (np, r) => f"nprobe=$np r@3=$r%.2f" }
         .mkString(f"RESIDUAL ${f}x (build $resBuildS%.1f s): ", ", ", ""))
+
+      // shortlist-L leg: the 1× grid shows recall FALLING as nprobe
+      // grows at fixed L — the signature of shortlist-precision
+      // truncation (more candidates compete for the same L ADC slots
+      // and coarse codes mis-rank them), not coarse-probe coverage.
+      // If that reading is right, recall at nprobe=4 should climb
+      // with L while the nprobe curve stays flat-to-falling.
+      val lGrid = Seq(10, 30, 100).map { l =>
+        val got = IvfIndexStore.adcShortlist(idx, q10, nprobe = 4,
+            shortlistL = l, topK = 3)
+          .select("qid", "nid").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        SimilarityOps.releaseCaches()
+        l -> got.intersect(exact).size.toDouble / exact.size
+      }
+      println(lGrid.map { case (l, r) => f"L=$l r@3=$r%.2f" }
+        .mkString(s"L_GRID ${f}x (nprobe=4): ", ", ", ""))
       spark.catalog.clearCache()
     }
     spark.stop()

@@ -220,15 +220,21 @@ object IvfIndexStore {
     * ignores the extra lines) while [[loadPq]] requires them. */
   /** `residual = true` selects RESIDUAL PQ (Jégou et al.'s IVFADC
     * proper, FAISS `by_residual=true`): codebooks train on and codes
-    * encode x − c(cell) rather than raw x. Residuals concentrate the
-    * quantizer's budget on within-cell variation, which is what
-    * recall at wide-cell geometries is made of — graft.PqProbe
-    * measures the 1× recall@3 lift over the non-residual default —
-    * at the cost of per-(query, probed-cell) ADC tables
-    * (nprobe× more table rows, still a broadcast) and a centroid
-    * join on the encode path (broadcast, no shuffle). The flag
-    * persists in the record (`res=1`); appends, retrain, and the ADC
-    * probe all dispatch on it. */
+    * encode x − c(cell) rather than raw x, concentrating the
+    * quantizer's budget on within-cell variation. Cost: per-(query,
+    * probed-cell) ADC tables (nprobe× more table rows, still a
+    * broadcast) and a centroid join on the encode path (broadcast, no
+    * shuffle). Measured honestly (graft.PqProbe RESIDUAL rows):
+    * recall@3 = 1.00 at 10×/100× like the raw path, and at the 1×
+    * toy budget (m=4, ksub=16, ~64-wide cells) residuals do NOT
+    * rescue the 0.70 dip (0.63) — the grids show that dip is
+    * SHORTLIST-PRECISION truncation (recall falls as nprobe grows at
+    * fixed L, climbs with L), so the operating knobs there are L and
+    * ksub, with by-residual the standard default at production
+    * budgets (FAISS trains IVF with residuals for exactly the
+    * within-cell-variance reason). The flag persists in the record
+    * (`res=1`); appends, retrain, and the ADC probe all dispatch on
+    * it; `s_ann_index_pq_residual` gates the arithmetic end-to-end. */
   def savePq(root: String, corpus: DataFrame, k: Int, m: Int,
       ksub: Int, store: CommitStore = LinkCommitStore,
       iters: Int = 1, rowGroupBytes: Int = 0,
@@ -516,20 +522,19 @@ object IvfIndexStore {
     * bucket-pruned: shortlist members live in probed cells by
     * construction) and return the top `topK`.
     *
-    * NON-RESIDUAL PQ (FAISS `by_residual=false`): vectors PQ-encode
-    * RAW, not as residuals to their assigned coarse centroid as in
-    * the paper's IVFADC. Residual encoding buys shortlist recall when
-    * coarse cells are wide (at the 1× probe geometry, where mean cell
-    * ≈ 64 vectors over 4 subspaces, graft.PqProbe measures the cost:
-    * recall@3 = 0.70; at 10×/100×, where cells are tighter relative
-    * to the PQ grid, 1.00 — the nprobe×recall operating grid in
-    * BASELINE.md maps the tradeoff). It is skipped deliberately:
-    * residuals make the encode input a JOIN of vector × assigned
-    * centroid (raw encoding streams the vector frame alone), and —
-    * decisive here — the exact integer arithmetic would need the
-    * residual subtraction replayed inside the DuckDB oracle's already
-    * 100-line training CTE. The exact re-rank bounds the damage to
-    * shortlist membership, never final distances.
+    * DEFAULT is NON-RESIDUAL PQ (FAISS `by_residual=false`): vectors
+    * PQ-encode RAW; [[savePq]]'s `residual = true` selects the
+    * paper's by-residual encoding (per-(query, cell) lookup tables —
+    * see the flag's scaladoc). Measured on this corpus
+    * (graft.PqProbe): recall@3 = 1.00 at 10×/100× under BOTH
+    * encodings and every nprobe ∈ {1,2,4,8}; at the 1× toy budget
+    * (m=4, ksub=16, ~64-wide cells) recall dips to 0.70 and the
+    * grids attribute it to SHORTLIST truncation, not coarse coverage
+    * or the encoding — recall FALLS as nprobe grows at fixed L=10
+    * (more candidates compete for the same ADC slots and coarse
+    * codes mis-rank them), residuals don't move it (0.63), and it
+    * climbs with L. The exact re-rank bounds the damage to shortlist
+    * membership, never final distances.
     *
     * 100 TB shape: the per-query lookup tables are a broadcast
     * (m × ksub bigints per query), scoring is one codegen'd

@@ -137,12 +137,17 @@ object MinhashIndexStore {
       writeShard(c, p, q, s"$root/data/$dirName",
         partitioned = n > 0)
       val labDirs = labels.toSeq.flatMap { lab =>
+        // the label frame (typically a CC fixpoint's output) feeds
+        // TWO writes (doc-bucketed labels + cluster-bucketed members
+        // mirror) — cache for the call or the fixpoint runs twice
         val lab0 = lab.select(col("doc_id"),
-          col("cluster_id").as("cid0"))
-        writeLabels(lab0, q, gen = 1L,
-          s"$root/data/$dirName/labels", partitioned = n > 0)
-        writeMembers(lab0, q, gen = 1L,
-          s"$root/data/$dirName/members", partitioned = n > 0)
+          col("cluster_id").as("cid0")).cache()
+        try {
+          writeLabels(lab0, q, gen = 1L,
+            s"$root/data/$dirName/labels", partitioned = n > 0)
+          writeMembers(lab0, q, gen = 1L,
+            s"$root/data/$dirName/members", partitioned = n > 0)
+        } finally lab0.unpersist(false)
         // own top-level uuid: the F line is replaced on every labeled
         // ingest, and a replaced dir must become vacuum-sweepable
         val fwdDirName = UUID.randomUUID().toString
@@ -337,12 +342,15 @@ object MinhashIndexStore {
       if (!labeled) Nil
       else {
         val idx = loadAt(spark, root, v) // tomb-filtered, newest-gen
+        // feeds both folded writes — cache (same rationale as save)
         val lab0 = resolvedLabels(idx)
-          .select(col("doc_id"), col("cluster_id").as("cid0"))
-        writeLabels(lab0, idx.shingleBuckets, gen = 0L,
-          s"$root/data/$dirName/labels", partitioned = !empty)
-        writeMembers(lab0, idx.shingleBuckets, gen = 0L,
-          s"$root/data/$dirName/members", partitioned = !empty)
+          .select(col("doc_id"), col("cluster_id").as("cid0")).cache()
+        try {
+          writeLabels(lab0, idx.shingleBuckets, gen = 0L,
+            s"$root/data/$dirName/labels", partitioned = !empty)
+          writeMembers(lab0, idx.shingleBuckets, gen = 0L,
+            s"$root/data/$dirName/members", partitioned = !empty)
+        } finally lab0.unpersist(false)
         val fwdDirName = UUID.randomUUID().toString
         idx.forward.get.limit(0)
           .write.parquet(s"$root/data/$fwdDirName/forward")
@@ -686,8 +694,11 @@ object MinhashIndexStore {
           .dropDuplicates("d1", "d2")
         val edges = DedupOps.verifyPairs(ssh, cand)
           .select(col("d1").as("u"), col("d2").as("v"))
-        val relabeled = ConnectedComponents.labels(survivors, edges)
-          .select(col("doc_id"), col("cluster_id").as("cid0"))
+        // the subgraph-CC output feeds both writes — scoped-cached
+        // like the other delete-path frames
+        val relabeled = DedupOps.scopedCache(
+          ConnectedComponents.labels(survivors, edges)
+            .select(col("doc_id"), col("cluster_id").as("cid0")))
         val hasSurvivors = !survivors.isEmpty
         writeLabels(relabeled, q, v + 1, s"$root/data/$dirName/labels",
           partitioned = hasSurvivors)

@@ -1122,9 +1122,11 @@ object SimilarityOps {
     * query's residual to THAT cell's centroid is what the cell's
     * codes quantized against — and the exact re-rank is unchanged.
     * Residuals concentrate the m×ksub quantization budget on
-    * within-cell variation, buying shortlist recall exactly where the
-    * non-residual default dips (wide cells — graft.PqProbe measures
-    * recall@3 0.70 → with residuals at the same 1× geometry). All
+    * within-cell variation — the production default at real budgets
+    * (FAISS by_residual=true); graft.PqProbe's RESIDUAL rows record
+    * both encodings honestly (recall@3 = 1.00 at 10×/100× either
+    * way; the 1× toy-budget dip is shortlist-L-bound and residuals
+    * do not move it — see IvfIndexStore.savePq's scaladoc). All
     * arithmetic stays exact bigint (residual subtraction of two
     * bigint arrays), so the oracle replays the WHOLE path —
     * training-on-residuals, residual encode, per-(query,cell) tables,
