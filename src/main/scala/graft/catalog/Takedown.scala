@@ -132,10 +132,11 @@ object Takedown {
     * contract of the artifact stores. */
   def takedown(root: String, urls: DataFrame,
       store: CommitStore = LinkCommitStore, maxRetries: Int = 10,
-      tag: Option[Long] = None): Long = {
+      tag: Option[Long] = None, tagKey: String = "tag"): Long = {
+    require(ArtifactLog.TagKeys(tagKey), s"unknown tag channel $tagKey")
     val (v0, head0) = ArtifactLog.latest(root, Kind)
     tag.foreach { t =>
-      val committed = head0.kvMap.get("tag").map(_.toLong)
+      val committed = head0.kvMap.get(tagKey).map(_.toLong)
       if (committed.exists(_ >= t)) return v0
     }
     val dirName = UUID.randomUUID().toString
@@ -147,13 +148,13 @@ object Takedown {
       tag.foreach { t =>
         // re-check inside the loop (the zombie-driver race — see
         // IvfIndexStore.casAppend)
-        val committed = latest.kvMap.get("tag").map(_.toLong)
+        val committed = latest.kvMap.get(tagKey).map(_.toLong)
         if (committed.exists(_ >= t)) return v
       }
       val rec = Rec(
         if (tag.isDefined)
-          latest.kv.filterNot(_._1 == "tag") ++
-            tag.map(t => "tag" -> t.toString)
+          latest.kv.filterNot(_._1 == tagKey) ++
+            tag.map(t => tagKey -> t.toString)
         else latest.kv,
         latest.dirs :+ ("T" -> s"$dirName/T"))
       try return ArtifactLog.commit(root, Kind, v, rec, store)

@@ -29,6 +29,16 @@ private[graft] object ArtifactLog {
       dirs.collect { case (t, d) if t == tag => d }
   }
 
+  /** Replay-tag CHANNELS: `tag` is the ingest streams' batchId
+    * watermark; `tdtag` is the takedown saga's
+    * ([[graft.catalog.TakedownSaga]]) — two independent
+    * monotone-watermark namespaces on the same record, so a saga
+    * replay can never be swallowed by a higher stream batchId (or
+    * vice versa). Structure-equality checks (an appender validating
+    * nothing but shards moved under it) must ignore BOTH: either
+    * channel advancing is not a structural change. */
+  val TagKeys: Set[String] = Set("tag", "tdtag")
+
   private def commitsDir(root: String): Path = Paths.get(root, "_commits")
   private def vname(v: Long): String = f"v$v%020d"
 

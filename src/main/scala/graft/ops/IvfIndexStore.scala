@@ -24,6 +24,7 @@ import graft.ops.ArtifactLog.Rec
   *   root/_commits/v<20-digit>      one record per committed version
   *   root/data/<uuid>/centroids/    (cid, cv: array<bigint>, cn2)
   *   root/data/<uuid>/cells/        (vec_id, v, n2, cell, pb)
+  *   root/data/<uuid>/attrs/        (vec_id, <metadata…>, ab)  [attr-flagged]
   * }}}
   *
   * Records are the [[ArtifactLog]] shape (header `#ivf k=.. p=..`, one
@@ -59,9 +60,16 @@ object IvfIndexStore {
   /** A loaded index version. `centroids` is broadcast-hinted (the
     * k × dim frame is the small side of every assignment join);
     * `cells` carries the member vectors (IVF-Flat) plus the `pb`
-    * bucket column. */
+    * bucket column. `attrs`/`attrBuckets` are present iff the index
+    * was saved with an attribute sidecar ([[save]]'s `attrs`): the
+    * per-vector metadata columns filtered vector search predicates
+    * run against, hash-bucketed by `ab = vec_id % attrBuckets` —
+    * INDEPENDENT of the centroid structure, so retrain never
+    * rewrites them (cell-keyed bucketing would go stale the moment
+    * the coarse quantizer moved). */
   final case class IvfIndex(version: Long, k: Int, buckets: Int,
-      centroids: DataFrame, cells: DataFrame)
+      centroids: DataFrame, cells: DataFrame,
+      attrs: Option[DataFrame] = None, attrBuckets: Int = 0)
 
   /** A loaded IVF-PQ version: the flat index (centroids + raw-vector
     * inverted lists, still the re-rank / retrain / drift-monitor
@@ -158,12 +166,40 @@ object IvfIndexStore {
       .repartition(col("pb"))
       .write.partitionBy("pb").parquet(dir)
 
+  /** The attribute sidecar: one row per vector, the caller's
+    * metadata columns plus `ab = vec_id % attrBuckets`, one file per
+    * bucket per shard (the shared object-store layout). Bucketing by
+    * vec_id (NOT cell) keeps the sidecar orthogonal to the coarse
+    * quantizer — [[retrain]] replaces centroids and lists without
+    * touching it — and serves [[fetchAttrs]]' point-lookups pruned.
+    * The predicate read path ([[shortlist]]'s `pred`) instead
+    * column-prunes: a scan of (vec_id + predicate columns) with the
+    * predicate pushed to parquet, which at vector-store ratios
+    * (≈10 B of attrs vs ≈0.5-6 KB of vector per row) is 2-3 orders
+    * of magnitude under the vector bytes the filter saves scoring
+    * (graft.FilteredAnnProbe measures both sides). */
+  private def writeAttrs(attrs: DataFrame, buckets: Int,
+      dir: String): Unit =
+    attrs
+      .withColumn("ab",
+        pmod(col("vec_id"), lit(buckets.toLong)).cast("int"))
+      .repartition(col("ab"))
+      .write.partitionBy("ab").parquet(dir)
+
+  /** ~256 rows per attr bucket ([[MinhashIndexStore.defaultBuckets]]
+    * sizing: buckets must outnumber a point-lookup's ids for the
+    * pruned path to skip; cap bounds dir count at object-store
+    * scale). */
+  def defaultAttrBuckets(n: Long): Int =
+    math.min(65536L, math.max(8L, n / 256L)).toInt
+
   /** Train on `corpus` (a [[SimilarityOps.quantized]]-shaped frame:
     * vec_id, v, n2) and commit version 1: centroids via the
     * integer-exact Lloyd pass, cells = corpus assignment on the
     * trained centroids. Returns the committed version. */
   def save(root: String, corpus: DataFrame, k: Int,
-      store: CommitStore = LinkCommitStore, iters: Int = 1): Long = {
+      store: CommitStore = LinkCommitStore, iters: Int = 1,
+      attrs: Option[DataFrame] = None): Long = {
     TxLog.init(root)
     // the Lloyd-iteration subplan behind the centroids feeds THREE
     // actions (empty check, centroid write, cell assignment) — cache
@@ -180,8 +216,15 @@ object IvfIndexStore {
       val dirName = UUID.randomUUID().toString
       cents.write.parquet(s"$root/data/$dirName/centroids")
       writeCells(cells, defaultBuckets(k), s"$root/data/$dirName/cells")
-      val rec = mkRec(k, defaultBuckets(k), s"$dirName/centroids",
+      val attrKv = attrs.toSeq.map { a =>
+        val ap = defaultAttrBuckets(a.count())
+        writeAttrs(a, ap, s"$root/data/$dirName/attrs")
+        "ap" -> ap.toString
+      }
+      val base = mkRec(k, defaultBuckets(k), s"$dirName/centroids",
         Seq(s"$dirName/cells"))
+      val rec = Rec(base.kv ++ attrKv,
+        base.dirs ++ attrs.toSeq.map(_ => "A" -> s"$dirName/attrs"))
       val v = ArtifactLog.list(root).headOption.map(_._1).getOrElse(0L)
       ArtifactLog.commit(root, Kind, v, rec, store)
     } finally cents.unpersist(false)
@@ -206,7 +249,11 @@ object IvfIndexStore {
       spark.read.parquet(s"$root/data/${r.dirsOf("C").head}"))
     val tombs = readTombs(spark, root, r.dirsOf("T"))
     IvfIndex(version, r.kvMap("k").toInt, r.kvMap("p").toInt, cents,
-      dropTombs(readCellDirs(spark, root, r.dirsOf("D")), tombs))
+      dropTombs(readCellDirs(spark, root, r.dirsOf("D")), tombs),
+      if (r.dirsOf("A").isEmpty) None
+      else Some(dropTombs(readCellDirs(spark, root, r.dirsOf("A")),
+        tombs)),
+      r.kvMap.get("ap").map(_.toInt).getOrElse(0))
   }
 
   /** Train and commit an IVF-PQ index: the flat layer ([[save]]'s
@@ -238,7 +285,8 @@ object IvfIndexStore {
   def savePq(root: String, corpus: DataFrame, k: Int, m: Int,
       ksub: Int, store: CommitStore = LinkCommitStore,
       iters: Int = 1, rowGroupBytes: Int = 0,
-      residual: Boolean = false): Long = {
+      residual: Boolean = false,
+      attrs: Option[DataFrame] = None): Long = {
     TxLog.init(root)
     val corp = corpus.cache() // feeds coarse train + assign + PQ train + encode
     try {
@@ -284,15 +332,21 @@ object IvfIndexStore {
             writeCells(cells, buckets, s"$root/data/$dirName/cells",
               rowGroupBytes)
             writeCodes(codes, buckets, s"$root/data/$dirName/codes")
+            val attrKv = attrs.toSeq.map { a =>
+              val ap = defaultAttrBuckets(a.count())
+              writeAttrs(a, ap, s"$root/data/$dirName/attrs")
+              "ap" -> ap.toString
+            }
             val rec = Rec(
               Seq("k" -> k.toString, "p" -> buckets.toString,
                 "m" -> m.toString, "sd" -> subDim.toString,
                 "ks" -> ksub.toString) ++
                 (if (rowGroupBytes > 0)
                   Seq("rg" -> rowGroupBytes.toString) else Nil) ++
-                (if (residual) Seq("res" -> "1") else Nil),
+                (if (residual) Seq("res" -> "1") else Nil) ++ attrKv,
               Seq("C" -> s"$dirName/centroids", "B" -> s"$dirName/books",
-                "D" -> s"$dirName/cells", "Q" -> s"$dirName/codes"))
+                "D" -> s"$dirName/cells", "Q" -> s"$dirName/codes") ++
+                attrs.toSeq.map(_ => "A" -> s"$dirName/attrs"))
             val v =
               ArtifactLog.list(root).headOption.map(_._1).getOrElse(0L)
             ArtifactLog.commit(root, Kind, v, rec, store)
@@ -338,24 +392,25 @@ object IvfIndexStore {
     * append. */
   private def casAppend(root: String, head: Rec,
       newDirs: Seq[(String, String)], tag: Option[Long],
-      store: CommitStore, maxRetries: Int): Long = {
+      store: CommitStore, maxRetries: Int,
+      tagKey: String = "tag"): Long = {
     var attempt = 0
     while (true) {
       val (v, latest) = ArtifactLog.latest(root, Kind)
       tag.foreach { t =>
-        val committed = latest.kvMap.get("tag").map(_.toLong)
+        val committed = latest.kvMap.get(tagKey).map(_.toLong)
         if (committed.exists(_ >= t)) return v
       }
-      require(latest.kvMap.filterNot(_._1 == "tag") ==
-          head.kvMap.filterNot(_._1 == "tag") &&
+      require(latest.kvMap.filterNot(kv => ArtifactLog.TagKeys(kv._1)) ==
+          head.kvMap.filterNot(kv => ArtifactLog.TagKeys(kv._1)) &&
         latest.dirsOf("C") == head.dirsOf("C") &&
         latest.dirsOf("B") == head.dirsOf("B"),
         "concurrent commit replaced the index structure (compact/save " +
           "raced this append); re-run against the new index")
       val rec = Rec(
         if (tag.isDefined)
-          latest.kv.filterNot(_._1 == "tag") ++
-            tag.map(t => "tag" -> t.toString)
+          latest.kv.filterNot(_._1 == tagKey) ++
+            tag.map(t => tagKey -> t.toString)
         else latest.kv,
         latest.dirs ++ newDirs)
       try return ArtifactLog.commit(root, Kind, v, rec, store)
@@ -376,12 +431,14 @@ object IvfIndexStore {
     * valid; only the record re-renders). Returns the new version. */
   def append(spark: SparkSession, root: String, inc: DataFrame,
       store: CommitStore = LinkCommitStore, maxRetries: Int = 10,
-      tag: Option[Long] = None): Long = {
+      tag: Option[Long] = None,
+      attrs: Option[DataFrame] = None): Long = {
     val (v0, head) = ArtifactLog.latest(root, Kind)
     require(head.dirsOf("B").isEmpty,
       s"$root carries a PQ layer: a flat append would leave the new " +
         "shard without code rows and ADC probes would silently miss " +
         "it; use appendPq")
+    requireAttrsMatch(head, attrs)
     tag.foreach { t =>
       // replay idempotence (the foreachBatch contract — see
       // graft.streaming.EmbeddingIngestStream): a batchId at or below
@@ -400,8 +457,29 @@ object IvfIndexStore {
     writeCells(assigned, head.kvMap("p").toInt,
       s"$root/data/$dirName/cells",
       head.kvMap.get("rg").map(_.toInt).getOrElse(0))
-    casAppend(root, head, Seq("D" -> s"$dirName/cells"), tag, store,
+    attrs.foreach(a => writeAttrs(a, head.kvMap("ap").toInt,
+      s"$root/data/$dirName/attrs"))
+    casAppend(root, head, Seq("D" -> s"$dirName/cells") ++
+      attrs.toSeq.map(_ => "A" -> s"$dirName/attrs"), tag, store,
       maxRetries)
+  }
+
+  /** An attr-flagged index must ingest each shard's attribute rows
+    * WITH the shard (a bare append would leave the new vectors
+    * invisible to every filtered probe — the semi-join drops what
+    * the sidecar doesn't know); a flat index must not receive attrs
+    * (they'd commit unreadable — no `ap` bucket count). The labeled
+    * dedup index enforces its L-rows the same way
+    * ([[MinhashIndexStore.append]]'s `lab` guard). */
+  private def requireAttrsMatch(head: Rec,
+      attrs: Option[DataFrame]): Unit = {
+    val flagged = head.kvMap.contains("ap")
+    require(attrs.isDefined == flagged,
+      if (flagged) "attr-flagged index: pass the shard's attrs to " +
+        "append (vectors without sidecar rows are invisible to " +
+        "filtered probes)"
+      else "index was saved without attrs; re-save with an attrs " +
+        "sidecar to enable filtered search")
   }
 
   /** The increment's vector dimension, or None when it is empty. One
@@ -433,10 +511,12 @@ object IvfIndexStore {
     * semantics identical to [[append]]. */
   def appendPq(spark: SparkSession, root: String, inc: DataFrame,
       store: CommitStore = LinkCommitStore, maxRetries: Int = 10,
-      tag: Option[Long] = None): Long = {
+      tag: Option[Long] = None,
+      attrs: Option[DataFrame] = None): Long = {
     val (v0, head) = ArtifactLog.latest(root, Kind)
     require(head.dirsOf("B").nonEmpty,
       s"$root is a flat IVF index (no PQ layer); use append")
+    requireAttrsMatch(head, attrs)
     tag.foreach { t =>
       // entry fast-path; the authoritative re-check is in casAppend
       val committed = head.kvMap.get("tag").map(_.toLong)
@@ -465,8 +545,11 @@ object IvfIndexStore {
     writeCells(assigned, buckets, s"$root/data/$dirName/cells",
       head.kvMap.get("rg").map(_.toInt).getOrElse(0))
     writeCodes(codes, buckets, s"$root/data/$dirName/codes")
+    attrs.foreach(a => writeAttrs(a, head.kvMap("ap").toInt,
+      s"$root/data/$dirName/attrs"))
     casAppend(root, head,
-      Seq("D" -> s"$dirName/cells", "Q" -> s"$dirName/codes"),
+      Seq("D" -> s"$dirName/cells", "Q" -> s"$dirName/codes") ++
+        attrs.toSeq.map(_ => "A" -> s"$dirName/attrs"),
       tag, store, maxRetries)
   }
 
@@ -498,18 +581,19 @@ object IvfIndexStore {
     * erase HISTORY is vacuum-with-keep=1 after the delete commit. */
   def delete(spark: SparkSession, root: String, ids: DataFrame,
       store: CommitStore = LinkCommitStore, maxRetries: Int = 10,
-      tag: Option[Long] = None): Long = {
+      tag: Option[Long] = None, tagKey: String = "tag"): Long = {
+    require(ArtifactLog.TagKeys(tagKey), s"unknown tag channel $tagKey")
     val (v0, head) = ArtifactLog.latest(root, Kind)
     tag.foreach { t =>
       // entry fast-path; the authoritative re-check is in casAppend
-      val committed = head.kvMap.get("tag").map(_.toLong)
+      val committed = head.kvMap.get(tagKey).map(_.toLong)
       if (committed.exists(_ >= t)) return v0
     }
     val dirName = UUID.randomUUID().toString
     ids.select(col("vec_id")).distinct()
       .write.parquet(s"$root/data/$dirName/tombs")
     casAppend(root, head, Seq("T" -> s"$dirName/tombs"), tag, store,
-      maxRetries)
+      maxRetries, tagKey)
   }
 
   /** IVFADC probe (the shape of Jégou et al. §V, with one stated
@@ -730,10 +814,23 @@ object IvfIndexStore {
           r.kvMap("p").toInt, s"$root/data/$dirName/codes")
         Seq("Q" -> s"$dirName/codes")
       }
+    // the attribute sidecar folds like the lists, with tombstoned
+    // rows physically excluded — compact is also where a takedown's
+    // STALE attr rows (retrain drops T lines but never rewrites the
+    // sidecar) finally leave the disk
+    val aDir =
+      if (r.dirsOf("A").isEmpty) Nil
+      else {
+        writeAttrs(
+          dropTombs(readCellDirs(spark, root, r.dirsOf("A")), tombs)
+            .drop("ab"),
+          r.kvMap("ap").toInt, s"$root/data/$dirName/attrs")
+        Seq("A" -> s"$dirName/attrs")
+      }
     ArtifactLog.commit(root, Kind, v,
       Rec(r.kv,
-        r.dirs.filterNot(d => Set("D", "Q", "T")(d._1)) :+
-        ("D" -> s"$dirName/cells") :++ qDir), store)
+        r.dirs.filterNot(d => Set("D", "Q", "T", "A")(d._1)) :+
+        ("D" -> s"$dirName/cells") :++ qDir :++ aDir), store)
   }
 
   /** Retrain the coarse quantizer on the CURRENT corpus and commit a
@@ -857,13 +954,22 @@ object IvfIndexStore {
             } finally books.unpersist(false)
             Seq("B" -> s"$dirName/books", "Q" -> s"$dirName/codes")
           }
+        // the attribute sidecar survives retrain UNTOUCHED — it is
+        // bucketed by vec_id, not cell, precisely so the coarse
+        // structure can be replaced without an O(corpus) sidecar
+        // rewrite. Tombstoned ids' attr rows go stale here (the
+        // fresh record has no T lines) — harmless supersets for the
+        // filtered probe (deleted vectors are not in the new lists,
+        // so the semi-join never surfaces them) and physically
+        // folded at the next compact.
         val rec = Rec(
           Seq("k" -> kNew.toString, "p" -> buckets.toString) ++
             head.kvMap.filter(kv =>
-              Set("m", "sd", "ks", "rg", "res")(kv._1)) ++
+              Set("m", "sd", "ks", "rg", "res", "ap")(kv._1)) ++
             head.kvMap.get("tag").map("tag" -> _),
           Seq("C" -> s"$dirName/centroids") ++ pqDirs.take(1) ++
-            Seq("D" -> s"$dirName/cells") ++ pqDirs.drop(1))
+            Seq("D" -> s"$dirName/cells") ++ pqDirs.drop(1) ++
+            head.dirs.filter(_._1 == "A"))
         preCommitHook(v) // test seam: races injected between stage + CAS
         ArtifactLog.commit(root, Kind, v, rec, store)
       } finally cents.unpersist(false)
@@ -886,8 +992,23 @@ object IvfIndexStore {
     * after materializing each call's result, or the cached probe
     * frames accumulate for the thread's lifetime (Bench/Verify do
     * this between queries; graft.PqProbe after every call). */
+  /** `pred` turns the probe into FILTERED vector search (the
+    * metadata-constrained top-k every production vector store
+    * serves): the predicate runs against the attribute sidecar —
+    * a scan of (vec_id + predicate columns) with the predicate
+    * pushed to parquet, orders of magnitude under the vector
+    * bytes — and the allowed ids semi-join the probed cells'
+    * members BELOW the distance math, so a failing candidate
+    * costs a hash-probe, never a dot product. Fixed nprobe under
+    * a RARE predicate starves the shortlist (the filtered-ANN
+    * recall cliff); the candidate frame is exactly where a
+    * deployment counts survivors per query and escalates — the
+    * `s_ann_filtered_adaptive` query implements that policy
+    * in-plan, and graft.FilteredAnnProbe measures the
+    * selectivity × corpus grid. */
   def shortlist(index: IvfIndex, queries: DataFrame, nprobe: Int,
-      topK: Int): DataFrame = {
+      topK: Int,
+      pred: Option[org.apache.spark.sql.Column] = None): DataFrame = {
     val qp = SimilarityOps.scopedCache(
       SimilarityOps.probeCells(queries, index.centroids, nprobe)
         .select(col("vec_id").as("qid"), col("v").as("qv"),
@@ -896,8 +1017,18 @@ object IvfIndexStore {
       .select(pmod(col("pcell"), lit(index.buckets.toLong)).cast("int")
         .as("pb"))
       .distinct().collect().map(_.getInt(0)) // ≤ P values by pigeonhole
-    val cand = qp.join(
-      index.cells.filter(col("pb").isin(probedBuckets.toSeq: _*)),
+    val probedCells =
+      index.cells.filter(col("pb").isin(probedBuckets.toSeq: _*))
+    val candCells = pred match {
+      case None => probedCells
+      case Some(p) =>
+        val at = index.attrs.getOrElse(throw new IllegalArgumentException(
+          "filtered shortlist needs an attrs sidecar: save/append " +
+            "with attrs"))
+        probedCells.join(at.filter(p).select("vec_id"),
+          Seq("vec_id"), "left_semi")
+    }
+    val cand = qp.join(candCells,
       col("pcell") === col("cell") && col("vec_id") =!= col("qid"))
     val pairs = cand
       .withColumn("dp", dot("qv", "v"))
@@ -911,6 +1042,28 @@ object IvfIndexStore {
       .filter(col("rn") <= topK)
       .select(col("qid"), col("vec_id").as("nid"), col("cosine"),
         col("rn"))
+  }
+
+  /** Bucket-pruned attribute hydration for a RESULT id set (the
+    * read that turns a top-k of vec_ids into rows a consumer can
+    * use): the ids' ≤ attrBuckets distinct `ab` buckets are
+    * collected (bounded by the bucket count — the ids are a top-k,
+    * itself bounded) and pushed as a partition filter, so fetching
+    * k×|queries| winners' metadata reads O(touched buckets), never
+    * the sidecar. Tombstones are already filtered at the load seam;
+    * stale post-retrain rows for DELETED ids can linger in the
+    * sidecar files but cannot surface here — the ids come from
+    * probes over the tombstone-filtered lists. */
+  def fetchAttrs(index: IvfIndex, ids: DataFrame): DataFrame = {
+    val at = index.attrs.getOrElse(throw new IllegalArgumentException(
+      "fetchAttrs needs an attrs sidecar: save/append with attrs"))
+    val idsD = ids.select("vec_id").distinct()
+    val abs = idsD
+      .select(pmod(col("vec_id"), lit(index.attrBuckets.toLong))
+        .cast("int").as("ab"))
+      .distinct().collect().map(_.getInt(0)) // ≤ attrBuckets by pigeonhole
+    at.filter(col("ab").isin(abs.toSeq: _*))
+      .join(idsD, Seq("vec_id"))
   }
 
   /** Prune history: keep the newest `keep` records, delete older

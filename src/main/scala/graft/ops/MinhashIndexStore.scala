@@ -285,7 +285,10 @@ object MinhashIndexStore {
     var attempt = 0
     while (true) {
       val (v, latest) = ArtifactLog.latest(root, Kind)
-      require(latest.kv == head.kv,
+      // tag channels advancing (a saga takedown interleaving) is not
+      // a structural change — compare everything else
+      require(latest.kv.filterNot(kv => ArtifactLog.TagKeys(kv._1)) ==
+          head.kv.filterNot(kv => ArtifactLog.TagKeys(kv._1)),
         "concurrent commit replaced the index structure (a save raced " +
           "this append); re-run against the new index")
       val rec = Rec(latest.kv, latest.dirs ++
@@ -624,10 +627,12 @@ object MinhashIndexStore {
   def delete(spark: SparkSession, root: String, ids: DataFrame,
       store: CommitStore = LinkCommitStore,
       tag: Option[Long] = None,
-      preCommitHook: Long => Unit = _ => ()): Long = {
+      preCommitHook: Long => Unit = _ => (),
+      tagKey: String = "tag"): Long = {
+    require(ArtifactLog.TagKeys(tagKey), s"unknown tag channel $tagKey")
     val (v, head) = ArtifactLog.latest(root, Kind)
     tag.foreach { t =>
-      val committed = head.kvMap.get("tag").map(_.toLong)
+      val committed = head.kvMap.get(tagKey).map(_.toLong)
       if (committed.exists(_ >= t)) return v // replayed batch: no-op
     }
     val del = DedupOps.scopedCache(ids.select("doc_id").distinct())
@@ -715,8 +720,8 @@ object MinhashIndexStore {
       }
     val rec = Rec(
       if (tag.isDefined)
-        head.kv.filterNot(_._1 == "tag") ++
-          tag.map(t => "tag" -> t.toString)
+        head.kv.filterNot(_._1 == tagKey) ++
+          tag.map(t => tagKey -> t.toString)
       else head.kv,
       (if (labeled) head.dirs.filter(_._1 != "F") else head.dirs) ++
         (("T" -> s"$dirName/tombs") +: labDirs))

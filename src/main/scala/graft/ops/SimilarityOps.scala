@@ -610,6 +610,199 @@ object SimilarityOps {
         FROM cos) WHERE rn <= 3
       ORDER BY qid, rn"""))
 
+  /** Metadata-FILTERED ANN — the "filtered vector search" problem
+    * every production vector store has to answer (a training-data
+    * deployment never queries the raw corpus: it wants "nearest
+    * neighbors among docs with lang=X / quality>t / license
+    * allowed"). The design point is WHERE the predicate runs: here
+    * the attribute joins onto the inverted lists and filters
+    * candidates BELOW the distance math — a candidate failing the
+    * predicate costs one attribute-column comparison, never a
+    * 64-component dot product — and above the probe structure, so
+    * cell assignment and query probing are unchanged (the filter
+    * cannot starve the probe of cells, only of candidates). At
+    * corpus scale the attribute join is the argument for storing
+    * attributes WITH the lists ([[IvfIndexStore]] persists exactly
+    * that via `attrs`; graft.FilteredAnnProbe measures the read
+    * sides); in this self-contained plan it is a co-partitioned
+    * equi-join on vec_id. Selectivity here is ~0.5 (label % 2 = 0),
+    * where fixed nprobe=4 keeps every query's filtered candidate
+    * set comfortably above k — the rare-predicate regime where that
+    * breaks is [[filteredAdaptive]]'s subject. The oracle is the
+    * [[ivfAnn]] SQL with the predicate spliced into its candidate
+    * CTE by anchored edit — identical training/probe arithmetic by
+    * construction, so a filter that leaked above the window or
+    * dropped a passing candidate hash-fails. */
+  val filteredIvf = QueryDef(
+    "s_ann_filtered_ivf",
+    "LLM-pipeline similarity: metadata-filtered IVF ANN",
+    "trained IVF; label%2=0 candidates filtered below the distance math; top-3",
+    (s, dir) => {
+      val emb = quantized(s, dir)
+      val attrs = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("label"))
+      val cents1 = ivfCentroids(emb, 32).cache()
+      val cells = ivfCells(emb, cents1)
+      val fcells = cells.join(attrs, Seq("vec_id"))
+        .filter(col("label") % 2 === 0)
+        .drop("label")
+      val pairs = ivfCandidates(emb.filter(col("vec_id") < 10),
+          fcells, cents1, nprobe = 4)
+        .withColumn("dp", dot("qv", "v"))
+        .withColumn("cosine",
+          asDouble(col("dp")) /
+            (sqrt(asDouble(col("qn2"))) * sqrt(asDouble(col("n2")))))
+      val w = Window.partitionBy(col("qid"))
+        .orderBy(desc("cosine"), col("vec_id"))
+      pairs
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("qid"), col("vec_id").as("nid"), col("cosine"),
+          col("rn"))
+        .orderBy("qid", "rn")
+    },
+    ivfAnn.oracle.map(mustReplace(_,
+      """      cand AS (
+        SELECT q.qid, c.vec_id AS nid
+        FROM qprobe q JOIN cells c
+          ON q.pcell = c.cell AND c.vec_id <> q.qid),""",
+      """      cand AS (
+        SELECT q.qid, c.vec_id AS nid
+        FROM qprobe q JOIN cells c
+          ON q.pcell = c.cell AND c.vec_id <> q.qid
+        JOIN embeddings e
+          ON e.vec_id = c.vec_id AND e.label % 2 = 0),""")))
+
+  /** Selectivity-ADAPTIVE filtered ANN — the crossover policy that
+    * makes [[filteredIvf]] safe under a RARE predicate. Fixed-nprobe
+    * filtered probing fails exactly when few of the probed cells'
+    * members pass the filter (the classic filtered-ANN recall
+    * cliff: at selectivity s the expected filtered candidate count
+    * is s × probed population, and below ~k/s the shortlist is
+    * starved); the production answers are over-probe, over-fetch,
+    * or fall back to an exact scan of the filtered corpus — which
+    * at low selectivity is CHEAPER than probing (|filtered corpus|
+    * < probed population). This query runs the decision per query:
+    * probe nprobe=4 cells with label = 3 ∧ vec_id % 7 = 0
+    * (~1.7% selectivity — rare enough that some queries starve at
+    * every test scale),
+    * count each query's surviving candidates, and queries whose
+    * count < k ESCALATE to exact brute force over the filtered
+    * corpus — a broadcast of the (few) starved queries against the
+    * (small, by the same selectivity that starved them) filtered
+    * corpus, the pre-filter plan every vector store ships as the
+    * low-selectivity path. The per-query `path` tag rides the
+    * output, so the oracle gates the DECISION (a query flipping
+    * branch hash-fails on its tag) as well as both branches'
+    * arithmetic. Candidate counting reuses the probe's candidate
+    * frame (scoped-cached — counted, then scored; never rebuilt). */
+  val filteredAdaptive = QueryDef(
+    "s_ann_filtered_adaptive",
+    "LLM-pipeline similarity: selectivity-adaptive filtered ANN",
+    "label=3 ∧ id%7=0 rare filter; underfilled probes fall back to exact pre-filter; top-3 + path tag",
+    (s, dir) => {
+      val emb = scopedCache(quantized(s, dir))
+      val attrs = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("label"))
+      val cents1 = ivfCentroids(emb, 32).cache()
+      val cells = ivfCells(emb, cents1)
+      val fcells = cells.join(attrs, Seq("vec_id"))
+        .filter(col("label") === 3 && col("vec_id") % 7 === 0)
+        .drop("label")
+      val queries = emb.filter(col("vec_id") < 10)
+      val annCand = scopedCache(
+        ivfCandidates(queries, fcells, cents1, nprobe = 4)
+          .select(col("qid"), col("qv"), col("qn2"),
+            col("vec_id"), col("v"), col("n2")))
+      val counts = annCand.groupBy("qid")
+        .agg(count(lit(1)).as("n_cand"))
+      val mode = queries
+        .select(col("vec_id").as("qid"), col("v").as("qv"),
+          col("n2").as("qn2"))
+        .join(counts, Seq("qid"), "left")
+        .withColumn("path",
+          when(coalesce(col("n_cand"), lit(0L)) >= 3, lit("ann"))
+            .otherwise(lit("exact")))
+      val annPairs = annCand
+        .join(mode.filter(col("path") === "ann").select("qid"),
+          Seq("qid"))
+      val exQ = mode.filter(col("path") === "exact")
+        .select(col("qid"), col("qv"), col("qn2"))
+      val fembBase = emb.join(attrs, Seq("vec_id"))
+        .filter(col("label") === 3 && col("vec_id") % 7 === 0)
+        .drop("label")
+      // the starved queries are few BY the decision rule and the
+      // filtered corpus is small BY the predicate — broadcast the
+      // queries, scan the filtered corpus once
+      val exPairs = broadcast(exQ)
+        .join(fembBase, col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("qv"), col("qn2"),
+          col("vec_id"), col("v"), col("n2"))
+      val pairs = annPairs.withColumn("path", lit("ann"))
+        .unionByName(exPairs.withColumn("path", lit("exact")))
+        .withColumn("dp", dot("qv", "v"))
+        .withColumn("cosine",
+          asDouble(col("dp")) /
+            (sqrt(asDouble(col("qn2"))) * sqrt(asDouble(col("n2")))))
+      val w = Window.partitionBy(col("qid"))
+        .orderBy(desc("cosine"), col("vec_id"))
+      pairs
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("qid"), col("vec_id").as("nid"), col("cosine"),
+          col("rn"), col("path"))
+        .orderBy("qid", "rn")
+    },
+    ivfAnn.oracle.map { base =>
+      val withAdaptiveCand = mustReplace(base,
+        """      cand AS (
+        SELECT q.qid, c.vec_id AS nid
+        FROM qprobe q JOIN cells c
+          ON q.pcell = c.cell AND c.vec_id <> q.qid),""",
+        """      anncand AS (
+        SELECT q.qid, c.vec_id AS nid
+        FROM qprobe q JOIN cells c
+          ON q.pcell = c.cell AND c.vec_id <> q.qid
+        JOIN embeddings e
+          ON e.vec_id = c.vec_id AND e.label = 3
+            AND e.vec_id % 7 = 0),
+      qall AS (SELECT DISTINCT qid FROM qprobe),
+      candn AS (
+        SELECT qid, COUNT(*) AS n_cand FROM anncand GROUP BY qid),
+      mode AS (
+        SELECT q.qid,
+          CASE WHEN COALESCE(c.n_cand, 0) >= 3
+            THEN 'ann' ELSE 'exact' END AS path
+        FROM qall q LEFT JOIN candn c ON c.qid = q.qid),
+      excand AS (
+        SELECT m.qid, e.vec_id AS nid
+        FROM mode m JOIN embeddings e
+          ON e.label = 3 AND e.vec_id % 7 = 0
+            AND e.vec_id <> m.qid
+        WHERE m.path = 'exact'),
+      cand AS (
+        SELECT a.qid, a.nid
+        FROM anncand a JOIN mode m
+          ON m.qid = a.qid AND m.path = 'ann'
+        UNION ALL
+        SELECT qid, nid FROM excand),""")
+      mustReplace(withAdaptiveCand,
+        """      SELECT qid, nid, cosine, rn FROM (
+        SELECT qid, nid, cosine,
+          ROW_NUMBER() OVER (PARTITION BY qid
+            ORDER BY cosine DESC, nid) AS rn
+        FROM cos) WHERE rn <= 3
+      ORDER BY qid, rn""",
+        """      SELECT qid, nid, cosine, rn, path FROM (
+        SELECT s.qid, s.nid, s.cosine,
+          ROW_NUMBER() OVER (PARTITION BY s.qid
+            ORDER BY s.cosine DESC, s.nid) AS rn,
+          m.path
+        FROM cos s JOIN mode m ON m.qid = s.qid)
+      WHERE rn <= 3
+      ORDER BY qid, rn""")
+    })
+
   /** Incremental ANN shard ingest (round-11 verdict item 6) — the
     * embedding-side mirror of
     * [[graft.ops.DedupOps.incrementalVerdicts]]: vectors with
@@ -792,6 +985,50 @@ object SimilarityOps {
         .orderBy("qid", "rn")
     },
     ivfIncrement.oracle)
+
+  /** [[filteredIvf]] gated through the persisted artifact: save the
+    * corpus index WITH its attribute sidecar
+    * ([[IvfIndexStore.save]]'s `attrs` — per-vector metadata
+    * bucketed by vec_id beside the inverted lists), load, and run
+    * the increment queries through the filtered
+    * [[IvfIndexStore.shortlist]] (predicate against the sidecar,
+    * allowed ids semi-joined below the distance math, candidate
+    * read still bucket-pruned). The oracle is [[ivfIncrement]]'s
+    * replay with the predicate spliced into its candidate CTE —
+    * so a sidecar row lost in the parquet roundtrip, a predicate
+    * evaluated above the window, or a bucket-pruned read that
+    * dropped an allowed candidate all hash-fail. */
+  val filteredIndex = QueryDef(
+    "s_ann_filtered_index",
+    "LLM-pipeline similarity: persisted filtered vector search",
+    "save(attrs sidecar) → load → shortlist(pred=label%2=0) ≡ filtered replay",
+    (s, dir) => {
+      val emb = scopedCache(quantized(s, dir))
+      val attrs = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("label"))
+      val corpus = emb.filter(col("vec_id") % 5 =!= 0)
+      val inc = emb.filter(col("vec_id") % 5 === 0)
+      val kC = math.max(32L, corpus.count() / 64L).toInt
+      val root = scratchRoot("filteredidx")
+      IvfIndexStore.save(root, corpus, kC,
+        attrs = Some(attrs.join(corpus.select("vec_id"), Seq("vec_id"))))
+      val idx = IvfIndexStore.load(s, root)
+      IvfIndexStore.shortlist(idx, inc, nprobe = 4, topK = 3,
+        pred = Some(col("label") % 2 === 0))
+        .orderBy("qid", "rn")
+    },
+    ivfIncrement.oracle.map(mustReplace(_,
+      """      cand AS (
+        SELECT q.qid, c.vec_id AS nid
+        FROM qprobe q JOIN cells c
+          ON q.pcell = c.cell AND c.vec_id <> q.qid),""",
+      """      cand AS (
+        SELECT q.qid, c.vec_id AS nid
+        FROM qprobe q JOIN cells c
+          ON q.pcell = c.cell AND c.vec_id <> q.qid
+        JOIN embeddings e
+          ON e.vec_id = c.vec_id AND e.label % 2 = 0),""")))
+
 
   /** O(increment) shard append, gated through disk: save the corpus
     * index, [[IvfIndexStore.append]] the daily shard (assigned on the
@@ -2405,7 +2642,8 @@ object SimilarityOps {
       FROM ne, na, nc"""))
 
   val defs: Seq[QueryDef] =
-    Seq(bruteTopK, lshAnn, ivfAnn, ivfIncrement, ivfLifecycle,
+    Seq(bruteTopK, lshAnn, ivfAnn, filteredIvf, filteredAdaptive,
+      ivfIncrement, ivfLifecycle, filteredIndex,
       ivfAppend, ivfCellStats, ivfDelete, pqLifecycle, pqResidual,
       pqCodes, semDedup, pqAnn, knnClusters, knnClustersAnn,
       knnAnnRecall)

@@ -1109,9 +1109,152 @@ object TextOps {
           ROW_NUMBER() OVER (ORDER BY score_u DESC, doc_id) AS rank
         FROM hits) WHERE rank <= 20 ORDER BY rank"""))
 
+  /** HYBRID retrieval with reciprocal-rank fusion — the standard
+    * two-ranker recipe of modern RAG / training-data curation
+    * stacks (lexical recall + semantic recall, fused rank-only so
+    * neither score scale dominates). Ranker A is lexical: exact
+    * integer token-set Jaccard of each query doc against every doc
+    * sharing ≥1 token (candidates via the shared-word equi-join —
+    * never all-pairs; zero-overlap docs can't outrank overlapping
+    * ones under Jaccard, so the join IS the candidate generator at
+    * any corpus scale). Ranker B is semantic: quantized-integer
+    * cosine over the embedding column (brute force here — 10
+    * broadcast queries × corpus, linear and shuffle-free; a
+    * deployment swaps in the [[SimilarityOps.ivfAnn]] /
+    * [[graft.ops.IvfIndexStore]] probe, which changes the
+    * candidate generator, not the fusion). Fusion is RRF
+    * (Cormack et al.): score = Σ_r 1000000 div (60 + rank_r) over
+    * the rankers that surfaced the candidate in their top-20 —
+    * integer div, so the fused score is exact and the DuckDB
+    * oracle replays tokenize → Jaccard → cosine → both rank
+    * windows → fusion bit-for-bit. Per-ranker ranks ride the
+    * output (0 = not surfaced), gating WHICH ranker found each
+    * fused hit, not just the final order. */
+  val hybridRrf = QueryDef(
+    "t_hybrid_rrf",
+    "LLM-pipeline retrieval: hybrid lexical+vector RRF fusion",
+    "token-Jaccard top-20 ⊕ cosine top-20 → RRF(60) top-10 per query",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val emb = SimilarityOps.quantized(s, dir)
+      val dot = graft.functions.GraftFunctions.dot_long _
+      // lexical ranker: distinct token sets, shared-word candidates
+      val dw = docs.select(col("doc_id"), explode(words).as("word"))
+        .distinct()
+      val sizes = dw.groupBy("doc_id").agg(count(lit(1)).as("nw"))
+      val qdw = dw.filter(col("doc_id") < 10)
+        .select(col("doc_id").as("qid"), col("word"))
+      val inter = qdw.join(dw, Seq("word"))
+        .filter(col("doc_id") =!= col("qid"))
+        .groupBy("qid", "doc_id").agg(count(lit(1)).as("ni"))
+      val qsz = sizes.select(col("doc_id").as("qid"),
+        col("nw").as("qnw"))
+      val lexScored = inter
+        .join(broadcast(qsz), Seq("qid"))
+        .join(sizes, Seq("doc_id"))
+        .withColumn("ju", expr("(1000000 * ni) div (qnw + nw - ni)"))
+      val wLex = org.apache.spark.sql.expressions.Window
+        .partitionBy("qid").orderBy(desc("ju"), col("doc_id"))
+      val lex = lexScored.withColumn("lrank", row_number().over(wLex))
+        .filter(col("lrank") <= 20)
+        .select(col("qid"), col("doc_id").as("did"), col("lrank"))
+      // semantic ranker: broadcast queries, one linear corpus scan
+      val qv = broadcast(emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("v").as("qv"),
+          col("n2").as("qn2")))
+      val vecScored = qv.join(emb, col("vec_id") =!= col("qid"))
+        .withColumn("dp", dot(col("qv"), col("v")))
+        .withColumn("cosine",
+          asDouble(col("dp")) /
+            (sqrt(asDouble(col("qn2"))) * sqrt(asDouble(col("n2")))))
+      val wVec = org.apache.spark.sql.expressions.Window
+        .partitionBy("qid").orderBy(desc("cosine"), col("vec_id"))
+      val vec = vecScored.withColumn("vrank", row_number().over(wVec))
+        .filter(col("vrank") <= 20)
+        .select(col("qid"), col("vec_id").as("did"), col("vrank"))
+      // RRF fusion: rank-only, missing ranker contributes 0
+      val fused = lex.join(vec, Seq("qid", "did"), "full_outer")
+        .withColumn("lex_rank", coalesce(col("lrank"), lit(0)))
+        .withColumn("vec_rank", coalesce(col("vrank"), lit(0)))
+        .withColumn("rrf_u",
+          coalesce(expr("1000000 div (60 + lrank)"), lit(0)) +
+            coalesce(expr("1000000 div (60 + vrank)"), lit(0)))
+      val wF = org.apache.spark.sql.expressions.Window
+        .partitionBy("qid").orderBy(desc("rrf_u"), col("did"))
+      fused.withColumn("rn", row_number().over(wF))
+        .filter(col("rn") <= 10)
+        .select(col("qid"), col("did"), col("rrf_u"),
+          col("lex_rank"), col("vec_rank"), col("rn"))
+        .orderBy("qid", "rn")
+    },
+    Some("""WITH dw AS (
+        SELECT DISTINCT doc_id,
+          unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS word
+        FROM documents),
+      sizes AS (SELECT doc_id, COUNT(*) AS nw FROM dw GROUP BY doc_id),
+      inter AS (
+        SELECT q.doc_id AS qid, d.doc_id, COUNT(*) AS ni
+        FROM dw q JOIN dw d ON d.word = q.word AND d.doc_id <> q.doc_id
+        WHERE q.doc_id < 10
+        GROUP BY q.doc_id, d.doc_id),
+      lexscored AS (
+        SELECT i.qid, i.doc_id,
+          (1000000 * i.ni) // (qs.nw + ds.nw - i.ni) AS ju
+        FROM inter i
+        JOIN sizes qs ON qs.doc_id = i.qid
+        JOIN sizes ds ON ds.doc_id = i.doc_id),
+      lex AS (
+        SELECT qid, doc_id AS did, lrank FROM (
+          SELECT qid, doc_id,
+            ROW_NUMBER() OVER (PARTITION BY qid
+              ORDER BY ju DESC, doc_id) AS lrank
+          FROM lexscored) WHERE lrank <= 20),
+      u AS (
+        SELECT vec_id, i,
+          CAST(FLOOR(CAST(embedding[CAST(i AS INTEGER)] AS DOUBLE) * CAST(1000000 AS DOUBLE) + 0.5) AS BIGINT) AS x
+        FROM (SELECT vec_id, embedding,
+                unnest(range(1, len(embedding) + 1)) AS i
+              FROM embeddings)),
+      nrm AS (
+        SELECT vec_id, CAST(SUM(x*x) AS BIGINT) AS n2 FROM u GROUP BY vec_id),
+      dots AS (
+        SELECT a.vec_id AS qid, b.vec_id AS nid,
+          CAST(SUM(a.x*b.x) AS BIGINT) AS dp
+        FROM u a JOIN u b ON a.i = b.i
+        WHERE a.vec_id < 10 AND a.vec_id <> b.vec_id
+        GROUP BY a.vec_id, b.vec_id),
+      cos AS (
+        SELECT qid, nid,
+          CAST(dp AS DOUBLE) /
+            (sqrt(CAST(qa.n2 AS DOUBLE)) * sqrt(CAST(qb.n2 AS DOUBLE))) AS cosine
+        FROM dots
+        JOIN nrm qa ON qa.vec_id = qid
+        JOIN nrm qb ON qb.vec_id = nid),
+      vec AS (
+        SELECT qid, nid AS did, vrank FROM (
+          SELECT qid, nid,
+            ROW_NUMBER() OVER (PARTITION BY qid
+              ORDER BY cosine DESC, nid) AS vrank
+          FROM cos) WHERE vrank <= 20),
+      fused AS (
+        SELECT COALESCE(l.qid, v.qid) AS qid,
+          COALESCE(l.did, v.did) AS did,
+          COALESCE(1000000 // (60 + l.lrank), 0) +
+            COALESCE(1000000 // (60 + v.vrank), 0) AS rrf_u,
+          COALESCE(l.lrank, 0) AS lex_rank,
+          COALESCE(v.vrank, 0) AS vec_rank
+        FROM lex l FULL OUTER JOIN vec v
+          ON v.qid = l.qid AND v.did = l.did)
+      SELECT qid, did, rrf_u, lex_rank, vec_rank, rn FROM (
+        SELECT qid, did, rrf_u, lex_rank, vec_rank,
+          ROW_NUMBER() OVER (PARTITION BY qid
+            ORDER BY rrf_u DESC, did) AS rn
+        FROM fused) WHERE rn <= 10
+      ORDER BY qid, rn"""))
+
   val defs: Seq[QueryDef] = Seq(htmlToText, piiScrub, stratifiedSample,
     vocabulary, tok, quality, langid, langidNgram, fingerprint,
     repetition, dupSegments, bpeMerges, bpeEncode, seqPack, shardManifest,
     normalize, heavyHitters, lmScore, chunkWindows, keywordExtract,
-    searchRank)
+    searchRank, hybridRrf)
 }
