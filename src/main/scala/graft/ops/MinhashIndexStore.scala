@@ -142,20 +142,16 @@ object MinhashIndexStore {
         // mirror) — cache for the call or the fixpoint runs twice
         val lab0 = lab.select(col("doc_id"),
           col("cluster_id").as("cid0")).cache()
-        try {
-          writeLabels(lab0, q, gen = 1L,
-            s"$root/data/$dirName/labels", partitioned = n > 0)
-          writeMembers(lab0, q, gen = 1L,
-            s"$root/data/$dirName/members", partitioned = n > 0)
-        } finally lab0.unpersist(false)
+        try writeLabelsAndMembers(lab0, q, gen = 1L,
+          s"$root/data/$dirName", partitioned = n > 0)
+        finally lab0.unpersist(false)
         // own top-level uuid: the F line is replaced on every labeled
         // ingest, and a replaced dir must become vacuum-sweepable
         val fwdDirName = UUID.randomUUID().toString
         lab.limit(0).select(col("doc_id").as("cid_from"),
             col("doc_id").as("cid_to"))
           .write.parquet(s"$root/data/$fwdDirName/forward")
-        Seq("L" -> s"$dirName/labels", "M" -> s"$dirName/members",
-          "F" -> s"$fwdDirName/forward")
+        labelDirs(dirName) :+ ("F" -> s"$fwdDirName/forward")
       }
       val rec = Rec(
         mkRec(p, q, Nil).kv ++
@@ -172,35 +168,49 @@ object MinhashIndexStore {
     * that splits a cluster re-labels the touched survivors with fresh
     * higher-gen rows — the newest row per doc is the truth, resolved
     * at load ([[loadAt]]'s max_by, active only while tombstones are
-    * outstanding). */
-  private def writeLabels(lab0: DataFrame, q: Int, gen: Long,
+    * outstanding).
+    *
+    * The doc-bucketed LABELS (`b = doc_id % q` under `side=q`) and
+    * their cluster-bucketed MEMBERS mirror (`b = cid0 % q` under
+    * `side=m`) persist as ONE `labmem` table partitioned by
+    * (side, b) — a single write job and commit round per labeled
+    * stage where two separate tables cost two (the r13 bench showed
+    * the pair of extra mirror writes as most of
+    * `d_cluster_index_incremental`'s 10.8 → 12.8 s move; at
+    * object-store scale the doubled commit round-trips are the same
+    * tax). The record's L/M lines point INTO the two side subtrees,
+    * so every reader still sees its own bucketed table. The mirror
+    * answers the takedown's inverse lookup — "which docs are in this
+    * cluster" — without a corpus-label scan; stale mirror rows (a
+    * doc re-labeled by a later split) stay in their old cluster's
+    * bucket, and [[delete]] treats the mirror as a candidate
+    * SUPERSET re-checked against newest labels, so staleness costs
+    * probe rows, never correctness. */
+  private def writeLabelsAndMembers(lab0: DataFrame, q: Int, gen: Long,
       dir: String, partitioned: Boolean = true): Unit = {
-    val rows = lab0.select(col("doc_id"), col("cid0"),
-      lit(gen).as("gen"),
-      pmod(col("doc_id"), lit(q.toLong)).cast("int").as("qb"))
-    if (partitioned) rows.repartition(col("qb"))
-      .write.partitionBy("qb").parquet(dir)
-    else rows.write.parquet(dir)
+    def rows(side: String, bucketOf: org.apache.spark.sql.Column) =
+      lab0.select(col("doc_id"), col("cid0"), lit(gen).as("gen"),
+        lit(side).as("side"),
+        pmod(bucketOf, lit(q.toLong)).cast("int").as("b"))
+    val both = rows("q", col("doc_id")).unionByName(
+      rows("m", col("cid0")))
+    if (partitioned)
+      both.repartition(col("side"), col("b"))
+        .write.partitionBy("side", "b").parquet(s"$dir/labmem")
+    else {
+      // empty path: a partitionBy of zero rows emits no
+      // schema-bearing file — write each side subtree plain (the
+      // bucket stays as a data column, like save()'s empty tables)
+      rows("q", col("doc_id")).drop("side")
+        .write.parquet(s"$dir/labmem/side=q")
+      rows("m", col("cid0")).drop("side")
+        .write.parquet(s"$dir/labmem/side=m")
+    }
   }
 
-  /** The cluster-bucketed MEMBERS mirror of the label rows
-    * (`mb = cid0 % q`): labels answer "what cluster is this doc in"
-    * pruned by doc bucket; a takedown needs the INVERSE — "which docs
-    * are in this cluster" — and without this mirror that lookup is a
-    * corpus-label scan per delete. Stale rows (a doc later re-labeled
-    * by a split) stay in their old cluster's bucket; [[delete]]
-    * treats the mirror as a candidate SUPERSET and re-checks every
-    * candidate's newest label, so staleness costs a few extra probe
-    * rows, never correctness. */
-  private def writeMembers(lab0: DataFrame, q: Int, gen: Long,
-      dir: String, partitioned: Boolean = true): Unit = {
-    val rows = lab0.select(col("doc_id"), col("cid0"),
-      lit(gen).as("gen"),
-      pmod(col("cid0"), lit(q.toLong)).cast("int").as("mb"))
-    if (partitioned) rows.repartition(col("mb"))
-      .write.partitionBy("mb").parquet(dir)
-    else rows.write.parquet(dir)
-  }
+  private def labelDirs(dirName: String): Seq[(String, String)] =
+    Seq("L" -> s"$dirName/labmem/side=q",
+      "M" -> s"$dirName/labmem/side=m")
 
   def load(spark: SparkSession, root: String): MinhashIndex = {
     val recs = ArtifactLog.list(root)
@@ -250,7 +260,12 @@ object MinhashIndexStore {
     val labels0 =
       if (!labeled) None
       else {
-        val raw = dropTombs(readDirs(spark, root, r.dirsOf("L")), tombs)
+        // the L dirs point into labmem/side=q — bucket column `b`,
+        // renamed so every downstream prune keeps its qb shape (the
+        // alias is a projection; partition filters push through it)
+        val raw = dropTombs(
+          readDirs(spark, root, r.dirsOf("L"))
+            .withColumnRenamed("b", "qb"), tombs)
         Some(
           if (tombs.isEmpty) raw.select("doc_id", "cid0", "qb")
           else raw.groupBy("doc_id", "qb")
@@ -345,20 +360,16 @@ object MinhashIndexStore {
       if (!labeled) Nil
       else {
         val idx = loadAt(spark, root, v) // tomb-filtered, newest-gen
-        // feeds both folded writes — cache (same rationale as save)
+        // feeds the folded write — cache (same rationale as save)
         val lab0 = resolvedLabels(idx)
           .select(col("doc_id"), col("cluster_id").as("cid0")).cache()
-        try {
-          writeLabels(lab0, idx.shingleBuckets, gen = 0L,
-            s"$root/data/$dirName/labels", partitioned = !empty)
-          writeMembers(lab0, idx.shingleBuckets, gen = 0L,
-            s"$root/data/$dirName/members", partitioned = !empty)
-        } finally lab0.unpersist(false)
+        try writeLabelsAndMembers(lab0, idx.shingleBuckets, gen = 0L,
+          s"$root/data/$dirName", partitioned = !empty)
+        finally lab0.unpersist(false)
         val fwdDirName = UUID.randomUUID().toString
         idx.forward.get.limit(0)
           .write.parquet(s"$root/data/$fwdDirName/forward")
-        Seq("L" -> s"$dirName/labels", "M" -> s"$dirName/members",
-          "F" -> s"$fwdDirName/forward")
+        labelDirs(dirName) :+ ("F" -> s"$fwdDirName/forward")
       }
     ArtifactLog.commit(root, Kind, v, Rec(r.kv,
       Seq("B" -> s"$dirName/bands", "S" -> s"$dirName/shingles") ++
@@ -560,8 +571,7 @@ object MinhashIndexStore {
     // behind the still-live bands/shingles/labels
     val fwdDirName = UUID.randomUUID().toString
     writeShard(shardC, p, q, s"$root/data/$dirName")
-    writeLabels(shardLabels, q, v + 1, s"$root/data/$dirName/labels")
-    writeMembers(shardLabels, q, v + 1, s"$root/data/$dirName/members")
+    writeLabelsAndMembers(shardLabels, q, v + 1, s"$root/data/$dirName")
     newFwd.write.parquet(s"$root/data/$fwdDirName/forward")
     // an UNTAGGED ingest must PRESERVE the committed streaming tag —
     // erasing it would let a crash-replayed stream batch re-ingest
@@ -572,9 +582,8 @@ object MinhashIndexStore {
           tag.map(t => "tag" -> t.toString)
       else head.kv,
       head.dirs.filter(_._1 != "F") ++ Seq(
-        "B" -> s"$dirName/bands", "S" -> s"$dirName/shingles",
-        "L" -> s"$dirName/labels", "M" -> s"$dirName/members",
-        "F" -> s"$fwdDirName/forward"))
+        "B" -> s"$dirName/bands", "S" -> s"$dirName/shingles") ++
+        labelDirs(dirName) :+ ("F" -> s"$fwdDirName/forward"))
     preCommitHook(v) // test seam: races injected between stage + CAS
     ArtifactLog.commit(root, Kind, v, rec, store)
   }
@@ -597,7 +606,8 @@ object MinhashIndexStore {
     *   1. the deleted docs' current labels (label rows pruned to the
     *      deleted ids' ≤Q doc-buckets, forwarded) give the TOUCHED
     *      cluster set;
-    *   2. the members MIRROR ([[writeMembers]], cluster-bucketed)
+    *   2. the members MIRROR ([[writeLabelsAndMembers]]'s side=m
+    *      subtree, cluster-bucketed)
     *      pruned to the touched ids' buckets — plus the forwarding
     *      entries that point INTO them — gives a candidate member
     *      superset; each candidate's newest label row confirms
@@ -667,6 +677,7 @@ object MinhashIndexStore {
         val affectedMb = affected.map(c => (c % q).toInt).distinct
         val candDocs = DedupOps.scopedCache(
           readDirs(spark, root, head.dirsOf("M"))
+            .withColumnRenamed("b", "mb") // labmem/side=m bucket col
             .filter(col("mb").isin(affectedMb.toSeq: _*) &&
               col("cid0").isin(affected.toSeq: _*))
             .select("doc_id").distinct())
@@ -705,18 +716,15 @@ object MinhashIndexStore {
           ConnectedComponents.labels(survivors, edges)
             .select(col("doc_id"), col("cluster_id").as("cid0")))
         val hasSurvivors = !survivors.isEmpty
-        writeLabels(relabeled, q, v + 1, s"$root/data/$dirName/labels",
-          partitioned = hasSurvivors)
-        writeMembers(relabeled, q, v + 1, s"$root/data/$dirName/members",
-          partitioned = hasSurvivors)
+        writeLabelsAndMembers(relabeled, q, v + 1,
+          s"$root/data/$dirName", partitioned = hasSurvivors)
         // 4. forwarding entries into touched clusters die with the
         // recompute; the map is REPLACED, like ingest (own uuid so
         // the dropped dir becomes vacuum-sweepable)
         val fwdDirName = UUID.randomUUID().toString
         fwd.filter(!col("cid_to").isin(touched.toSeq: _*))
           .write.parquet(s"$root/data/$fwdDirName/forward")
-        Seq("L" -> s"$dirName/labels", "M" -> s"$dirName/members",
-          "F" -> s"$fwdDirName/forward")
+        labelDirs(dirName) :+ ("F" -> s"$fwdDirName/forward")
       }
     val rec = Rec(
       if (tag.isDefined)
