@@ -643,7 +643,9 @@ object IvfIndexStore {
     * set (package-private so the spec can pin the pruned code-scan
     * plan in isolation; [[adcShortlist]] composes it). */
   private[graft] def adcCandidates(index: IvfPqIndex, queries: DataFrame,
-      nprobe: Int): (DataFrame, Array[Int]) = {
+      nprobe: Int,
+      pred: Option[org.apache.spark.sql.Column] = None)
+      : (DataFrame, Array[Int]) = {
     val qprobe = SimilarityOps.scopedCache(
       SimilarityOps.probeCells(queries, index.flat.centroids, nprobe))
     val qp = qprobe.select(col("vec_id").as("qid"),
@@ -665,8 +667,26 @@ object IvfIndexStore {
           SimilarityOps.residuals(qprobe, index.flat.centroids),
           index.books, index.m, index.subDim, carry = Seq("cell"))
           .withColumnRenamed("cell", "pcell"))
+    val probedCodes =
+      index.codes.filter(col("pb").isin(probedBuckets.toSeq: _*))
+    // filtered IVFADC: the predicate runs on the attr sidecar and
+    // the allowed ids semi-join the CODE scan — a failing candidate
+    // never costs an ADC table lookup, and the shortlist fills with
+    // passing candidates instead of post-filtering them away (the
+    // same in-probe-vs-post-filter recall gap FilteredAnnProbe
+    // measures on the flat path, compounded here by the fixed L)
+    val candCodes = pred match {
+      case None => probedCodes
+      case Some(p) =>
+        val at = index.flat.attrs.getOrElse(
+          throw new IllegalArgumentException(
+            "filtered adcShortlist needs an attrs sidecar: savePq " +
+              "with attrs"))
+        probedCodes.join(at.filter(p).select("vec_id"),
+          Seq("vec_id"), "left_semi")
+    }
     val base = qp
-      .join(index.codes.filter(col("pb").isin(probedBuckets.toSeq: _*)),
+      .join(candCodes,
         col("pcell") === col("cell") && col("vec_id") =!= col("qid"))
     val cand =
       (if (index.residual) base.join(dtab, Seq("qid", "pcell"))
@@ -677,8 +697,10 @@ object IvfIndexStore {
   }
 
   def adcShortlist(index: IvfPqIndex, queries: DataFrame, nprobe: Int,
-      shortlistL: Int, topK: Int): DataFrame = {
-    val (cand, probedBuckets) = adcCandidates(index, queries, nprobe)
+      shortlistL: Int, topK: Int,
+      pred: Option[org.apache.spark.sql.Column] = None): DataFrame = {
+    val (cand, probedBuckets) =
+      adcCandidates(index, queries, nprobe, pred)
     val wA = Window.partitionBy(col("qid"))
       .orderBy(col("adc"), col("nid"))
     // the shortlist is ≤ L×|queries| (qid, nid) pairs — materialize

@@ -1527,6 +1527,55 @@ object SimilarityOps {
     * price every k-means-based index pays, embarrassingly parallel,
     * zero shuffle. This is exactly why SemDeDup clusters first: the
     * all-pairs cosine matrix never materializes. */
+  /** Filtered IVFADC — [[filteredIndex]]'s PQ twin: the predicate
+    * runs on the attr sidecar and the allowed ids semi-join the
+    * probed CODE scan, so a failing candidate never costs an ADC
+    * table lookup and the fixed-L shortlist fills with PASSING
+    * candidates (post-filtering an unfiltered ADC shortlist starves
+    * at rare predicates — the compounded version of the gap
+    * graft.FilteredAnnProbe measures on the flat path). Oracle: the
+    * [[pqLifecycle]] replay with the predicate spliced into its ADC
+    * candidate CTE, so the filter's position relative to the ADC
+    * scoring, the shortlist window, and the exact re-rank is all
+    * gated — a filter applied after the shortlist instead of before
+    * it produces a different (starved) top-3 and hash-fails. */
+  val filteredPq = QueryDef(
+    "s_ann_filtered_pq",
+    "LLM-pipeline similarity: filtered IVFADC (PQ + attr sidecar)",
+    "savePq(attrs) -> load -> ADC with label%2=0 semi-joined below the code scan -> re-rank",
+    (s, dir) => {
+      val emb = scopedCache(quantized(s, dir))
+      val attrs = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("label"))
+      val corpus = emb.filter(col("vec_id") % 5 =!= 0)
+      val inc = emb.filter(col("vec_id") % 5 === 0)
+      val kC = math.max(32L, corpus.count() / 64L).toInt
+      val root = scratchRoot("filteredpq")
+      IvfIndexStore.savePq(root, corpus, kC, m = 4, ksub = 16,
+        attrs = Some(attrs.join(corpus.select("vec_id"), Seq("vec_id"))))
+      val idx = IvfIndexStore.loadPq(s, root)
+      IvfIndexStore.adcShortlist(idx, inc, nprobe = 4,
+          shortlistL = 10, topK = 3,
+          pred = Some(col("label") % 2 === 0))
+        .orderBy("qid", "rn")
+    },
+    pqLifecycle.oracle.map(mustReplace(_,
+      """      adc AS (
+        SELECT q.qid, c.vec_id AS nid, CAST(SUM(t.d2) AS BIGINT) AS adc
+        FROM qprobe q
+        JOIN cells c ON c.cell = q.pcell AND c.vec_id <> q.qid
+        JOIN codes k ON k.vec_id = c.vec_id
+        JOIN qdt t ON t.qid = q.qid AND t.sub = k.sub AND t.cid = k.cid
+        GROUP BY q.qid, c.vec_id),""",
+      """      adc AS (
+        SELECT q.qid, c.vec_id AS nid, CAST(SUM(t.d2) AS BIGINT) AS adc
+        FROM qprobe q
+        JOIN cells c ON c.cell = q.pcell AND c.vec_id <> q.qid
+        JOIN embeddings e ON e.vec_id = c.vec_id AND e.label % 2 = 0
+        JOIN codes k ON k.vec_id = c.vec_id
+        JOIN qdt t ON t.qid = q.qid AND t.sub = k.sub AND t.cid = k.cid
+        GROUP BY q.qid, c.vec_id),""")))
+
   val semDedup = QueryDef(
     "d_semdedup", "LLM-pipeline dedup: semantic (SemDeDup)",
     "IVF cells (k scales with n) → within-cell cos ≥ 0.4 → low-id keeper",
@@ -2645,6 +2694,6 @@ object SimilarityOps {
     Seq(bruteTopK, lshAnn, ivfAnn, filteredIvf, filteredAdaptive,
       ivfIncrement, ivfLifecycle, filteredIndex,
       ivfAppend, ivfCellStats, ivfDelete, pqLifecycle, pqResidual,
-      pqCodes, semDedup, pqAnn, knnClusters, knnClustersAnn,
+      pqCodes, filteredPq, semDedup, pqAnn, knnClusters, knnClustersAnn,
       knnAnnRecall)
 }

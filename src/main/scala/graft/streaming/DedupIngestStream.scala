@@ -53,14 +53,33 @@ object DedupIngestStream {
     * always-on stream accretes one version per micro-batch, and
     * without in-loop retention `_commits/` and dead forwarding dirs
     * grow unboundedly (the frontier's r10 lesson, applied here; the
-    * mirror of [[EmbeddingIngestStream.run]]'s knob). */
+    * mirror of [[EmbeddingIngestStream.run]]'s knob).
+    *
+    * `compactEvery > 0` folds the accreted shard dir families (and
+    * outstanding tombstones, and the forwarding map) on a batch
+    * cadence: each ingest adds one dir family to the manifest, so an
+    * always-on stream's record grows one line-set per batch and
+    * every reader pays a longer dir-union until someone folds it —
+    * compaction was a manual call, which for a stream means NOBODY'S
+    * call (the vacuum lesson again, one level up). Cadence policy
+    * per [[graft.ops.MinhashIndexStore.compact]]'s scaladoc: manifest
+    * hygiene, ~10² dir-lines — so a compactEvery of 32-128 batches
+    * keeps the union width single-digit × cadence. Compaction runs
+    * AFTER the batch's ingest commit and is itself a CAS commit; a
+    * crash between them leaves a valid un-compacted index (the next
+    * cadence hit folds it). */
   def run(docs: DataFrame, root: String, checkpointDir: String,
-      vacuumEvery: Int = 0, vacuumKeep: Int = 2)
+      vacuumEvery: Int = 0, vacuumKeep: Int = 2,
+      compactEvery: Int = 0)
       : StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
         processBatch(root, batch, batchId)
+        if (compactEvery > 0 && batchId > 0 &&
+            batchId % compactEvery == 0)
+          MinhashIndexStore.compact(spark, root)
         if (vacuumEvery > 0 && batchId % vacuumEvery == 0)
           MinhashIndexStore.vacuum(root, keep = vacuumKeep)
         ()

@@ -71,11 +71,21 @@ object EmbeddingIngestStream {
     * TxLog learned in r10, applied to the artifact stores. The
     * default grace window protects a concurrent appender's staged
     * dirs; time travel reaches back `vacuumKeep` versions and no
-    * further. */
+    * further.
+    *
+    * `compactEvery > 0` folds the accreted shard dirs (cells AND
+    * code shards on a PQ head, plus outstanding tombstones) on a
+    * batch cadence — each append adds a dir family to the manifest
+    * and every reader pays a longer dir-union until the fold; for an
+    * always-on stream a manual compact is nobody's call (see
+    * [[DedupIngestStream.run]]'s knob and cadence rationale).
+    * Compaction runs after the batch's commit; a crash between them
+    * leaves a valid un-compacted index. */
   def run(embeddings: DataFrame, root: String, checkpointDir: String,
       monitorEvery: Int = 0,
       onDrift: IvfIndexStore.DriftStats => Unit = _ => (),
-      vacuumEvery: Int = 0, vacuumKeep: Int = 2)
+      vacuumEvery: Int = 0, vacuumKeep: Int = 2,
+      compactEvery: Int = 0)
       : StreamingQuery =
     embeddings.writeStream
       .option("checkpointLocation", checkpointDir)
@@ -86,6 +96,9 @@ object EmbeddingIngestStream {
             IvfIndexStore.load(batch.sparkSession, root))
           if (IvfIndexStore.needsRetrain(stats)) onDrift(stats)
         }
+        if (compactEvery > 0 && batchId > 0 &&
+            batchId % compactEvery == 0)
+          IvfIndexStore.compact(batch.sparkSession, root)
         if (vacuumEvery > 0 && batchId % vacuumEvery == 0)
           IvfIndexStore.vacuum(root, keep = vacuumKeep)
         ()

@@ -154,4 +154,42 @@ class DedupIngestStreamSpec extends SparkTestBase {
     assert(labelsAt(root) == fullCc(all))
     DedupOps.releaseCaches()
   }
+
+  test("compactEvery keeps the manifest's dir-union width bounded " +
+      "across an always-on stream (and the live labels exact)") {
+    val corpus = Seq((2L, dA), (3L, dB))
+    val root = Files.createTempDirectory("ingest_cmp").toString
+    val corpusSh = shingled(corpus)
+    MinhashIndexStore.save(root, corpusSh,
+      Some(ConnectedComponents.labels(corpusSh.select("doc_id"),
+        DedupOps.lshVerifiedPairs(corpusSh)
+          .select(col("d1").as("u"), col("d2").as("v")))))
+
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[IngestDoc]
+    val q = DedupIngestStream.run(input.toDF(), root,
+      Files.createTempDirectory("ingest_cmp_chk").toString,
+      compactEvery = 2)
+    try {
+      // batchIds 0..4; compact fires after batches 2 and 4, so the
+      // live manifest ends freshly folded
+      Seq(IngestDoc(5L, dC), IngestDoc(1L, dA), IngestDoc(9L, dX),
+        IngestDoc(11L, dB), IngestDoc(13L, dX))
+        .foreach { d =>
+          input.addData(d)
+          q.processAllAvailable()
+        }
+    } finally q.stop()
+
+    val (_, rec) = graft.ops.ArtifactLog.latest(root, "mh")
+    assert(rec.dirsOf("B").size == 1 && rec.dirsOf("S").size == 1 &&
+      rec.dirsOf("L").size == 1,
+      s"post-compact manifest must be one dir family: ${rec.dirs}")
+    // folding changed nothing observable: labels are still the exact
+    // from-scratch CC over everything ingested
+    val all = corpus ++
+      Seq(5L -> dC, 1L -> dA, 9L -> dX, 11L -> dB, 13L -> dX)
+    assert(labelsAt(root) == fullCc(all))
+    DedupOps.releaseCaches()
+  }
 }

@@ -252,6 +252,34 @@ class EmbeddingIngestStreamSpec extends SparkTestBase {
     SimilarityOps.releaseCaches()
   }
 
+  test("compactEvery folds the accreted shard dirs on its cadence " +
+      "(and the live index stays complete)") {
+    val corpus = emb.filter(col("vec_id") % 5 =!= 0)
+    val root = Files.createTempDirectory("emb_cmp").toString
+    IvfIndexStore.save(root, corpus, 32)
+
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[IngestVec]
+    val q = EmbeddingIngestStream.run(input.toDF(), root,
+      Files.createTempDirectory("emb_cmp_chk").toString,
+      compactEvery = 2)
+    try {
+      // batchIds 0..4; compact fires after batches 2 and 4
+      (0L to 4L).foreach { i =>
+        input.addData(rawVecs(col("vec_id") % 25 === i * 5L))
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+
+    val (_, rec) = graft.ops.ArtifactLog.latest(root, "ivf")
+    assert(rec.dirsOf("D").size == 1,
+      s"post-compact manifest must be one cells dir: ${rec.dirs}")
+    // folding changed nothing observable
+    assert(IvfIndexStore.load(spark, root).cells.count() ==
+      corpus.count() + emb.filter(col("vec_id") % 5 === 0).count())
+    SimilarityOps.releaseCaches()
+  }
+
   test("an empty batch burns no version") {
     val root = Files.createTempDirectory("emb_empty").toString
     IvfIndexStore.save(root, emb.filter(col("vec_id") % 5 =!= 0), 32)

@@ -148,6 +148,44 @@ class FilteredAnnSpec extends SparkTestBase {
     SimilarityOps.releaseCaches()
   }
 
+  test("filtered ADC shortlist equals the manually code-filtered " +
+      "probe (and refuses a sidecar-less PQ index)") {
+    val root = freshRoot("fpq")
+    IvfIndexStore.savePq(root, corpus, 32, m = 4, ksub = 16,
+      attrs = Some(corpusAttrs))
+    val idx = IvfIndexStore.loadPq(spark, root)
+    def adcRows(df: org.apache.spark.sql.DataFrame) =
+      df.select("qid", "nid", "d2", "rn").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getInt(3))).toSet
+    val got = adcRows(IvfIndexStore.adcShortlist(idx, inc, nprobe = 4,
+      shortlistL = 10, topK = 3, pred = Some(col("label") % 2 === 0)))
+    SimilarityOps.releaseCaches()
+    // expected: the allowed set from the ORIGINAL attr frame applied
+    // to the code table directly, probed without a predicate
+    val allowed = corpusAttrs.filter(col("label") % 2 === 0)
+      .select("vec_id")
+    val expIdx = idx.copy(codes =
+      idx.codes.join(allowed, Seq("vec_id"), "left_semi"))
+    val exp = adcRows(IvfIndexStore.adcShortlist(expIdx, inc,
+      nprobe = 4, shortlistL = 10, topK = 3))
+    assert(got == exp && got.nonEmpty)
+    // every surfaced neighbor passes the predicate
+    val evenIds = allAttrs.filter(col("label") % 2 === 0)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(got.map(_._2).subsetOf(evenIds))
+    SimilarityOps.releaseCaches()
+
+    val bare = freshRoot("fpq_bare")
+    IvfIndexStore.savePq(bare, corpus, 32, m = 4, ksub = 16)
+    val bareIdx = IvfIndexStore.loadPq(spark, bare)
+    intercept[IllegalArgumentException] {
+      IvfIndexStore.adcShortlist(bareIdx, inc, nprobe = 4,
+        shortlistL = 10, topK = 3, pred = Some(col("label") === 1))
+    }
+    SimilarityOps.releaseCaches()
+  }
+
   test("fetchAttrs hydrates a result id set bucket-pruned") {
     val root = freshRoot("hydrate")
     IvfIndexStore.save(root, corpus, 32, attrs = Some(corpusAttrs))
