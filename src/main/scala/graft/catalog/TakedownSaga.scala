@@ -68,23 +68,46 @@ object TakedownSaga {
 
   /** Durable intent: commit the id set + roster to the saga log and
     * return the saga id (the record's version). Nothing is applied
-    * yet — [[runPending]] (or [[takedownAll]]) drives completion. */
+    * yet — [[runPending]] (or [[takedownAll]]) drives completion.
+    *
+    * `tag` is the SAGA LOG's own replay channel, for streaming
+    * takedown feeds ([[graft.streaming.TakedownStream]]): a replayed
+    * stream batch must not open a SECOND intent for the same ids —
+    * per-store `tdtag` idempotence would make the duplicate deletes
+    * correct but each would still burn member-store versions and
+    * re-run the labeled split recompute. An intent whose tag is at
+    * or below the newest intent's committed tag returns that
+    * intent's saga id as a no-op, the foreachBatch contract every
+    * store in this codebase speaks. */
   def begin(spark: SparkSession, sagaRoot: String, ids: DataFrame,
-      stores: Stores, store: CommitStore = LinkCommitStore): Long = {
+      stores: Stores, store: CommitStore = LinkCommitStore,
+      tag: Option[Long] = None): Long = {
     TxLog.init(sagaRoot)
     Seq(stores.catalog.map(_ => "download_url"),
         stores.dedup.map(_ => "doc_id"),
         stores.ann.map(_ => "vec_id")).flatten
       .foreach(c => require(ids.columns.contains(c),
         s"saga ids must carry $c for the configured member store"))
+    tag.foreach { t =>
+      newestIntentTag(sagaRoot).foreach { committed =>
+        if (committed._2 >= t) return committed._1 // replayed batch
+      }
+    }
     val dirName = UUID.randomUUID().toString
     ids.write.parquet(s"$sagaRoot/data/$dirName/ids")
     var attempt = 0
     while (true) {
+      tag.foreach { t =>
+        // re-check inside the loop (the zombie-driver race)
+        newestIntentTag(sagaRoot).foreach { committed =>
+          if (committed._2 >= t) return committed._1
+        }
+      }
       val v = ArtifactLog.list(sagaRoot).headOption.map(_._1)
         .getOrElse(0L)
       val rec = Rec(
         Seq("state" -> "open") ++
+          tag.map(t => "tag" -> t.toString) ++
           stores.catalog.map("cat" -> _) ++
           stores.dedup.map("mh" -> _) ++
           stores.ann.map("ivf" -> _),
@@ -98,6 +121,18 @@ object TakedownSaga {
     }
     throw new IllegalStateException("unreachable")
   }
+
+  /** (sagaId, tag) of the newest INTENT record carrying a tag, if
+    * any — completion records don't carry the feed's tag, so the
+    * replay check walks to the newest open/closed intent. */
+  private def newestIntentTag(sagaRoot: String): Option[(Long, Long)] =
+    ArtifactLog.list(sagaRoot).iterator
+      .map { case (v, p) => v -> ArtifactLog.parse(Kind,
+        java.nio.file.Files.readString(p).trim) }
+      .collectFirst { case (v, r)
+        if r.kvMap.get("state").contains("open") &&
+          r.kvMap.contains("tag") =>
+        (v, r.kvMap("tag").toLong) }
 
   /** Apply one saga's deletes to its member stores. Package-private
     * with a `crashAfter` seam so the spec can kill the coordinator

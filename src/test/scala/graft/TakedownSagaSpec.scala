@@ -159,6 +159,47 @@ class TakedownSagaSpec extends SparkTestBase {
     assert(!vecs3.contains(8L))
   }
 
+  test("streaming takedown feed: each batch is one intent + " +
+      "completion; a replayed batch opens no duplicate intent and " +
+      "burns no member-store version") {
+    val (sagaRoot, catRoot, mhRoot, ivfRoot) = builds("stream")
+    val stores = TakedownSaga.Stores(
+      Some(catRoot), Some(mhRoot), Some(ivfRoot))
+
+    implicit val sqlCtx = spark.sqlContext
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[TdReq]
+    val q = graft.streaming.TakedownStream.run(input.toDF(), sagaRoot,
+      stores, Files.createTempDirectory("td_chk").toString)
+    try {
+      input.addData(TdReq(UrlA, 1L, 7L))
+      q.processAllAvailable()
+      val (urls, docs, vecs) = liveState(catRoot, mhRoot, ivfRoot)
+      assert(!urls.contains(UrlA) && !docs.contains(1L) &&
+        !vecs.contains(7L))
+      input.addData(TdReq(UrlB, 2L, 8L))
+      q.processAllAvailable()
+      val (urls2, docs2, vecs2) = liveState(catRoot, mhRoot, ivfRoot)
+      assert(!urls2.contains(UrlB) && !docs2.contains(2L) &&
+        !vecs2.contains(8L))
+    } finally q.stop()
+
+    // the foreachBatch replay contract, driven directly: re-running
+    // batch 1 finds its tagged intent committed — no duplicate
+    // intent, no member-store version burned
+    val sagaRecs = ArtifactLog.list(sagaRoot).size
+    val vCat = ArtifactLog.latest(catRoot, "cat")._1
+    val vMh = ArtifactLog.latest(mhRoot, "mh")._1
+    val vIvf = ArtifactLog.latest(ivfRoot, "ivf")._1
+    import spark.implicits._
+    graft.streaming.TakedownStream.processBatch(sagaRoot, stores,
+      Seq(TdReq(UrlB, 2L, 8L)).toDF(), batchId = 1L)
+    assert(ArtifactLog.list(sagaRoot).size == sagaRecs)
+    assert(ArtifactLog.latest(catRoot, "cat")._1 == vCat)
+    assert(ArtifactLog.latest(mhRoot, "mh")._1 == vMh)
+    assert(ArtifactLog.latest(ivfRoot, "ivf")._1 == vIvf)
+  }
+
   test("begin validates the id columns against the roster") {
     val (sagaRoot, catRoot, _, _) = builds("cols")
     intercept[IllegalArgumentException] {
@@ -167,3 +208,6 @@ class TakedownSagaSpec extends SparkTestBase {
     }
   }
 }
+
+/** One takedown request for the streaming feed. */
+case class TdReq(download_url: String, doc_id: Long, vec_id: Long)
