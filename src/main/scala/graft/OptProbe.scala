@@ -42,8 +42,10 @@ object OptProbe {
     @volatile var recording = false
     val listener = new SparkListener {
       override def onJobStart(js: SparkListenerJobStart): Unit = if (recording) {
-        val desc = Option(js.properties)
+        val props = Option(js.properties)
+        val desc = props
           .flatMap(p => Option(p.getProperty("spark.job.description")))
+          .orElse(props.flatMap(p => Option(p.getProperty("callSite.short"))))
           .getOrElse("")
         starts.put(js.jobId, (System.nanoTime(), desc))
       }

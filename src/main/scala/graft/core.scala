@@ -74,6 +74,19 @@ object core {
     else df.repartition(target)
   }
 
+  /** Label every Spark job triggered inside `f` (guide §1.5): the
+    * multi-job lifecycle operators (artifact save → ingest → delete,
+    * CC fixpoints, Lloyd iterations) are unreadable in the UI and in
+    * listener-based probes without per-phase descriptions. Restores
+    * the previous description on exit so nested labels compose. */
+  def labeled[T](s: SparkSession, desc: String)(f: => T): T = {
+    val sc = s.sparkContext
+    val prev = sc.getLocalProperty("spark.job.description")
+    sc.setJobDescription(desc)
+    try f
+    finally sc.setJobDescription(prev)
+  }
+
   /** Exact integer cents: CAST(FLOOR(x*100 + 0.5) AS BIGINT).
     * floor(+0.5) rather than round(): the double product can land
     * exactly on .5, where Spark rounds HALF_UP but DuckDB ties-to-even;

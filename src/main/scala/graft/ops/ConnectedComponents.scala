@@ -75,14 +75,78 @@ object ConnectedComponents {
   /** Label every node in `nodes` (single column `doc_id`, including
     * singletons) with its component minimum, from undirected `edges`
     * (columns `u`, `v`). Returns (doc_id, cluster_id). */
+  /** Edge-count gate below which [[labels]] resolves the component
+    * structure with a single collect + driver union-find instead of
+    * the distributed star rounds (see the inline comment in
+    * [[labels]]). Env-overridable for scale probes and specs
+    * (`SPARK_GRAFT_CC_LOCAL_EDGES=0` forces the distributed path). */
+  def defaultLocalEdgeThreshold: Long =
+    sys.env.get("SPARK_GRAFT_CC_LOCAL_EDGES")
+      .flatMap(_.toLongOption).getOrElse(1000000L)
+
   def labels(nodes: DataFrame, edges: DataFrame,
-      maxRounds: Int = 50): DataFrame = {
-    var e = edges.filter(col("u") =!= col("v"))
-      .select(greatest(col("u"), col("v")).as("u"),
-        least(col("u"), col("v")).as("v"))
-      .distinct()
-      .localCheckpoint(true)
-    var sig = signature(e)
+      maxRounds: Int = 50,
+      localEdgeThreshold: Long = defaultLocalEdgeThreshold): DataFrame = {
+    val sess = nodes.sparkSession
+    var e = graft.core.labeled(sess, "cc:init") {
+      edges.filter(col("u") =!= col("v"))
+        .select(greatest(col("u"), col("v")).as("u"),
+          least(col("u"), col("v")).as("v"))
+        .distinct()
+        .localCheckpoint(true)
+    }
+    var sig = graft.core.labeled(sess, "cc:init-sig")(signature(e))
+    // Size-gated LOCAL fixpoint (the broadcast-join analogy applied
+    // to CC, guide §3.1/§1.2): below the threshold the whole deduped
+    // edge set is collect()ed once and resolved with a driver
+    // union-find — O(E α(E)) and ZERO further shuffles — replacing
+    // O(log n) rounds of (2 shuffles + checkpoint + signature) jobs.
+    // The result is identical by construction: union-find rooted at
+    // the component minimum computes exactly the min-label fixpoint
+    // the star rounds converge to. The threshold is the same kind of
+    // size gate as spark.sql.autoBroadcastJoinThreshold: 1M edges is
+    // ~32 MB boxed on the driver (well under maxResultSize); at
+    // 100 TB the near-dup edge set exceeds it and the distributed
+    // star rounds run unchanged — ScaleBench's 10×/100× CC points
+    // keep exercising that path via the env override.
+    if (sig._1 <= localEdgeThreshold) {
+      val pairs = graft.core.labeled(sess, "cc:local-collect")(e.collect())
+      val parent = new java.util.HashMap[Long, Long](pairs.length * 2)
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrDefault(r, r) != r) r = parent.get(r)
+        // path compression
+        var c = x
+        while (parent.getOrDefault(c, c) != c) {
+          val nxt = parent.get(c); parent.put(c, r); c = nxt
+        }
+        r
+      }
+      pairs.foreach { row =>
+        val (ru, rv) = (find(row.getLong(0)), find(row.getLong(1)))
+        if (ru != rv) {
+          // root at the MIN id — the component minimum is the label
+          if (ru < rv) parent.put(rv, ru) else parent.put(ru, rv)
+        }
+      }
+      val touched = new scala.collection.mutable.ArrayBuffer[(Long, Long)](
+        pairs.length)
+      val seen = new java.util.HashSet[Long](pairs.length * 2)
+      pairs.foreach { row =>
+        Seq(row.getLong(0), row.getLong(1)).foreach { n =>
+          if (seen.add(n)) touched += ((n, find(n)))
+        }
+      }
+      lastEdgeCountsVar = Seq(sig._1)
+      val sparkS = nodes.sparkSession
+      import sparkS.implicits._
+      val lbl = broadcast(
+        touched.toSeq.toDF("doc_id", "root")
+          .filter(col("doc_id") =!= col("root")))
+      return nodes.join(lbl, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("root"), col("doc_id")).as("cluster_id"))
+    }
     var converged = false
     var rounds = 0
     val edgeCounts = Seq.newBuilder[Long]
@@ -91,15 +155,19 @@ object ConnectedComponents {
       // localCheckpoint keeps lineage flat across rounds (iterative
       // plans otherwise re-derive every prior round per action)
       val prev = e
-      e = smallStar(largeStar(e)).localCheckpoint(true)
-      val next = signature(e)
+      e = graft.core.labeled(sess, s"cc:round-$rounds") {
+        smallStar(largeStar(e)).localCheckpoint(true)
+      }
+      val next = graft.core.labeled(sess, s"cc:round-$rounds-sig")(
+        signature(e))
       if (next == sig) {
         // signature equality is necessary but not sufficient: confirm
         // exactly on this one round. Both frames are deduped and have
         // equal counts here, so an empty except proves set equality;
         // on the (negligible-probability) collision where it is
         // non-empty, the loop simply continues iterating.
-        converged = e.except(prev).isEmpty
+        converged = graft.core.labeled(sess, "cc:confirm")(
+          e.except(prev).isEmpty)
       }
       sig = next
       edgeCounts += sig._1

@@ -206,16 +206,19 @@ object IvfIndexStore {
     // locally so it runs once (terminal scope, like
     // MinhashIndexStore.save's corpus cache)
     val cents = SimilarityOps.ivfCentroids(corpus, k, iters).cache()
-    try {
-      require(!cents.isEmpty,
+    val sess = corpus.sparkSession
+    try graft.core.labeled(sess, "ivf:save") {
+      require(!graft.core.labeled(sess, "ivf:save:train")(cents.isEmpty),
         "IVF save needs a non-empty training corpus (the coarse " +
           "quantizer cannot train on nothing — unlike the dedup " +
           "index, there is no empty-index bootstrap; re-save when " +
           "data exists)")
       val cells = SimilarityOps.ivfCells(corpus, cents)
       val dirName = UUID.randomUUID().toString
-      cents.write.parquet(s"$root/data/$dirName/centroids")
-      writeCells(cells, defaultBuckets(k), s"$root/data/$dirName/cells")
+      graft.core.labeled(sess, "ivf:save:write") {
+        cents.write.parquet(s"$root/data/$dirName/centroids")
+        writeCells(cells, defaultBuckets(k), s"$root/data/$dirName/cells")
+      }
       val attrKv = attrs.toSeq.map { a =>
         val ap = defaultAttrBuckets(a.count())
         writeAttrs(a, ap, s"$root/data/$dirName/attrs")
@@ -289,8 +292,9 @@ object IvfIndexStore {
       attrs: Option[DataFrame] = None): Long = {
     TxLog.init(root)
     val corp = corpus.cache() // feeds coarse train + assign + PQ train + encode
+    val sess = corpus.sparkSession
     try {
-      require(!corp.isEmpty,
+      require(!graft.core.labeled(sess, "pq:corp")(corp.isEmpty),
         "IVF-PQ save needs a non-empty training corpus (same " +
           "no-empty-bootstrap rule as save)")
       val dim = corp.select(size(col("v"))).head().getInt(0)
@@ -299,7 +303,7 @@ object IvfIndexStore {
       val subDim = dim / m
       val cents = SimilarityOps.ivfCentroids(corp, k, iters).cache()
       try {
-        require(!cents.isEmpty,
+        require(!graft.core.labeled(sess, "pq:coarse-train")(cents.isEmpty),
           "IVF-PQ training produced no centroids (the default low-id " +
             "seeding needs corpus ids below k; pass explicit seeds " +
             "otherwise)")
@@ -315,7 +319,7 @@ object IvfIndexStore {
           val books = SimilarityOps.pqCodebooks(
             resid.getOrElse(corp), m, subDim, ksub, iters).cache()
           try {
-            require(!books.isEmpty,
+            require(!graft.core.labeled(sess, "pq:book-train")(books.isEmpty),
               "IVF-PQ training produced no codebooks (the default " +
                 "low-id seeding needs corpus ids below ksub; pass " +
                 "explicit seeds otherwise)")
@@ -327,11 +331,15 @@ object IvfIndexStore {
               carry = Seq("cell"))
             val dirName = UUID.randomUUID().toString
             val buckets = defaultBuckets(k)
-            cents.write.parquet(s"$root/data/$dirName/centroids")
-            books.write.parquet(s"$root/data/$dirName/books")
-            writeCells(cells, buckets, s"$root/data/$dirName/cells",
-              rowGroupBytes)
-            writeCodes(codes, buckets, s"$root/data/$dirName/codes")
+            graft.core.labeled(sess, "pq:write:centroids")(
+              cents.write.parquet(s"$root/data/$dirName/centroids"))
+            graft.core.labeled(sess, "pq:write:books")(
+              books.write.parquet(s"$root/data/$dirName/books"))
+            graft.core.labeled(sess, "pq:write:cells")(
+              writeCells(cells, buckets, s"$root/data/$dirName/cells",
+                rowGroupBytes))
+            graft.core.labeled(sess, "pq:write:codes")(
+              writeCodes(codes, buckets, s"$root/data/$dirName/codes"))
             val attrKv = attrs.toSeq.map { a =>
               val ap = defaultAttrBuckets(a.count())
               writeAttrs(a, ap, s"$root/data/$dirName/attrs")

@@ -130,7 +130,7 @@ object MinhashIndexStore {
     // terminal, so the cache scope is this call, not the caller's
     // release discipline)
     val c = corpus.cache()
-    try {
+    try graft.core.labeled(corpus.sparkSession, "mh:save") {
       val n = c.count()
       val (p, q) = (defaultBuckets(n), defaultBuckets(n))
       val dirName = UUID.randomUUID().toString
@@ -531,9 +531,10 @@ object MinhashIndexStore {
     // witness cluster ids: labels0 rows pruned to the witnesses'
     // buckets, then forwarded to the CURRENT canonical label
     val corpusPairs = pairs.filter(col("src") === "corpus")
-    val d1Buckets = corpusPairs
-      .select(pmod(col("d1"), lit(q.toLong)).cast("int").as("qb"))
-      .distinct().collect().map(_.getInt(0)) // ≤ Q by pigeonhole
+    val d1Buckets = graft.core.labeled(spark, "mh:ingest:pairs")(
+      corpusPairs
+        .select(pmod(col("d1"), lit(q.toLong)).cast("int").as("qb"))
+        .distinct().collect().map(_.getInt(0))) // ≤ Q by pigeonhole
     val lab0 = idx.labels0.get
       .filter(col("qb").isin(d1Buckets.toSeq: _*))
       .select(col("doc_id").as("d1"), col("cid0"))
@@ -570,9 +571,11 @@ object MinhashIndexStore {
     // can sweep it — under the shard's uuid it would hide forever
     // behind the still-live bands/shingles/labels
     val fwdDirName = UUID.randomUUID().toString
-    writeShard(shardC, p, q, s"$root/data/$dirName")
-    writeLabelsAndMembers(shardLabels, q, v + 1, s"$root/data/$dirName")
-    newFwd.write.parquet(s"$root/data/$fwdDirName/forward")
+    graft.core.labeled(spark, "mh:ingest:write") {
+      writeShard(shardC, p, q, s"$root/data/$dirName")
+      writeLabelsAndMembers(shardLabels, q, v + 1, s"$root/data/$dirName")
+      newFwd.write.parquet(s"$root/data/$fwdDirName/forward")
+    }
     // an UNTAGGED ingest must PRESERVE the committed streaming tag —
     // erasing it would let a crash-replayed stream batch re-ingest
     // after any interleaved ad-hoc ingest
@@ -646,10 +649,12 @@ object MinhashIndexStore {
       if (committed.exists(_ >= t)) return v // replayed batch: no-op
     }
     val del = DedupOps.scopedCache(ids.select("doc_id").distinct())
-    if (del.isEmpty) return v // nothing to tombstone, no version burn
+    if (graft.core.labeled(spark, "mh:del:emptyCheck")(del.isEmpty))
+      return v // nothing to tombstone, no version burn
     val labeled = head.kvMap.get("lab").contains("1")
     val dirName = UUID.randomUUID().toString
-    del.write.parquet(s"$root/data/$dirName/tombs")
+    graft.core.labeled(spark, "mh:del:tombs")(
+      del.write.parquet(s"$root/data/$dirName/tombs"))
 
     val labDirs =
       if (!labeled) Nil
@@ -658,21 +663,22 @@ object MinhashIndexStore {
         val q = idx.shingleBuckets
         val fwd = DedupOps.scopedCache(idx.forward.get)
         // 1. touched clusters: the deleted docs' current labels
-        val delQb = del
+        val delQb = graft.core.labeled(spark, "mh:del:delQb")(del
           .select(pmod(col("doc_id"), lit(q.toLong)).cast("int").as("qb"))
-          .distinct().collect().map(_.getInt(0)) // ≤ Q by pigeonhole
-        val touched = idx.labels0.get
+          .distinct().collect().map(_.getInt(0))) // ≤ Q by pigeonhole
+        val touched = graft.core.labeled(spark, "mh:del:touched")(idx.labels0.get
           .filter(col("qb").isin(delQb.toSeq: _*))
           .join(del, Seq("doc_id"))
           .join(broadcast(fwd), col("cid0") === col("cid_from"), "left")
           .select(coalesce(col("cid_to"), col("cid0")).as("cid"))
-          .distinct().collect().map(_.getLong(0)) // ≤ |deleted ids|
+          .distinct().collect().map(_.getLong(0))) // ≤ |deleted ids|
         // 2. candidate members via the cluster-bucketed mirror: rows
         // whose written cluster id is touched OR forwards into a
         // touched cluster
-        val intoTouched = fwd
-          .filter(col("cid_to").isin(touched.toSeq: _*))
-          .select("cid_from").collect().map(_.getLong(0))
+        val intoTouched = graft.core.labeled(spark, "mh:del:intoTouched")(
+          fwd
+            .filter(col("cid_to").isin(touched.toSeq: _*))
+            .select("cid_from").collect().map(_.getLong(0)))
         val affected = (touched ++ intoTouched).distinct
         val affectedMb = affected.map(c => (c % q).toInt).distinct
         val candDocs = DedupOps.scopedCache(
@@ -683,9 +689,9 @@ object MinhashIndexStore {
             .select("doc_id").distinct())
         // 3. confirm membership on the NEWEST label row, drop the
         // deleted, and re-run CC on the survivors' actual content
-        val candQb = candDocs
+        val candQb = graft.core.labeled(spark, "mh:del:candQb")(candDocs
           .select(pmod(col("doc_id"), lit(q.toLong)).cast("int").as("qb"))
-          .distinct().collect().map(_.getInt(0)) // ≤ Q
+          .distinct().collect().map(_.getInt(0))) // ≤ Q
         val survivors = DedupOps.scopedCache(idx.labels0.get
           .filter(col("qb").isin(candQb.toSeq: _*))
           .join(candDocs, Seq("doc_id"))
@@ -694,9 +700,9 @@ object MinhashIndexStore {
             .isin(touched.toSeq: _*))
           .join(broadcast(del), Seq("doc_id"), "left_anti")
           .select("doc_id"))
-        val survQb = survivors
+        val survQb = graft.core.labeled(spark, "mh:del:survQb")(survivors
           .select(pmod(col("doc_id"), lit(q.toLong)).cast("int").as("qb"))
-          .distinct().collect().map(_.getInt(0)) // ≤ Q
+          .distinct().collect().map(_.getInt(0))) // ≤ Q
         val ssh = DedupOps.scopedCache(idx.shingles
           .filter(col("qb").isin(survQb.toSeq: _*))
           .join(survivors, Seq("doc_id"))
@@ -715,15 +721,18 @@ object MinhashIndexStore {
         val relabeled = DedupOps.scopedCache(
           ConnectedComponents.labels(survivors, edges)
             .select(col("doc_id"), col("cluster_id").as("cid0")))
-        val hasSurvivors = !survivors.isEmpty
-        writeLabelsAndMembers(relabeled, q, v + 1,
-          s"$root/data/$dirName", partitioned = hasSurvivors)
+        val hasSurvivors =
+          graft.core.labeled(spark, "mh:del:hasSurvivors")(!survivors.isEmpty)
+        graft.core.labeled(spark, "mh:del:write")(
+          writeLabelsAndMembers(relabeled, q, v + 1,
+            s"$root/data/$dirName", partitioned = hasSurvivors))
         // 4. forwarding entries into touched clusters die with the
         // recompute; the map is REPLACED, like ingest (own uuid so
         // the dropped dir becomes vacuum-sweepable)
         val fwdDirName = UUID.randomUUID().toString
-        fwd.filter(!col("cid_to").isin(touched.toSeq: _*))
-          .write.parquet(s"$root/data/$fwdDirName/forward")
+        graft.core.labeled(spark, "mh:del:write")(
+          fwd.filter(!col("cid_to").isin(touched.toSeq: _*))
+            .write.parquet(s"$root/data/$fwdDirName/forward"))
         labelDirs(dirName) :+ ("F" -> s"$fwdDirName/forward")
       }
     val rec = Rec(

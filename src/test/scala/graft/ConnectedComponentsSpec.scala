@@ -19,10 +19,13 @@ class ConnectedComponentsSpec extends SparkTestBase {
     (0L until n).map(i => i -> find(i)).toMap
   }
 
-  private def run(n: Long, edges: Seq[(Long, Long)]): Map[Long, Long] = {
+  private def run(n: Long, edges: Seq[(Long, Long)],
+      localThreshold: Long = ConnectedComponents.defaultLocalEdgeThreshold)
+      : Map[Long, Long] = {
     val nodes = spark.range(n).select(col("id").as("doc_id"))
     val e = edges.toDF("u", "v")
-    ConnectedComponents.labels(nodes, e)
+    ConnectedComponents.labels(nodes, e,
+        localEdgeThreshold = localThreshold)
       .as[(Long, Long)].collect().toMap
   }
 
@@ -34,7 +37,10 @@ class ConnectedComponentsSpec extends SparkTestBase {
       val b = (i * 69069L + 1L) % n
       (math.abs(a), math.abs(b))
     }.filter { case (a, b) => a != b }
+    // both execution paths — the size-gated local union-find AND the
+    // distributed star rounds — must agree with brute force exactly
     assert(run(n, edges) == expected(n, edges))
+    assert(run(n, edges, localThreshold = 0L) == expected(n, edges))
   }
 
   test("chain of length 200 converges (O(log n), not O(diameter))") {
@@ -42,7 +48,7 @@ class ConnectedComponentsSpec extends SparkTestBase {
     // star algorithm contracts the chain geometrically
     val n = 201L
     val edges = (0L until 200L).map(i => (i, i + 1))
-    val got = run(n, edges)
+    val got = run(n, edges, localThreshold = 0L) // exercise star rounds
     assert(got.values.toSet == Set(0L))
   }
 
@@ -58,7 +64,7 @@ class ConnectedComponentsSpec extends SparkTestBase {
     // the signature-equal branch and must pass the exact set compare
     // (the guard against a premature hash-collision stop) first try
     val edges = Seq((3L, 0L), (2L, 0L), (1L, 0L), (6L, 5L))
-    val got = run(7L, edges)
+    val got = run(7L, edges, localThreshold = 0L) // star-path confirm
     assert(got == Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 4L,
       5L -> 5L, 6L -> 5L))
   }
@@ -67,7 +73,10 @@ class ConnectedComponentsSpec extends SparkTestBase {
     val nodes = spark.range(10L).select(col("id").as("doc_id"))
     val e = (0L until 9L).map(i => (i, i + 1)).toDF("u", "v")
     intercept[IllegalStateException] {
-      ConnectedComponents.labels(nodes, e, maxRounds = 1)
+      // force the distributed path: the local union-find has no
+      // round budget to exhaust
+      ConnectedComponents.labels(nodes, e, maxRounds = 1,
+        localEdgeThreshold = 0L)
     }
   }
 
