@@ -87,6 +87,38 @@ object core {
     finally sc.setJobDescription(prev)
   }
 
+  /** Run independent Spark actions concurrently from a small thread
+    * pool (guide §2.6 "overlap independent jobs"): an artifact commit
+    * stages several tables (centroids, books, cells, codes; bands,
+    * shingles, labels) whose writes have no dependency on each other,
+    * and running them sequentially leaves the cluster idle through
+    * each write's scheduling tail. Each task gets its own job
+    * description (thread-local, so labels stay correct). Exceptions
+    * propagate with their original type. Staging writes land in
+    * separate directories, and the artifact-log commit happens
+    * strictly AFTER this returns, so concurrency never changes commit
+    * semantics. */
+  def inParallel(s: SparkSession, tasks: (String, () => Unit)*): Unit =
+    if (tasks.lengthCompare(1) <= 0) tasks.foreach(_._2())
+    else {
+      val pool =
+        java.util.concurrent.Executors.newFixedThreadPool(tasks.length)
+      try {
+        val futs = tasks.map { case (desc, f) =>
+          pool.submit(new java.util.concurrent.Callable[Unit] {
+            def call(): Unit = labeled(s, desc)(f())
+          })
+        }
+        futs.foreach { fu =>
+          try fu.get()
+          catch {
+            case e: java.util.concurrent.ExecutionException =>
+              throw e.getCause
+          }
+        }
+      } finally pool.shutdown()
+    }
+
   /** Exact integer cents: CAST(FLOOR(x*100 + 0.5) AS BIGINT).
     * floor(+0.5) rather than round(): the double product can land
     * exactly on .5, where Spark rounds HALF_UP but DuckDB ties-to-even;

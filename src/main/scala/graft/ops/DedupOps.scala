@@ -128,7 +128,14 @@ object DedupOps {
 
   def lshVerifiedPairs(docs: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
-    val bands = bandFrame(docs)
+    // scoped-cached: the 32-hash MinHash pass is the expensive part
+    // of the band frame, and the SAME frame is recomputed by
+    // MinhashIndexStore.writeShard when a lifecycle (CC labels →
+    // save) runs both in one call — the plan-keyed cache makes the
+    // corpus band computation happen once per query instead of once
+    // per action (the self-join below reused its exchange already;
+    // this extends the reuse ACROSS actions)
+    val bands = scopedCache(bandFrame(docs))
     val a = bands.alias("a")
     val b = bands.alias("b")
     val cand = a.join(b,

@@ -215,10 +215,13 @@ object IvfIndexStore {
           "data exists)")
       val cells = SimilarityOps.ivfCells(corpus, cents)
       val dirName = UUID.randomUUID().toString
-      graft.core.labeled(sess, "ivf:save:write") {
-        cents.write.parquet(s"$root/data/$dirName/centroids")
-        writeCells(cells, defaultBuckets(k), s"$root/data/$dirName/cells")
-      }
+      // two independent staging writes — overlap them (guide §2.6)
+      graft.core.inParallel(sess,
+        "ivf:save:write:centroids" -> (() =>
+          cents.write.parquet(s"$root/data/$dirName/centroids")),
+        "ivf:save:write:cells" -> (() =>
+          writeCells(cells, defaultBuckets(k),
+            s"$root/data/$dirName/cells")))
       val attrKv = attrs.toSeq.map { a =>
         val ap = defaultAttrBuckets(a.count())
         writeAttrs(a, ap, s"$root/data/$dirName/attrs")
@@ -307,7 +310,10 @@ object IvfIndexStore {
           "IVF-PQ training produced no centroids (the default low-id " +
             "seeding needs corpus ids below k; pass explicit seeds " +
             "otherwise)")
-        val cells = SimilarityOps.ivfCells(corp, cents)
+        // the trained-centroid assignment feeds TWO sinks (the cells
+        // table write and the PQ encode / residual path) — cache for
+        // the call's scope or the broadcast argmin pass runs twice
+        val cells = SimilarityOps.ivfCells(corp, cents).cache()
         // residual PQ trains and encodes on x − c(cell); the residual
         // frame feeds book training AND the encode, so it caches for
         // the call's scope
@@ -331,15 +337,19 @@ object IvfIndexStore {
               carry = Seq("cell"))
             val dirName = UUID.randomUUID().toString
             val buckets = defaultBuckets(k)
-            graft.core.labeled(sess, "pq:write:centroids")(
-              cents.write.parquet(s"$root/data/$dirName/centroids"))
-            graft.core.labeled(sess, "pq:write:books")(
-              books.write.parquet(s"$root/data/$dirName/books"))
-            graft.core.labeled(sess, "pq:write:cells")(
-              writeCells(cells, buckets, s"$root/data/$dirName/cells",
-                rowGroupBytes))
-            graft.core.labeled(sess, "pq:write:codes")(
-              writeCodes(codes, buckets, s"$root/data/$dirName/codes"))
+            // 4 independent staging writes to 4 separate dirs: overlap
+            // them (guide §2.6) — the commit record below is written
+            // only after all four complete, so atomicity is unchanged
+            graft.core.inParallel(sess,
+              "pq:write:centroids" -> (() =>
+                cents.write.parquet(s"$root/data/$dirName/centroids")),
+              "pq:write:books" -> (() =>
+                books.write.parquet(s"$root/data/$dirName/books")),
+              "pq:write:cells" -> (() =>
+                writeCells(cells, buckets, s"$root/data/$dirName/cells",
+                  rowGroupBytes)),
+              "pq:write:codes" -> (() =>
+                writeCodes(codes, buckets, s"$root/data/$dirName/codes")))
             val attrKv = attrs.toSeq.map { a =>
               val ap = defaultAttrBuckets(a.count())
               writeAttrs(a, ap, s"$root/data/$dirName/attrs")
@@ -359,7 +369,9 @@ object IvfIndexStore {
               ArtifactLog.list(root).headOption.map(_._1).getOrElse(0L)
             ArtifactLog.commit(root, Kind, v, rec, store)
           } finally books.unpersist(false)
-        } finally resid.foreach(_.unpersist(false))
+        } finally {
+          resid.foreach(_.unpersist(false)); cells.unpersist(false)
+        }
       } finally cents.unpersist(false)
     } finally corp.unpersist(false)
   }
@@ -538,7 +550,9 @@ object IvfIndexStore {
     val m = head.kvMap("m").toInt
     val subDim = head.kvMap("sd").toInt
     requireDim(d, m * subDim)
-    val assigned = SimilarityOps.ivfCells(inc, cents)
+    // feeds BOTH the cells write and the encode path (run
+    // concurrently below): cache so the assignment argmin runs once
+    val assigned = SimilarityOps.ivfCells(inc, cents).cache()
     // a residual head (res=1) encodes the increment's RESIDUALS on
     // the frozen books — the same frozen-structure rule as the raw
     // path, with the broadcast centroid join supplying c(cell)
@@ -550,15 +564,25 @@ object IvfIndexStore {
       encIn, books, m, subDim, carry = Seq("cell"))
     val dirName = UUID.randomUUID().toString
     val buckets = head.kvMap("p").toInt
-    writeCells(assigned, buckets, s"$root/data/$dirName/cells",
-      head.kvMap.get("rg").map(_.toInt).getOrElse(0))
-    writeCodes(codes, buckets, s"$root/data/$dirName/codes")
-    attrs.foreach(a => writeAttrs(a, head.kvMap("ap").toInt,
-      s"$root/data/$dirName/attrs"))
-    casAppend(root, head,
-      Seq("D" -> s"$dirName/cells", "Q" -> s"$dirName/codes") ++
-        attrs.toSeq.map(_ => "A" -> s"$dirName/attrs"),
-      tag, store, maxRetries)
+    // independent staging writes to separate dirs — overlap them
+    // (guide §2.6); `assigned` is cached above because both sinks
+    // read it
+    try {
+      graft.core.inParallel(spark,
+        Seq(
+          "ivf:appendPq:cells" -> (() =>
+            writeCells(assigned, buckets, s"$root/data/$dirName/cells",
+              head.kvMap.get("rg").map(_.toInt).getOrElse(0))),
+          "ivf:appendPq:codes" -> (() =>
+            writeCodes(codes, buckets, s"$root/data/$dirName/codes"))) ++
+          attrs.toSeq.map(a => "ivf:appendPq:attrs" -> (() =>
+            writeAttrs(a, head.kvMap("ap").toInt,
+              s"$root/data/$dirName/attrs"))): _*)
+      casAppend(root, head,
+        Seq("D" -> s"$dirName/cells", "Q" -> s"$dirName/codes") ++
+          attrs.toSeq.map(_ => "A" -> s"$dirName/attrs"),
+        tag, store, maxRetries)
+    } finally assigned.unpersist(false)
   }
 
   /** Tombstone-delete vectors from the index — the takedown path a

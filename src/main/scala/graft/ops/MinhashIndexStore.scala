@@ -91,25 +91,35 @@ object MinhashIndexStore {
     * satisfy the pruning filters. */
   private def writeShard(shingled: DataFrame, p: Int, q: Int,
       dir: String, partitioned: Boolean = true): Unit = {
-    val bands = DedupOps.bandFrame(shingled)
+    // scoped-cached for cross-action reuse: an ingest computes this
+    // same band frame for its candidate probe (verifiedShardPairs)
+    // and a labeled save computes it for the CC pair generation —
+    // the plan-keyed cache collapses those MinHash passes to one
+    val bands = DedupOps.scopedCache(DedupOps.bandFrame(shingled))
       .withColumn("pb",
         pmod(col("band_hash").cast("long"), lit(p.toLong)).cast("int"))
     val sh = shingled.select(col("doc_id"), col("sh"),
       pmod(col("doc_id"), lit(q.toLong)).cast("int").as("qb"))
+    val sess = shingled.sparkSession
     if (partitioned) {
       // repartition on the bucket column first: ONE file per bucket
       // per shard instead of tasks × buckets — the object-store
       // layout (a shard contributes k files, not k × parallelism),
       // and measurably less write/commit overhead on the in-plan
       // lifecycle queries. ~256 rows per bucket bounds the skew a
-      // single-bucket task can carry.
-      bands.repartition(col("pb"))
-        .write.partitionBy("pb").parquet(s"$dir/bands")
-      sh.repartition(col("qb"))
-        .write.partitionBy("qb").parquet(s"$dir/shingles")
+      // single-bucket task can carry. The two tables are independent
+      // staging writes — overlap them (guide §2.6).
+      graft.core.inParallel(sess,
+        "mh:write:bands" -> (() => bands.repartition(col("pb"))
+          .write.partitionBy("pb").parquet(s"$dir/bands")),
+        "mh:write:shingles" -> (() => sh.repartition(col("qb"))
+          .write.partitionBy("qb").parquet(s"$dir/shingles")))
     } else {
-      bands.write.parquet(s"$dir/bands")
-      sh.write.parquet(s"$dir/shingles")
+      graft.core.inParallel(sess,
+        "mh:write:bands" -> (() =>
+          bands.write.parquet(s"$dir/bands")),
+        "mh:write:shingles" -> (() =>
+          sh.write.parquet(s"$dir/shingles")))
     }
   }
 
@@ -134,25 +144,34 @@ object MinhashIndexStore {
       val n = c.count()
       val (p, q) = (defaultBuckets(n), defaultBuckets(n))
       val dirName = UUID.randomUUID().toString
-      writeShard(c, p, q, s"$root/data/$dirName",
-        partitioned = n > 0)
       val labDirs = labels.toSeq.flatMap { lab =>
         // the label frame (typically a CC fixpoint's output) feeds
         // TWO writes (doc-bucketed labels + cluster-bucketed members
         // mirror) — cache for the call or the fixpoint runs twice
         val lab0 = lab.select(col("doc_id"),
           col("cluster_id").as("cid0")).cache()
-        try writeLabelsAndMembers(lab0, q, gen = 1L,
-          s"$root/data/$dirName", partitioned = n > 0)
-        finally lab0.unpersist(false)
         // own top-level uuid: the F line is replaced on every labeled
         // ingest, and a replaced dir must become vacuum-sweepable
         val fwdDirName = UUID.randomUUID().toString
-        lab.limit(0).select(col("doc_id").as("cid_from"),
-            col("doc_id").as("cid_to"))
-          .write.parquet(s"$root/data/$fwdDirName/forward")
+        // the shard tables, the labmem table and the empty forward
+        // map are independent staging writes — overlap them
+        // (guide §2.6)
+        try graft.core.inParallel(corpus.sparkSession,
+          "mh:save:shard" -> (() =>
+            writeShard(c, p, q, s"$root/data/$dirName",
+              partitioned = n > 0)),
+          "mh:save:labmem" -> (() =>
+            writeLabelsAndMembers(lab0, q, gen = 1L,
+              s"$root/data/$dirName", partitioned = n > 0)),
+          "mh:save:fwd" -> (() =>
+            lab.limit(0).select(col("doc_id").as("cid_from"),
+                col("doc_id").as("cid_to"))
+              .write.parquet(s"$root/data/$fwdDirName/forward")))
+        finally lab0.unpersist(false)
         labelDirs(dirName) :+ ("F" -> s"$fwdDirName/forward")
       }
+      if (labels.isEmpty)
+        writeShard(c, p, q, s"$root/data/$dirName", partitioned = n > 0)
       val rec = Rec(
         mkRec(p, q, Nil).kv ++
           (if (labels.isDefined) Seq("lab" -> "1") else Nil),
@@ -571,11 +590,17 @@ object MinhashIndexStore {
     // can sweep it — under the shard's uuid it would hide forever
     // behind the still-live bands/shingles/labels
     val fwdDirName = UUID.randomUUID().toString
-    graft.core.labeled(spark, "mh:ingest:write") {
-      writeShard(shardC, p, q, s"$root/data/$dirName")
-      writeLabelsAndMembers(shardLabels, q, v + 1, s"$root/data/$dirName")
-      newFwd.write.parquet(s"$root/data/$fwdDirName/forward")
-    }
+    // three independent staging targets (the shard's bands+shingles,
+    // the labmem table, the replaced forwarding map) — overlap them
+    // (guide §2.6); the CAS commit below waits for all
+    graft.core.inParallel(spark,
+      "mh:ingest:write:shard" -> (() =>
+        writeShard(shardC, p, q, s"$root/data/$dirName")),
+      "mh:ingest:write:labmem" -> (() =>
+        writeLabelsAndMembers(shardLabels, q, v + 1,
+          s"$root/data/$dirName")),
+      "mh:ingest:write:fwd" -> (() =>
+        newFwd.write.parquet(s"$root/data/$fwdDirName/forward")))
     // an UNTAGGED ingest must PRESERVE the committed streaming tag —
     // erasing it would let a crash-replayed stream batch re-ingest
     // after any interleaved ad-hoc ingest
@@ -723,16 +748,18 @@ object MinhashIndexStore {
             .select(col("doc_id"), col("cluster_id").as("cid0")))
         val hasSurvivors =
           graft.core.labeled(spark, "mh:del:hasSurvivors")(!survivors.isEmpty)
-        graft.core.labeled(spark, "mh:del:write")(
-          writeLabelsAndMembers(relabeled, q, v + 1,
-            s"$root/data/$dirName", partitioned = hasSurvivors))
         // 4. forwarding entries into touched clusters die with the
         // recompute; the map is REPLACED, like ingest (own uuid so
-        // the dropped dir becomes vacuum-sweepable)
+        // the dropped dir becomes vacuum-sweepable). Both staging
+        // writes are independent — overlap them (guide §2.6).
         val fwdDirName = UUID.randomUUID().toString
-        graft.core.labeled(spark, "mh:del:write")(
-          fwd.filter(!col("cid_to").isin(touched.toSeq: _*))
-            .write.parquet(s"$root/data/$fwdDirName/forward"))
+        graft.core.inParallel(spark,
+          "mh:del:write:labmem" -> (() =>
+            writeLabelsAndMembers(relabeled, q, v + 1,
+              s"$root/data/$dirName", partitioned = hasSurvivors)),
+          "mh:del:write:fwd" -> (() =>
+            fwd.filter(!col("cid_to").isin(touched.toSeq: _*))
+              .write.parquet(s"$root/data/$fwdDirName/forward")))
         labelDirs(dirName) :+ ("F" -> s"$fwdDirName/forward")
       }
     val rec = Rec(
