@@ -340,21 +340,26 @@ object IvfIndexStore {
             // 4 independent staging writes to 4 separate dirs: overlap
             // them (guide §2.6) — the commit record below is written
             // only after all four complete, so atomicity is unchanged
-            graft.core.inParallel(sess,
-              "pq:write:centroids" -> (() =>
-                cents.write.parquet(s"$root/data/$dirName/centroids")),
-              "pq:write:books" -> (() =>
-                books.write.parquet(s"$root/data/$dirName/books")),
-              "pq:write:cells" -> (() =>
-                writeCells(cells, buckets, s"$root/data/$dirName/cells",
-                  rowGroupBytes)),
-              "pq:write:codes" -> (() =>
-                writeCodes(codes, buckets, s"$root/data/$dirName/codes")))
             val attrKv = attrs.toSeq.map { a =>
-              val ap = defaultAttrBuckets(a.count())
-              writeAttrs(a, ap, s"$root/data/$dirName/attrs")
-              "ap" -> ap.toString
+              "ap" -> defaultAttrBuckets(a.count()).toString
             }
+            graft.core.inParallel(sess,
+              Seq(
+                "pq:write:centroids" -> (() =>
+                  cents.write.parquet(s"$root/data/$dirName/centroids")),
+                "pq:write:books" -> (() =>
+                  books.write.parquet(s"$root/data/$dirName/books")),
+                "pq:write:cells" -> (() =>
+                  writeCells(cells, buckets,
+                    s"$root/data/$dirName/cells", rowGroupBytes)),
+                "pq:write:codes" -> (() =>
+                  writeCodes(codes, buckets,
+                    s"$root/data/$dirName/codes"))) ++
+                attrs.toSeq.zip(attrKv).map { case (a, (_, ap)) =>
+                  "pq:write:attrs" -> (() =>
+                    writeAttrs(a, ap.toInt,
+                      s"$root/data/$dirName/attrs"))
+                }: _*)
             val rec = Rec(
               Seq("k" -> k.toString, "p" -> buckets.toString,
                 "m" -> m.toString, "sd" -> subDim.toString,
