@@ -68,9 +68,24 @@ object core {
     * gratuitous round-trip. The partition count comes from the
     * planned RDD lineage (no job runs); it must only be applied where
     * the downstream per-row work dominates the shuffle cost. */
+  /** (semanticHash of the analyzed plan, shuffle-partition target) →
+    * planned partition count. `df.rdd` pays a full physical-planning
+    * pass (then thrown away — only the partition count is read), and
+    * the same frames are re-planned on every bench pass and on every
+    * action of multi-action queries; the decision is a pure function
+    * of the (immutable) input files and the session parallelism, so
+    * memoizing it removes a duplicated Catalyst pass per call. Keyed
+    * on the analyzed plan's semantic hash: a different scale-factor
+    * dir or artifact path changes the scan relation and therefore the
+    * key. Bounded: one entry per distinct scanned frame (~dozens). */
+  private val parMemo =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int), Int]()
+
   def par(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sessionState.conf.numShufflePartitions
-    if (df.rdd.getNumPartitions >= target) df
+    val key = (df.queryExecution.analyzed.semanticHash(), target)
+    val n = parMemo.computeIfAbsent(key, _ => df.rdd.getNumPartitions)
+    if (n >= target) df
     else df.repartition(target)
   }
 
