@@ -297,10 +297,15 @@ object IvfIndexStore {
     val corp = corpus.cache() // feeds coarse train + assign + PQ train + encode
     val sess = corpus.sparkSession
     try {
-      require(!graft.core.labeled(sess, "pq:corp")(corp.isEmpty),
+      // one limit(1) action answers BOTH the non-empty gate and the
+      // dimension probe (was an isEmpty + a head() — two jobs)
+      val dimOpt = graft.core.labeled(sess, "pq:corp")(
+        corp.select(size(col("v"))).limit(1).collect().headOption
+          .map(_.getInt(0)))
+      require(dimOpt.isDefined,
         "IVF-PQ save needs a non-empty training corpus (same " +
           "no-empty-bootstrap rule as save)")
-      val dim = corp.select(size(col("v"))).head().getInt(0)
+      val dim = dimOpt.get
       require(dim % m == 0,
         s"vector dim $dim is not divisible by m=$m subspaces")
       val subDim = dim / m
