@@ -72,9 +72,6 @@ object ConnectedComponents {
       .distinct()
   }
 
-  /** Label every node in `nodes` (single column `doc_id`, including
-    * singletons) with its component minimum, from undirected `edges`
-    * (columns `u`, `v`). Returns (doc_id, cluster_id). */
   /** Edge-count gate below which [[labels]] resolves the component
     * structure with a single collect + driver union-find instead of
     * the distributed star rounds (see the inline comment in
@@ -84,6 +81,9 @@ object ConnectedComponents {
     sys.env.get("SPARK_GRAFT_CC_LOCAL_EDGES")
       .flatMap(_.toLongOption).getOrElse(1000000L)
 
+  /** Label every node in `nodes` (single column `doc_id`, including
+    * singletons) with its component minimum, from undirected `edges`
+    * (columns `u`, `v`). Returns (doc_id, cluster_id). */
   def labels(nodes: DataFrame, edges: DataFrame,
       maxRounds: Int = 50,
       localEdgeThreshold: Long = defaultLocalEdgeThreshold): DataFrame = {
