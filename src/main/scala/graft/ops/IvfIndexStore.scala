@@ -310,8 +310,20 @@ object IvfIndexStore {
         s"vector dim $dim is not divisible by m=$m subspaces")
       val subDim = dim / m
       val cents = SimilarityOps.ivfCentroids(corp, k, iters).cache()
+      // NON-residual books train on the raw corpus — independent of
+      // the coarse quantizer, so the two Lloyd passes overlap
+      // (guide §2.6). Residual books need cents first (they train on
+      // x − c(cell)) and stay sequential below.
+      val booksEager =
+        if (residual) None
+        else Some(SimilarityOps.pqCodebooks(corp, m, subDim, ksub,
+          iters).cache())
       try {
-        require(!graft.core.labeled(sess, "pq:coarse-train")(cents.isEmpty),
+        graft.core.inParallel(sess,
+          Seq("pq:coarse-train" -> (() => { cents.count(); () })) ++
+            booksEager.toSeq.map(b =>
+              "pq:book-train" -> (() => { b.count(); () })): _*)
+        require(!cents.isEmpty,
           "IVF-PQ training produced no centroids (the default low-id " +
             "seeding needs corpus ids below k; pass explicit seeds " +
             "otherwise)")
@@ -327,8 +339,8 @@ object IvfIndexStore {
             Some(SimilarityOps.residuals(cells, cents).cache())
           else None
         try {
-          val books = SimilarityOps.pqCodebooks(
-            resid.getOrElse(corp), m, subDim, ksub, iters).cache()
+          val books = booksEager.getOrElse(SimilarityOps.pqCodebooks(
+            resid.getOrElse(corp), m, subDim, ksub, iters).cache())
           try {
             require(!graft.core.labeled(sess, "pq:book-train")(books.isEmpty),
               "IVF-PQ training produced no codebooks (the default " +
