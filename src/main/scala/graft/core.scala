@@ -134,6 +134,24 @@ object core {
       } finally pool.shutdown()
     }
 
+  /** Start materializing a CACHED frame on a background thread while
+    * the caller runs independent driver-blocking work (an iterative
+    * fixpoint loop, another training pass) — guide §2.6 applied
+    * inside one query: the final plan that consumes `df` finds its
+    * cache warm instead of paying the subplan after the loop. The
+    * caller must `join()` the returned thread before its final frame
+    * escapes the query body. Failures are swallowed here — a cold or
+    * partially-warm cache only means the terminal action computes the
+    * subplan itself and surfaces any real error deterministically. */
+  def warmAsync(s: SparkSession, desc: String, df: DataFrame): Thread = {
+    val t = new Thread(() =>
+      try labeled(s, desc) { df.count(); () }
+      catch { case _: Throwable => () })
+    t.setDaemon(true)
+    t.start()
+    t
+  }
+
   /** Exact integer cents: CAST(FLOOR(x*100 + 0.5) AS BIGINT).
     * floor(+0.5) rather than round(): the double product can land
     * exactly on .5, where Spark rounds HALF_UP but DuckDB ties-to-even;

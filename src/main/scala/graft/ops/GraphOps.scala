@@ -419,8 +419,15 @@ object GraphOps {
       val pk = packages(s, dir)
       val seeds = pk.filter(col("k") % 97 === 0)
         .select(col("k").as("root"), col("k").as("node"))
+      // the pin frame is independent of the closure: warm its cache
+      // on a background thread while the BFS loop blocks the driver
+      // (guide §2.6 inside one query) — the final join then reads a
+      // warm cache instead of paying the vers-resolution subplan
+      // after the loop
+      val pins = DedupOps.scopedCache(pinnedEdges(s, dir))
+      val warm = graft.core.warmAsync(s, "pins:prefetch", pins)
       val reach = bfs(seeds, edges(s, dir))
-      val pins = pinnedEdges(s, dir)
+      warm.join()
       reach.join(pins, reach("node") === pins("src"))
         .groupBy(col("root"), col("dst").as("dep"))
         .agg(count(lit(1)).as("n_edges"),
