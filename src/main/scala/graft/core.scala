@@ -102,6 +102,31 @@ object core {
     finally sc.setJobDescription(prev)
   }
 
+  /** Run `f` with adaptive query execution disabled, restoring the
+    * previous setting on exit (nesting-safe). For artifact STAGING
+    * WRITES only: those plans are a scan → explicit bucket
+    * repartition → write, with no joins to re-strategize and a
+    * partitioning that IS the on-disk layout (one file per bucket),
+    * so AQE has nothing to improve — but it still materializes every
+    * shuffle stage as its own job, turning a 1-job write into 2-5
+    * driver round-trips (the r13 OptProbe tables show the lifecycle
+    * queries spending their wall on exactly these barriers; at
+    * cluster scale each is a full scheduling round per commit).
+    * Session conf is shared across threads, so the toggle wraps the
+    * whole inParallel write batch, never an individual thunk, and
+    * nothing else may run on the session between set and restore
+    * (true for every store call site: the batch is the only live
+    * work). NOT for general queries — AQE's runtime broadcast
+    * conversion is what keeps iterative-join loops cheap (the r13
+    * fixpoint A/B that measured 3-10× worse without it). */
+  def withoutAqe[T](s: SparkSession)(f: => T): T = {
+    val key = "spark.sql.adaptive.enabled"
+    val prev = s.conf.get(key, "true")
+    s.conf.set(key, "false")
+    try f
+    finally s.conf.set(key, prev)
+  }
+
   /** Run independent Spark actions concurrently from a small thread
     * pool (guide §2.6 "overlap independent jobs"): an artifact commit
     * stages several tables (centroids, books, cells, codes; bands,

@@ -156,22 +156,28 @@ object MinhashIndexStore {
         // the shard tables, the labmem table and the empty forward
         // map are independent staging writes — overlap them
         // (guide §2.6)
-        try graft.core.inParallel(corpus.sparkSession,
-          "mh:save:shard" -> (() =>
-            writeShard(c, p, q, s"$root/data/$dirName",
-              partitioned = n > 0)),
-          "mh:save:labmem" -> (() =>
-            writeLabelsAndMembers(lab0, q, gen = 1L,
-              s"$root/data/$dirName", partitioned = n > 0)),
-          "mh:save:fwd" -> (() =>
-            lab.limit(0).select(col("doc_id").as("cid_from"),
-                col("doc_id").as("cid_to"))
-              .write.parquet(s"$root/data/$fwdDirName/forward")))
+        // AQE off for the whole staging batch (guide §2.4 via
+        // core.withoutAqe: fixed bucket repartitions, no joins to
+        // re-plan — each write becomes one job instead of 2-5)
+        try graft.core.withoutAqe(corpus.sparkSession)(
+          graft.core.inParallel(corpus.sparkSession,
+            "mh:save:shard" -> (() =>
+              writeShard(c, p, q, s"$root/data/$dirName",
+                partitioned = n > 0)),
+            "mh:save:labmem" -> (() =>
+              writeLabelsAndMembers(lab0, q, gen = 1L,
+                s"$root/data/$dirName", partitioned = n > 0)),
+            "mh:save:fwd" -> (() =>
+              lab.limit(0).select(col("doc_id").as("cid_from"),
+                  col("doc_id").as("cid_to"))
+                .write.parquet(s"$root/data/$fwdDirName/forward"))))
         finally lab0.unpersist(false)
         labelDirs(dirName) :+ ("F" -> s"$fwdDirName/forward")
       }
       if (labels.isEmpty)
-        writeShard(c, p, q, s"$root/data/$dirName", partitioned = n > 0)
+        graft.core.withoutAqe(corpus.sparkSession)(
+          writeShard(c, p, q, s"$root/data/$dirName",
+            partitioned = n > 0))
       val rec = Rec(
         mkRec(p, q, Nil).kv ++
           (if (labels.isDefined) Seq("lab" -> "1") else Nil),
@@ -315,7 +321,8 @@ object MinhashIndexStore {
     if (shard.isEmpty) return ArtifactLog.latest(root, Kind)._1
     val (p, q) = (head.kvMap("p").toInt, head.kvMap("q").toInt)
     val dirName = UUID.randomUUID().toString
-    writeShard(shard, p, q, s"$root/data/$dirName")
+    graft.core.withoutAqe(spark)(
+      writeShard(shard, p, q, s"$root/data/$dirName"))
     var attempt = 0
     while (true) {
       val (v, latest) = ArtifactLog.latest(root, Kind)
@@ -372,10 +379,12 @@ object MinhashIndexStore {
     // form)
     def bands = dropTombs(readDirs(spark, root, r.dirsOf("B")), tombs)
     val empty = bands.isEmpty
-    writeBucketed(bands, "pb", s"$root/data/$dirName/bands", empty)
-    writeBucketed(dropTombs(readDirs(spark, root, r.dirsOf("S")), tombs),
-      "qb", s"$root/data/$dirName/shingles", empty)
-    val labDirs =
+    // staging-batch AQE toggle — see save()
+    val labDirs = graft.core.withoutAqe(spark) {
+      writeBucketed(bands, "pb", s"$root/data/$dirName/bands", empty)
+      writeBucketed(dropTombs(readDirs(spark, root, r.dirsOf("S")),
+          tombs),
+        "qb", s"$root/data/$dirName/shingles", empty)
       if (!labeled) Nil
       else {
         val idx = loadAt(spark, root, v) // tomb-filtered, newest-gen
@@ -390,6 +399,7 @@ object MinhashIndexStore {
           .write.parquet(s"$root/data/$fwdDirName/forward")
         labelDirs(dirName) :+ ("F" -> s"$fwdDirName/forward")
       }
+    }
     ArtifactLog.commit(root, Kind, v, Rec(r.kv,
       Seq("B" -> s"$dirName/bands", "S" -> s"$dirName/shingles") ++
         labDirs), store)
@@ -593,14 +603,14 @@ object MinhashIndexStore {
     // three independent staging targets (the shard's bands+shingles,
     // the labmem table, the replaced forwarding map) — overlap them
     // (guide §2.6); the CAS commit below waits for all
-    graft.core.inParallel(spark,
+    graft.core.withoutAqe(spark)(graft.core.inParallel(spark,
       "mh:ingest:write:shard" -> (() =>
         writeShard(shardC, p, q, s"$root/data/$dirName")),
       "mh:ingest:write:labmem" -> (() =>
         writeLabelsAndMembers(shardLabels, q, v + 1,
           s"$root/data/$dirName")),
       "mh:ingest:write:fwd" -> (() =>
-        newFwd.write.parquet(s"$root/data/$fwdDirName/forward")))
+        newFwd.write.parquet(s"$root/data/$fwdDirName/forward"))))
     // an UNTAGGED ingest must PRESERVE the committed streaming tag —
     // erasing it would let a crash-replayed stream batch re-ingest
     // after any interleaved ad-hoc ingest
@@ -679,7 +689,8 @@ object MinhashIndexStore {
     val labeled = head.kvMap.get("lab").contains("1")
     val dirName = UUID.randomUUID().toString
     graft.core.labeled(spark, "mh:del:tombs")(
-      del.write.parquet(s"$root/data/$dirName/tombs"))
+      graft.core.withoutAqe(spark)(
+        del.write.parquet(s"$root/data/$dirName/tombs")))
 
     val labDirs =
       if (!labeled) Nil
@@ -691,20 +702,27 @@ object MinhashIndexStore {
         val delQb = graft.core.labeled(spark, "mh:del:delQb")(del
           .select(pmod(col("doc_id"), lit(q.toLong)).cast("int").as("qb"))
           .distinct().collect().map(_.getInt(0))) // ≤ Q by pigeonhole
-        val touched = graft.core.labeled(spark, "mh:del:touched")(idx.labels0.get
+        // 2. candidate clusters: the touched set (the deleted docs'
+        // resolved labels) PLUS forwarding sources pointing into it.
+        // One collect answers both (the touched→intoTouched pair used
+        // to be two serial driver round-trips): the touched subplan
+        // is scoped-cached so its union branches compute it once, and
+        // the flag column keeps the two sets apart on the driver.
+        val touchedDF = DedupOps.scopedCache(idx.labels0.get
           .filter(col("qb").isin(delQb.toSeq: _*))
           .join(del, Seq("doc_id"))
           .join(broadcast(fwd), col("cid0") === col("cid_from"), "left")
           .select(coalesce(col("cid_to"), col("cid0")).as("cid"))
-          .distinct().collect().map(_.getLong(0))) // ≤ |deleted ids|
-        // 2. candidate members via the cluster-bucketed mirror: rows
-        // whose written cluster id is touched OR forwards into a
-        // touched cluster
-        val intoTouched = graft.core.labeled(spark, "mh:del:intoTouched")(
-          fwd
-            .filter(col("cid_to").isin(touched.toSeq: _*))
-            .select("cid_from").collect().map(_.getLong(0)))
-        val affected = (touched ++ intoTouched).distinct
+          .distinct()) // ≤ |deleted ids| rows
+        val affRows = graft.core.labeled(spark, "mh:del:touched")(
+          touchedDF.select(col("cid"), lit(true).as("t"))
+            .unionByName(fwd
+              .join(touchedDF, col("cid_to") === col("cid"))
+              .select(col("cid_from").as("cid"), lit(false).as("t")))
+            .collect())
+        val touched = affRows.filter(_.getBoolean(1))
+          .map(_.getLong(0)).distinct
+        val affected = affRows.map(_.getLong(0)).distinct
         val affectedMb = affected.map(c => (c % q).toInt).distinct
         val candDocs = DedupOps.scopedCache(
           readDirs(spark, root, head.dirsOf("M"))
@@ -728,6 +746,10 @@ object MinhashIndexStore {
         val survQb = graft.core.labeled(spark, "mh:del:survQb")(survivors
           .select(pmod(col("doc_id"), lit(q.toLong)).cast("int").as("qb"))
           .distinct().collect().map(_.getInt(0))) // ≤ Q
+        // survivors exist iff any survivor bucket does — the bucket
+        // collect above already answers the emptiness probe the
+        // labmem write needs (was a separate isEmpty job)
+        val hasSurvivors = survQb.nonEmpty
         val ssh = DedupOps.scopedCache(idx.shingles
           .filter(col("qb").isin(survQb.toSeq: _*))
           .join(survivors, Seq("doc_id"))
@@ -746,20 +768,18 @@ object MinhashIndexStore {
         val relabeled = DedupOps.scopedCache(
           ConnectedComponents.labels(survivors, edges)
             .select(col("doc_id"), col("cluster_id").as("cid0")))
-        val hasSurvivors =
-          graft.core.labeled(spark, "mh:del:hasSurvivors")(!survivors.isEmpty)
         // 4. forwarding entries into touched clusters die with the
         // recompute; the map is REPLACED, like ingest (own uuid so
         // the dropped dir becomes vacuum-sweepable). Both staging
         // writes are independent — overlap them (guide §2.6).
         val fwdDirName = UUID.randomUUID().toString
-        graft.core.inParallel(spark,
+        graft.core.withoutAqe(spark)(graft.core.inParallel(spark,
           "mh:del:write:labmem" -> (() =>
             writeLabelsAndMembers(relabeled, q, v + 1,
               s"$root/data/$dirName", partitioned = hasSurvivors)),
           "mh:del:write:fwd" -> (() =>
             fwd.filter(!col("cid_to").isin(touched.toSeq: _*))
-              .write.parquet(s"$root/data/$fwdDirName/forward")))
+              .write.parquet(s"$root/data/$fwdDirName/forward"))))
         labelDirs(dirName) :+ ("F" -> s"$fwdDirName/forward")
       }
     val rec = Rec(
