@@ -2305,8 +2305,13 @@ object SimilarityOps {
     * reverse (b,a) is also a top-k edge and cosine ≥ 0.4. Cosine is
     * symmetric (identical integer dp/norms both ways), so thresholding
     * the forward direction thresholds the pair. */
-  private def mutualEdges(knn: org.apache.spark.sql.DataFrame)
+  private def mutualEdges(knn0: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
+    // the fwd/bwd branches below each reference the FULL knn subtree;
+    // without this cache the mutuality self-join computes it twice in
+    // one materialization — for the exact side that is the n² scoring
+    // pass run twice (the knn frame itself is only n×3 rows)
+    val knn = scopedCache(knn0)
     val fwd = knn.filter(col("a") < col("b") && col("cosine") >= 0.4)
       .select("a", "b")
     val bwd = knn.filter(col("a") > col("b"))
