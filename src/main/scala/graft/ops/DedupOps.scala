@@ -1526,25 +1526,36 @@ object DedupOps {
     * compares against the exact-string computation, so a collision
     * fails the gate loudly rather than passing silently. */
   private def substringSpanFrames(s: org.apache.spark.sql.SparkSession,
-      dir: String, hashed: Boolean = false)
+      dir: String, hashed: Boolean = false,
+      cache: Boolean = false)
       : (org.apache.spark.sql.DataFrame,
       org.apache.spark.sql.DataFrame) = {
     val k = SubstringK
-    val toks = par(t(s, dir, "documents"))
+    // `cache = true` (the CUT caller): toks feeds the gram explode
+    // plus two more rebuild-path references and grams feeds two
+    // exchange contexts (duplicate-gram aggregate + hit join) — the
+    // scoped caches collapse the repeated tokenize/gram-explode
+    // subtrees, measured −7% pairwise on d_substring_cut. The STATS
+    // callers reference toks only twice; for them the cache
+    // materialization overhead measured as a slight pairwise LOSS, so
+    // they keep the plain plans (r13 interleaved A/B, 3 pairs each).
+    def maybeCache(df: org.apache.spark.sql.DataFrame) =
+      if (cache) scopedCache(df) else df
+    val toks = maybeCache(par(t(s, dir, "documents"))
       .select(col("doc_id"), words.as("ws"))
       .select(col("doc_id"), col("ws"), size(col("ws")).as("n_tokens"))
-      .filter(col("n_tokens") > 0)
+      .filter(col("n_tokens") > 0))
     val gramText =
       s"transform(sequence(0, greatest(n_tokens - $k, 0)), " +
         s"i -> concat_ws(' ', slice(ws, i + 1, $k)))"
     val gramExpr =
       if (hashed) s"transform($gramText, g -> xxhash64(g))" else gramText
-    val grams = toks
+    val grams = maybeCache(toks
       .select(col("doc_id"), col("n_tokens"),
         posexplode(expr(gramExpr)))
       .withColumnRenamed("pos", "start")
       .withColumnRenamed("col", "g")
-      .filter(col("start") + k <= col("n_tokens"))
+      .filter(col("start") + k <= col("n_tokens")))
     val dupGrams = grams.groupBy("g")
       .agg(countDistinct(col("doc_id")).as("n_docs"))
       .filter(col("n_docs") >= 2)
@@ -1648,7 +1659,7 @@ object DedupOps {
     "d_substring_cut", "LLM-pipeline dedup: substring span removal",
     "cut merged duplicated spans from each doc, rebuild clean text",
     (s, dir) => {
-      val (toks, merged) = substringSpanFrames(s, dir)
+      val (toks, merged) = substringSpanFrames(s, dir, cache = true)
       val tokens = toks.select(col("doc_id"), posexplode(col("ws")))
       val spans = merged
         .select(col("doc_id"), explode(col("merged")).as("sp"))
