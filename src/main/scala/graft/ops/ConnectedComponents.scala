@@ -88,14 +88,10 @@ object ConnectedComponents {
       maxRounds: Int = 50,
       localEdgeThreshold: Long = defaultLocalEdgeThreshold): DataFrame = {
     val sess = nodes.sparkSession
-    var e = graft.core.labeled(sess, "cc:init") {
-      edges.filter(col("u") =!= col("v"))
-        .select(greatest(col("u"), col("v")).as("u"),
-          least(col("u"), col("v")).as("v"))
-        .distinct()
-        .localCheckpoint(true)
-    }
-    var sig = graft.core.labeled(sess, "cc:init-sig")(signature(e))
+    val ePlan = edges.filter(col("u") =!= col("v"))
+      .select(greatest(col("u"), col("v")).as("u"),
+        least(col("u"), col("v")).as("v"))
+      .distinct()
     // Size-gated LOCAL fixpoint (the broadcast-join analogy applied
     // to CC, guide §3.1/§1.2): below the threshold the whole deduped
     // edge set is collect()ed once and resolved with a driver
@@ -109,8 +105,28 @@ object ConnectedComponents {
     // 100 TB the near-dup edge set exceeds it and the distributed
     // star rounds run unchanged — ScaleBench's 10×/100× CC points
     // keep exercising that path via the env override.
-    if (sig._1 <= localEdgeThreshold) {
-      val pairs = graft.core.labeled(sess, "cc:local-collect")(e.collect())
+    //
+    // The size gate IS the collect: executeTake with threshold+1 as
+    // the limit pulls partitions incrementally, so a small edge set
+    // answers "below threshold?" and delivers the pairs in ONE job —
+    // where probing a count first cost an eager checkpoint
+    // materialization plus a signature aggregate before the collect
+    // (3 driver round-trips per CC call, r13 OptProbe). An
+    // over-threshold set stops at the first partitions that overflow
+    // the limit and falls through to the distributed rounds, which
+    // re-run the edge plan for the checkpoint — one partial extra
+    // pass, paid only on the path whose round count dwarfs it (and
+    // not at all when the env gate pins the threshold to 0).
+    val localPairs =
+      if (localEdgeThreshold <= 0L) None
+      else {
+        val cap = math.min(localEdgeThreshold, Int.MaxValue - 2L).toInt
+        val rows = graft.core.labeled(sess, "cc:local-collect")(
+          ePlan.limit(cap + 1).collect())
+        if (rows.length <= cap) Some(rows) else None
+      }
+    if (localPairs.isDefined) {
+      val pairs = localPairs.get
       val parent = new java.util.HashMap[Long, Long](pairs.length * 2)
       def find(x: Long): Long = {
         var r = x
@@ -137,7 +153,7 @@ object ConnectedComponents {
           if (seen.add(n)) touched += ((n, find(n)))
         }
       }
-      lastEdgeCountsVar = Seq(sig._1)
+      lastEdgeCountsVar = Seq(pairs.length.toLong)
       val sparkS = nodes.sparkSession
       import sparkS.implicits._
       val lbl = broadcast(
@@ -147,6 +163,9 @@ object ConnectedComponents {
         .select(col("doc_id"),
           coalesce(col("root"), col("doc_id")).as("cluster_id"))
     }
+    var e = graft.core.labeled(sess, "cc:init")(
+      ePlan.localCheckpoint(true))
+    var sig = graft.core.labeled(sess, "cc:init-sig")(signature(e))
     var converged = false
     var rounds = 0
     val edgeCounts = Seq.newBuilder[Long]
