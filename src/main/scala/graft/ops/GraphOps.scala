@@ -74,22 +74,33 @@ object GraphOps {
     * without re-materializing the accumulated set each round).
     */
   private[ops] def bfs(seeds: DataFrame, e: DataFrame): DataFrame = {
+    val ckptN = org.apache.spark.sql.GraftBridge.localCheckpointWithCount _
     val ed = e.repartition(col("src")).localCheckpoint(true)
-    var frontier = seeds.select(col("root"), col("node"))
-      .withColumn("depth", lit(0L)).localCheckpoint(true)
+    // the eager checkpoint's own materialization count doubles as the
+    // drain check — the per-round `frontier.isEmpty` job is gone
+    // (GraftBridge.localCheckpointWithCount)
+    var (frontier, fcnt) = ckptN(seeds.select(col("root"), col("node"))
+      .withColumn("depth", lit(0L)))
     var visited = frontier
     var rounds = 0
-    while (!frontier.isEmpty && rounds < MaxRounds) {
-      frontier = frontier.join(ed, frontier("node") === ed("src"))
-        .select(col("root"), col("dst").as("node"),
-          (col("depth") + 1L).as("depth"))
+    while (fcnt > 0 && rounds < MaxRounds) {
+      // level-synchronous BFS gives every round-r frontier row the
+      // SAME depth r+1, so the depth column attaches as a literal
+      // AFTER the dedup — the distinct then groups on exactly the
+      // anti-join key (root, node) and the two operators share ONE
+      // exchange instead of exchanging on (root, node, depth) and
+      // again on (root, node)
+      val step = ckptN(frontier.join(ed, frontier("node") === ed("src"))
+        .select(col("root"), col("dst").as("node"))
         .distinct()
         .join(visited, Seq("root", "node"), "left_anti")
-        .localCheckpoint(true)
+        .withColumn("depth", lit(rounds + 1L)))
+      frontier = step._1
+      fcnt = step._2
       visited = visited.unionByName(frontier)
       rounds += 1
     }
-    if (!frontier.isEmpty)
+    if (fcnt > 0)
       throw new IllegalStateException(
         s"BFS did not drain in $MaxRounds rounds — cycle or " +
           "unexpectedly deep graph; refusing to return a partial closure")
