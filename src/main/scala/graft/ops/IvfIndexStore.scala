@@ -215,19 +215,16 @@ object IvfIndexStore {
           "data exists)")
       val cells = SimilarityOps.ivfCells(corpus, cents)
       val dirName = UUID.randomUUID().toString
-      // two independent staging writes — overlap them (guide §2.6);
-      // AQE off for the batch (core.withoutAqe: fixed bucket
-      // repartitions, one job per write instead of 2-5)
-      graft.core.withoutAqe(sess)(graft.core.inParallel(sess,
+      // two independent staging writes — overlap them (guide §2.6)
+      graft.core.inParallel(sess,
         "ivf:save:write:centroids" -> (() =>
           cents.write.parquet(s"$root/data/$dirName/centroids")),
         "ivf:save:write:cells" -> (() =>
           writeCells(cells, defaultBuckets(k),
-            s"$root/data/$dirName/cells"))))
+            s"$root/data/$dirName/cells")))
       val attrKv = attrs.toSeq.map { a =>
         val ap = defaultAttrBuckets(a.count())
-        graft.core.withoutAqe(sess)(
-          writeAttrs(a, ap, s"$root/data/$dirName/attrs"))
+        writeAttrs(a, ap, s"$root/data/$dirName/attrs")
         "ap" -> ap.toString
       }
       val base = mkRec(k, defaultBuckets(k), s"$dirName/centroids",
@@ -363,7 +360,7 @@ object IvfIndexStore {
             val attrKv = attrs.toSeq.map { a =>
               "ap" -> defaultAttrBuckets(a.count()).toString
             }
-            graft.core.withoutAqe(sess)(graft.core.inParallel(sess,
+            graft.core.inParallel(sess,
               Seq(
                 "pq:write:centroids" -> (() =>
                   cents.write.parquet(s"$root/data/$dirName/centroids")),
@@ -379,7 +376,7 @@ object IvfIndexStore {
                   "pq:write:attrs" -> (() =>
                     writeAttrs(a, ap.toInt,
                       s"$root/data/$dirName/attrs"))
-                }: _*))
+                }: _*)
             val rec = Rec(
               Seq("k" -> k.toString, "p" -> buckets.toString,
                 "m" -> m.toString, "sd" -> subDim.toString,
@@ -499,13 +496,11 @@ object IvfIndexStore {
     requireDim(d, cents.select(size(col("cv"))).head().getInt(0))
     val assigned = SimilarityOps.ivfCells(inc, cents)
     val dirName = UUID.randomUUID().toString
-    graft.core.withoutAqe(spark) {
-      writeCells(assigned, head.kvMap("p").toInt,
-        s"$root/data/$dirName/cells",
-        head.kvMap.get("rg").map(_.toInt).getOrElse(0))
-      attrs.foreach(a => writeAttrs(a, head.kvMap("ap").toInt,
-        s"$root/data/$dirName/attrs"))
-    }
+    writeCells(assigned, head.kvMap("p").toInt,
+      s"$root/data/$dirName/cells",
+      head.kvMap.get("rg").map(_.toInt).getOrElse(0))
+    attrs.foreach(a => writeAttrs(a, head.kvMap("ap").toInt,
+      s"$root/data/$dirName/attrs"))
     casAppend(root, head, Seq("D" -> s"$dirName/cells") ++
       attrs.toSeq.map(_ => "A" -> s"$dirName/attrs"), tag, store,
       maxRetries)
@@ -595,7 +590,7 @@ object IvfIndexStore {
     // (guide §2.6); `assigned` is cached above because both sinks
     // read it
     try {
-      graft.core.withoutAqe(spark)(graft.core.inParallel(spark,
+      graft.core.inParallel(spark,
         Seq(
           "ivf:appendPq:cells" -> (() =>
             writeCells(assigned, buckets, s"$root/data/$dirName/cells",
@@ -604,7 +599,7 @@ object IvfIndexStore {
             writeCodes(codes, buckets, s"$root/data/$dirName/codes"))) ++
           attrs.toSeq.map(a => "ivf:appendPq:attrs" -> (() =>
             writeAttrs(a, head.kvMap("ap").toInt,
-              s"$root/data/$dirName/attrs"))): _*))
+              s"$root/data/$dirName/attrs"))): _*)
       casAppend(root, head,
         Seq("D" -> s"$dirName/cells", "Q" -> s"$dirName/codes") ++
           attrs.toSeq.map(_ => "A" -> s"$dirName/attrs"),
@@ -649,9 +644,8 @@ object IvfIndexStore {
       if (committed.exists(_ >= t)) return v0
     }
     val dirName = UUID.randomUUID().toString
-    graft.core.withoutAqe(spark)(
-      ids.select(col("vec_id")).distinct()
-        .write.parquet(s"$root/data/$dirName/tombs"))
+    ids.select(col("vec_id")).distinct()
+      .write.parquet(s"$root/data/$dirName/tombs")
     casAppend(root, head, Seq("T" -> s"$dirName/tombs"), tag, store,
       maxRetries, tagKey)
   }
@@ -879,24 +873,21 @@ object IvfIndexStore {
       tombs)
     val dirName = UUID.randomUUID().toString
     // re-bucket on write: one file per bucket in the compacted (the
-    // long-lived) form, preserving the record's rg layout policy.
-    // Staging-batch AQE toggle (core.withoutAqe) — the tomb
-    // anti-joins inside these plans are explicitly broadcast-hinted.
-    graft.core.withoutAqe(spark)(
-      writeCells(cells.select(col("vec_id"), col("v"), col("n2"),
-          col("cell")),
-        r.kvMap("p").toInt, s"$root/data/$dirName/cells",
-        r.kvMap.get("rg").map(_.toInt).getOrElse(0)))
+    // long-lived) form, preserving the record's rg layout policy
+    writeCells(cells.select(col("vec_id"), col("v"), col("n2"),
+        col("cell")),
+      r.kvMap("p").toInt, s"$root/data/$dirName/cells",
+      r.kvMap.get("rg").map(_.toInt).getOrElse(0))
     // a PQ record's code shards fold alongside the cells shards
     // (through writeCodes, so the compacted layout can never diverge
     // from the appended one)
     val qDir =
       if (r.dirsOf("Q").isEmpty) Nil
       else {
-        graft.core.withoutAqe(spark)(writeCodes(
+        writeCodes(
           dropTombs(readCellDirs(spark, root, r.dirsOf("Q")), tombs)
             .select(col("vec_id"), col("code"), col("cell")),
-          r.kvMap("p").toInt, s"$root/data/$dirName/codes"))
+          r.kvMap("p").toInt, s"$root/data/$dirName/codes")
         Seq("Q" -> s"$dirName/codes")
       }
     // the attribute sidecar folds like the lists, with tombstoned
@@ -906,10 +897,10 @@ object IvfIndexStore {
     val aDir =
       if (r.dirsOf("A").isEmpty) Nil
       else {
-        graft.core.withoutAqe(spark)(writeAttrs(
+        writeAttrs(
           dropTombs(readCellDirs(spark, root, r.dirsOf("A")), tombs)
             .drop("ab"),
-          r.kvMap("ap").toInt, s"$root/data/$dirName/attrs"))
+          r.kvMap("ap").toInt, s"$root/data/$dirName/attrs")
         Seq("A" -> s"$dirName/attrs")
       }
     ArtifactLog.commit(root, Kind, v,
@@ -996,13 +987,9 @@ object IvfIndexStore {
         val cells = SimilarityOps.ivfCells(corpus, cents)
         val dirName = UUID.randomUUID().toString
         val buckets = defaultBuckets(kNew)
-        // staging-batch AQE toggle — the embedded assignment joins
-        // are explicitly broadcast-hinted (see savePq)
-        graft.core.withoutAqe(spark) {
-          cents.write.parquet(s"$root/data/$dirName/centroids")
-          writeCells(cells, buckets, s"$root/data/$dirName/cells",
-            head.kvMap.get("rg").map(_.toInt).getOrElse(0))
-        }
+        cents.write.parquet(s"$root/data/$dirName/centroids")
+        writeCells(cells, buckets, s"$root/data/$dirName/cells",
+          head.kvMap.get("rg").map(_.toInt).getOrElse(0))
         // a PQ head retrains its codebooks from the same corpus (and
         // the same hash-sampled seeds — codebooks freeze exactly like
         // the coarse centroids, so they drift exactly like them) and
@@ -1033,7 +1020,7 @@ object IvfIndexStore {
               else None
             val books = SimilarityOps.pqCodebooks(
               encBase, m, subDim, ksub, iters, bookSeeds).cache()
-            try graft.core.withoutAqe(spark) {
+            try {
               books.write.parquet(s"$root/data/$dirName/books")
               writeCodes(
                 SimilarityOps.pqEncode(
