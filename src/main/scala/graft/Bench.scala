@@ -32,6 +32,12 @@ object Bench {
 
   val canaryThreshold = 1.25
 
+  /** Lower gate (r13 verdict): a FAST window deflates absolutes just
+    * as a slow one inflates them — a 0.80-ratio stamp flatters the
+    * round that writes it and sandbags the next. Stamps are accepted
+    * only inside [canaryLowThreshold, canaryThreshold]. */
+  val canaryLowThreshold = 0.8
+
   /** Median of per-query measured/record ratios; 0.0 when nothing
     * measured (canary disabled or no query resolved). */
   def canaryRatio(medians: Map[String, Double]): Double = {
@@ -41,17 +47,21 @@ object Bench {
     if (rs.isEmpty) 0.0 else rs(rs.length / 2)
   }
 
-  /** Where the full per-query record lands. A measured slow window
-    * (ratio > threshold) REFUSES to replace an existing stamp unless
-    * forced — the contaminated map goes to a quarantine name the
-    * continuity tooling never reads. A first stamp of the round
-    * writes regardless (a self-describing contaminated stamp beats
-    * no stamp; the ratio rides the JSON), as does an unmeasured run
-    * (ratio 0.0 — no evidence to refuse on). */
+  /** Where the full per-query record lands. A measured out-of-window
+    * run (ratio above canaryThreshold OR below canaryLowThreshold —
+    * the gate is symmetric since r14) REFUSES to replace an existing
+    * stamp unless forced — the contaminated map goes to a quarantine
+    * name the continuity tooling never reads. A first stamp of the
+    * round writes regardless (a self-describing contaminated stamp
+    * beats no stamp; the ratio rides the JSON), as does an unmeasured
+    * run (ratio 0.0 — no evidence to refuse on). */
   def stampTarget(fullName: String, ratio: Double, forced: Boolean,
-      cleanStampExists: Boolean): String =
-    if (ratio <= canaryThreshold || forced || !cleanStampExists) fullName
+      cleanStampExists: Boolean): String = {
+    val inWindow = ratio == 0.0 ||
+      (ratio >= canaryLowThreshold && ratio <= canaryThreshold)
+    if (inWindow || forced || !cleanStampExists) fullName
     else fullName.stripSuffix(".json") + ".contaminated.json"
+  }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -183,8 +193,12 @@ object Bench {
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    // cpus rides every stamp (r13 verdict item 2: the driver's 8-core
+    // scaling run stamped a round record indistinguishable from a
+    // 32-core one; the canary cannot catch core-count changes because
+    // the pinned queries are driver-bound).
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$canaryJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$canaryJson,"cpus":$cpus,"sf":"$sfDir"}"""
     // The driver records only the last ~2000 chars of stdout, so the
     // full 186-query line (4.6 KB in r8) arrives truncated and
     // unparseable. Emit (a) the complete map chunked into short
@@ -213,7 +227,14 @@ object Bench {
         val ns = files.collect { case rx(n) => n.toInt }
         if (ns.isEmpty) 1 else ns.max + 1
       }
-    val fullName = f"BENCH_FULL_r$round%02d.json"
+    // A non-default core count NEVER writes the round's record: the
+    // driver also runs this harness at low cpus to measure scaling,
+    // and in r13 that run overwrote the would-be round-14 baseline
+    // (BENCH_FULL_r14.json at 8 cores). Those stamps go to a
+    // `_c<cpus>` suffixed name instead.
+    val fullName =
+      if (cpus == "32") f"BENCH_FULL_r$round%02d.json"
+      else f"BENCH_FULL_r$round%02d_c$cpus.json"
 
     val chunks = results.grouped(40).toSeq
     chunks.zipWithIndex.foreach { case (grp, i) =>
@@ -225,7 +246,7 @@ object Bench {
       val top = results.sortBy(-_._2).take(topN)
         .map { case (k, v) => "\"" + k + "\":" + f"$v%.2f" }
         .mkString("{", ",", "}")
-      f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":$top,"n_queries":${results.length}$canaryJson,"full":"$fullName","sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":$top,"n_queries":${results.length}$canaryJson,"cpus":$cpus,"full":"$fullName","sf":"$sfDir"}"""
     }
     // shrink until the final line fits comfortably inside the tail
     val finalLine = Iterator.from(0).map(i => compactLine(48 - 8 * i))
@@ -247,6 +268,14 @@ object Bench {
           "(SPARK_GRAFT_FORCE_STAMP=1 overrides)")
       java.nio.file.Files.write(java.nio.file.Paths.get(target),
         (line + "\n").getBytes("UTF-8"))
+      // Fixed parse target for the driver (r13 verdict item 1d: the
+      // driver's tail-parser produced `parsed: null` two rounds
+      // running despite the final line printing). The same compact
+      // line that goes to stdout is committed here verbatim so the
+      // driver can read it from the filesystem instead of the tail.
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get("BENCH_SUMMARY.json"),
+        (finalLine + "\n").getBytes("UTF-8"))
     }
     println(finalLine)
     spark.stop()

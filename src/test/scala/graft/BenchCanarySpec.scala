@@ -59,6 +59,24 @@ class BenchCanarySpec extends AnyFunSuite {
       cleanStampExists = true) == f)
   }
 
+  test("stampTarget quarantines a FAST-window re-stamp too (r14: " +
+      "the gate is symmetric — a deflated record flatters the round " +
+      "that writes it and sandbags the next)") {
+    val f = "BENCH_FULL_r14.json"
+    // fast window over an existing stamp → quarantine
+    assert(Bench.stampTarget(f, 0.66, forced = false,
+      cleanStampExists = true) == "BENCH_FULL_r14.contaminated.json")
+    // fast window, first stamp of the round → self-describing stamp
+    assert(Bench.stampTarget(f, 0.66, forced = false,
+      cleanStampExists = false) == f)
+    // forced → stamp
+    assert(Bench.stampTarget(f, 0.66, forced = true,
+      cleanStampExists = true) == f)
+    // boundary: the lower threshold itself is not a breach
+    assert(Bench.stampTarget(f, Bench.canaryLowThreshold, forced = false,
+      cleanStampExists = true) == f)
+  }
+
   test("canary queries resolve in the registry and stay trivial " +
       "(sub-second records — a heavyweight canary would cost more " +
       "than the forensics it replaces)") {
