@@ -119,12 +119,31 @@ object core {
     * work). NOT for general queries — AQE's runtime broadcast
     * conversion is what keeps iterative-join loops cheap (the r13
     * fixpoint A/B that measured 3-10× worse without it). */
+  private val aqeOffDepth = new java.util.concurrent.atomic.AtomicInteger(0)
+  @volatile private var aqeSaved = "true"
+
   def withoutAqe[T](s: SparkSession)(f: => T): T = {
     val key = "spark.sql.adaptive.enabled"
-    val prev = s.conf.get(key, "true")
-    s.conf.set(key, "false")
+    // Refcounted (ADVICE r13): two overlapping calls on different
+    // threads (a streaming staging batch racing an ad-hoc store op)
+    // could interleave set/restore and leave AQE off for the whole
+    // session. The FIRST entering caller saves the live value and
+    // disables; the LAST exiting caller restores it — nested and
+    // concurrent batches compose, and the session can never end up
+    // permanently AQE-less. (A query compiling on an unrelated thread
+    // DURING a batch still sees AQE off — inherent to session-level
+    // conf and acceptable for the store-commit call sites, where the
+    // batch is normally the only live work.)
+    aqeOffDepth.synchronized {
+      if (aqeOffDepth.getAndIncrement() == 0) {
+        aqeSaved = s.conf.get(key, "true")
+        s.conf.set(key, "false")
+      }
+    }
     try f
-    finally s.conf.set(key, prev)
+    finally aqeOffDepth.synchronized {
+      if (aqeOffDepth.decrementAndGet() == 0) s.conf.set(key, aqeSaved)
+    }
   }
 
   /** Run independent Spark actions concurrently from a small thread
@@ -158,6 +177,29 @@ object core {
         }
       } finally pool.shutdown()
     }
+
+  /** Run ONE independent Spark action on a background thread while the
+    * caller's driver-blocking chain proceeds (guide §2.6, the
+    * inParallel idea started EARLY instead of batched at the end): an
+    * artifact staging write that depends only on already-available
+    * frames can overlap the serial collect chain that computes the
+    * rest of the commit. Returns a join function that rethrows the
+    * task's failure with its original type — the caller MUST invoke it
+    * before committing anything that assumes the write landed. */
+  def async[T](s: SparkSession, desc: String)(f: => T): () => T = {
+    val task = new java.util.concurrent.FutureTask[T](
+      new java.util.concurrent.Callable[T] {
+        def call(): T = labeled(s, desc)(f)
+      })
+    val t = new Thread(task, s"graft-async-$desc")
+    t.setDaemon(true)
+    t.start()
+    () =>
+      try task.get()
+      catch {
+        case e: java.util.concurrent.ExecutionException => throw e.getCause
+      }
+  }
 
   /** Start materializing a CACHED frame on a background thread while
     * the caller runs independent driver-blocking work (an iterative

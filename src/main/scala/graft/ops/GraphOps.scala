@@ -306,28 +306,31 @@ object GraphOps {
     "parallel build layers: longest dependency chain beneath each package",
     (s, dir) => {
       val pk = packages(s, dir)
+      // the (count, sum(layer)) convergence signature folds into the
+      // checkpoint's own materializing pass (the BFS drain-fold
+      // pattern, GraftBridge) — one job per round instead of a
+      // checkpoint job plus a separate aggregate job; `layer` is
+      // ordinal 1 of the (node, layer) frame
+      val ckptS =
+        org.apache.spark.sql.GraftBridge.localCheckpointWithCountSum _
       val ed = edges(s, dir)
         .select(col("dst").as("node"), col("src").as("up"))
         .repartition(col("node")).localCheckpoint(true)
-      var lay = pk.select(col("k").as("node"), lit(0L).as("layer"))
-        .localCheckpoint(true)
-      def sig(df: org.apache.spark.sql.DataFrame): (Long, Long) = {
-        val r = df.agg(count(lit(1)), sum(col("layer"))).head()
-        (r.getLong(0), r.getLong(1))
-      }
-      var prev = sig(lay)
+      var (lay, cnt0, sum0) = ckptS(
+        pk.select(col("k").as("node"), lit(0L).as("layer")), 1)
+      var prev = (cnt0, sum0)
       var converged = false
       var rounds = 0
       while (!converged && rounds < MaxRounds) {
         val bumped = ed.join(lay, "node")
           .groupBy(col("up").as("node"))
           .agg((max(col("layer")) + 1L).as("cand"))
-        lay = lay.join(bumped, Seq("node"), "left")
+        val step = ckptS(lay.join(bumped, Seq("node"), "left")
           .select(col("node"),
             greatest(col("layer"), coalesce(col("cand"), lit(0L)))
-              .as("layer"))
-          .localCheckpoint(true)
-        val cur = sig(lay)
+              .as("layer")), 1)
+        lay = step._1
+        val cur = (step._2, step._3)
         converged = cur == prev
         prev = cur
         rounds += 1

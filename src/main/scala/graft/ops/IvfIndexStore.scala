@@ -208,6 +208,11 @@ object IvfIndexStore {
     val cents = SimilarityOps.ivfCentroids(corpus, k, iters).cache()
     val sess = corpus.sparkSession
     try graft.core.labeled(sess, "ivf:save") {
+      // the attr sidecar's bucket sizing (a count over the attrs
+      // frame) is independent of training — overlap it with the
+      // train gate and the staging writes (guide §2.6)
+      val apFut = attrs.map(a => graft.core.async(sess, "ivf:save:attrs-n")(
+        defaultAttrBuckets(a.count())))
       require(!graft.core.labeled(sess, "ivf:save:train")(cents.isEmpty),
         "IVF save needs a non-empty training corpus (the coarse " +
           "quantizer cannot train on nothing — unlike the dedup " +
@@ -215,18 +220,26 @@ object IvfIndexStore {
           "data exists)")
       val cells = SimilarityOps.ivfCells(corpus, cents)
       val dirName = UUID.randomUUID().toString
-      // two independent staging writes — overlap them (guide §2.6)
+      // ALL independent staging writes — centroids, cells, and the
+      // attr sidecar (which used to run serially after the batch) —
+      // overlap (guide §2.6); each attr thunk joins its own bucket
+      // count, so the sizing job overlaps the other writes too
+      val apBox = new java.util.concurrent.atomic.AtomicInteger(0)
       graft.core.inParallel(sess,
-        "ivf:save:write:centroids" -> (() =>
-          cents.write.parquet(s"$root/data/$dirName/centroids")),
-        "ivf:save:write:cells" -> (() =>
-          writeCells(cells, defaultBuckets(k),
-            s"$root/data/$dirName/cells")))
-      val attrKv = attrs.toSeq.map { a =>
-        val ap = defaultAttrBuckets(a.count())
-        writeAttrs(a, ap, s"$root/data/$dirName/attrs")
-        "ap" -> ap.toString
-      }
+        Seq(
+          "ivf:save:write:centroids" -> (() =>
+            cents.write.parquet(s"$root/data/$dirName/centroids")),
+          "ivf:save:write:cells" -> (() =>
+            writeCells(cells, defaultBuckets(k),
+              s"$root/data/$dirName/cells"))) ++
+          attrs.toSeq.zip(apFut.toSeq).map { case (a, f) =>
+            "ivf:save:write:attrs" -> (() => {
+              val ap = f()
+              apBox.set(ap)
+              writeAttrs(a, ap, s"$root/data/$dirName/attrs")
+            })
+          }: _*)
+      val attrKv = attrs.toSeq.map(_ => "ap" -> apBox.get().toString)
       val base = mkRec(k, defaultBuckets(k), s"$dirName/centroids",
         Seq(s"$dirName/cells"))
       val rec = Rec(base.kv ++ attrKv,
@@ -297,6 +310,12 @@ object IvfIndexStore {
     val corp = corpus.cache() // feeds coarse train + assign + PQ train + encode
     val sess = corpus.sparkSession
     try {
+      // the attr sidecar's bucket sizing (a count over the attrs
+      // frame) is independent of training — overlap it with the
+      // whole train/encode chain (guide §2.6) and join at record
+      // render time
+      val apFut = attrs.map(a => graft.core.async(sess, "pq:attrs-n")(
+        defaultAttrBuckets(a.count())))
       // one limit(1) action answers BOTH the non-empty gate and the
       // dimension probe (was an isEmpty + a head() — two jobs)
       val dimOpt = graft.core.labeled(sess, "pq:corp")(
@@ -319,14 +338,26 @@ object IvfIndexStore {
         else Some(SimilarityOps.pqCodebooks(corp, m, subDim, ksub,
           iters).cache())
       try {
+        // the training counts ARE the non-empty gates (was a count
+        // plus a separate isEmpty job per trained frame)
+        @volatile var centsN = -1L
+        @volatile var booksN = -1L
         graft.core.inParallel(sess,
-          Seq("pq:coarse-train" -> (() => { cents.count(); () })) ++
+          Seq("pq:coarse-train" -> (() => { centsN = cents.count(); () })) ++
             booksEager.toSeq.map(b =>
-              "pq:book-train" -> (() => { b.count(); () })): _*)
-        require(!cents.isEmpty,
+              "pq:book-train" -> (() => { booksN = b.count(); () })): _*)
+        require(centsN > 0,
           "IVF-PQ training produced no centroids (the default low-id " +
             "seeding needs corpus ids below k; pass explicit seeds " +
             "otherwise)")
+        val dirName = UUID.randomUUID().toString
+        val buckets = defaultBuckets(k)
+        // the trained centroid frame is final here — its staging
+        // write depends on nothing below, so it overlaps the whole
+        // assign/book-train/encode chain (guide §2.6) instead of
+        // joining the terminal write batch; the commit still waits
+        val centsStaged = graft.core.async(sess, "pq:write:centroids")(
+          cents.write.parquet(s"$root/data/$dirName/centroids"))
         // the trained-centroid assignment feeds TWO sinks (the cells
         // table write and the PQ encode / residual path) — cache for
         // the call's scope or the broadcast argmin pass runs twice
@@ -342,7 +373,13 @@ object IvfIndexStore {
           val books = booksEager.getOrElse(SimilarityOps.pqCodebooks(
             resid.getOrElse(corp), m, subDim, ksub, iters).cache())
           try {
-            require(!graft.core.labeled(sess, "pq:book-train")(books.isEmpty),
+            // residual books train only here — their materializing
+            // count is the gate (the non-residual count was captured
+            // in the overlapped train above)
+            if (booksN < 0)
+              booksN = graft.core.labeled(sess, "pq:book-train")(
+                books.count())
+            require(booksN > 0,
               "IVF-PQ training produced no codebooks (the default " +
                 "low-id seeding needs corpus ids below ksub; pass " +
                 "explicit seeds otherwise)")
@@ -352,18 +389,15 @@ object IvfIndexStore {
             val codes = SimilarityOps.pqEncode(
               resid.getOrElse(cells), books, m, subDim,
               carry = Seq("cell"))
-            val dirName = UUID.randomUUID().toString
-            val buckets = defaultBuckets(k)
-            // 4 independent staging writes to 4 separate dirs: overlap
-            // them (guide §2.6) — the commit record below is written
-            // only after all four complete, so atomicity is unchanged
-            val attrKv = attrs.toSeq.map { a =>
-              "ap" -> defaultAttrBuckets(a.count()).toString
+            // 3 remaining independent staging writes to separate dirs:
+            // overlap them (guide §2.6) — the commit record below is
+            // written only after all (and the centroid write) complete,
+            // so atomicity is unchanged
+            val attrKv = attrs.zip(apFut).toSeq.map { case (_, f) =>
+              "ap" -> f().toString
             }
             graft.core.inParallel(sess,
               Seq(
-                "pq:write:centroids" -> (() =>
-                  cents.write.parquet(s"$root/data/$dirName/centroids")),
                 "pq:write:books" -> (() =>
                   books.write.parquet(s"$root/data/$dirName/books")),
                 "pq:write:cells" -> (() =>
@@ -377,6 +411,7 @@ object IvfIndexStore {
                     writeAttrs(a, ap.toInt,
                       s"$root/data/$dirName/attrs"))
                 }: _*)
+            centsStaged()
             val rec = Rec(
               Seq("k" -> k.toString, "p" -> buckets.toString,
                 "m" -> m.toString, "sd" -> subDim.toString,

@@ -379,27 +379,35 @@ object MinhashIndexStore {
     // form)
     def bands = dropTombs(readDirs(spark, root, r.dirsOf("B")), tombs)
     val empty = bands.isEmpty
-    // staging-batch AQE toggle — see save()
-    val labDirs = graft.core.withoutAqe(spark) {
+    // staging-batch AQE toggle — see save(). Scope NARROWED to the
+    // pure re-bucket writes and the empty fwd write (ADVICE r13 /
+    // the §10b rule): the labmem fold's plan EMBEDS real compute
+    // (loadAt's newest-gen window + resolvedLabels' joins), exactly
+    // the shape the IVF-store toggle regressed on and was reverted.
+    graft.core.withoutAqe(spark) {
       writeBucketed(bands, "pb", s"$root/data/$dirName/bands", empty)
       writeBucketed(dropTombs(readDirs(spark, root, r.dirsOf("S")),
           tombs),
         "qb", s"$root/data/$dirName/shingles", empty)
+    }
+    val labDirs =
       if (!labeled) Nil
       else {
         val idx = loadAt(spark, root, v) // tomb-filtered, newest-gen
         // feeds the folded write — cache (same rationale as save)
         val lab0 = resolvedLabels(idx)
           .select(col("doc_id"), col("cluster_id").as("cid0")).cache()
+        // compiled under AQE: the write materializes the resolved-
+        // label recompute, not a bare re-bucket
         try writeLabelsAndMembers(lab0, idx.shingleBuckets, gen = 0L,
           s"$root/data/$dirName", partitioned = !empty)
         finally lab0.unpersist(false)
         val fwdDirName = UUID.randomUUID().toString
-        idx.forward.get.limit(0)
-          .write.parquet(s"$root/data/$fwdDirName/forward")
+        graft.core.withoutAqe(spark)(
+          idx.forward.get.limit(0)
+            .write.parquet(s"$root/data/$fwdDirName/forward"))
         labelDirs(dirName) :+ ("F" -> s"$fwdDirName/forward")
       }
-    }
     ArtifactLog.commit(root, Kind, v, Rec(r.kv,
       Seq("B" -> s"$dirName/bands", "S" -> s"$dirName/shingles") ++
         labDirs), store)
@@ -453,7 +461,21 @@ object MinhashIndexStore {
     * two corpus clusters contributes two pairs, and dropping either
     * would miss the merge). Same pruned probes. */
   def verifiedShardPairs(index: MinhashIndex, shard: DataFrame,
-      prune: Boolean = true): DataFrame = {
+      prune: Boolean = true): DataFrame =
+    verifiedShardPairsInfo(index, shard, prune)._1
+
+  /** [[verifiedShardPairs]] plus the probe's two bounded collects,
+    * for callers that can reuse them ([[ingestLabeled]]): `probed` is
+    * the shard's banded bucket set — empty iff the shard is empty
+    * (every (doc_id, sh) row yields band rows), so it doubles as the
+    * empty-shard gate; `candBuckets` is the candidate pairs' d1
+    * doc-bucket set — a superset of the verified corpus witnesses'
+    * buckets, so it can prune the labels0 read without a further
+    * round-trip (the d1 equi-join keeps exactness). Both are empty
+    * when `prune` is false. */
+  private[ops] def verifiedShardPairsInfo(index: MinhashIndex,
+      shard: DataFrame, prune: Boolean = true)
+      : (DataFrame, Array[Int], Array[Int]) = {
     val incB = DedupOps.scopedCache(DedupOps.bandFrame(shard))
     val probed =
       if (!prune) Array.empty[Int] // A/B leg for graft.DedupIndexProbe
@@ -495,8 +517,8 @@ object MinhashIndexStore {
       else index.shingles)
       .select(col("doc_id"), col("sh"))
     val allSh = witnessSh.unionByName(shard.select("doc_id", "sh"))
-    DedupOps.verifyPairs(allSh, cand.select("d1", "d2"))
-      .join(cand, Seq("d1", "d2"))
+    (DedupOps.verifyPairs(allSh, cand.select("d1", "d2"))
+      .join(cand, Seq("d1", "d2")), probed, candBuckets)
   }
 
   /** Labeled shard ingest — incremental connected components against
@@ -548,24 +570,36 @@ object MinhashIndexStore {
       val committed = head.kvMap.get("tag").map(_.toLong)
       if (committed.exists(_ >= t)) return v // replayed batch: no-op
     }
-    // empty shard: NO-OP — staging it would partitionBy-write zero
-    // rows (no schema-bearing file) and brick every later read
-    if (shard.isEmpty) return v
     val idx = loadAt(spark, root, v)
     val (p, q) = (idx.bandBuckets, idx.shingleBuckets)
     val shardC = DedupOps.scopedCache(shard)
+    val (pairsRaw, probed, candBuckets) =
+      verifiedShardPairsInfo(idx, shardC)
+    // empty shard: NO-OP — staging it would partitionBy-write zero
+    // rows (no schema-bearing file) and brick every later read. The
+    // probe's own bucket collect IS the gate (band rows exist iff
+    // shard rows do) — the separate isEmpty job is gone.
+    if (probed.isEmpty) return v
+    val dirName = UUID.randomUUID().toString
+    // the shard's bands/shingles staging write depends only on shardC
+    // and (p, q): start it NOW, overlapped with the probe/CC chain
+    // below (guide §2.6), and join before the commit. No AQE toggle —
+    // the recompute plans compile concurrently (the §10b rule); the
+    // band frame is the SAME plan-keyed scoped cache the probe uses,
+    // so the overlap never duplicates the MinHash pass.
+    val shardStaged = graft.core.async(spark, "mh:ingest:write:shard")(
+      writeShard(shardC, p, q, s"$root/data/$dirName"))
     val pairs = DedupOps.scopedCache(
-      verifiedShardPairs(idx, shardC).select("d1", "d2", "src"))
+      pairsRaw.select("d1", "d2", "src"))
     val fwd = broadcast(idx.forward.get)
-    // witness cluster ids: labels0 rows pruned to the witnesses'
-    // buckets, then forwarded to the CURRENT canonical label
+    // witness cluster ids: labels0 rows pruned to the CANDIDATE
+    // pairs' d1 buckets — already collected inside the probe, a
+    // superset of the verified witnesses' buckets (the d1 equi-join
+    // below keeps exactness), so the former mh:ingest:pairs
+    // round-trip is gone
     val corpusPairs = pairs.filter(col("src") === "corpus")
-    val d1Buckets = graft.core.labeled(spark, "mh:ingest:pairs")(
-      corpusPairs
-        .select(pmod(col("d1"), lit(q.toLong)).cast("int").as("qb"))
-        .distinct().collect().map(_.getInt(0))) // ≤ Q by pigeonhole
     val lab0 = idx.labels0.get
-      .filter(col("qb").isin(d1Buckets.toSeq: _*))
+      .filter(col("qb").isin(candBuckets.toSeq: _*))
       .select(col("doc_id").as("d1"), col("cid0"))
     val corpusEdges = corpusPairs.join(lab0, "d1")
       .join(fwd, col("cid0") === col("cid_from"), "left")
@@ -593,24 +627,23 @@ object MinhashIndexStore {
       .unionByName(moved)
     val shardLabels = sub.join(shardC.select("doc_id"), Seq("doc_id"))
       .select(col("doc_id"), col("cluster_id").as("cid0"))
-    val dirName = UUID.randomUUID().toString
     // the forwarding map is REPLACED (not accreted) every ingest, so
     // it stages under its OWN top-level uuid: when the next ingest
     // drops this F line, the whole dir goes unreferenced and vacuum
     // can sweep it — under the shard's uuid it would hide forever
     // behind the still-live bands/shingles/labels
     val fwdDirName = UUID.randomUUID().toString
-    // three independent staging targets (the shard's bands+shingles,
-    // the labmem table, the replaced forwarding map) — overlap them
-    // (guide §2.6); the CAS commit below waits for all
+    // the two CC-dependent staging targets (labmem, forwarding map)
+    // overlap each other (guide §2.6); the shard write has been
+    // running since before the CC — the CAS commit below waits for
+    // all three
     graft.core.withoutAqe(spark)(graft.core.inParallel(spark,
-      "mh:ingest:write:shard" -> (() =>
-        writeShard(shardC, p, q, s"$root/data/$dirName")),
       "mh:ingest:write:labmem" -> (() =>
         writeLabelsAndMembers(shardLabels, q, v + 1,
           s"$root/data/$dirName")),
       "mh:ingest:write:fwd" -> (() =>
         newFwd.write.parquet(s"$root/data/$fwdDirName/forward"))))
+    shardStaged() // bands/shingles must be on disk before commit
     // an UNTAGGED ingest must PRESERVE the committed streaming tag —
     // erasing it would let a crash-replayed stream batch re-ingest
     // after any interleaved ad-hoc ingest
@@ -684,13 +717,15 @@ object MinhashIndexStore {
       if (committed.exists(_ >= t)) return v // replayed batch: no-op
     }
     val del = DedupOps.scopedCache(ids.select("doc_id").distinct())
-    if (graft.core.labeled(spark, "mh:del:emptyCheck")(del.isEmpty))
-      return v // nothing to tombstone, no version burn
     val labeled = head.kvMap.get("lab").contains("1")
     val dirName = UUID.randomUUID().toString
-    graft.core.labeled(spark, "mh:del:tombs")(
-      graft.core.withoutAqe(spark)(
-        del.write.parquet(s"$root/data/$dirName/tombs")))
+    if (!labeled) {
+      if (graft.core.labeled(spark, "mh:del:emptyCheck")(del.isEmpty))
+        return v // nothing to tombstone, no version burn
+      graft.core.labeled(spark, "mh:del:tombs")(
+        graft.core.withoutAqe(spark)(
+          del.write.parquet(s"$root/data/$dirName/tombs")))
+    }
 
     val labDirs =
       if (!labeled) Nil
@@ -698,10 +733,21 @@ object MinhashIndexStore {
         val idx = loadAt(spark, root, v) // prior tombs already filtered
         val q = idx.shingleBuckets
         val fwd = DedupOps.scopedCache(idx.forward.get)
-        // 1. touched clusters: the deleted docs' current labels
+        // 1. touched clusters: the deleted docs' current labels. The
+        // bucket collect doubles as the emptiness gate (was a separate
+        // isEmpty job): delQb is empty iff `del` is
         val delQb = graft.core.labeled(spark, "mh:del:delQb")(del
           .select(pmod(col("doc_id"), lit(q.toLong)).cast("int").as("qb"))
           .distinct().collect().map(_.getInt(0))) // ≤ Q by pigeonhole
+        if (delQb.isEmpty)
+          return v // nothing to tombstone, no version burn
+        // the tombstone write depends only on `del` — overlap it with
+        // the serial recompute chain below (guide §2.6) and join
+        // before the commit. No AQE toggle: the plan has no exchange,
+        // and a session-level toggle here would strip AQE from the
+        // recompute plans compiling concurrently (the §10b rule).
+        val tombsDone = graft.core.async(spark, "mh:del:tombs")(
+          del.write.parquet(s"$root/data/$dirName/tombs"))
         // 2. candidate clusters: the touched set (the deleted docs'
         // resolved labels) PLUS forwarding sources pointing into it.
         // One collect answers both (the touched→intoTouched pair used
@@ -780,6 +826,7 @@ object MinhashIndexStore {
           "mh:del:write:fwd" -> (() =>
             fwd.filter(!col("cid_to").isin(touched.toSeq: _*))
               .write.parquet(s"$root/data/$fwdDirName/forward"))))
+        tombsDone() // staged tombstones must be on disk before commit
         labelDirs(dirName) :+ ("F" -> s"$fwdDirName/forward")
       }
     val rec = Rec(

@@ -29,14 +29,54 @@ object GraftBridge {
     * mark for local checkpoint, count (which materializes), then wrap
     * the materialized RDD as a LogicalRDD leaf via the same
     * `fromDataset` the built-in path uses — lineage truncation and
-    * block-manager behavior identical to `localCheckpoint(true)`. */
+    * block-manager behavior identical to `localCheckpoint(true)`.
+    * The materializing job runs under the source Dataset's own SQL
+    * execution id (like the built-in `withAction` path), so it is
+    * visible to the SQL UI and QueryExecutionListener metrics;
+    * streaming-ness is taken from the source, not hardcoded. */
   def localCheckpointWithCount(df: DataFrame): (DataFrame, Long) = {
     val ds = df.asInstanceOf[classic.Dataset[Row]]
     val rdd = ds.queryExecution.toRdd.map(_.copy())
     rdd.localCheckpoint()
-    val cnt = rdd.count()
+    val cnt = org.apache.spark.sql.execution.SQLExecution
+      .withNewExecutionId(ds.queryExecution, Some("localCheckpointWithCount")) {
+        rdd.count()
+      }
     val logical = org.apache.spark.sql.execution.LogicalRDD
-      .fromDataset(rdd, ds, isStreaming = false)
+      .fromDataset(rdd, ds, isStreaming = ds.isStreaming)
     (classic.Dataset.ofRows(ds.sparkSession, logical), cnt)
+  }
+
+  /** [[localCheckpointWithCount]] that additionally folds a
+    * SUM(long column at `sumOrdinal`) into the SAME materializing job.
+    * For monotonic fixpoint loops whose convergence check is the
+    * (count, sum) signature (GraphOps.topoOrder): the built-in shape
+    * pays checkpoint-materialize + a separate aggregate job per round;
+    * this computes both in the one pass Spark already makes over the
+    * rows. Null cells contribute 0, matching `sum(col)`'s null-skip. */
+  def localCheckpointWithCountSum(df: DataFrame, sumOrdinal: Int)
+      : (DataFrame, Long, Long) = {
+    val ds = df.asInstanceOf[classic.Dataset[Row]]
+    val rdd = ds.queryExecution.toRdd.map(_.copy())
+    rdd.localCheckpoint()
+    val partials = org.apache.spark.sql.execution.SQLExecution
+      .withNewExecutionId(ds.queryExecution,
+        Some("localCheckpointWithCountSum")) {
+        ds.sparkSession.sparkContext.runJob(rdd,
+          (it: Iterator[org.apache.spark.sql.catalyst.InternalRow]) => {
+            var c = 0L
+            var s = 0L
+            while (it.hasNext) {
+              val r = it.next()
+              c += 1L
+              if (!r.isNullAt(sumOrdinal)) s += r.getLong(sumOrdinal)
+            }
+            (c, s)
+          })
+      }
+    val logical = org.apache.spark.sql.execution.LogicalRDD
+      .fromDataset(rdd, ds, isStreaming = ds.isStreaming)
+    (classic.Dataset.ofRows(ds.sparkSession, logical),
+      partials.map(_._1).sum, partials.map(_._2).sum)
   }
 }
